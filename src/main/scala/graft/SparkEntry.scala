@@ -1,13 +1,596 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables.load
+import graft.functions.Timestamps
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Merge, Relational, Retention, Similarity, TextDedup}
+
+/** Driver contract (SURVEY.md §7): one `queries` entry per implemented
+  * operator, each with equivalent ANSI SQL for the DuckDB oracle.
+  *
+  * Determinism conventions shared by every query/oracle pair:
+  *  - totally ordered output (explicit ORDER BY with tie-breaking keys);
+  *  - money/measure aggregations computed per-row in IEEE double (identical
+  *    in both engines), cast to exact DECIMAL before SUM (associative, so
+  *    order-independent), cast back to DOUBLE for a canonical output type;
+  *  - hash-style ops (minhash/simhash/fingerprints) built on md5, which
+  *    both engines expose with identical semantics — never on engine-
+  *    private hashes like Spark's murmur3 `hash()`.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
+  /** SUM with exact decimal accumulation, canonical double output. */
+  private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+  private val revenueRow: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revenueSql =
+    "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  /** Flagship (driver t1 smoke, sf0.001): the reference's core
+    * dedup-then-MERGE shape on the corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q19_merge_upsert")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation / scan breadth (SURVEY.md §2.4 generalized) --------
+    "q01_pricing_summary" -> ((s, d) => {
+      load(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(revenueRow, 4).as("sum_disc_price"),
+          dsum(revenueRow * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // ---- W1 dedup-latest-per-key (reference rqtradein_etl.py:166-171) ---
+    "q02_dedup_latest" -> ((s, d) => {
+      Dedup.latestPerKey(load(s, d, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    }),
+
+    // ---- multi-way joins (SURVEY.md §2.3 generalized) -------------------
+    "q03_shipping_priority" -> ((s, d) => {
+      val c = load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = load(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = load(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(dsum(revenueRow, 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    }),
+
+    "q04_local_supplier_volume" -> ((s, d) => {
+      val r = load(s, d, "region").filter(col("r_name") === "ASIA")
+      val n = load(s, d, "nation")
+      val c = load(s, d, "customer")
+      val su = load(s, d, "supplier")
+      val o = load(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      val l = load(s, d, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(revenueRow, 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q05_semi_join" -> ((s, d) => {
+      Relational.semi(
+          load(s, d, "customer").select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          load(s, d, "orders").select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"))
+        .orderBy("c_custkey")
+    }),
+
+    "q06_anti_join" -> ((s, d) => {
+      Relational.anti(
+          load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+          load(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q07_having" -> ((s, d) => {
+      load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("total"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")
+    }),
+
+    "q08_distinct_agg" -> ((s, d) => {
+      load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q09_rollup" -> ((s, d) => {
+      load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q10_cube" -> ((s, d) => {
+      load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("int").as("g1"),
+          grouping(col("o_orderpriority")).cast("int").as("g2"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("g1"), col("g2"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // ---- set operations (SURVEY.md §2.8 generalized) --------------------
+    "q11_setop_intersect" -> ((s, d) => {
+      val cn = load(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = load(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).orderBy("nationkey")
+    }),
+
+    "q12_setop_except" -> ((s, d) => {
+      val cn = load(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = load(s, d, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).orderBy("nationkey")
+    }),
+
+    // ---- global top-k (TakeOrderedAndProject, no full sort) -------------
+    "q13_topk" -> ((s, d) => {
+      Relational.topK(
+        load(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        20, col("o_totalprice").desc, col("o_orderkey").asc)
+    }),
+
+    // ---- window frames (SURVEY.md §2.5 generalized) ---------------------
+    "q14_window_frames" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      load(s, d, "events")
+        .withColumn("running_value",
+          sum(dec(col("value"), 2)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .select("event_id", "user_id", "value", "running_value", "prev_type", "next_type", "rn")
+        .orderBy("user_id", "rn")
+    }),
+
+    // ---- event-time tumbling window (streaming-shaped batch, T2) --------
+    "q15_time_window" -> ((s, d) => {
+      load(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // ---- JSON scalar extraction + typed projection (P3) -----------------
+    "q16_json_extract" -> ((s, d) => {
+      load(s, d, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"),
+          dec(col("value"), 2).as("value_dec"),
+          col("ts").cast("date").as("event_date"))
+        .orderBy("event_id")
+    }),
+
+    // ---- F1/F2/F10: multi-format timestamp parse round-trip -------------
+    "q17_ts_parse" -> ((s, d) => {
+      load(s, d, "events")
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("iso"))
+        .select(col("event_id"), col("iso"),
+          Timestamps.parseTimestamp(col("iso")).as("parsed"))
+        .orderBy("event_id")
+    }),
+
+    // ---- F3/F5: UTC → America/New_York conversion (seconds precision) ---
+    "q18_est_convert" -> ((s, d) => {
+      load(s, d, "events")
+        .select(col("event_id"),
+          Timestamps.toEstString(col("ts")).as("est_str"),
+          Timestamps.toEstTimestamp(col("ts")).as("est_ts"))
+        .orderBy("event_id")
+    }),
+
+    // ---- M1: MERGE-upsert emulation (the reference's core query) --------
+    "q19_merge_upsert" -> ((s, d) => {
+      val cutoverLo = lit("1996-01-01 00:00:00").cast("timestamp")
+      val cutoverHi = lit("1997-01-01 00:00:00").cast("timestamp")
+      val o = load(s, d, "orders")
+      val target = o.filter(col("o_orderdate") < cutoverHi)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val source = o.filter(col("o_orderdate") >= cutoverLo)
+        .select(col("o_orderkey"), col("o_custkey"),
+          dec(col("o_totalprice") * lit(1.1), 3).cast("double").as("o_totalprice"),
+          col("o_orderstatus"))
+      Merge.upsert(target, source, "o_orderkey",
+          Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
+          actionCol = Some("action"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- M2: retention filter-retain (delete as its relational dual) ----
+    "q20_retention" -> ((s, d) => {
+      Retention.retain(load(s, d, "events"),
+          col("ts").cast("date") === lit("2024-01-15").cast("date"))
+        .select("event_id", "ts", "event_type")
+        .orderBy("event_id")
+    }),
+
+    // ---- A1/A2: predicated counts ---------------------------------------
+    "q21_counts_filtered" -> ((s, d) => {
+      load(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") > 100, lit(1))).as("n_high"))
+        .orderBy("event_type")
+    }),
+
+    // ---- north-star: text analysis --------------------------------------
+    "q22_text_stats" -> ((s, d) => {
+      load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          length(col("text")).cast("long").as("text_len"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+          size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_distinct_tokens"),
+          TextFunctions.typeTokenRatio(col("text")).as("ttr"))
+        .orderBy("doc_id")
+    }),
+
+    "q23_text_quality" -> ((s, d) => {
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_token_len"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- north-star: dedup family ---------------------------------------
+    "q24_dedup_exact" -> ((s, d) => {
+      TextDedup.exact(load(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "n_copies", "text")
+        .orderBy("doc_id")
+    }),
+
+    "q25_minhash_sig" -> ((s, d) => {
+      TextDedup.minhashSignatures(load(s, d, "documents"), "text", "doc_id",
+          numHashes = 4, shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q26_neardup_jaccard" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
+        .orderBy("doc_id_a", "doc_id_b")
+    }),
+
+    "q27_simhash" -> ((s, d) => {
+      TextDedup.simhash(load(s, d, "documents"), "text", "doc_id", 16)
+        .orderBy("doc_id")
+    }),
+
+    "q28_fingerprint" -> ((s, d) => {
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.exactFingerprint(col("text")).as("fp_exact"),
+          TextFunctions.winnowFingerprint(col("text")).as("fp_winnow"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- north-star: similarity search ----------------------------------
+    "q29_knn_cosine" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 3)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN: no SQL oracle (plane constants) — rows-only check.
+    "q30_knn_lsh" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 3,
+          planes = Similarity.deterministicPlanes(4, 64))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Shared CTE text for the minhash-family oracles. */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(t)-2, 1))] AS shingles
+      |  FROM toks),
+      |sig AS (SELECT doc_id,
+      |  list_min([md5('s0|' || x) FOR x IN shingles]) AS sig_0,
+      |  list_min([md5('s1|' || x) FOR x IN shingles]) AS sig_1,
+      |  list_min([md5('s2|' || x) FOR x IN shingles]) AS sig_2,
+      |  list_min([md5('s3|' || x) FOR x IN shingles]) AS sig_3
+      |  FROM sh)""".stripMargin
+
+  private val simhashBitsSql: String = (0 until 16).map { j =>
+    s"CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), ${j + 1}, 1) >= '8')) > len(t) THEN ${1L << j} ELSE 0 END"
+  }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        | COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_dedup_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q03_shipping_priority" ->
+      s"""SELECT l_orderkey, $revenueSql AS revenue, o_orderdate
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q04_local_supplier_volume" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name
+         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q08_distinct_agg" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag) AS INT) AS g1,
+        | CAST(GROUPING(l_linestatus) AS INT) AS g2,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q10_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g2,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q11_setop_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q12_setop_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "q14_window_frames" ->
+      """SELECT event_id, user_id, value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        | LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        | LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |FROM events ORDER BY user_id, rn""".stripMargin,
+
+    "q15_time_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id,
+        | CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
+        | CAST(value AS DECIMAL(18,2)) AS value_dec,
+        | CAST(ts AS DATE) AS event_date
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_ts_parse" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
+        | COALESCE(
+        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'),
+        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S'),
+        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f'),
+        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S')) AS parsed
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q18_est_convert" ->
+      """SELECT event_id,
+        | strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York', '%Y-%m-%d %H:%M:%S') AS est_str,
+        | (date_trunc('second', ts) AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS est_ts
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q19_merge_upsert" ->
+      """WITH target AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |source AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_totalprice * 1.1 AS DECIMAL(18,3)) AS DOUBLE) AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+        |SELECT
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderkey ELSE t.o_orderkey END AS o_orderkey,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        | CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL THEN 'update'
+        |      WHEN s.o_orderkey IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+        |FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_retention" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+        |ORDER BY event_id""".stripMargin,
+
+    "q21_counts_filtered" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | COUNT(CASE WHEN value > 100 THEN 1 END) AS n_high
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q22_text_stats" ->
+      """SELECT doc_id, n_chars,
+        | CAST(length(text) AS BIGINT) AS text_len,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q23_text_quality" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '),
+        |   x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        | CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, text
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "q25_minhash_sig" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id, sig_0, sig_1, sig_2, sig_3 FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q26_neardup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(da.dt, db.dt)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(da.dt, db.dt))) AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN dtoks da ON da.doc_id = p.doc_id_a
+         |JOIN dtoks db ON db.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q27_simhash" ->
+      s"""SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q28_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_exact,
+        | list_min([md5(substring(text, i, 16))
+        |   FOR i IN generate_series(1, greatest(length(text) - 15, 1))]) AS fp_winnow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROUND(list_dot_product(qv, cv)
+        |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+        |  FROM c, q WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+  )
 }

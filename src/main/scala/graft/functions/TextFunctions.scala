@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-data-pipeline operators
+  * (north-star scope, SURVEY.md §7.2 step 4). All pure Catalyst expression
+  * trees — codegen'd, no UDFs, no serialization wall — so they vectorize
+  * over 100 TB of `documents` the same as any built-in.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. The corpus text is single-space separated;
+    * a deliberately simple, oracle-reproducible contract. */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Token count (split-based). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: words + digit runs + punctuation marks counted
+    * separately (a cheap stand-in for a tokenizer's token count; useful as
+    * a cost signal at scale). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Type-token ratio: |distinct tokens| / |tokens| — a quality /
+    * repetitiveness signal. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / tokenCount(text).cast("double")
+
+  /** Mean token length in characters: non-space chars / token count —
+    * one string pass, no array materialization. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, " ", "")).cast("double") /
+      tokenCount(text).cast("double")
+
+  /** Stopword ratio against a fixed tiny english stopword list — quality
+    * scoring signal (high ratio ⇒ natural prose, near-zero ⇒ code/tables). */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "on")
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(t, x => array_contains(sw, x))).cast("double") / size(t).cast("double")
+  }
+
+  /** Token n-gram shingles: ["a b c", "b c d", ...]. For texts shorter
+    * than `n` tokens, a single truncated shingle (slice past the end
+    * returns the remainder). */
+  def tokenShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(t) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+  }
+
+  /** One MinHash signature component: the lexicographic min of
+    * `md5(seed | shingle)` over the document's shingle set. md5-hex min is
+    * a valid min-hash (uniform permutation per seed) and — unlike Spark's
+    * murmur3 `hash()` — is reproducible in any ANSI-SQL oracle. */
+  def minhash(shingles: Column, seed: String): Column =
+    array_min(transform(shingles, s => md5(concat(lit(seed + "|"), s))))
+
+  /** Exact content fingerprint: md5 of the raw text. */
+  def exactFingerprint(text: Column): Column = md5(text)
+
+  /** Winnowing-style robust fingerprint: min md5 over the document's
+    * character `gram`-grams (rolling-window hashing à la Schleimer et al.
+    * winnowing, window = whole doc). Stable under small appends/prefixes,
+    * unlike [[exactFingerprint]]; one codegen'd pass per row. */
+  def winnowFingerprint(text: Column, gram: Int = 16): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - (gram - 1), lit(1))),
+      i => md5(substr(text, i, lit(gram)))))
+
+  /** Language-ID heuristic: argmax of per-language marker-token hit
+    * counts. A tiny n-gram/stopword table is enough to separate the
+    * corpus's language mix; at scale this is one codegen'd expression per
+    * row, no shuffle. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("de", "shi", "le", "wo", "ni"))
+  def langIdScore(text: Column, lang: String): Column = {
+    val t = tokens(text)
+    val markers = array(langMarkers(lang).map(lit): _*)
+    size(filter(t, x => array_contains(markers, x)))
+  }
+}

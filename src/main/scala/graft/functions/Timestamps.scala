@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Timestamp-normalization expressions re-expressing the reference's F1–F5
+  * scalar functions (SURVEY.md §2.7) as pure Catalyst `Column` trees — no
+  * UDFs, so every one of these stays inside whole-stage codegen.
+  *
+  * Reference semantics (cited by file:line in /root/reference):
+  *  - F1 `truncate_microseconds` — rqtradein_etl.py:249-258
+  *  - F2 `to_datetime` multi-format parse — rqtradein_etl.py:260-284
+  *  - F3 `to_est` — rqtradein_etl.py:286-311
+  *  - F4 parse-failure → now() fallback — rqtradein_etl.py:319-322
+  *  - F5 EST seconds-precision round-trip — rqtradein_etl.py:325-337
+  */
+object Timestamps {
+
+  /** F1: normalize a fractional-seconds suffix to exactly 6 digits,
+    * preserving an optional trailing 'Z'. Strings without a fraction pass
+    * through unchanged (the reference regex `(.*?\.)(\d+)(Z?)$` only
+    * rewrites on match). */
+  def truncateMicroseconds(c: Column): Column = {
+    val pat = "^(.*?\\.)(\\d+)(Z?)$"
+    val head = regexp_extract(c, pat, 1)
+    val frac = regexp_extract(c, pat, 2)
+    val z    = regexp_extract(c, pat, 3)
+    when(c.rlike(pat),
+      concat(head, rpad(substring(frac, 1, 6), 6, "0"), z)
+    ).otherwise(c)
+  }
+
+  /** The reference's 5 accepted formats (rqtradein_etl.py:265-271), minus
+    * the stripped 'Z', expressed as Spark datetime patterns. `to_timestamp`
+    * with a non-matching pattern yields null (non-ANSI), so a coalesce
+    * chain reproduces python's try-formats-in-order exactly. */
+  private val formats = Seq(
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", // %Y-%m-%dT%H:%M:%S.%f (after F1 pad)
+    "yyyy-MM-dd'T'HH:mm:ss",        // %Y-%m-%dT%H:%M:%S
+    "yyyy-MM-dd HH:mm:ss.SSSSSS",   // %Y-%m-%d %H:%M:%S.%f
+    "yyyy-MM-dd HH:mm:ss"           // %Y-%m-%d %H:%M:%S
+  )
+
+  /** F10 + F2: strip trailing Z, normalize fraction width, try each format
+    * in order; null when nothing matches (the reference logs and returns
+    * None — rqtradein_etl.py:282-284). */
+  def parseTimestamp(c: Column): Column = {
+    val clean = truncateMicroseconds(regexp_replace(c, "Z$", ""))
+    coalesce(formats.map(f => to_timestamp(clean, f)): _*)
+  }
+
+  /** F4 policy: parse, but substitute `now` for non-empty unparseable
+    * values (rqtradein_etl.py:319-322). Off the hot path for tests (clean
+    * fixtures); kept for pipeline fidelity. */
+  def parseWithNowFallback(c: Column, now: Column = current_timestamp()): Column =
+    coalesce(parseTimestamp(c), when(c.isNotNull && c =!= "", now))
+
+  /** F3: naive-UTC timestamp → "yyyy-MM-dd HH:mm:ss" string in
+    * America/New_York (seconds precision — the reference formats with
+    * `%Y-%m-%d %H:%M:%S`, dropping sub-seconds; rqtradein_etl.py:311). */
+  def toEstString(ts: Column): Column =
+    date_format(from_utc_timestamp(ts, "America/New_York"), "yyyy-MM-dd HH:mm:ss")
+
+  /** F5: the EST *timestamp* columns as the reference materializes them —
+    * the F3 string re-parsed, i.e. the EST wall-clock at seconds precision
+    * (rqtradein_etl.py:332-333). Modeled as an explicit second-truncation
+    * so the precision loss is visible in the plan. */
+  def toEstTimestamp(ts: Column): Column =
+    from_utc_timestamp(date_trunc("second", ts), "America/New_York")
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** M1 (SURVEY.md §2.6): MERGE-upsert emulation — the reference's core
+  * "query" (rqtradein_etl.py:150-185): `MERGE target USING dedupedSource
+  * ON key WHEN MATCHED THEN UPDATE all cols WHEN NOT MATCHED THEN INSERT`.
+  *
+  * Vanilla Spark has no mutable-table MERGE; the semantics are exactly a
+  * full-outer equi-join partitioned into matched / source-only /
+  * target-only branches:
+  *   - matched      → source values win, stamp `updatedCol = now`
+  *   - source-only  → insert, stamp `insertedCol = now`
+  *   - target-only  → carry target row unchanged
+  *
+  * NULL-key rows on either side never match (plain `===` join, not `<=>`),
+  * reproducing SQL MERGE's NULL-never-equals behavior (SURVEY.md §4.2).
+  *
+  * Scale posture (SURVEY.md §4.3): the join shuffles both sides on the key;
+  * when the source batch is small (the reference's daily window) AQE turns
+  * the *outer* side lookup into a broadcast where legal. For a partitioned
+  * target, callers should pre-filter `target` to the partitions present in
+  * `source` and rewrite only those (partition-scoped snapshot swap) so a
+  * daily batch never rewrites the full 100 TB table.
+  */
+object Merge {
+
+  /** Pure-column merge: returns the new target snapshot.
+    *
+    * @param dataCols  the full data-column contract (target column order)
+    * @param audit     optional (insertedCol, updatedCol, now) audit spec;
+    *                  reference semantics update the audit stamp on every
+    *                  match even when values are unchanged (§2.10(g))
+    */
+  def upsert(
+      target: DataFrame,
+      source: DataFrame,
+      key: String,
+      dataCols: Seq[String],
+      audit: Option[(String, String, Column)] = None,
+      actionCol: Option[String] = None): DataFrame = {
+
+    val s = source.withColumn("__s_present", lit(true)).alias("s")
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
+
+    val sPresent = col("s.__s_present").isNotNull
+    val tPresent = col("t.__t_present").isNotNull
+
+    val data = dataCols.map { c =>
+      when(sPresent, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    val auditCols = audit.toSeq.flatMap { case (ins, upd, now) =>
+      Seq(
+        when(sPresent && !tPresent, now)
+          .otherwise(col(s"t.$ins")).as(ins),
+        when(sPresent && tPresent, now)
+          .otherwise(col(s"t.$upd")).as(upd))
+    }
+    val action = actionCol.toSeq.map { name =>
+      when(sPresent && tPresent, lit("update"))
+        .when(sPresent, lit("insert"))
+        .otherwise(lit("keep")).as(name)
+    }
+    joined.select(data ++ auditCols ++ action: _*)
+  }
+
+  /** Snapshot swap: write the new snapshot to a temp path, then atomically
+    * promote it. A path being read cannot be overwritten in place
+    * (SURVEY.md §2.6 M1). */
+  def writeSnapshot(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(hadoopConf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp__")
+    val dst = new org.apache.hadoop.fs.Path(path)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(tmp, dst)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document-deduplication operators (north-star scope): exact,
+  * MinHash+LSH near-dup, and n-gram Jaccard verification — the standard
+  * web-scale training-data dedup stack (cf. the MinHash/LSH construction
+  * in Broder '97 and its use in large LM corpus curation).
+  *
+  * Scale shape: signatures are one narrow shuffle-free projection per
+  * document; candidate generation is an equi-join on band keys (hash
+  * shuffle on a short string key, heavily reducible by AQE); only
+  * candidate *pairs* — a vanishing fraction of n² — pay the Jaccard
+  * verification cost.
+  */
+object TextDedup {
+
+  /** Exact dedup: one representative (min id) per distinct text. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Per-document MinHash signature: `numHashes` independent md5-seeded
+    * min-hashes over token `shingleSize`-gram shingles. Output columns:
+    * idCol, sig_0..sig_{k-1}. */
+  def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int): DataFrame = {
+    val sh = tokenShingles(col(textCol), shingleSize)
+    val sigs = (0 until numHashes).map(i => minhash(sh, s"s$i").as(s"sig_$i"))
+    docs.select(col(idCol) +: sigs: _*)
+  }
+
+  /** LSH banding over a signature frame: each band of `rowsPerBand`
+    * signature components hashes to a bucket key; documents sharing any
+    * band bucket become a candidate pair. Returns distinct (idCol_a,
+    * idCol_b) with a < b. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val banded = (0 until numBands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
+      sigs.select(col(idCol), md5(concat_ws("|", lit(b.toString) +: cols: _*)).as("band"))
+    }.reduce(_ union _)
+    val a = banded.alias("a")
+    val bb = banded.alias("b")
+    a.join(bb, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .distinct()
+  }
+
+  /** Token-set Jaccard similarity for candidate pairs: joins texts back in
+    * and computes |A∩B| / |A∪B| over distinct token sets. */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val da = docs.select(col(idCol).as(s"${idCol}_a"),
+      array_distinct(tokens(col(textCol))).as("toks_a"))
+    val db = docs.select(col(idCol).as(s"${idCol}_b"),
+      array_distinct(tokens(col(textCol))).as("toks_b"))
+    pairs.join(da, s"${idCol}_a").join(db, s"${idCol}_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint (`bits` ≤ 32): per token, md5 hex digit j maps to
+    * ±1 on bit j; the sign of the per-bit sum over all tokens sets the
+    * fingerprint bit (Charikar '02). Near-dups land at small Hamming
+    * distance. Bit j is set iff the +1 tokens outnumber the -1 tokens:
+    * `2 * |{t : hexdigit_j(md5 t) >= '8'}| > |tokens|`. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val bitCols = (0 until bits).map { j =>
+      val high = size(filter(t, x => substring(md5(x), j + 1, 1) >= lit("8")))
+      when(high * 2 > size(t), lit(1L << j)).otherwise(lit(0L))
+    }
+    docs.select(col(idCol), bitCols.reduce(_ + _).as("simhash"))
+  }
+}
