@@ -206,7 +206,7 @@ object SparkEntry {
         .select(
           col("event_id"),
           regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"),
-          dec(col("value"), 2).as("value_dec"),
+          dec(col("value"), 2).cast("double").as("value_dec"),
           col("ts").cast("date").as("event_date"))
         .orderBy("event_id")
     }),
@@ -475,7 +475,7 @@ object SparkEntry {
     "q16_json_extract" ->
       """SELECT event_id,
         | CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k,
-        | CAST(value AS DECIMAL(18,2)) AS value_dec,
+        | CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
         | CAST(ts AS DATE) AS event_date
         |FROM events ORDER BY event_id""".stripMargin,
 

@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for the LLM-data-pipeline operators
   * (north-star scope, SURVEY.md §7.2 step 4). All pure Catalyst expression
-  * trees — codegen'd, no UDFs, no serialization wall — so they vectorize
-  * over 100 TB of `documents` the same as any built-in.
+  * trees — no UDFs, no serialization wall — distributed per-row work with
+  * no shuffle. Note: the higher-order functions used here (`transform` /
+  * `filter` / `array_*`) are interpreted expressions evaluated *outside*
+  * whole-stage codegen; they are fine on the per-document path (one
+  * evaluation per row) but must not be placed on a per-pair path — see
+  * [[graft.expressions.DotProduct]] for the codegen'd alternative pattern.
   */
 object TextFunctions {
 

@@ -2,23 +2,37 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Embedding-vector math as Catalyst array expressions (north-star
-  * similarity-search scope). All computation is per-row, codegen'd, in
-  * IEEE double with strict left-to-right accumulation — deterministic and
-  * bit-reproducible against any engine that sums in index order.
+import graft.expressions.DotProduct
+
+/** Embedding-vector math (north-star similarity-search scope). The dot
+  * product — the hot inner loop of similarity search — is a native
+  * codegen'd Catalyst expression ([[graft.expressions.DotProduct]]); the
+  * previous higher-order-function formulation fell out of whole-stage
+  * codegen and allocated an intermediate array per pair. All computation
+  * is per-row, IEEE double, strict index-order accumulation —
+  * deterministic and bit-reproducible against any engine that sums in
+  * index order.
   */
 object VectorFunctions {
 
   /** Cast to array<double> once; float inputs widen exactly. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
+  /** Codegen'd native dot product: a tight primitive loop inside the
+    * enclosing whole-stage-codegen stage. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(asDouble(a)),
+      ColumnBridge.expression(asDouble(b))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Per-pair cosine. Callers joining queries × corpus should instead
+    * precompute each side's norm *before* the join and divide the
+    * per-pair [[dot]] by the product — recomputing a norm per pair is
+    * quadratic waste (see [[graft.operators.Similarity]]). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Random-hyperplane LSH bucket id: sign bits of dot products against

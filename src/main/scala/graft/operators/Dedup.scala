@@ -26,10 +26,18 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact-duplicate removal by value equality on `cols` (or all columns),
-    * keeping a deterministic representative. Hash-aggregate, one shuffle —
-    * the map-side partial aggregation makes this cheap even when the
-    * duplicate rate is low. */
-  def exact(df: DataFrame, cols: Seq[String], tieBreak: Seq[Column]): DataFrame =
-    latestPerKey(df, cols, tieBreak)
+  /** Exact-duplicate removal by value equality on `cols` (or all columns
+    * when `cols` is empty), keeping the min value of every other column as
+    * the deterministic representative. Hash-aggregate, one shuffle — the
+    * map-side partial aggregation makes this cheap even when the duplicate
+    * rate is low (unlike a window sort, nothing is ever sorted). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val keys = if (cols.nonEmpty) cols else df.columns.toSeq
+    val rest = df.columns.filterNot(keys.contains)
+    if (rest.isEmpty) df.select(keys.map(col): _*).distinct()
+    else df.groupBy(keys.map(col): _*)
+      .agg(min(col(rest.head)).as(rest.head),
+        rest.tail.map(c => min(col(c)).as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -66,18 +66,27 @@ object Merge {
     joined.select(data ++ auditCols ++ action: _*)
   }
 
-  /** Snapshot swap: write the new snapshot to a temp path, then atomically
-    * promote it. A path being read cannot be overwritten in place
-    * (SURVEY.md §2.6 M1). */
+  /** Snapshot swap: write the new snapshot to a temp path, then promote
+    * it. A path being read cannot be overwritten in place (SURVEY.md §2.6
+    * M1). The live copy is never deleted before its replacement is in
+    * place: dst is first renamed aside to a backup, the new snapshot is
+    * renamed in, and only then is the backup removed — a crash at any
+    * point leaves at least one complete copy recoverable on disk. */
   def writeSnapshot(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(hadoopConf)
     val tmp = new org.apache.hadoop.fs.Path(path + ".__tmp__")
+    val bak = new org.apache.hadoop.fs.Path(path + ".__bak__")
     val dst = new org.apache.hadoop.fs.Path(path)
     df.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    val hadBackup = fs.exists(dst) && fs.rename(dst, bak)
+    if (!fs.rename(tmp, dst)) {
+      if (hadBackup) fs.rename(bak, dst) // restore the prior snapshot
+      throw new java.io.IOException(s"snapshot promote failed for $path")
+    }
+    if (hadBackup) fs.delete(bak, true)
   }
 }

@@ -19,17 +19,22 @@ import graft.functions.VectorFunctions._
 object Similarity {
 
   /** Exact top-k neighbors for each query vector. `queries` is expected to
-    * be small — it is broadcast, so the corpus is never shuffled. Cosine is
-    * rounded to `roundTo` decimals before ranking so ordering (and any
+    * be small — it is broadcast, so the corpus is never shuffled. Each
+    * side's norm is computed ONCE below the join (per row, not per pair) —
+    * only the codegen'd dot product runs per (query × corpus) pair. Cosine
+    * is rounded to `roundTo` decimals before ranking so ordering (and any
     * external oracle) is stable; ties break on corpus id. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, roundTo: Int = 6,
       excludeSelf: Boolean = true): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"), norm(col(vecCol)).as("__cn"))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), roundTo))
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))
@@ -45,13 +50,16 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, planes: Seq[Seq[Double]],
       roundTo: Int = 6): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"), norm(col(vecCol)).as("__qn"),
       hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"), norm(col(vecCol)).as("__cn"),
       hyperplaneBucket(col(vecCol), planes).as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("__qv"), col("__cv")), roundTo))
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("__rn", row_number().over(w))

@@ -39,10 +39,21 @@ object TextDedup {
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
       numHashes: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val banded = (0 until numBands).map { b =>
+    val bandKeys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
-      sigs.select(col(idCol), md5(concat_ws("|", lit(b.toString) +: cols: _*)).as("band"))
-    }.reduce(_ union _)
+      md5(concat_ws("|", lit(b.toString) +: cols: _*))
+    }
+    // ONE pass over the corpus: all band keys are computed in a single
+    // projection and exploded — not one union branch (= one full
+    // signature recomputation) per band. The resulting (id, band) frame
+    // is 2 narrow columns; persisting it means the self-join's two
+    // aliases read the materialized rows instead of re-deriving the
+    // signature DAG (md5 over every shingle × numHashes seeds) once per
+    // alias. At 100 TB the equivalent is a temp-table write; in-memory
+    // persist of the narrow frame is the single-job form of the same plan.
+    val banded = sigs
+      .select(col(idCol), explode(array(bandKeys: _*)).as("band"))
+      .persist()
     val a = banded.alias("a")
     val bb = banded.alias("b")
     a.join(bb, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))

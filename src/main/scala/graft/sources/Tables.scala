@@ -14,12 +14,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    // The corpus's `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
-    // parquet reader rejects. Read nanos as epoch-long and truncate to
-    // micros (exactly what the DuckDB oracle does on the same file).
-    if (name == "events") {
+  /** Session config the corpus requires: `events.ts` is parquet
+    * TIMESTAMP(NANOS), which Spark's reader rejects unless nanos are read
+    * as epoch-longs. Idempotent; called once per session by entry points
+    * (and guarded in [[load]] for driver-owned sessions). */
+  def configure(spark: SparkSession): Unit =
+    if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // Nano timestamps are read as epoch-longs and truncated to micros
+    // (exactly what the DuckDB oracle does on the same file).
+    if (name == "events") {
+      configure(spark)
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     } else spark.read.parquet(s"$sfDir/$name.parquet")
