@@ -38,7 +38,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ TradeInQueries.queries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregation / scan breadth (SURVEY.md §2.4 generalized) --------
     "q01_pricing_summary" -> ((s, d) => {
@@ -592,5 +595,5 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
-  )
+  ) ++ TradeInQueries.oracleSql
 }

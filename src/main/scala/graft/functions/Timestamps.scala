@@ -31,9 +31,10 @@ object Timestamps {
   }
 
   /** The reference's 5 accepted formats (rqtradein_etl.py:265-271), minus
-    * the stripped 'Z', expressed as Spark datetime patterns. `to_timestamp`
-    * with a non-matching pattern yields null (non-ANSI), so a coalesce
-    * chain reproduces python's try-formats-in-order exactly. */
+    * the stripped 'Z', expressed as Spark datetime patterns.
+    * `try_to_timestamp` yields null on a non-matching pattern (even under
+    * ANSI mode, where plain `to_timestamp` throws), so a coalesce chain
+    * reproduces python's try-formats-in-order exactly. */
   private val formats = Seq(
     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", // %Y-%m-%dT%H:%M:%S.%f (after F1 pad)
     "yyyy-MM-dd'T'HH:mm:ss",        // %Y-%m-%dT%H:%M:%S
@@ -46,7 +47,7 @@ object Timestamps {
     * None — rqtradein_etl.py:282-284). */
   def parseTimestamp(c: Column): Column = {
     val clean = truncateMicroseconds(regexp_replace(c, "Z$", ""))
-    coalesce(formats.map(f => to_timestamp(clean, f)): _*)
+    coalesce(formats.map(f => try_to_timestamp(clean, lit(f))): _*)
   }
 
   /** F4 policy: parse, but substitute `now` for non-empty unparseable

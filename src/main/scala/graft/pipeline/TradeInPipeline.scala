@@ -1,0 +1,169 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Timestamps
+import graft.operators.{Dedup, Merge, Retention}
+import graft.sources.ApiSource
+import TradeInSchema._
+
+/** The reference's actual product: the 6-stage daily ETL
+  * (`run_etl`, rqtradein_etl.py:12-24) —
+  *
+  *   connect → DDL → fetch → load staging → merge → counts/retention
+  *
+  * — re-expressed Spark-first. "Connect" and "DDL" become catalog
+  * operations ([[CatalogDdl]]); "fetch" is an [[graft.sources.ApiSource]];
+  * the load/merge/retention stages are pure DataFrame transforms composed
+  * here, with persistence as parquet snapshot swaps
+  * ([[graft.operators.Merge.writeSnapshot]]).
+  *
+  * Every stage is also exposed as a standalone function on fixed inputs
+  * (fixed `now`) so the whole pipeline is deterministic under test —
+  * the driver's oracle checks run the stage functions; `run` wires them
+  * to storage.
+  *
+  * Scale posture: the daily source batch is small relative to the target
+  * (one day vs. all history) — the merge's full-outer join broadcasts the
+  * source side under AQE. The staging table never exceeds ~2 days of data
+  * by construction (retention). The target snapshot rewrite is the one
+  * full-table cost; on a date-partitioned target, writers should swap
+  * only partitions present in the source (documented on
+  * [[graft.operators.Merge.writeSnapshot]]).
+  */
+object TradeInPipeline {
+
+  /** Staging normal form for parsed timestamps: 6-digit-fraction local
+    * string (staging columns are VARCHAR — rqtradein_etl.py:43-89). */
+  private val StagingTsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  /** Stage 4 (load staging): normalize one raw API batch into the 44-col
+    * all-string staging shape (rqtradein_etl.py:229-336).
+    *
+    *  - `TradeInDate`/`PostTime`/`ResponseTime` are multi-format parsed
+    *    (F2/F10); unparseable-but-present values fall back to `now` (F4,
+    *    rqtradein_etl.py:319-322) and are re-rendered in staging normal
+    *    form;
+    *  - each derives an `…EST` sibling: the EST wall-clock at seconds
+    *    precision, as a string (F3/F5, rqtradein_etl.py:324-335);
+    *  - `ETLRowInsertedEST` audit stamp (staging DDL default GETDATE()).
+    *
+    * `now` is a parameter, not `current_timestamp()`, so runs are
+    * replayable and testable. */
+  def stage(raw: DataFrame, now: Column): DataFrame = {
+    val withParsed = tsPairs.foldLeft(raw) { case (df, (src, est)) =>
+      val parsed = Timestamps.parseWithNowFallback(col(src), now)
+      df.withColumn(src, date_format(parsed, StagingTsFmt))
+        .withColumn(est, Timestamps.toEstString(parsed))
+    }
+    withParsed.select(columns.map(col) :+ now.as(insertedCol): _*)
+  }
+
+  /** Stage-5 dedup: latest row per SaleInvoiceID by TradeInDate — the
+    * reference's `ROW_NUMBER() OVER (PARTITION BY SaleInvoiceID ORDER BY
+    * TradeInDate DESC)` CTE (rqtradein_etl.py:167-171). `tieBreak` extends
+    * the ordering for deterministic results (the reference leaves ties to
+    * the engine). Staging normal form sorts identically as string or
+    * timestamp. */
+  def dedupSource(staging: DataFrame, tieBreak: Seq[Column] = Nil): DataFrame =
+    Dedup.latestPerKey(staging, Seq("SaleInvoiceID"),
+      col("TradeInDate").desc +: tieBreak)
+
+  /** Stage 5 (merge): dedup staging, type it, MERGE into target on
+    * SaleInvoiceID with audit stamps — matched rows take all source
+    * values and `ETLRowUpdatedEST = now`; new rows stamp
+    * `ETLRowInsertedEST = now` (rqtradein_etl.py:150-185). */
+  def mergeIntoTarget(target: DataFrame, staging: DataFrame, now: Column,
+      tieBreak: Seq[Column] = Nil, actionCol: Option[String] = None): DataFrame = {
+    val source = toTyped(dedupSource(staging, tieBreak))
+    Merge.upsert(target, source, "SaleInvoiceID", columns,
+      audit = Some((insertedCol, updatedCol, now)), actionCol = actionCol)
+  }
+
+  /** Stage 6a (counts): rows inserted/updated "today" relative to `now`.
+    * The reference compares a DATETIME to a date (`ETLRowInsertedEST =
+    * CONVERT(date, GETDATE())`, rqtradein_etl.py:188-189) which only
+    * matches midnight stamps — a latent bug; the evident intent,
+    * date-equality, is implemented here. */
+  def todayCounts(target: DataFrame, now: Column): (Long, Long) = {
+    val agg = target.agg(
+      count(when(col(insertedCol).cast("date") === now.cast("date"), 1)),
+      count(when(col(updatedCol).cast("date") === now.cast("date"), 1))
+    ).head()
+    (agg.getLong(0), agg.getLong(1))
+  }
+
+  /** Stage 6b (retention): keep only staging rows whose TradeInDate falls
+    * on `now`'s date — the relational dual of the reference's DELETE
+    * (rqtradein_etl.py:192). On a date-partitioned staging layout this is
+    * pure partition pruning. */
+  def retainToday(staging: DataFrame, now: Column): DataFrame =
+    Retention.retain(staging,
+      Timestamps.parseTimestamp(col("TradeInDate")).cast("date") === now.cast("date"))
+
+  /** ETL outcome (the reference returns {"inserted": …, "updated": …}). */
+  final case class EtlResult(inserted: Long, updated: Long)
+
+  /** Catalog names mirroring the reference's `api.*` tables, with the
+    * legacy staging name handled by rename migration. */
+  final case class Names(
+      staging: String = "RQTradeinReportStaging",
+      legacyStaging: String = "RQTradeinReport_staging",
+      target: String = "RQTradeinReport")
+}
+
+/** Orchestrated pipeline over parquet snapshot paths — the `run_etl`
+  * composition with storage wired in. `source` abstracts the REST fetch;
+  * `now` is injectable for replayable runs. */
+final class TradeInPipeline(
+    source: ApiSource,
+    stagingPath: String,
+    targetPath: String,
+    names: TradeInPipeline.Names = TradeInPipeline.Names(),
+    registerCatalog: Boolean = true,
+    now: () => Column = () => current_timestamp()) {
+
+  import TradeInPipeline._
+  import TradeInSchema._
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** One daily run: fetch → stage/append → merge → counts → retention.
+    * Returns the reference's inserted/updated counts. */
+  def run(spark: SparkSession, params: Map[String, String]): EtlResult = {
+    val nowCol = now()
+
+    // 1-2. connect + DDL (catalog lifecycle, incl. legacy-name migration).
+    if (registerCatalog) {
+      CatalogDdl.migrateRename(spark, names.legacyStaging, names.staging)
+      CatalogDdl.ensureTable(spark, names.staging, stagingSchema, Some(stagingPath))
+      CatalogDdl.ensureTable(spark, names.target, targetSchema, Some(targetPath))
+    }
+
+    // 3. fetch (source impls own retry/backoff).
+    val raw = source.fetch(spark, params)
+
+    // 4. load staging: append this batch to what retention left behind.
+    val staged = stage(raw, nowCol)
+    val stagingAll = readOrEmpty(spark, stagingPath, stagingSchema).unionByName(staged)
+    Merge.writeSnapshot(stagingAll, stagingPath)
+
+    // 5. merge into target.
+    val staging = spark.read.schema(stagingSchema).parquet(stagingPath)
+    val target = readOrEmpty(spark, targetPath, targetSchema)
+    Merge.writeSnapshot(mergeIntoTarget(target, staging, nowCol), targetPath)
+
+    // 6. counts + staging retention.
+    val newTarget = spark.read.schema(targetSchema).parquet(targetPath)
+    val (ins, upd) = todayCounts(newTarget, nowCol)
+    Merge.writeSnapshot(retainToday(staging, nowCol), stagingPath)
+    EtlResult(ins, upd)
+  }
+}
