@@ -88,13 +88,13 @@ object TradeInSchema {
 
   /** The staging→target cast of one string column. Timestamps go through
     * the multi-format parser (F2) because staging holds the normalized
-    * string forms; ints and decimals are ANSI-null-on-garbage casts
-    * (Spark non-ANSI cast yields null, matching the reference's
-    * implicit-convert-or-fail-soft posture). */
+    * string forms; ints and decimals use `try_cast` — null on garbage
+    * even under ANSI mode (Spark 4's default, where a plain cast throws),
+    * matching the reference's fail-soft posture. */
   def castColumn(name: String): Column = targetType(name) match {
     case TimestampType      => Timestamps.parseTimestamp(col(name)).as(name)
-    case t: DecimalType     => col(name).cast(t).as(name)
-    case IntegerType        => col(name).cast(IntegerType).as(name)
+    case t: DecimalType     => expr(s"try_cast($name AS ${t.sql})").as(name)
+    case IntegerType        => expr(s"try_cast($name AS INT)").as(name)
     case _                  => col(name).as(name)
   }
 

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Merge
+
+/** MERGE-upsert semantics (SURVEY.md §2.6 M1, §4.2): insert/update/keep
+  * split, NULL keys never match, idempotence under a fixed clock.
+  */
+class MergeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val cols = Seq("k", "v")
+
+  test("insert/update/keep split") {
+    val target = Seq((1, "t1"), (2, "t2")).toDF("k", "v")
+    val source = Seq((2, "s2"), (3, "s3")).toDF("k", "v")
+    val got = Merge.upsert(target, source, "k", cols, actionCol = Some("action"))
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "t1", "keep"), (2, "s2", "update"), (3, "s3", "insert")))
+  }
+
+  test("NULL keys never match (SQL MERGE null semantics)") {
+    val target = Seq((Some(1), "t1"), (None, "tn")).toDF("k", "v")
+    val source = Seq((Option.empty[Int], "sn")).toDF("k", "v")
+    val got = Merge.upsert(target, source, "k", cols, actionCol = Some("action"))
+      .as[(Option[Int], String, String)].collect().toSet
+    // The null-key source row inserts; the null-key target row keeps.
+    assert(got == Set((Some(1), "t1", "keep"), (None, "tn", "keep"), (None, "sn", "insert")))
+  }
+
+  test("audit stamps: insert stamps inserted, update stamps updated") {
+    val now = lit("2024-06-02 00:00:00").cast("timestamp")
+    val t0 = lit("2024-06-01 00:00:00").cast("timestamp")
+    val target = Seq((1, "t1"), (2, "t2")).toDF("k", "v")
+      .withColumn("ins", t0).withColumn("upd", lit(null).cast("timestamp"))
+    val source = Seq((2, "s2"), (3, "s3")).toDF("k", "v")
+    val got = Merge.upsert(target, source, "k", cols, audit = Some(("ins", "upd", now)))
+      .select(col("k"), date_format(col("ins"), "dd").as("ins"),
+        date_format(col("upd"), "dd").as("upd"))
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "01", null), (2, "01", "02"), (3, "02", null)))
+  }
+
+  test("re-merging the same source is idempotent on data; audit re-stamps") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      def rows() = List.fill(rnd.nextInt(30))((rnd.nextInt(20), rnd.nextInt(99)))
+      val now = lit("2024-06-01 00:00:00").cast("timestamp")
+      // Unique keys per side (MERGE requires a deduped source).
+      val target = rows().distinctBy(_._1).toDF("k", "v")
+        .withColumn("i", lit("2024-05-01 00:00:00").cast("timestamp"))
+        .withColumn("u", lit(null).cast("timestamp"))
+      val source = rows().distinctBy(_._1).toDF("k", "v")
+      val once = Merge.upsert(target, source, "k", cols, audit = Some(("i", "u", now)))
+      val twice = Merge.upsert(once, source, "k", cols, audit = Some(("i", "u", now)))
+      // Data columns are stable; the audit behavior is the reference's:
+      // every re-match re-stamps updated (SURVEY.md §2.10(g)), so rows
+      // inserted by the first pass gain u = now on the second.
+      assert(once.select("k", "v").collect().toSet ==
+        twice.select("k", "v").collect().toSet)
+      val sourceKeys = source.select("k").as[Int].collect().toSet
+      val reStamped = twice.filter(col("u").isNotNull).select("k").as[Int].collect().toSet
+      assert(reStamped == sourceKeys)
+    }
+  }
+
+  test("writeSnapshot: promote replaces content and leaves no temp/backup") {
+    val dir = java.nio.file.Files.createTempDirectory("snap").toString
+    val path = s"$dir/t"
+    Merge.writeSnapshot(Seq((1, "a")).toDF("k", "v"), path)
+    Merge.writeSnapshot(Seq((2, "b"), (3, "c")).toDF("k", "v"), path)
+    val got = spark.read.parquet(path).as[(Int, String)].collect().toSet
+    assert(got == Set((2, "b"), (3, "c")))
+    assert(!new java.io.File(path + ".__tmp__").exists())
+    assert(!new java.io.File(path + ".__bak__").exists())
+  }
+}
