@@ -214,11 +214,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // ---- F1/F2/F10: multi-format timestamp parse round-trip -------------
+    // ---- F1/F2/F10: multi-format timestamp parse round-trip. The input
+    // string rotates through the reference's accepted shapes by
+    // event_id % 4 (T+6-digit-fraction+Z, T+Z, space+3-digit fraction —
+    // exercising the pad-to-6 path — and space-plain), so every coalesce
+    // fallback and the Z-strip actually run. ------------------------------
     "q17_ts_parse" -> ((s, d) => {
+      val m = col("event_id") % 4
+      val iso =
+        when(m === 0, concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
+          .when(m === 1, concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
+          .when(m === 2, concat(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss."),
+            substring(date_format(col("ts"), "SSSSSS"), 1, 3)))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
       load(s, d, "events")
-        .select(col("event_id"),
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("iso"))
+        .select(col("event_id"), iso.as("iso"))
         .select(col("event_id"), col("iso"),
           Timestamps.parseTimestamp(col("iso")).as("parsed"))
         .orderBy("event_id")
@@ -328,7 +338,7 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN: no SQL oracle (plane constants) — rows-only check.
+    // LSH-bucketed ANN; oracle embeds the deterministic planes as literals.
     "q30_knn_lsh" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
@@ -483,12 +493,17 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q17_ts_parse" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
-        | COALESCE(
-        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'),
-        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S'),
-        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S.%f'),
-        |   try_strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%d %H:%M:%S')) AS parsed
+      """SELECT event_id,
+        | CASE event_id % 4
+        |  WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+        |  WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z'
+        |  WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S.') || substring(strftime(ts, '%f'), 1, 3)
+        |  ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS iso,
+        | CASE event_id % 4
+        |  WHEN 0 THEN ts
+        |  WHEN 1 THEN date_trunc('second', ts)
+        |  WHEN 2 THEN date_trunc('ms', ts)
+        |  ELSE date_trunc('second', ts) END AS parsed
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q18_est_convert" ->
@@ -594,6 +609,32 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // The LSH planes are embedded as double literals (computed once on
+    // the JVM): re-deriving them via sin() in SQL could flip a sign bit
+    // on another libm and change a bucket.
+    "q30_knn_lsh" -> {
+      def bucketSql(v: String): String =
+        Similarity.deterministicPlanes(4, 64).zipWithIndex.map { case (p, i) =>
+          val lits = p.mkString("[", ", ", "]")
+          s"CASE WHEN list_dot_product($v, $lits) >= 0 THEN ${1 << i} ELSE 0 END"
+        }.mkString(" + ")
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |qb AS (SELECT query_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+         |cb AS (SELECT neighbor_id, cv, ${bucketSql("cv")} AS bucket FROM c),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROUND(list_dot_product(qv, cv)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+         |  FROM cb JOIN qb USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+    }
   ) ++ TradeInQueries.oracleSql
 }
