@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.load
+import graft.functions.{BinaryFunctions, TextFunctions}
+import graft.operators.Multimodal
+
+/** Correctness queries for the multimodal-column and remaining
+  * text-analysis operators (north-star scope). A deterministic media
+  * fixture is synthesized from `documents`: each row becomes an opaque
+  * binary payload with a real container magic block (rotating
+  * jpeg/png/gif/pdf by doc_id % 4), 4-digit ASCII width/height fields,
+  * and the document text as body — so the binary plumbing (concat,
+  * slicing, hex, sniffing, codec batch loop) is exercised on real bytes
+  * while DuckDB oracles recompute expected values from the construction.
+  */
+object MediaQueries {
+
+  private val magics = Seq("FFD8FF00", "89504E47", "47494638", "25504446")
+  private val fmtNames = Seq("jpeg", "png", "gif", "pdf")
+
+  private def widthSql  = "100 + doc_id % 1820"
+  private def heightSql = "100 + (doc_id * 7) % 980"
+
+  /** The binary media fixture: magic(4) | width(4, ascii) | height(4,
+    * ascii) | utf8(text). */
+  private def withBin(docs: DataFrame): DataFrame = {
+    val magic = magics.zipWithIndex.foldRight(lit(null).cast("binary")) {
+      case ((hexStr, i), acc) =>
+        when(col("doc_id") % 4 === i, unhex(lit(hexStr))).otherwise(acc)
+    }
+    val payload = concat(
+      lpad(expr(widthSql).cast("string"), 4, "0"),
+      lpad(expr(heightSql).cast("string"), 4, "0"),
+      col("text")).cast("binary")
+    docs.withColumn("bin", concat(magic, payload))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Binary metadata via pure expressions: size, magic sniff,
+    // fingerprint, transport chunk count — no decode, no shuffle.
+    "q34_binary_meta" -> ((s, d) => {
+      withBin(load(s, d, "documents"))
+        .select(col("doc_id"),
+          BinaryFunctions.sniffFormat(col("bin")).as("format"),
+          BinaryFunctions.byteSize(col("bin")).cast("long").as("n_bytes"),
+          BinaryFunctions.fingerprint(col("bin")).as("fp"),
+          BinaryFunctions.chunkCount(col("bin"), 64).cast("long").as("n_chunks"))
+        .orderBy("doc_id")
+    }),
+
+    // The decode stage: typed mapPartitions batch loop with the stub
+    // codec reading the embedded header dims.
+    "q35_multimodal_decode" -> ((s, d) => {
+      Multimodal.decodeMeta(withBin(load(s, d, "documents")), "doc_id", "bin")
+        .toDF()
+        .select(col("doc_id"), col("format"),
+          col("byte_size").cast("long").as("byte_size"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("aspect"))
+        .orderBy("doc_id")
+    }),
+
+    // Language-ID heuristic: marker hit counts per language + fixed-
+    // priority argmax (en > es > de > fr > zh on ties).
+    "q36_langid" -> ((s, d) => {
+      val langs = Seq("en", "es", "de", "fr", "zh")
+      val scored = langs.foldLeft(load(s, d, "documents")) { (df, l) =>
+        df.withColumn(s"s_$l",
+          TextFunctions.langIdScore(col("text"), l).cast("long"))
+      }
+      val lang = when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
+        .when(col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")
+        .when(col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh")
+      scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ lang.as("lang"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // BPE-ish subword counting (tokenizer-cost signal).
+    "q37_token_bpe" -> ((s, d) => {
+      load(s, d, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
+        .orderBy("doc_id")
+    }))
+
+  def oracleSql: Map[String, String] = {
+    val fmtCase = "CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' " +
+      "WHEN 2 THEN 'gif' ELSE 'pdf' END"
+    val magicCase = magics.zipWithIndex
+      .map { case (m, i) => s"WHEN $i THEN '$m'" }
+      .mkString("CASE doc_id % 4 ", " ", " END")
+    val payloadSql = s"lpad(CAST($widthSql AS STRING), 4, '0') || " +
+      s"lpad(CAST($heightSql AS STRING), 4, '0') || text"
+    val nBytesSql = s"12 + octet_length(encode(text))"
+
+    Map(
+      "q34_binary_meta" ->
+        s"""SELECT doc_id,
+           | $fmtCase AS format,
+           | CAST($nBytesSql AS BIGINT) AS n_bytes,
+           | md5($magicCase || hex(encode($payloadSql))) AS fp,
+           | CAST(ceil(($nBytesSql) / 64.0) AS BIGINT) AS n_chunks
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q35_multimodal_decode" ->
+        s"""SELECT doc_id,
+           | $fmtCase AS format,
+           | CAST($nBytesSql AS BIGINT) AS byte_size,
+           | CAST($widthSql AS BIGINT) AS width,
+           | CAST($heightSql AS BIGINT) AS height,
+           | floor(($widthSql) * 1000000.0 / ($heightSql)) / 1000000.0 AS aspect
+           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q36_langid" -> {
+        def score(l: String) = {
+          val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(", ")
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($markers))) AS BIGINT)"
+        }
+        s"""SELECT doc_id,
+           | ${score("en")} AS s_en, ${score("es")} AS s_es, ${score("de")} AS s_de,
+           | ${score("fr")} AS s_fr, ${score("zh")} AS s_zh,
+           | CASE WHEN ${score("en")} >= greatest(${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'en'
+           |      WHEN ${score("es")} >= greatest(${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'es'
+           |      WHEN ${score("de")} >= greatest(${score("fr")}, ${score("zh")}) THEN 'de'
+           |      WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
+           |      ELSE 'zh' END AS lang
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q37_token_bpe" ->
+        """SELECT doc_id,
+          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpeish
+          |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+}

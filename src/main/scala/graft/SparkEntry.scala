@@ -39,7 +39,7 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    baseQueries ++ TradeInQueries.queries
+    baseQueries ++ TradeInQueries.queries ++ MediaQueries.queries
 
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -636,5 +636,5 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
     }
-  ) ++ TradeInQueries.oracleSql
+  ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 }
