@@ -29,7 +29,11 @@ object Bench {
     val failures = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      // noop sink, not count(): count() lets column pruning skip a
+      // projection query's actual work, flattering the number. The noop
+      // write materializes every output row/column and discards it —
+      // comparable to what the DuckDB oracle executes.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         failures += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

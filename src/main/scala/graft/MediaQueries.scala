@@ -49,7 +49,7 @@ object MediaQueries {
           BinaryFunctions.byteSize(col("bin")).cast("long").as("n_bytes"),
           BinaryFunctions.fingerprint(col("bin")).as("fp"),
           BinaryFunctions.chunkCount(col("bin"), 64).cast("long").as("n_chunks"))
-        .orderBy("doc_id")
+        .transform(SparkEntry.ordered1(_, col("doc_id")))
     }),
 
     // The decode stage: typed mapPartitions batch loop with the stub
@@ -61,16 +61,22 @@ object MediaQueries {
           col("byte_size").cast("long").as("byte_size"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("aspect"))
-        .orderBy("doc_id")
+        .transform(SparkEntry.ordered1(_, col("doc_id")))
     }),
 
     // Language-ID heuristic: marker hit counts per language + fixed-
     // priority argmax (en > es > de > fr > zh on ties).
     "q36_langid" -> ((s, d) => {
       val langs = Seq("en", "es", "de", "fr", "zh")
-      val scored = langs.foldLeft(load(s, d, "documents")) { (df, l) =>
+      // Tokenize once; every score and the argmax CASE then filter the
+      // materialized array (re-deriving split(text) per reference would
+      // tokenize ~20× per row across the score/greatest/CASE tree).
+      val toks = load(s, d, "documents")
+        .withColumn("__toks", TextFunctions.tokens(col("text")))
+      val scored = langs.foldLeft(toks) { (df, l) =>
+        val markers = array(TextFunctions.langMarkers(l).map(lit): _*)
         df.withColumn(s"s_$l",
-          TextFunctions.langIdScore(col("text"), l).cast("long"))
+          size(filter(col("__toks"), x => array_contains(markers, x))).cast("long"))
       }
       val lang = when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
         .when(col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")
@@ -78,7 +84,7 @@ object MediaQueries {
         .when(col("s_fr") >= col("s_zh"), "fr")
         .otherwise("zh")
       scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ lang.as("lang"): _*)
-        .orderBy("doc_id")
+        .transform(SparkEntry.ordered1(_, col("doc_id")))
     }),
 
     // BPE-ish subword counting (tokenizer-cost signal).
@@ -86,7 +92,7 @@ object MediaQueries {
       load(s, d, "documents")
         .select(col("doc_id"),
           TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
-        .orderBy("doc_id")
+        .transform(SparkEntry.ordered1(_, col("doc_id")))
     }))
 
   def oracleSql: Map[String, String] = {

@@ -23,6 +23,18 @@ import graft.operators.{Dedup, Merge, Relational, Retention, Similarity, TextDed
   */
 object SparkEntry {
 
+  /** Total order for a SMALL result built on a shuffle-free expensive
+    * projection. A plain `orderBy` range-samples its child, re-executing
+    * the whole projection DAG a second time (aggregates/joins are
+    * protected because their shuffle stages are reused; projections have
+    * no shuffle to reuse). One round-robin shuffle into a single
+    * partition + a local sort keeps the projection parallel, runs it
+    * once, and yields the same deterministic order. Only for outputs
+    * that fit one partition — large sorted outputs should sort the
+    * narrow base early instead (see TradeInQueries.rawSpark). */
+  private[graft] def ordered1(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(keys: _*)
+
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
   /** SUM with exact decimal accumulation, canonical double output. */
   private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
@@ -211,7 +223,7 @@ object SparkEntry {
           regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("int").as("k"),
           dec(col("value"), 2).cast("double").as("value_dec"),
           col("ts").cast("date").as("event_date"))
-        .orderBy("event_id")
+        .transform(ordered1(_, col("event_id")))
     }),
 
     // ---- F1/F2/F10: multi-format timestamp parse round-trip. The input
@@ -231,7 +243,7 @@ object SparkEntry {
         .select(col("event_id"), iso.as("iso"))
         .select(col("event_id"), col("iso"),
           Timestamps.parseTimestamp(col("iso")).as("parsed"))
-        .orderBy("event_id")
+        .transform(ordered1(_, col("event_id")))
     }),
 
     // ---- F3/F5: UTC → America/New_York conversion (seconds precision) ---
@@ -240,7 +252,7 @@ object SparkEntry {
         .select(col("event_id"),
           Timestamps.toEstString(col("ts")).as("est_str"),
           Timestamps.toEstTimestamp(col("ts")).as("est_ts"))
-        .orderBy("event_id")
+        .transform(ordered1(_, col("event_id")))
     }),
 
     // ---- M1: MERGE-upsert emulation (the reference's core query) --------
@@ -265,7 +277,7 @@ object SparkEntry {
       Retention.retain(load(s, d, "events"),
           col("ts").cast("date") === lit("2024-01-15").cast("date"))
         .select("event_id", "ts", "event_type")
-        .orderBy("event_id")
+        .transform(ordered1(_, col("event_id")))
     }),
 
     // ---- A1/A2: predicated counts ---------------------------------------
@@ -285,7 +297,7 @@ object SparkEntry {
           TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
           size(array_distinct(TextFunctions.tokens(col("text")))).cast("long").as("n_distinct_tokens"),
           TextFunctions.typeTokenRatio(col("text")).as("ttr"))
-        .orderBy("doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     "q23_text_quality" -> ((s, d) => {
@@ -293,7 +305,7 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
           TextFunctions.meanTokenLen(col("text")).as("mean_token_len"))
-        .orderBy("doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // ---- north-star: dedup family ---------------------------------------
@@ -306,7 +318,7 @@ object SparkEntry {
     "q25_minhash_sig" -> ((s, d) => {
       TextDedup.minhashSignatures(load(s, d, "documents"), "text", "doc_id",
           numHashes = 4, shingleSize = 3)
-        .orderBy("doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     "q26_neardup_jaccard" -> ((s, d) => {
@@ -314,12 +326,12 @@ object SparkEntry {
       val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
       val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
       TextDedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
-        .orderBy("doc_id_a", "doc_id_b")
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
     }),
 
     "q27_simhash" -> ((s, d) => {
       TextDedup.simhash(load(s, d, "documents"), "text", "doc_id", 16)
-        .orderBy("doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     "q28_fingerprint" -> ((s, d) => {
@@ -327,7 +339,7 @@ object SparkEntry {
         .select(col("doc_id"),
           TextFunctions.exactFingerprint(col("text")).as("fp_exact"),
           TextFunctions.winnowFingerprint(col("text")).as("fp_winnow"))
-        .orderBy("doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // ---- north-star: similarity search ----------------------------------
@@ -335,7 +347,7 @@ object SparkEntry {
       val emb = load(s, d, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 3)
-        .orderBy("query_id", "rank")
+        .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
     // LSH-bucketed ANN; oracle embeds the deterministic planes as literals.
@@ -344,24 +356,26 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 3,
           planes = Similarity.deterministicPlanes(4, 64))
-        .orderBy("query_id", "rank")
+        .transform(ordered1(_, col("query_id"), col("rank")))
     })
   )
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** Shared CTE text for the minhash-family oracles. */
+  /** Shared CTE text for the minhash-family oracles: one md5 per shingle,
+    * k components from disjoint 8-hex-char digest slices (mirrors
+    * [[graft.operators.TextDedup.minhashSignatures]]). */
   private val shinglesCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id,
-      |  [array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, greatest(len(t)-2, 1))] AS shingles
+      |hs AS (SELECT doc_id,
+      |  [md5(array_to_string(t[i:i+2], ' ')) FOR i IN generate_series(1, greatest(len(t)-2, 1))] AS h
       |  FROM toks),
       |sig AS (SELECT doc_id,
-      |  list_min([md5('s0|' || x) FOR x IN shingles]) AS sig_0,
-      |  list_min([md5('s1|' || x) FOR x IN shingles]) AS sig_1,
-      |  list_min([md5('s2|' || x) FOR x IN shingles]) AS sig_2,
-      |  list_min([md5('s3|' || x) FOR x IN shingles]) AS sig_3
-      |  FROM sh)""".stripMargin
+      |  list_min([substring(x, 1, 8) FOR x IN h]) AS sig_0,
+      |  list_min([substring(x, 9, 8) FOR x IN h]) AS sig_1,
+      |  list_min([substring(x, 17, 8) FOR x IN h]) AS sig_2,
+      |  list_min([substring(x, 25, 8) FOR x IN h]) AS sig_3
+      |  FROM hs)""".stripMargin
 
   private val simhashBitsSql: String = (0 until 16).map { j =>
     s"CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), ${j + 1}, 1) >= '8')) > len(t) THEN ${1L << j} ELSE 0 END"

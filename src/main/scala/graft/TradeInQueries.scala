@@ -146,11 +146,25 @@ object TradeInQueries {
   /** The Spark-side raw fixture: identical values, built from the same
     * shared SQL text, plus helper columns `__k`/`__p`/`__ts` (dropped by
     * `stage`, used by q33's day-2 variants). */
-  private def rawSpark(s: SparkSession, d: String): DataFrame = {
-    val base = load(s, d, "orders").select(
+  /** When `sorted`, the narrow base is globally ordered by `k` BEFORE the
+    * wide fixture projection: a final `orderBy` on the 44-col result
+    * would range-sample its child, re-executing the whole expensive
+    * expression tree a second time (measured ~2× the query), while
+    * sorting 6 narrow columns and projecting after preserves the same
+    * total order (SaleInvoiceID = k, unique) for ~nothing. The explicit
+    * partition count keeps AQE from coalescing the small sorted base into
+    * one partition, which would serialize the wide projection above it. */
+  private[graft] def rawSpark(s: SparkSession, d: String,
+      sorted: Boolean = false): DataFrame = {
+    val base0 = load(s, d, "orders").select(
       col("o_orderkey").as("k"), col("o_custkey").as("c"),
       col("o_totalprice").as("p"), col("o_orderstatus").as("st"),
       col("o_orderpriority").as("pri"), expr(tsSpark).as("ts"))
+    val base =
+      if (sorted) base0
+        .repartitionByRange(s.sparkContext.defaultParallelism, col("k"))
+        .sortWithinPartitions("k")
+      else base0
     val cols = rawSpec.map { case (n, e) => expr(e).as(n) } ++ Seq(
       fmtSpark(col("ts"), col("k") % 5, col("k")).as("TradeInDate"),
       fmtSpark(col("ts"), (col("k") + 1) % 5, col("k")).as("PostTime"),
@@ -168,22 +182,21 @@ object TradeInQueries {
     // P2 + F1-F4/F10: the staging load — multi-format parse with now
     // fallback, EST derivation, audit stamp (rqtradein_etl.py:229-336).
     "q31_tradein_stage" -> ((s, d) => {
-      TradeInPipeline.stage(rawSpark(s, d), nowLit(Now1))
+      TradeInPipeline.stage(rawSpark(s, d, sorted = true), nowLit(Now1))
         .select("SaleInvoiceID", "TradeInDate", "TradeInDateEST",
           "PostTime", "PostTimeEST", "ResponseTime", "ResponseTimeEST",
           "ETLRowInsertedEST")
-        .orderBy(col("SaleInvoiceID").cast("int"))
     }),
 
     // P3: the full 44-column staging→target typed projection
     // (rqtradein_etl.py:98-145). Decimals emitted as canonical DOUBLE.
     "q32_tradein_typed" -> ((s, d) => {
       val typed = TradeInSchema.toTyped(
-        TradeInPipeline.stage(rawSpark(s, d), nowLit(Now1)))
+        TradeInPipeline.stage(rawSpark(s, d, sorted = true), nowLit(Now1)))
       val out = TradeInSchema.columns.map { c =>
         if (TradeInSchema.decimalCols(c)) col(c).cast("double").as(c) else col(c)
       }
-      typed.select(out: _*).orderBy("SaleInvoiceID")
+      typed.select(out: _*)
     }),
 
     // M1+M3+T2: two overlapping daily runs — empty → day1 → day2 — with
@@ -207,11 +220,14 @@ object TradeInQueries {
       val t2 = TradeInPipeline.mergeIntoTarget(t1,
         TradeInPipeline.stage(day2base.union(day2dups), nowLit(Now2)),
         nowLit(Now2), actionCol = Some("action"))
+      // ordered1, not orderBy: AQE turns both merge joins into broadcast
+      // joins (no shuffle stage), so a range-sort's sampling pass would
+      // re-execute the entire two-merge DAG a second time.
       t2.select(col("SaleInvoiceID"),
           col("TradeInAmount").cast("double").as("TradeInAmount"),
           col("TradeInDate"), col("TradeInDateEST"),
           col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"), col("action"))
-        .orderBy("SaleInvoiceID")
+        .transform(SparkEntry.ordered1(_, col("SaleInvoiceID")))
     }))
 
   // ------------------------------------------------------------- oracles

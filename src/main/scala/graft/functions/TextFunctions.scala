@@ -70,11 +70,14 @@ object TextFunctions {
   /** Winnowing-style robust fingerprint: min md5 over the document's
     * character `gram`-grams (rolling-window hashing à la Schleimer et al.
     * winnowing, window = whole doc). Stable under small appends/prefixes,
-    * unlike [[exactFingerprint]]; one codegen'd pass per row. */
-  def winnowFingerprint(text: Column, gram: Int = 16): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(length(text) - (gram - 1), lit(1))),
-      i => md5(substr(text, i, lit(gram)))))
+    * unlike [[exactFingerprint]]. Implemented as a native codegen'd
+    * rolling-digest loop ([[graft.expressions.MinGramMd5]]) — the HOF
+    * formulation interpreted a lambda per character position. */
+  def winnowFingerprint(text: Column, gram: Int = 16): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.MinGramMd5(ColumnBridge.expression(text), gram))
+  }
 
   /** Language-ID heuristic: argmax of per-language marker-token hit
     * counts. A tiny n-gram/stopword table is enough to separate the

@@ -22,14 +22,34 @@ object TextDedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash signature: `numHashes` independent md5-seeded
-    * min-hashes over token `shingleSize`-gram shingles. Output columns:
-    * idCol, sig_0..sig_{k-1}. */
+  /** Per-document MinHash signature: `numHashes` independent min-hashes
+    * over token `shingleSize`-gram shingles. Output columns: idCol,
+    * sig_0..sig_{k-1}.
+    *
+    * Cost shape (this is the hot loop of corpus dedup): the token array
+    * and the per-shingle md5 array are materialized ONCE per row as real
+    * columns — putting `split`/`slice` inside a higher-order-function
+    * lambda re-evaluates them per element (O(tokens²) characters per
+    * document), and hashing per (seed × shingle) pays `numHashes` md5s
+    * where one suffices. Instead each shingle is md5'd once and the k
+    * components take disjoint `32/k`-hex-char slices of that digest —
+    * independent uniform hashes, still reproducible in any SQL oracle
+    * (`substring(md5(x), 1+8k, 8)`). */
   def minhashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int, shingleSize: Int): DataFrame = {
-    val sh = tokenShingles(col(textCol), shingleSize)
-    val sigs = (0 until numHashes).map(i => minhash(sh, s"s$i").as(s"sig_$i"))
-    docs.select(col(idCol) +: sigs: _*)
+    require(numHashes > 0 && 32 % numHashes == 0 && numHashes <= 8,
+      s"numHashes must divide 32 hex chars: $numHashes")
+    val width = 32 / numHashes
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__sh_md5", transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(shingleSize))))))
+      .select(col(idCol) +: (0 until numHashes).map { k =>
+        array_min(transform(col("__sh_md5"),
+          h => substring(h, 1 + k * width, width))).as(s"sig_$k")
+      }: _*)
   }
 
   /** LSH banding over a signature frame: each band of `rowsPerBand`
@@ -82,11 +102,14 @@ object TextDedup {
     * distance. Bit j is set iff the +1 tokens outnumber the -1 tokens:
     * `2 * |{t : hexdigit_j(md5 t) >= '8'}| > |tokens|`. */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
-    val t = tokens(col(textCol))
+    // Token digests materialized once per row; the per-bit filters then
+    // slice the same md5 array instead of re-hashing per (bit × token).
     val bitCols = (0 until bits).map { j =>
-      val high = size(filter(t, x => substring(md5(x), j + 1, 1) >= lit("8")))
-      when(high * 2 > size(t), lit(1L << j)).otherwise(lit(0L))
+      val high = size(filter(col("__tok_md5"), h => substring(h, j + 1, 1) >= lit("8")))
+      when(high * 2 > size(col("__tok_md5")), lit(1L << j)).otherwise(lit(0L))
     }
-    docs.select(col(idCol), bitCols.reduce(_ + _).as("simhash"))
+    docs
+      .withColumn("__tok_md5", transform(tokens(col(textCol)), x => md5(x)))
+      .select(col(idCol), bitCols.reduce(_ + _).as("simhash"))
   }
 }

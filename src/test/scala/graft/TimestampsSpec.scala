@@ -48,7 +48,9 @@ class TimestampsSpec extends AnyFunSuite {
       "2024-01-02T03:04:05"         -> expect0,
       "2024-01-02 03:04:05.123456"  -> expect6,
       "2024-01-02 03:04:05"         -> expect0,
-      "2024-01-02 03:04:05.5"       -> "2024-01-02 03:04:05.500000")
+      "2024-01-02 03:04:05.5"       -> "2024-01-02 03:04:05.500000",
+      "2024-01-02 03:04:05.1234567" -> expect6,   // 7+ digits truncate (F1)
+      "2024-01-02"                  -> "2024-01-02 00:00:00.000000") // isoformat fallback
     for ((in, out) <- cases) {
       val got = evalStr(
         date_format(Timestamps.parseTimestamp(col("s")), "yyyy-MM-dd HH:mm:ss.SSSSSS"), in)
