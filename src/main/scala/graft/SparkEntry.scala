@@ -350,6 +350,31 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // ---- T1/T2 streaming-class window semantics, batch-checkable --------
+    // Sliding event-time window (1h window, 30m slide): every event lands
+    // in exactly 2 windows. The same groupBy(window(...)) compiles
+    // unchanged under readStream + watermark (see graft.streaming).
+    "q38_sliding_window" -> ((s, d) => {
+      load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
+    // Session window (10m inactivity gap) per user: session end = last
+    // event + gap, Spark's session_window semantics.
+    "q39_session_window" -> ((s, d) => {
+      load(s, d, "events")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy("user_id", "s_start")
+    }),
+
     // LSH-bucketed ANN; oracle embeds the deterministic planes as literals.
     "q30_knn_lsh" -> ((s, d) => {
       val emb = load(s, d, "embeddings")
@@ -624,6 +649,37 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q38_sliding_window" ->
+      """WITH w AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS w_start, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS w_start,
+        |    event_type, value FROM events)
+        |SELECT w_start, w_start + INTERVAL 60 MINUTES AS w_end, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin,
+
+    "q39_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              >= INTERVAL 10 MINUTES
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT MIN(ts) AS s_start, MAX(ts) + INTERVAL 10 MINUTES AS s_end, user_id,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, s_start""".stripMargin,
 
     // The LSH planes are embedded as double literals (computed once on
     // the JVM): re-deriving them via sin() in SQL could flip a sign bit

@@ -70,6 +70,26 @@ final class FrameSource(df: DataFrame) extends ApiSource {
   def fetch(spark: SparkSession, params: Map[String, String]): DataFrame = df
 }
 
+/** S3 (SURVEY.md §2.1): JDBC-backed source/lookup — the reference's
+  * pyodbc connection (rqtradein_etl.py:199-202) generalized to Spark's
+  * JDBC reader. Connection string comes from the environment exactly as
+  * the reference's `CONNECTION_STRING` env var; partitioning options
+  * (`partitionColumn`/`numPartitions`) make the read parallel at scale.
+  * No JDBC driver or database exists in this environment, so this path
+  * is compile-checked but not integration-tested. */
+final class JdbcSource(
+    table: String,
+    url: String = sys.env.getOrElse("GRAFT_JDBC_URL", ""),
+    options: Map[String, String] = Map.empty) extends ApiSource {
+  def fetch(spark: SparkSession, params: Map[String, String]): DataFrame = {
+    require(url.nonEmpty, "GRAFT_JDBC_URL not set")
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options ++ params)
+      .load()
+  }
+}
+
 /** S1: driver-side HTTP GET returning a JSON array of records, parsed
   * distributed. URL template and auth header come from the environment —
   * `urlTemplate` may reference `params` keys as `{StartDate}` etc.

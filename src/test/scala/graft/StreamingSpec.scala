@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.TradeInSchema
+import graft.streaming.StreamingEtl
+
+/** Structured-Streaming semantics (SURVEY.md §2.9): AvailableNow ingest
+  * with exactly-once source tracking, watermark dedup, windowed counts,
+  * and mapGroupsWithState running state. */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("AvailableNow ingest: drains new files per activation, merges into target") {
+    val work = java.nio.file.Files.createTempDirectory("se").toString
+    val src = s"$work/in"; new java.io.File(src).mkdirs()
+    def record(id: String, amt: String) =
+      s"""{"SaleInvoiceID": "$id", "TradeInDate": "2024-06-01T01:00:00Z", "TradeInAmount": "$amt"}"""
+    def writeBatch(name: String, lines: String*): Unit = {
+      val f = new java.io.PrintWriter(s"$src/$name")
+      lines.foreach(f.println); f.close()
+    }
+    def run() = StreamingEtl.ingestAvailableNow(spark, src,
+      s"$work/target", s"$work/ckpt",
+      now = () => lit("2024-06-01 06:00:00").cast("timestamp"))
+
+    writeBatch("b1.json", record("1", "10.00"), record("2", "20.00"))
+    run()
+    assert(spark.read.parquet(s"$work/target").count() == 2)
+
+    // Second activation: only the NEW file is processed (checkpointed
+    // source offsets), and key 2's re-delivery updates in place.
+    writeBatch("b2.json", record("2", "21.00"), record("3", "30.00"))
+    run()
+    val target = spark.read.parquet(s"$work/target")
+    assert(target.count() == 3)
+    val amt2 = target.filter(col("SaleInvoiceID") === 2)
+      .select(col("TradeInAmount").cast("string")).head().getString(0)
+    assert(amt2 == "21.00")
+  }
+
+  test("watermark dedup: duplicate (key, event-time) rows collapse to one") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamingEtl.dedupStream(
+      in.toDF().toDF("k", "ts"), "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:00:00")),
+      (2L, ts("2024-01-01 00:01:00")), (1L, ts("2024-01-01 00:00:00")))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_t").as[(Long, Timestamp)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:01:00"))))
+  }
+
+  test("windowed counts with watermark finalize after the watermark passes") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamingEtl.windowedCounts(
+      in.toDF().toDF("ts", "typ"), "ts", "5 minutes", "10 minutes", "typ")
+    val q = out.writeStream.format("memory").queryName("win_t")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((ts("2024-01-01 00:01:00"), "a"), (ts("2024-01-01 00:02:00"), "a"),
+      (ts("2024-01-01 00:03:00"), "b"))
+    q.processAllAvailable()
+    // Advance the watermark past the first window (00:00-00:10).
+    in.addData((ts("2024-01-01 00:30:00"), "a"))
+    q.processAllAvailable()
+    val rows = spark.table("win_t")
+      .select(col("w_start").cast("string"), col("typ"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    q.stop()
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 00:00:00", "b", 1L)))
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamingEtl.runningTotals(in.toDS())
+    val q = out.writeStream.format("memory").queryName("state_t")
+      .outputMode(OutputMode.Update()).start()
+    in.addData((1L, 5.0), (1L, 7.0), (2L, 1.0))
+    q.processAllAvailable()
+    in.addData((1L, 3.0))
+    q.processAllAvailable()
+    val byKey = spark.table("state_t").as[StreamingEtl.KeyedTotals].collect()
+      .groupBy(_.key).map { case (k, vs) => k -> vs.maxBy(_.n) }
+    q.stop()
+    assert(byKey(1L) == StreamingEtl.KeyedTotals(1L, 3L, 15.0))
+    assert(byKey(2L) == StreamingEtl.KeyedTotals(2L, 1L, 1.0))
+  }
+}
