@@ -382,6 +382,21 @@ object SparkEntry {
           "embedding", "vec_id", k = 3,
           planes = Similarity.deterministicPlanes(4, 64))
         .transform(ordered1(_, col("query_id"), col("rank")))
+    }),
+
+    // Embedding-cosine near-dup pairs: LSH-bucketed candidates + threshold.
+    "q40_embedding_neardup" -> ((s, d) => {
+      Similarity.neardupPairs(load(s, d, "embeddings"), "embedding", "vec_id",
+          planes = Similarity.deterministicPlanes(4, 64), threshold = 0.3)
+        .transform(ordered1(_, col("vec_id_a"), col("vec_id_b")))
+    }),
+
+    // IVF-style ANN: coarse-quantized cells, nProbe-cell exact search.
+    "q41_knn_ivf" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", k = 3, nlist = 8, nProbe = 2)
+        .transform(ordered1(_, col("query_id"), col("rank")))
     })
   )
 
@@ -684,12 +699,7 @@ object SparkEntry {
     // The LSH planes are embedded as double literals (computed once on
     // the JVM): re-deriving them via sin() in SQL could flip a sign bit
     // on another libm and change a bucket.
-    "q30_knn_lsh" -> {
-      def bucketSql(v: String): String =
-        Similarity.deterministicPlanes(4, 64).zipWithIndex.map { case (p, i) =>
-          val lits = p.mkString("[", ", ", "]")
-          s"CASE WHEN list_dot_product($v, $lits) >= 0 THEN ${1 << i} ELSE 0 END"
-        }.mkString(" + ")
+    "q30_knn_lsh" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
@@ -704,7 +714,46 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
-         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
-    }
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q40_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n,
+         |  ${bucketSql("v")} AS bucket FROM e)
+         |SELECT a.vec_id AS vec_id_a, bb.vec_id AS vec_id_b,
+         |  ROUND(list_dot_product(a.v, bb.v) / (a.n * bb.n), 6) AS cosine
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE ROUND(list_dot_product(a.v, bb.v) / (a.n * bb.n), 6) >= 0.3
+         |ORDER BY vec_id_a, vec_id_b""".stripMargin,
+
+    "q41_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+        |assign AS (SELECT vec_id, v, n, cent,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ROUND(list_dot_product(v, cv) / (n * cn), 6) DESC, cent) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id AS neighbor_id, v AS nv, n AS nn, cent
+        |  FROM assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, n AS qn, cent
+        |  FROM assign WHERE vec_id < 5 AND rn <= 2),
+        |scored AS (SELECT DISTINCT query_id, neighbor_id,
+        |    ROUND(list_dot_product(qv, nv) / (qn * nn), 6) AS cosine
+        |  FROM cells JOIN probes USING (cent) WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
+
+  /** Hyperplane-bucket SQL with the LSH planes embedded as double
+    * literals (JVM-computed — see the q30 comment). */
+  private def bucketSql(v: String): String =
+    Similarity.deterministicPlanes(4, 64).zipWithIndex.map { case (p, i) =>
+      val lits = p.mkString("[", ", ", "]")
+      s"CASE WHEN list_dot_product($v, $lits) >= 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
 }

@@ -37,4 +37,39 @@ object Relational {
     left.join(right, on, "left_semi")
   def anti(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
     left.join(right, on, "left_anti")
+
+  /** Skew-defeating salted equi-join (left = the skewed/fact side,
+    * right = the smaller-but-not-broadcastable side). The left side's
+    * hot keys are spread over `salt` buckets by a random-free
+    * deterministic salt (hash of the whole row modulo `salt`); the right
+    * side is replicated `salt`× via explode so every (key, salt) bucket
+    * finds its match. Shuffle key becomes (key, salt) — a hot key's rows
+    * land on `salt` reducers instead of one.
+    *
+    * AQE's skew-join handles sort-merge skew automatically when stats
+    * surface it; this is the explicit form for when they don't (e.g.
+    * skew behind an exchange AQE cannot split, or a deliberately
+    * pre-partitioned layout). Inner joins only. */
+  def saltedJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val lSalted = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
+    val rSalted = right.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    lSalted.join(rSalted, on :+ "__salt").drop("__salt")
+  }
+
+  /** Bucketed co-located table pair: writing both sides bucketed and
+    * sorted by the join key lets every future equi-join on that key run
+    * shuffle-free (bucket pruning + sort-merge without exchange) — the
+    * standard layout for a 100 TB fact table joined daily on the same
+    * key. Managed-table write (`saveAsTable`); read back via
+    * `spark.table`. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
 }

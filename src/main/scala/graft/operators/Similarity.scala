@@ -68,6 +68,76 @@ object Similarity {
         col("__rn").as("rank"))
   }
 
+  /** Embedding-cosine near-duplicate pairs (north-star dedup family):
+    * LSH-bucketed candidate generation — only same-bucket (a, b) pairs
+    * with a < b are scored — then a cosine threshold. The corpus never
+    * self-cross-joins: the bucket equi-join bounds work to colliding
+    * pairs, exactly the MinHash-band shape in [[TextDedup]], so the plan
+    * scales as O(pairs-in-bucket), not O(n²). */
+  def neardupPairs(corpus: DataFrame, vecCol: String, idCol: String,
+      planes: Seq[Seq[Double]], threshold: Double, roundTo: Int = 6): DataFrame = {
+    val side = corpus.select(col(idCol),
+      asDouble(col(vecCol)).as("__v"), norm(col(vecCol)).as("__n"),
+      hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val a = side.alias("a")
+    val b = side.alias("b")
+    a.join(b, col("a.__bucket") === col("b.__bucket") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("cosine", round(
+        dot(col("a.__v"), col("b.__v")) / (col("a.__n") * col("b.__n")), roundTo))
+      .filter(col("cosine") >= threshold)
+      .select(col(s"a.$idCol").as(s"${idCol}_a"),
+        col(s"b.$idCol").as(s"${idCol}_b"), col("cosine"))
+  }
+
+  /** IVF-style ANN (the classic inverted-file index, cf. Jégou et al.'s
+    * IVFADC construction): corpus vectors are assigned to their nearest
+    * of `nlist` coarse centroids (one scan — at scale this assignment IS
+    * the index, persisted once and reused); each query probes its
+    * `nProbe` nearest cells and searches exactly within them. Centroids
+    * here are the first `nlist` corpus vectors — deterministic and
+    * oracle-reproducible; a production index would k-means them, which
+    * changes recall, not the plan shape.
+    *
+    * Scale posture: centroids broadcast everywhere (tiny); the search
+    * join hits only probed cells (`nProbe/nlist` of the corpus per
+    * query); the corpus shuffles once on cell id at index build. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nlist: Int, nProbe: Int,
+      roundTo: Int = 6): DataFrame = {
+    val cents = broadcast(corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cent"), asDouble(col(vecCol)).as("__cv"),
+        norm(col(vecCol)).as("__cn")))
+    def nearestCells(df: DataFrame, id: String, take: Int): DataFrame = {
+      val scored = df
+        .select(col(idCol).as(id), asDouble(col(vecCol)).as(s"__v_$id"),
+          norm(col(vecCol)).as(s"__n_$id"))
+        .join(cents, lit(true))
+        .withColumn("__cos",
+          round(dot(col(s"__v_$id"), col("__cv")) / (col(s"__n_$id") * col("__cn")), roundTo))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__cos").desc, col("__cent").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= take)
+        .select(col(id), col(s"__v_$id"), col(s"__n_$id"), col("__cent"))
+    }
+    val cells = nearestCells(corpus, "neighbor_id", 1)
+    val probes = nearestCells(queries, "query_id", nProbe)
+    val scored = cells.join(probes, Seq("__cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("__v_query_id"), col("__v_neighbor_id")) /
+          (col("__n_query_id") * col("__n_neighbor_id")), roundTo))
+      // The same neighbor can surface via several probed cells; keep one.
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rn").as("rank"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes from a seed (golden-
     * ratio lattice — no RNG dependency, reproducible across engines). */
   def deterministicPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
