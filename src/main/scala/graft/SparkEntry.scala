@@ -384,6 +384,17 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // F11: JSON serialization of a record sample (the reference's
+    // json.dumps log sample, rqtradein_etl.py:219). String/int fields
+    // only — double rendering differs across engines.
+    "q42_json_sample" -> ((s, d) => {
+      load(s, d, "events")
+        .orderBy("event_id").limit(5)
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+            .as("js"))
+    }),
+
     // Embedding-cosine near-dup pairs: LSH-bucketed candidates + threshold.
     "q40_embedding_neardup" -> ((s, d) => {
       Similarity.neardupPairs(load(s, d, "embeddings"), "embedding", "vec_id",
@@ -715,6 +726,12 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q42_json_sample" ->
+      """SELECT event_id,
+        | '{"event_id":' || event_id || ',"event_type":"' || event_type
+        |   || '","user_id":' || user_id || '}' AS js
+        |FROM events ORDER BY event_id LIMIT 5""".stripMargin,
 
     "q40_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
