@@ -22,14 +22,24 @@ object Tables {
     if (spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+  /** One resolved DataFrame per (session, dir, table): repeated loads
+    * reuse the first call's `InMemoryFileIndex` and schema instead of
+    * re-listing and re-reading parquet footers on every query — driver
+    * overhead that multiplies across a 40-query suite (and across
+    * thousands of daily queries against a shared catalog at scale, where
+    * the same job is done by the metastore's file-index cache). */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    // Nano timestamps are read as epoch-longs and truncated to micros
-    // (exactly what the DuckDB oracle does on the same file).
-    if (name == "events") {
-      configure(spark)
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    } else spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.getOrElseUpdate((spark, sfDir, name),
+      // Nano timestamps are read as epoch-longs and truncated to micros
+      // (exactly what the DuckDB oracle does on the same file).
+      if (name == "events") {
+        configure(spark)
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      } else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
