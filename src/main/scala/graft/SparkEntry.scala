@@ -384,6 +384,53 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // As-of join: each event enriched with the user's most recent order
+    // at-or-before the event time (union + ordered window — one shuffle,
+    // no range self-join).
+    "q43_asof_join" -> ((s, d) => {
+      val left = load(s, d, "events")
+        .select(col("event_id"), col("user_id").as("k"), col("ts"))
+      val right = load(s, d, "orders")
+        .select(col("o_custkey").as("k"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice"))
+      Relational.asofJoin(left, right, "k", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"), tieBreak = Seq(col("o_orderkey").asc))
+        .select(col("event_id"), col("k").as("user_id"), col("ts"),
+          col("o_orderkey"), col("o_totalprice"))
+        .transform(ordered1(_, col("event_id")))
+    }),
+
+    // Pivot: long→wide aggregation with a fixed value list.
+    "q44_pivot" -> ((s, d) => {
+      load(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .select(col("o_orderstatus"),
+          col("1-URGENT").as("p1"), col("2-HIGH").as("p2"),
+          col("3-MEDIUM").as("p3"), col("4-NOT SPECIFIED").as("p4"),
+          col("5-LOW").as("p5"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Exact percentiles by row selection (no interpolation arithmetic —
+    // the picked value is a stored double, identical in any engine).
+    "q45_percentile" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      load(s, d, "orders")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          max(when(col("__rn") === ceil(col("__n") * 0.5), col("o_totalprice"))).as("p50"),
+          max(when(col("__rn") === ceil(col("__n") * 0.9), col("o_totalprice"))).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
     // F11: JSON serialization of a record sample (the reference's
     // json.dumps log sample, rqtradein_etl.py:219). String/int fields
     // only — double rendering differs across engines.
@@ -732,6 +779,36 @@ object SparkEntry {
         | '{"event_id":' || event_id || ',"event_type":"' || event_type
         |   || '","user_id":' || user_id || '}' AS js
         |FROM events ORDER BY event_id LIMIT 5""".stripMargin,
+
+    "q43_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, l.o_orderkey, l.o_totalprice
+        |FROM events e LEFT JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) l ON TRUE
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q44_pivot" ->
+      """SELECT o_orderstatus,
+        | COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p1,
+        | COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p2,
+        | COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p3,
+        | COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p4,
+        | COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q45_percentile" ->
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        | MAX(CASE WHEN rn = ceil(n * 0.5) THEN o_totalprice END) AS p50,
+        | MAX(CASE WHEN rn = ceil(n * 0.9) THEN o_totalprice END) AS p90,
+        | COUNT(*) AS n
+        |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q40_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

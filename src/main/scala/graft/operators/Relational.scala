@@ -60,6 +60,52 @@ object Relational {
     lSalted.join(rSalted, on :+ "__salt").drop("__salt")
   }
 
+  /** As-of join: for every left row, the single most recent right row
+    * with `rightTime <= leftTime`, matched within `key` — the canonical
+    * time-series enrichment join (trades→latest-quote). Spark has no
+    * native ASOF; the scalable form is NOT a range self-join (quadratic
+    * in ties) but union + ordered window:
+    *
+    *   1. tag both sides, union on (key, time) — one dataset;
+    *   2. one hash shuffle on key + one sort on (time, side);
+    *   3. `last_value(right payload, ignoreNulls) OVER (PARTITION BY key
+    *      ORDER BY time, side ROWS UNBOUNDED PRECEDING..CURRENT)` carries
+    *      the latest right values forward into each left row.
+    *
+    * Cost: exactly one shuffle of |left| + |right| and one sort — the
+    * same plan a native as-of operator would produce. Right rows sort
+    * before left rows at equal times (side 0 < 1), so a same-instant
+    * right row IS visible to the left row, matching `<=` semantics.
+    *
+    * `rightCols` are the right-side payload columns to carry (must not
+    * collide with left column names). `tieBreak` orders right rows
+    * sharing (key, time) — the LAST row in that order wins (pass the
+    * right id ascending so the max id is deterministic). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame = {
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__t", col(leftTime))
+      .withColumns(rightCols.map(c => c -> lit(null).cast(
+        right.schema(c).dataType)).toMap)
+    val rTagged = right.select(
+      (col(key) +: rightCols.map(col)) :+ col(rightTime).as("__t"): _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.select(
+      (Seq(col(key), col("__t"), col("__side")) ++
+        rightCols.map(col) ++
+        left.columns.filterNot(c => c == key).map(c => col(c))): _*)
+      .unionByName(rTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t") +: col("__side") +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop("__side", "__t")
+  }
+
   /** Bucketed co-located table pair: writing both sides bucketed and
     * sorted by the join key lets every future equi-join on that key run
     * shuffle-free (bucket pruning + sort-merge without exchange) — the

@@ -40,6 +40,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(salts2 > 4L)
   }
 
+  test("asofJoin: <= semantics, no-match nulls, deterministic tie-break") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00"), "e1"),  // after both quotes
+      (1L, t("2024-01-01 09:00:00"), "e2"),  // same instant as quote b
+      (2L, t("2024-01-01 10:00:00"), "e3"))  // key with no quotes
+      .toDF("k", "ts", "ev")
+    val right = Seq(
+      (1L, t("2024-01-01 08:00:00"), "qa"),
+      (1L, t("2024-01-01 09:00:00"), "qb"),
+      (1L, t("2024-01-01 09:00:00"), "qc"))  // tie with qb
+      .toDF("k", "qts", "q")
+    val got = Relational.asofJoin(left, right, "k", "ts", "qts", Seq("q"),
+        tieBreak = Seq(col("q").asc))
+      .select("ev", "q").as[(String, String)].collect().toMap
+    // Tie at 09:00 resolved to the LAST by ascending q => "qc"; the
+    // same-instant event sees it (<=); key 2 carries null.
+    assert(got == Map("e1" -> "qc", "e2" -> "qc", "e3" -> null))
+  }
+
   test("bucketed pair joins without a shuffle exchange") {
     val a = (1 to 1000).map(k => (k.toLong, s"a$k")).toDF("k", "av")
     val b = (1 to 1000).map(k => (k.toLong, s"b$k")).toDF("k", "bv")
