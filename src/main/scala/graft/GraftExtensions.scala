@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.expressions.{DotProduct, MinGramMd5}
+
+/** Session extension wiring: exposes graft's native Catalyst expressions
+  * as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works
+  * anywhere the library is on the classpath — the standard deployment
+  * shape for an engine extension (enable with
+  * `spark.sql.extensions=graft.GraftExtensions`, or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  *
+  * Both functions remain full codegen participants when invoked from SQL:
+  * injection registers the expression builder, not a UDF wrapper, so the
+  * generated plan is identical to the DataFrame-API path
+  * ([[graft.functions.VectorFunctions.dot]] /
+  * [[graft.functions.TextFunctions.winnowFingerprint]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_dot(arrayA, arrayB)")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_min_gram_md5"),
+      new ExpressionInfo(classOf[MinGramMd5].getName, "graft_min_gram_md5"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_min_gram_md5(text, gram)")
+        val gram = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gram must be an integer literal, got $other")
+        }
+        MinGramMd5(children.head, gram)
+      }))
+  }
+}

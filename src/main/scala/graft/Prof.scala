@@ -1,6 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.sources.Tables.{load, parallel}
+import graft.functions.TextFunctions
 
 /** Scratch profiling main (not part of the driver contract). */
 object Prof {
@@ -10,6 +12,7 @@ object Prof {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
@@ -21,12 +24,21 @@ object Prof {
       println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    t("q38")(SparkEntry.queries("q38_sliding_window")(spark, d))
-    t("q39")(SparkEntry.queries("q39_session_window")(spark, d))
-    t("q30")(SparkEntry.queries("q30_knn_lsh")(spark, d))
-    t("q36")(SparkEntry.queries("q36_langid")(spark, d))
-    t("q34")(SparkEntry.queries("q34_binary_meta")(spark, d))
-    t("q35")(SparkEntry.queries("q35_multimodal_decode")(spark, d))
+    val docs = load(spark, d, "documents")
+    t("docs_scan")(docs)
+    t("exact_only")(parallel(docs).select(col("doc_id"), TextFunctions.exactFingerprint(col("text")).as("f")))
+    t("winnow_only")(parallel(docs).select(col("doc_id"), TextFunctions.winnowFingerprint(col("text")).as("f")))
+    t("both_no_order")(parallel(docs).select(col("doc_id"),
+      TextFunctions.exactFingerprint(col("text")).as("fp_exact"),
+      TextFunctions.winnowFingerprint(col("text")).as("fp_winnow")))
+    t("q28_full")(SparkEntry.queries("q28_fingerprint")(spark, d))
+    t("no_parallel")(docs.select(col("doc_id"),
+      TextFunctions.exactFingerprint(col("text")).as("fp_exact"),
+      TextFunctions.winnowFingerprint(col("text")).as("fp_winnow"))
+      .transform(SparkEntry.ordered1(_, col("doc_id"))))
+    t("q45")(SparkEntry.queries("q45_percentile")(spark, d))
+    t("q01")(SparkEntry.queries("q01_pricing_summary")(spark, d))
+    t("q33")(SparkEntry.queries("q33_tradein_merge_2run")(spark, d))
     spark.stop()
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Merge, Relational, Retention, Similarity, TextDedup}
+import graft.operators.{Dedup, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -449,6 +449,59 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     }),
 
+    // Char n-gram Jaccard verification on LSH candidates (dedup family:
+    // the tokenization-robust sibling of q26's token Jaccard).
+    "q46_ngram_jaccard" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.ngramJaccardOnPairs(pairs, docs, "text", "doc_id", 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+    // Per-group top-k: window-group-limit (no full materialization of the
+    // window; each partition keeps only k rows per group during the sort).
+    "q47_topk_per_group" -> ((s, d) => {
+      Relational.topKPerGroup(
+          load(s, d, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderstatus")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_orderstatus", "o_orderkey")
+    }),
+
+    // Gaps-and-islands sessionization: per-event session ids (the
+    // join-back-able form of q39's session_window aggregation).
+    "q48_sessionize" -> ((s, d) => {
+      Sessionize.sessionStats(load(s, d, "events"), "user_id", "ts",
+          gapSeconds = 600, measure = dsum(col("value"), 2),
+          tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("session_id"), col("n"),
+          col("s_start"), col("s_last"), col("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Deterministic hash sample (~10.2%): reproducible, churn-free
+    // train/eval-split-grade sampling, aggregated per stratum.
+    "q49_hash_sample" -> ((s, d) => {
+      Relational.deterministicSample(
+          load(s, d, "orders"), col("o_orderkey"), "1a")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("o_totalprice"), 2).as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // SCD Type-2 history: validity intervals per customer from the order
+    // change log (history-preserving dual of the reference's MERGE).
+    "q50_scd2_history" -> ((s, d) => {
+      Merge.scd2History(
+          load(s, d, "orders")
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+          "o_custkey", "o_orderdate", tieBreak = Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("effective_from"), col("effective_to"), col("is_current"))
+        .transform(ordered1(_, col("o_custkey"), col("effective_from"), col("o_orderkey")))
+    }),
+
     // F11: JSON serialization of a record sample (the reference's
     // json.dumps log sample, rqtradein_etl.py:219). String/int fields
     // only — double rendering differs across engines.
@@ -827,6 +880,68 @@ object SparkEntry {
         | MAX(CASE WHEN rn = ceil(n * 0.9) THEN o_totalprice END) AS p90,
         | COUNT(*) AS n
         |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q46_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |grams AS (SELECT doc_id,
+         |  list_distinct([substring(text, i, 3)
+         |    FOR i IN generate_series(1, greatest(length(text) - 2, 1))]) AS g
+         |  FROM documents)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN grams ga ON ga.doc_id = p.doc_id_a
+         |JOIN grams gb ON gb.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q47_topk_per_group" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q48_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, COUNT(*) AS n,
+        | MIN(ts) AS s_start, MAX(ts) AS s_last,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q49_hash_sample" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_sampled,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 2) < '1a'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q50_scd2_history" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | o_orderdate AS effective_from,
+        | lead(o_orderdate) OVER w AS effective_to,
+        | (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, effective_from, o_orderkey""".stripMargin,
 
     "q40_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -57,6 +57,19 @@ object TextFunctions {
       i => concat_ws(" ", slice(t, i, lit(n))))
   }
 
+  /** Character n-gram shingles: ["abc", "bcd", ...]. Texts shorter than
+    * `n` chars yield the single truncated remainder. Character grams (vs
+    * [[tokenShingles]]) are robust to tokenization differences —
+    * whitespace variants, punctuation-glued words — the usual choice for
+    * cross-source near-dup in corpus curation. */
+  def charShingles(text: Column, n: Int): Column =
+    // Explicit null-in/null-out: `greatest` would swallow the null length
+    // and emit a single-element array holding null instead.
+    when(text.isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+        i => text.substr(i, lit(n))))
+
   /** One MinHash signature component: the lexicographic min of
     * `md5(seed | shingle)` over the document's shingle set. md5-hex min is
     * a valid min-hash (uniform permutation per seed) and — unlike Spark's

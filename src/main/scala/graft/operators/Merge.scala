@@ -66,6 +66,28 @@ object Merge {
     joined.select(data ++ auditCols ++ action: _*)
   }
 
+  /** SCD Type-2 history from a change log: one validity interval per
+    * change row — `effectiveFrom` = the row's change time, `effectiveTo` =
+    * the next change's time for the same key (null while current),
+    * `is_current` on the latest row. The standard warehouse shape for
+    * "what did this dimension row look like on date X" (the reference's
+    * audit-stamped MERGE keeps only the latest state; SCD2 is its
+    * history-preserving dual).
+    *
+    * One hash shuffle on `key`, one sort, a single `lead` window — the
+    * same cost as the dedup window (W1) at any scale. `tieBreak` orders
+    * simultaneous changes (pass a change id; the later row in that order
+    * supersedes). */
+  def scd2History(changes: DataFrame, key: String, ts: String,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(ts) +: tieBreak: _*)
+    changes
+      .withColumn("effective_from", col(ts))
+      .withColumn("effective_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+  }
+
   /** Snapshot swap: write the new snapshot to a temp path, then promote
     * it. A path being read cannot be overwritten in place (SURVEY.md §2.6
     * M1). The live copy is never deleted before its replacement is in

@@ -24,6 +24,17 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k).drop("__rn")
   }
 
+  /** Deterministic hash sample: keep rows whose `md5(key)` hex prefix
+    * sorts below `hexCutoff` (2 hex chars ⇒ 256 uniform buckets; cutoff
+    * "1a" ≈ 26/256 ≈ 10.2%). Unlike `df.sample()` this is (a) exactly
+    * reproducible across engines/runs — a requirement for train/eval
+    * splits and for oracle checking — and (b) stable under re-partitioning
+    * and incremental loads: a row's membership depends only on its key,
+    * so yesterday's sample never churns when today's data arrives. Pure
+    * map-side filter; at 100 TB it costs one scan, no shuffle. */
+  def deterministicSample(df: DataFrame, key: Column, hexCutoff: String): DataFrame =
+    df.filter(substring(md5(key.cast("string")), 1, hexCutoff.length) < lit(hexCutoff))
+
   /** Broadcast-hint helper: dimension-side of star joins must broadcast —
     * a shuffle of the fact table on a dim key is the canonical 100 TB
     * mistake. */

@@ -96,6 +96,25 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Character n-gram Jaccard for candidate pairs: joins each side's
+    * DISTINCT char `n`-gram set back in and computes |A∩B| / |A∪B| — the
+    * tokenization-robust verification step behind MinHash/LSH candidates
+    * (same join shape as [[jaccardOnPairs]]; only the shingle unit
+    * differs). Gram sets are materialized once per document before the
+    * pair join, so a document in k candidate pairs never re-shingles. */
+  def ngramJaccardOnPairs(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      array_distinct(charShingles(col(textCol), n)).as("grams"))
+    val da = grams.select(col(idCol).as(s"${idCol}_a"), col("grams").as("grams_a"))
+    val db = grams.select(col(idCol).as(s"${idCol}_b"), col("grams").as("grams_b"))
+    pairs.join(da, s"${idCol}_a").join(db, s"${idCol}_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))).cast("double"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
+  }
+
   /** SimHash fingerprint (`bits` ≤ 32): per token, md5 hex digit j maps to
     * ±1 on bit j; the sign of the per-bit sum over all tokens sets the
     * fingerprint bit (Charikar '02). Near-dups land at small Hamming

@@ -9,6 +9,9 @@ object TestSpark {
     val warehouse = java.nio.file.Files.createTempDirectory("graft-wh").toString
     val s = SparkSession.builder()
       .master("local[4]")
+      // The production wiring under test in GraftExtensionsSpec — every
+      // suite shares the extension-enabled session.
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", warehouse)

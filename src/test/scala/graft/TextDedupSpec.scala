@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.TextDedup
+
+class TextDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("charShingles slides one char at a time and truncates short texts") {
+    val out = TestSpark.strings("t", Seq("abcd", "ab", null))
+      .select(TextFunctions.charShingles(col("t"), 3).as("g"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList))
+    assert(out(0).get == List("abc", "bcd"))
+    assert(out(1).get == List("ab")) // shorter than gram → single remainder
+    assert(out(2).isEmpty)
+  }
+
+  test("ngramJaccardOnPairs: identical docs 1.0, disjoint docs 0.0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"),
+      (3L, "zzz yyy xxx")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val out = TextDedup.ngramJaccardOnPairs(pairs, docs, "text", "doc_id", 3)
+      .orderBy("doc_id_b").collect()
+    assert(out(0).getDouble(2) == 1.0)
+    assert(out(1).getDouble(2) == 0.0)
+  }
+
+  test("ngram jaccard is tokenization-robust where token jaccard is not") {
+    import spark.implicits._
+    // Same characters, words glued differently: token sets are disjoint,
+    // char-3-gram sets overlap heavily.
+    val docs = Seq(
+      (1L, "ratehike looms"),
+      (2L, "rate hikelooms")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val ngram = TextDedup.ngramJaccardOnPairs(pairs, docs, "text", "doc_id", 3)
+      .collect().head.getDouble(2)
+    val token = TextDedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
+      .collect().head.getDouble(2)
+    assert(token == 0.0)
+    assert(ngram > 0.3)
+  }
+}
