@@ -438,9 +438,17 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_orderstatus"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
+      // Group sizes come from a broadcast-joined pre-aggregation, not a
+      // second (unordered) COUNT window: the two window specs have
+      // different frames, so Spark would plan two Window operators — the
+      // full partition materialized twice. The counts frame is |groups|
+      // rows at any scale; the broadcast join costs nothing.
+      val counts = load(s, d, "orders")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("__n"))
       load(s, d, "orders")
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
         .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("o_orderstatus"))))
+        .join(broadcast(counts), "o_orderstatus")
         .groupBy(col("o_orderstatus"))
         .agg(
           max(when(col("__rn") === ceil(col("__n") * 0.5), col("o_totalprice"))).as("p50"),
