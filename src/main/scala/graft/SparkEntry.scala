@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
+import graft.operators.{CorpusStats, Dedup, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -510,6 +510,34 @@ object SparkEntry {
         .transform(ordered1(_, col("o_custkey"), col("effective_from"), col("o_orderkey")))
     }),
 
+    // Repetition quality signals (Gopher/C4-style boilerplate filters).
+    "q51_repetition" -> ((s, d) => {
+      parallel(load(s, d, "documents"))
+        .select(col("doc_id"),
+          TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"),
+          TextFunctions.distinctBigramRatio(col("text")).as("distinct_bigram_ratio"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // PII scrub over a deterministically PII-injected fixture (the corpus
+    // itself is clean, so each row gets a synthetic email+phone suffix
+    // built identically by the oracle).
+    "q52_pii_scrub" -> ((s, d) => {
+      parallel(load(s, d, "documents"))
+        .withColumn("__pii", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-4242")))
+        .select(col("doc_id"),
+          TextFunctions.scrubPii(col("__pii")).as("scrubbed"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // Corpus vocabulary: explode → partial-agg-collapsed count → top-k.
+    "q53_vocab" -> ((s, d) => {
+      CorpusStats.vocabulary(load(s, d, "documents"), "text", "doc_id",
+          minCount = 5, topK = 100)
+    }),
+
     // F11: JSON serialization of a record sample (the reference's
     // json.dumps log sample, rqtradein_etl.py:219). String/int fields
     // only — double rendering differs across engines.
@@ -888,6 +916,35 @@ object SparkEntry {
         | MAX(CASE WHEN rn = ceil(n * 0.9) THEN o_totalprice END) AS p90,
         | COUNT(*) AS n
         |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q51_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  [array_to_string(t[i:i+1], ' ')
+        |    FOR i IN generate_series(1, greatest(len(t) - 1, 1))] AS s
+        |  FROM toks)
+        |SELECT doc_id,
+        | CAST(greatest(list_max([len(list_filter(s, y -> y = x))
+        |   FOR x IN list_distinct(s)]), 1) AS DOUBLE)
+        |   / CAST(len(s) AS DOUBLE) AS top_bigram_frac,
+        | CAST(len(list_distinct(s)) AS DOUBLE)
+        |   / CAST(len(s) AS DOUBLE) AS distinct_bigram_ratio
+        |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "q52_pii_scrub" ->
+      """SELECT doc_id,
+        | regexp_replace(regexp_replace(
+        |   text || ' contact user' || doc_id || '@example.com or 555-'
+        |        || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-4242',
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q53_vocab" ->
+      """SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token HAVING COUNT(*) >= 5
+        |ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
     "q46_ngram_jaccard" ->
       s"""WITH $shinglesCte,

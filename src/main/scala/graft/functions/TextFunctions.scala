@@ -92,6 +92,31 @@ object TextFunctions {
       graft.expressions.MinGramMd5(ColumnBridge.expression(text), gram))
   }
 
+  /** Repetition signals (Gopher/C4-style quality filters): fraction of
+    * the document's token bigrams covered by its single most frequent
+    * bigram, and the distinct-bigram ratio. High top-bigram fraction or
+    * low distinct ratio ⇒ boilerplate/spam. O(distinct × total) per row
+    * over short arrays — per-document map work, no shuffle. */
+  def topBigramFraction(text: Column): Column = {
+    val sh = tokenShingles(text, 2)
+    greatest(array_max(transform(array_distinct(sh),
+      x => size(filter(sh, y => y === x)))), lit(1)).cast("double") /
+      size(sh).cast("double")
+  }
+  def distinctBigramRatio(text: Column): Column = {
+    val sh = tokenShingles(text, 2)
+    size(array_distinct(sh)).cast("double") / size(sh).cast("double")
+  }
+
+  /** PII scrub: replace email addresses, then NANP-style phone numbers,
+    * with typed placeholders. Patterns are deliberately restricted to the
+    * regex dialect intersection (character classes + bounded repetition —
+    * no lookaround) so any engine reproduces them byte-for-byte. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
+      lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit("<PHONE>"))
+
   /** Language-ID heuristic: argmax of per-language marker-token hit
     * counts. A tiny n-gram/stopword table is enough to separate the
     * corpus's language mix; at scale this is one codegen'd expression per

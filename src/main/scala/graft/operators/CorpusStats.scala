@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level statistics (north-star scope): the operators that look at
+  * the whole collection rather than one document at a time.
+  */
+object CorpusStats {
+
+  /** Vocabulary build: token → document frequency + total count, pruned
+    * to `minCount` occurrences, truncated to the `topK` most frequent
+    * (count desc, token asc for determinism).
+    *
+    * Scale shape: explode-then-aggregate is the canonical corpus
+    * word-count — partial aggregation collapses each partition's token
+    * counts BEFORE the single hash shuffle on token, so shuffle volume is
+    * per-partition-distinct tokens, not total tokens (Zipf makes that
+    * collapse enormous). The final top-k is TakeOrderedAndProject: no
+    * global sort. Skewed tokens ("the") are exactly what map-side
+    * partial aggregation absorbs — no salting needed. */
+  def vocabulary(docs: DataFrame, textCol: String, idCol: String,
+      minCount: Long, topK: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(topK)
+}

@@ -82,6 +82,55 @@ object StreamingEtl {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col(keyCol), col("n"))
 
+  /** Streaming sessionization (the streaming form of
+    * [[graft.operators.Sessionize]]): flatMapGroupsWithState with
+    * event-time timeout. Open sessions absorb events within `gapMs` of
+    * the session's end; a session closes — and is EMITTED exactly once —
+    * when the watermark passes end + gap (the timeout fires), so state
+    * per key is one small session record and output is append-mode
+    * final (no retractions). This is the standard custom-state session
+    * builder the aggregating `session_window` cannot express when the
+    * session record must carry arbitrary accumulated fields. */
+  final case class SessionIn(key: Long, eventTime: java.sql.Timestamp)
+  final case class OpenSession(key: Long, nEvents: Long, startMs: Long, endMs: Long)
+  final case class ClosedSession(key: Long, nEvents: Long, startMs: Long, endMs: Long)
+
+  def sessionizeStream(events: Dataset[SessionIn], gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("eventTime", s"${gapMs / 1000} seconds")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[SessionIn], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(s.key, s.nEvents, s.startMs, s.endMs))
+          } else {
+            val sorted = rows.map(_.eventTime.getTime).toSeq.sorted
+            val closed = scala.collection.mutable.ListBuffer[ClosedSession]()
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(nEvents = s.nEvents + 1, endMs = math.max(s.endMs, t)))
+                case Some(s) =>
+                  closed += ClosedSession(s.key, s.nEvents, s.startMs, s.endMs)
+                  cur = Some(OpenSession(key, 1L, t, t))
+                case None =>
+                  cur = Some(OpenSession(key, 1L, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Per-key running state (T4's cross-run state, streaming form):
     * arbitrary stateful aggregation via mapGroupsWithState — here a
     * running (count, sum) per key, the minimal shape of a custom state

@@ -83,6 +83,31 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("flatMapGroupsWithState sessions close via event-time timeout, emitted once") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[StreamingEtl.SessionIn]
+    val out = StreamingEtl.sessionizeStream(in.toDS(), gapMs = 600000L) // 10 min
+    val q = out.writeStream.format("memory").queryName("sess_t")
+      .outputMode(OutputMode.Append()).start()
+    // Two close events for key 1 (one session), then a far-future event
+    // for key 2 that advances the watermark past session 1's gap.
+    in.addData(
+      StreamingEtl.SessionIn(1L, ts("2024-01-01 10:00:00")),
+      StreamingEtl.SessionIn(1L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(spark.table("sess_t").count() == 0) // still open, nothing emitted
+    in.addData(StreamingEtl.SessionIn(2L, ts("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    in.addData(StreamingEtl.SessionIn(2L, ts("2024-01-01 12:00:01")))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_t").as[StreamingEtl.ClosedSession].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    assert(sessions.head.key == 1L && sessions.head.nEvents == 2L)
+    assert(sessions.head.startMs == ts("2024-01-01 10:00:00").getTime)
+    assert(sessions.head.endMs == ts("2024-01-01 10:05:00").getTime)
+  }
+
   test("mapGroupsWithState keeps running totals across micro-batches") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]

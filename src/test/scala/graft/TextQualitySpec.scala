@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.operators.CorpusStats
+
+class TextQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("repetition signals separate boilerplate from prose") {
+    val df = TestSpark.strings("t", Seq(
+      "buy now buy now buy now buy now",  // dominated by one bigram
+      "the quick brown fox jumps over dogs"))
+      .select(
+        TextFunctions.topBigramFraction(col("t")).as("f"),
+        TextFunctions.distinctBigramRatio(col("t")).as("r"))
+      .collect()
+    assert(df(0).getDouble(0) > 0.5)      // "now buy"/"buy now" dominate
+    assert(df(1).getDouble(0) < 0.3)
+    assert(df(0).getDouble(1) < df(1).getDouble(1))
+    assert(df(1).getDouble(1) == 1.0)     // all bigrams distinct
+  }
+
+  test("scrubPii replaces all emails and phones, leaves prose alone") {
+    val out = TestSpark.strings("t", Seq(
+      "mail a.b_c%x+1@sub.example.co and x@y.io or call 555-123-4567 then 123-456-7890",
+      "no pii here 12-34"))
+      .select(TextFunctions.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail <EMAIL> and <EMAIL> or call <PHONE> then <PHONE>")
+    assert(out(1) == "no pii here 12-34")
+  }
+
+  test("vocabulary counts, prunes by minCount, orders by frequency then token") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "a b z")).toDF("doc_id", "text")
+    val v = CorpusStats.vocabulary(docs, "text", "doc_id", minCount = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toList == List(("a", 4L, 2L), ("b", 3L, 2L)))
+    // topK truncation
+    val v1 = CorpusStats.vocabulary(docs, "text", "doc_id", 1, 2)
+      .collect().map(_.getString(0))
+    assert(v1.toList == List("a", "b"))
+  }
+}
