@@ -512,11 +512,9 @@ object SparkEntry {
 
     // Repetition quality signals (Gopher/C4-style boilerplate filters).
     "q51_repetition" -> ((s, d) => {
-      parallel(load(s, d, "documents"))
-        .select(col("doc_id"),
-          TextFunctions.topBigramFraction(col("text")).as("top_bigram_frac"),
-          TextFunctions.distinctBigramRatio(col("text")).as("distinct_bigram_ratio"))
-        .transform(ordered1(_, col("doc_id")))
+      CorpusStats.repetitionSignals(parallel(load(s, d, "documents")),
+          "text", "doc_id")
+        .orderBy("doc_id")
     }),
 
     // PII scrub over a deterministically PII-injected fixture (the corpus

@@ -33,6 +33,23 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out(1) == "no pii here 12-34")
   }
 
+  test("corpus-scale repetitionSignals equals the per-row expressions") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over dogs"),
+      (3L, "one")).toDF("doc_id", "text") // single token → one truncated bigram
+    val viaOp = CorpusStats.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val viaExpr = docs.select(col("doc_id"),
+        TextFunctions.topBigramFraction(col("text")),
+        TextFunctions.distinctBigramRatio(col("text")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(viaOp.toList == viaExpr.toList)
+  }
+
   test("vocabulary counts, prunes by minCount, orders by frequency then token") {
     import spark.implicits._
     val docs = Seq(
