@@ -23,6 +23,9 @@ import graft.expressions.{DotProduct, MinGramMd5}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Accelerate the naive HOF dot-product spelling to the native
+    // expression (see DotProductRewrite's contract notes).
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -26,6 +26,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getString(0) == r.getString(1))
   }
 
+  // Literal arrays constant-fold, and Seq.toDF LocalRelations are
+  // evaluated whole by ConvertToLocalRelation — the fixture must be
+  // RDD-backed for any optimizer rewrite to be observable.
+  private def vecs() = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val at = ArrayType(DoubleType, containsNull = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(Seq(1.0, 2.0), Seq(3.0, 4.0))), 1),
+      StructType(Seq(StructField("a", at), StructField("b", at))))
+  }
+
+  test("optimizer rule rewrites the naive HOF dot product to graft_dot") {
+    vecs().createOrReplaceTempView("vecs_t")
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * y),
+        |                 CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d
+        |FROM vecs_t""".stripMargin)
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_dot"), s"rule did not fire:\n$plan")
+    assert(!plan.contains("aggregate("), s"HOF survived:\n$plan")
+    assert(df.collect().head.getDouble(0) == 11.0)
+  }
+
+  test("dot-product rule leaves non-matching aggregates alone") {
+    vecs().createOrReplaceTempView("vecs_t2")
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x + y),
+        |                 CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d
+        |FROM vecs_t2""".stripMargin)
+    val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("graft_dot"), s"rule misfired:\n$plan")
+    assert(df.collect().head.getDouble(0) == 10.0) // sum of pairwise sums
+  }
+
   test("graft_min_gram_md5 rejects a non-literal gram") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_min_gram_md5('abc', length('xx'))").collect()
