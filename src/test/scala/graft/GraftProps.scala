@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.operators.{Dedup, Merge, Relational}
+
+/** ScalaCheck laws for the mutation/dedup operators (SURVEY.md §5.2).
+  * Inputs are tiny generated tables with deliberately colliding keys and
+  * timestamps so the interesting branches (matched rows, ties, empty
+  * sides) are hit constantly. 10 cases per law — each case runs real
+  * Spark jobs. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark = TestSpark.spark
+
+  private val genRow: Gen[(Int, Int, Int)] = for {
+    k <- Gen.choose(0, 8)       // few keys → many collisions
+    v <- Gen.choose(0, 100)
+    t <- Gen.choose(0, 3)       // few timestamps → ties
+  } yield (k, v, t)
+
+  private val genRows: Gen[List[(Int, Int, Int)]] = Gen.listOfN(12, genRow)
+
+  private def df(rows: List[(Int, Int, Int)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v", "t")
+  }
+
+  private def canon(d: org.apache.spark.sql.DataFrame): Set[String] =
+    d.collect().map(_.toString).toSet
+
+  property("merge upsert is idempotent: re-applying the same source is a no-op") =
+    forAll(genRows, genRows) { (t0, s0) =>
+      // MERGE requires a unique key on both sides (the reference dedups
+      // its source first) — mirror that contract.
+      val tgt = Dedup.latestPerKey(df(t0), Seq("k"), Seq(col("t").desc, col("v").desc))
+      val src = Dedup.latestPerKey(df(s0), Seq("k"), Seq(col("t").desc, col("v").desc))
+      val once = Merge.upsert(tgt, src, "k", Seq("k", "v", "t"))
+      val twice = Merge.upsert(once, src, "k", Seq("k", "v", "t"))
+      canon(once) == canon(twice)
+    }
+
+  property("merge result keys = union of side keys; source wins on overlap") =
+    forAll(genRows, genRows) { (t0, s0) =>
+      val tgt = Dedup.latestPerKey(df(t0), Seq("k"), Seq(col("t").desc, col("v").desc))
+      val src = Dedup.latestPerKey(df(s0), Seq("k"), Seq(col("t").desc, col("v").desc))
+      val out = Merge.upsert(tgt, src, "k", Seq("k", "v", "t")).collect()
+        .map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val tm = tgt.collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+      val sm = src.collect().map(r => r.getInt(0) -> (r.getInt(1), r.getInt(2))).toMap
+      out.keySet == (tm.keySet ++ sm.keySet) &&
+        out.forall { case (k, v) => v == sm.getOrElse(k, tm(k)) }
+    }
+
+  property("latestPerKey keeps exactly one row per key, and it is the max") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        val out = Dedup.latestPerKey(df(rows), Seq("k"),
+            Seq(col("t").desc, col("v").desc)).collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        val expect = rows.groupBy(_._1).map { case (_, g) =>
+          g.maxBy(r => (r._3, r._2))
+        }.toSet
+        out.length == out.map(_._1).distinct.length && out.toSet == expect
+      }
+    }
+
+  property("deterministicSample and its complement partition the table") =
+    forAll(genRows) { rows =>
+      val d = df(rows)
+      val in = Relational.deterministicSample(d, col("k"), "80")
+      val outRows = d.exceptAll(in)
+      val rejoined = in.unionAll(outRows)
+      canon(rejoined) == canon(d) &&
+        // membership is a pure function of the key
+        in.select("k").distinct().collect().map(_.getInt(0)).toSet
+          .intersect(outRows.select("k").distinct().collect().map(_.getInt(0)).toSet)
+          .isEmpty
+    }
+
+  property("scd2 intervals tile each key's timeline with one current row") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val changes = rows.zipWithIndex
+          .map { case ((k, v, t), i) => (k, new Timestamp(t * 1000L), i.toLong) }
+          .toDF("k", "ts", "id")
+        val hist = Merge.scd2History(changes, "k", "ts", tieBreak = Seq(col("id")))
+          .collect()
+          .map(r => (r.getInt(0), r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+        hist.groupBy(_._1).forall { case (_, g) =>
+          val sorted = g.sortBy(x => (x._2.getTime, x._3.map(_.getTime).getOrElse(Long.MaxValue)))
+          val oneCurrent = g.count(_._4) == 1
+          val currentIsOpen = g.filter(_._4).forall(_._3.isEmpty)
+          // every non-final interval closes at a later-or-equal change time
+          val chained = sorted.zip(sorted.tail).forall { case (a, b) =>
+            a._3.contains(b._2)
+          }
+          oneCurrent && currentIsOpen && chained
+        }
+      }
+    }
+}
