@@ -536,6 +536,17 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // Dup-cluster assignment: connected components over LSH candidate
+    // pairs — transitive chains collapse to one keeper (min id).
+    "q54_dup_clusters" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.dupClusters(pairs, "doc_id")
+        .withColumn("is_keeper", col("doc_id") === col("cluster"))
+        .orderBy("doc_id")
+    }),
+
     // F11: JSON serialization of a record sample (the reference's
     // json.dumps log sample, rqtradein_etl.py:219). String/int fields
     // only — double rendering differs across engines.
@@ -943,6 +954,24 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS is_keeper
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q46_ngram_jaccard" ->
       s"""WITH $shinglesCte,

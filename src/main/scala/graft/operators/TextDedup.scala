@@ -115,6 +115,51 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Duplicate clusters from candidate pairs: connected components by
+    * iterative min-label propagation — every document reachable through
+    * any chain of near-dup pairs gets the component's minimum id as its
+    * `cluster` label (so the keeper rule "keep the min id" is stable and
+    * engine-independent). This is the final step of corpus dedup: pairs
+    * alone over-delete (a≈b, b≈c but a≉c must still collapse to ONE
+    * keeper, not two independent pair-decisions).
+    *
+    * Scale shape: the standard distributed connected-components loop —
+    * per iteration one equi-join + one min-aggregation on the edge list,
+    * converging in O(component diameter) iterations (near-dup components
+    * are shallow: diameters of 2–4). The driver loop only orchestrates;
+    * all data stays distributed. `localCheckpoint` truncates the
+    * per-iteration lineage, without which the plan tree doubles each
+    * round and the job stalls in the optimizer long before data size
+    * matters. Returns (idCol, cluster) for every id present in `pairs`. */
+  def dupClusters(pairs: DataFrame, idCol: String, maxIter: Int = 20): DataFrame = {
+    val half = pairs.select(col(s"${idCol}_a").as("src"), col(s"${idCol}_b").as("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("__nbr"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.cluster") =!= col("p.cluster"))
+        .isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("cluster"))
+  }
+
   /** SimHash fingerprint (`bits` ≤ 32): per token, md5 hex digit j maps to
     * ±1 on bit j; the sign of the per-bit sum over all tokens sets the
     * fingerprint bit (Charikar '02). Near-dups land at small Hamming

@@ -31,6 +31,17 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) == 0.0)
   }
 
+  test("dupClusters: transitive chains collapse to one component, min id wins") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair (10,11), isolated pair (7,8)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 8L))
+      .toDF("doc_id_a", "doc_id_b")
+    val out = TextDedup.dupClusters(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("ngram jaccard is tokenization-robust where token jaccard is not") {
     import spark.implicits._
     // Same characters, words glued differently: token sets are disjoint,
