@@ -43,11 +43,11 @@ object Bench {
       // projection query's actual work, flattering the number. The noop
       // write materializes every output row/column and discards it —
       // comparable to what the DuckDB oracle executes.
-      // Best-of-2: single-shot times on this host swing ~2× run-to-run
+      // Best-of-3: single-shot times on this host swing ~2× run-to-run
       // (shared-host noise + first-execution codegen/JIT of each query
-      // shape); the min of two executions measures the steady state the
-      // baseline comparison is about.
-      val times = (1 to 2).flatMap { _ =>
+      // shape); the min of three executions measures the steady state the
+      // baseline comparison is about. Full-suite wall cost ~3× ≈ 2.5 min.
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
