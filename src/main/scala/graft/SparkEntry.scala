@@ -536,6 +536,22 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // Interval (range) join via bucketization: events matched back to
+    // their session's [start, last] interval — each event lands in
+    // exactly one interval, so the join must produce |events| rows.
+    "q55_interval_join" -> ((s, d) => {
+      val ev = load(s, d, "events")
+      val sessions = Sessionize.sessionStats(ev, "user_id", "ts",
+          gapSeconds = 600, measure = count(lit(1)).as("__m"),
+          tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("s_start"), col("s_last"))
+      Relational.intervalJoin(
+          ev.select("event_id", "user_id", "ts"), sessions,
+          "user_id", "ts", "s_start", "s_last", bucketSeconds = 600)
+        .select("event_id", "user_id", "ts", "s_start", "s_last")
+        .transform(ordered1(_, col("event_id")))
+    }),
+
     // Dup-cluster assignment: connected components over LSH candidate
     // pairs — transitive chains collapse to one keeper (min id).
     "q54_dup_clusters" -> ((s, d) => {
@@ -954,6 +970,27 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q55_interval_join" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id, ts
+        |  FROM flagged),
+        |intervals AS (
+        |  SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_last
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT e.event_id, e.user_id, e.ts, i.s_start, i.s_last
+        |FROM events e JOIN intervals i
+        |  ON e.user_id = i.user_id AND e.ts BETWEEN i.s_start AND i.s_last
+        |ORDER BY event_id""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

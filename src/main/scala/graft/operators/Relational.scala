@@ -117,6 +117,43 @@ object Relational {
       .drop("__side", "__t")
   }
 
+  /** Interval (range) join: every left row matched to the right intervals
+    * containing its timestamp — `leftTime ∈ [fromCol, toCol]`, within
+    * `key`. Spark has no native range-join optimization, and the naive
+    * theta-join plans as a per-key cartesian (quadratic in key group
+    * size). The scalable form is bucketization:
+    *
+    *   1. left rows hash to ONE bucket: `floor(time / width)`;
+    *   2. right intervals explode to EVERY bucket they overlap
+    *      (`sequence(floor(from/W), floor(to/W))`) — replication factor =
+    *      interval length / width + 1, the knob callers tune;
+    *   3. equi-join on (key, bucket) — an ordinary hash shuffle — then
+    *      the exact BETWEEN predicate filters within the bucket.
+    *
+    * Each (row, interval) pair meets in exactly one bucket (the row's
+    * own), so no post-join dedup is needed. Pick `bucketSeconds` near the
+    * typical interval length: too small replicates intervals, too large
+    * degrades the equi-join's selectivity toward the cartesian. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, fromCol: String, toCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = lit(bucketSeconds * 1000000L)
+    val l = left.withColumn("__bucket", floor(unix_micros(col(leftTime)) / w))
+    val r = right.withColumn("__bucket", explode(sequence(
+      floor(unix_micros(col(fromCol)) / w),
+      floor(unix_micros(col(toCol)) / w))))
+    val joined = l.alias("l").join(r.alias("r"),
+      col(s"l.$key") === col(s"r.$key") &&
+        col("l.__bucket") === col("r.__bucket") &&
+        col(s"l.$leftTime") >= col(s"r.$fromCol") &&
+        col(s"l.$leftTime") <= col(s"r.$toCol"))
+    val out =
+      left.columns.map(c => col(s"l.$c").as(c)) ++
+        right.columns.filterNot(_ == key).map(c => col(s"r.$c").as(c))
+    joined.select(out: _*)
+  }
+
   /** Bucketed co-located table pair: writing both sides bucketed and
     * sorted by the join key lets every future equi-join on that key run
     * shuffle-free (bucket pruning + sort-merge without exchange) — the

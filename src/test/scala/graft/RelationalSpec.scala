@@ -80,4 +80,34 @@ class RelationalSpec extends AnyFunSuite {
       assert(joined.count() == 1000)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("intervalJoin matches the naive BETWEEN theta-join") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val left = Seq((1, ts(0), 100L), (1, ts(15), 101L), (1, ts(61), 102L),
+        (2, ts(5), 103L), (3, ts(5), 104L))
+      .toDF("k", "t", "event")
+    // overlapping intervals for key 1; none for key 3
+    val right = Seq((1, ts(0), ts(20), "a"), (1, ts(10), ts(70), "b"),
+        (2, ts(0), ts(9), "c"))
+      .toDF("k", "lo", "hi", "tag")
+    val naive = left.alias("l").join(right.alias("r"),
+        col("l.k") === col("r.k") && col("l.t") >= col("r.lo") && col("l.t") <= col("r.hi"))
+      .select(col("event"), col("tag")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bucketed = Relational.intervalJoin(left, right, "k", "t", "lo", "hi",
+        bucketSeconds = 600)
+      .select(col("event"), col("tag")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bucketed == naive)
+    assert(bucketed == Set((100L, "a"), (101L, "a"), (101L, "b"), (102L, "b"), (103L, "c")))
+  }
+
+  test("intervalJoin emits each matching pair exactly once across buckets") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    // interval spanning many buckets with the row mid-way
+    val left = Seq((7, ts(500), 1L)).toDF("k", "t", "event")
+    val right = Seq((7, ts(0), ts(1000), "wide")).toDF("k", "lo", "hi", "tag")
+    val out = Relational.intervalJoin(left, right, "k", "t", "lo", "hi", 60)
+    assert(out.count() == 1)
+  }
 }
