@@ -87,6 +87,31 @@ object MediaQueries {
         .transform(SparkEntry.ordered1(_, col("doc_id")))
     }),
 
+    // Frame sampling: every 2nd 64-byte chunk per payload, one row per
+    // frame (the video-frame-extraction plumbing shape).
+    "q56_frame_sample" -> ((s, d) => {
+      Multimodal.frameSample(withBin(parallel(load(s, d, "documents"))),
+          "doc_id", "bin", frameBytes = 64, everyN = 2)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("frame_hex"))
+        .transform(SparkEntry.ordered1(_, col("doc_id"), col("frame_idx")))
+    }),
+
+    // Feature extraction: printable-class histogram of the payload body
+    // (the embedding-extractor plumbing shape).
+    "q57_media_features" -> ((s, d) => {
+      Multimodal.featureExtract(withBin(parallel(load(s, d, "documents"))),
+          "doc_id", "bin")
+        .toDF()
+        .select(col("doc_id"), col("body_len").cast("long").as("body_len"),
+          col("n_lower").cast("long").as("n_lower"),
+          col("n_upper").cast("long").as("n_upper"),
+          col("n_digit").cast("long").as("n_digit"),
+          col("n_other").cast("long").as("n_other"))
+        .transform(SparkEntry.ordered1(_, col("doc_id")))
+    }),
+
     // BPE-ish subword counting (tokenizer-cost signal).
     "q37_token_bpe" -> ((s, d) => {
       parallel(load(s, d, "documents"))
@@ -138,6 +163,31 @@ object MediaQueries {
            |      ELSE 'zh' END AS lang
            |FROM documents ORDER BY doc_id""".stripMargin
       },
+
+      "q56_frame_sample" ->
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    unhex($magicCase) || encode($payloadSql) AS payload
+           |  FROM documents),
+           |fr AS (
+           |  SELECT doc_id, hex(payload) AS hx,
+           |    unnest([k FOR k IN generate_series(0,
+           |      CAST(ceil(octet_length(payload) / 64.0) AS INT) - 1)
+           |      IF k % 2 = 0]) AS k
+           |  FROM p)
+           |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+           |  substring(hx, 1 + CAST(k AS INT) * 128, 128) AS frame_hex
+           |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+
+      "q57_media_features" ->
+        s"""WITH b AS (SELECT doc_id, text AS body FROM documents)
+           |SELECT doc_id,
+           | CAST(length(body) AS BIGINT) AS body_len,
+           | CAST(length(regexp_replace(body, '[^a-z]', '', 'g')) AS BIGINT) AS n_lower,
+           | CAST(length(regexp_replace(body, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+           | CAST(length(regexp_replace(body, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+           | CAST(length(regexp_replace(body, '[a-zA-Z0-9]', '', 'g')) AS BIGINT) AS n_other
+           |FROM b ORDER BY doc_id""".stripMargin,
 
       "q37_token_bpe" ->
         """SELECT doc_id,

@@ -43,6 +43,80 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: every `everyN`-th fixed-size chunk of the
+    * payload, hex-encoded. Chunk-level sampling stands in for video
+    * frame extraction (a real deployment's codec yields frames; the
+    * partition-local explode-one-row-per-frame shape is identical). */
+  final case class MediaFrame(doc_id: Long, frame_idx: Int, frame_hex: String)
+
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, everyN: Int): Dataset[MediaFrame] = {
+    require(frameBytes > 0 && everyN > 0, "frameBytes and everyN must be positive")
+    val input = df.select(df(idCol).cast("long"), df(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      rows.flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % everyN == 0).map { k =>
+          val from = k * frameBytes
+          val until = math.min(from + frameBytes, bytes.length)
+          val hex = bytes.slice(from, until).map("%02X".format(_)).mkString
+          MediaFrame(id, k, hex)
+        }
+      }
+    }(Encoders.product[MediaFrame])
+  }
+
+  /** Stub feature vector per document: printable-class histogram of the
+    * payload body (after the 12-byte header) — the plumbing shape of an
+    * embedding/feature extractor (typed one-pass mapPartitions, small
+    * fixed-width numeric output), with a kernel any SQL oracle can
+    * recompute. */
+  final case class MediaFeatures(doc_id: Long, body_len: Int,
+      n_lower: Int, n_upper: Int, n_digit: Int, n_other: Int)
+
+  def featureExtract(df: DataFrame, idCol: String, binCol: String,
+      headerBytes: Int = 12): Dataset[MediaFeatures] = {
+    val input = df.select(df(idCol).cast("long"), df(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        var lo = 0; var up = 0; var dg = 0; var ot = 0
+        var i = headerBytes
+        while (i < bytes.length) {
+          val b = bytes(i)
+          if (b >= 'a' && b <= 'z') lo += 1
+          else if (b >= 'A' && b <= 'Z') up += 1
+          else if (b >= '0' && b <= '9') dg += 1
+          else ot += 1
+          i += 1
+        }
+        MediaFeatures(id, math.max(bytes.length - headerBytes, 0), lo, up, dg, ot)
+      }
+    }(Encoders.product[MediaFeatures])
+  }
+
+  /** Stub resize: halves the embedded dimensions and keeps every second
+    * body byte — deterministic plumbing for the real thing (same
+    * schema-in/schema-out shape a JNI resizer would have). */
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      bin: Array[Byte])
+
+  def resizeStub(df: DataFrame, idCol: String, binCol: String,
+      codec: MediaCodec = HeaderCodec): Dataset[ResizedMedia] = {
+    val input = df.select(df(idCol).cast("long"), df(binCol))
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    input.mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (w, h) = codec.decode(bytes)
+        val body = bytes.drop(12)
+        val sub = body.indices.collect { case i if i % 2 == 0 => body(i) }.toArray
+        ResizedMedia(id, w / 2, h / 2, bytes.take(4) ++
+          f"${w / 2}%04d${h / 2}%04d".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ sub)
+      }
+    }(Encoders.product[ResizedMedia])
+  }
+
   /** The decode stage: one pass, partition-local, no shuffle. Format is
     * sniffed from magic bytes on the JVM side (same table as
     * [[graft.functions.BinaryFunctions.sniffFormat]]); dimensions come

@@ -47,4 +47,36 @@ class MultimodalSpec extends AnyFunSuite {
     val got = Multimodal.decodeMeta(df, "doc_id", "bin").head()
     assert(got == Multimodal.MediaMeta(7L, "png", 19, 192, 80, 2.4))
   }
+
+  test("frameSample takes every Nth fixed-size chunk, ragged tail included") {
+    import spark.implicits._
+    // 10 bytes, frames of 4: frames 0 ([0,4)), 1 ([4,8)), 2 ([8,10)); every 2nd -> 0, 2
+    val df = Seq((1L, "0123456789")).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("bin"))
+    val frames = Multimodal.frameSample(df, "doc_id", "bin", 4, 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2))
+    assert(frames(0).frame_hex == "30313233") // "0123"
+    assert(frames(1).frame_hex == "3839")     // ragged "89"
+  }
+
+  test("featureExtract counts printable classes after the 12-byte header") {
+    import spark.implicits._
+    val payload = "MMMM" + "0100" + "0200" + "abC9 !"
+    val df = Seq((7L, payload)).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("bin"))
+    val f = Multimodal.featureExtract(df, "doc_id", "bin").collect().head
+    assert(f == Multimodal.MediaFeatures(7L, 6, 2, 1, 1, 2))
+  }
+
+  test("resizeStub halves dims, rewrites the header, subsamples the body") {
+    import spark.implicits._
+    val payload = "MMMM" + "0100" + "0200" + "abcdef"
+    val df = Seq((7L, payload)).toDF("doc_id", "s")
+      .select(col("doc_id"), col("s").cast("binary").as("bin"))
+    val r = Multimodal.resizeStub(df, "doc_id", "bin").collect().head
+    assert(r.width == 50 && r.height == 100)
+    val out = new String(r.bin, java.nio.charset.StandardCharsets.US_ASCII)
+    assert(out == "MMMM" + "0050" + "0100" + "ace")
+  }
 }
