@@ -33,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // an undersized heap turns that into GC pauses that dominate (and
   // destabilize) query times. The bench host has 128 GiB.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 57 queries × several codegen stages × repeated bench runs generate
+  // thousands of Janino classes; the JDK default 240 MB JIT code cache
+  // fills, C2 stops compiling, and late-alphabet queries silently run
+  // interpreted at ~5-10× cost.
+  "-XX:ReservedCodeCacheSize=1g",
 )
