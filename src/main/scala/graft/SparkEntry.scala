@@ -536,6 +536,33 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // GROUPING SETS (the asymmetric sibling of cube/rollup) — only
+    // expressible through the SQL surface; exercises spark.sql over
+    // registered corpus views.
+    "q58_grouping_sets" -> ((s, d) => {
+      load(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g1,
+               CAST(grouping(o_orderpriority) AS INT) AS g2,
+               count(1) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    }),
+
+    // Correlated EXISTS subquery (decorrelates to a left-semi join —
+    // same physical plan as q05, reached through the SQL analyzer).
+    "q59_exists_subquery" -> ((s, d) => {
+      load(s, d, "customer").createOrReplaceTempView("customer_v")
+      load(s, d, "orders").createOrReplaceTempView("orders_v2")
+      s.sql("""
+        SELECT c_custkey, c_name FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v2 o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")
+    }),
+
     // Interval (range) join via bucketization: events matched back to
     // their session's [start, last] interval — each event lands in
     // exactly one interval, so the join must produce |events| rows.
@@ -970,6 +997,21 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q58_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping(o_orderstatus) AS INT) AS g1,
+        | CAST(grouping(o_orderpriority) AS INT) AS g2,
+        | count(1) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q59_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q55_interval_join" ->
       """WITH flagged AS (
