@@ -94,6 +94,23 @@ object TradeInPipeline {
     (agg.getLong(0), agg.getLong(1))
   }
 
+  /** Merge with piggybacked counts: the inserted/updated totals the
+    * reference reports (rqtradein_etl.py:188-190) collected by
+    * `Dataset.observe` DURING the merge's one write pass — where
+    * [[todayCounts]] re-scans the written target, this costs zero extra
+    * jobs at any scale. Read the counts from the returned Observation
+    * AFTER an action has consumed the frame. */
+  def mergeObserved(target: DataFrame, staging: DataFrame, now: Column)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val merged = mergeIntoTarget(target, staging, now, actionCol = Some("__action"))
+      .observe(obs,
+        count(when(col("__action") === "insert", 1)).as("inserted"),
+        count(when(col("__action") === "update", 1)).as("updated"))
+      .drop("__action")
+    (merged, obs)
+  }
+
   /** Stage 6b (retention): keep only staging rows whose TradeInDate falls
     * on `now`'s date — the relational dual of the reference's DELETE
     * (rqtradein_etl.py:192). On a date-partitioned staging layout this is

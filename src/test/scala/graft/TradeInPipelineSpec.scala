@@ -71,6 +71,25 @@ class TradeInPipelineSpec extends AnyFunSuite {
     assert(staging.select(min(col("TradeInDate"))).head().getString(0).startsWith(d2))
   }
 
+  test("mergeObserved reports insert/update counts from the write pass itself") {
+    val now = lit("2024-06-01 06:00:00").cast("timestamp")
+    val staged1 = TradeInPipeline.stage(
+      rawBatch(Seq(("1", "2024-06-01T01:00:00Z", "10.00"),
+        ("2", "2024-06-01T02:00:00Z", "20.00"))), now)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], TradeInSchema.targetSchema)
+    val (m1, o1) = TradeInPipeline.mergeObserved(empty, staged1, now)
+    m1.write.format("noop").mode("overwrite").save()
+    assert(o1.get("inserted") == 2L && o1.get("updated") == 0L)
+
+    val staged2 = TradeInPipeline.stage(
+      rawBatch(Seq(("2", "2024-06-01T03:00:00Z", "21.00"),
+        ("3", "2024-06-01T04:00:00Z", "30.00"))), now)
+    val (m2, o2) = TradeInPipeline.mergeObserved(m1, staged2, now)
+    m2.write.format("noop").mode("overwrite").save()
+    assert(o2.get("inserted") == 1L && o2.get("updated") == 1L)
+  }
+
   test("garbage TradeInDate falls back to run time (F4) and survives merge") {
     val work = java.nio.file.Files.createTempDirectory("tip").toString
     val day = "2024-06-01"
