@@ -70,6 +70,33 @@ final class FrameSource(df: DataFrame) extends ApiSource {
   def fetch(spark: SparkSession, params: Map[String, String]): DataFrame = df
 }
 
+/** Paged fetch over any per-page source: drains pages 1..N until a page
+  * comes back empty, unioning the page frames. Real report APIs cap the
+  * page size the reference's single GET assumes away; this wrapper adds
+  * the drain loop without touching the page fetcher.
+  *
+  * The loop is driver-orchestrated (one `isEmpty` action per page — the
+  * page COUNT is what bounds it, not the data volume); each page's parse
+  * and all downstream transforms stay distributed, and the final union is
+  * lazy. `maxPages` guards against a server that never returns empty. */
+final class PagedSource(
+    page: (SparkSession, Map[String, String], Int) => DataFrame,
+    maxPages: Int = 10000) extends ApiSource {
+  def fetch(spark: SparkSession, params: Map[String, String]): DataFrame = {
+    var out: Option[DataFrame] = None
+    var i = 1
+    var done = false
+    while (!done && i <= maxPages) {
+      val p = page(spark, params, i)
+      if (p.isEmpty) done = true
+      else { out = Some(out.fold(p)(_.unionByName(p))); i += 1 }
+    }
+    out.getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        page(spark, params, 1).schema))
+  }
+}
+
 /** S3 (SURVEY.md §2.1): JDBC-backed source/lookup — the reference's
   * pyodbc connection (rqtradein_etl.py:199-202) generalized to Spark's
   * JDBC reader. Connection string comes from the environment exactly as

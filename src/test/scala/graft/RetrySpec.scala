@@ -34,4 +34,27 @@ class RetrySpec extends AnyFunSuite {
     }
     assert(calls == 3 && e.getMessage == "boom 3")
   }
+
+  test("PagedSource drains pages until the first empty page, lazily unioned") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    var calls = 0
+    val src = new graft.sources.PagedSource((s, _, i) => {
+      calls += 1
+      if (i <= 3) Seq.tabulate(2)(j => (i * 10 + j)).toDF("v")
+      else Seq.empty[Int].toDF("v")
+    })
+    val out = src.fetch(spark, Map.empty)
+    assert(out.count() == 6)
+    assert(out.select(min(col("v")), max(col("v"))).as[(Int, Int)].head() == ((10, 31)))
+    assert(calls == 4) // 3 full pages + the terminating empty page only
+  }
+
+  test("PagedSource with an immediately empty page yields an empty frame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val src = new graft.sources.PagedSource((_, _, _) => Seq.empty[Int].toDF("v"))
+    assert(src.fetch(spark, Map.empty).isEmpty)
+  }
 }
