@@ -38,33 +38,36 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val failures = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink, not count(): count() lets column pruning skip a
-      // projection query's actual work, flattering the number. The noop
-      // write materializes every output row/column and discards it —
-      // comparable to what the DuckDB oracle executes.
-      // Best-of-3: single-shot times on this host swing ~2× run-to-run
-      // (shared-host noise + first-execution codegen/JIT of each query
-      // shape); the min of three executions measures the steady state the
-      // baseline comparison is about. Full-suite wall cost ~3× ≈ 2.5 min.
-      val times = (1 to 3).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          if (!failures.contains(name)) {
-            failures += name
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          }
-          None
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    // noop sink, not count(): count() lets column pruning skip a
+    // projection query's actual work, flattering the number. The noop
+    // write materializes every output row/column and discards it —
+    // comparable to what the DuckDB oracle executes.
+    // Best-of-3, taken across three full SUITE passes rather than three
+    // back-to-back runs: host slowdowns arrive in sustained stretches, so
+    // consecutive repeats of one query all land in the same stretch, while
+    // suite-separated repeats decorrelate. Pass 1 additionally absorbs
+    // each shape's codegen/JIT cost, so passes 2-3 measure steady state.
+    // Full-suite wall cost ~3× ≈ 2.5 min.
+    for (_ <- 1 to 3; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+      } catch { case e: Throwable =>
+        if (!failures.contains(name)) {
+          failures += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
       }
       // Queries that persist intermediates (e.g. the staged fixture in
       // q33) must not leak cached blocks into later queries' memory.
       spark.catalog.clearCache()
-      name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
