@@ -536,6 +536,28 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // Unpivot/melt — the inverse of q44's pivot: wide measure columns to
+    // (measure, value) rows. Pure per-row expansion, no shuffle.
+    "q60_unpivot" -> ((s, d) => {
+      load(s, d, "lineitem")
+        .filter(col("l_orderkey") <= 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")
+        .transform(ordered1(_, col("l_orderkey"), col("l_linenumber"), col("measure")))
+    }),
+
+    // Nested reshaping: per-user sorted distinct event-type array —
+    // collect_set is order-nondeterministic, sort_array canonicalizes.
+    "q61_nested_collect" -> ((s, d) => {
+      load(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
     // GROUPING SETS (the asymmetric sibling of cube/rollup) — only
     // expressible through the SQL surface; exercises spark.sql over
     // registered corpus views.
@@ -997,6 +1019,23 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q60_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey <= 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey <= 1000)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q61_nested_collect" ->
+      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+        | COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q58_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
