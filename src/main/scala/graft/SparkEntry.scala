@@ -536,6 +536,37 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // Distribution windows: ntile buckets + exact rank fractions. Both
+    // engines compute (rank-1)/(n-1) and rank/n in IEEE double, so the
+    // values hash-compare bit-for-bit.
+    "q62_rank_distributions" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      load(s, d, "orders")
+        .filter(col("o_orderkey") <= 30000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .transform(ordered1(_, col("o_orderkey")))
+    }),
+
+    // Scalar string-function panel (the reference's T-SQL string surface
+    // generalized): case, padding, translation, position, edit distance.
+    "q63_string_panel" -> ((s, d) => {
+      parallel(load(s, d, "documents"))
+        .select(col("doc_id"),
+          concat(upper(substring(col("text"), 1, 1)),
+            lower(substring(col("text"), 2, 11))).as("title_head"),
+          translate(substring(col("text"), 1, 20), "aeiou", "_____").as("devoweled"),
+          instr(col("text"), "the").cast("long").as("first_the"),
+          lpad(col("doc_id").cast("string"), 8, "0").as("padded_id"),
+          levenshtein(substring(col("text"), 1, 15),
+            reverse(substring(col("text"), 1, 15))).cast("long").as("palindromicity"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
     // Unpivot/melt — the inverse of q44's pivot: wide measure columns to
     // (measure, value) rows. Pure per-row expansion, no shuffle.
     "q60_unpivot" -> ((s, d) => {
@@ -1019,6 +1050,26 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q62_rank_distributions" ->
+      """SELECT o_orderkey, o_orderstatus,
+        | CAST(ntile(4) OVER w AS INT) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WHERE o_orderkey <= 30000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q63_string_panel" ->
+      """SELECT doc_id,
+        | upper(substring(text, 1, 1)) || lower(substring(text, 2, 11)) AS title_head,
+        | translate(substring(text, 1, 20), 'aeiou', '_____') AS devoweled,
+        | CAST(instr(text, 'the') AS BIGINT) AS first_the,
+        | lpad(CAST(doc_id AS STRING), 8, '0') AS padded_id,
+        | CAST(levenshtein(substring(text, 1, 15),
+        |   reverse(substring(text, 1, 15))) AS BIGINT) AS palindromicity
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q60_unpivot" ->
       """SELECT l_orderkey, l_linenumber, measure, value FROM (
