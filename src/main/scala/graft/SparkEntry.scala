@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Dedup, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
+import graft.operators.{CorpusStats, Dedup, IncrementalAgg, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -536,6 +536,26 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // Incremental aggregate maintenance: two disjoint daily partials
+    // merged must equal the direct aggregate over everything — the
+    // correctness law of incremental rollups, checked by the oracle
+    // aggregating the full table directly. Measures summed as exact
+    // cents (see dsum).
+    "q64_incremental_agg" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .withColumn("__cents", dec(col("value"), 2) * 100)
+      val odd = ev.filter(col("event_id") % 2 === 1)
+      val even = ev.filter(col("event_id") % 2 === 0)
+      val parts = Seq(odd, even).map(b =>
+        IncrementalAgg.partial(b, Seq("event_type"), "__cents"))
+      IncrementalAgg.mergePartials(parts, Seq("event_type"))
+        .select(col("event_type"), col("n"),
+          (col("sum_m").cast(DecimalType(38, 0)) / 100).cast("double").as("sum_value"),
+          (col("min_m") / 100).cast("double").as("min_value"),
+          (col("max_m") / 100).cast("double").as("max_value"))
+        .orderBy("event_type")
+    }),
+
     // Distribution windows: ntile buckets + exact rank fractions. Both
     // engines compute (rank-1)/(n-1) and rank/n in IEEE double, so the
     // values hash-compare bit-for-bit.
@@ -1050,6 +1070,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q64_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q62_rank_distributions" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IncrementalAgg
+
+class IncrementalAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("merged partials equal the direct aggregate, regardless of split") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (s"k${i % 3}", i.toLong)).toDF("k", "v")
+    val direct = IncrementalAgg.partial(rows, Seq("k"), "v")
+      .orderBy("k").collect().map(_.toString)
+
+    // three arbitrary disjoint batches
+    val parts = Seq(
+      rows.filter(col("v") % 3 === 0), rows.filter(col("v") % 3 === 1),
+      rows.filter(col("v") % 3 === 2))
+      .map(b => IncrementalAgg.partial(b, Seq("k"), "v"))
+    val merged = IncrementalAgg.mergePartials(parts, Seq("k"))
+      .orderBy("k").collect().map(_.toString)
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("mergePartials is associative: (a+b)+c == a+(b+c)") {
+    import spark.implicits._
+    val rows = (1 to 60).map(i => (s"k${i % 2}", i.toLong)).toDF("k", "v")
+    val Seq(a, b, c) = Seq(0, 1, 2).map(m =>
+      IncrementalAgg.partial(rows.filter(col("v") % 3 === m), Seq("k"), "v"))
+    val left = IncrementalAgg.mergePartials(
+      Seq(IncrementalAgg.mergePartials(Seq(a, b), Seq("k")), c), Seq("k"))
+      .orderBy("k").collect().map(_.toString)
+    val right = IncrementalAgg.mergePartials(
+      Seq(a, IncrementalAgg.mergePartials(Seq(b, c), Seq("k"))), Seq("k"))
+      .orderBy("k").collect().map(_.toString)
+    assert(left.toSeq == right.toSeq)
+  }
+}
