@@ -83,6 +83,22 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("stream-static enrichment join broadcasts the dimension per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = in.toDS().toDF("user_id", "amount")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enrich_t")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, 5.0), (2L, 6.0), (9L, 7.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_t")
+      .select("user_id", "tier").as[(Long, Option[String])].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, Some("gold")), (2L, Some("silver")), (9L, None)))
+  }
+
   test("flatMapGroupsWithState sessions close via event-time timeout, emitted once") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[StreamingEtl.SessionIn]

@@ -71,6 +71,18 @@ class TradeInPipelineSpec extends AnyFunSuite {
     assert(staging.select(min(col("TradeInDate"))).head().getString(0).startsWith(d2))
   }
 
+  test("quarantine splits unparseable TradeInDates; null passes through clean") {
+    val raw = rawBatch(Seq(
+      ("1", "2024-06-01T01:00:00Z", "10.00"),
+      ("2", "not-a-date", "20.00"),
+      ("3", null, "30.00")))
+    val (clean, bad) = TradeInPipeline.quarantine(raw)
+    assert(clean.select("SaleInvoiceID").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("1", "3"))
+    assert(bad.select("SaleInvoiceID").collect().map(_.getString(0)).toSeq == Seq("2"))
+    assert(clean.count() + bad.count() == raw.count())
+  }
+
   test("mergeObserved reports insert/update counts from the write pass itself") {
     val now = lit("2024-06-01 06:00:00").cast("timestamp")
     val staged1 = TradeInPipeline.stage(
