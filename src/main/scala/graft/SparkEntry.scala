@@ -536,6 +536,24 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // F8 date arithmetic panel (the reference's window-bound math,
+    // __init__.py:12-20, generalized): offsets, clamped month adds,
+    // month bounds, day diffs.
+    "q65_date_arith" -> ((s, d) => {
+      val day = col("o_orderdate").cast("date")
+      load(s, d, "orders")
+        .filter(col("o_orderkey") <= 30000)
+        .select(col("o_orderkey"),
+          day.as("day"),
+          date_add(day, 30).as("plus_30"),
+          date_sub(day, 30).as("minus_30"),
+          add_months(day, 1).as("next_month_clamped"),
+          last_day(day).as("month_end"),
+          trunc(day, "month").as("month_start"),
+          datediff(day, lit("1992-01-01").cast("date")).cast("long").as("days_since"))
+        .transform(ordered1(_, col("o_orderkey")))
+    }),
+
     // Incremental aggregate maintenance: two disjoint daily partials
     // merged must equal the direct aggregate over everything — the
     // correctness law of incremental rollups, checked by the oracle
@@ -1070,6 +1088,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q65_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) AS day,
+        | CAST(o_orderdate AS DATE) + 30 AS plus_30,
+        | CAST(o_orderdate AS DATE) - 30 AS minus_30,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month_clamped,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        | CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+        |FROM orders WHERE o_orderkey <= 30000
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q64_incremental_agg" ->
       """SELECT event_type, COUNT(*) AS n,
