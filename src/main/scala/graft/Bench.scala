@@ -50,22 +50,34 @@ object Bench {
     // suite-separated repeats decorrelate. Pass 1 additionally absorbs
     // each shape's codegen/JIT cost, so passes 2-3 measure steady state.
     // Full-suite wall cost ~3× ≈ 2.5 min.
-    for (_ <- 1 to 3; name <- names) {
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t0) / 1e9
-        if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
-      } catch { case e: Throwable =>
-        if (!failures.contains(name)) {
-          failures += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Wall-clock budget: on a badly noisy host stretch a pass can take
+    // several minutes; passes 2-3 are accuracy refinements, so skip them
+    // rather than risk the harness's overall timeout. Pass 1 always runs
+    // to completion (every query needs at least one measurement).
+    val budgetMillis =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toLong * 1000L
+    val suiteStart = System.nanoTime()
+    for (pass <- 1 to 3) {
+      if (pass == 1 || (System.nanoTime() - suiteStart) / 1000000L < budgetMillis)
+        for (name <- names) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val t = (System.nanoTime() - t0) / 1e9
+            if (t < best.getOrElse(name, Double.MaxValue)) best(name) = t
+          } catch { case e: Throwable =>
+            if (!failures.contains(name)) {
+              failures += name
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            }
+          }
+          // Queries that persist intermediates (e.g. the staged fixture
+          // in q33) must not leak cached blocks into later queries'
+          // memory.
+          spark.catalog.clearCache()
         }
-      }
-      // Queries that persist intermediates (e.g. the staged fixture in
-      // q33) must not leak cached blocks into later queries' memory.
-      spark.catalog.clearCache()
+      else System.err.println(s"[bench] pass $pass skipped: wall budget exhausted")
     }
     val results = names.map(n => n -> best.getOrElse(n, -1.0))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
