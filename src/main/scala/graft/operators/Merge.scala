@@ -43,6 +43,10 @@ object Merge {
 
     val s = source.withColumn("__s_present", lit(true)).alias("s")
     val t = target.withColumn("__t_present", lit(true)).alias("t")
+    // No join-strategy hint: AQE broadcast-converts the (deduped, daily-
+    // batch) source side when it is small — measured strictly faster than
+    // pinning SHUFFLE_HASH, which disables that conversion and pays a
+    // wide-row hash build per partition.
     val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
 
     val sPresent = col("s.__s_present").isNotNull
