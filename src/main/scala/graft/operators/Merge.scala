@@ -92,6 +92,52 @@ object Merge {
       .withColumn("is_current", col("effective_to").isNull)
   }
 
+  /** Partition-scoped MERGE into a `partitionCol=value`-layout parquet
+    * table: only the partitions PRESENT IN THE SOURCE batch are read,
+    * merged, and rewritten — the other 99.9% of a 100 TB target is never
+    * touched (the full-snapshot [[writeSnapshot]] form rewrites
+    * everything, fine for small tables, absurd for a daily batch into
+    * years of history).
+    *
+    * Mechanics: the source's distinct partition values are collected
+    * (bounded by the batch's day count — driver-safe), the matching
+    * target partitions are read via pushed-down partition pruning, the
+    * standard [[upsert]] runs on that slice, and dynamic partition
+    * overwrite replaces exactly the written partitions. Requires the
+    * source to carry `partitionCol` and never move a row across
+    * partitions (true for the reference: the partition key is the
+    * business date). Returns the partition values merged. */
+  def upsertPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      key: String,
+      partitionCol: String,
+      dataCols: Seq[String],
+      audit: Option[(String, String, Column)] = None): Seq[String] = {
+    val parts = source.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (parts.isEmpty) return Seq.empty
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetSlice =
+      if (fs.exists(p))
+        spark.read.parquet(targetPath)
+          .filter(col(partitionCol).cast("string").isin(parts: _*))
+          .select(source.columns.map(col): _*)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+    val merged = upsert(targetSlice, source, key, dataCols, audit)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(targetPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    parts.sorted
+  }
+
   /** Snapshot swap: write the new snapshot to a temp path, then promote
     * it. A path being read cannot be overwritten in place (SURVEY.md §2.6
     * M1). The live copy is never deleted before its replacement is in

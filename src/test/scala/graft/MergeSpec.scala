@@ -77,4 +77,51 @@ class MergeSpec extends AnyFunSuite {
     assert(!new java.io.File(path + ".__tmp__").exists())
     assert(!new java.io.File(path + ".__bak__").exists())
   }
+
+  test("upsertPartitioned rewrites only the partitions present in the source") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmerge").toString + "/t"
+    Seq(
+      ("2024-01-01", 1, "a0"), ("2024-01-01", 2, "b0"),
+      ("2024-01-02", 3, "c0"),
+      ("2024-01-03", 4, "d0"))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    val untouched = new java.io.File(s"$dir/day=2024-01-03")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+
+    // batch touches day 1 (update k=2, insert k=9) and day 2 (insert k=5)
+    val batch = Seq(
+      ("2024-01-01", 2, "b1"), ("2024-01-01", 9, "i1"),
+      ("2024-01-02", 5, "e1"))
+      .toDF("day", "k", "v")
+    val merged = graft.operators.Merge.upsertPartitioned(
+      spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    assert(merged == Seq("2024-01-01", "2024-01-02"))
+
+    val now = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSet
+    assert(now == Set(
+      ("2024-01-01", 1, "a0"), ("2024-01-01", 2, "b1"), ("2024-01-01", 9, "i1"),
+      ("2024-01-02", 3, "c0"), ("2024-01-02", 5, "e1"),
+      ("2024-01-03", 4, "d0")))
+    // the untouched partition's files were not rewritten
+    val after = new java.io.File(s"$dir/day=2024-01-03")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == untouched)
+  }
+
+  test("upsertPartitioned into a missing target creates it from the batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmerge2").toString + "/t"
+    val batch = Seq(("2024-01-01", 1, "a")).toDF("day", "k", "v")
+    val merged = graft.operators.Merge.upsertPartitioned(
+      spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    assert(merged == Seq("2024-01-01"))
+    assert(spark.read.parquet(dir).count() == 1)
+  }
 }
