@@ -536,6 +536,22 @@ object SparkEntry {
           minCount = 5, topK = 100)
     }),
 
+    // Schema-full JSON parse: from_json with a declared struct — the
+    // idiomatic Spark path for typed JSON columns (q16's regexp extract
+    // is the schema-less fallback). Aggregated so the parse feeds a
+    // typed computation, not just a projection.
+    "q66_from_json" -> ((s, d) => {
+      val schema = StructType(Seq(StructField("k", IntegerType)))
+      load(s, d, "events")
+        .select(col("event_type"),
+          from_json(col("props"), schema).getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("sum_k"),
+          max(col("k")).cast("int").as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // F8 date arithmetic panel (the reference's window-bound math,
     // __init__.py:12-20, generalized): offsets, clamped month adds,
     // month bounds, day diffs.
@@ -1088,6 +1104,12 @@ object SparkEntry {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING COUNT(*) >= 5
         |ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q66_from_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q65_date_arith" ->
       """SELECT o_orderkey,
