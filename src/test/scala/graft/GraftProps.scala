@@ -85,6 +85,56 @@ object GraftProps extends Properties("graft") {
           .isEmpty
     }
 
+  property("intervalJoin equals the naive BETWEEN theta-join") = {
+    val genIv = for {
+      k <- Gen.choose(0, 3)
+      lo <- Gen.choose(0, 90)
+      len <- Gen.choose(0, 40) // includes zero-length intervals
+      tag <- Gen.choose(0, 99)
+    } yield (k, lo, lo + len, tag)
+    val genPt = for {
+      k <- Gen.choose(0, 3)
+      t <- Gen.choose(0, 130)
+      id <- Gen.choose(0, 999)
+    } yield (k, t, id)
+    forAll(Gen.listOfN(8, genPt), Gen.listOfN(6, genIv)) { (pts, ivs) =>
+      import spark.implicits._
+      def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+      val left = pts.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "t", "id")
+      val right = ivs.map { case (k, lo, hi, tag) => (k, ts(lo), ts(hi), tag) }
+        .toDF("k", "lo", "hi", "tag")
+      val naive = left.alias("l").join(right.alias("r"),
+          col("l.k") === col("r.k") &&
+            col("l.t") >= col("r.lo") && col("l.t") <= col("r.hi"))
+        .select(col("id"), col("tag")).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      val bucketed = Relational.intervalJoin(left, right, "k", "t", "lo", "hi",
+          bucketSeconds = 600) // 10-min buckets vs 1-min grid: multi-bucket spans
+        .select(col("id"), col("tag")).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      bucketed == naive
+    }
+  }
+
+  property("sessionize: consecutive events within gap share a session, across gap split") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.choose(0, 2), Gen.choose(0, 50), Gen.choose(0, 999)))) { evs =>
+      evs.isEmpty || {
+        import spark.implicits._
+        def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+        val df = evs.map { case (k, t, id) => (k, ts(t), id) }.toDF("k", "t", "id")
+        val gapSec = 600L // 10 minutes on a minute grid
+        val out = graft.operators.Sessionize
+          .sessionize(df, "k", "t", gapSec, tieBreak = Seq(col("id")))
+          .collect().map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getLong(3)))
+        out.groupBy(_._1).forall { case (_, g) =>
+          val sorted = g.sortBy(_._2)
+          sorted.zip(sorted.tail).forall { case ((_, t1, s1), (_, t2, s2)) =>
+            if (t2 - t1 > gapSec * 1000) s2 == s1 + 1 else s2 == s1
+          } && sorted.headOption.forall(_._3 == 1L)
+        }
+      }
+    }
+
   property("scd2 intervals tile each key's timeline with one current row") =
     forAll(genRows) { rows =>
       rows.isEmpty || {
