@@ -53,9 +53,12 @@ object Bench {
     // Wall-clock budget: on a badly noisy host stretch a pass can take
     // several minutes; passes 2-3 are accuracy refinements, so skip them
     // rather than risk the harness's overall timeout. Pass 1 always runs
-    // to completion (every query needs at least one measurement).
+    // to completion (every query needs at least one measurement). 450 s
+    // admits all 3 passes at the measured ~110-130 s/pass — round 2's
+    // 240 s cut pass 3 and left the gate number a best-of-2 coin flip on
+    // a host with ~2× timing noise.
     val budgetMillis =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "240").toLong * 1000L
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "450").toLong * 1000L
     val suiteStart = System.nanoTime()
     for (pass <- 1 to 3) {
       if (pass == 1 || (System.nanoTime() - suiteStart) / 1000000L < budgetMillis)

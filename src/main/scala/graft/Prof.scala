@@ -1,6 +1,5 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (not part of the driver contract). */
 object Prof {
@@ -11,8 +10,10 @@ object Prof {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.sources.Tables.configure(spark)
     def t(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -23,8 +24,8 @@ object Prof {
       println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    t("q19")(SparkEntry.queries("q19_merge_upsert")(spark, d))
-    t("q33")(SparkEntry.queries("q33_tradein_merge_2run")(spark, d))
+    val names = if (args.nonEmpty) args.toSeq else Seq("q33_tradein_merge_2run")
+    names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
     spark.stop()
   }
 }

@@ -56,6 +56,19 @@ object SparkEntry {
     (sum((dec(c, scale) * lit(pow)).cast("long")).cast(DecimalType(38, 0)) / lit(pow))
       .cast("double")
   }
+  /** Two-level split of [[dsum]] for re-aggregation (rollup/cube over
+    * pre-aggregated partials): `dsumPartial` is the per-group unscaled
+    * BIGINT sum, `dsumFinal` re-sums partials and applies the one exact
+    * decimal division. dsumFinal(dsumPartial) ≡ dsum because long
+    * addition is associative. */
+  private def dsumPartial(c: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale).toLong
+    sum((dec(c, scale) * lit(pow)).cast("long"))
+  }
+  private def dsumFinal(partial: Column, scale: Int): Column = {
+    val pow = math.pow(10, scale).toLong
+    (sum(partial).cast(DecimalType(38, 0)) / lit(pow)).cast("double")
+  }
   private val revenueRow: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val revenueSql =
@@ -166,26 +179,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // rollup/cube over PRE-AGGREGATED partials, not raw rows: the Expand
+    // operator multiplies its input ×(grouping sets), so expanding the
+    // full fact table pushes every row through the decimal cast 3-4
+    // times. Grouping by the finest cell first collapses the input to
+    // |distinct(keys)| rows (~6 here), and rollup/cube of SUM/COUNT over
+    // partial sums/counts is algebraically identical — the same trick a
+    // materialized-view rewrite applies at 100 TB.
     "q09_rollup" -> ((s, d) => {
       load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("__n"), dsumPartial(col("l_quantity"), 2).as("__q"))
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g1"),
           grouping(col("l_linestatus")).cast("int").as("g2"),
-          count(lit(1)).as("n"),
-          dsum(col("l_quantity"), 2).as("sum_qty"))
+          sum(col("__n")).as("n"),
+          dsumFinal(col("__q"), 2).as("sum_qty"))
         .orderBy(col("g1"), col("g2"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
     "q10_cube" -> ((s, d) => {
       load(s, d, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("__n"), dsumPartial(col("o_totalprice"), 2).as("__t"))
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           grouping(col("o_orderstatus")).cast("int").as("g1"),
           grouping(col("o_orderpriority")).cast("int").as("g2"),
-          count(lit(1)).as("n"),
-          dsum(col("o_totalprice"), 2).as("total"))
+          sum(col("__n")).as("n"),
+          dsumFinal(col("__t"), 2).as("total"))
         .orderBy(col("g1"), col("g2"),
           col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
@@ -511,8 +535,11 @@ object SparkEntry {
     }),
 
     // Repetition quality signals (Gopher/C4-style boilerplate filters).
+    // No parallel(): repetitionSignals hash-repartitions by doc_id
+    // itself (its one shuffle), which both spreads the single-row-group
+    // scan and feeds both aggregation levels.
     "q51_repetition" -> ((s, d) => {
-      CorpusStats.repetitionSignals(parallel(load(s, d, "documents")),
+      CorpusStats.repetitionSignals(load(s, d, "documents"),
           "text", "doc_id")
         .orderBy("doc_id")
     }),
@@ -633,12 +660,15 @@ object SparkEntry {
         .transform(ordered1(_, col("l_orderkey"), col("l_linenumber"), col("measure")))
     }),
 
-    // Nested reshaping: per-user sorted distinct event-type array —
-    // collect_set is order-nondeterministic, sort_array canonicalizes.
+    // Nested reshaping: per-user sorted distinct event-type set —
+    // collect_set is order-nondeterministic, sort_array canonicalizes,
+    // and concat_ws flattens to a scalar so any downstream consumer
+    // (including the oracle harness, which cannot hash array cells)
+    // compares it as a plain string.
     "q61_nested_collect" -> ((s, d) => {
       load(s, d, "events")
         .groupBy(col("user_id"))
-        .agg(sort_array(collect_set(col("event_type"))).as("types"),
+        .agg(concat_ws("|", sort_array(collect_set(col("event_type")))).as("types"),
           count(lit(1)).as("n"))
         .orderBy("user_id")
     }),
@@ -1163,7 +1193,8 @@ object SparkEntry {
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
 
     "q61_nested_collect" ->
-      """SELECT user_id, list_sort(list(DISTINCT event_type)) AS types,
+      """SELECT user_id,
+        | array_to_string(list_sort(list(DISTINCT event_type)), '|') AS types,
         | COUNT(*) AS n
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 

@@ -154,12 +154,29 @@ object TradeInQueries {
     * total order (SaleInvoiceID = k, unique) for ~nothing. The explicit
     * partition count keeps AQE from coalescing the small sorted base into
     * one partition, which would serialize the wide projection above it. */
-  private[graft] def rawSpark(s: SparkSession, d: String,
-      sorted: Boolean = false): DataFrame = {
-    val base0 = load(s, d, "orders").select(
+  /** The narrow 6-col base (k, c, p, st, pri, ts) — everything the wide
+    * fixture is a pure function of. */
+  private[graft] def narrowBase(s: SparkSession, d: String): DataFrame =
+    load(s, d, "orders").select(
       col("o_orderkey").as("k"), col("o_custkey").as("c"),
       col("o_totalprice").as("p"), col("o_orderstatus").as("st"),
       col("o_orderpriority").as("pri"), expr(tsSpark).as("ts"))
+
+  /** The wide 47-col fixture projection over a (possibly filtered /
+    * re-partitioned) narrow base. Per-row cost is ~100 µs of string
+    * formatting, so callers should spread and filter the base FIRST. */
+  private[graft] def widen(base: DataFrame): DataFrame = {
+    val cols = rawSpec.map { case (n, e) => expr(e).as(n) } ++ Seq(
+      fmtSpark(col("ts"), col("k") % 5, col("k")).as("TradeInDate"),
+      fmtSpark(col("ts"), (col("k") + 1) % 5, col("k")).as("PostTime"),
+      fmtSpark(col("ts"), (col("k") + 2) % 5, col("k")).as("ResponseTime"),
+      col("k").as("__k"), col("p").as("__p"), col("ts").as("__ts"))
+    base.select(cols: _*)
+  }
+
+  private[graft] def rawSpark(s: SparkSession, d: String,
+      sorted: Boolean = false): DataFrame = {
+    val base0 = narrowBase(s, d)
     // Either branch spreads the narrow 6-col base across the full
     // parallelism BEFORE the wide 47-col projection: the corpus parquet is
     // one row group = one scan partition, and serializing ~100 µs/row of
@@ -170,12 +187,7 @@ object TradeInQueries {
         .repartitionByRange(s.sparkContext.defaultParallelism, col("k"))
         .sortWithinPartitions("k")
       else base0.repartition(s.sparkContext.defaultParallelism, col("k"))
-    val cols = rawSpec.map { case (n, e) => expr(e).as(n) } ++ Seq(
-      fmtSpark(col("ts"), col("k") % 5, col("k")).as("TradeInDate"),
-      fmtSpark(col("ts"), (col("k") + 1) % 5, col("k")).as("PostTime"),
-      fmtSpark(col("ts"), (col("k") + 2) % 5, col("k")).as("ResponseTime"),
-      col("k").as("__k"), col("p").as("__p"), col("ts").as("__ts"))
-    base.select(cols: _*)
+    widen(base)
   }
 
   private def nowLit(s: String): Column = lit(s).cast("timestamp")
@@ -209,17 +221,26 @@ object TradeInQueries {
     // intra-batch duplicates resolved by the dedup window
     // (rqtradein_etl.py:150-185).
     "q33_tradein_merge_2run" -> ((s, d) => {
-      // The fixture is consumed three times (day1, day2 base, day2 dups)
-      // and again through both merge joins; without materialization the
-      // expensive wide projection re-executes per consumer (measured 3×).
-      // persist() here plays the role the staging TABLE plays in the real
-      // pipeline: build raw input once, every downstream stage reads the
-      // materialized form.
-      val raw = rawSpark(s, d).persist()
-      val day1 = raw.filter(col("__k") % 3 =!= 0)
-      val day2base = raw.filter(col("__k") % 2 === 0)
+      // The fixture is consumed three times (day1, day2 base, day2 dups).
+      // persist() materializes the NARROW 6-col base — round 2 persisted
+      // the 47-col wide fixture instead, and the 47-strings-per-row
+      // memory-store round trip dominated the query (4.75 s at sf0.1).
+      // Here each consumer filters the cheap base first and pays the
+      // wide formatting projection only for the rows it keeps
+      // (0.67 + 0.5 + 0.1 of the corpus) — filter-below-projection,
+      // exactly what Catalyst would plan had the fixture been a real
+      // staging-table scan.
+      val base = narrowBase(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("k"))
+        .persist()
+      val day1 = widen(base.filter(col("k") % 3 =!= 0))
+      val day2base = widen(base.filter(col("k") % 2 === 0))
         .withColumn("TradeInAmount", expr(dec2("120.0", "__p")))
-      val day2dups = day2base.filter(col("__k") % 10 === 0)
+      // k % 10 = 0 ⊆ k % 2 = 0: the dup rows re-derive from the same
+      // narrow rows day2base keeps, with the bumped amount and the
+      // +1-day shape-0 TradeInDate that out-sorts the base row in the
+      // intra-batch dedup window.
+      val day2dups = widen(base.filter(col("k") % 10 === 0))
         .withColumn("TradeInAmount", expr(dec2("130.0", "__p")))
         .withColumn("TradeInDate",
           concat(date_format(col("__ts") + expr("INTERVAL 1 DAY"),

@@ -28,9 +28,25 @@ object CorpusStats {
     * O(distinct × total) lambda pairs per document outside codegen
     * (measured 12× the oracle on 300-char docs, and quadratic in
     * document length), while this shape is all codegen'd hash
-    * aggregation and handles arbitrarily long documents. */
+    * aggregation and handles arbitrarily long documents.
+    *
+    * One shuffle, not two: both aggregation keys start with the doc id,
+    * so a single hash-repartition of the NARROW (id, text) rows up front
+    * satisfies `ClusteredDistribution(id, bg)` and
+    * `ClusteredDistribution(id)` alike — Catalyst inserts no further
+    * exchange, and explode/shingle/count all run partition-local. The
+    * alternative (shuffling exploded bigram counts) moves |distinct
+    * bigrams per doc| rows — strictly more bytes than the raw text,
+    * because doc id in the key defeats cross-document collapse. */
   def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs
+      .select(col(idCol), col(textCol))
+      // explicit partition count: an un-sized repartition(col) lets AQE
+      // coalesce by the exchange's BYTE size — raw text is tiny next to
+      // its exploded shingles, so AQE merges to ~1 partition and the
+      // entire shingle/aggregate pipeline above serializes (measured
+      // 4.0 s vs 1.0 s at sf0.1)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol),
         explode(TextFunctions.tokenShingles(col(textCol), 2)).as("bg"))
       .groupBy(col(idCol), col("bg"))

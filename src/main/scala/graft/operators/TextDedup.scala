@@ -55,9 +55,21 @@ object TextDedup {
   /** LSH banding over a signature frame: each band of `rowsPerBand`
     * signature components hashes to a bucket key; documents sharing any
     * band bucket become a candidate pair. Returns distinct (idCol_a,
-    * idCol_b) with a < b. */
+    * idCol_b) with a < b.
+    *
+    * `maxBucket` (0 = off) guards the mega-bucket blow-up: a bucket of k
+    * documents yields k(k-1)/2 pairs, and a corpus with thousands of
+    * byte-identical boilerplate pages (the common case at 100 TB — run
+    * exact dedup first, but belt and braces) turns one bucket into a
+    * quadratic join output. Buckets wider than `maxBucket` degrade to
+    * the STAR (min-id anchor, id_j) — O(k) pairs, diameter 2, so the
+    * downstream [[dupClusters]] connected-components step still merges
+    * the whole bucket into one cluster in one propagation round; only
+    * the direct pair list (and hence per-pair Jaccard verification
+    * coverage) is thinned, which is the right trade in a bucket that
+    * wide: its members are near-certainly mutual duplicates. */
   def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int): DataFrame = {
+      numHashes: Int, rowsPerBand: Int, maxBucket: Int = 0): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
@@ -74,11 +86,30 @@ object TextDedup {
     val banded = sigs
       .select(col(idCol), explode(array(bandKeys: _*)).as("band"))
       .persist()
-    val a = banded.alias("a")
-    val bb = banded.alias("b")
-    a.join(bb, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
-      .distinct()
+    def allPairs(df: DataFrame): DataFrame = {
+      val a = df.alias("a")
+      val bb = df.alias("b")
+      a.join(bb, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+    }
+    val pairs =
+      if (maxBucket <= 0) allPairs(banded)
+      else {
+        // Both window functions hash-partition on band — the same single
+        // shuffle the self-join needs, so the guard adds no extra
+        // exchange. The anchor (bucket min id) is < every other member,
+        // preserving the a < b pair convention.
+        val byBand = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
+        val sized = banded
+          .withColumn("__w", count(lit(1)).over(byBand))
+          .withColumn("__anchor", min(col(idCol)).over(byBand))
+        val star = sized.filter(col("__w") > maxBucket)
+          .filter(col(idCol) =!= col("__anchor"))
+          .select(col("__anchor").as(s"${idCol}_a"), col(idCol).as(s"${idCol}_b"))
+        allPairs(sized.filter(col("__w") <= maxBucket).select(col(idCol), col("band")))
+          .union(star)
+      }
+    pairs.distinct()
   }
 
   /** Token-set Jaccard similarity for candidate pairs: joins texts back in

@@ -42,6 +42,32 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("lsh mega-bucket guard bounds identical-doc pairs linearly, keeps connectivity") {
+    import spark.implicits._
+    // 1000 byte-identical docs: every band hashes them into ONE bucket,
+    // so unguarded LSH emits 1000*999/2 = 499500 pairs. With the guard
+    // the oversized bucket degrades to the min-anchored star: 999
+    // distinct pairs (identical across bands), still one connected
+    // component of diameter 2.
+    val docs = (1L to 1000L).map(i => (i, "the same boilerplate page text"))
+      .toDF("doc_id", "text")
+    val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id",
+      numHashes = 4, shingleSize = 2)
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id",
+      numHashes = 4, rowsPerBand = 2, maxBucket = 100).persist()
+    assert(pairs.count() == 999L)
+    val clusters = TextDedup.dupClusters(pairs, "doc_id")
+    assert(clusters.select(countDistinct(col("cluster"))).collect().head.getLong(0) == 1L)
+    assert(clusters.count() == 1000L)
+    pairs.unpersist()
+    // Below the cap the guard is inert: exact all-pairs output.
+    val small = (1L to 5L).map(i => (i, "another duplicated page"))
+      .toDF("doc_id", "text")
+    val smallSigs = TextDedup.minhashSignatures(small, "text", "doc_id", 4, 2)
+    assert(TextDedup.lshCandidatePairs(smallSigs, "doc_id", 4, 2,
+      maxBucket = 100).count() == 10L)
+  }
+
   test("ngram jaccard is tokenization-robust where token jaccard is not") {
     import spark.implicits._
     // Same characters, words glued differently: token sets are disjoint,
