@@ -371,8 +371,9 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
     }),
 
+    // No parallel(): simhash hash-repartitions by doc_id itself.
     "q27_simhash" -> ((s, d) => {
-      TextDedup.simhash(parallel(load(s, d, "documents")), "text", "doc_id", 16)
+      TextDedup.simhash(load(s, d, "documents"), "text", "doc_id", 16)
         .transform(ordered1(_, col("doc_id")))
     }),
 

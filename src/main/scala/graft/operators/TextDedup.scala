@@ -195,16 +195,31 @@ object TextDedup {
     * ±1 on bit j; the sign of the per-bit sum over all tokens sets the
     * fingerprint bit (Charikar '02). Near-dups land at small Hamming
     * distance. Bit j is set iff the +1 tokens outnumber the -1 tokens:
-    * `2 * |{t : hexdigit_j(md5 t) >= '8'}| > |tokens|`. */
+    * `2 * |{t : hexdigit_j(md5 t) >= '8'}| > |tokens|`.
+    *
+    * Shape: explode + one hash aggregation with `bits` conditional SUMs —
+    * all whole-stage codegen. The earlier array form (`bits` higher-order
+    * `filter` lambdas over a per-row md5 array) interprets bits × tokens
+    * lambda frames per document outside codegen (measured ~2× slower at
+    * 16 bits, growing with `bits`). `explode_outer` keeps empty/null-text
+    * documents in the output with fingerprint 0, matching the array
+    * form's `2·0 > 0 = false` for every bit. The aggregation keys on the
+    * doc id, so the explode's hash-repartition of the narrow (id, text)
+    * rows satisfies it partition-locally — one shuffle total. */
   def simhash(docs: DataFrame, textCol: String, idCol: String, bits: Int): DataFrame = {
-    // Token digests materialized once per row; the per-bit filters then
-    // slice the same md5 array instead of re-hashing per (bit × token).
-    val bitCols = (0 until bits).map { j =>
-      val high = size(filter(col("__tok_md5"), h => substring(h, j + 1, 1) >= lit("8")))
-      when(high * 2 > size(col("__tok_md5")), lit(1L << j)).otherwise(lit(0L))
+    val bitSums = (0 until bits).map { j =>
+      sum(when(substring(col("__md5"), j + 1, 1) >= "8", 1L).otherwise(0L)).as(s"__b$j")
     }
+    val fingerprint = (0 until bits).map { j =>
+      when(col(s"__b$j") * 2 > col("__n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
     docs
-      .withColumn("__tok_md5", transform(tokens(col(textCol)), x => md5(x)))
-      .select(col(idCol), bitCols.reduce(_ + _).as("simhash"))
+      .select(col(idCol), col(textCol))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode_outer(tokens(col(textCol))).as("__tok"))
+      .withColumn("__md5", md5(col("__tok")))
+      .groupBy(col(idCol))
+      .agg(count(col("__tok")).as("__n"), bitSums: _*)
+      .select(col(idCol), fingerprint.as("simhash"))
   }
 }
