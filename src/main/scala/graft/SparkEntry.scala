@@ -371,6 +371,18 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
     }),
 
+    // The mega-bucket guard's exact semantics, oracle-gated: buckets at
+    // or under the cap emit all pairs, wider buckets emit the min-anchored
+    // star (see TextDedup.lshCandidatePairs). cap=2 exercises BOTH
+    // branches on the real corpus (bucket widths reach 3 at sf0.01, 8 at
+    // sf0.1).
+    "q67_lsh_guarded" -> ((s, d) => {
+      val sigs = TextDedup.minhashSignatures(
+        parallel(load(s, d, "documents")), "text", "doc_id", 4, 3)
+      TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2, maxBucket = 2)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
     // No parallel(): simhash hash-repartitions by doc_id itself.
     "q27_simhash" -> ((s, d) => {
       TextDedup.simhash(load(s, d, "documents"), "text", "doc_id", 16)
@@ -992,6 +1004,24 @@ object SparkEntry {
          |FROM pairs p
          |JOIN dtoks da ON da.doc_id = p.doc_id_a
          |JOIN dtoks db ON db.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q67_lsh_guarded" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |sized AS (SELECT doc_id, band,
+         |  COUNT(*) OVER (PARTITION BY band) AS w,
+         |  MIN(doc_id) OVER (PARTITION BY band) AS anchor
+         |  FROM banded)
+         |SELECT DISTINCT doc_id_a, doc_id_b FROM (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM sized a JOIN sized b ON a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE a.w <= 2
+         |  UNION ALL
+         |  SELECT anchor, doc_id FROM sized WHERE w > 2 AND doc_id <> anchor)
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "q27_simhash" ->
