@@ -87,6 +87,10 @@ object SparkEntry {
   private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- aggregation / scan breadth (SURVEY.md §2.4 generalized) --------
+    // NOT parallel()'d: a pre-agg round-robin shuffle of the full fact
+    // rows costs more than the single-threaded partial agg it spreads
+    // (measured 1.26 s vs 1.14 s at sf0.1) — map-side combine over 6
+    // groups is already the minimal-shuffle plan.
     "q01_pricing_summary" -> ((s, d) => {
       load(s, d, "lineitem")
         .filter(col("l_shipdate") <= lit("1999-12-31 00:00:00").cast("timestamp"))
@@ -555,6 +559,30 @@ object SparkEntry {
       CorpusStats.repetitionSignals(load(s, d, "documents"),
           "text", "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Corpus-relative rare-token quality stats (C4/Gopher-style filter
+    // input): rare = corpus frequency below the corpus mean, compared in
+    // integers (c·V < T) so the oracle is bit-exact.
+    "q68_rare_tokens" -> ((s, d) => {
+      CorpusStats.rareTokenStats(parallel(load(s, d, "documents")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end dedup: MinHash → LSH candidates → connected components →
+    // keep each component's min id — the full removal pass a training
+    // corpus actually runs, as ONE oracle-gated query.
+    "q69_dedup_corpus" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      val losers = TextDedup.dupClusters(pairs, "doc_id")
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // PII scrub over a deterministically PII-injected fixture (the corpus
@@ -1264,6 +1292,36 @@ object SparkEntry {
         |FROM events e JOIN intervals i
         |  ON e.user_id = i.user_id AND e.ts BETWEEN i.s_start AND i.s_last
         |ORDER BY event_id""".stripMargin,
+
+    "q68_rare_tokens" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | CAST(sum(CASE WHEN c * v < t THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        | CAST(sum(CASE WHEN c * v < t THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac,
+        | min(c) AS min_cf, max(c) AS max_cf
+        |FROM toks JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q69_dedup_corpus" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id)
+         |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

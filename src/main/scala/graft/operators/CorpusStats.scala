@@ -58,6 +58,38 @@ object CorpusStats {
         (count(lit(1)).cast("double") / sum(col("c")).cast("double"))
           .as("distinct_bigram_ratio"))
 
+  /** Per-document rare-token statistics — the corpus-relative quality
+    * signal behind C4/Gopher-style filters ("mostly rare tokens" ≈ noise,
+    * "no rare tokens" ≈ boilerplate). A token is rare iff its corpus
+    * frequency is below the corpus MEAN frequency; the comparison is the
+    * integer cross-product `c · V < T` (count × vocab < total), never a
+    * float threshold, so any SQL oracle reproduces it bit-exactly.
+    *
+    * Scale shape: token frequencies come from the same exploded frame
+    * they join back to, so the join's hash-on-token exchange is REUSED
+    * from the aggregation (Spark's ReuseExchange; verify: one exchange
+    * feeds both HashAggregate and SortMergeJoin/ShuffledHashJoin in the
+    * plan), AQE broadcast-converts the small aggregated side when the
+    * vocabulary fits, and the (T, V) totals are a 1-row broadcast cross
+    * join. No driver collects; works for a 100M-token vocabulary where
+    * a driver-side frequency map would not. */
+  def rareTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
+    val rare = when(col("__c") * col("__v") < col("__t"), 1L).otherwise(0L)
+    toks.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(rare).as("n_rare"),
+        (sum(rare).cast("double") / count(lit(1)).cast("double")).as("rare_frac"),
+        min(col("__c")).as("min_cf"),
+        max(col("__c")).as("max_cf"))
+  }
+
   def vocabulary(docs: DataFrame, textCol: String, idCol: String,
       minCount: Long, topK: Int): DataFrame =
     docs

@@ -23,6 +23,24 @@ class TextQualitySpec extends AnyFunSuite {
     assert(df(1).getDouble(1) == 1.0)     // all bigrams distinct
   }
 
+  test("rareTokenStats: rarity is corpus-relative (c·V < T), exact on integers") {
+    import spark.implicits._
+    // Corpus: "the" appears 6×, "cat"/"dog" 1× each → T=8, V=3, mean 8/3.
+    // Rare ⇔ c·3 < 8 ⇔ c ≤ 2: cat and dog are rare, the is not.
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "the the the dog")).toDF("doc_id", "text")
+    val out = CorpusStats.rareTokenStats(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == 4L)           // n_tokens
+      assert(r.getLong(2) == 1L)           // n_rare (cat / dog)
+      assert(r.getDouble(3) == 0.25)       // rare_frac
+      assert(r.getLong(4) == 1L)           // min_cf
+      assert(r.getLong(5) == 6L)           // max_cf
+    }
+  }
+
   test("scrubPii replaces all emails and phones, leaves prose alone") {
     val out = TestSpark.strings("t", Seq(
       "mail a.b_c%x+1@sub.example.co and x@y.io or call 555-123-4567 then 123-456-7890",
