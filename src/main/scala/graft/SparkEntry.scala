@@ -173,6 +173,12 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    // NOT parallel()'d: even though the multi-distinct Expand ×2 runs on
+    // the single-row-group scan's one thread, a round-robin pre-shuffle
+    // of the raw fact rows measured 1.38 s vs 0.80 s — the expand's
+    // partial aggregate still collapses ~1.2M expanded rows to ~400k
+    // distinct groups before the exchange, and shipping raw rows forfeits
+    // that 3× reduction.
     "q08_distinct_agg" -> ((s, d) => {
       load(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -610,6 +616,9 @@ object SparkEntry {
     // typed computation, not just a projection.
     "q66_from_json" -> ((s, d) => {
       val schema = StructType(Seq(StructField("k", IntegerType)))
+      // NOT parallel()'d: spreading the parse measured even (0.42-0.48 s
+      // both ways at sf0.1) — the round-robin shuffle of the json strings
+      // costs what the parallel from_json saves at this payload size.
       load(s, d, "events")
         .select(col("event_type"),
           from_json(col("props"), schema).getField("k").as("k"))
