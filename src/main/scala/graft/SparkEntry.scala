@@ -490,6 +490,11 @@ object SparkEntry {
       // different frames, so Spark would plan two Window operators — the
       // full partition materialized twice. The counts frame is |groups|
       // rows at any scale; the broadcast join costs nothing.
+      // SCALE NOTE: a window partitioned by 3 status values caps
+      // parallelism at 3 — at 100 TB swap the row_number for
+      // Relational.groupedRowNumber (range-partitioned order statistics,
+      // unbounded parallelism; proven rank-identical in RelationalSpec).
+      // At bench scale the single window is cheaper, so it stays.
       val counts = load(s, d, "orders")
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("__n"))
       load(s, d, "orders")

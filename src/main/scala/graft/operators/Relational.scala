@@ -154,6 +154,77 @@ object Relational {
     joined.select(out: _*)
   }
 
+  /** Per-group row_number for LOW-CARDINALITY groups — the case where
+    * `Window.partitionBy(group)` is a scale-killer: a window's
+    * parallelism is its partition count, so ranking 100 TB within 3
+    * status groups runs 3 tasks no matter the cluster. This is the
+    * distributed order-statistics form (the same construction as RDD
+    * `zipWithIndex`, done per group):
+    *
+    *   1. range-partition by (group ++ sort) into the full parallelism
+    *      and sort within partitions — every partition holds a
+    *      contiguous slice of the global (group, sort) order;
+    *   2. one counting pass: rows per (partition, group) — at most
+    *      |groups| + 1 entries per partition, a bounded driver collect;
+    *   3. per-group prefix-sum those counts into per-partition offsets,
+    *      broadcast the tiny map;
+    *   4. one output pass: local running counter + offset = exact global
+    *      rank within the group.
+    *
+    * Two passes over the shuffled data (the exchange's files are reused
+    * across the two jobs) instead of the window's one — the price of
+    * unbounded parallelism. Use the plain window below ~1 partition-worth
+    * of rows per group; use this when groups are few and huge.
+    * `sortCols` must totally order rows within a group (add a unique
+    * tie-break) or ranks are nondeterministic. */
+  def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.sparkContext.defaultParallelism
+    val orderCols = groupCols.map(col) ++ sortCols
+    val ranged = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val gIdx = groupCols.map(c => df.columns.indexOf(c))
+    def gKey(r: org.apache.spark.sql.Row): Seq[Any] = gIdx.map(r.get)
+    // pass 1: rows per (partition, group) — partitions are sorted, so
+    // this is a streaming count over group changes, not a hash map
+    val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
+      var cur: Seq[Any] = null
+      var c = 0L
+      it.foreach { r =>
+        val k = gKey(r)
+        if (k == cur) c += 1
+        else { if (cur != null) out += ((pid, cur, c)); cur = k; c = 1L }
+      }
+      if (cur != null) out += ((pid, cur, c))
+      out.iterator
+    }.collect()
+    // per-group prefix sums over partitions in range order
+    val offsets: Map[(Int, Seq[Any]), Long] = counts
+      .groupBy(_._2)
+      .flatMap { case (g, per) =>
+        var acc = 0L
+        per.sortBy(_._1).map { case (pid, _, c) =>
+          val o = ((pid, g), acc); acc += c; o
+        }
+      }
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    // pass 2: offset + local running counter (same sorted shuffle output)
+    val outRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var rn = 0L
+      it.map { r =>
+        val k = gKey(r)
+        if (k != cur) { cur = k; rn = bOffsets.value.getOrElse((pid, k), 0L) }
+        rn += 1
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rn)
+      }
+    }
+    spark.createDataFrame(outRdd, df.schema.add(rankCol,
+      org.apache.spark.sql.types.LongType, nullable = false))
+  }
+
   /** Bucketed co-located table pair: writing both sides bucketed and
     * sorted by the join key lets every future equi-join on that key run
     * shuffle-free (bucket pruning + sort-merge without exchange) — the

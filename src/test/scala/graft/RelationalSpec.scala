@@ -110,4 +110,25 @@ class RelationalSpec extends AnyFunSuite {
     val out = Relational.intervalJoin(left, right, "k", "t", "lo", "hi", 60)
     assert(out.count() == 1)
   }
+
+  test("groupedRowNumber matches the window row_number, groups spanning partitions") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups × ~1700 rows each over a 4-thread session: every group
+    // spans several range partitions, so the offset bookkeeping (not
+    // just the local counter) is what's under test.
+    val df = (1 to 5000).map(i => (i % 3, (i * 7919) % 1000, i))
+      .toDF("g", "v", "id")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+    val got = Relational.groupedRowNumber(df, Seq("g"),
+      Seq(col("v"), col("id")), "rn")
+    assert(got.count() == 5000)
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // descending sort direction flows through the range partitioner too
+    val wd = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+    val expectedD = df.withColumn("rn", row_number().over(wd).cast("long"))
+    val gotD = Relational.groupedRowNumber(df, Seq("g"),
+      Seq(col("v").desc, col("id")), "rn")
+    assert(gotD.except(expectedD).isEmpty && expectedD.except(gotD).isEmpty)
+  }
 }
