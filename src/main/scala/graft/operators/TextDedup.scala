@@ -95,14 +95,16 @@ object TextDedup {
     val pairs =
       if (maxBucket <= 0) allPairs(banded)
       else {
-        // Both window functions hash-partition on band — the same single
-        // shuffle the self-join needs, so the guard adds no extra
-        // exchange. The anchor (bucket min id) is < every other member,
-        // preserving the a < b pair convention.
-        val byBand = org.apache.spark.sql.expressions.Window.partitionBy(col("band"))
-        val sized = banded
-          .withColumn("__w", count(lit(1)).over(byBand))
-          .withColumn("__anchor", min(col(idCol)).over(byBand))
+        // Bucket width + anchor come from a joined pre-aggregation, not
+        // COUNT/MIN windows: a window would force an exchange + sort of
+        // the banded frame, while the aggregated frame is |buckets| rows
+        // — AQE broadcast-joins it when small and falls back to the same
+        // hash shuffle the join needs anyway when not. The anchor
+        // (bucket min id) is < every other member, preserving the a < b
+        // pair convention.
+        val sizes = banded.groupBy(col("band"))
+          .agg(count(lit(1)).as("__w"), min(col(idCol)).as("__anchor"))
+        val sized = banded.join(sizes, "band")
         val star = sized.filter(col("__w") > maxBucket)
           .filter(col(idCol) =!= col("__anchor"))
           .select(col("__anchor").as(s"${idCol}_a"), col(idCol).as(s"${idCol}_b"))
