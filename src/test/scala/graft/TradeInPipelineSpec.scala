@@ -71,6 +71,38 @@ class TradeInPipelineSpec extends AnyFunSuite {
     assert(staging.select(min(col("TradeInDate"))).head().getString(0).startsWith(d2))
   }
 
+  test("backfill: window-partitioned parallel fetch feeds the pipeline e2e") {
+    import graft.sources.PartitionedWindowSource
+    val work = java.nio.file.Files.createTempDirectory("tip").toString
+    val days = (1 to 4).map(i => f"2024-06-0$i%1d")
+    val schema = StructType(
+      TradeInSchema.rawColumns.map(c => StructField(c, StringType)))
+    // Executor-side fetch: 2 records per day window, each stamped with
+    // the task's partition id in SerialNumber to prove where it ran.
+    val src = new PartitionedWindowSource(days.map(d => Map("StartDate" -> d)),
+      w => {
+        val d = w("StartDate")
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        (1 to 2).iterator.map(i =>
+          s"""{"SaleInvoiceID":"${d.takeRight(2)}0$i","TradeInDate":"${d}T0$i:00:00Z","TradeInAmount":"$i.00","SerialNumber":"task-$pid"}""")
+      }, schema)
+    val pipeline = new TradeInPipeline(src,
+      stagingPath = s"$work/staging", targetPath = s"$work/target",
+      registerCatalog = false,
+      now = () => lit("2024-06-04 06:00:00").cast("timestamp"))
+    val r = pipeline.run(spark, Map())
+    assert(r == TradeInPipeline.EtlResult(inserted = 8, updated = 0))
+    val target = spark.read.parquet(s"$work/target")
+    assert(target.count() == 8)
+    // all four windows landed, fetched on four distinct tasks
+    assert(target.select(countDistinct(col("SerialNumber"))).head().getLong(0) == 4)
+    // backfill retention: only rows dated the run's "today" survive staging
+    val staging = spark.read.parquet(s"$work/staging")
+    assert(staging.count() == 2)
+    assert(staging.select(min(col("TradeInDate"))).head()
+      .getString(0).startsWith("2024-06-04"))
+  }
+
   test("quarantine splits unparseable TradeInDates; null passes through clean") {
     val raw = rawBatch(Seq(
       ("1", "2024-06-01T01:00:00Z", "10.00"),
