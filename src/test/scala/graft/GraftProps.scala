@@ -72,6 +72,25 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("groupedRowNumber equals the window row_number on random tables") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        // unique tie-break (v, then original index) so both forms have a
+        // total order — the operator's documented precondition
+        val indexed = rows.zipWithIndex.map { case ((k, v, t), i) => (k, v, t, i) }
+        import spark.implicits._
+        val d = indexed.toDF("k", "v", "t", "i")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("t"), col("v"), col("i"))
+        val win = d.withColumn("rn", row_number().over(w).cast("long"))
+          .collect().map(r => (r.getInt(0), r.getInt(3), r.getLong(4))).toSet
+        val got = Relational.groupedRowNumber(d, Seq("k"),
+            Seq(col("t"), col("v"), col("i")), "rn")
+          .collect().map(r => (r.getInt(0), r.getInt(3), r.getLong(4))).toSet
+        got == win
+      }
+    }
+
   property("deterministicSample and its complement partition the table") =
     forAll(genRows) { rows =>
       val d = df(rows)
