@@ -596,6 +596,31 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // Composite quality filter (the C4/Gopher-style curation pass a
+    // training corpus actually runs): per-row signals + both
+    // corpus-relative aggregates joined on doc_id into one keep/drop
+    // verdict. Every signal reuses a component already proven
+    // hash-identical to DuckDB in its own query (q22/q23/q51/q68), so
+    // the composite's double comparisons against literal thresholds are
+    // engine-consistent by construction.
+    "q70_quality_filter" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val perRow = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
+      val rep = CorpusStats.repetitionSignals(docs, "text", "doc_id")
+        .select(col("doc_id"), col("top_bigram_frac"))
+      val rare = CorpusStats.rareTokenStats(parallel(docs), "text", "doc_id")
+        .select(col("doc_id"), col("rare_frac"))
+      perRow.join(rep, "doc_id").join(rare, "doc_id")
+        .withColumn("keep",
+          col("n_tokens") >= 30 && col("ttr") >= 0.35 &&
+            col("stopword_ratio") >= 0.03 && col("top_bigram_frac") < 0.08 &&
+            col("rare_frac") <= 0.5)
+        .orderBy("doc_id")
+    }),
+
     // PII scrub over a deterministically PII-injected fixture (the corpus
     // itself is clean, so each row gets a synthetic email+phone suffix
     // built identically by the oracle).
@@ -1306,6 +1331,30 @@ object SparkEntry {
         |FROM events e JOIN intervals i
         |  ON e.user_id = i.user_id AND e.ts BETWEEN i.s_start AND i.s_last
         |ORDER BY event_id""".stripMargin,
+
+    "q70_quality_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE) AS stopword_ratio
+        |  FROM toks),
+        |sh AS (SELECT doc_id, [array_to_string(t[i:i+1], ' ')
+        |  FOR i IN generate_series(1, greatest(len(t) - 1, 1))] AS s FROM toks),
+        |rep AS (SELECT doc_id,
+        |  CAST(greatest(list_max([len(list_filter(s, y -> y = x)) FOR x IN list_distinct(s)]), 1) AS DOUBLE)
+        |    / CAST(len(s) AS DOUBLE) AS top_bigram_frac FROM sh),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM freq),
+        |rare AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN c * v < tt THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+        |  FROM tk JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, ttr, stopword_ratio, top_bigram_frac, rare_frac,
+        |  (n_tokens >= 30 AND ttr >= 0.35 AND stopword_ratio >= 0.03
+        |   AND top_bigram_frac < 0.08 AND rare_frac <= 0.5) AS keep
+        |FROM base JOIN rep USING (doc_id) JOIN rare USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q68_rare_tokens" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
