@@ -60,8 +60,25 @@ object Bench {
     val budgetMillis =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "450").toLong * 1000L
     val suiteStart = System.nanoTime()
+    def emit(): String = {
+      val results = names.map(n => n -> best.getOrElse(n, -1.0))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2).sum
+      val line =
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      Files.writeString(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")), line + "\n")
+      line
+    }
+    var lastPassMillis = 0L
     for (pass <- 1 to 3) {
-      if (pass == 1 || (System.nanoTime() - suiteStart) / 1000000L < budgetMillis)
+      val elapsed = (System.nanoTime() - suiteStart) / 1000000L
+      // Start a refinement pass only if the LAST pass's duration also
+      // fits in what remains — starting one at budget-minus-epsilon on a
+      // slow host would blow past any outer harness timeout.
+      if (pass == 1 || elapsed + lastPassMillis < budgetMillis) {
+        val passStart = System.nanoTime()
         for (name <- names) {
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
@@ -80,17 +97,15 @@ object Bench {
           // memory.
           spark.catalog.clearCache()
         }
+        lastPassMillis = (System.nanoTime() - passStart) / 1000000L
+        // Checkpoint the cumulative best after EVERY pass: if an outer
+        // timeout kills pass N+1 mid-flight, the file still holds a
+        // complete pass-N result instead of nothing.
+        emit()
+      }
       else System.err.println(s"[bench] pass $pass skipped: wall budget exhausted")
     }
-    val results = names.map(n => n -> best.getOrElse(n, -1.0))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    Files.writeString(Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")), line + "\n")
+    println(emit())
     spark.stop()
   }
 }
