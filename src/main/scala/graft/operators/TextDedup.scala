@@ -190,6 +190,13 @@ object TextDedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      // Unconverged labels under-merge (a >maxIter-diameter chain keeps
+      // two labels) — at dedup semantics that means keeping a duplicate,
+      // not corrupting data, but the operator must not be silent about it.
+      System.err.println(
+        s"[dupClusters] WARNING: not converged after $maxIter iterations; " +
+          "components wider than maxIter hops retain split labels — raise maxIter")
     labels.select(col("id").as(idCol), col("cluster"))
   }
 
