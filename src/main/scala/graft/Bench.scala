@@ -67,8 +67,13 @@ object Bench {
       val total = results.map(_._2).sum
       val line =
         s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-      Files.writeString(Paths.get(
+      // Never let a checkpoint-write failure take the result with it —
+      // the stdout line (printed by the caller) is the primary channel.
+      try Files.writeString(Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")), line + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] result-file write failed: ${e.getMessage}")
+      }
       line
     }
     var lastPassMillis = 0L

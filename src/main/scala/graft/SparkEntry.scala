@@ -204,7 +204,9 @@ object SparkEntry {
         .agg(
           grouping(col("l_returnflag")).cast("int").as("g1"),
           grouping(col("l_linestatus")).cast("int").as("g2"),
-          sum(col("__n")).as("n"),
+          // coalesce: on an EMPTY relation the direct form's grand total
+          // is count(1)=0, but sum over zero partial rows is NULL
+          coalesce(sum(col("__n")), lit(0L)).as("n"),
           dsumFinal(col("__q"), 2).as("sum_qty"))
         .orderBy(col("g1"), col("g2"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
@@ -218,7 +220,7 @@ object SparkEntry {
         .agg(
           grouping(col("o_orderstatus")).cast("int").as("g1"),
           grouping(col("o_orderpriority")).cast("int").as("g2"),
-          sum(col("__n")).as("n"),
+          coalesce(sum(col("__n")), lit(0L)).as("n"),
           dsumFinal(col("__t"), 2).as("total"))
         .orderBy(col("g1"), col("g2"),
           col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
@@ -1348,7 +1350,7 @@ object SparkEntry {
         |freq AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM freq),
         |rare AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN c * v < tt THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+        |  CAST(sum(CASE WHEN CAST(c AS HUGEINT) * v < tt THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
         |  FROM tk JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id)
         |SELECT doc_id, n_tokens, ttr, stopword_ratio, top_bigram_frac, rare_frac,
         |  (n_tokens >= 30 AND ttr >= 0.35 AND stopword_ratio >= 0.03
@@ -1361,8 +1363,8 @@ object SparkEntry {
         |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq)
         |SELECT doc_id, count(*) AS n_tokens,
-        | CAST(sum(CASE WHEN c * v < t THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-        | CAST(sum(CASE WHEN c * v < t THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac,
+        | CAST(sum(CASE WHEN CAST(c AS HUGEINT) * v < t THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        | CAST(sum(CASE WHEN CAST(c AS HUGEINT) * v < t THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac,
         | min(c) AS min_cf, max(c) AS max_cf
         |FROM toks JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -78,7 +78,13 @@ object CorpusStats {
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
-    val rare = when(col("__c") * col("__v") < col("__t"), 1L).otherwise(0L)
+    // The cross-product runs in DECIMAL(38): at a 10^13-token corpus a
+    // stopword's count × a 100M vocab exceeds Long and non-ANSI multiply
+    // would wrap negative, silently classifying the COMMONEST tokens as
+    // rare. Oracles mirror with HUGEINT (`CAST(c AS HUGEINT) * v < t`).
+    val rare = when(
+      col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__v")
+        < col("__t"), 1L).otherwise(0L)
     toks.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))

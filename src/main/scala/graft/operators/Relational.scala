@@ -180,6 +180,19 @@ object Relational {
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
       sortCols: Seq[Column], rankCol: String): DataFrame = {
     val spark = df.sparkSession
+    // Group keys are compared with JVM equality (Seq[Any].==): binary and
+    // nested types compare by reference there and would silently produce
+    // all-rank-1 output, so reject them up front.
+    groupCols.foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case _: BinaryType | _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+      require(ok,
+        s"groupedRowNumber: group column '$c' has non-value-equal type " +
+          s"${df.schema(c).dataType}; use an atomic (non-binary) key or pre-hash it")
+    }
     val n = spark.sparkContext.defaultParallelism
     val orderCols = groupCols.map(col) ++ sortCols
     val ranged = df.repartitionByRange(n, orderCols: _*)
