@@ -598,6 +598,23 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // Stratified deterministic sample: exactly `k` rows per class in
+    // md5-of-key order — the per-class train/eval split (q49's hash
+    // sample keeps a deterministic FRACTION; this keeps a deterministic
+    // COUNT per stratum). Window-group-limit pushes rn<=k into the sort;
+    // for low-cardinality strata at 100 TB swap the window for
+    // Relational.groupedRowNumber (same rank semantics, unbounded
+    // parallelism).
+    "q71_stratified_sample" -> ((s, d) => {
+      Relational.topKPerGroup(
+          load(s, d, "orders").select("o_orderstatus", "o_orderkey", "o_totalprice"),
+          Seq(col("o_orderstatus")),
+          Seq(md5(col("o_orderkey").cast("string")), col("o_orderkey")), k = 50)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .transform(ordered1(_, col("o_orderstatus"), col("o_orderkey")))
+    }),
+
     // Composite quality filter (the C4/Gopher-style curation pass a
     // training corpus actually runs): per-row signals + both
     // corpus-relative aggregates joined on doc_id into one keep/drop
@@ -1333,6 +1350,16 @@ object SparkEntry {
         |FROM events e JOIN intervals i
         |  ON e.user_id = i.user_id AND e.ts BETWEEN i.s_start AND i.s_last
         |ORDER BY event_id""".stripMargin,
+
+    "q71_stratified_sample" ->
+      """SELECT o_orderstatus, o_orderkey,
+        | CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 50
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
 
     "q70_quality_filter" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

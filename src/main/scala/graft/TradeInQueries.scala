@@ -252,6 +252,11 @@ object TradeInQueries {
       val t2 = TradeInPipeline.mergeIntoTarget(t1,
         TradeInPipeline.stage(day2base.union(day2dups), nowLit(Now2)),
         nowLit(Now2), actionCol = Some("action"))
+      // Scope note for the bench ratio: the DuckDB oracle answers with a
+      // minimal 7-column single full-outer join; this side deliberately
+      // runs the PRODUCT pipeline — 44-col staging parse, dedup window,
+      // typed projection, two audited merges — because q33 exists to
+      // verify the pipeline, not to win the minimal-answer race.
       // ordered1, not orderBy: AQE turns both merge joins into broadcast
       // joins (no shuffle stage), so a range-sort's sampling pass would
       // re-execute the entire two-merge DAG a second time.
