@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** One-call corpus curation — the composed pass a training-data pipeline
+  * runs end to end (each stage is individually oracle-gated as
+  * q24/q69/q70; this is the library surface that chains them):
+  *
+  *   1. exact dedup: one representative (min id) per distinct text;
+  *   2. near-dup removal: MinHash signatures → LSH candidate pairs
+  *      (optionally mega-bucket-guarded) → connected components → keep
+  *      each component's min id;
+  *   3. composite quality filter: token count, type-token ratio,
+  *      stopword ratio, top-bigram repetition, corpus-relative rare
+  *      fraction, thresholded into one keep/drop verdict.
+  *
+  * Shuffle budget: stage 1 is one hash aggregation; stage 2 is the LSH
+  * band equi-join plus the component loop's bounded iterations; stage 3
+  * is two doc-id-clustered aggregations and a join. Nothing here
+  * collects rows to the driver; every stage's scale posture is
+  * documented on the operator it delegates to.
+  */
+object Curation {
+
+  /** Quality thresholds for [[curate]]'s stage 3 (defaults match q70's
+    * oracle-verified panel). */
+  final case class QualityThresholds(
+      minTokens: Long = 30,
+      minTtr: Double = 0.35,
+      minStopwordRatio: Double = 0.03,
+      maxTopBigramFrac: Double = 0.08,
+      maxRareFrac: Double = 0.5)
+
+  def curate(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 4, shingleSize: Int = 3, rowsPerBand: Int = 2,
+      maxBucket: Int = 0,
+      thresholds: QualityThresholds = QualityThresholds()): DataFrame = {
+
+    // 1. exact dedup — keep only each distinct text's min-id representative
+    val reps = TextDedup.exact(docs, textCol, idCol).select(idCol)
+    val exactDeduped = docs.join(reps, Seq(idCol), "left_semi")
+
+    // 2. near-dup removal over the exact-deduped survivors (running LSH
+    // after exact dedup is also what keeps identical-doc mega-buckets
+    // from forming in the first place; maxBucket is the belt-and-braces
+    // guard for near-identical ones)
+    val sigs = TextDedup.minhashSignatures(
+      exactDeduped, textCol, idCol, numHashes, shingleSize)
+    val pairs = TextDedup.lshCandidatePairs(
+      sigs, idCol, numHashes, rowsPerBand, maxBucket)
+    val losers = TextDedup.dupClusters(pairs, idCol)
+      .filter(col(idCol) =!= col("cluster"))
+      .select(idCol)
+    val nearDeduped = exactDeduped.join(losers, Seq(idCol), "left_anti")
+
+    // 3. composite quality filter (the q70 panel)
+    val t = thresholds
+    val perRow = nearDeduped.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
+      TextFunctions.typeTokenRatio(col(textCol)).as("__ttr"),
+      TextFunctions.stopwordRatio(col(textCol)).as("__sw"))
+    val rep = CorpusStats.repetitionSignals(nearDeduped, textCol, idCol)
+      .select(col(idCol), col("top_bigram_frac").as("__tbf"))
+    val rare = CorpusStats.rareTokenStats(nearDeduped, textCol, idCol)
+      .select(col(idCol), col("rare_frac").as("__rf"))
+    val keepIds = perRow.join(rep, idCol).join(rare, idCol)
+      .filter(col("__nt") >= t.minTokens && col("__ttr") >= t.minTtr &&
+        col("__sw") >= t.minStopwordRatio && col("__tbf") < t.maxTopBigramFrac &&
+        col("__rf") <= t.maxRareFrac)
+      .select(idCol)
+    nearDeduped.join(keepIds, Seq(idCol), "left_semi")
+  }
+}
