@@ -73,10 +73,12 @@ object MediaQueries {
       // tokenize ~20× per row across the score/greatest/CASE tree).
       val toks = parallel(load(s, d, "documents"))
         .withColumn("__toks", TextFunctions.tokens(col("text")))
+      // Each score is one codegen'd hash-set probe pass over the
+      // materialized token array (CountInSet) — the HOF filter form
+      // interpreted tokens × markers comparisons per language.
       val scored = langs.foldLeft(toks) { (df, l) =>
-        val markers = array(TextFunctions.langMarkers(l).map(lit): _*)
         df.withColumn(s"s_$l",
-          size(filter(col("__toks"), x => array_contains(markers, x))).cast("long"))
+          TextFunctions.countInSet(col("__toks"), TextFunctions.langMarkers(l)))
       }
       val lang = when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
         .when(col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")

@@ -127,9 +127,17 @@ object TextFunctions {
     "de" -> Seq("der", "die", "und", "das", "ist"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "zh" -> Seq("de", "shi", "le", "wo", "ni"))
-  def langIdScore(text: Column, lang: String): Column = {
-    val t = tokens(text)
-    val markers = array(langMarkers(lang).map(lit): _*)
-    size(filter(t, x => array_contains(markers, x)))
+  /** Elements of `arr` contained in the static `items` set, duplicates
+    * counted — the codegen'd [[graft.expressions.CountInSet]] (hash-set
+    * probe per token) in place of the interpreted
+    * `size(filter(arr, x -> array_contains(items, x)))` HOF, which
+    * rescans the marker array linearly per element outside codegen. */
+  def countInSet(arr: Column, items: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.CountInSet(ColumnBridge.expression(arr), items))
   }
+
+  def langIdScore(text: Column, lang: String): Column =
+    countInSet(tokens(text), langMarkers(lang))
 }

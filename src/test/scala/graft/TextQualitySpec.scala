@@ -23,6 +23,27 @@ class TextQualitySpec extends AnyFunSuite {
     assert(df(1).getDouble(1) == 1.0)     // all bigrams distinct
   }
 
+  test("countInSet counts duplicate hits, skips nulls and misses, matches HOF form") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(StructField("a", ArrayType(StringType, containsNull = true))))
+    val rows = Seq(
+      Row(Seq("the", "the", "cat", null, "and")),
+      Row(Seq.empty[String]),
+      Row(null))
+    // RDD-backed (not a LocalRelation) so the codegen path actually runs.
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val markers = Seq("the", "and", "of")
+    val got = df.select(TextFunctions.countInSet(col("a"), markers).as("n")).collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(got == Seq(3L, 0L, -1L))
+    // parity with the interpreted HOF spelling on the same rows
+    val m = array(markers.map(lit): _*)
+    val hof = df.select(size(filter(col("a"), x => array_contains(m, x))).cast("long").as("n"))
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    assert(hof == got)
+  }
+
   test("rareTokenStats: rarity is corpus-relative (c·V < T), exact on integers") {
     import spark.implicits._
     // Corpus: "the" appears 6×, "cat"/"dog" 1× each → T=8, V=3, mean 8/3.
