@@ -3,9 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{DotProduct, MinGramMd5}
+import graft.expressions.{CountInSet, DotProduct, MinGramMd5}
 
 /** Session extension wiring: exposes graft's native Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works
@@ -44,6 +46,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"gram must be an integer literal, got $other")
         }
         MinGramMd5(children.head, gram)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_in_set"),
+      new ExpressionInfo(classOf[CountInSet].getName, "graft_count_in_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_count_in_set(tokens, array('a','b',...))")
+        // The probe set must be a compile-time constant (it becomes the
+        // expression's prebuilt hash set), so the second argument has to
+        // fold — array literals and foldable expressions over them do.
+        val itemsExpr = children(1)
+        require(itemsExpr.foldable &&
+          itemsExpr.dataType.isInstanceOf[ArrayType] &&
+          itemsExpr.dataType.asInstanceOf[ArrayType].elementType == StringType,
+          s"items must be a foldable array<string>, got $itemsExpr")
+        val items = itemsExpr.eval() match {
+          case null => Seq.empty[String]
+          case ad: ArrayData =>
+            ad.toArray[UTF8String](StringType).filter(_ != null).map(_.toString).toSeq
+        }
+        CountInSet(children.head, items)
       }))
   }
 }

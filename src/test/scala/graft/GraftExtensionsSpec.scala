@@ -38,6 +38,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       StructType(Seq(StructField("a", at), StructField("b", at))))
   }
 
+  test("graft_count_in_set is callable from SQL and counts duplicate hits") {
+    val spark = TestSpark.spark
+    val got = spark.sql(
+      "SELECT graft_count_in_set(array('the','the','cat'), array('the','and')) AS n")
+      .collect().head.getLong(0)
+    assert(got == 2L)
+  }
+
   test("optimizer rule rewrites the naive HOF dot product to graft_dot") {
     vecs().createOrReplaceTempView("vecs_t")
     val df = spark.sql(
