@@ -1,9 +1,10 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count of array elements contained in a STATIC string set, duplicates
@@ -21,6 +22,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class CountInSet(child: Expression, items: Seq[String]) extends UnaryExpression {
 
+  // Analysis-time type gate: without this, an array<int> child reaches
+  // execution where UnsafeArrayData.getUTF8String reinterprets raw slots
+  // into garbage counts instead of failing the query at analysis.
+  // (ExpectsInputTypes would be the idiomatic spelling, but
+  // AbstractDataType is private[sql] in Spark 4, so the check is spelled
+  // directly.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string> input, got ${other.simpleString}")
+    }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_count_in_set"
 

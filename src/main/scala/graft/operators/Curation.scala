@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.TextFunctions
 
@@ -34,14 +35,27 @@ object Curation {
       maxTopBigramFrac: Double = 0.08,
       maxRareFrac: Double = 0.5)
 
+  /** @param stageStorage storage level for the two intermediate stages.
+    *   `exactDeduped` feeds the MinHash chain AND the near-dup anti-join;
+    *   `nearDeduped` has four downstream consumers (per-row stats,
+    *   repetition signals, rare-token stats, the final semi-join). Left
+    *   unpersisted, each consumer would re-execute the whole upstream
+    *   dedup — the same re-execution trap q33 measured. The cached blocks
+    *   stay live after curate returns (the result is lazy, so they cannot
+    *   be unpersisted here); callers running many curations should
+    *   `spark.catalog.clearCache()` between them, or pass
+    *   `StorageLevel.NONE` to opt out. */
   def curate(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 4, shingleSize: Int = 3, rowsPerBand: Int = 2,
       maxBucket: Int = 0,
-      thresholds: QualityThresholds = QualityThresholds()): DataFrame = {
+      thresholds: QualityThresholds = QualityThresholds(),
+      stageStorage: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    def cached(df: DataFrame): DataFrame =
+      if (stageStorage == StorageLevel.NONE) df else df.persist(stageStorage)
 
     // 1. exact dedup — keep only each distinct text's min-id representative
     val reps = TextDedup.exact(docs, textCol, idCol).select(idCol)
-    val exactDeduped = docs.join(reps, Seq(idCol), "left_semi")
+    val exactDeduped = cached(docs.join(reps, Seq(idCol), "left_semi"))
 
     // 2. near-dup removal over the exact-deduped survivors (running LSH
     // after exact dedup is also what keeps identical-doc mega-buckets
@@ -54,7 +68,7 @@ object Curation {
     val losers = TextDedup.dupClusters(pairs, idCol)
       .filter(col(idCol) =!= col("cluster"))
       .select(idCol)
-    val nearDeduped = exactDeduped.join(losers, Seq(idCol), "left_anti")
+    val nearDeduped = cached(exactDeduped.join(losers, Seq(idCol), "left_anti"))
 
     // 3. composite quality filter (the q70 panel)
     val t = thresholds

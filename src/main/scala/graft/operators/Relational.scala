@@ -182,16 +182,20 @@ object Relational {
     val spark = df.sparkSession
     // Group keys are compared with JVM equality (Seq[Any].==): binary and
     // nested types compare by reference there and would silently produce
-    // all-rank-1 output, so reject them up front.
+    // all-rank-1 output; float/double keys diverge from Spark's window
+    // partitioning, which normalizes -0.0 == 0.0 and groups all NaNs
+    // together while boxed equals does neither. Reject both up front.
     groupCols.foreach { c =>
       import org.apache.spark.sql.types._
       val ok = df.schema(c).dataType match {
         case _: BinaryType | _: ArrayType | _: MapType | _: StructType => false
+        case _: FloatType | _: DoubleType => false
         case _ => true
       }
       require(ok,
         s"groupedRowNumber: group column '$c' has non-value-equal type " +
-          s"${df.schema(c).dataType}; use an atomic (non-binary) key or pre-hash it")
+          s"${df.schema(c).dataType}; use an atomic non-binary, non-floating " +
+          "key or pre-hash/normalize it")
     }
     val n = spark.sparkContext.defaultParallelism
     val orderCols = groupCols.map(col) ++ sortCols

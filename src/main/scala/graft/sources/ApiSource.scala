@@ -109,7 +109,14 @@ final class PagedSource(
   *
   * Per-window retry belongs INSIDE `fetchWindow` (compose with
   * [[Retry.withBackoff]]) so a flaky window retries alone without
-  * failing the stage. */
+  * failing the stage.
+  *
+  * The returned DataFrame is LAZY: every action re-runs every
+  * `fetchWindow` call (nothing is cached here — a source cannot know the
+  * caller's storage budget). Callers must either materialize immediately
+  * (the pipeline writes straight to a staging table, which is one pass)
+  * or `persist()` the result before multi-action use — a count-then-write
+  * against a live, non-idempotent API would otherwise fetch twice. */
 final class PartitionedWindowSource(
     windows: Seq[Map[String, String]],
     fetchWindow: Map[String, String] => Iterator[String],

@@ -71,6 +71,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.collect().head.getDouble(0) == 10.0) // sum of pairwise sums
   }
 
+  test("graft_count_in_set rejects a non-string array at analysis") {
+    // Without the ExpectsInputTypes gate this reached execution, where
+    // UnsafeArrayData.getUTF8String reinterpreted int slots as garbage.
+    val e = intercept[Exception] {
+      spark.sql(
+        "SELECT graft_count_in_set(array(1, 2, 3), array('the','and'))").collect()
+    }
+    val m = e.getMessage.toLowerCase
+    assert(m.contains("type") || m.contains("cannot resolve"), e.getMessage)
+  }
+
   test("graft_min_gram_md5 rejects a non-literal gram") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_min_gram_md5('abc', length('xx'))").collect()

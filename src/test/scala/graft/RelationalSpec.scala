@@ -131,4 +131,18 @@ class RelationalSpec extends AnyFunSuite {
       Seq(col("v").desc, col("id")), "rn")
     assert(gotD.except(expectedD).isEmpty && expectedD.except(gotD).isEmpty)
   }
+
+  test("groupedRowNumber rejects floating-point and binary group keys") {
+    // Boxed JVM equality treats -0.0 != 0.0 and NaN != NaN, while window
+    // partitioning normalizes both — the forms would silently diverge.
+    val fdf = Seq((0.0, 1), (-0.0, 2)).toDF("g", "id")
+    val e = intercept[IllegalArgumentException] {
+      Relational.groupedRowNumber(fdf, Seq("g"), Seq(col("id")), "rn")
+    }
+    assert(e.getMessage.contains("non-value-equal"))
+    val bdf = Seq((Array[Byte](1), 1)).toDF("g", "id")
+    intercept[IllegalArgumentException] {
+      Relational.groupedRowNumber(bdf, Seq("g"), Seq(col("id")), "rn")
+    }
+  }
 }
