@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Dedup, IncrementalAgg, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
+import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -638,6 +638,19 @@ object SparkEntry {
             col("stopword_ratio") >= 0.03 && col("top_bigram_frac") < 0.08 &&
             col("rare_frac") <= 0.5)
         .orderBy("doc_id")
+    }),
+
+    // One-call curation chain ([[graft.operators.Curation.curate]]):
+    // exact dedup → near-dup removal → composite quality filter, gated
+    // end-to-end with default thresholds. The stages are individually
+    // gated as q24/q69/q70; this catches wiring drift between them (the
+    // quality panel here is corpus-relative over the NEAR-DEDUPED set,
+    // not the raw corpus — exactly the composition q70 alone can't see).
+    "q72_curation_chain" -> ((s, d) => {
+      Curation.curate(parallel(load(s, d, "documents")), "text", "doc_id")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // PII scrub over a deterministically PII-injected fixture (the corpus
@@ -1414,6 +1427,63 @@ object SparkEntry {
          |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
          |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
          |ORDER BY doc_id""".stripMargin,
+
+    // Full curation chain: stage CTEs mirror q24 (exact dedup), q69
+    // (near-dup removal) and q70 (quality panel), except every
+    // corpus-relative statistic is computed over the surviving set of its
+    // stage, as Curation.curate does.
+    "q72_curation_chain" ->
+      """WITH RECURSIVE
+        |keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |docs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepx USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        |hs AS (SELECT doc_id,
+        |  [md5(array_to_string(t[i:i+2], ' ')) FOR i IN generate_series(1, greatest(len(t)-2, 1))] AS h
+        |  FROM toks),
+        |sig AS (SELECT doc_id,
+        |  list_min([substring(x, 1, 8) FOR x IN h]) AS sig_0,
+        |  list_min([substring(x, 9, 8) FOR x IN h]) AS sig_1,
+        |  list_min([substring(x, 17, 8) FOR x IN h]) AS sig_2,
+        |  list_min([substring(x, 25, 8) FOR x IN h]) AS sig_3
+        |  FROM hs),
+        |banded AS (
+        |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+        |  UNION ALL
+        |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+        |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+        |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id),
+        |nd AS (SELECT * FROM docs WHERE doc_id NOT IN (SELECT id FROM losers)),
+        |ndtoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM nd),
+        |base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |    / CAST(len(t) AS DOUBLE) AS stopword_ratio
+        |  FROM ndtoks),
+        |sh AS (SELECT doc_id, [array_to_string(t[i:i+1], ' ')
+        |  FOR i IN generate_series(1, greatest(len(t) - 1, 1))] AS s FROM ndtoks),
+        |rep AS (SELECT doc_id,
+        |  CAST(greatest(list_max([len(list_filter(s, y -> y = x)) FOR x IN list_distinct(s)]), 1) AS DOUBLE)
+        |    / CAST(len(s) AS DOUBLE) AS top_bigram_frac FROM sh),
+        |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM nd),
+        |freq AS (SELECT token, count(*) AS c FROM tk GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt, count(*) AS v FROM freq),
+        |rare AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN CAST(c AS HUGEINT) * v < tt THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS rare_frac
+        |  FROM tk JOIN freq USING (token) CROSS JOIN tot GROUP BY doc_id),
+        |keepq AS (SELECT doc_id
+        |  FROM base JOIN rep USING (doc_id) JOIN rare USING (doc_id)
+        |  WHERE n_tokens >= 30 AND ttr >= 0.35 AND stopword_ratio >= 0.03
+        |    AND top_bigram_frac < 0.08 AND rare_frac <= 0.5)
+        |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM nd WHERE doc_id IN (SELECT doc_id FROM keepq)
+        |ORDER BY doc_id""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
