@@ -43,19 +43,28 @@ object Similarity {
         col("__rn").as("rank"))
   }
 
-  /** LSH-bucketed ANN: both sides bucketed by `planes` sign-pattern; only
-    * bucket-colliding pairs are scored. With b planes the corpus fans out
-    * ×1 (one bucket per vector) and the join key has 2^b values — size b
-    * to executor count at scale. */
-  def lshTopK(corpus: DataFrame, queries: DataFrame,
+  /** Corpus side of the LSH index: one row per vector with its routing
+    * bucket — schema `(id, vec, nrm, bucket)`. At scale THIS frame is the
+    * index: persist it (or write/reload as parquet, ideally partitioned by
+    * bucket) once and amortize the corpus scan across query batches via
+    * [[lshSearch]]. */
+  def buildLshIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      planes: Seq[Seq[Double]]): DataFrame =
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"),
+      norm(col(vecCol)).as("nrm"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket"))
+
+  /** Search a prebuilt [[buildLshIndex]] frame: queries are bucketed with
+    * the SAME planes the index was built with and joined on bucket; only
+    * colliding pairs are scored. */
+  def lshSearch(index: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int, planes: Seq[Seq[Double]],
       roundTo: Int = 6): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(vecCol)).as("__qv"), norm(col(vecCol)).as("__qn"),
       hyperplaneBucket(col(vecCol), planes).as("__bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("__cv"), norm(col(vecCol)).as("__cn"),
-      hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val c = index.select(col("id").as("neighbor_id"), col("vec").as("__cv"),
+      col("nrm").as("__cn"), col("bucket").as("__bucket"))
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
@@ -67,6 +76,18 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("__rn").as("rank"))
   }
+
+  /** LSH-bucketed ANN: both sides bucketed by `planes` sign-pattern; only
+    * bucket-colliding pairs are scored. With b planes the corpus fans out
+    * ×1 (one bucket per vector) and the join key has 2^b values — size b
+    * to executor count at scale. One-shot convenience over
+    * [[buildLshIndex]] + [[lshSearch]]; batch workloads should build once
+    * and search many times. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, planes: Seq[Seq[Double]],
+      roundTo: Int = 6): DataFrame =
+    lshSearch(buildLshIndex(corpus, vecCol, idCol, planes), queries,
+      vecCol, idCol, k, planes, roundTo)
 
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):
     * LSH-bucketed candidate generation — only same-bucket (a, b) pairs
@@ -90,39 +111,59 @@ object Similarity {
         col(s"b.$idCol").as(s"${idCol}_b"), col("cosine"))
   }
 
-  /** IVF-style ANN (the classic inverted-file index, cf. Jégou et al.'s
-    * IVFADC construction): corpus vectors are assigned to their nearest
-    * of `nlist` coarse centroids (one scan — at scale this assignment IS
-    * the index, persisted once and reused); each query probes its
-    * `nProbe` nearest cells and searches exactly within them. Centroids
-    * here are the first `nlist` corpus vectors — deterministic and
-    * oracle-reproducible; a production index would k-means them, which
-    * changes recall, not the plan shape.
-    *
-    * Scale posture: centroids broadcast everywhere (tiny); the search
-    * join hits only probed cells (`nProbe/nlist` of the corpus per
-    * query); the corpus shuffles once on cell id at index build. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame,
-      vecCol: String, idCol: String, k: Int, nlist: Int, nProbe: Int,
+  /** A prebuilt IVF index. `centroids` — `(cell, vec, nrm)`, tiny, always
+    * broadcast. `entries` — `(id, vec, nrm, cell)`, one row per corpus
+    * vector with its nearest-centroid cell: at scale THIS assignment IS
+    * the index. Both are plain DataFrames so a caller can persist them or
+    * write/reload as parquet (entries ideally partitioned by cell) and
+    * amortize the build — the dominant cost — across query batches. */
+  final case class IvfIndex(centroids: DataFrame, entries: DataFrame)
+
+  /** Nearest-`take` centroid cells for each row of `df` (shared by index
+    * build — take=1 — and query probing — take=nProbe). */
+  private def nearestCells(df: DataFrame, cents: DataFrame, vecCol: String,
+      idCol: String, id: String, take: Int, roundTo: Int): DataFrame = {
+    val scored = df
+      .select(col(idCol).as(id), asDouble(col(vecCol)).as(s"__v_$id"),
+        norm(col(vecCol)).as(s"__n_$id"))
+      .join(broadcast(cents.select(col("cell").as("__cent"),
+        col("vec").as("__cv"), col("nrm").as("__cn"))), lit(true))
+      .withColumn("__cos",
+        round(dot(col(s"__v_$id"), col("__cv")) / (col(s"__n_$id") * col("__cn")), roundTo))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__cos").desc, col("__cent").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= take)
+      .select(col(id), col(s"__v_$id"), col(s"__n_$id"), col("__cent"))
+  }
+
+  /** Build the IVF index: assign every corpus vector to its nearest of
+    * `nlist` coarse centroids in one scan. Centroids here are the first
+    * `nlist` corpus vectors — deterministic and oracle-reproducible; a
+    * production index would k-means them, which changes recall, not the
+    * plan shape. */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, roundTo: Int = 6): IvfIndex = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("vec"),
+        norm(col(vecCol)).as("nrm"))
+    val entries = nearestCells(corpus, cents, vecCol, idCol, "id", 1, roundTo)
+      .select(col("id"), col("__v_id").as("vec"), col("__n_id").as("nrm"),
+        col("__cent").as("cell"))
+    IvfIndex(cents, entries)
+  }
+
+  /** Search a prebuilt [[IvfIndex]]: each query probes its `nProbe`
+    * nearest cells and is scored exactly against only those cells'
+    * entries. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int,
       roundTo: Int = 6): DataFrame = {
-    val cents = broadcast(corpus.filter(col(idCol) < nlist)
-      .select(col(idCol).as("__cent"), asDouble(col(vecCol)).as("__cv"),
-        norm(col(vecCol)).as("__cn")))
-    def nearestCells(df: DataFrame, id: String, take: Int): DataFrame = {
-      val scored = df
-        .select(col(idCol).as(id), asDouble(col(vecCol)).as(s"__v_$id"),
-          norm(col(vecCol)).as(s"__n_$id"))
-        .join(cents, lit(true))
-        .withColumn("__cos",
-          round(dot(col(s"__v_$id"), col("__cv")) / (col(s"__n_$id") * col("__cn")), roundTo))
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__cos").desc, col("__cent").asc)
-      scored.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= take)
-        .select(col(id), col(s"__v_$id"), col(s"__n_$id"), col("__cent"))
-    }
-    val cells = nearestCells(corpus, "neighbor_id", 1)
-    val probes = nearestCells(queries, "query_id", nProbe)
+    val cells = index.entries.select(col("id").as("neighbor_id"),
+      col("vec").as("__v_neighbor_id"), col("nrm").as("__n_neighbor_id"),
+      col("cell").as("__cent"))
+    val probes = nearestCells(queries, index.centroids, vecCol, idCol,
+      "query_id", nProbe, roundTo)
     val scored = cells.join(probes, Seq("__cent"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(
@@ -137,6 +178,21 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("__rn").as("rank"))
   }
+
+  /** IVF-style ANN (the classic inverted-file index, cf. Jégou et al.'s
+    * IVFADC construction), one-shot: [[buildIvfIndex]] + [[ivfSearch]].
+    * Batch workloads should build once, persist `index.entries`, and
+    * search many times — rebuilding the assignment per call re-pays the
+    * full corpus scan, the dominant cost at scale.
+    *
+    * Scale posture: centroids broadcast everywhere (tiny); the search
+    * join hits only probed cells (`nProbe/nlist` of the corpus per
+    * query); the corpus shuffles once on cell id at index build. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nlist: Int, nProbe: Int,
+      roundTo: Int = 6): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, vecCol, idCol, nlist, roundTo),
+      queries, vecCol, idCol, k, nProbe, roundTo)
 
   /** Deterministic pseudo-random unit-ish hyperplanes from a seed (golden-
     * ratio lattice — no RNG dependency, reproducible across engines). */

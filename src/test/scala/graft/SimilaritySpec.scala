@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Index build/search split: a persisted (write → reload) index must
+  * answer identically to the one-shot path — the 100 TB contract is that
+  * the assignment frame IS the index and survives a round-trip through
+  * storage. */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Small deterministic corpus: 40 vectors in R^6, ids 0..39; queries are
+  // 3 of the corpus vectors perturbed (so neighbors are nontrivial).
+  private def vec(seed: Int): Seq[Double] =
+    (0 until 6).map(j => math.sin(seed * 7 + j * 3 + 1).abs + 0.1)
+  private lazy val corpus = (0 until 40).map(i => (i.toLong, vec(i)))
+    .toDF("id", "emb")
+  private lazy val queries = Seq(3, 17, 29)
+    .map(i => ((100 + i).toLong, vec(i).map(_ * 1.01)))
+    .toDF("id", "emb")
+
+  private def roundTrip(df: org.apache.spark.sql.DataFrame) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  test("ivfSearch over a persisted index equals one-shot ivfTopK") {
+    val oneShot = Similarity.ivfTopK(corpus, queries, "emb", "id",
+      k = 5, nlist = 8, nProbe = 3)
+    val idx = Similarity.buildIvfIndex(corpus, "emb", "id", nlist = 8)
+    val reloaded = Similarity.IvfIndex(
+      roundTrip(idx.centroids), roundTrip(idx.entries))
+    val viaIndex = Similarity.ivfSearch(reloaded, queries, "emb", "id",
+      k = 5, nProbe = 3)
+    assert(viaIndex.count() == oneShot.count())
+    assert(viaIndex.except(oneShot).isEmpty && oneShot.except(viaIndex).isEmpty)
+  }
+
+  test("lshSearch over a persisted index equals one-shot lshTopK") {
+    val planes = Similarity.deterministicPlanes(3, 6)
+    val oneShot = Similarity.lshTopK(corpus, queries, "emb", "id",
+      k = 5, planes)
+    val entries = roundTrip(Similarity.buildLshIndex(corpus, "emb", "id", planes))
+    val viaIndex = Similarity.lshSearch(entries, queries, "emb", "id",
+      k = 5, planes)
+    assert(viaIndex.count() == oneShot.count())
+    assert(viaIndex.except(oneShot).isEmpty && oneShot.except(viaIndex).isEmpty)
+  }
+}
