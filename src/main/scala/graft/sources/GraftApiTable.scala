@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1's scale mapping as a REAL catalog source: the windowed API backfill
+  * (see [[PartitionedWindowSource]], which proved the shape as an
+  * RDD-of-lines) exposed through DataSourceV2, so a years × locations
+  * backfill is addressable as
+  *
+  * {{{
+  * spark.read.format("graft-api")
+  *   .option("urlTemplate", "https://host/api?start={StartDate}&end={StopDate}")
+  *   .option("windows", """[{"StartDate":"...","StopDate":"..."}, ...]""")
+  *   .load()
+  * }}}
+  *
+  * Each window in the JSON `windows` array becomes ONE DSv2 input
+  * partition, so N windows → N concurrent executor-side fetches — the
+  * reference drains the same windows sequentially on a single driver
+  * (rqtradein_etl.py:203-227). `{key}` placeholders in `urlTemplate` are
+  * substituted from the window's entries; `file:`/plain paths work too
+  * (the offline test fixture), as does any URL the executor can open.
+  *
+  * Output schema is fixed at `(window STRING, value STRING)` — the raw
+  * payload lines tagged with their window's JSON, to be parsed with
+  * `from_json(value, schema)` exactly like the RDD path. Deliberately NOT
+  * implemented here: schema inference over live endpoints (a backfill
+  * source must never 2×-fetch to guess types) and filter pushdown (the
+  * remote API's query string IS the pushdown — callers encode predicates
+  * in the window params). Per-window retry/backoff composes inside the
+  * fetch via [[Retry.withBackoff]] on the HTTP layer, not here.
+  */
+class GraftApiTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-api"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftApiTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftApiTable(properties.asScala.toMap)
+}
+
+object GraftApiTable {
+  val schema: StructType = StructType(Seq(
+    StructField("window", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  /** Minimal parse of the `windows` option: a JSON array of flat string
+    * objects. Jackson is already on every Spark classpath. */
+  def parseWindows(json: String): Seq[Map[String, String]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root.isArray, s"windows must be a JSON array, got: $json")
+    (0 until root.size).map { i =>
+      val o = root.get(i)
+      require(o.isObject, s"windows[$i] must be an object, got: $o")
+      o.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+  }
+
+  def resolve(template: String, params: Map[String, String]): String =
+    params.foldLeft(template) { case (t, (k, v)) => t.replace(s"{$k}", v) }
+}
+
+final class GraftApiTable(properties: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = "graft-api"
+  override def schema(): StructType = GraftApiTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      private val template = options.getOrDefault("urlTemplate",
+        properties.getOrElse("urlTemplate",
+          sys.error("graft-api requires an urlTemplate option")))
+      private val windows = GraftApiTable.parseWindows(
+        options.getOrDefault("windows", properties.getOrElse("windows", "[]")))
+      override def build(): Scan = this
+      override def readSchema(): StructType = GraftApiTable.schema
+      override def toBatch: Batch = this
+      // The contract under test: one window == one input partition.
+      override def planInputPartitions(): Array[InputPartition] =
+        windows.map(w => WindowPartition(
+          GraftApiTable.resolve(template, w),
+          w.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
+            .mkString("{", ",", "}")): InputPartition).toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new WindowReaderFactory
+    }
+}
+
+private[sources] final case class WindowPartition(url: String, windowJson: String)
+    extends InputPartition
+
+private[sources] final class WindowReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[WindowPartition]
+    new PartitionReader[InternalRow] {
+      private val source =
+        if (p.url.contains("://")) scala.io.Source.fromURL(new java.net.URI(p.url).toURL)
+        else scala.io.Source.fromFile(p.url)
+      private val lines = source.getLines()
+      private val window = UTF8String.fromString(p.windowJson)
+      private var current: UTF8String = _
+      override def next(): Boolean =
+        if (lines.hasNext) { current = UTF8String.fromString(lines.next()); true }
+        else false
+      override def get(): InternalRow = InternalRow(window, current)
+      override def close(): Unit = source.close()
+    }
+  }
+}
