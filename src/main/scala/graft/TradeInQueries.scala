@@ -234,23 +234,30 @@ object TradeInQueries {
         .repartition(s.sparkContext.defaultParallelism, col("k"))
         .persist()
       val day1 = widen(base.filter(col("k") % 3 =!= 0))
-      val day2base = widen(base.filter(col("k") % 2 === 0))
-        .withColumn("TradeInAmount", expr(dec2("120.0", "__p")))
-      // k % 10 = 0 ⊆ k % 2 = 0: the dup rows re-derive from the same
-      // narrow rows day2base keeps, with the bumped amount and the
-      // +1-day shape-0 TradeInDate that out-sorts the base row in the
-      // intra-batch dedup window.
-      val day2dups = widen(base.filter(col("k") % 10 === 0))
-        .withColumn("TradeInAmount", expr(dec2("130.0", "__p")))
+      // k % 10 = 0 ⊆ k % 2 = 0: each dup row re-derives from a narrow row
+      // day 2 already keeps, with a bumped amount and a +1-day shape-0
+      // TradeInDate that out-sorts the base row in the intra-batch dedup
+      // window. Generating dups by exploding a per-row variant array pays
+      // the wide formatting projection ONCE over the k%2 slice instead of
+      // widening the k%10 slice a second time and unioning (round 3's
+      // shape — one more 10%-of-corpus widen plus a union branch).
+      val day2 = widen(base.filter(col("k") % 2 === 0))
+        .withColumn("__dup", explode(
+          when(col("__k") % 10 === 0, array(lit(false), lit(true)))
+            .otherwise(array(lit(false)))))
+        .withColumn("TradeInAmount",
+          when(col("__dup"), expr(dec2("130.0", "__p")))
+            .otherwise(expr(dec2("120.0", "__p"))))
         .withColumn("TradeInDate",
-          concat(date_format(col("__ts") + expr("INTERVAL 1 DAY"),
+          when(col("__dup"), concat(date_format(col("__ts") + expr("INTERVAL 1 DAY"),
             "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
+            .otherwise(col("TradeInDate")))
       val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         TradeInSchema.targetSchema)
       val t1 = TradeInPipeline.mergeIntoTarget(empty,
         TradeInPipeline.stage(day1, nowLit(Now1)), nowLit(Now1))
       val t2 = TradeInPipeline.mergeIntoTarget(t1,
-        TradeInPipeline.stage(day2base.union(day2dups), nowLit(Now2)),
+        TradeInPipeline.stage(day2, nowLit(Now2)),
         nowLit(Now2), actionCol = Some("action"))
       // Scope note for the bench ratio: the DuckDB oracle answers with a
       // minimal 7-column single full-outer join; this side deliberately
