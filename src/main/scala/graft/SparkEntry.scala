@@ -653,6 +653,41 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // Sequence packing: concat-then-chunk pack assignment per 8-way
+    // shard with a 256-token context budget — the pretraining batch
+    // construction step, as loader metadata (pack id + start offset).
+    "q75_sequence_packing" -> ((s, d) => {
+      val docs = load(s, d, "documents").select(col("doc_id"),
+        (col("doc_id") % 8).as("shard"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.operators.Packing
+        .packSequences(docs, "doc_id", "n_tokens", "shard", budget = 256L)
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          col("start_offset"), col("pack_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Char-level Shannon entropy per document — the model-free gibberish
+    // detector in the quality family (q22/q23/q51/q68 siblings).
+    "q74_char_entropy" -> ((s, d) => {
+      CorpusStats.charEntropy(parallel(load(s, d, "documents")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Eval-set decontamination: documents sharing any token 3-gram with
+    // the held-out eval slice (doc_id % 20 = 7) are flagged with their
+    // distinct-shingle overlap count — the benchmark-overlap gate a
+    // training corpus runs before release.
+    "q73_decontaminate" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.contaminatedIds(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+
     // PII scrub over a deterministically PII-injected fixture (the corpus
     // itself is clean, so each row gets a synthetic email+phone suffix
     // built identically by the oracle).
@@ -1483,6 +1518,36 @@ object SparkEntry {
         |    AND top_bigram_frac < 0.08 AND rare_frac <= 0.5)
         |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM nd WHERE doc_id IN (SELECT doc_id FROM keepq)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q75_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, shard, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM d)
+        |SELECT doc_id, shard, n_tokens, start_offset,
+        | CAST(floor(CAST(start_offset AS DOUBLE) / 256.0) AS BIGINT) AS pack_id
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q74_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+        | round(log2(CAST(sum(k) AS DOUBLE))
+        |   - sum(k * log2(CAST(k AS DOUBLE))) / CAST(sum(k) AS DOUBLE), 6) AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q73_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+        |  FOR i IN generate_series(1, greatest(len(t)-2, 1))]) AS s FROM toks),
+        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 7),
+        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 7)
+        |SELECT doc_id, count(*) AS n_overlap
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
 
     "q54_dup_clusters" ->

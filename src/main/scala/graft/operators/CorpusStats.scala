@@ -96,6 +96,31 @@ object CorpusStats {
         max(col("__c")).as("max_cf"))
   }
 
+  /** Per-document character-level Shannon entropy — the model-free
+    * gibberish/compression-junk detector (near-zero entropy = repeated
+    * filler; near-log2|alphabet| = uniform noise; natural text sits in a
+    * stable band). Computed from exact integer char counts as
+    * `log2(N) - Σ c·log2(c) / N`, so both engines sum the same integer
+    * histogram; the result is rounded to 6 decimals to absorb
+    * last-ulp float-association differences, matching the repo's cosine
+    * convention.
+    *
+    * Scale shape: explode to (doc, char) then two hash aggregations —
+    * same plan family as [[repetitionSignals]]; per-char HOF lambdas
+    * would interpret outside codegen (the measured simhash trap).
+    * The char alphabet bounds the first agg's output at |docs|×|alphabet|
+    * rows, so map-side partials collapse it hard. */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_chars"),
+        round(log2(sum(col("__c"))) -
+          sum(col("__c") * log2(col("__c"))) / sum(col("__c")), 6).as("entropy"))
+
   def vocabulary(docs: DataFrame, textCol: String, idCol: String,
       minCount: Long, topK: Int): DataFrame =
     docs

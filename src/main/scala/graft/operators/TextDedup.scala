@@ -114,6 +114,37 @@ object TextDedup {
     pairs.distinct()
   }
 
+  /** Eval-set decontamination — the benchmark-overlap gate a training
+    * corpus runs before release (cf. the n-gram-overlap decontamination
+    * appendices of the GPT-3 and Pile papers): a train document is
+    * contaminated when at least `minOverlap` of its DISTINCT token
+    * `shingleSize`-gram shingles also occur anywhere in the eval corpus.
+    * Returns `(idCol, n_overlap)` for contaminated documents only;
+    * anti-join the result against the corpus to scrub.
+    *
+    * Scale shape: benchmarks are MBs while corpora are TBs, so the eval
+    * side collapses to a DISTINCT shingle set and broadcasts — the train
+    * side's exploded (id, shingle) frame never shuffles; the only
+    * exchange is the per-document count aggregation, and map-side
+    * partial counts collapse it to |contaminated docs| rows. If the eval
+    * set ever outgrows broadcast range, the same plan degrades to a
+    * shuffled equi-join on the shingle string — still never quadratic. */
+  def contaminatedIds(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int,
+      minOverlap: Long = 1L): DataFrame = {
+    def shingled(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(keep :+ explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"): _*)
+    val evalShingles = shingled(evalSet, Seq.empty).distinct()
+    shingled(train, Seq(col(idCol)))
+      .join(broadcast(evalShingles), "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** Token-set Jaccard similarity for candidate pairs: joins texts back in
     * and computes |A∩B| / |A∪B| over distinct token sets. */
   def jaccardOnPairs(pairs: DataFrame, docs: DataFrame,

@@ -68,6 +68,23 @@ class TextDedupSpec extends AnyFunSuite {
       maxBucket = 100).count() == 10L)
   }
 
+  test("contaminatedIds flags shingle overlap with the eval set, honors minOverlap") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"), // shares 2 shingles with eval
+      (2L, "totally unrelated words here now"),
+      (3L, "quick brown fox runs away fast")  // shares 1 shingle with eval
+    ).toDF("doc_id", "text")
+    val evalSet = Seq((100L, "the quick brown fox sleeps")).toDF("doc_id", "text")
+    val hits = TextDedup.contaminatedIds(train, evalSet, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: "the quick brown" + "quick brown fox"; doc 3: "quick brown fox"
+    assert(hits == Map(1L -> 2L, 3L -> 1L))
+    val strict = TextDedup.contaminatedIds(train, evalSet, "text", "doc_id", 3,
+      minOverlap = 2L).collect().map(_.getLong(0))
+    assert(strict.toList == List(1L))
+  }
+
   test("ngram jaccard is tokenization-robust where token jaccard is not") {
     import spark.implicits._
     // Same characters, words glued differently: token sets are disjoint,

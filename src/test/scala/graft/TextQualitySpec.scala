@@ -89,6 +89,15 @@ class TextQualitySpec extends AnyFunSuite {
     assert(viaOp.toList == viaExpr.toList)
   }
 
+  test("charEntropy: 0 for constant text, 1 bit for a balanced two-char alphabet") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "ab")).toDF("doc_id", "text")
+    val e = CorpusStats.charEntropy(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(e.toList == List((1L, 4L, 0.0), (2L, 4L, 1.0), (3L, 2L, 1.0)))
+  }
+
   test("vocabulary counts, prunes by minCount, orders by frequency then token") {
     import spark.implicits._
     val docs = Seq(
