@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,14 +79,22 @@ final class GraftApiTable(properties: Map[String, String])
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
       private val template = options.getOrDefault("urlTemplate",
         properties.getOrElse("urlTemplate",
           sys.error("graft-api requires an urlTemplate option")))
       private val windows = GraftApiTable.parseWindows(
         options.getOrDefault("windows", properties.getOrElse("windows", "[]")))
+      // Column pruning: a value-only projection (the common shape — the
+      // window tag is provenance) should not carry the window JSON
+      // through every row. The fetch itself is all-or-nothing (a remote
+      // window has no sub-column granularity), so pruning trims the rows
+      // emitted, not the bytes fetched.
+      private var required: StructType = GraftApiTable.schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
       override def build(): Scan = this
-      override def readSchema(): StructType = GraftApiTable.schema
+      override def readSchema(): StructType = required
       override def toBatch: Batch = this
       // The contract under test: one window == one input partition.
       override def planInputPartitions(): Array[InputPartition] =
@@ -95,14 +103,15 @@ final class GraftApiTable(properties: Map[String, String])
           w.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
             .mkString("{", ",", "}")): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
-        new WindowReaderFactory
+        new WindowReaderFactory(required.fieldNames)
     }
 }
 
 private[sources] final case class WindowPartition(url: String, windowJson: String)
     extends InputPartition
 
-private[sources] final class WindowReaderFactory extends PartitionReaderFactory {
+private[sources] final class WindowReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[WindowPartition]
     new PartitionReader[InternalRow] {
@@ -115,7 +124,10 @@ private[sources] final class WindowReaderFactory extends PartitionReaderFactory 
       override def next(): Boolean =
         if (lines.hasNext) { current = UTF8String.fromString(lines.next()); true }
         else false
-      override def get(): InternalRow = InternalRow(window, current)
+      override def get(): InternalRow = InternalRow(fields.map {
+        case "window" => window
+        case "value" => current
+      }: _*)
       override def close(): Unit = source.close()
     }
   }

@@ -42,6 +42,19 @@ class GraftApiTableSpec extends AnyFunSuite {
       == Seq((1L, "a"), (2L, "a"), (3L, "b")))
   }
 
+  test("graft-api: value-only projection prunes the window column at the scan") {
+    val dir = fixture()
+    val df = spark.read.format("graft-api")
+      .option("urlTemplate", s"$dir/{W}.json")
+      .option("windows", """[{"W":"w1"},{"W":"w2"}]""")
+      .load()
+      .select("value")
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.schema.fieldNames.toSeq).head
+    assert(scanSchema == Seq("value"), s"scan not pruned: $scanSchema")
+    assert(df.count() == 3)
+  }
+
   test("graft-api: short name resolves via DataSourceRegister and url templating substitutes all keys") {
     assert(GraftApiTableSpec.resolvedExample ==
       "https://h/api?s=2024-01-01&e=2024-01-02&l=7")
