@@ -653,6 +653,31 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // Incremental ingest dedup: the daily batch (doc_id % 10 = 0) is
+    // signatured and probed against the standing corpus's prebuilt band
+    // index — the corpus is never re-signatured; candidates are the
+    // batch docs colliding with any corpus doc on an LSH band.
+    "q77_incremental_dedup" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val index = TextDedup.buildBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", numHashes = 4, shingleSize = 3, rowsPerBand = 2)
+      TextDedup.incrementalCandidates(docs.filter(col("doc_id") % 10 === 0),
+          index, "text", "doc_id", numHashes = 4, shingleSize = 3, rowsPerBand = 2)
+        .transform(ordered1(_, col("doc_id_new"), col("doc_id_corpus")))
+    }),
+
+    // Domain-mixture weighted sampling: deterministic per-source keep
+    // fractions (src0 all, src1 half, src2 quarter, rest 10%) — the
+    // corpus-mixing step that hits a target domain distribution.
+    "q76_domain_mixture" -> ((s, d) => {
+      Relational.weightedSample(load(s, d, "documents"),
+          "source", col("doc_id"),
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1)
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: concat-then-chunk pack assignment per 8-way
     // shard with a 256-token context budget — the pretraining batch
     // construction step, as loader metadata (pack id + start offset).
@@ -1518,6 +1543,27 @@ object SparkEntry {
         |    AND top_bigram_frac < 0.08 AND rare_frac <= 0.5)
         |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM nd WHERE doc_id IN (SELECT doc_id FROM keepq)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q77_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_id_new, b.doc_id AS doc_id_corpus
+         |FROM banded a JOIN banded b ON a.band = b.band
+         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |ORDER BY doc_id_new, doc_id_corpus""".stripMargin,
+
+    // Cutoffs are floor(fraction * 65536) in 4-hex-char lowercase, as
+    // Relational.weightedSample computes at plan time; 'g' > every hex
+    // digit = keep-all.
+    "q76_domain_mixture" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |    WHEN 'src2' THEN '4000' ELSE '1999' END
         |ORDER BY doc_id""".stripMargin,
 
     "q75_sequence_packing" ->

@@ -35,6 +35,30 @@ object Relational {
   def deterministicSample(df: DataFrame, key: Column, hexCutoff: String): DataFrame =
     df.filter(substring(md5(key.cast("string")), 1, hexCutoff.length) < lit(hexCutoff))
 
+  /** Domain-mixture weighted sampling — the corpus-mixing step that hits
+    * a target source/domain distribution (e.g. up-weight reference text,
+    * down-weight boilerplate-heavy crawl): each group keeps a
+    * deterministic `weights(group)` fraction of its rows, unspecified
+    * groups keep `defaultFraction`. Membership is [[deterministicSample]]
+    * semantics per group — the first 4 hex chars of `md5(key)` (65536
+    * uniform buckets) compared against a per-group precomputed cutoff —
+    * so the mix is reproducible across engines/runs and stable under
+    * repartitioning and incremental loads. Pure map-side filter against
+    * a plan-time literal CASE: one scan, no shuffle, no join, at any
+    * scale. */
+  def weightedSample(df: DataFrame, groupCol: String, key: Column,
+      weights: Map[String, Double], defaultFraction: Double = 0.0): DataFrame = {
+    def cutoff(f: Double): String =
+      if (f >= 1.0) "g" // sorts above every hex digit: keep all
+      else f"${math.floor(f * 65536).toInt}%04x"
+    val pfx = substring(md5(key.cast("string")), 1, 4)
+    val cutoffCol = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(cutoff(defaultFraction))) { case (acc, (g, f)) =>
+        when(col(groupCol) === g, lit(cutoff(f))).otherwise(acc)
+      }
+    df.filter(pfx < cutoffCol)
+  }
+
   /** Broadcast-hint helper: dimension-side of star joins must broadcast —
     * a shuffle of the fact table on a dim key is the canonical 100 TB
     * mistake. */

@@ -68,13 +68,49 @@ object TextDedup {
     * the direct pair list (and hence per-pair Jaccard verification
     * coverage) is thinned, which is the right trade in a bucket that
     * wide: its members are near-certainly mutual duplicates. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String,
-      numHashes: Int, rowsPerBand: Int, maxBucket: Int = 0): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bandKeys = (0 until numBands).map { b =>
+  /** The LSH band keys of a signature frame: band `b` hashes its
+    * `rowsPerBand` signature components with a band-index prefix, so two
+    * documents collide iff they agree on a full band. */
+  private def bandKeyExprs(numHashes: Int, rowsPerBand: Int) =
+    (0 until numHashes / rowsPerBand).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"sig_$i"))
       md5(concat_ws("|", lit(b.toString) +: cols: _*))
     }
+
+  /** Banded LSH index over a corpus: the narrow `(idCol, band)` frame.
+    * Build once over the standing corpus, persist (or write as a bucketed
+    * table on `band`), and dedup every future ingest batch against it
+    * with [[incrementalCandidates]] — the batch never re-signatures the
+    * corpus. Same build/search split philosophy as
+    * [[Similarity.buildIvfIndex]]. */
+  def buildBandIndex(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, shingleSize: Int, rowsPerBand: Int): DataFrame =
+    minhashSignatures(docs, textCol, idCol, numHashes, shingleSize)
+      .select(col(idCol),
+        explode(array(bandKeyExprs(numHashes, rowsPerBand): _*)).as("band"))
+
+  /** Incremental ingest dedup: near-dup candidates between a NEW batch
+    * and a prebuilt [[buildBandIndex]] corpus index. Only the batch is
+    * signatured (the daily cost is proportional to the day's data, not
+    * the corpus); the join is a band equi-join — batch-side bands are
+    * tiny and broadcast, so the standing index never shuffles. Returns
+    * distinct `(idCol_new, idCol_corpus)`; anti-join the batch on
+    * `idCol_new` to admit only novel documents. */
+  def incrementalCandidates(newDocs: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, numHashes: Int, shingleSize: Int,
+      rowsPerBand: Int): DataFrame = {
+    val newBanded = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleSize)
+      .select(col(idCol).as("__new_id"),
+        explode(array(bandKeyExprs(numHashes, rowsPerBand): _*)).as("band"))
+    index.join(broadcast(newBanded), "band")
+      .filter(col("__new_id") =!= col(idCol))
+      .select(col("__new_id").as(s"${idCol}_new"), col(idCol).as(s"${idCol}_corpus"))
+      .distinct()
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+      numHashes: Int, rowsPerBand: Int, maxBucket: Int = 0): DataFrame = {
+    val bandKeys = bandKeyExprs(numHashes, rowsPerBand)
     // ONE pass over the corpus: all band keys are computed in a single
     // projection and exploded — not one union branch (= one full
     // signature recomputation) per band. The resulting (id, band) frame

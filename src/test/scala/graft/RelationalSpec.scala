@@ -132,6 +132,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(gotD.except(expectedD).isEmpty && expectedD.except(gotD).isEmpty)
   }
 
+  test("weightedSample keeps per-group fractions deterministically") {
+    val df = (1L to 4000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val sampled = Relational.weightedSample(df, "grp", col("id"),
+      Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0), defaultFraction = 0.25)
+    val counts = sampled.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("g0") == 1000L)          // keep-all
+    assert(!counts.contains("g2"))         // keep-none
+    assert(math.abs(counts("g1") - 500L) < 100)  // ~half
+    assert(math.abs(counts("g3") - 250L) < 80)   // default ~quarter
+    // determinism: same membership on re-evaluation
+    val again = Relational.weightedSample(df, "grp", col("id"),
+      Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0), defaultFraction = 0.25)
+    assert(sampled.except(again).isEmpty && again.except(sampled).isEmpty)
+  }
+
   test("groupedRowNumber rejects floating-point and binary group keys") {
     // Boxed JVM equality treats -0.0 != 0.0 and NaN != NaN, while window
     // partitioning normalizes both — the forms would silently diverge.

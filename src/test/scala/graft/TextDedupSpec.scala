@@ -68,6 +68,32 @@ class TextDedupSpec extends AnyFunSuite {
       maxBucket = 100).count() == 10L)
   }
 
+  test("incrementalCandidates probes a prebuilt band index without corpus self-pairs") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // corpus-internal dup of 1
+      (3L, "completely different text content here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // dup of corpus 1 and 2
+      (11L, "novel fresh unseen brand new")    // novel
+    ).toDF("doc_id", "text")
+    val index = TextDedup.buildBandIndex(corpus, "text", "doc_id", 4, 3, 2)
+    val hits = TextDedup.incrementalCandidates(batch, index, "text", "doc_id", 4, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch doc 10 collides with corpus 1 and 2; the corpus-internal
+    // (1,2) pair is NOT this operator's job; 11 is admitted silently.
+    assert(hits == Set((10L, 1L), (10L, 2L)))
+    // the index round-trips through storage like the ANN indexes
+    val dir = java.nio.file.Files.createTempDirectory("graft-band").toString
+    index.write.mode("overwrite").parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    val hits2 = TextDedup.incrementalCandidates(batch, reloaded, "text", "doc_id", 4, 3, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits2 == hits)
+  }
+
   test("contaminatedIds flags shingle overlap with the eval set, honors minOverlap") {
     import spark.implicits._
     val train = Seq(
