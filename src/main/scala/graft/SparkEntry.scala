@@ -653,6 +653,14 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // Corpus health report: the per-(source, lang) release "corpus card"
+    // — volumes, mean quality signals, exact-dup fraction per cell.
+    "q78_corpus_report" -> ((s, d) => {
+      CorpusStats.corpusReport(parallel(load(s, d, "documents")),
+          "text", "source", "lang")
+        .orderBy("source", "lang")
+    }),
+
     // Incremental ingest dedup: the daily batch (doc_id % 10 = 0) is
     // signatured and probed against the standing corpus's prebuilt band
     // index — the corpus is never re-signatured; candidates are the
@@ -1544,6 +1552,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |FROM nd WHERE doc_id IN (SELECT doc_id FROM keepq)
         |ORDER BY doc_id""".stripMargin,
+
+    "q78_corpus_report" ->
+      """WITH dc AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1),
+        |e AS (SELECT source, lang,
+        |  len(string_split(text, ' ')) AS nt,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','an','of','and','or','to','in','is','on'))) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sw,
+        |  CASE WHEN n > 1 THEN 1 ELSE 0 END AS dup
+        |  FROM documents JOIN dc ON md5(text) = h)
+        |SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS n_tokens,
+        | round(avg(ttr), 6) AS mean_ttr,
+        | round(avg(sw), 6) AS mean_stopword_ratio,
+        | round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM e GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
 
     "q77_incremental_dedup" ->
       s"""WITH $shinglesCte,

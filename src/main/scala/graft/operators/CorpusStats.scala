@@ -96,6 +96,36 @@ object CorpusStats {
         max(col("__c")).as("max_cf"))
   }
 
+  /** Corpus health report — the per-(source, lang) "corpus card" rollup a
+    * curation pipeline publishes with every release: document and token
+    * volume, mean type-token ratio, mean stopword ratio, and the
+    * exact-duplicate fraction per cell.
+    *
+    * Scale shape: the duplicate count joins on `md5(text)` (32 bytes)
+    * rather than the full text, so the shuffle carries a fixed-width key;
+    * per-row signals are codegen'd expressions; the final rollup is one
+    * hash aggregation over |sources|×|langs| cells with map-side
+    * partials. Mean doubles are rounded to 6 decimals per the repo's
+    * float-association convention. */
+  def corpusReport(docs: DataFrame, textCol: String,
+      sourceCol: String, langCol: String): DataFrame = {
+    val keyed = docs.withColumn("__h", md5(col(textCol)))
+    val dupCounts = keyed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+    keyed.join(dupCounts, "__h")
+      .select(col(sourceCol), col(langCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
+        TextFunctions.typeTokenRatio(col(textCol)).as("__ttr"),
+        TextFunctions.stopwordRatio(col(textCol)).as("__sw"),
+        (col("__n") > 1).cast("int").as("__dup"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        round(avg(col("__ttr")), 6).as("mean_ttr"),
+        round(avg(col("__sw")), 6).as("mean_stopword_ratio"),
+        round(sum(col("__dup")).cast("double") / count(lit(1)), 6).as("dup_frac"))
+  }
+
   /** Per-document character-level Shannon entropy — the model-free
     * gibberish/compression-junk detector (near-zero entropy = repeated
     * filler; near-log2|alphabet| = uniform noise; natural text sits in a

@@ -89,6 +89,23 @@ class TextQualitySpec extends AnyFunSuite {
     assert(viaOp.toList == viaExpr.toList)
   }
 
+  test("corpusReport rolls up volumes, mean quality, and dup fraction per cell") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat", "web", "en"),
+      (2L, "the cat sat", "web", "en"), // exact dup of 1
+      (3L, "dog runs far and fast", "web", "en"),
+      (4L, "uno dos tres", "web", "es")
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = CorpusStats.corpusReport(docs, "text", "source", "lang")
+      .orderBy("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getDouble(6)))
+    assert(r.toList == List(
+      ("web", "en", 3L, 11L, 0.666667),  // 2 of 3 en docs are dup copies
+      ("web", "es", 1L, 3L, 0.0)))
+  }
+
   test("charEntropy: 0 for constant text, 1 bit for a balanced two-char alphabet") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "ab")).toDF("doc_id", "text")
