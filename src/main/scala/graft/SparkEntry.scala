@@ -708,6 +708,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM perplexity proxy (CCNet/Gopher quality family): mean
+    // per-token log-prob under the corpus's own add-0.5-smoothed unigram
+    // distribution — the "too improbable = noise, too probable =
+    // boilerplate" signal that complements q68's rare-token fractions.
+    "q79_lm_quality" -> ((s, d) => {
+      CorpusStats.lmLogProb(parallel(load(s, d, "documents")),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // Eval-set decontamination: documents sharing any token 3-gram with
     // the held-out eval slice (doc_id % 20 = 7) are flagged with their
     // distinct-shingle overlap count — the benchmark-overlap gate a
@@ -1611,6 +1621,15 @@ object SparkEntry {
         | round(log2(CAST(sum(k) AS DOUBLE))
         |   - sum(k * log2(CAST(k AS DOUBLE))) / CAST(sum(k) AS DOUBLE), 6) AS entropy
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q79_lm_quality" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(ln(c + 0.5) - ln(t + 0.5 * v)), 6) AS lm_logprob
+        |FROM toks JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q73_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -151,6 +151,39 @@ object CorpusStats {
         round(log2(sum(col("__c"))) -
           sum(col("__c") * log2(col("__c"))) / sum(col("__c")), 6).as("entropy"))
 
+  /** Per-document unigram-LM log-probability — the CCNet/Gopher-style
+    * "perplexity proxy" quality signal: documents whose tokens are
+    * improbable under a language model trained on the corpus itself are
+    * likely noise; documents that are TOO probable are boilerplate. The
+    * model is the corpus unigram distribution with add-k smoothing:
+    * `logp(token) = ln(c + k) − ln(T + k·V)` (c = corpus count,
+    * T = total tokens, V = vocabulary size), and the score is the mean
+    * per-token log-prob. Both engines compute the identical per-token
+    * expression from the same exact integers, then average — rounded to
+    * 6 decimals per the repo's float-association convention.
+    *
+    * Scale shape: identical plan family to [[rareTokenStats]] — the
+    * token-frequency join reuses the aggregation's hash-on-token
+    * exchange (ReuseExchange), the (T, V) totals are a 1-row broadcast
+    * cross join, and the per-document mean is one hash aggregation with
+    * map-side partials. A real deployment would persist `freq` as the
+    * trained model and score new batches against it — the same
+    * build/score split as [[graft.operators.TextDedup.buildBandIndex]]. */
+  def lmLogProb(docs: DataFrame, textCol: String, idCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
+    toks.join(freq, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__c") + addK) - log(col("__t") + addK * col("__v"))), 6)
+          .as("lm_logprob"))
+  }
+
   def vocabulary(docs: DataFrame, textCol: String, idCol: String,
       minCount: Long, topK: Int): DataFrame =
     docs
