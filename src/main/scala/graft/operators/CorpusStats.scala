@@ -180,7 +180,7 @@ object CorpusStats {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(log(col("__c") + addK) - log(col("__t") + addK * col("__v"))), 6)
+        round(avg(log(col("__c") + addK) - log(col("__t") + col("__v") * addK)), 6)
           .as("lm_logprob"))
   }
 
