@@ -95,14 +95,25 @@ object TextDedup {
     * the corpus); the join is a band equi-join — batch-side bands are
     * tiny and broadcast, so the standing index never shuffles. Returns
     * distinct `(idCol_new, idCol_corpus)`; anti-join the batch on
-    * `idCol_new` to admit only novel documents. */
+    * `idCol_new` to admit only novel documents.
+    *
+    * When a backfill batch outgrows broadcast range, pass
+    * `broadcastBatch = false` AND store the index as a table bucketed on
+    * `band` (`index.write.bucketBy(n, "band").sortBy("band")
+    * .saveAsTable(...)`): the shuffled equi-join then exchanges ONLY the
+    * batch side — the bucketed index scan already satisfies the join's
+    * required distribution, so the corpus side stays shuffle-free on
+    * every reload (TextDedupSpec asserts no Exchange above the bucketed
+    * scan). That is the 100 TB deployment shape: the index is written
+    * once, bucket-aligned, and every future ingest joins against it at
+    * batch-sized cost. */
   def incrementalCandidates(newDocs: DataFrame, index: DataFrame,
       textCol: String, idCol: String, numHashes: Int, shingleSize: Int,
-      rowsPerBand: Int): DataFrame = {
+      rowsPerBand: Int, broadcastBatch: Boolean = true): DataFrame = {
     val newBanded = minhashSignatures(newDocs, textCol, idCol, numHashes, shingleSize)
       .select(col(idCol).as("__new_id"),
         explode(array(bandKeyExprs(numHashes, rowsPerBand): _*)).as("band"))
-    index.join(broadcast(newBanded), "band")
+    index.join(if (broadcastBatch) broadcast(newBanded) else newBanded, "band")
       .filter(col("__new_id") =!= col(idCol))
       .select(col("__new_id").as(s"${idCol}_new"), col(idCol).as(s"${idCol}_corpus"))
       .distinct()

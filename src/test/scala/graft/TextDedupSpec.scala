@@ -126,4 +126,46 @@ class TextDedupSpec extends AnyFunSuite {
     assert(token == 0.0)
     assert(ngram > 0.3)
   }
+
+  test("bucketed band index reload: incremental join leaves index side shuffle-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // Per-doc-unique tokens: the only band collisions are identical texts.
+    val docs = (1L to 200L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("doc_id", "text")
+    val index = TextDedup.buildBandIndex(docs, "text", "doc_id", 4, 2, 2)
+    spark.sql("DROP TABLE IF EXISTS band_idx")
+    index.write.bucketBy(8, "band").sortBy("band").saveAsTable("band_idx")
+    val reloaded = spark.table("band_idx")
+    val batch = Seq((9001L, "w7a w7b w7c w7d")).toDF("doc_id", "text")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Force the shuffled-join regime the bucketing exists for: no AQE
+    // replan, no broadcast of the small test batch.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cands = TextDedup.incrementalCandidates(batch, reloaded,
+        "text", "doc_id", 4, 2, 2, broadcastBatch = false)
+      def bucketedScans(p: SparkPlan) =
+        p.collect { case f: FileSourceScanExec if f.bucketedScan => f }
+      val joins = cands.queryExecution.executedPlan
+        .collect { case j: SortMergeJoinExec => j }
+      assert(joins.nonEmpty, "expected the band equi-join as a sort-merge join")
+      val indexSide = joins.map(j => Seq(j.left, j.right))
+        .flatten.filter(bucketedScans(_).nonEmpty)
+      assert(indexSide.nonEmpty, "index side should read as a bucketed scan")
+      assert(indexSide.forall(
+        _.collect { case s: ShuffleExchangeExec => s }.isEmpty),
+        "bucketed index side must not re-shuffle on reload")
+      assert(cands.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((9001L, 7L)))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS band_idx")
+    }
+  }
 }
