@@ -731,6 +731,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SimHash Hamming-distance candidate pairs: 32-bit fingerprints cut
+    // into 4 8-bit slices (pigeonhole: Hamming < 4 ⇒ some slice agrees,
+    // so ≤3 is the complete radius), pairs sharing a slice verified by
+    // exact popcount — the fingerprint-space companion to q26's
+    // MinHash/LSH banding. 8-bit slices keep slice buckets ~n/256.
+    "q80_simhash_pairs" -> ((s, d) => {
+      TextDedup.simhashCandidatePairs(
+          TextDedup.simhash(parallel(load(s, d, "documents")), "text", "doc_id", 32),
+          "doc_id", bits = 32, chunks = 4, maxHamming = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+    // Per-document TF-IDF top-3 terms: tf·ln(N/df) ranked per doc —
+    // keyword extraction for topical mixture analysis.
+    "q81_tfidf_topk" -> ((s, d) => {
+      CorpusStats.tfIdfTopTerms(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 3)
+        .transform(ordered1(_, col("doc_id"), col("rank")))
+    }),
+
+    // Fixed-context chunking: 64-token windows advancing by 48 (16-token
+    // overlap) — the long-document splitting step of pretraining/RAG
+    // prep; every token covered, final chunk may run short.
+    "q82_doc_chunks" -> ((s, d) => {
+      graft.operators.Packing.chunkDocuments(parallel(load(s, d, "documents")),
+          "text", "doc_id", window = 64, stride = 48)
+        .transform(ordered1(_, col("doc_id"), col("chunk_id")))
+    }),
+
+    // Normalization-keyed exact dedup over a deterministically
+    // case/punctuation-perturbed fixture (the corpus is already clean,
+    // so even docs are uppercased and %3 docs get a punctuation tail —
+    // normalizeText must fold both back before grouping; the group join
+    // keys on md5(norm) for a fixed-width shuffle key, as q78).
+    "q83_normalize_dedup" -> ((s, d) => {
+      val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
+        concat(
+          when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
+          when(col("doc_id") % 3 === 0, lit(" ... !!!")).otherwise(lit(""))))
+      val norm = noisy.select(col("doc_id"),
+        md5(TextFunctions.normalizeText(col("__noisy"))).as("__h"))
+      val groups = norm.groupBy(col("__h"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("__keeper"))
+      norm.join(groups, "__h")
+        .select(col("doc_id"), col("n_copies"),
+          (col("doc_id") === col("__keeper")).cast("int").as("is_keeper"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
     // PII scrub over a deterministically PII-injected fixture (the corpus
     // itself is clean, so each row gets a synthetic email+phone suffix
     // built identically by the oracle).
@@ -961,7 +1010,7 @@ object SparkEntry {
       |  list_min([substring(x, 25, 8) FOR x IN h]) AS sig_3
       |  FROM hs)""".stripMargin
 
-  private val simhashBitsSql: String = (0 until 16).map { j =>
+  private def simhashBitsSql(bits: Int): String = (0 until bits).map { j =>
     s"CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), ${j + 1}, 1) >= '8')) > len(t) THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
@@ -1202,7 +1251,7 @@ object SparkEntry {
          |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "q27_simhash" ->
-      s"""SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash
+      s"""SELECT doc_id, CAST(${simhashBitsSql(16)} AS BIGINT) AS simhash
          |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
          |ORDER BY doc_id""".stripMargin,
 
@@ -1641,6 +1690,52 @@ object SparkEntry {
         |FROM tr JOIN ev USING (g)
         |GROUP BY doc_id HAVING count(*) >= 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q80_simhash_pairs" ->
+      s"""WITH f AS (SELECT doc_id, CAST(${simhashBitsSql(32)} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |ch AS (SELECT doc_id, simhash, i AS ci, (simhash >> (i*8)) & 255 AS cv
+         |  FROM f, generate_series(0, 3) g(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q81_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, token, tf,
+        |  round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tf_idf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, token, tf, tf_idf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS INT) AS rank, token, tf, tf_idf
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q82_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, t, n, unnest(generate_series(0,
+        |    CAST(floor((greatest(n - 64, 0) + 47) / 48.0) AS BIGINT))) AS chunk_id
+        |  FROM d)
+        |SELECT doc_id, chunk_id, CAST(chunk_id * 48 + 1 AS BIGINT) AS start_token,
+        | CAST(least(n - (chunk_id * 48 + 1) + 1, 64) AS BIGINT) AS n_chunk_tokens,
+        | array_to_string(t[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q83_normalize_dedup" ->
+      """WITH noisy AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' ... !!!' ELSE '' END) AS noisy FROM documents),
+        |norm AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(noisy), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h FROM noisy),
+        |g AS (SELECT h, count(*) AS n_copies, min(doc_id) AS keeper FROM norm GROUP BY h)
+        |SELECT doc_id, n_copies, CAST(doc_id = keeper AS INT) AS is_keeper
+        |FROM norm JOIN g USING (h) ORDER BY doc_id""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

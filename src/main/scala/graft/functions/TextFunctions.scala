@@ -117,6 +117,18 @@ object TextFunctions {
       regexp_replace(text, lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit("<EMAIL>")),
       lit("[0-9]{3}-[0-9]{3}-[0-9]{4}"), lit("<PHONE>"))
 
+  /** Canonical normalization for dedup keys: lowercase, non-alphanumerics
+    * to spaces, whitespace runs collapsed, ends trimmed — the
+    * case/punctuation-insensitive equality class exact dedup should run
+    * on (two docs differing only in casing or punctuation ARE the same
+    * training document). Same restricted regex dialect as [[scrubPii]]
+    * so every engine reproduces it byte-for-byte; one codegen'd per-row
+    * chain, no shuffle. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), lit("[^a-z0-9 ]"), lit(" ")),
+      lit(" +"), lit(" ")))
+
   /** Language-ID heuristic: argmax of per-language marker-token hit
     * counts. A tiny n-gram/stopword table is enough to separate the
     * corpus's language mix; at scale this is one codegen'd expression per

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -182,6 +183,38 @@ object CorpusStats {
         count(lit(1)).as("n_tokens"),
         round(avg(log(col("__c") + addK) - log(col("__t") + col("__v") * addK)), 6)
           .as("lm_logprob"))
+  }
+
+  /** Per-document TF-IDF top-`k` terms — the classic keyword/topic
+    * signal (Spärck Jones '72), used in corpus curation for topical
+    * mixture analysis and near-duplicate triage: `tf · ln(N / df)` with
+    * raw term counts, ranked per document (rounded score DESC, token ASC
+    * for an engine-independent total order).
+    *
+    * Scale shape: same two-level family as [[rareTokenStats]] — tf is
+    * one hash aggregation on (doc, token); df re-aggregates the tf frame
+    * on token, and the tf↔df join hashes on token too, so Catalyst
+    * reuses one exchange for both (ReuseExchange); N is a 1-row
+    * broadcast. The per-document ranking filter compiles to
+    * WindowGroupLimit, so each partition keeps only k rows per document
+    * before the window's shuffle. */
+  def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tf_idf").desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tf_idf",
+        round(col("tf") * log(col("__n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank").cast("int").as("rank"),
+        col("token"), col("tf"), col("tf_idf"))
   }
 
   def vocabulary(docs: DataFrame, textCol: String, idCol: String,

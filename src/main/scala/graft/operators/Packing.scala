@@ -35,4 +35,36 @@ object Packing {
       .withColumn("start_offset", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
       .withColumn("pack_id", floor(col("start_offset") / budget))
   }
+
+  /** Split each document into fixed-`window`-token chunks advancing by
+    * `stride` tokens (stride < window = overlapping context windows) —
+    * the long-document splitting step of pretraining/RAG data prep.
+    * Chunk starts are 1, 1+stride, …, through ceil((n-window)/stride)
+    * strides: every token is covered, the final chunk may be short, and
+    * no chunk is fully contained in its predecessor. Emits one row per
+    * (document, chunk) with the chunk id, 1-based start token, actual
+    * token count, and reassembled chunk text.
+    *
+    * Scale shape: a pure per-row explode — no shuffle at all; output
+    * rows ≈ input tokens / stride. The token array is materialized once
+    * per row and sliced per chunk (slice is O(window) per chunk, not
+    * O(n²): each chunk copies only its own window). */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window: window=$window stride=$stride")
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("__t", TextFunctions.tokens(col(textCol)))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        floor((greatest(col("__n") - window, lit(0L)) + (stride - 1))
+          / stride).cast("long"))))
+      .withColumn("start_token", col("chunk_id") * stride + 1)
+      .select(col(idCol), col("chunk_id"), col("start_token"),
+        least(col("__n") - col("start_token") + 1, lit(window.toLong))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__t"), col("start_token").cast("int"), lit(window)), " ")
+          .as("chunk_text"))
+  }
 }

@@ -315,4 +315,47 @@ object TextDedup {
       .agg(count(col("__tok")).as("__n"), bitSums: _*)
       .select(col(idCol), fingerprint.as("simhash"))
   }
+
+  /** SimHash near-dup candidate pairs by Hamming distance — the
+    * multi-probe companion to [[lshCandidatePairs]] for fingerprints
+    * instead of signatures (Manku/Jain/Sarma '07's chunk-permutation
+    * scheme, pigeonhole form): the `bits`-bit fingerprint is cut into
+    * `chunks` equal slices; two fingerprints within Hamming distance
+    * `< chunks` MUST agree on at least one slice, so slice-equality
+    * joins find every such pair. Candidates are verified with an exact
+    * `bit_count(xor)` and kept when `<= maxHamming`.
+    *
+    * Scale shape: the fingerprint frame is one narrow row per document
+    * (persisted — the self-join's aliases read materialized rows instead
+    * of re-running the simhash aggregation per side); the join is an
+    * equi-join on (slice index, slice value), never all-pairs. Slice
+    * buckets concentrate as `bits/chunks` shrinks — pick chunk widths
+    * ≥ 8 bits at corpus scale so bucket sizes stay ~n/2^width, and run
+    * exact dedup first for the same reason as LSH (identical docs pile
+    * into one bucket). Guarantee: complete for distance < chunks;
+    * candidates up to `maxHamming` beyond that are found only when a
+    * slice happens to align (raise `chunks` for a stronger bound). */
+  def simhashCandidatePairs(fingerprints: DataFrame, idCol: String,
+      bits: Int, chunks: Int, maxHamming: Int): DataFrame = {
+    require(bits % chunks == 0 && chunks > 0,
+      s"chunks must divide bits: bits=$bits chunks=$chunks")
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val sliced = fingerprints.select(col(idCol), col("simhash"),
+        explode(array((0 until chunks).map { i =>
+          struct(lit(i).as("ci"),
+            shiftright(col("simhash"), i * width).bitwiseAND(lit(mask)).as("cv"))
+        }: _*)).as("__c"))
+      .select(col(idCol), col("simhash"),
+        col("__c.ci").as("__ci"), col("__c.cv").as("__cv"))
+      .persist()
+    val a = sliced.alias("a")
+    val b = sliced.alias("b")
+    a.join(b, col("a.__ci") === col("b.__ci") && col("a.__cv") === col("b.__cv") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -25,6 +25,32 @@ class PackingSpec extends AnyFunSuite {
       (4L, 0L, 0L), (5L, 150L, 1L)))
   }
 
+  test("chunkDocuments covers every token, overlaps by window-stride, clips the tail") {
+    // 10 tokens, window 4, stride 3 -> ceil((10-4)/3)=2 extra chunks:
+    // starts 1, 4, 7 covering [1-4], [4-7], [7-10].
+    val docs = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"), // shorter than window -> one short chunk
+      (3L, "x1 x2 x3 x4 x5")) // ceil(1/3)=1 extra: [1-4], [4-5]
+      .toDF("doc_id", "text")
+    val out = Packing.chunkDocuments(docs, "text", "doc_id", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toList == List(
+      (1L, 0L, 1L, 4L, "t1 t2 t3 t4"),
+      (1L, 1L, 4L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 7L, 4L, "t7 t8 t9 t10"),
+      (2L, 0L, 1L, 2L, "a b"),
+      (3L, 0L, 1L, 4L, "x1 x2 x3 x4"),
+      (3L, 1L, 4L, 2L, "x4 x5")))
+  }
+
+  test("chunkDocuments rejects stride wider than window") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.chunkDocuments(docs, "text", "doc_id", window = 4, stride = 5)
+    }
+  }
+
   test("packSequences rejects a non-positive budget") {
     val docs = Seq((1L, 0L, 1L)).toDF("doc_id", "shard", "n_tokens")
     intercept[IllegalArgumentException] {

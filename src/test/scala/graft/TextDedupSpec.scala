@@ -127,6 +127,31 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ngram > 0.3)
   }
 
+  test("simhashCandidatePairs: identical docs pair at hamming 0, bound respected, a<b") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // identical to 1
+      (7L, "alpha beta gamma delta epsilon"), // identical to 1
+      (3L, "zq xw vr ts un pm ok")).toDF("doc_id", "text")
+    val fp = TextDedup.simhash(docs, "text", "doc_id", 32)
+    val pairs = TextDedup.simhashCandidatePairs(fp, "doc_id",
+        bits = 32, chunks = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // identical fingerprints agree on every slice: all three pairs, hamming 0
+    val zero = pairs.filter(_._3 == 0L).map(p => (p._1, p._2)).toSet
+    assert(Set((1L, 2L), (1L, 7L), (2L, 7L)).subsetOf(zero))
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 3L))
+  }
+
+  test("simhashCandidatePairs rejects chunk counts that do not divide bits") {
+    import spark.implicits._
+    val fp = Seq((1L, 5L)).toDF("doc_id", "simhash")
+    intercept[IllegalArgumentException] {
+      TextDedup.simhashCandidatePairs(fp, "doc_id", bits = 32, chunks = 5, maxHamming = 1)
+    }
+  }
+
   test("bucketed band index reload: incremental join leaves index side shuffle-free") {
     import spark.implicits._
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}

@@ -115,6 +115,32 @@ class TextQualitySpec extends AnyFunSuite {
     assert(e.toList == List((1L, 4L, 0.0), (2L, 4L, 1.0), (3L, 2L, 1.0)))
   }
 
+  test("normalizeText folds case, punctuation, and whitespace runs") {
+    import org.apache.spark.sql.functions.col
+    val out = TestSpark.strings("t", Seq(
+      "Hello,  World!", "hello world", "  a--b  ", null))
+      .select(graft.functions.TextFunctions.normalizeText(col("t")).as("n"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0).get == "hello world")
+    assert(out(1).get == "hello world")
+    assert(out(2).get == "a b")
+    assert(out(3).isEmpty)
+  }
+
+  test("tfIdfTopTerms ranks by tf·ln(N/df) with token tiebreak, keeps k") {
+    import spark.implicits._
+    // N=3. tf: d1 a=2,b=1; d2 b=1,c=1; d3 c=3.
+    // df: a=1, b=2, c=2. idf: ln3=1.098612, ln1.5=0.405465.
+    val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c c")).toDF("doc_id", "text")
+    val out = CorpusStats.tfIdfTopTerms(docs, "text", "doc_id", k = 2)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toList == List(
+      (1L, 1, "a", 2L, 2.197225), (1L, 2, "b", 1L, 0.405465),
+      (2L, 1, "b", 1L, 0.405465), (2L, 2, "c", 1L, 0.405465),
+      (3L, 1, "c", 3L, 1.216395)))
+  }
+
   test("vocabulary counts, prunes by minCount, orders by frequency then token") {
     import spark.implicits._
     val docs = Seq(
