@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Merge, Relational, Retention, Sessionize, Similarity, TextDedup}
+import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Merge, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -34,6 +34,11 @@ object SparkEntry {
     * narrow base early instead (see TradeInQueries.rawSpark). */
   private[graft] def ordered1(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(keys: _*)
+
+  /** Exactly 12 tokens — q84's injected boilerplate span (one full
+    * 12-token span, so it aligns with the span grid in both engines). */
+  private[graft] val SpanBoiler =
+    "please accept cookies to continue reading this page thank you very much"
 
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
   /** SUM with exact decimal accumulation, canonical double output.
@@ -778,6 +783,69 @@ object SparkEntry {
         .select(col("doc_id"), col("n_copies"),
           (col("doc_id") === col("__keeper")).cast("int").as("is_keeper"))
         .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // C4-style span-level dedup over a boilerplate-injected fixture: every
+    // %3 doc gets the same 12-token cookie-notice prefix (the corpus has
+    // no natural repeated spans), which span dedup must strip from every
+    // carrier but the first while leaving original spans untouched.
+    "q84_span_dedup" -> ((s, d) => {
+      val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
+        when(col("doc_id") % 3 === 0,
+          concat(lit(SpanBoiler + " "), col("text"))).otherwise(col("text")))
+      TextDedup.spanDedup(noisy, "__noisy", "doc_id", spanTokens = 12)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // Dense hourly grid per user with zero-filled counts and
+    // last-observation-carried-forward sums — irregular events to the
+    // fixed cadence downstream features expect. Buckets surface as epoch
+    // seconds so both engines compare integers, not timezone renderings.
+    "q85_gap_fill" -> ((s, d) => {
+      TimeSeries.gapFill(parallel(load(s, d, "events")),
+          "user_id", "ts", "value", bucketSeconds = 3600L)
+        .select(col("user_id"),
+          unix_timestamp(col("bucket")).as("bucket_epoch"),
+          col("n_events"), col("bucket_sum"), col("filled_sum"))
+        .transform(ordered1(_, col("user_id"), col("bucket_epoch")))
+    }),
+
+    // Domain-mixture budget plan: 50% token budget, no source above 4% of
+    // it — the per-source allocation and keep-ratio spec that
+    // q76_domain_mixture's weighted sampler would then materialize.
+    "q86_token_budget" -> ((s, d) => {
+      CorpusStats.mixturePlan(parallel(load(s, d, "documents")),
+          "text", "source", budgetPpm = 500000L, maxSourcePpm = 40000L)
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Join-key skew audit on the order lines' key — per-key load, share,
+    // ratio-to-mean, and the salt factor a salted join would need.
+    "q87_skew_audit" -> ((s, d) => {
+      Relational.skewAudit(load(s, d, "lineitem"), col("l_orderkey"), topK = 25)
+    }),
+
+    // Corpus bigram collocations with PMI (Church & Hanks '90): high
+    // count + low PMI = templated boilerplate, high PMI = real phrases.
+    "q88_collocations" -> ((s, d) => {
+      CorpusStats.collocations(parallel(load(s, d, "documents")),
+          "text", "doc_id", topK = 50)
+    }),
+
+    // Cross-source 3-gram overlap matrix — the between-domain
+    // contamination/syndication audit of a corpus card.
+    "q89_source_overlap" -> ((s, d) => {
+      TextDedup.sourceOverlap(parallel(load(s, d, "documents")),
+          "text", "source", shingleSize = 3)
+        .transform(ordered1(_, col("source_a"), col("source_b")))
+    }),
+
+    // Per-source token-length deciles as exact order statistics (the q45
+    // rank-selection construction — no float interpolation).
+    "q90_length_deciles" -> ((s, d) => {
+      CorpusStats.lengthDeciles(parallel(load(s, d, "documents")),
+          "text", "doc_id", "source")
+        .transform(ordered1(_, col("source")))
     }),
 
     // PII scrub over a deterministically PII-injected fixture (the corpus
@@ -1736,6 +1804,120 @@ object SparkEntry {
         |g AS (SELECT h, count(*) AS n_copies, min(doc_id) AS keeper FROM norm GROUP BY h)
         |SELECT doc_id, n_copies, CAST(doc_id = keeper AS INT) AS is_keeper
         |FROM norm JOIN g USING (h) ORDER BY doc_id""".stripMargin,
+
+    "q84_span_dedup" ->
+      s"""WITH noisy AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '$SpanBoiler ' || text ELSE text END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM noisy),
+         |c AS (SELECT doc_id, t, n, unnest(generate_series(0,
+         |    CAST(floor((greatest(n - 12, 0) + 11) / 12.0) AS BIGINT))) AS chunk_id
+         |  FROM d),
+         |spans AS (SELECT doc_id, chunk_id,
+         |  array_to_string(t[(chunk_id * 12 + 1):(chunk_id * 12 + 12)], ' ') AS span
+         |  FROM c),
+         |k AS (SELECT span, min(doc_id * 1048576 + chunk_id) AS keep
+         |  FROM spans GROUP BY span),
+         |kept AS (SELECT s.doc_id, s.chunk_id, s.span FROM spans s JOIN k
+         |  ON s.span = k.span AND s.doc_id * 1048576 + s.chunk_id = k.keep),
+         |per AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(span, ' ' ORDER BY chunk_id) AS clean_text FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_spans, coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ka.clean_text, '') AS clean_text
+         |FROM per p LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q85_gap_fill" ->
+      """WITH pb AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+        |    count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(bucket_epoch) AS lo, max(bucket_epoch) AS hi
+        |  FROM pb GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_epoch
+        |  FROM sp)
+        |SELECT g.user_id, g.bucket_epoch,
+        |  coalesce(pb.n_events, 0) AS n_events,
+        |  CAST(pb.s AS DOUBLE) AS bucket_sum,
+        |  CAST(last_value(pb.s IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.bucket_epoch ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS filled_sum
+        |FROM grid g LEFT JOIN pb
+        |  ON g.user_id = pb.user_id AND g.bucket_epoch = pb.bucket_epoch
+        |ORDER BY g.user_id, g.bucket_epoch""".stripMargin,
+
+    "q86_token_budget" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_tokens) AS HUGEINT) AS total FROM per),
+        |b AS (SELECT total, total * 500000 // 1000000 AS budget FROM t),
+        |a AS (SELECT source, n_docs, n_tokens,
+        |    least(CAST(n_tokens AS HUGEINT), b.budget * n_tokens // b.total,
+        |          b.budget * 40000 // 1000000) AS alloc
+        |  FROM per CROSS JOIN b)
+        |SELECT source, n_docs, n_tokens, CAST(alloc AS BIGINT) AS alloc_tokens,
+        |  round(CAST(alloc AS DOUBLE) / n_tokens, 6) AS keep_ratio
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q87_skew_audit" ->
+      """WITH c AS (SELECT CAST(l_orderkey AS STRING) AS key, count(*) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tt, count(*) AS kk FROM c)
+        |SELECT key, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / tt, 6) AS share,
+        |  round(CAST(n_rows AS DOUBLE) * kk / tt, 6) AS skew_ratio,
+        |  CAST((n_rows * kk + tt - 1) // tt AS BIGINT) AS salt_factor
+        |FROM c CROSS JOIN t ORDER BY n_rows DESC, key LIMIT 25""".stripMargin,
+
+    "q88_collocations" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uni AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+        |d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM d)),
+        |bgc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS u,
+        |               (SELECT CAST(sum(n_pair) AS BIGINT) FROM bgc) AS b)
+        |SELECT w1, w2, n_pair,
+        |  round(ln((CAST(n_pair AS DOUBLE) / b) /
+        |    ((CAST(c1.c AS DOUBLE) / u) * (CAST(c2.c AS DOUBLE) / u))), 6) AS pmi
+        |FROM bgc JOIN uni c1 ON bgc.w1 = c1.token JOIN uni c2 ON bgc.w2 = c2.token
+        |CROSS JOIN tot
+        |ORDER BY n_pair DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q89_source_overlap" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, g FROM (SELECT source,
+        |  unnest([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN generate_series(1, greatest(len(t) - 2, 1))]) AS g FROM d)),
+        |sz AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 6) AS jaccard
+        |FROM ov JOIN sz za ON ov.source_a = za.source
+        |        JOIN sz zb ON ov.source_b = zb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q90_length_deciles" ->
+      """WITH lens AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, doc_id FROM documents),
+        |ranked AS (SELECT source, nt,
+        |  row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY source) AS n FROM lens)
+        |SELECT source, count(*) AS n_docs,
+        |  max(CASE WHEN rn = ceil(n * 1 / 10.0) THEN nt END) AS p10,
+        |  max(CASE WHEN rn = ceil(n * 2 / 10.0) THEN nt END) AS p20,
+        |  max(CASE WHEN rn = ceil(n * 3 / 10.0) THEN nt END) AS p30,
+        |  max(CASE WHEN rn = ceil(n * 4 / 10.0) THEN nt END) AS p40,
+        |  max(CASE WHEN rn = ceil(n * 5 / 10.0) THEN nt END) AS p50,
+        |  max(CASE WHEN rn = ceil(n * 6 / 10.0) THEN nt END) AS p60,
+        |  max(CASE WHEN rn = ceil(n * 7 / 10.0) THEN nt END) AS p70,
+        |  max(CASE WHEN rn = ceil(n * 8 / 10.0) THEN nt END) AS p80,
+        |  max(CASE WHEN rn = ceil(n * 9 / 10.0) THEN nt END) AS p90
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.TextFunctions
 
@@ -215,6 +216,129 @@ object CorpusStats {
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank").cast("int").as("rank"),
         col("token"), col("tf"), col("tf_idf"))
+  }
+
+  /** Domain-mixture budget plan — given a token budget expressed as a
+    * fraction of the corpus and a per-source concentration cap, compute
+    * each source's token allocation and keep ratio. The allocation is the
+    * proportional share `floor(budget · tokens_src / tokens_total)`,
+    * clamped by the source's own size and by `floor(budget · maxSourceFrac)`
+    * (no single domain may dominate the mixture — the DoReMi/Pile-style
+    * concentration guard). All shares are computed in exact integer /
+    * DECIMAL(38) arithmetic — at a 10^13-token corpus the cross-product
+    * `budget × tokens_src` exceeds Long, and a non-ANSI multiply would
+    * wrap negative exactly like the [[rareTokenStats]] case; only the
+    * final keep_ratio is a rounded double. Fractions are taken in parts
+    * per million (integer) so both engines quantize identically.
+    *
+    * Scale shape: one explode-free per-source aggregation (token counts
+    * come from the codegen'd [[TextFunctions.tokenCount]]), a 1-row
+    * broadcast total, and arithmetic over |sources| rows. The plan frame
+    * IS the sampling spec — feed keep_ratio to
+    * [[Relational.weightedSample]] to materialize the mixture. */
+  def mixturePlan(docs: DataFrame, textCol: String, sourceCol: String,
+      budgetPpm: Long, maxSourcePpm: Long): DataFrame = {
+    require(budgetPpm > 0 && budgetPpm <= 1000000L,
+      s"budgetPpm must be in (0, 1e6]: $budgetPpm")
+    require(maxSourcePpm > 0 && maxSourcePpm <= 1000000L,
+      s"maxSourcePpm must be in (0, 1e6]: $maxSourcePpm")
+    val dec38 = DecimalType(38, 0)
+    // exact floor division: Spark's decimal `/` ROUNDS the quotient at
+    // result scale, so floor(a/b) can disagree with true floor division
+    // right at an integer boundary; (a - a mod b) / b has no remainder,
+    // divides exactly, and mirrors SQL `//` bit-for-bit
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast(dec38)
+    val perSource = docs
+      .select(col(sourceCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__nt")).as("n_tokens"))
+    val total = perSource.agg(sum(col("n_tokens")).as("__total"))
+    val budget = floorDiv(col("__total").cast(dec38) * budgetPpm, lit(1000000L))
+    val share = floorDiv(budget * col("n_tokens").cast(dec38), col("__total"))
+    val cap = floorDiv(budget * maxSourcePpm, lit(1000000L))
+    val alloc = least(col("n_tokens").cast(dec38), share, cap)
+    perSource.crossJoin(broadcast(total))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        alloc.cast("long").as("alloc_tokens"),
+        round(alloc.cast("double") / col("n_tokens").cast("double"), 6)
+          .as("keep_ratio"))
+  }
+
+  /** Corpus-wide bigram collocations — adjacent token pairs ranked by
+    * count with their pointwise mutual information
+    * `ln( (c_xy / B) / ((c_x / U) · (c_y / U)) )` (B = total bigrams,
+    * U = total unigrams): the classic collocation / multi-word-expression
+    * detector (Church & Hanks '90), used in curation to spot templated
+    * boilerplate (high count, low PMI) vs genuine phrases. All counts are
+    * exact integers aggregated identically in both engines; the single
+    * `ln` of their ratio is rounded to 6 decimals per the repo's
+    * float-association convention.
+    *
+    * Scale shape: bigrams come from one narrow explode of
+    * [[TextFunctions.tokenShingles]]; bigram and unigram counts are each
+    * one hash aggregation with map-side partials (Zipf collapse); the
+    * left/right unigram lookups join on the token — small enough to AQE
+    * broadcast at any corpus size (vocabularies are millions, not
+    * billions) — and the final top-k is TakeOrderedAndProject. */
+  def collocations(docs: DataFrame, textCol: String, idCol: String,
+      topK: Int): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val bigrams = docs
+      .select(explode(TextFunctions.tokenShingles(col(textCol), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val totals = uni.agg(sum(col("__c")).as("__u"))
+      .crossJoin(bigrams.agg(sum(col("n_pair")).as("__b")))
+    bigrams
+      .join(uni.select(col("token").as("w1"), col("__c").as("__c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("__c").as("__c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          (col("n_pair").cast("double") / col("__b")) /
+            ((col("__c1").cast("double") / col("__u")) *
+              (col("__c2").cast("double") / col("__u")))), 6).as("pmi"))
+      .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
+  /** Per-source token-length deciles — the length-distribution panel of a
+    * corpus card (truncation rates, packing efficiency, and outlier
+    * filters all read off it). Deciles are ORDER STATISTICS, not
+    * interpolated quantiles: the value at rank `ceil(n · k/10)` within
+    * each source, so both engines select the same exact integer and no
+    * float interpolation can diverge (the q45 construction).
+    *
+    * Scale shape: one codegen'd per-row token count, one
+    * `row_number`-within-source window, and a |sources|-row pivot
+    * aggregation. The window partitions by source — the documented
+    * low-cardinality caveat applies, and [[Relational.groupedRowNumber]]
+    * is the drop-in replacement when sources are few and huge. */
+  def lengthDeciles(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String): DataFrame = {
+    val lens = docs.select(col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
+      col(idCol).as("__id"))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__nt").asc, col("__id").asc)
+    // group sizes via a broadcast-joined pre-aggregation, not a second
+    // (unordered) COUNT window — two frames would plan two Window
+    // operators materializing each partition twice (the q45 rationale)
+    val counts = lens.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val ranked = lens
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(counts), sourceCol)
+    val decile = (k: Int) =>
+      max(when(col("__rn") === ceil(col("__n") * k / 10.0), col("__nt")))
+        .as(s"p$k" + "0")
+    ranked.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), decile(1), decile(2), decile(3),
+        decile(4), decile(5), decile(6), decile(7), decile(8), decile(9))
   }
 
   def vocabulary(docs: DataFrame, textCol: String, idCol: String,

@@ -35,6 +35,45 @@ object Relational {
   def deterministicSample(df: DataFrame, key: Column, hexCutoff: String): DataFrame =
     df.filter(substring(md5(key.cast("string")), 1, hexCutoff.length) < lit(hexCutoff))
 
+  /** Join-key skew audit — the pre-flight diagnosis for a planned
+    * shuffle: per-key row counts for the `topK` heaviest keys, each with
+    * its share of the table, its ratio to the mean per-key load, and the
+    * salt factor that would level it (`ceil(count / mean)` — the number
+    * of sub-keys a salted join needs so no sub-key exceeds the average).
+    * Run it on both sides of a join that AQE keeps flagging; the output
+    * is directly the `saltFactor` argument of the salted-join operator.
+    * The ratio arithmetic is exact-integer until one final rounded
+    * division (ceil via `(a + b - 1) div b`, never float), so any SQL
+    * oracle reproduces it bit-exactly.
+    *
+    * Scale shape: one hash aggregation on the key (map-side partials
+    * absorb the skew being measured — the irony is load-bearing), a
+    * 1-row broadcast of the (total, distinct) pair, and a
+    * TakeOrderedAndProject top-k. */
+  def skewAudit(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    val counts = df.groupBy(key.cast("string").as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = counts.agg(sum(col("n_rows")).as("__t"),
+      count(lit(1)).as("__k"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__t"), 6).as("share"),
+        round(col("n_rows").cast("double") * col("__k") / col("__t"), 6)
+          .as("skew_ratio"),
+        // exact ceil-division: (a - a mod b) / b divides with no
+        // remainder, so the decimal quotient is exact (Spark's decimal
+        // `/` rounds at result scale and a bare floor() could disagree
+        // with SQL `//` right at an integer boundary)
+        {
+          val a = (col("n_rows") * col("__k") + col("__t") - 1)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          ((a - pmod(a, col("__t"))) / col("__t"))
+            .cast("long").as("salt_factor")
+        })
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topK)
+  }
+
   /** Domain-mixture weighted sampling — the corpus-mixing step that hits
     * a target source/domain distribution (e.g. up-weight reference text,
     * down-weight boilerplate-heavy crawl): each group keeps a

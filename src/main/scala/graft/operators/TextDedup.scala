@@ -358,4 +358,83 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Span-level corpus dedup — the C4-style boilerplate remover: cut each
+    * document into fixed-`spanTokens` non-overlapping spans, keep only the
+    * corpus-wide FIRST occurrence (lexicographic min (id, span)) of each
+    * distinct span, and reassemble the surviving spans in document order.
+    * This is what strips the cookie banner repeated across a million
+    * pages while exact/near dedup (whole-document granularity) never sees
+    * it. Returns one row per document: span counts before/after and the
+    * cleaned text (empty when every span was someone else's boilerplate).
+    *
+    * Scale shape: the span grid is [[Packing.chunkDocuments]]'s no-shuffle
+    * explode; the keeper election groups on `md5(span)` — a fixed-width
+    * shuffle key regardless of span length — and rejoins on the same hash
+    * so the exchange is reused; reassembly is one per-document
+    * aggregation whose `array_sort` orders each doc's own spans locally
+    * (docs have bounded span counts; nothing global sorts). */
+  def spanDedup(docs: DataFrame, textCol: String, idCol: String,
+      spanTokens: Int): DataFrame = {
+    val spans = Packing
+      .chunkDocuments(docs, textCol, idCol, spanTokens, spanTokens)
+      .select(col(idCol), col("chunk_id"), col("chunk_text"),
+        md5(col("chunk_text")).as("__h"))
+    // lexicographic-min election via one integer key: span ids are
+    // bounded by tokens/span, far under the 2^20 slot width
+    val keepers = spans
+      .groupBy(col("__h"))
+      .agg(min(shiftleft(col(idCol), 20) + col("chunk_id")).as("__keep"))
+    val kept = spans.join(keepers, "__h")
+      .filter(shiftleft(col(idCol), 20) + col("chunk_id") === col("__keep"))
+    val perDoc = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("clean_text"))
+    perDoc.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Cross-source n-gram overlap audit — for every pair of sources, how
+    * many distinct token `shingleSize`-gram shingles they share and the
+    * Jaccard of their shingle sets: the between-domain contamination /
+    * syndication matrix a corpus card reports (high overlap between two
+    * "independent" crawls means one republishes the other).
+    *
+    * Scale shape: each source collapses to its DISTINCT shingle set first
+    * (one hash aggregation; the md5 shingle key is fixed-width), the
+    * self-join is an equi-join on the shingle hash — bucket sizes are
+    * bounded by |sources|, so the worst case is |shingles| × |sources|²
+    * only for shingles ALL sources share, and the pair matrix itself is
+    * |sources|²/2 rows: tiny at any corpus size (domains are thousands,
+    * not billions). Per-source set sizes arrive via a broadcast join. */
+  def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
+      shingleSize: Int): DataFrame = {
+    val shingles = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(sourceCol), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
+      .select(col(sourceCol), md5(col("__g")).as("__h"))
+      .distinct()
+    val sizes = shingles.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val a = shingles.alias("a")
+    val b = shingles.alias("b")
+    a.join(b, col("a.__h") === col("b.__h") &&
+        col(s"a.$sourceCol") < col(s"b.$sourceCol"))
+      .groupBy(col(s"a.$sourceCol").as("source_a"),
+        col(s"b.$sourceCol").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col(sourceCol).as("source_a"),
+        col("__n").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(col(sourceCol).as("source_b"),
+        col("__n").as("__nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+  }
 }

@@ -161,4 +161,16 @@ class RelationalSpec extends AnyFunSuite {
       Relational.groupedRowNumber(bdf, Seq("g"), Seq(col("id")), "rn")
     }
   }
+
+  test("skewAudit ranks heavy keys with exact shares and salt factors") {
+    // key 1: 6 rows, keys 2..4: 1 row each -> total 9, 4 distinct keys,
+    // mean load 2.25. Key 1: share 6/9, ratio 6*4/9, salt ceil(24/9)=3.
+    val df = (Seq.fill(6)(1) ++ Seq(2, 3, 4)).toDF("k")
+    val out = Relational.skewAudit(df, col("k"), topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(out.toList == List(
+      ("1", 6L, 0.666667, 2.666667, 3L),
+      ("2", 1L, 0.111111, 0.444444, 1L)))
+  }
 }

@@ -193,4 +193,48 @@ class TextDedupSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS band_idx")
     }
   }
+
+  test("spanDedup strips corpus-wide repeated spans, keeps the first carrier") {
+    import spark.implicits._
+    // span size 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [x y]
+    // keepers: (1,0) a b, (1,1) c d, (2,1) x y -> doc 2 loses its first
+    // span to doc 1, doc 3 loses everything to doc 2.
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "x y")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanDedup(docs, "text", "doc_id", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toList == List(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, "")))
+  }
+
+  test("spanDedup keeps surviving spans in document order") {
+    import spark.implicits._
+    // doc 2's middle span is the duplicate; its flanks must rejoin in order
+    val docs = Seq(
+      (1L, "dup dup"), (2L, "p q dup dup r s")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.spanDedup(docs, "text", "doc_id", spanTokens = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toList == List((1L, 1L, "dup dup"), (2L, 2L, "p q r s")))
+  }
+
+  test("sourceOverlap counts shared distinct shingles with Jaccard") {
+    import spark.implicits._
+    // source A docs cover shingles {a b c, b c d}; source B covers
+    // {b c d, d e f}; intersection 1, union 3 -> jaccard 1/3
+    val docs = Seq(
+      ("A", "a b c d"), // shingles: "a b c", "b c d"
+      ("B", "b c d"), // shingle: "b c d"
+      ("B", "d e f") // shingle: "d e f"
+    ).toDF("source", "text")
+    val out = TextDedup.sourceOverlap(docs, "text", "source", shingleSize = 3)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(("A", "B", 1L, 0.333333)))
+  }
 }

@@ -154,4 +154,63 @@ class TextQualitySpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(v1.toList == List("a", "b"))
   }
+
+  test("mixturePlan allocates proportional shares, clamped by size and cap") {
+    import spark.implicits._
+    // tokens: big=60, mid=30, tiny=10 -> total 100; budget 50% = 50;
+    // cap 20% of budget = 10. Shares: big 30->cap 10, mid 15->cap 10,
+    // tiny 5 (proportional, under both its size and the cap).
+    val docs = Seq(
+      ("big", ("t " * 60).trim), ("mid", ("t " * 30).trim),
+      ("tiny", ("t " * 10).trim)).toDF("source", "text")
+    val out = CorpusStats.mixturePlan(docs, "text", "source",
+        budgetPpm = 500000L, maxSourcePpm = 200000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toList == List(
+      ("big", 60L, 10L, 0.166667),
+      ("mid", 30L, 10L, 0.333333),
+      ("tiny", 10L, 5L, 0.5)))
+  }
+
+  test("mixturePlan never allocates more than a source holds") {
+    import spark.implicits._
+    // one dominant source: its proportional share exceeds the other's
+    // whole size; the small source must be clamped to its own tokens
+    val docs = Seq(
+      ("a", ("t " * 99).trim), ("b", "t")).toDF("source", "text")
+    val out = CorpusStats.mixturePlan(docs, "text", "source",
+        budgetPpm = 1000000L, maxSourcePpm = 1000000L)
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(out.toList == List(("a", 99L), ("b", 1L)))
+  }
+
+  test("collocations: counts exact, PMI separates phrases from chance pairs") {
+    import spark.implicits._
+    // "x y" always adjacent (strong collocation); "a b" co-occur by
+    // volume (weak). 3 docs of "x y", 1 doc of "a b a b a b".
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x y"),
+      (4L, "a b a b a b")).toDF("doc_id", "text")
+    val out = CorpusStats.collocations(docs, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // top-2 by count: "a b" x3 (within doc 4) ties "x y" x3; order w1 asc
+    assert(out.toList == List(("a", "b", 3L), ("x", "y", 3L)))
+    val pmi = CorpusStats.collocations(docs, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    // "x y": p(xy)=3/8 bigrams, p(x)=p(y)=3/12 unigrams -> ln(6) > 0
+    assert(pmi.find(_._1 == "x").get._2 == math.round(
+      math.log((3.0 / 8) / ((3.0 / 12) * (3.0 / 12))) * 1e6) / 1e6)
+  }
+
+  test("lengthDeciles selects exact order statistics per source") {
+    import spark.implicits._
+    // 10 docs of lengths 1..10 -> p10=1, p50=5, p90=9 (rank ceil(10k/10))
+    val docs = (1 to 10).map(i => ("s", i.toLong, ("t " * i).trim))
+      .toDF("source", "doc_id", "text")
+    val r = CorpusStats.lengthDeciles(docs, "text", "doc_id", "source")
+      .collect().head
+    assert(r.getLong(1) == 10L) // n_docs
+    assert((2 to 10).map(r.getLong).toList ==
+      List(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+  }
 }

@@ -1,0 +1,48 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** Gap-fill: dense per-key grid between first and last event, zero-filled
+  * counts, LOCF sums. */
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFill densifies per-key, zero-fills counts, carries sums forward") {
+    val events = Seq(
+      // user 1: events in minutes 0 and 3 of an hour-aligned span
+      (1L, ts("2024-01-01 00:00:10"), 1.5),
+      (1L, ts("2024-01-01 00:00:40"), 2.5), // same bucket -> sum 4.0
+      (1L, ts("2024-01-01 00:03:30"), 7.0),
+      // user 2: single event -> single-bucket grid, no gaps
+      (2L, ts("2024-01-01 05:09:00"), 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFill(events, "user_id", "ts", "value",
+        bucketSeconds = 60L)
+      .orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(2), Option(r.get(3)), r.getDouble(4)))
+    assert(out.toList == List(
+      (1L, "2024-01-01 00:00:00.0", 2L, Some(4.0), 4.0),
+      (1L, "2024-01-01 00:01:00.0", 0L, None, 4.0), // gap: count 0, LOCF
+      (1L, "2024-01-01 00:02:00.0", 0L, None, 4.0),
+      (1L, "2024-01-01 00:03:00.0", 1L, Some(7.0), 7.0),
+      (2L, "2024-01-01 05:09:00.0", 1L, Some(9.0), 9.0)))
+  }
+
+  test("gapFill grid is bounded by each key's own span, not the global one") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (2L, ts("2024-06-01 00:00:00"), 2.0) // months apart
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFill(events, "user_id", "ts", "value", 3600L)
+    // one bucket per user: a global grid would emit thousands of rows
+    assert(out.count() == 2L)
+  }
+}
