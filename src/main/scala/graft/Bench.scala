@@ -66,8 +66,14 @@ object Bench {
     val cold = scala.collection.mutable.Map.empty[String, Double]
     val runsOf = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     val passWalls = scala.collection.mutable.ListBuffer.empty[Double]
+    // 1200 s default: this host's noisy windows can stretch the cold pass
+    // alone past the old 450 s budget (observed 594 s vs 109 s for the
+    // same suite an hour apart), which starved refinement entirely and
+    // shipped a cold-only artifact. Per-query checkpoints mean a longer
+    // budget never risks losing the result — an outer kill keeps the
+    // latest complete file.
     val budgetMillis =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "450").toLong * 1000L
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toLong * 1000L
     val suiteStart = System.nanoTime()
     def elapsedMillis: Long = (System.nanoTime() - suiteStart) / 1000000L
 
