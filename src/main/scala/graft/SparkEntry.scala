@@ -40,6 +40,11 @@ object SparkEntry {
   private[graft] val SpanBoiler =
     "please accept cookies to continue reading this page thank you very much"
 
+  /** q91's injected boilerplate line (corpus-frequent by construction,
+    * so line dedup must strip every copy). */
+  private[graft] val LineBoiler =
+    "subscribe to our newsletter for the latest updates"
+
   private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(18, scale))
   /** SUM with exact decimal accumulation, canonical double output.
     *
@@ -846,6 +851,96 @@ object SparkEntry {
       CorpusStats.lengthDeciles(parallel(load(s, d, "documents")),
           "text", "doc_id", "source")
         .transform(ordered1(_, col("source")))
+    }),
+
+    // CCNet-style line-level dedup over a line-structured fixture: each
+    // doc splits into a 10-token head line + tail line, and every %4 doc
+    // carries a shared boilerplate line that line dedup must strip
+    // (corpus-frequent) while body lines survive (doc-frequency <= 5
+    // tolerates the corpus's natural exact-dup families).
+    "q91_line_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ", -1)
+      val lined = parallel(load(s, d, "documents")).withColumn("__lined",
+        concat(
+          concat_ws("\n",
+            array_join(slice(toks, 1, 10), " "),
+            array_join(slice(toks, 11, 1000000), " ")),
+          when(col("doc_id") % 4 === 0, lit("\n" + LineBoiler)).otherwise(lit(""))))
+      TextDedup.lineDedup(lined, "__lined", "doc_id", "\n", maxDocs = 5L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // Embedding-table health panel: per-label counts, dim spread, zero
+    // vectors, exact-decimal mean L2 norm.
+    "q92_embedding_audit" -> ((s, d) => {
+      Similarity.embeddingAudit(parallel(load(s, d, "embeddings")),
+          "embedding", "vec_id", "label")
+        .transform(ordered1(_, col("label")))
+    }),
+
+    // Linear interpolation onto the q85 hourly grid — time-weighted
+    // straight line between observed bucket sums instead of LOCF.
+    "q93_interpolate" -> ((s, d) => {
+      TimeSeries.interpolate(parallel(load(s, d, "events")),
+          "user_id", "ts", "value", bucketSeconds = 3600L)
+        .select(col("user_id"),
+          unix_timestamp(col("bucket")).as("bucket_epoch"),
+          col("n_events"), col("bucket_sum"), col("interp_sum"))
+        .transform(ordered1(_, col("user_id"), col("bucket_epoch")))
+    }),
+
+    // Ordered view→click→purchase funnel, 7-day window anchored at the
+    // first view: earliest-qualifying chain semantics per user.
+    "q94_funnel" -> ((s, d) => {
+      Sessionize.funnel(parallel(load(s, d, "events")), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 7L * 86400L)
+        .transform(ordered1(_, col("step")))
+    }),
+
+    // Weekly cohort retention matrix (first-seen week × activity offset).
+    "q95_cohort_retention" -> ((s, d) => {
+      Sessionize.cohortRetention(parallel(load(s, d, "events")),
+          "user_id", "ts")
+        .transform(ordered1(_, col("cohort_week"), col("week_offset")))
+    }),
+
+    // Winnowing (MOSS) fingerprints: 3-gram hashes, window-4 minima.
+    "q96_winnowing" -> ((s, d) => {
+      TextDedup.winnow(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 3, w = 4)
+        .transform(ordered1(_, col("doc_id"), col("fingerprint")))
+    }),
+
+    // Per-document 3-gram novelty vs all lower-id documents — the
+    // crawl-saturation curve, computed exactly.
+    "q97_ngram_novelty" -> ((s, d) => {
+      CorpusStats.ngramNovelty(parallel(load(s, d, "documents")),
+          "text", "doc_id", n = 3)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // Robust per-source length outliers: exact median + MAD fences.
+    "q98_length_outliers" -> ((s, d) => {
+      CorpusStats.lengthOutliers(parallel(load(s, d, "documents")),
+          "text", "doc_id", "source", cutoff = 3.0)
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Training-shard balance audit: md5-routed 8-way sharding weighted
+    // by token count.
+    "q99_shard_audit" -> ((s, d) => {
+      Relational.shardAudit(parallel(load(s, d, "documents")),
+          col("doc_id"), TextFunctions.tokenCount(col("text")), numShards = 8)
+        .transform(ordered1(_, col("shard")))
+    }),
+
+    // IVF cell-balance audit: population share + mean centroid cosine
+    // per coarse cell (first-10-vectors centroids, the q41 convention).
+    "q100_cell_balance" -> ((s, d) => {
+      Similarity.cellBalance(parallel(load(s, d, "embeddings")),
+          "embedding", "vec_id", nlist = 10)
+        .transform(ordered1(_, col("cell")))
     }),
 
     // PII scrub over a deterministically PII-injected fixture (the corpus
@@ -1918,6 +2013,188 @@ object SparkEntry {
         |  max(CASE WHEN rn = ceil(n * 8 / 10.0) THEN nt END) AS p80,
         |  max(CASE WHEN rn = ceil(n * 9 / 10.0) THEN nt END) AS p90
         |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+
+    "q91_line_dedup" ->
+      s"""WITH lined AS (SELECT doc_id,
+         |  array_to_string(string_split(text, ' ')[1:10], ' ') || chr(10) ||
+         |  coalesce(array_to_string(string_split(text, ' ')[11:], ' '), '') ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '$LineBoiler' ELSE '' END)
+         |  AS text FROM documents),
+         |lines AS (SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+         |  FROM lined),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS docs
+         |  FROM lines GROUP BY line),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  JOIN freq f ON l.line = f.line WHERE f.docs <= 5),
+         |per AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_lines, coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ka.clean_text, '') AS clean_text
+         |FROM per p LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q92_embedding_audit" ->
+      """WITH v AS (SELECT label,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  CAST(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))) AS DECIMAL(18,9)) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  round(CAST(sum(nrm) AS DOUBLE) / count(*), 6) AS avg_norm
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
+
+    "q93_interpolate" ->
+      """WITH pb AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket_epoch,
+        |    count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(bucket_epoch) AS lo, max(bucket_epoch) AS hi
+        |  FROM pb GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS bucket_epoch
+        |  FROM sp),
+        |j AS (SELECT g.user_id, g.bucket_epoch, pb.n_events, pb.s
+        |  FROM grid g LEFT JOIN pb
+        |    ON g.user_id = pb.user_id AND g.bucket_epoch = pb.bucket_epoch),
+        |w AS (SELECT user_id, bucket_epoch, n_events, s,
+        |  CAST(last_value(CAST(s * 1000000 AS BIGINT) IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket_epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS pv,
+        |  last_value(CASE WHEN s IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket_epoch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |  CAST(first_value(CAST(s * 1000000 AS BIGINT) IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket_epoch
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS HUGEINT) AS nv,
+        |  first_value(CASE WHEN s IS NOT NULL THEN bucket_epoch END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY bucket_epoch
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        |  FROM j),
+        |u AS (SELECT user_id, bucket_epoch, n_events, s,
+        |  CASE WHEN s IS NOT NULL THEN CAST(s * 1000000 AS BIGINT)
+        |    ELSE CAST((2 * (pv * (nt - bucket_epoch) + nv * (bucket_epoch - pt))
+        |      + (nt - pt)) // (2 * (nt - pt)) AS BIGINT) END AS iu
+        |  FROM w)
+        |SELECT user_id, bucket_epoch,
+        |  coalesce(n_events, 0) AS n_events,
+        |  CAST(s AS DOUBLE) AS bucket_sum,
+        |  CAST(iu AS DOUBLE) / 1000000 AS interp_sum
+        |FROM u ORDER BY user_id, bucket_epoch""".stripMargin,
+
+    "q94_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(s1.t0) AS t0, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t0
+        |    AND epoch_us(e.ts) <= s1.t0 + 604800000000
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(s2.t0) AS t0, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.tp
+        |    AND epoch_us(e.ts) <= s2.t0 + 604800000000
+        |  GROUP BY e.user_id),
+        |counts AS (
+        |  SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM s1) AS n_keys
+        |  UNION ALL
+        |  SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL
+        |  SELECT 3, 'purchase', (SELECT count(*) FROM s3)),
+        |base AS (SELECT n_keys AS b FROM counts WHERE step = 1)
+        |SELECT step, step_name, n_keys,
+        |  round(CAST(n_keys AS DOUBLE) / b, 6) AS conversion
+        |FROM counts CROSS JOIN base ORDER BY step""".stripMargin,
+
+    "q95_cohort_retention" ->
+      """WITH wk AS (SELECT user_id,
+        |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events),
+        |cohorts AS (SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, w FROM wk),
+        |sizes AS (SELECT cohort_week, count(*) AS sz FROM cohorts GROUP BY cohort_week)
+        |SELECT c.cohort_week AS cohort_week, a.w - c.cohort_week AS week_offset,
+        |  count(*) AS n_active,
+        |  round(CAST(count(*) AS DOUBLE) / max(s.sz), 6) AS retention
+        |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        |JOIN sizes s ON s.cohort_week = c.cohort_week
+        |GROUP BY c.cohort_week, a.w - c.cohort_week
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q96_winnowing" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d)
+        |SELECT DISTINCT doc_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS fingerprint
+        |FROM g ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "q97_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams AS (SELECT doc_id, md5(g) AS h FROM (SELECT doc_id,
+        |  unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN generate_series(1, greatest(len(t) - 2, 1))])) AS g FROM d)),
+        |first AS (SELECT h, min(doc_id) AS fst FROM grams GROUP BY h)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN g.doc_id = f.fst THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN g.doc_id = f.fst THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS novelty_ratio
+        |FROM grams g JOIN first f ON g.h = f.h
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q98_length_outliers" ->
+      """WITH lens AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt, doc_id FROM documents),
+        |r1 AS (SELECT source, nt, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY nt, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM lens),
+        |med AS (SELECT source, nt AS med FROM r1 WHERE rn = ceil(n / 2.0)),
+        |dev AS (SELECT l.source, abs(l.nt - m.med) AS ad, l.doc_id, m.med
+        |  FROM lens l JOIN med m USING (source)),
+        |r2 AS (SELECT source, ad, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY ad, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM dev),
+        |mad AS (SELECT source, ad AS mad FROM r2 WHERE rn = ceil(n / 2.0))
+        |SELECT d.source, count(*) AS n_docs, max(d.med) AS median_tokens,
+        |  max(md.mad) AS mad_tokens,
+        |  CAST(sum(CASE WHEN d.ad > 3.0 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad md USING (source)
+        |GROUP BY d.source ORDER BY source""".stripMargin,
+
+    "q99_shard_audit" ->
+      """WITH s AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8
+        |      AS shard,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w FROM documents),
+        |per AS (SELECT shard, count(*) AS n_rows,
+        |    CAST(sum(w) AS BIGINT) AS weight_sum FROM s GROUP BY shard),
+        |t AS (SELECT CAST(sum(weight_sum) AS BIGINT) AS tt, count(*) AS kk FROM per)
+        |SELECT shard, n_rows, weight_sum,
+        |  round(CAST(weight_sum AS DOUBLE) * kk / tt, 6) AS skew_ratio
+        |FROM per CROSS JOIN t ORDER BY shard""".stripMargin,
+
+    "q100_cell_balance" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 10),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+        |scored AS (SELECT vec_id, cell,
+        |  round(list_dot_product(vv, cv)
+        |    / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6)
+        |    AS cos
+        |  FROM v CROSS JOIN c),
+        |assigned AS (SELECT cell, CAST(cos AS DECIMAL(18,9)) AS cosd FROM (
+        |  SELECT vec_id, cell, cos,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |t AS (SELECT count(*) AS total FROM embeddings)
+        |SELECT cell, count(*) AS n_vecs,
+        |  round(CAST(count(*) AS DOUBLE) / max(t.total), 6) AS share,
+        |  round(CAST(sum(cosd) AS DOUBLE) / count(*), 6) AS mean_cos
+        |FROM assigned CROSS JOIN t GROUP BY cell ORDER BY cell""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

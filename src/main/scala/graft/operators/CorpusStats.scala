@@ -350,4 +350,75 @@ object CorpusStats {
       .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("token").asc)
       .limit(topK)
+
+  /** Per-document n-gram novelty — the fraction of a document's DISTINCT
+    * token `n`-grams that no lower-id document contains (by the corpus
+    * order `idCol`, the ingest order in practice). Web crawls go stale:
+    * late documents that say almost nothing new are syndication and
+    * boilerplate; a falling corpus-wide novelty curve says the crawl has
+    * saturated (the marginal-value-of-data curve from the scaling-law
+    * literature, computed exactly).
+    *
+    * Scale shape: the exploded (id, gram-hash) frame aggregates once to
+    * (gram, first_id) — fixed-width md5 shuffle key, map-side partial
+    * mins — and rejoins the exploded frame on the same hash, reusing the
+    * exchange; the per-document ratio is a second small aggregation.
+    * Never quadratic, no windows. */
+  def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(array_distinct(
+        TextFunctions.tokenShingles(col(textCol), n))).as("__g"))
+      .select(col(idCol), md5(col("__g")).as("__h"))
+    val first = grams.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
+    grams.join(first, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col(idCol) === col("__first"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty_ratio"))
+  }
+
+  /** Per-source robust length outliers: exact median and MAD (median
+    * absolute deviation) of the token count, and how many documents sit
+    * beyond `cutoff` MADs — the robust-statistics alternative to
+    * mean/stddev outlier fences (a handful of 10M-token concatenation
+    * bugs move a mean arbitrarily but cannot move a median). Both
+    * medians are exact order statistics at rank `ceil(n/2)` (the
+    * [[lengthDeciles]] construction), so any SQL oracle selects the same
+    * integers.
+    *
+    * Scale shape: two rank-selection rounds (length, then absolute
+    * deviation from the joined median), each a per-source row_number
+    * window + a |sources|-row aggregation, medians rejoined by broadcast.
+    * The low-cardinality-partition caveat of [[lengthDeciles]] applies
+    * to both windows. */
+  def lengthOutliers(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, cutoff: Double): DataFrame = {
+    val lens = docs.select(col(sourceCol),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
+      col(idCol).as("__id"))
+    def medianOf(df: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(col(sourceCol))
+        .orderBy(col(v).asc, col("__id").asc)
+      val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+      df.withColumn("__rn", row_number().over(w))
+        .join(broadcast(counts), sourceCol)
+        .filter(col("__rn") === ceil(col("__n") / 2.0))
+        .select(col(sourceCol), col(v).as("__med"))
+    }
+    val med = medianOf(lens, "__nt")
+    val dev = lens.join(broadcast(med), sourceCol)
+      .withColumn("__ad", abs(col("__nt") - col("__med")))
+    val mad = medianOf(dev.select(col(sourceCol), col("__ad"), col("__id")), "__ad")
+      .withColumnRenamed("__med", "__mad")
+    dev.join(broadcast(mad), sourceCol)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("__med")).as("median_tokens"),
+        max(col("__mad")).as("mad_tokens"),
+        sum(when(col("__ad") > lit(cutoff) * col("__mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
 }

@@ -74,6 +74,40 @@ object Relational {
       .limit(topK)
   }
 
+  /** Training-shard assignment audit: rows hash-route to `numShards`
+    * shards (first 4 hex chars of `md5(key)` mod shards — engine-neutral,
+    * uniform, and stable under re-runs), and each shard reports its row
+    * count, its `weight` sum (pass token counts to audit by tokens, not
+    * rows), and the max-skew ratio of its weight to the mean shard
+    * weight. The pre-flight check before writing a training corpus as N
+    * files/streams: a 1.3× heaviest shard is a 1.3× slower epoch, since
+    * the slowest shard gates every data-parallel step. Weight sums
+    * accumulate in exact decimal (order-independent, oracle-exact).
+    *
+    * Scale shape: one codegen'd per-row projection, one hash aggregation
+    * on the shard id (map-side partials over ≤ numShards groups), one
+    * 1-row broadcast for the mean — the audit of a 100 TB corpus costs
+    * one scan. */
+  def shardAudit(df: DataFrame, key: Column, weight: Column,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val shard = pmod(
+      conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long"),
+      lit(numShards.toLong))
+    val perShard = df
+      .select(shard.as("shard"),
+        weight.cast(org.apache.spark.sql.types.DecimalType(18, 0)).as("__w"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__w")).as("__sw"))
+    val totals = perShard.agg(sum(col("__sw")).as("__t"),
+      count(lit(1)).as("__k"))
+    perShard.crossJoin(broadcast(totals))
+      .select(col("shard"), col("n_rows"),
+        col("__sw").cast("long").as("weight_sum"),
+        round(col("__sw").cast("double") * col("__k") / col("__t"), 6)
+          .as("skew_ratio"))
+  }
+
   /** Domain-mixture weighted sampling — the corpus-mixing step that hits
     * a target source/domain distribution (e.g. up-weight reference text,
     * down-weight boilerplate-heavy crawl): each group keeps a

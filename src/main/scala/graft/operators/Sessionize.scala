@@ -46,4 +46,76 @@ object Sessionize {
         min(col(ts)).as("s_start"),
         max(col(ts)).as("s_last"),
         measure.as("sum_value"))
+
+  /** Ordered funnel: for each prefix of `steps`, how many keys completed
+    * the whole prefix IN ORDER (each step strictly after the previous
+    * one's first qualifying occurrence) within `windowSeconds` of the
+    * first step. Earliest-qualifying semantics: step k's time is the MIN
+    * event time of its type strictly after step k-1's time — the standard
+    * product-analytics funnel (unordered "did all steps" counts
+    * overstate conversion).
+    *
+    * Output: (step, step_name, n_keys, conversion) with conversion the
+    * ratio to step 1's count, rounded to 6.
+    *
+    * Scale shape: one aggregation per step — events filtered to that
+    * step's type, min-reduced per key after a broadcast-ranged join
+    * against the (tiny) per-key times of the previous step. Each stage
+    * shuffles only |keys| rows on the key; no windows over the raw
+    * stream, no self-join on the full event table. The final panel is
+    * |steps| rows unioned from |steps| scalar aggregates. */
+  def funnel(events: DataFrame, key: String, ts: String, typeCol: String,
+      steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val micros = unix_micros(col(ts))
+    // per-key first occurrence of step 0
+    val first0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(key)).agg(min(micros).as("__t0"))
+    // prefix k's per-key frame: earliest time of step k strictly after
+    // step k-1, within the window anchored at step 0 — frames shrink
+    // monotonically, so later stages join ever-smaller key sets
+    val prefixes = steps.drop(1).scanLeft(
+      first0.withColumn("__t_prev", col("__t0"))) { case (acc, step) =>
+      events.filter(col(typeCol) === step)
+        .join(acc, Seq(key))
+        .filter(micros > col("__t_prev") &&
+          micros <= col("__t0") + windowSeconds * 1000000L)
+        .groupBy(col(key))
+        .agg(min(col("__t0")).as("__t0"), min(micros).as("__t_prev"))
+    }
+    val counts = prefixes.zip(steps.zipWithIndex).map { case (df, (name, i)) =>
+      df.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i + 1).as("step"), lit(name).as("step_name"),
+          col("n_keys"))
+    }.reduce(_.union(_))
+    val base = counts.filter(col("step") === 1)
+      .select(col("n_keys").as("__base"))
+    counts.crossJoin(broadcast(base))
+      .select(col("step"), col("step_name"), col("n_keys"),
+        round(col("n_keys").cast("double") / col("__base"), 6).as("conversion"))
+  }
+
+  /** Weekly cohort retention: keys grouped by first-seen week (the
+    * cohort), counted by distinct activity in each subsequent week —
+    * the (cohort, week-offset, n_active, retention-ratio) matrix every
+    * growth dashboard draws. Weeks are epoch-second / 604800 floors
+    * (timezone-free integers, identical in any engine).
+    *
+    * Scale shape: first-seen is one per-key min aggregation; activity
+    * collapses to DISTINCT (key, week) before joining the (broadcast
+    * |keys|-row) cohort map — the join input is bounded by key-weeks, not
+    * events; cohort sizes re-join by broadcast. Three shuffles total,
+    * each on small frames. */
+  def cohortRetention(events: DataFrame, key: String, ts: String): DataFrame = {
+    val week = floor(unix_timestamp(col(ts)) / 604800L)
+    val cohorts = events.groupBy(col(key)).agg(min(week).as("cohort_week"))
+    val active = events.select(col(key), week.as("__w")).distinct()
+    val sizes = cohorts.groupBy(col("cohort_week")).agg(count(lit(1)).as("__size"))
+    active.join(cohorts, Seq(key))
+      .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        round(col("n_active").cast("double") / col("__size"), 6).as("retention"))
+  }
 }

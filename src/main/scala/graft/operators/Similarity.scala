@@ -203,4 +203,70 @@ object Similarity {
         2.0 * (x - math.floor(x)) - 1.0
       }
     }
+
+  /** Embedding-table health audit, per label: vector count, dimension
+    * spread (a ragged dim column means a broken encoder batch), zero
+    * vectors (failed encodes — they poison cosine math with NaN), and the
+    * mean L2 norm (un-normalized embeddings shift similarity thresholds).
+    * The first panel to run before any ANN/dedup job trusts a new
+    * embedding dump. Norms accumulate via the repo-wide exact-decimal
+    * convention, so the mean is order-independent and oracle-exact.
+    *
+    * Scale shape: one codegen'd per-row projection (norm + dim), one hash
+    * aggregation on the label — map-side partials collapse everything;
+    * no joins, no windows. */
+  def embeddingAudit(embeds: DataFrame, vecCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val nrm = norm(col(vecCol))
+    embeds
+      .select(col(labelCol), size(col(vecCol)).cast("long").as("__dim"),
+        nrm.cast(DecimalType(18, 9)).as("__nrm"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("__dim")).as("dim_min"),
+        max(col("__dim")).as("dim_max"),
+        sum(when(col("__nrm") === 0, 1L).otherwise(0L)).as("n_zero"),
+        // cast the EXACT decimal sum to double before dividing: decimal
+        // division scale rules differ across engines, double division
+        // doesn't (the sum stays under 2^53 ulp-exact far past any
+        // realistic label population)
+        (sum(col("__nrm")).cast("double") / count(lit(1))).as("avg_norm"))
+      .select(col(labelCol), col("n_vecs"), col("dim_min"), col("dim_max"),
+        col("n_zero"), round(col("avg_norm"), 6).as("avg_norm"))
+  }
+
+  /** Quantization-balance audit of an IVF-style coarse assignment: every
+    * vector goes to its highest-cosine centroid (the [[buildIvfIndex]]
+    * assignment — first `nlist` vectors as deterministic centroids), and
+    * each cell reports its population, population share, and mean
+    * centroid cosine — the panel that decides whether an index needs
+    * re-clustering (empty/overfull cells) or more probes (low mean
+    * cosine = wide cells). Decimal-accumulated means, oracle-exact.
+    *
+    * Scale shape: centroids broadcast (tiny), the corpus never shuffles
+    * until it has collapsed to per-cell partials: the argmax-by-cell is
+    * a per-row window over `nlist` scored copies — bounded fan-out — and
+    * the final aggregation is |cells| rows. */
+  def cellBalance(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, roundTo: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val idx = buildIvfIndex(corpus, vecCol, idCol, nlist, roundTo)
+    val cents = idx.centroids.select(col("cell"), col("vec").as("__cv"),
+      col("nrm").as("__cn"))
+    val assigned = idx.entries
+      .join(broadcast(cents), "cell")
+      .select(col("cell"),
+        round(dot(col("vec"), col("__cv")) / (col("nrm") * col("__cn")), roundTo)
+          .cast(DecimalType(18, 9)).as("__cos"))
+    val total = corpus.agg(count(lit(1)).as("__total"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        // decimal-sum → double BEFORE dividing (see embeddingAudit)
+        (sum(col("__cos")).cast("double") / count(lit(1))).as("mean_cos"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__total"), roundTo).as("share"),
+        round(col("mean_cos"), roundTo).as("mean_cos"))
+  }
 }

@@ -399,6 +399,74 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Line-level dedup (the CCNet/RefinedWeb pre-pass): split each
+    * document into lines, count how many DISTINCT documents carry each
+    * line, drop every copy of any line carried by more than `maxDocs`
+    * documents (boilerplate — cookie banners, nav bars, footers — is
+    * corpus-frequent; body text is not), and reassemble the survivors in
+    * original order. Returns (idCol, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: the exploded (id, pos, line) frame collapses to one
+    * hash aggregation on `md5(line)` — a fixed-width shuffle key however
+    * long the line — and rejoins the exploded frame on the same hash, so
+    * the exchange is reused; reassembly is one per-document aggregation
+    * whose `array_sort` orders each doc's own lines locally (bounded
+    * per-doc line counts; nothing global sorts). The frequent-line table
+    * could broadcast instead (lines over the threshold are few), but the
+    * equi-join on the hash already avoids any quadratic shape. */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      sep: String, maxDocs: Long): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep, -1)))
+      .select(col(idCol), col("pos"), col("col").as("__line"),
+        md5(col("col")).as("__h"))
+    val freq = lines.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+    val kept = lines.join(freq, "__h").filter(col("__docs") <= maxDocs)
+    val perDoc = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__line")))),
+          s => s.getField("__line")), sep).as("clean_text"))
+    perDoc.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD '03 — the MOSS algorithm): hash every token `k`-gram, slide a
+    * `w`-gram window over the hash sequence, and keep each window's
+    * minimum hash. Guarantees every match of length ≥ w+k-1 tokens shares
+    * a fingerprint while storing ~2/(w+1) of the grams — the standard
+    * position-robust alternative to one global min ([[exact]] fingerprints
+    * shift entirely when one byte changes; winnowing keeps all local
+    * minima, so edits only perturb nearby fingerprints). Returns the
+    * DISTINCT (idCol, fingerprint) set.
+    *
+    * Scale shape: per-document work only — the gram hashes materialize
+    * once per row, and the rolling-window minimum runs inside a
+    * higher-order `transform` over each doc's own hash array (no window
+    * function, no shuffle; per-doc arrays are bounded). The only
+    * exchange is the final DISTINCT on (id, fixed-width hash). md5
+    * lexicographic minima keep any SQL oracle bit-identical. */
+  def winnow(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
+    val toks = tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__gh", transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), greatest(size(col("__gh")) - (w - 1), lit(1))),
+        i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"))
+      .distinct()
+  }
+
   /** Cross-source n-gram overlap audit — for every pair of sources, how
     * many distinct token `shingleSize`-gram shingles they share and the
     * Jaccard of their shingle sets: the between-domain contamination /

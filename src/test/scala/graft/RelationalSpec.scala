@@ -173,4 +173,25 @@ class RelationalSpec extends AnyFunSuite {
       ("1", 6L, 0.666667, 2.666667, 3L),
       ("2", 1L, 0.111111, 0.444444, 1L)))
   }
+
+  test("shardAudit partitions all rows, sums weights exactly, mean ratio 1") {
+    val df = (0L until 64L).map(i => (i, 10L)).toDF("id", "w")
+    val out = Relational.shardAudit(df, col("id"), col("w"), numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._2).sum == 64L)       // every row lands in some shard
+    assert(out.map(_._3).sum == 640L)      // weights conserved
+    assert(out.forall(s => s._1 >= 0 && s._1 < 4))
+    // equal per-row weights: skew ratio == n_rows * shards / total rows
+    out.foreach { case (_, n, _, ratio) =>
+      assert(math.abs(ratio - n * 4.0 / 64.0) < 1e-6)
+    }
+  }
+
+  test("shardAudit is deterministic and weight-driven") {
+    val df = Seq((1L, 5L), (2L, 7L)).toDF("id", "w")
+    val a = Relational.shardAudit(df, col("id"), col("w"), 1).collect()
+    assert(a.length == 1 && a.head.getLong(1) == 2L &&
+      a.head.getLong(2) == 12L && a.head.getDouble(3) == 1.0)
+  }
 }

@@ -78,4 +78,68 @@ class SessionizeSpec extends AnyFunSuite {
     assert(!hist(0).getAs[Boolean]("is_current"))
     assert(hist(1).getAs[Boolean]("is_current"))
   }
+
+  test("funnel: ordered chains within the window, in-order only") {
+    import spark.implicits._
+    val events = Seq(
+      // u1 completes the whole funnel in order
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase"),
+      // u2 views only
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      // u3 clicks AFTER the 1-day window -> view only
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-03 00:00:00"), "click"),
+      // u4 purchases BEFORE clicking -> stops at click
+      (4L, ts("2024-01-01 00:00:00"), "view"),
+      (4L, ts("2024-01-01 01:00:00"), "purchase"),
+      (4L, ts("2024-01-01 02:00:00"), "click"),
+      // u5 never views -> not in the funnel at all
+      (5L, ts("2024-01-01 00:00:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sessionize.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 86400L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(
+      (1, "view", 4L, 1.0),
+      (2, "click", 2L, 0.5),      // u1 and u4
+      (3, "purchase", 1L, 0.25))) // u1 only: u4's purchase precedes click
+  }
+
+  test("funnel: step time is the EARLIEST qualifying occurrence") {
+    import spark.implicits._
+    // the first click (01:00) is what the purchase must follow — a
+    // later click (03:00) must not push the anchor forward
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 01:00:00"), "click"),
+      (1L, ts("2024-01-01 03:00:00"), "click"),
+      (1L, ts("2024-01-01 02:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Sessionize.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), 86400L).orderBy("step").collect()
+    assert(out.map(_.getLong(2)).toList == List(1L, 1L, 1L))
+  }
+
+  test("cohortRetention: offsets count distinct active keys against cohort size") {
+    import spark.implicits._
+    val w0 = ts("2024-01-04 00:00:00") // within epoch-week W
+    val w1 = ts("2024-01-11 00:00:00") // W+1
+    val w2 = ts("2024-01-18 00:00:00") // W+2
+    val events = Seq(
+      (1L, w0), (1L, w1), (1L, w1), // u1: cohort W, active W and W+1 (dup event)
+      (2L, w0), (2L, w2),           // u2: cohort W, active W and W+2
+      (3L, w1)                      // u3: cohort W+1
+    ).toDF("user_id", "ts")
+    val out = Sessionize.cohortRetention(events, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(
+      (0L, 2L, 1.0),  // both cohort-W users active in week 0
+      (1L, 1L, 0.5),  // u1 only
+      (2L, 1L, 0.5),  // u2 only
+      (0L, 1L, 1.0))) // u3's cohort
+  }
 }

@@ -51,4 +51,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.count() == oneShot.count())
     assert(viaIndex.except(oneShot).isEmpty && oneShot.except(viaIndex).isEmpty)
   }
+
+  test("embeddingAudit: counts, dim spread, zero vectors, exact mean norm") {
+    import spark.implicits._
+    val embeds = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),   // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),   // zero vector
+      (3L, Seq(6.0f, 8.0f, 0.0f), 1) // norm 10, ragged dim
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingAudit(embeds, "embedding", "vec_id", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toList == List(
+      (0, 2L, 2L, 2L, 1L, 2.5),  // (5 + 0) / 2
+      (1, 1L, 3L, 3L, 0L, 10.0)))
+  }
+
+  test("cellBalance assigns by max cosine and reports exact means") {
+    import spark.implicits._
+    val embeds = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // centroid cell 0
+      (1L, Seq(0.0f, 1.0f)),  // centroid cell 1
+      (2L, Seq(0.9f, 0.1f))   // cosine 0.993884 to cell 0, 0.110432 to cell 1
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cellBalance(embeds, "embedding", "vec_id", nlist = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toList == List(
+      (0L, 2L, 0.666667, 0.996942), // (1.0 + 0.993884) / 2
+      (1L, 1L, 0.333333, 1.0)))
+  }
 }

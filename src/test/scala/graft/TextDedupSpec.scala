@@ -223,6 +223,65 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toList == List((1L, 1L, "dup dup"), (2L, 2L, "p q r s")))
   }
 
+  test("lineDedup strips corpus-frequent lines, keeps order, counts lines") {
+    import spark.implicits._
+    // "boiler" rides in 3 of 4 docs (> maxDocs 2) -> stripped everywhere;
+    // body lines are unique -> kept in original order
+    val docs = Seq(
+      (1L, "alpha one\nboiler\nbeta one"),
+      (2L, "boiler\ngamma two"),
+      (3L, "delta three\nboiler"),
+      (4L, "epsilon four")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(docs, "text", "doc_id", "\n", maxDocs = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toList == List(
+      (1L, 3L, 2L, "alpha one\nbeta one"),
+      (2L, 2L, 1L, "gamma two"),
+      (3L, 2L, 1L, "delta three"),
+      (4L, 1L, 1L, "epsilon four")))
+  }
+
+  test("lineDedup: doc made entirely of boilerplate empties to ''") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b1\nb2"), (2L, "b1\nb2"), (3L, "b1\nb2")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.lineDedup(docs, "text", "doc_id", "\n", maxDocs = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(2), r.getString(3)))
+    assert(out.toList == List((0L, ""), (0L, ""), (0L, "")))
+  }
+
+  test("winnow equals the brute-force window-minimum fingerprint set") {
+    import spark.implicits._
+    val text = "a b c d e f g"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextDedup.winnow(docs, "text", "doc_id", k = 2, w = 3)
+      .orderBy("fingerprint").collect().map(_.getString(1)).toList
+    // reference computation with java's own md5
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = text.split(" ")
+    val grams = toks.sliding(2).map(_.mkString(" ")).map(md5hex).toVector
+    val expected = grams.sliding(3).map(_.min).toVector.distinct.sorted.toList
+    assert(out == expected)
+    // winnowing density: distinct minima over windows is well under all grams
+    assert(out.size <= grams.size)
+  }
+
+  test("winnow: identical docs share identical fingerprint sets") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.winnow(docs, "text", "doc_id", k = 3, w = 4)
+    val sets = out.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(sets(1L) == sets(2L))
+  }
+
   test("sourceOverlap counts shared distinct shingles with Jaccard") {
     import spark.implicits._
     // source A docs cover shingles {a b c, b c d}; source B covers

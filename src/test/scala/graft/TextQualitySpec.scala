@@ -213,4 +213,34 @@ class TextQualitySpec extends AnyFunSuite {
     assert((2 to 10).map(r.getLong).toList ==
       List(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
   }
+
+  test("ngramNovelty: first carrier owns the gram, late copies score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),   // grams {abc, bcd} — all novel
+      (2L, "a b c d"),   // exact copy — nothing novel
+      (3L, "a b c x y z") // {abc, bcx, cxy, xyz}: 3 of 4 novel
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.ngramNovelty(docs, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(
+      (1L, 2L, 2L, 1.0),
+      (2L, 2L, 0L, 0.0),
+      (3L, 4L, 3L, 0.75)))
+  }
+
+  test("lengthOutliers: exact median/MAD fences per source") {
+    import spark.implicits._
+    // lengths 1,2,3,4,100: median 3 (rank ceil(5/2)=3), deviations
+    // 2,1,0,1,97 -> sorted 0,1,1,2,97, MAD 1 (rank 3); |100-3| > 3*1
+    // and |1-3| <= 3 -> exactly one outlier
+    val docs = Seq(1, 2, 3, 4, 100).zipWithIndex.map { case (len, i) =>
+      ("s", i.toLong, ("t " * len).trim)
+    }.toDF("source", "doc_id", "text")
+    val r = CorpusStats.lengthOutliers(docs, "text", "doc_id", "source",
+      cutoff = 3.0).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 3L, 1L, 1L)))
+  }
 }

@@ -36,6 +36,34 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "2024-01-01 05:09:00.0", 1L, Some(9.0), 9.0)))
   }
 
+  test("interpolate draws the time-weighted line between observed buckets") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:10"), 4.0),
+      (1L, ts("2024-01-01 03:00:30"), 7.0) // 3-bucket gap at 1h cadence
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.interpolate(events, "user_id", "ts", "value", 3600L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)), r.getDouble(4)))
+    assert(out.toList == List(
+      (1L, Some(4.0), 4.0),
+      (0L, None, 5.0), // 4 + (7-4)·(1/3)
+      (0L, None, 6.0), // 4 + (7-4)·(2/3)
+      (1L, Some(7.0), 7.0)))
+  }
+
+  test("interpolate rounds exact micro-unit midpoints half-up") {
+    // midpoint of 1.0 and 2.000001 = 1.5000005 exactly: float paths
+    // dither around the boundary, the integer path must round UP
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 02:00:00"), 2.000001)
+    ).toDF("user_id", "ts", "value")
+    val mid = TimeSeries.interpolate(events, "user_id", "ts", "value", 3600L)
+      .filter("n_events = 0").collect()
+    assert(mid.length == 1)
+    assert(mid.head.getDouble(4) == 1.500001)
+  }
+
   test("gapFill grid is bounded by each key's own span, not the global one") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
