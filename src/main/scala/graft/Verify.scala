@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // Contended hosts can stretch a broadcast build past the 300 s
+      // default and fabricate a failure (see Bench.scala); Verify must
+      // grade correctness, not host weather.
+      .config("spark.sql.broadcastTimeout", "3600")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.Tables.configure(spark)
