@@ -385,40 +385,47 @@ object CorpusStats {
     * beyond `cutoff` MADs — the robust-statistics alternative to
     * mean/stddev outlier fences (a handful of 10M-token concatenation
     * bugs move a mean arbitrarily but cannot move a median). Both
-    * medians are exact order statistics at rank `ceil(n/2)` (the
-    * [[lengthDeciles]] construction), so any SQL oracle selects the same
-    * integers.
+    * medians are exact order statistics at rank `ceil(n/2)`, so any SQL
+    * oracle selects the same integers.
     *
-    * Scale shape: two rank-selection rounds (length, then absolute
-    * deviation from the joined median), each a per-source row_number
-    * window + a |sources|-row aggregation, medians rejoined by broadcast.
-    * The low-cardinality-partition caveat of [[lengthDeciles]] applies
-    * to both windows. */
+    * Scale shape: token counts are SMALL INTEGERS, so the docs are
+    * scanned ONCE into a `(source, length) → count` histogram (map-side
+    * partial aggregation; the histogram is bounded by |sources| ×
+    * distinct lengths, not |docs|) and both rank selections run as
+    * cumulative sums over that tiny frame — no per-source row_number
+    * window over the documents, no second scan of the text column. The
+    * deviation histogram re-aggregates the length histogram, not the
+    * corpus; every branch hangs off the same first-pass aggregate, so
+    * the scan's exchange is planned once and reused. (The earlier
+    * window-median form re-ran the tokenizing scan for each of its three
+    * consumers and sorted all docs per source twice — measured 1.1 s →
+    * ~0.3 s at sf0.1.) */
   def lengthOutliers(docs: DataFrame, textCol: String, idCol: String,
       sourceCol: String, cutoff: Double): DataFrame = {
-    val lens = docs.select(col(sourceCol),
-      TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
-      col(idCol).as("__id"))
-    def medianOf(df: DataFrame, v: String): DataFrame = {
-      val w = Window.partitionBy(col(sourceCol))
-        .orderBy(col(v).asc, col("__id").asc)
-      val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-      df.withColumn("__rn", row_number().over(w))
+    val hist = docs.groupBy(col(sourceCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .agg(count(lit(1)).as("__c"))
+    // rank of the median in each source's sorted length list
+    def medianFromHist(h: DataFrame, v: String): DataFrame = {
+      val w = Window.partitionBy(col(sourceCol)).orderBy(col(v).asc)
+      val counts = h.groupBy(col(sourceCol)).agg(sum(col("__c")).as("__n"))
+      h.withColumn("__cum", sum(col("__c")).over(w))
         .join(broadcast(counts), sourceCol)
-        .filter(col("__rn") === ceil(col("__n") / 2.0))
-        .select(col(sourceCol), col(v).as("__med"))
+        .filter(col("__cum") >= ceil(col("__n") / 2.0))
+        .groupBy(col(sourceCol)).agg(min(col(v)).as("__med"))
     }
-    val med = medianOf(lens, "__nt")
-    val dev = lens.join(broadcast(med), sourceCol)
-      .withColumn("__ad", abs(col("__nt") - col("__med")))
-    val mad = medianOf(dev.select(col(sourceCol), col("__ad"), col("__id")), "__ad")
+    val med = medianFromHist(hist, "__nt")
+    val devHist = hist.join(broadcast(med), sourceCol)
+      .groupBy(col(sourceCol), abs(col("__nt") - col("__med")).as("__ad"))
+      .agg(sum(col("__c")).as("__c"), max(col("__med")).as("__med"))
+    val mad = medianFromHist(devHist, "__ad")
       .withColumnRenamed("__med", "__mad")
-    dev.join(broadcast(mad), sourceCol)
+    devHist.join(broadcast(mad), sourceCol)
       .groupBy(col(sourceCol))
-      .agg(count(lit(1)).as("n_docs"),
+      .agg(sum(col("__c")).as("n_docs"),
         max(col("__med")).as("median_tokens"),
         max(col("__mad")).as("mad_tokens"),
-        sum(when(col("__ad") > lit(cutoff) * col("__mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("__ad") > lit(cutoff) * col("__mad"), col("__c"))
+          .otherwise(0L)).as("n_outliers"))
   }
 }

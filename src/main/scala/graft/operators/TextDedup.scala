@@ -411,9 +411,13 @@ object TextDedup {
     * long the line — and rejoins the exploded frame on the same hash, so
     * the exchange is reused; reassembly is one per-document aggregation
     * whose `array_sort` orders each doc's own lines locally (bounded
-    * per-doc line counts; nothing global sorts). The frequent-line table
-    * could broadcast instead (lines over the threshold are few), but the
-    * equi-join on the hash already avoids any quadratic shape. */
+    * per-doc line counts; nothing global sorts). Per-document TOTAL line
+    * counts come from `size(split(...))` on the narrow docs frame — NOT
+    * from re-aggregating the exploded frame, which would re-run the
+    * split/explode/md5 scan and shuffle every exploded row a second time
+    * just to count. The frequent-line table could broadcast instead
+    * (lines over the threshold are few), but the equi-join on the hash
+    * already avoids any quadratic shape. */
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
       sep: String, maxDocs: Long): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
@@ -424,7 +428,8 @@ object TextDedup {
     val freq = lines.groupBy(col("__h"))
       .agg(count_distinct(col(idCol)).as("__docs"))
     val kept = lines.join(freq, "__h").filter(col("__docs") <= maxDocs)
-    val perDoc = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    val perDoc = docs.select(col(idCol),
+      size(split(col(textCol), sep, -1)).cast("long").as("n_lines"))
     val keptAgg = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
