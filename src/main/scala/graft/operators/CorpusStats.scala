@@ -103,29 +103,40 @@ object CorpusStats {
     * volume, mean type-token ratio, mean stopword ratio, and the
     * exact-duplicate fraction per cell.
     *
-    * Scale shape: the duplicate count joins on `md5(text)` (32 bytes)
-    * rather than the full text, so the shuffle carries a fixed-width key;
-    * per-row signals are codegen'd expressions; the final rollup is one
-    * hash aggregation over |sources|×|langs| cells with map-side
-    * partials. Mean doubles are rounded to 6 decimals per the repo's
-    * float-association convention. */
+    * Scale shape: every per-text signal (token count, TTR, stopword
+    * ratio, md5) is computed ONCE, map-side, in the first projection;
+    * the raw text never enters a shuffle. The first aggregation
+    * collapses to one row per (hash, source, lang) — signals ride along
+    * via `min` since they are functions of the text — the corpus-wide
+    * duplicate count re-aggregates that narrow frame on the hash and
+    * rejoins it (fixed-width key, dup groups are tiny), and the final
+    * rollup weights each distinct text by its occurrence count. The
+    * earlier form joined dupCounts back to the FULL docs frame, pushing
+    * every text byte through the join shuffle and tokenizing after it.
+    * Mean doubles are rounded to 6 decimals per the repo's
+    * float-association convention (the weighted regrouping changes
+    * addition order only). */
   def corpusReport(docs: DataFrame, textCol: String,
       sourceCol: String, langCol: String): DataFrame = {
-    val keyed = docs.withColumn("__h", md5(col(textCol)))
-    val dupCounts = keyed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
-    keyed.join(dupCounts, "__h")
-      .select(col(sourceCol), col(langCol),
-        TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
-        TextFunctions.typeTokenRatio(col(textCol)).as("__ttr"),
-        TextFunctions.stopwordRatio(col(textCol)).as("__sw"),
-        (col("__n") > 1).cast("int").as("__dup"))
+    val sig = docs.select(col(sourceCol), col(langCol),
+      md5(col(textCol)).as("__h"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"),
+      TextFunctions.typeTokenRatio(col(textCol)).as("__ttr"),
+      TextFunctions.stopwordRatio(col(textCol)).as("__sw"))
+    val grouped = sig.groupBy(col("__h"), col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("__n"), min(col("__nt")).as("__nt"),
+        min(col("__ttr")).as("__ttr"), min(col("__sw")).as("__sw"))
+    val dupCounts = grouped.groupBy(col("__h")).agg(sum(col("__n")).as("__tot"))
+    grouped.join(dupCounts, "__h")
       .groupBy(col(sourceCol), col(langCol))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("__nt")).as("n_tokens"),
-        round(avg(col("__ttr")), 6).as("mean_ttr"),
-        round(avg(col("__sw")), 6).as("mean_stopword_ratio"),
-        round(sum(col("__dup")).cast("double") / count(lit(1)), 6).as("dup_frac"))
+        sum(col("__n")).as("n_docs"),
+        sum(col("__n") * col("__nt")).as("n_tokens"),
+        round(sum(col("__n") * col("__ttr")) / sum(col("__n")), 6).as("mean_ttr"),
+        round(sum(col("__n") * col("__sw")) / sum(col("__n")), 6)
+          .as("mean_stopword_ratio"),
+        round(sum(when(col("__tot") > 1, col("__n")).otherwise(0L))
+          .cast("double") / sum(col("__n")), 6).as("dup_frac"))
   }
 
   /** Per-document character-level Shannon entropy — the model-free
@@ -192,23 +203,25 @@ object CorpusStats {
     * raw term counts, ranked per document (rounded score DESC, token ASC
     * for an engine-independent total order).
     *
-    * Scale shape: same two-level family as [[rareTokenStats]] — tf is
-    * one hash aggregation on (doc, token); df re-aggregates the tf frame
-    * on token, and the tf↔df join hashes on token too, so Catalyst
-    * reuses one exchange for both (ReuseExchange); N is a 1-row
-    * broadcast. The per-document ranking filter compiles to
-    * WindowGroupLimit, so each partition keeps only k rows per document
-    * before the window's shuffle. */
+    * Scale shape: tf is one hash aggregation on (doc, token); df is a
+    * COUNT over `Window.partitionBy(token)` on the tf frame — one
+    * shuffle of the already-collapsed tf rows, replacing the earlier
+    * df-aggregate + tf↔df join whose second branch re-ran the
+    * tokenize/explode scan (a groupBy's partially-aggregated exchange
+    * is not reusable by a join on the same key, so "ReuseExchange" never
+    * actually fired there). N is a 1-row broadcast. The per-document
+    * ranking filter compiles to WindowGroupLimit, so each partition
+    * keeps only k rows per document before the window's shuffle. */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("token"))
     val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
+    val wd = Window.partitionBy(col("token"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tf_idf").desc, col("token").asc)
-    tf.join(df, "token")
+    tf.withColumn("df", count(lit(1)).over(wd))
       .crossJoin(broadcast(n))
       .withColumn("tf_idf",
         round(col("tf") * log(col("__n").cast("double") / col("df")), 6))

@@ -373,7 +373,11 @@ object TextDedup {
     * shuffle key regardless of span length — and rejoins on the same hash
     * so the exchange is reused; reassembly is one per-document
     * aggregation whose `array_sort` orders each doc's own spans locally
-    * (docs have bounded span counts; nothing global sorts). */
+    * (docs have bounded span counts; nothing global sorts). Per-document
+    * TOTAL span counts are the chunk-grid closed form over the narrow
+    * docs frame — NOT a re-aggregation of the exploded frame, which
+    * would re-run the tokenize/explode scan and shuffle every span row a
+    * second time just to count. */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int): DataFrame = {
     val spans = Packing
@@ -387,7 +391,13 @@ object TextDedup {
       .agg(min(shiftleft(col(idCol), 20) + col("chunk_id")).as("__keep"))
     val kept = spans.join(keepers, "__h")
       .filter(shiftleft(col(idCol), 20) + col("chunk_id") === col("__keep"))
-    val perDoc = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    // n_spans = last chunk id + 1 = floor((max(n-w,0)+w-1)/w) + 1 for the
+    // non-overlapping grid (window = stride = spanTokens); mirrors
+    // chunkDocuments' sequence bound exactly.
+    val nTok = size(graft.functions.TextFunctions.tokens(col(textCol))).cast("long")
+    val perDoc = docs.select(col(idCol),
+      (floor((greatest(nTok - spanTokens, lit(0L)) + (spanTokens - 1))
+        / spanTokens).cast("long") + 1L).as("n_spans"))
     val keptAgg = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
