@@ -64,6 +64,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(mid.head.getDouble(4) == 1.500001)
   }
 
+  test("interpolate keeps floor-division semantics on negative values") {
+    // the long-arithmetic path must agree with the decimal formula's
+    // subtract-pmod floor division when sums are negative: the micro
+    // midpoint of -1.0 and -2.000001 is -1500000.5, which the half-up
+    // construction floor((2n+m)/(2m)) resolves to -1500000 -> -1.5
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), -1.0),
+      (1L, ts("2024-01-01 02:00:00"), -2.000001),
+      (2L, ts("2024-01-01 00:00:00"), -4.0),
+      (2L, ts("2024-01-01 03:00:00"), 2.0) // crosses zero: -2, 0
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.interpolate(events, "user_id", "ts", "value", 3600L)
+      .filter("n_events = 0").orderBy("user_id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(4)))
+    assert(out.toList == List((1L, -1.5), (2L, -2.0), (2L, 0.0)))
+  }
+
   test("gapFill grid is bounded by each key's own span, not the global one") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
