@@ -289,27 +289,40 @@ object CorpusStats {
     * `ln` of their ratio is rounded to 6 decimals per the repo's
     * float-association convention.
     *
-    * Scale shape: bigrams come from one narrow explode of
-    * [[TextFunctions.tokenShingles]]; bigram and unigram counts are each
-    * one hash aggregation with map-side partials (Zipf collapse); the
-    * left/right unigram lookups join on the token — small enough to AQE
-    * broadcast at any corpus size (vocabularies are millions, not
-    * billions) — and the final top-k is TakeOrderedAndProject. */
+    * Scale shape: the corpus is tokenized ONCE — each token explodes as
+    * a `(w1, w2)` pair where `w2` is the next token or an end-of-doc
+    * sentinel, so unigram counts (every occurrence is some row's `w1`)
+    * and bigram counts (rows whose `w2` is real) both read the same
+    * persisted two-string-column frame (the in-memory form of a
+    * temp-table write, the [[graft.operators.TextDedup.lshCandidatePairs]]
+    * convention). The top-k by raw count runs BEFORE the unigram
+    * lookups — the ranking orders by `n_pair` alone, so joining `uni`
+    * against the k surviving pairs (broadcast k rows, stream the
+    * vocabulary) replaces two corpus-vocabulary joins of the full
+    * bigram table. */
   def collocations(docs: DataFrame, textCol: String, idCol: String,
       topK: Int): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
-    val bigrams = docs
-      .select(explode(TextFunctions.tokenShingles(col(textCol), 2)).as("bg"))
-      .select(split(col("bg"), " ").getItem(0).as("w1"),
-        split(col("bg"), " ").getItem(1).as("w2"))
+    val t = TextFunctions.tokens(col(textCol))
+    val sentinel = " "
+    val padded = docs
+      .select(explode(transform(sequence(lit(1), size(t)),
+        i => struct(element_at(t, i).as("w1"),
+          // try_element_at: one-past-the-end reads null (ANSI
+          // element_at raises), which the sentinel then replaces
+          coalesce(try_element_at(t, i + 1), lit(sentinel)).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist()
+    val uni = padded.groupBy(col("w1")).agg(count(lit(1)).as("__c"))
+    val bigrams = padded.filter(col("w2") =!= sentinel)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val top = bigrams
+      .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
     val totals = uni.agg(sum(col("__c")).as("__u"))
       .crossJoin(bigrams.agg(sum(col("n_pair")).as("__b")))
-    bigrams
-      .join(uni.select(col("token").as("w1"), col("__c").as("__c1")), "w1")
-      .join(uni.select(col("token").as("w2"), col("__c").as("__c2")), "w2")
+    broadcast(top)
+      .join(uni.select(col("w1"), col("__c").as("__c1")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("__c").as("__c2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("w1"), col("w2"), col("n_pair"),
         round(log(
@@ -317,7 +330,6 @@ object CorpusStats {
             ((col("__c1").cast("double") / col("__u")) *
               (col("__c2").cast("double") / col("__u")))), 6).as("pmi"))
       .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
-      .limit(topK)
   }
 
   /** Per-source token-length deciles — the length-distribution panel of a

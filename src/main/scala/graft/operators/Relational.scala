@@ -49,10 +49,17 @@ object Relational {
     * Scale shape: one hash aggregation on the key (map-side partials
     * absorb the skew being measured — the irony is load-bearing), a
     * 1-row broadcast of the (total, distinct) pair, and a
-    * TakeOrderedAndProject top-k. */
+    * TakeOrderedAndProject top-k. The aggregation groups on the RAW key
+    * and casts to string only after collapsing: the shuffle then carries
+    * the native fixed-width value instead of a per-row formatted string,
+    * and grouping matches the equality the salt factor will actually be
+    * used under (Spark's join/group comparison, which normalizes ±0.0
+    * and NaN — a string-keyed pre-cast would split "-0.0" from "0.0"
+    * into different groups than the join being salted). */
   def skewAudit(df: DataFrame, key: Column, topK: Int): DataFrame = {
-    val counts = df.groupBy(key.cast("string").as("key"))
+    val counts = df.groupBy(key.as("__k"))
       .agg(count(lit(1)).as("n_rows"))
+      .select(col("__k").cast("string").as("key"), col("n_rows"))
     val totals = counts.agg(sum(col("n_rows")).as("__t"),
       count(lit(1)).as("__k"))
     counts.crossJoin(broadcast(totals))
