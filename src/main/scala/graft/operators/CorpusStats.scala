@@ -291,30 +291,41 @@ object CorpusStats {
     *
     * Scale shape: the corpus is tokenized ONCE — each token explodes as
     * a `(w1, w2)` pair where `w2` is the next token or an end-of-doc
-    * sentinel, so unigram counts (every occurrence is some row's `w1`)
-    * and bigram counts (rows whose `w2` is real) both read the same
-    * persisted two-string-column frame (the in-memory form of a
-    * temp-table write, the [[graft.operators.TextDedup.lshCandidatePairs]]
-    * convention). The top-k by raw count runs BEFORE the unigram
-    * lookups — the ranking orders by `n_pair` alone, so joining `uni`
-    * against the k surviving pairs (broadcast k rows, stream the
+    * sentinel (a single space: tokens are space-split, so no token can
+    * ever equal it), and ONE corpus-wide `(w1, w2)` count collapses the
+    * exploded frame before anything branches. Every downstream frame
+    * (unigram counts: sum over each `w1`, since every token occurrence
+    * is exactly one row's `w1`; bigram counts: the non-sentinel rows;
+    * totals) re-aggregates that Zipf-collapsed count table, so all
+    * consumers share the single aggregation exchange (ReuseExchange)
+    * and the tokenize/explode scan runs once — persisting the exploded
+    * frame instead was measured net-negative (a memory-store round trip
+    * of every token pair). The top-k by raw count runs BEFORE the
+    * unigram lookups — the ranking orders by `n_pair` alone, so joining
+    * `uni` against the k surviving pairs (broadcast k rows, stream the
     * vocabulary) replaces two corpus-vocabulary joins of the full
     * bigram table. */
   def collocations(docs: DataFrame, textCol: String, idCol: String,
       topK: Int): DataFrame = {
     val t = TextFunctions.tokens(col(textCol))
-    val sentinel = " "
-    val padded = docs
+    val sentinel = " "
+    val g0 = docs
       .select(explode(transform(sequence(lit(1), size(t)),
         i => struct(element_at(t, i).as("w1"),
           // try_element_at: one-past-the-end reads null (ANSI
           // element_at raises), which the sentinel then replaces
           coalesce(try_element_at(t, i + 1), lit(sentinel)).as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+      // persist the COLLAPSED count table (|distinct bigrams| rows, not
+      // |tokens|): five consumers (uni twice, bigram filter, two totals)
+      // hang off it and exchange reuse does not span their differing
+      // parent aggregates — measured 7 s unpersisted vs 0.6 s persisted
+      // at sf0.1, vs 1.2 s persisting the pre-collapse exploded frame
       .persist()
-    val uni = padded.groupBy(col("w1")).agg(count(lit(1)).as("__c"))
-    val bigrams = padded.filter(col("w2") =!= sentinel)
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uni = g0.groupBy(col("w1")).agg(sum(col("__c")).as("__c"))
+    val bigrams = g0.filter(col("w2") =!= sentinel)
+      .select(col("w1"), col("w2"), col("__c").as("n_pair"))
     val top = bigrams
       .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
       .limit(topK)

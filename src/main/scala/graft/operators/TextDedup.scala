@@ -495,10 +495,12 @@ object TextDedup {
     * only for shingles ALL sources share, and the pair matrix itself is
     * |sources|²/2 rows: tiny at any corpus size (domains are thousands,
     * not billions). Per-source set sizes arrive via a broadcast join.
-    * The distinct (source, hash) frame is persisted — its three
-    * consumers (sizes, both self-join aliases) would otherwise each
-    * re-run the tokenize/shingle/md5 scan (the
-    * [[lshCandidatePairs]] temp-table convention). */
+    * All three consumers of the distinct (source, hash) frame — sizes
+    * and both self-join aliases — sit directly above the SAME distinct
+    * aggregation, so ReuseExchange runs the tokenize/shingle/md5 scan
+    * once; persisting here was measured net-negative (it swaps the
+    * reused exchange for a memory-store round trip of every shingle
+    * row). */
   def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
       shingleSize: Int): DataFrame = {
     val shingles = docs
@@ -508,7 +510,6 @@ object TextDedup {
         i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
       .select(col(sourceCol), md5(col("__g")).as("__h"))
       .distinct()
-      .persist()
     val sizes = shingles.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
     val a = shingles.alias("a")
     val b = shingles.alias("b")

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.Generate
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CorpusStats, Sessionize, TextDedup}
+
+/** Plan-SHAPE contracts for the operators whose round-5 rewrites
+  * removed redundant tokenize/explode passes. Counting `Generate` nodes
+  * in the optimized logical plan pins the structure: a regression that
+  * reintroduces a per-branch re-explode (the silent 2-3× scan cost this
+  * family kept paying) shows up as an extra Generate before any bench
+  * run notices. Logical-plan counts are stable — no AQE, no exchange
+  * placement, no codegen boundaries involved. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def generates(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case g: Generate => g }.size
+
+  private def docs = Seq(
+    (1L, "a b c d", "s1"), (2L, "b c d e", "s1"), (3L, "a b c d", "s2")
+  ).toDF("doc_id", "text", "source")
+
+  test("tfIdfTopTerms tokenizes once: a single Generate in the plan") {
+    // the earlier df-aggregate + tf-df join planned the tokenize explode
+    // under BOTH join branches (2 Generates); the window-count form has 1
+    assert(generates(CorpusStats.tfIdfTopTerms(docs, "text", "doc_id", 3)) == 1)
+  }
+
+  test("spanDedup explodes the span grid only for the election branches") {
+    // keeper election + kept rejoin = 2 Generates; the per-doc span
+    // totals come from the closed form over the narrow docs frame — a
+    // third Generate means the count re-explodes the corpus again
+    assert(generates(TextDedup.spanDedup(docs, "text", "doc_id", 2)) == 2)
+  }
+
+  test("lineDedup explodes lines only for the frequency/keep branches") {
+    val lined = docs.withColumn("text",
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.col("text"), " ", "\n"))
+    assert(generates(TextDedup.lineDedup(lined, "text", "doc_id", "\n", 5L)) == 2)
+  }
+
+  test("cohortRetention reads the events once: one Generate, one scan") {
+    val events = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "ts")
+    val plan = Sessionize.cohortRetention(events, "user_id", "ts")
+    // the single explode of the per-key week set
+    assert(generates(plan) == 1)
+  }
+}
