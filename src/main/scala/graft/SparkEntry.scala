@@ -773,18 +773,21 @@ object SparkEntry {
     // Normalization-keyed exact dedup over a deterministically
     // case/punctuation-perturbed fixture (the corpus is already clean,
     // so even docs are uppercased and %3 docs get a punctuation tail —
-    // normalizeText must fold both back before grouping; the group join
-    // keys on md5(norm) for a fixed-width shuffle key, as q78).
+    // normalizeText must fold both back before grouping). Group size and
+    // keeper come from ONE window over md5(norm) — a fixed-width shuffle
+    // key, as q78 — instead of an aggregate + rejoin whose second branch
+    // re-ran the normalize/md5 scan (partial-agg exchanges are not
+    // join-reusable; the q81/q68 lesson).
     "q83_normalize_dedup" -> ((s, d) => {
       val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
         concat(
           when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
           when(col("doc_id") % 3 === 0, lit(" ... !!!")).otherwise(lit(""))))
-      val norm = noisy.select(col("doc_id"),
-        md5(TextFunctions.normalizeText(col("__noisy"))).as("__h"))
-      val groups = norm.groupBy(col("__h"))
-        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("__keeper"))
-      norm.join(groups, "__h")
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+      noisy.select(col("doc_id"),
+          md5(TextFunctions.normalizeText(col("__noisy"))).as("__h"))
+        .withColumn("n_copies", count(lit(1)).over(wh))
+        .withColumn("__keeper", min(col("doc_id")).over(wh))
         .select(col("doc_id"), col("n_copies"),
           (col("doc_id") === col("__keeper")).cast("int").as("is_keeper"))
         .transform(ordered1(_, col("doc_id")))

@@ -67,18 +67,23 @@ object CorpusStats {
     * integer cross-product `c · V < T` (count × vocab < total), never a
     * float threshold, so any SQL oracle reproduces it bit-exactly.
     *
-    * Scale shape: token frequencies come from the same exploded frame
-    * they join back to, so the join's hash-on-token exchange is REUSED
-    * from the aggregation (Spark's ReuseExchange; verify: one exchange
-    * feeds both HashAggregate and SortMergeJoin/ShuffledHashJoin in the
-    * plan), AQE broadcast-converts the small aggregated side when the
-    * vocabulary fits, and the (T, V) totals are a 1-row broadcast cross
-    * join. No driver collects; works for a 100M-token vocabulary where
-    * a driver-side frequency map would not. */
+    * Scale shape: token occurrences collapse to one (doc, token, count)
+    * row per pair FIRST, and that narrow persisted frame feeds all
+    * three consumers — the corpus frequency aggregate, the (T, V)
+    * totals, and the join back to the documents. (The earlier
+    * occurrence-level join claimed exchange reuse between the frequency
+    * aggregation and the join, but a groupBy's partially-aggregated
+    * exchange is not reusable by a join on the same key — the tokenize
+    * scan silently ran twice.) All per-document statistics are exact
+    * sums of the pair counts, so results are bit-identical to the
+    * occurrence-level form. No driver collects; works for a 100M-token
+    * vocabulary where a driver-side frequency map would not. */
   def rareTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__k"))
+      .persist()
+    val freq = tf.groupBy(col("token")).agg(sum(col("__k")).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
     // The cross-product runs in DECIMAL(38): at a 10^13-token corpus a
     // stopword's count × a 100M vocab exceeds Long and non-ANSI multiply
@@ -86,14 +91,14 @@ object CorpusStats {
     // rare. Oracles mirror with HUGEINT (`CAST(c AS HUGEINT) * v < t`).
     val rare = when(
       col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__v")
-        < col("__t"), 1L).otherwise(0L)
-    toks.join(freq, "token")
+        < col("__t"), col("__k")).otherwise(0L)
+    tf.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
+        sum(col("__k")).as("n_tokens"),
         sum(rare).as("n_rare"),
-        (sum(rare).cast("double") / count(lit(1)).cast("double")).as("rare_frac"),
+        (sum(rare).cast("double") / sum(col("__k")).cast("double")).as("rare_frac"),
         min(col("__c")).as("min_cf"),
         max(col("__c")).as("max_cf"))
   }
@@ -175,26 +180,32 @@ object CorpusStats {
     * expression from the same exact integers, then average — rounded to
     * 6 decimals per the repo's float-association convention.
     *
-    * Scale shape: identical plan family to [[rareTokenStats]] — the
-    * token-frequency join reuses the aggregation's hash-on-token
-    * exchange (ReuseExchange), the (T, V) totals are a 1-row broadcast
-    * cross join, and the per-document mean is one hash aggregation with
-    * map-side partials. A real deployment would persist `freq` as the
-    * trained model and score new batches against it — the same
-    * build/score split as [[graft.operators.TextDedup.buildBandIndex]]. */
+    * Scale shape: identical plan family to [[rareTokenStats]] — token
+    * occurrences collapse to one persisted (doc, token, count) frame
+    * that feeds the frequency aggregate, the (T, V) 1-row broadcast
+    * totals, and the join back to documents, so the tokenize scan runs
+    * once. The per-document mean weights each distinct token's log-prob
+    * by its occurrence count (same value as the occurrence-level mean up
+    * to float association, absorbed by the 6-decimal rounding). A real
+    * deployment would persist `freq` as the trained model and score new
+    * batches against it — the same build/score split as
+    * [[graft.operators.TextDedup.buildBandIndex]]. */
   def lmLogProb(docs: DataFrame, textCol: String, idCol: String,
       addK: Double = 0.5): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__k"))
+      .persist()
+    val freq = tf.groupBy(col("token")).agg(sum(col("__k")).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
-    toks.join(freq, "token")
+    tf.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(avg(log(col("__c") + addK) - log(col("__t") + col("__v") * addK)), 6)
-          .as("lm_logprob"))
+        sum(col("__k")).as("n_tokens"),
+        round(sum(col("__k") *
+            (log(col("__c") + addK) - log(col("__t") + col("__v") * addK)))
+          / sum(col("__k")), 6).as("lm_logprob"))
   }
 
   /** Per-document TF-IDF top-`k` terms — the classic keyword/topic
