@@ -406,19 +406,21 @@ object CorpusStats {
     * saturated (the marginal-value-of-data curve from the scaling-law
     * literature, computed exactly).
     *
-    * Scale shape: the exploded (id, gram-hash) frame aggregates once to
-    * (gram, first_id) — fixed-width md5 shuffle key, map-side partial
-    * mins — and rejoins the exploded frame on the same hash, reusing the
-    * exchange; the per-document ratio is a second small aggregation.
-    * Never quadratic, no windows. */
+    * Scale shape: each document's gram-hash rows carry the gram's
+    * first-carrier id via `min` over `Window.partitionBy(hash)` — ONE
+    * shuffle of the exploded frame on the fixed-width md5 key, replacing
+    * the earlier first-id aggregate + rejoin whose join branch re-ran
+    * the shingle/md5 explode (a partial-agg exchange is not reusable by
+    * a join on the same key); the per-document ratio is a second small
+    * aggregation. Never quadratic. */
   def ngramNovelty(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val grams = docs
       .select(col(idCol), explode(array_distinct(
         TextFunctions.tokenShingles(col(textCol), n))).as("__g"))
       .select(col(idCol), md5(col("__g")).as("__h"))
-    val first = grams.groupBy(col("__h")).agg(min(col(idCol)).as("__first"))
-    grams.join(first, "__h")
+    grams
+      .withColumn("__first", min(col(idCol)).over(Window.partitionBy(col("__h"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col(idCol) === col("__first"), 1L).otherwise(0L)).as("n_novel"))
