@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -369,15 +370,16 @@ object TextDedup {
     * cleaned text (empty when every span was someone else's boilerplate).
     *
     * Scale shape: the span grid is [[Packing.chunkDocuments]]'s no-shuffle
-    * explode; the keeper election groups on `md5(span)` — a fixed-width
-    * shuffle key regardless of span length — and rejoins on the same hash
-    * so the exchange is reused; reassembly is one per-document
-    * aggregation whose `array_sort` orders each doc's own spans locally
-    * (docs have bounded span counts; nothing global sorts). Per-document
-    * TOTAL span counts are the chunk-grid closed form over the narrow
-    * docs frame — NOT a re-aggregation of the exploded frame, which
-    * would re-run the tokenize/explode scan and shuffle every span row a
-    * second time just to count. */
+    * explode; the keeper election is a `min` over
+    * `Window.partitionBy(md5(span))` — ONE shuffle of the exploded frame
+    * on a fixed-width key, replacing the earlier keeper aggregate +
+    * rejoin whose join branch re-ran the tokenize/explode scan (a
+    * partial-agg exchange is not reusable by a join on the same key);
+    * reassembly is one per-document aggregation whose `array_sort`
+    * orders each doc's own spans locally (docs have bounded span counts;
+    * nothing global sorts). Per-document TOTAL span counts are the
+    * chunk-grid closed form over the narrow docs frame — NOT a
+    * re-aggregation of the exploded frame. */
   def spanDedup(docs: DataFrame, textCol: String, idCol: String,
       spanTokens: Int): DataFrame = {
     val spans = Packing
@@ -386,11 +388,11 @@ object TextDedup {
         md5(col("chunk_text")).as("__h"))
     // lexicographic-min election via one integer key: span ids are
     // bounded by tokens/span, far under the 2^20 slot width
-    val keepers = spans
-      .groupBy(col("__h"))
-      .agg(min(shiftleft(col(idCol), 20) + col("chunk_id")).as("__keep"))
-    val kept = spans.join(keepers, "__h")
-      .filter(shiftleft(col(idCol), 20) + col("chunk_id") === col("__keep"))
+    val slot = shiftleft(col(idCol), 20) + col("chunk_id")
+    val kept = spans
+      .withColumn("__keep",
+        min(slot).over(Window.partitionBy(col("__h"))))
+      .filter(slot === col("__keep"))
     // n_spans = last chunk id + 1 = floor((max(n-w,0)+w-1)/w) + 1 for the
     // non-overlapping grid (window = stride = spanTokens); mirrors
     // chunkDocuments' sequence bound exactly.
@@ -416,18 +418,20 @@ object TextDedup {
     * corpus-frequent; body text is not), and reassemble the survivors in
     * original order. Returns (idCol, n_lines, n_kept, clean_text).
     *
-    * Scale shape: the exploded (id, pos, line) frame collapses to one
-    * hash aggregation on `md5(line)` — a fixed-width shuffle key however
-    * long the line — and rejoins the exploded frame on the same hash, so
-    * the exchange is reused; reassembly is one per-document aggregation
-    * whose `array_sort` orders each doc's own lines locally (bounded
-    * per-doc line counts; nothing global sorts). Per-document TOTAL line
-    * counts come from `size(split(...))` on the narrow docs frame — NOT
-    * from re-aggregating the exploded frame, which would re-run the
-    * split/explode/md5 scan and shuffle every exploded row a second time
-    * just to count. The frequent-line table could broadcast instead
-    * (lines over the threshold are few), but the equi-join on the hash
-    * already avoids any quadratic shape. */
+    * Scale shape: each exploded (id, pos, line) row learns its line's
+    * document frequency from ONE shuffle on `md5(line)` — a fixed-width
+    * key however long the line — via the dense_rank/max window pair
+    * (windows cannot COUNT DISTINCT directly, and a `collect_set` frame
+    * would materialize the boilerplate line's full doc set per row; the
+    * rank construction is O(1) state). The earlier frequency aggregate +
+    * rejoin re-ran the split/explode/md5 scan for the join branch — a
+    * partial-agg exchange is not reusable by a join on the same key.
+    * Both windows share one exchange+sort (same partition key; the
+    * unordered max frame rides the dense_rank sort). Reassembly is one
+    * per-document aggregation whose `array_sort` orders each doc's own
+    * lines locally (bounded per-doc line counts; nothing global sorts).
+    * Per-document TOTAL line counts come from `size(split(...))` on the
+    * narrow docs frame — NOT from re-aggregating the exploded frame. */
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
       sep: String, maxDocs: Long): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1: $maxDocs")
@@ -435,9 +439,11 @@ object TextDedup {
       .select(col(idCol), posexplode(split(col(textCol), sep, -1)))
       .select(col(idCol), col("pos"), col("col").as("__line"),
         md5(col("col")).as("__h"))
-    val freq = lines.groupBy(col("__h"))
-      .agg(count_distinct(col(idCol)).as("__docs"))
-    val kept = lines.join(freq, "__h").filter(col("__docs") <= maxDocs)
+    val byHash = Window.partitionBy(col("__h"))
+    val kept = lines
+      .withColumn("__dr", dense_rank().over(byHash.orderBy(col(idCol))))
+      .withColumn("__docs", max(col("__dr")).over(byHash))
+      .filter(col("__docs") <= maxDocs)
     val perDoc = docs.select(col(idCol),
       size(split(col(textCol), sep, -1)).cast("long").as("n_lines"))
     val keptAgg = kept.groupBy(col(idCol))

@@ -29,18 +29,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates(CorpusStats.tfIdfTopTerms(docs, "text", "doc_id", 3)) == 1)
   }
 
-  test("spanDedup explodes the span grid only for the election branches") {
-    // keeper election + kept rejoin = 2 Generates; the per-doc span
-    // totals come from the closed form over the narrow docs frame — a
-    // third Generate means the count re-explodes the corpus again
-    assert(generates(TextDedup.spanDedup(docs, "text", "doc_id", 2)) == 2)
+  test("spanDedup explodes the span grid exactly once") {
+    // the keeper election is a min-over-window on the span hash and the
+    // per-doc span totals come from the closed form over the narrow docs
+    // frame — a second Generate means some branch re-explodes the corpus
+    assert(generates(TextDedup.spanDedup(docs, "text", "doc_id", 2)) == 1)
   }
 
-  test("lineDedup explodes lines only for the frequency/keep branches") {
+  test("lineDedup explodes lines exactly once") {
+    // doc frequency rides the dense_rank/max window pair on the line
+    // hash; a second Generate means the frequency or count branch
+    // re-runs the split/explode scan
     val lined = docs.withColumn("text",
       org.apache.spark.sql.functions.regexp_replace(
         org.apache.spark.sql.functions.col("text"), " ", "\n"))
-    assert(generates(TextDedup.lineDedup(lined, "text", "doc_id", "\n", 5L)) == 2)
+    assert(generates(TextDedup.lineDedup(lined, "text", "doc_id", "\n", 5L)) == 1)
   }
 
   test("cohortRetention reads the events once: one Generate, one scan") {
