@@ -113,11 +113,12 @@ object CorpusStats {
     * the raw text never enters a shuffle. The first aggregation
     * collapses to one row per (hash, source, lang) — signals ride along
     * via `min` since they are functions of the text — the corpus-wide
-    * duplicate count re-aggregates that narrow frame on the hash and
-    * rejoins it (fixed-width key, dup groups are tiny), and the final
-    * rollup weights each distinct text by its occurrence count. The
-    * earlier form joined dupCounts back to the FULL docs frame, pushing
-    * every text byte through the join shuffle and tokenizing after it.
+    * duplicate count is a sum over `Window.partitionBy(hash)` on that
+    * narrow frame (fixed-width key; an aggregate + rejoin would re-run
+    * the signal scan for the join branch), and the final rollup weights
+    * each distinct text by its occurrence count. The earliest form
+    * joined dup counts back to the FULL docs frame, pushing every text
+    * byte through the join shuffle and tokenizing after it.
     * Mean doubles are rounded to 6 decimals per the repo's
     * float-association convention (the weighted regrouping changes
     * addition order only). */
@@ -131,8 +132,8 @@ object CorpusStats {
     val grouped = sig.groupBy(col("__h"), col(sourceCol), col(langCol))
       .agg(count(lit(1)).as("__n"), min(col("__nt")).as("__nt"),
         min(col("__ttr")).as("__ttr"), min(col("__sw")).as("__sw"))
-    val dupCounts = grouped.groupBy(col("__h")).agg(sum(col("__n")).as("__tot"))
-    grouped.join(dupCounts, "__h")
+    grouped
+      .withColumn("__tot", sum(col("__n")).over(Window.partitionBy(col("__h"))))
       .groupBy(col(sourceCol), col(langCol))
       .agg(
         sum(col("__n")).as("n_docs"),
@@ -373,13 +374,13 @@ object CorpusStats {
       col(idCol).as("__id"))
     val w = Window.partitionBy(col(sourceCol))
       .orderBy(col("__nt").asc, col("__id").asc)
-    // group sizes via a broadcast-joined pre-aggregation, not a second
-    // (unordered) COUNT window — two frames would plan two Window
-    // operators materializing each partition twice (the q45 rationale)
-    val counts = lens.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    // group sizes via an unordered COUNT window over the same partition
+    // key: it rides the row_number window's exchange+sort (chained
+    // WindowExecs, no new shuffle), where the earlier broadcast-joined
+    // pre-aggregation re-ran the tokenizing scan for its second branch
     val ranked = lens
       .withColumn("__rn", row_number().over(w))
-      .join(broadcast(counts), sourceCol)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(sourceCol))))
     val decile = (k: Int) =>
       max(when(col("__rn") === ceil(col("__n") * k / 10.0), col("__nt")))
         .as(s"p$k" + "0")
@@ -444,22 +445,26 @@ object CorpusStats {
     * cumulative sums over that tiny frame — no per-source row_number
     * window over the documents, no second scan of the text column. The
     * deviation histogram re-aggregates the length histogram, not the
-    * corpus; every branch hangs off the same first-pass aggregate, so
-    * the scan's exchange is planned once and reused. (The earlier
-    * window-median form re-ran the tokenizing scan for each of its three
-    * consumers and sorted all docs per source twice — measured 1.1 s →
-    * ~0.3 s at sf0.1.) */
+    * corpus. The histogram is PERSISTED: its consumers (the median
+    * selection and the deviation histogram, itself persisted for the
+    * MAD selection and the final rollup) span parent aggregates that
+    * exchange reuse cannot bridge, and the frames are |sources| ×
+    * distinct-lengths tiny. Each median selection is cumsum + total
+    * windows sharing one exchange (the unordered total rides the cumsum
+    * sort). (The earliest window-median form re-ran the tokenizing scan
+    * for each of its three consumers and sorted all docs per source
+    * twice — measured 1.1 s → ~0.3 s at sf0.1.) */
   def lengthOutliers(docs: DataFrame, textCol: String, idCol: String,
       sourceCol: String, cutoff: Double): DataFrame = {
     val hist = docs.groupBy(col(sourceCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
       .agg(count(lit(1)).as("__c"))
+      .persist()
     // rank of the median in each source's sorted length list
     def medianFromHist(h: DataFrame, v: String): DataFrame = {
       val w = Window.partitionBy(col(sourceCol)).orderBy(col(v).asc)
-      val counts = h.groupBy(col(sourceCol)).agg(sum(col("__c")).as("__n"))
       h.withColumn("__cum", sum(col("__c")).over(w))
-        .join(broadcast(counts), sourceCol)
+        .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(sourceCol))))
         .filter(col("__cum") >= ceil(col("__n") / 2.0))
         .groupBy(col(sourceCol)).agg(min(col(v)).as("__med"))
     }
@@ -467,6 +472,7 @@ object CorpusStats {
     val devHist = hist.join(broadcast(med), sourceCol)
       .groupBy(col(sourceCol), abs(col("__nt") - col("__med")).as("__ad"))
       .agg(sum(col("__c")).as("__c"), max(col("__med")).as("__med"))
+      .persist()
     val mad = medianFromHist(devHist, "__ad")
       .withColumnRenamed("__med", "__mad")
     devHist.join(broadcast(mad), sourceCol)

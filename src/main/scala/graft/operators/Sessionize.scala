@@ -106,22 +106,23 @@ object Sessionize {
     * distinct active weeks (`collect_set` over small integers; a key's
     * set is bounded by the timeline's week count, not its event count,
     * and partial aggregation dedups map-side). The per-key frame then
-    * explodes to (cohort, offset) pairs and both downstream aggregates
-    * — the retention matrix and the cohort sizes — branch off it, so
-    * the event-side exchange is planned once and reused. (The earlier
-    * two-branch form scanned and shuffled the events twice: once for
-    * first-seen, once for DISTINCT (key, week) — measured 0.9 s →
-    * ~0.45 s at sf0.1.) */
+    * explodes to (cohort, offset) pairs and collapses to the retention
+    * matrix. Cohort SIZES need no second branch: every key's week set
+    * contains its own first week, so the matrix's offset-0 cell IS the
+    * cohort size — a max-over-window on the |cohorts × offsets|-row
+    * matrix reads it without re-aggregating the per-key frame (a
+    * separate sizes branch re-planned the event-side exchange). One
+    * event-side scan, one event-side shuffle. */
   def cohortRetention(events: DataFrame, key: String, ts: String): DataFrame = {
     val week = floor(unix_timestamp(col(ts)) / 604800L)
     val perKey = events.groupBy(col(key))
       .agg(min(week).as("cohort_week"), collect_set(week).as("__weeks"))
-    val sizes = perKey.groupBy(col("cohort_week")).agg(count(lit(1)).as("__size"))
     perKey
       .select(col("cohort_week"), explode(col("__weeks")).as("__w"))
       .groupBy(col("cohort_week"), (col("__w") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_active"))
-      .join(broadcast(sizes), "cohort_week")
+      .withColumn("__size", max(when(col("week_offset") === 0, col("n_active")))
+        .over(Window.partitionBy(col("cohort_week"))))
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
         round(col("n_active").cast("double") / col("__size"), 6).as("retention"))
   }
