@@ -176,4 +176,84 @@ object GraftProps extends Properties("graft") {
         }
       }
     }
+
+  property("interpolate grid is contiguous per key; observed rows pass through; gaps stay in the neighbor envelope") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val events = rows
+          .map { case (k, v, t) => (k, new Timestamp(t * 3600L * 1000L), v.toDouble) }
+          .toDF("k", "ts", "v")
+        val out = graft.operators.TimeSeries
+          .interpolate(events, "k", "ts", "v", bucketSeconds = 3600L)
+          .collect()
+          .map(r => (r.getInt(0), r.getTimestamp(1).getTime, r.getLong(2),
+            Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+        out.groupBy(_._1).forall { case (_, g) =>
+          val s = g.sortBy(_._2)
+          val contiguous = s.zip(s.tail).forall { case (a, b) => b._2 - a._2 == 3600000L }
+          val passThrough = s.filter(_._3 > 0).forall(r => r._4.contains(r._5))
+          // each gap row sits within [min, max] of its two observed neighbors
+          val observedIdx = s.zipWithIndex.filter(_._1._3 > 0).map(_._2)
+          val envelopes = observedIdx.zip(observedIdx.tail).forall { case (i, j) =>
+            val (lo, hi) = (math.min(s(i)._5, s(j)._5), math.max(s(i)._5, s(j)._5))
+            (i + 1 until j).forall(m => s(m)._5 >= lo - 1e-6 && s(m)._5 <= hi + 1e-6)
+          }
+          contiguous && passThrough && envelopes
+        }
+      }
+    }
+
+  property("lineDedup with a high threshold keeps every document intact") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val docs = rows.zipWithIndex
+          .map { case ((k, v, t), i) => (i.toLong, s"k$k v$v\nt$t line\ntail $i") }
+          .toDF("doc_id", "text")
+        // every line is carried by at most |docs| documents, so a
+        // threshold of |docs| drops nothing and reassembly must be exact
+        val out = graft.operators.TextDedup
+          .lineDedup(docs, "text", "doc_id", "\n", maxDocs = rows.size.toLong)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+        val in = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+        out.forall { case (id, nLines, nKept, clean) =>
+          nLines == nKept && clean == in(id)
+        }
+      }
+    }
+
+  property("spanDedup keeps each distinct span exactly once, on its minimum (id, span) slot") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        // two tokens per span, so each pair (k, v) is one span; collisions
+        // across docs exercise the election
+        val docs = rows.zipWithIndex
+          .map { case ((k, v, t), i) => (i.toLong, s"k$k v$v t$t x$t") }
+          .toDF("doc_id", "text")
+        val out = graft.operators.TextDedup
+          .spanDedup(docs, "text", "doc_id", spanTokens = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+        val distinctSpans = rows.zipWithIndex
+          .flatMap { case ((k, v, t), _) => Seq(s"k$k v$v", s"t$t x$t") }.toSet
+        out.map(_._3).sum == distinctSpans.size &&
+          out.forall { case (_, nSpans, nKept) => nKept <= nSpans && nSpans == 2 }
+      }
+    }
+
+  property("cohort retention is 1.0 at offset 0 and n_active never exceeds the cohort size") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val events = rows
+          .map { case (k, v, t) => (k, new Timestamp((t.toLong * 7 + v) * 86400L * 1000L)) }
+          .toDF("k", "ts")
+        val out = graft.operators.Sessionize.cohortRetention(events, "k", "ts")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        val size = out.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+        out.filter(_._2 == 0L).forall(_._4 == 1.0) &&
+          out.forall(r => r._3 <= size(r._1))
+      }
+    }
 }
