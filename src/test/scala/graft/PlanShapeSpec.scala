@@ -53,4 +53,43 @@ class PlanShapeSpec extends AnyFunSuite {
     // the single explode of the per-key week set
     assert(generates(plan) == 1)
   }
+
+  private def leaves(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().size
+
+  test("ngramNovelty explodes the shingles once (window first-carrier, no rejoin)") {
+    assert(generates(CorpusStats.ngramNovelty(docs, "text", "doc_id", 2)) == 1)
+  }
+
+  test("collocations explodes the padded token pairs once, inside the cached count table") {
+    // unigram counts, bigram counts, totals, and the top-k all read the
+    // persisted (w1, w2) count table: the optimized plan shows ONLY
+    // InMemoryRelation consumers (zero Generates outside the cache), and
+    // the one distinct cached plan holds the single explode
+    val df = CorpusStats.collocations(docs, "text", "doc_id", 5)
+    try {
+      assert(generates(df) == 0)
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan
+      }.distinct
+      assert(cached.size == 1)
+      // the cached plan wraps in AdaptiveSparkPlanExec, whose inner plan
+      // is not a collect-visible child — unwrap before counting
+      val inner = cached.head match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      assert(inner.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.size == 1)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("corpusReport scans the documents once (window dup totals, no rejoin)") {
+    // every per-text signal is computed in one projection over a single
+    // scan; a second leaf means the dup-count branch re-reads the docs
+    assert(leaves(CorpusStats.corpusReport(docs, "text", "source", "source")) == 1)
+  }
 }
