@@ -308,7 +308,13 @@ object CorpusStats {
     * unigram lookups — the ranking orders by `n_pair` alone, so joining
     * `uni` against the k surviving pairs (broadcast k rows, stream the
     * vocabulary) replaces two corpus-vocabulary joins of the full
-    * bigram table. */
+    * bigram table.
+    *
+    * Caller contract (same as [[Curation.curate]]): the collapsed count
+    * table stays `persist()`ed after the action so repeated calls in one
+    * session reuse it; library callers running many corpora through one
+    * session should `spark.catalog.clearCache()` between invocations or
+    * the cached blocks accumulate. */
   def collocations(docs: DataFrame, textCol: String, idCol: String,
       topK: Int): DataFrame = {
     val t = TextFunctions.tokens(col(textCol))

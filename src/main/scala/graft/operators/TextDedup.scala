@@ -125,45 +125,58 @@ object TextDedup {
     val bandKeys = bandKeyExprs(numHashes, rowsPerBand)
     // ONE pass over the corpus: all band keys are computed in a single
     // projection and exploded — not one union branch (= one full
-    // signature recomputation) per band. The resulting (id, band) frame
-    // is 2 narrow columns; persisting it means the self-join's two
-    // aliases read the materialized rows instead of re-deriving the
-    // signature DAG (md5 over every shingle × numHashes seeds) once per
-    // alias. At 100 TB the equivalent is a temp-table write; in-memory
-    // persist of the narrow frame is the single-job form of the same plan.
+    // signature recomputation) per band.
     val banded = sigs
       .select(col(idCol), explode(array(bandKeys: _*)).as("band"))
-      .persist()
-    def allPairs(df: DataFrame): DataFrame = {
-      val a = df.alias("a")
-      val bb = df.alias("b")
-      a.join(bb, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-        .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
-    }
     val pairs =
-      if (maxBucket <= 0) allPairs(banded)
-      else {
-        // The guard only needs the OVERSIZED band keys, which are few by
-        // construction (each is a blow-up the guard exists to prevent).
-        // Aggregating the persisted banded frame down to |oversized|
-        // rows and broadcasting lets the pair path drop flagged bands
-        // with a map-side broadcast anti-join and the star path build
-        // from a map-side broadcast inner join — the earlier shape
-        // joined EVERY banded row against the full |buckets| size table
-        // before filtering, paying a corpus-wide join for a guard that
-        // touches a handful of bands (measured ~2.2× the oracle at
-        // sf0.1; this shape removed the overhead). A window would be
-        // worse still: an exchange + sort of the whole banded frame.
-        // The anchor (bucket min id) is < every other member, preserving
-        // the a < b pair convention.
-        val oversized = banded.groupBy(col("band"))
-          .agg(min(col(idCol)).as("__anchor"), count(lit(1)).as("__w"))
-          .filter(col("__w") > maxBucket)
-        val star = banded.join(broadcast(oversized), "band")
-          .filter(col(idCol) =!= col("__anchor"))
-          .select(col("__anchor").as(s"${idCol}_a"), col(idCol).as(s"${idCol}_b"))
-        allPairs(banded.join(broadcast(oversized.select(col("band"))), Seq("band"), "left_anti"))
-          .union(star)
+      if (maxBucket <= 0) {
+        // Unguarded all-pairs: a streaming self-join on the band key.
+        // The (id, band) frame is 2 narrow columns; persisting it means
+        // the self-join's two aliases read the materialized rows instead
+        // of re-deriving the signature DAG (md5 over every shingle ×
+        // numHashes seeds) once per alias. At 100 TB the equivalent is a
+        // temp-table write; in-memory persist of the narrow frame is the
+        // single-job form of the same plan. The join streams: a wide
+        // bucket's w² pairs are produced row-at-a-time, never held.
+        val b = banded.persist()
+        val a = b.alias("a")
+        val bb = b.alias("b")
+        a.join(bb, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      } else {
+        // Guarded path: ONE aggregation over the banded frame collects
+        // each bucket's sorted membership, and BOTH outputs — all i<j
+        // combination pairs for buckets at/under the cap, the min-anchored
+        // star for oversized buckets — are generated from that single
+        // |buckets|-row frame with array expressions. The round-5 shape
+        // persisted `banded` and scanned it three times (a sizing
+        // aggregation, a broadcast star join, a broadcast-anti self-join)
+        // plus a union; measured at sf0.1 the extra stages dominated
+        // (0.94 s vs 0.34 s oracle). This shape is one shuffle (the
+        // groupBy), one Generate, one distinct — no persist, no
+        // broadcasts, no self-join.
+        //
+        // Memory envelope: the collected array is O(bucket width) per
+        // group — the same order as the star rows the guard emits, and
+        // linear where the blow-up the guard prevents is quadratic. A
+        // bucket too wide for one task's memory (hundreds of millions of
+        // members) needs the banded-index path ([[incrementalCandidates]])
+        // instead; below that, ObjectHashAggregate falls back to
+        // sort-based aggregation and spills between groups.
+        //
+        // sort_array gives ascending ids, so combinations (i<j) and the
+        // anchor star (ids[0] < every other member) both preserve the
+        // a < b pair convention without a post-filter.
+        val ids = col("__ids")
+        val combos = flatten(transform(ids, (x, i) =>
+          transform(slice(ids, i + lit(2), size(ids)),
+            y => struct(x.as("a"), y.as("b")))))
+        val star = transform(slice(ids, lit(2), size(ids) - 1),
+          y => struct(element_at(ids, 1).as("a"), y.as("b")))
+        banded.groupBy(col("band"))
+          .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+          .select(explode(when(size(ids) <= maxBucket, combos).otherwise(star)).as("__p"))
+          .select(col("__p.a").as(s"${idCol}_a"), col("__p.b").as(s"${idCol}_b"))
       }
     pairs.distinct()
   }

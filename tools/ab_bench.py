@@ -30,8 +30,12 @@ def main() -> None:
         if q not in common:
             sys.exit(f"unknown query: {q}")
     basket = [q for q in common if q not in changed] if changed else common
-    factor = statistics.median(b[q] / a[q] for q in basket if a[q] > 0)
-    print(f"host factor (median over {len(basket)} unchanged): {factor:.2f}")
+    ratios = [b[q] / a[q] for q in basket if a[q] > 0]
+    factor = statistics.median(ratios) if ratios else 1.0
+    if not ratios or factor == 0:
+        factor = 1.0
+        print("WARNING: empty/degenerate basket; host factor forced to 1.0")
+    print(f"host factor (median over {len(ratios)} unchanged): {factor:.2f}")
     report = changed if changed else common
     rows = [(q, a[q], b[q], (b[q] / factor) / a[q]) for q in report if a[q] > 0]
     rows.sort(key=lambda r: r[3])

@@ -22,4 +22,8 @@ total = sum(times.values())
 print(f"TOTAL {total:.2f}")
 for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
     print(f"{k:30s} {v:.3f}")
+# __sf_dir lets graft.Bench reject a times file measured at a different
+# scale factor than the bench run (a stale /tmp file would otherwise
+# produce a nonsense weak list).
+times["__sf_dir"] = sf_dir
 json.dump(times, open("/tmp/oracle_times.json", "w"))
