@@ -1,9 +1,9 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.Generate
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{CorpusStats, Sessionize, TextDedup}
+import graft.operators.{CorpusStats, Sessionize, TextDedup, TimeSeries}
 
 /** Plan-SHAPE contracts for the operators whose round-5 rewrites
   * removed redundant tokenize/explode passes. Counting `Generate` nodes
@@ -91,5 +91,52 @@ class PlanShapeSpec extends AnyFunSuite {
     // every per-text signal is computed in one projection over a single
     // scan; a second leaf means the dup-count branch re-reads the docs
     assert(leaves(CorpusStats.corpusReport(docs, "text", "source", "source")) == 1)
+  }
+
+  private def joins(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }.size
+
+  private def windows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.size
+
+  private def events = Seq(
+    (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.5),
+    (1L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 2.5)
+  ).toDF("user_id", "ts", "value")
+
+  test("gapFill is the run construction: one explode, one window, no grid join") {
+    // the pre-r5 shape joined a dense per-key grid back to the events (a
+    // Join + 3 shuffles) and ran a full-grid LOCF window AFTER the
+    // explode; the run form attaches lead() BEFORE the explode, so any
+    // Join or a second Window in the plan is the regression reappearing
+    val plan = TimeSeries.gapFill(events, "user_id", "ts", "value", 3600L)
+    assert(joins(plan) == 0)
+    assert(generates(plan) == 1)
+    assert(windows(plan) == 1)
+    assert(leaves(plan) == 1)
+  }
+
+  test("interpolate keeps the run construction: no grid join, no post-explode window") {
+    // both neighbors (__next/__nexts) ride the run rows, so interpolation
+    // is pure per-row arithmetic after the single explode — a reverse
+    // (unbounded-following) window here was the measured O(rows²) form
+    val plan = TimeSeries.interpolate(events, "user_id", "ts", "value", 3600L)
+    assert(joins(plan) == 0)
+    assert(generates(plan) == 1)
+    assert(windows(plan) == 1)
+    assert(leaves(plan) == 1)
+  }
+
+  test("guarded lshCandidatePairs is join-free: pairs and star from one bucket aggregation") {
+    // the r5 guard persisted the banded frame and scanned it three times
+    // (sizing agg + broadcast star join + broadcast-anti self-join); the
+    // r6 shape aggregates each band's sorted membership once and emits
+    // both outputs with array expressions — a Join reappearing means the
+    // multi-scan guard is back, a third Generate means a re-explode
+    val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 2)
+    val plan = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2, maxBucket = 2)
+    assert(joins(plan) == 0)
+    assert(generates(plan) == 2) // band explode + pair explode
+    assert(leaves(plan) == 1)
   }
 }
