@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,6 +68,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             ad.toArray[UTF8String](StringType).filter(_ != null).map(_.toString).toSeq
         }
         CountInSet(children.head, items)
+      }))
+    // Spark ships codegen'd Bloom-filter expressions (the machinery behind
+    // runtime-filter join pruning) but does not register them as SQL
+    // functions; these two make the build/probe pair callable so the
+    // decontamination pre-filter ([[graft.operators.TextDedup
+    // .contaminatedIdsBloom]]) — and any SQL user — can use the engine's
+    // own sketch instead of a UDF. The aggregate builder returns the
+    // AggregateFunction; the analyzer wraps it in an AggregateExpression.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, est) => new BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) => new BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(xxhash64(x)[, estimatedItems[, numBits]])")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_might_contain(bloomBinary, xxhash64(x))")
+        BloomFilterMightContain(children.head, children(1))
       }))
   }
 }

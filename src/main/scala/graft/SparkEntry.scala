@@ -946,6 +946,32 @@ object SparkEntry {
         .transform(ordered1(_, col("cell")))
     }),
 
+    // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
+    // answer — the sketch (built and probed with Spark's own
+    // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
+    // only pre-filters the train shingles before the exact-verify join,
+    // so correctness is pinned to the exact oracle while the plan is the
+    // one that survives an eval set too big to broadcast.
+    "q101_decontaminate_bloom" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.contaminatedIdsBloom(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", shingleSize = 3, expectedEvalShingles = 100000L)
+        .orderBy("doc_id")
+    }),
+
+    // Levenshtein verification over the q26 LSH candidate pairs: the
+    // tokenization-free near-dup check (first-200-chars prefix cap — the
+    // per-pair O(prefix²) scale contract documented on the operator).
+    "q102_edit_verify" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.editDistanceOnPairs(pairs, docs, "text", "doc_id", prefixChars = 200)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
     // PII scrub over a deterministically PII-injected fixture (the corpus
     // itself is clean, so each row gets a synthetic email+phone suffix
     // built identically by the oracle).
@@ -1164,6 +1190,20 @@ object SparkEntry {
   /** Shared CTE text for the minhash-family oracles: one md5 per shingle,
     * k components from disjoint 8-hex-char digest slices (mirrors
     * [[graft.operators.TextDedup.minhashSignatures]]). */
+  /** Exact eval-overlap decontamination answer (q73); q101's Bloom
+    * variant must reproduce it bit-for-bit because its sketch only
+    * pre-filters ahead of the exact-verify join. */
+  private val DecontaminateOracle =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
+      |  FOR i IN generate_series(1, greatest(len(t)-2, 1))]) AS s FROM toks),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 7),
+      |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 7)
+      |SELECT doc_id, count(*) AS n_overlap
+      |FROM tr JOIN ev USING (g)
+      |GROUP BY doc_id HAVING count(*) >= 1
+      |ORDER BY doc_id""".stripMargin
+
   private val shinglesCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |hs AS (SELECT doc_id,
@@ -1846,16 +1886,11 @@ object SparkEntry {
         |FROM toks JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q73_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ')
-        |  FOR i IN generate_series(1, greatest(len(t)-2, 1))]) AS s FROM toks),
-        |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 7),
-        |tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 20 <> 7)
-        |SELECT doc_id, count(*) AS n_overlap
-        |FROM tr JOIN ev USING (g)
-        |GROUP BY doc_id HAVING count(*) >= 1
-        |ORDER BY doc_id""".stripMargin,
+    "q73_decontaminate" -> DecontaminateOracle,
+
+    // Bit-identical oracle to q73: the Bloom sketch is a pre-filter, not
+    // an approximation, so the exact decontamination SQL IS the contract.
+    "q101_decontaminate_bloom" -> DecontaminateOracle,
 
     "q80_simhash_pairs" ->
       s"""WITH f AS (SELECT doc_id, CAST(${simhashBitsSql(32)} AS BIGINT) AS simhash
@@ -2198,6 +2233,25 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / max(t.total), 6) AS share,
         |  round(CAST(sum(cosd) AS DOUBLE) / count(*), 6) AS mean_cos
         |FROM assigned CROSS JOIN t GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q102_edit_verify" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |dt AS (SELECT doc_id, substring(text, 1, 200) AS t FROM documents)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  levenshtein(da.t, db.t) AS edit_distance,
+         |  round(1 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
+         |    / greatest(len(da.t), len(db.t), 1), 6) AS edit_sim
+         |FROM pairs p
+         |JOIN dt da ON da.doc_id = p.doc_id_a
+         |JOIN dt db ON db.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "q54_dup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

@@ -196,20 +196,89 @@ object TextDedup {
     * partial counts collapse it to |contaminated docs| rows. If the eval
     * set ever outgrows broadcast range, the same plan degrades to a
     * shuffled equi-join on the shingle string — still never quadratic. */
+  /** One row per (kept columns..., distinct token shingle) — the shared
+    * explode of [[contaminatedIds]] / [[contaminatedIdsBloom]]. */
+  private def tokenShingled(df: DataFrame, textCol: String,
+      keep: Seq[org.apache.spark.sql.Column], shingleSize: Int): DataFrame = df
+    .withColumn("__toks", tokens(col(textCol)))
+    .select(keep :+ explode(array_distinct(transform(
+      sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
+      i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"): _*)
+
   def contaminatedIds(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, shingleSize: Int,
       minOverlap: Long = 1L): DataFrame = {
-    def shingled(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]) = df
-      .withColumn("__toks", tokens(col(textCol)))
-      .select(keep :+ explode(array_distinct(transform(
-        sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
-        i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"): _*)
-    val evalShingles = shingled(evalSet, Seq.empty).distinct()
-    shingled(train, Seq(col(idCol)))
+    val evalShingles = tokenShingled(evalSet, textCol, Seq.empty, shingleSize).distinct()
+    tokenShingled(train, textCol, Seq(col(idCol)), shingleSize)
       .join(broadcast(evalShingles), "__g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** [[contaminatedIds]]'s Bloom-prefiltered form — the SAME answer (the
+    * sketch is a pre-filter, not an approximation: every survivor is
+    * exact-verified by the equi-join), built for the regime where the
+    * eval shingle set outgrows comfortable broadcast range. A Bloom
+    * filter at ~10 bits/element (<1 % false positives) is 25-50× smaller
+    * than the broadcast hash relation of the distinct shingle strings,
+    * so the map-side probe drops ~all clean train shingles before the
+    * shuffled exact join — which then exchanges only (contaminated ∪
+    * false-positive) rows instead of every train shingle.
+    *
+    * Build and probe use Spark's OWN runtime-filter expressions
+    * (`BloomFilterAggregate` / `BloomFilterMightContain`, exposed as SQL
+    * functions by [[graft.GraftExtensions]]), so the probe is codegen'd
+    * and the sketch layout is the engine's. Like the engine's runtime
+    * filter — whose injected scalar subquery materializes at the driver
+    * before broadcast — the one-row sketch (numBits/8 bytes, bounded by
+    * the `maxNumBits` conf) is collected eagerly and re-enters the plan
+    * as a foldable literal (`BloomFilterMightContain` requires a
+    * constant or scalar-subquery filter operand). The exact-verify join
+    * deliberately does NOT broadcast: at eval sizes where this operator
+    * is the right choice the exact set is too big for that; AQE still
+    * broadcasts it at small scale. */
+  def contaminatedIdsBloom(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int,
+      minOverlap: Long = 1L, expectedEvalShingles: Long = 1000000L): DataFrame = {
+    require(expectedEvalShingles > 0, "expectedEvalShingles must be positive")
+    val numBits = math.max(64L, expectedEvalShingles * 10L)
+    val evalShingles = tokenShingled(evalSet, textCol, Seq.empty, shingleSize).distinct()
+    val sketch = evalShingles
+      .agg(expr(s"graft_bloom_agg(xxhash64(__g), ${expectedEvalShingles}L, ${numBits}L)")
+        .as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    tokenShingled(train, textCol, Seq(col(idCol)), shingleSize)
+      .where(call_function("graft_might_contain", lit(sketch), xxhash64(col("__g"))))
+      .join(evalShingles, "__g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Edit-distance verification for candidate pairs — the
+    * tokenization-free check behind "same page, minor edits" near-dup
+    * confirmation: Levenshtein distance and the normalized similarity
+    * `1 − d / max(|a|, |b|)` over each document's first `prefixChars`
+    * characters. Truncation is the scale contract: Levenshtein is
+    * O(|a|·|b|) PER PAIR, so unbounded inputs would make one long pair
+    * dominate a task; a fixed prefix caps every pair at O(prefixChars²)
+    * and near-dup prefixes are representative of near-dup documents.
+    * Same join shape as [[jaccardOnPairs]]: the truncated text is
+    * projected once per document before the pair join. */
+  def editDistanceOnPairs(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, prefixChars: Int): DataFrame = {
+    require(prefixChars >= 1, s"prefixChars must be >= 1: $prefixChars")
+    val trunc = docs.select(col(idCol),
+      substring(col(textCol), 1, prefixChars).as("__t"))
+    val da = trunc.select(col(idCol).as(s"${idCol}_a"), col("__t").as("__ta"))
+    val db = trunc.select(col(idCol).as(s"${idCol}_b"), col("__t").as("__tb"))
+    pairs.join(da, s"${idCol}_a").join(db, s"${idCol}_b")
+      .withColumn("edit_distance", levenshtein(col("__ta"), col("__tb")))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("edit_distance"),
+        round(lit(1.0) - col("edit_distance").cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)).cast("double"),
+          6).as("edit_sim"))
   }
 
   /** Token-set Jaccard similarity for candidate pairs: joins texts back in

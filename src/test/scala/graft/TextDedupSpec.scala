@@ -31,6 +31,45 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(1).getDouble(2) == 0.0)
   }
 
+  test("contaminatedIdsBloom reproduces the exact decontamination answer") {
+    import spark.implicits._
+    // 40 train docs; 4 eval docs; train docs divisible by 4 embed an
+    // eval 3-gram ("alpha beta gamma") — exactly those must flag, with
+    // the same overlap counts as the exact operator.
+    val train = (1L to 40L).map { i =>
+      val tail = if (i % 4 == 0) " alpha beta gamma shared" else " unique tail"
+      (i, s"doc $i body text$tail word$i")
+    }.toDF("doc_id", "text")
+    val evalSet = Seq(
+      (101L, "alpha beta gamma delta"),
+      (102L, "epsilon zeta eta theta"),
+      (103L, "iota kappa lambda mu"),
+      (104L, "nu xi omicron pi")).toDF("doc_id", "text")
+    val exact = TextDedup.contaminatedIds(train, evalSet, "text", "doc_id", 3)
+    val bloom = TextDedup.contaminatedIdsBloom(train, evalSet, "text", "doc_id", 3,
+      expectedEvalShingles = 1000L)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    assert(bloom.count() == 10L) // the i % 4 == 0 docs
+  }
+
+  test("editDistanceOnPairs: identity pair 0/1.0, known single-edit pair, prefix cap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "kitten sat on the mat"),
+      (2L, "kitten sat on the mat"),
+      (3L, "sitten sat on the mat"),         // 1 substitution vs doc 1
+      (4L, "kitten sat on the mat IGNORED TAIL DIFFERENCE")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_id_a", "doc_id_b")
+    val out = TextDedup.editDistanceOnPairs(pairs, docs, "text", "doc_id", 21)
+      .orderBy("doc_id_b").collect()
+    assert(out(0).getInt(2) == 0 && out(0).getDouble(3) == 1.0)
+    assert(out(1).getInt(2) == 1)
+    assert(out(1).getDouble(3) == math.rint((1.0 - 1.0 / 21.0) * 1e6) / 1e6)
+    // doc 4 differs only past the 21-char prefix cap → distance 0
+    assert(out(2).getInt(2) == 0)
+  }
+
   test("dupClusters: transitive chains collapse to one component, min id wins") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 iteration), pair (10,11), isolated pair (7,8)
