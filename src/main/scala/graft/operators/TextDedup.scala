@@ -243,7 +243,13 @@ object TextDedup {
       minOverlap: Long = 1L, expectedEvalShingles: Long = 1000000L): DataFrame = {
     require(expectedEvalShingles > 0, "expectedEvalShingles must be positive")
     val numBits = math.max(64L, expectedEvalShingles * 10L)
-    val evalShingles = tokenShingled(evalSet, textCol, Seq.empty, shingleSize).distinct()
+    // The eval shingle set has two consumers (sketch build, exact-verify
+    // join) and the sketch build runs eagerly, so persist — eval sets are
+    // MBs by the operator's premise, and without this the second consumer
+    // re-tokenizes the eval corpus. Same caller contract as
+    // [[Curation.curate]]: clearCache between unrelated runs.
+    val evalShingles = tokenShingled(evalSet, textCol, Seq.empty, shingleSize)
+      .distinct().persist()
     val sketch = evalShingles
       .agg(expr(s"graft_bloom_agg(xxhash64(__g), ${expectedEvalShingles}L, ${numBits}L)")
         .as("__bloom"))
