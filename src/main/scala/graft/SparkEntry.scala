@@ -961,6 +961,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source unigram KL divergence from the pooled corpus — the
+    // mixture-audit panel (register/language drift, template spam,
+    // near-copy "independent" sources all read off it).
+    "q103_source_divergence" -> ((s, d) => {
+      CorpusStats.sourceDivergence(parallel(load(s, d, "documents")),
+          "text", "source")
+        .transform(ordered1(_, col("source")))
+    }),
+
     // Levenshtein verification over the q26 LSH candidate pairs: the
     // tokenization-free near-dup check (first-200-chars prefix cap — the
     // per-pair O(prefix²) scale contract documented on the operator).
@@ -2233,6 +2242,21 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / max(t.total), 6) AS share,
         |  round(CAST(sum(cosd) AS DOUBLE) / count(*), 6) AS mean_cos
         |FROM assigned CROSS JOIN t GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q103_source_divergence" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (SELECT source, token, count(*) AS c FROM toks GROUP BY 1, 2),
+        |ns AS (SELECT source, sum(c) AS ns FROM c GROUP BY 1),
+        |nw AS (SELECT token, sum(c) AS nw FROM c GROUP BY 1),
+        |n AS (SELECT sum(c) AS n FROM c)
+        |SELECT c.source, CAST(max(ns.ns) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_vocab,
+        |  round(sum((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+        |    * ln((CAST(c.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+        |        / (CAST(nw.nw AS DOUBLE) / CAST(n.n AS DOUBLE)))), 6) AS kl_nats
+        |FROM c JOIN ns USING (source) JOIN nw USING (token) CROSS JOIN n
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
 
     "q102_edit_verify" ->
       s"""WITH $shinglesCte,

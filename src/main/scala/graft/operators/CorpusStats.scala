@@ -168,6 +168,54 @@ object CorpusStats {
         round(log2(sum(col("__c"))) -
           sum(col("__c") * log2(col("__c"))) / sum(col("__c")), 6).as("entropy"))
 
+  /** Per-source unigram-distribution KL divergence from the corpus
+    * distribution — the mixture-audit signal of a corpus card: a source
+    * whose token distribution diverges hard from the pooled corpus is
+    * either a different register/language (check language ID) or
+    * boilerplate/template spam (check dedup rates); a near-zero
+    * divergence across all sources means the "independent" sources are
+    * near-copies. `KL(pₛ ‖ p_c) = Σ_w pₛ(w) · ln(pₛ(w) / p_c(w))` in
+    * nats, with the source's own tokens included in the corpus
+    * distribution (so every source term has corpus support and the sum
+    * is finite by construction).
+    *
+    * Scale shape: one corpus-order aggregation collapses the token
+    * stream to the Zipf-collapsed (source, token) count table; the two
+    * marginals ride windows OVER THAT COLLAPSED FRAME (per-source totals
+    * on `partitionBy(source)`, per-token corpus counts on
+    * `partitionBy(token)`) — two exchanges of |sources × vocab| rows,
+    * never a rejoin that would re-run the tokenize scan (the q81/q68
+    * lesson), and the final per-source reduction rides the source
+    * window's partitioning with no further exchange. The corpus total is
+    * a 1-row broadcast computed from the NARROW docs frame
+    * (`sum(size(tokens))` — the closed form; re-aggregating the
+    * collapsed frame would recompute its whole subtree). Per-term
+    * doubles summed then rounded to 6 decimals per the repo's
+    * float-association convention (the q79 precedent). */
+  def sourceDivergence(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(sourceCol), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val total = docs.agg(
+      sum(size(TextFunctions.tokens(col(textCol)))).as("__n"))
+    val ws = Window.partitionBy(col(sourceCol))
+    val wt = Window.partitionBy(col("token"))
+    val ps = col("__c").cast("double") / col("__ns").cast("double")
+    val pc = col("__nw").cast("double") / col("__n").cast("double")
+    counts
+      .withColumn("__nw", sum(col("__c")).over(wt))
+      .withColumn("__ns", sum(col("__c")).over(ws))
+      .crossJoin(broadcast(total))
+      .groupBy(col(sourceCol))
+      .agg(
+        max(col("__ns")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        round(sum(ps * log(ps / pc)), 6).as("kl_nats"))
+  }
+
   /** Per-document unigram-LM log-probability — the CCNet/Gopher-style
     * "perplexity proxy" quality signal: documents whose tokens are
     * improbable under a language model trained on the corpus itself are

@@ -127,6 +127,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(leaves(plan) == 1)
   }
 
+  test("sourceDivergence tokenizes once; marginals ride windows on the collapsed counts") {
+    // both KL marginals must come from windows over the (source, token)
+    // count table — a rejoin re-runs the tokenize/explode scan (q81/q68
+    // lesson) and shows up as a second Generate; the only join is the
+    // 1-row broadcast total
+    val plan = CorpusStats.sourceDivergence(docs, "text", "source")
+    assert(generates(plan) == 1)
+    assert(windows(plan) == 2)
+    assert(joins(plan) == 1) // the broadcast corpus-total cross join
+  }
+
   test("guarded lshCandidatePairs is join-free: pairs and star from one bucket aggregation") {
     // the r5 guard persisted the banded frame and scanned it three times
     // (sizing agg + broadcast star join + broadcast-anti self-join); the

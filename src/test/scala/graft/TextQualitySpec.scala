@@ -243,4 +243,25 @@ class TextQualitySpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
       ((5L, 3L, 1L, 1L)))
   }
+
+  test("sourceDivergence: hand-computed KL, zero for a lone source, always >= 0") {
+    import spark.implicits._
+    // A = {a:2, b:1}, B = {a:1, b:2}; corpus = {a:3, b:3}, N = 6, so
+    // p_c(a) = p_c(b) = 1/2 and by symmetry both sources share
+    // KL = (2/3)ln(4/3) + (1/3)ln(2/3) = 0.056633 at 6 decimals.
+    val docs = Seq(("A", "a a b"), ("B", "a b b")).toDF("source", "text")
+    val out = CorpusStats.sourceDivergence(docs, "text", "source")
+      .orderBy("source").collect()
+    val expected = math.rint(
+      (2.0 / 3 * math.log(4.0 / 3) + 1.0 / 3 * math.log(2.0 / 3)) * 1e6) / 1e6
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3))).toList ==
+      List(("A", 3L, 2L, expected), ("B", 3L, 2L, expected)))
+    assert(out.forall(_.getDouble(3) >= 0.0)) // Gibbs' inequality
+    // one source IS the corpus: divergence exactly 0
+    val lone = CorpusStats.sourceDivergence(
+      Seq(("only", "x y z x")).toDF("source", "text"), "text", "source")
+      .collect().head
+    assert(lone.getDouble(3) == 0.0)
+  }
 }
