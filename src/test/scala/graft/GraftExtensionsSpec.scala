@@ -88,4 +88,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integer literal"))
   }
+
+  test("graft_bloom_agg / graft_might_contain round-trip in SQL") {
+    // Build a sketch over a 3-element set via the scalar-subquery form
+    // (the same shape Spark's injected runtime filter uses) and probe:
+    // members must hit; a Bloom filter has NO false negatives, so the
+    // member assertions are exact. The non-member probe documents the
+    // <1% fpp at 10 bits/element rather than asserting (a false positive
+    // is legal).
+    val out = spark.sql(
+      """WITH s(x) AS (VALUES ('alpha'), ('beta'), ('gamma')),
+        |b AS (SELECT graft_bloom_agg(xxhash64(x), 100L, 1000L) AS bf FROM s)
+        |SELECT
+        |  graft_might_contain((SELECT bf FROM b), xxhash64('alpha')) AS hit1,
+        |  graft_might_contain((SELECT bf FROM b), xxhash64('gamma')) AS hit2
+        |""".stripMargin).collect().head
+    assert(out.getBoolean(0) && out.getBoolean(1))
+  }
 }
