@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.{Dedup, Merge, Relational}
+import graft.operators.{Dedup, Merge, Relational, TextDedup}
 
 /** ScalaCheck laws for the mutation/dedup operators (SURVEY.md §5.2).
   * Inputs are tiny generated tables with deliberately colliding keys and
@@ -239,6 +239,39 @@ object GraftProps extends Properties("graft") {
           .flatMap { case ((k, v, t), _) => Seq(s"k$k v$v", s"t$t x$t") }.toSet
         out.map(_._3).sum == distinctSpans.size &&
           out.forall { case (_, nSpans, nKept) => nKept <= nSpans && nSpans == 2 }
+      }
+    }
+
+  property("guarded LSH pairs: subset of unguarded, same components, inert under a wide cap") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        // few distinct texts over many docs → heavy bucket collisions, so
+        // the star branch fires constantly at cap=2
+        val docs = rows.zipWithIndex.map { case ((k, v, t), i) =>
+          (i.toLong, s"w${k % 3} x${v % 2} y$t common tail words")
+        }.toDF("doc_id", "text")
+        val ids = rows.indices.map(_.toLong)
+        val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 2)
+        def pairsWith(cap: Int): Set[(Long, Long)] =
+          TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2, maxBucket = cap)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val unguarded = pairsWith(0)
+        val guarded = pairsWith(2)
+        // driver-side union-find: the star thins pair coverage but must
+        // never split or merge a component
+        def comps(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+          val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+          def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+          pairs.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          ids.groupBy(find).values.map(_.toSet).toSet
+        }
+        guarded.subsetOf(unguarded) &&
+          comps(guarded) == comps(unguarded) &&
+          pairsWith(rows.size + 1) == unguarded // cap above every bucket width: inert
       }
     }
 
