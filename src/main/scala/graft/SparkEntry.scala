@@ -961,6 +961,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Leave-one-out kNN label-agreement audit over the first 50 vectors:
+    // the label-noise panel (per-label neighbor-majority agreement).
+    "q104_label_agreement" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      Similarity.knnLabelAgreement(emb, emb.filter(col("vec_id") < 50),
+          "embedding", "vec_id", "label", k = 5)
+        .transform(ordered1(_, col("label")))
+    }),
+
     // Per-source unigram KL divergence from the pooled corpus — the
     // mixture-audit panel (register/language drift, template spam,
     // near-copy "independent" sources all read off it).
@@ -2242,6 +2251,33 @@ object SparkEntry {
         |  round(CAST(count(*) AS DOUBLE) / max(t.total), 6) AS share,
         |  round(CAST(sum(cosd) AS DOUBLE) / count(*), 6) AS mean_cos
         |FROM assigned CROSS JOIN t GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "q104_label_agreement" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec, label
+        |           FROM embeddings),
+        |p AS (SELECT * FROM v WHERE vec_id < 50),
+        |scored AS (
+        |  SELECT p.vec_id AS qid, p.label AS own, v.label AS nl,
+        |    ROUND(list_dot_product(p.vec, v.vec)
+        |      / (sqrt(list_dot_product(p.vec, p.vec))
+        |         * sqrt(list_dot_product(v.vec, v.vec))), 6) AS cosine,
+        |    v.vec_id AS nid
+        |  FROM p JOIN v ON v.vec_id <> p.vec_id),
+        |topk AS (SELECT * FROM (
+        |  SELECT qid, own, nl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+        |  FROM scored) WHERE rn <= 5),
+        |votes AS (SELECT qid, own, nl, count(*) AS nv, min(rn) AS best
+        |  FROM topk GROUP BY 1, 2, 3),
+        |win AS (SELECT qid, own, nl FROM (
+        |  SELECT qid, own, nl,
+        |    row_number() OVER (PARTITION BY qid ORDER BY nv DESC, best ASC, nl ASC) AS vr
+        |  FROM votes) WHERE vr = 1)
+        |SELECT own AS label, count(*) AS n_probes,
+        |  CAST(sum(CASE WHEN nl = own THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  round(CAST(sum(CASE WHEN nl = own THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS agreement
+        |FROM win GROUP BY own ORDER BY own""".stripMargin,
 
     "q103_source_divergence" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token

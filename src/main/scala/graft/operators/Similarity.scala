@@ -204,6 +204,50 @@ object Similarity {
       }
     }
 
+  /** Leave-one-out kNN label-agreement audit — the label-noise detector
+    * for labeled embedding sets (the cleanlab-style check run before a
+    * classifier or a label-conditioned sampler trusts the labels): for
+    * each probe vector, do its k nearest neighbors (self excluded) vote
+    * for its recorded label? Per label: probes audited, probes whose
+    * neighbor-majority agrees, and the agreement rate. Labels with low
+    * agreement are either mislabeled slices or genuinely entangled
+    * classes — both worth a human look before training.
+    *
+    * The vote is the neighbor-label majority with deterministic ties:
+    * more votes → nearer best-ranked neighbor → smaller label value.
+    * Neighbor ranking reuses [[bruteForceTopK]]'s rounded-cosine,
+    * id-tie-broken total order, so any SQL oracle reproduces the exact
+    * neighbor sets.
+    *
+    * Scale shape: probes broadcast (audit a sample, not the corpus —
+    * the |probes| × |corpus| score pass is the same single corpus scan
+    * as [[bruteForceTopK]]); the label lookup joins the tiny
+    * |probes|·k neighbor frame against the corpus projection, and the
+    * vote/agreement reductions run over |probes| rows. Swap the
+    * brute-force neighbor search for [[ivfSearch]]/[[lshSearch]] over a
+    * prebuilt index when auditing at full-corpus width. */
+  def knnLabelAgreement(vecs: DataFrame, probes: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, k: Int): DataFrame = {
+    val labels = vecs.select(col(idCol), col(labelCol))
+    val voted = bruteForceTopK(vecs, probes, vecCol, idCol, k)
+      .join(labels.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), "neighbor_id")
+      .groupBy(col("query_id"), col("__nl"))
+      .agg(count(lit(1)).as("__votes"), min(col("rank")).as("__best"))
+      .withColumn("__vr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("__votes").desc, col("__best").asc, col("__nl").asc)))
+      .filter(col("__vr") === 1)
+    voted
+      .join(labels.select(col(idCol).as("query_id"),
+        col(labelCol).as("__own")), "query_id")
+      .groupBy(col("__own").as(labelCol))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(when(col("__nl") === col("__own"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agreement",
+        round(col("n_agree").cast("double") / col("n_probes"), 6))
+  }
+
   /** Embedding-table health audit, per label: vector count, dimension
     * spread (a ragged dim column means a broken encoder batch), zero
     * vectors (failed encodes — they poison cosine math with NaN), and the

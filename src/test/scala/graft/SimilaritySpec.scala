@@ -82,4 +82,21 @@ class SimilaritySpec extends AnyFunSuite {
       (0L, 2L, 0.666667, 0.996942), // (1.0 + 0.993884) / 2
       (1L, 1L, 0.333333, 1.0)))
   }
+
+  test("knnLabelAgreement flags the mislabeled vector, agrees on clean clusters") {
+    import spark.implicits._
+    // ids 1-3 = (1,0) labeled 0; ids 4-6 = (0,1) labeled 1; id 7 = (1,0)
+    // but MISLABELED 1 — its k=2 neighbors (ids 1,2 by cosine-then-id
+    // order) vote 0, so label 1 audits at 3/4 agreement.
+    val embeds = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 0), (3L, Seq(1.0f, 0.0f), 0),
+      (4L, Seq(0.0f, 1.0f), 1), (5L, Seq(0.0f, 1.0f), 1), (6L, Seq(0.0f, 1.0f), 1),
+      (7L, Seq(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAgreement(embeds, embeds, "embedding",
+        "vec_id", "label", k = 2)
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List((0, 3L, 3L, 1.0), (1, 4L, 3L, 0.75)))
+  }
 }
