@@ -38,6 +38,28 @@ object MediaQueries {
     docs.withColumn("bin", concat(magic, payload))
   }
 
+  private val idLangs = Seq("en", "es", "de", "fr", "zh")
+
+  /** Shared language-ID scoring frame (q36 + q106): tokenize once, then
+    * one codegen'd hash-set probe pass per language over the materialized
+    * array (CountInSet — the HOF filter form interprets tokens × markers
+    * comparisons, and re-deriving split(text) per score would tokenize
+    * ~20× per row across the score/greatest/CASE tree), plus the fixed-
+    * priority argmax (en > es > de > fr > zh on ties) as `__pred`. */
+  private def langScored(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("__toks", TextFunctions.tokens(col("text")))
+    val scored = idLangs.foldLeft(toks) { (df, l) =>
+      df.withColumn(s"s_$l",
+        TextFunctions.countInSet(col("__toks"), TextFunctions.langMarkers(l)))
+    }
+    scored.withColumn("__pred",
+      when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
+        .when(col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")
+        .when(col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Binary metadata via pure expressions: size, magic sniff,
@@ -67,26 +89,29 @@ object MediaQueries {
     // Language-ID heuristic: marker hit counts per language + fixed-
     // priority argmax (en > es > de > fr > zh on ties).
     "q36_langid" -> ((s, d) => {
-      val langs = Seq("en", "es", "de", "fr", "zh")
-      // Tokenize once; every score and the argmax CASE then filter the
-      // materialized array (re-deriving split(text) per reference would
-      // tokenize ~20× per row across the score/greatest/CASE tree).
-      val toks = parallel(load(s, d, "documents"))
-        .withColumn("__toks", TextFunctions.tokens(col("text")))
-      // Each score is one codegen'd hash-set probe pass over the
-      // materialized token array (CountInSet) — the HOF filter form
-      // interpreted tokens × markers comparisons per language.
-      val scored = langs.foldLeft(toks) { (df, l) =>
-        df.withColumn(s"s_$l",
-          TextFunctions.countInSet(col("__toks"), TextFunctions.langMarkers(l)))
-      }
-      val lang = when(col("s_en") >= greatest(col("s_es"), col("s_de"), col("s_fr"), col("s_zh")), "en")
-        .when(col("s_es") >= greatest(col("s_de"), col("s_fr"), col("s_zh")), "es")
-        .when(col("s_de") >= greatest(col("s_fr"), col("s_zh")), "de")
-        .when(col("s_fr") >= col("s_zh"), "fr")
-        .otherwise("zh")
-      scored.select(col("doc_id") +: langs.map(l => col(s"s_$l")) :+ lang.as("lang"): _*)
+      val scored = langScored(parallel(load(s, d, "documents")))
+      scored.select(col("doc_id") +: idLangs.map(l => col(s"s_$l")) :+
+          col("__pred").as("lang"): _*)
         .transform(SparkEntry.ordered1(_, col("doc_id")))
+    }),
+
+    // Recorded-label vs heuristic-prediction confusion matrix over the
+    // corpus's `lang` column — the label-quality audit for the language
+    // metadata (the q104 panel's text-side sibling): a recorded language
+    // whose rows keep predicting another language is a mislabeled slice
+    // (or a heuristic blind spot), and share-within-recorded-lang reads
+    // directly as that label's precision under the heuristic. One scan,
+    // per-row codegen'd scoring, one reduction over ≤|langs|² cells; the
+    // share window rides the tiny grouped frame.
+    "q106_langid_confusion" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      langScored(parallel(load(s, d, "documents")))
+        .groupBy(col("lang"), col("__pred").as("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share", round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+            .cast("double"), 6))
+        .transform(SparkEntry.ordered1(_, col("lang"), col("pred_lang")))
     }),
 
     // Frame sampling: every 2nd 64-byte chunk per payload, one row per
@@ -164,6 +189,24 @@ object MediaQueries {
            |      WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
            |      ELSE 'zh' END AS lang
            |FROM documents ORDER BY doc_id""".stripMargin
+      },
+
+      "q106_langid_confusion" -> {
+        def score(l: String) = {
+          val markers = TextFunctions.langMarkers(l).map(m => s"'$m'").mkString(", ")
+          s"len(list_filter(string_split(text, ' '), x -> x IN ($markers)))"
+        }
+        s"""WITH p AS (SELECT lang,
+           |  CASE WHEN ${score("en")} >= greatest(${score("es")}, ${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'en'
+           |       WHEN ${score("es")} >= greatest(${score("de")}, ${score("fr")}, ${score("zh")}) THEN 'es'
+           |       WHEN ${score("de")} >= greatest(${score("fr")}, ${score("zh")}) THEN 'de'
+           |       WHEN ${score("fr")} >= ${score("zh")} THEN 'fr'
+           |       ELSE 'zh' END AS pred_lang
+           |  FROM documents)
+           |SELECT lang, pred_lang, count(*) AS n_docs,
+           |  round(CAST(count(*) AS DOUBLE)
+           |    / sum(count(*)) OVER (PARTITION BY lang), 6) AS share
+           |FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
       },
 
       "q56_frame_sample" ->

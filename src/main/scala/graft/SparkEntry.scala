@@ -979,6 +979,39 @@ object SparkEntry {
         .transform(ordered1(_, col("source")))
     }),
 
+    // Per-source OOV rate under a corpus-count≥5 threshold vocabulary —
+    // the tokenizer-coverage audit (one collapsed count table + token-
+    // marginal window; no vocab join).
+    "q105_oov_rate" -> ((s, d) => {
+      CorpusStats.oovRate(parallel(load(s, d, "documents")),
+          "text", "source", minCount = 5L)
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Deterministic 90/5/5 train/val/test split by multiplicative id
+    // hash, audited per (source, split): doc counts, token budget, and
+    // each split's share of its source.
+    "q107_stratified_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+      Curation.splitAssign(parallel(load(s, d, "documents")), "doc_id")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+        .withColumn("doc_share", round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(w).cast("double"), 6))
+        .transform(ordered1(_, col("source"), col("split")))
+    }),
+
+    // Gopher-rule quality gate pass rates per source (word-count band,
+    // mean-word-length band, ≥2 distinct stopwords).
+    "q108_gopher_rules" -> ((s, d) => {
+      CorpusStats.qualityRules(parallel(load(s, d, "documents")),
+          "text", "source")
+        .transform(ordered1(_, col("source")))
+    }),
+
     // Levenshtein verification over the q26 LSH candidate pairs: the
     // tokenization-free near-dup check (first-200-chars prefix cap — the
     // per-pair O(prefix²) scale contract documented on the operator).
@@ -2293,6 +2326,53 @@ object SparkEntry {
         |        / (CAST(nw.nw AS DOUBLE) / CAST(n.n AS DOUBLE)))), 6) AS kl_nats
         |FROM c JOIN ns USING (source) JOIN nw USING (token) CROSS JOIN n
         |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    "q105_oov_rate" ->
+      """WITH c AS (
+        |  SELECT source, token, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY source, token),
+        |nw AS (SELECT token, sum(c) AS nw FROM c GROUP BY token)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN nw < 5 THEN c ELSE 0 END) AS BIGINT) AS oov_tokens,
+        |  CAST(sum(CASE WHEN nw < 5 THEN 1 ELSE 0 END) AS BIGINT) AS oov_types,
+        |  round(CAST(sum(CASE WHEN nw < 5 THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS oov_rate
+        |FROM c JOIN nw USING (token)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q107_stratified_split" ->
+      """WITH a AS (SELECT source,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  len(string_split(text, ' ')) AS nt
+        |  FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / sum(count(*)) OVER (PARTITION BY source), 6) AS doc_share
+        |FROM a GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q108_gopher_rules" ->
+      """WITH f AS (SELECT source,
+        |  len(string_split(text, ' ')) BETWEEN 20 AND 80 AS rw,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |    BETWEEN 3.0 AND 4.5 AS rm,
+        |  len(list_distinct(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','an','of','and','or','to','in','is','on')))) >= 2 AS rs
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN rw THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_words,
+        |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_meanlen,
+        |  CAST(sum(CASE WHEN rs THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_stopwords,
+        |  CAST(sum(CASE WHEN rw AND rm AND rs THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all,
+        |  round(CAST(sum(CASE WHEN rw AND rm AND rs THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS pass_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
 
     "q102_edit_verify" ->
       s"""WITH $shinglesCte,

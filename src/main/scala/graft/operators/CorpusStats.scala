@@ -527,4 +527,87 @@ object CorpusStats {
         sum(when(col("__ad") > lit(cutoff) * col("__mad"), col("__c"))
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-source out-of-vocabulary rate under a frequency-threshold
+    * vocabulary — the tokenizer-coverage audit: a source whose token
+    * stream keeps falling outside the corpus vocabulary (rare spellings,
+    * markup, another language's words) will fragment into byte-fallback
+    * pieces under a real tokenizer and burn sequence budget. Vocabulary
+    * contract: a token is in-vocabulary iff its CORPUS count ≥
+    * `minCount` (the threshold form; a fixed-size top-K vocabulary
+    * composes as [[vocabulary]] → broadcast join instead, at the cost of
+    * a global top-k cut).
+    *
+    * Scale shape: the threshold contract is what makes this one pass —
+    * membership is `corpus_count ≥ minCount`, a predicate on the token
+    * marginal, so it rides `sum over Window.partitionBy(token)` ON the
+    * Zipf-collapsed (source, token) count table (the [[sourceDivergence]]
+    * plan family: one corpus-order aggregation, then window + final
+    * reduction over collapsed rows only — no vocab join, no second
+    * tokenize scan, no persist). A top-K vocabulary would instead force
+    * rank-vs-cutoff through a global sort of the marginal. */
+  def oovRate(docs: DataFrame, textCol: String, sourceCol: String,
+      minCount: Long): DataFrame = {
+    val counts = docs
+      .select(col(sourceCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(sourceCol), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    val oov = sum(col("__c")).over(Window.partitionBy(col("token"))) <
+      lit(minCount)
+    counts
+      .withColumn("__oov", oov)
+      .groupBy(col(sourceCol))
+      .agg(
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__oov"), col("__c")).otherwise(0L)).as("oov_tokens"),
+        sum(when(col("__oov"), 1L).otherwise(0L)).as("oov_types"),
+        round(sum(when(col("__oov"), col("__c")).otherwise(0L))
+          .cast("double") / sum(col("__c")).cast("double"), 6).as("oov_rate"))
+  }
+
+  /** Gopher-style quality-rule pass rates per source (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", §A1.1 heuristics adapted to
+    * the corpus's whitespace tokens): word count within
+    * [`minWords`, `maxWords`], mean word length within [`minMeanLen`,
+    * `maxMeanLen`], and at least `minStopTypes` DISTINCT stopwords (the
+    * "contains common English words" rule — near-zero distinct stopwords
+    * means tables/code/boilerplate, not prose). Reported as per-source
+    * counts so the release gate reads pass_rate per slice, not a corpus
+    * scalar that hides a bad source.
+    *
+    * Scale shape: every rule is a per-row codegen'd expression over one
+    * scan (no shuffle before the final per-source reduction); the
+    * distinct-stopword rule filters the materialized token array against
+    * a 10-element literal set — O(tokens) per row, not O(tokens ×
+    * corpus). Mean-length comparisons are exact-integer divisions done
+    * identically in IEEE double by any engine, so the rule boundary is
+    * deterministic cross-engine. */
+  def qualityRules(docs: DataFrame, textCol: String, sourceCol: String,
+      minWords: Long = 20L, maxWords: Long = 80L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 4.5,
+      minStopTypes: Int = 2): DataFrame = {
+    val t = TextFunctions.tokens(col(textCol))
+    val nTok = size(t).cast("long")
+    val meanLen = length(regexp_replace(col(textCol), " ", ""))
+      .cast("double") / nTok.cast("double")
+    val sw = array(TextFunctions.stopwords.map(lit): _*)
+    val stopTypes = size(array_distinct(filter(t, x => array_contains(sw, x))))
+    val rWords = nTok.between(minWords, maxWords)
+    val rMean = meanLen.between(minMeanLen, maxMeanLen)
+    val rStop = stopTypes >= minStopTypes
+    def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    docs
+      .select(col(sourceCol), rWords.as("__rw"), rMean.as("__rm"),
+        rStop.as("__rs"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        n(col("__rw")).as("n_pass_words"),
+        n(col("__rm")).as("n_pass_meanlen"),
+        n(col("__rs")).as("n_pass_stopwords"),
+        n(col("__rw") && col("__rm") && col("__rs")).as("n_pass_all"),
+        round(n(col("__rw") && col("__rm") && col("__rs")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("pass_rate"))
+  }
 }

@@ -87,4 +87,33 @@ object Curation {
       .select(idCol)
     nearDeduped.join(keepIds, Seq(idCol), "left_semi")
   }
+
+  /** Deterministic train/val/test assignment by a salt-free multiplicative
+    * hash of the document id: bucket = (id · 2654435761) mod 2³² mod 100
+    * (Knuth's 2³²/φ multiplier), split by `trainPct`/`valPct` cut points.
+    * Hash-based (not random) assignment is the reproducibility contract a
+    * training pipeline needs — the same document lands in the same split
+    * on every run, on any engine, with no persisted split table and no
+    * RNG-order dependence, and re-ingesting the corpus cannot leak val
+    * docs into train. The multiplier decorrelates the bucket from id
+    * locality (sequential ids spray across buckets), which plain
+    * `id mod 100` would not — crawl ids arrive clustered by source.
+    *
+    * Envelope: `idCol` must be a non-negative integer < 2³¹ so the
+    * product stays inside a signed 64-bit long under ANSI arithmetic
+    * (documents ingest ids are row numbers in practice; wider ids should
+    * pre-hash to 32 bits). Pure per-row arithmetic — any engine
+    * reproduces the assignment exactly, which is what makes the split
+    * auditable by an external oracle. */
+  def splitAssign(docs: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
+      s"train+val must leave room for test: $trainPct+$valPct")
+    val bucket = (col(idCol).cast("long") * lit(2654435761L)) %
+      lit(4294967296L) % lit(100L)
+    docs.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
 }

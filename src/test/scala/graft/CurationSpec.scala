@@ -44,4 +44,35 @@ class CurationSpec extends AnyFunSuite {
       .count()
     assert(out == 2L)
   }
+
+  test("splitAssign: deterministic multiplicative-hash buckets, exhaustive partition") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val got = Curation.splitAssign(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got.size == 1000)
+    // engine-independent closed form: the operator's whole contract
+    def expected(id: Long): String = {
+      val b = id * 2654435761L % 4294967296L % 100L
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    assert((0L until 1000L).forall(id => got(id) == expected(id)))
+    // the multiplier sprays sequential ids: all three splits are hit, and
+    // the train share lands near its 90% design point
+    val byCount = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byCount.keySet == Set("train", "val", "test"))
+    assert(byCount("train") > 850 && byCount("train") < 950)
+    // re-running assigns identically (no RNG, no order dependence)
+    val again = Curation.splitAssign(docs.orderBy($"doc_id".desc), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == got)
+  }
+
+  test("splitAssign rejects percentages that leave no test slice") {
+    import spark.implicits._
+    val docs = Seq((1L, "t")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(docs, "doc_id", trainPct = 95, valPct = 5)
+    }
+  }
 }

@@ -264,4 +264,32 @@ class TextQualitySpec extends AnyFunSuite {
       .collect().head
     assert(lone.getDouble(3) == 0.0)
   }
+
+  test("oovRate: membership is a corpus-count threshold, rates per source") {
+    import spark.implicits._
+    // Corpus counts: x=4 (in-vocab at minCount=3), y=1, z=1 (both OOV).
+    val docs = Seq(("a", "x x x y"), ("b", "x z")).toDF("source", "text")
+    val out = CorpusStats.oovRate(docs, "text", "source", minCount = 3L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toList
+    assert(out == List(("a", 4L, 1L, 1L, 0.25), ("b", 2L, 1L, 1L, 0.5)))
+    // vocabulary membership is CORPUS-wide: x stays in-vocab for source b
+    // even though b alone has only one x (count 1 < 3).
+  }
+
+  test("qualityRules: each rule gates independently; pass_all is the conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s", "the cat sat"),           // 3 words, meanLen 3.0, stop {the}: all pass
+      ("s", "a b"),                   // 2 words fail, meanLen 1.0 fail, stop {a} pass
+      ("s", "aaaaa bbbbb ccccc dd"))  // 4 words pass, meanLen 4.25 fail, no stopword
+      .toDF("source", "text")
+    val r = CorpusStats.qualityRules(docs, "text", "source",
+        minWords = 3L, maxWords = 5L, minMeanLen = 2.0, maxMeanLen = 4.0,
+        minStopTypes = 1).collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getDouble(6)) ==
+      ("s", 3L, 2L, 1L, 2L, 1L, 0.333333))
+  }
 }
