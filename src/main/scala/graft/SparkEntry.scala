@@ -1012,6 +1012,25 @@ object SparkEntry {
         .transform(ordered1(_, col("source")))
     }),
 
+    // Token-shingle containment over the q26 LSH candidate pairs — the
+    // subset-duplicate detector (short doc embedded in a long one scores
+    // low Jaccard but containment ≈ 1 on the short side).
+    "q109_containment" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.containmentOnPairs(pairs, docs, "text", "doc_id", n = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+    // Vocabulary coverage curve at 50% / 90% / 99% of the token stream —
+    // count-of-counts histogram, integer-exact threshold cut.
+    "q110_zipf_coverage" -> ((s, d) => {
+      CorpusStats.zipfCoverage(parallel(load(s, d, "documents")),
+          "text", thresholdsPpm = Seq(500000L, 900000L, 990000L))
+        .transform(ordered1(_, col("threshold_ppm")))
+    }),
+
     // Levenshtein verification over the q26 LSH candidate pairs: the
     // tokenization-free near-dup check (first-200-chars prefix cap — the
     // per-pair O(prefix²) scale contract documented on the operator).
@@ -2373,6 +2392,56 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN rw AND rm AND rs THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS pass_rate
         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q109_containment" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |grams AS (SELECT doc_id,
+         |  list_distinct([array_to_string(t[i:i+2], ' ')
+         |    FOR i IN generate_series(1, greatest(len(t) - 2, 1))]) AS g
+         |  FROM toks)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |    / CAST(len(ga.g) AS DOUBLE) AS containment_a,
+         |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |    / CAST(len(gb.g) AS DOUBLE) AS containment_b,
+         |  greatest(
+         |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |      / CAST(len(ga.g) AS DOUBLE),
+         |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |      / CAST(len(gb.g) AS DOUBLE)) AS max_containment
+         |FROM pairs p
+         |JOIN grams ga ON ga.doc_id = p.doc_id_a
+         |JOIN grams gb ON gb.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q110_zipf_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+        |hist AS (SELECT c, count(*) AS nt FROM c GROUP BY c),
+        |w AS (SELECT c, nt,
+        |  sum(c * nt) OVER (ORDER BY c DESC) AS cumtok,
+        |  sum(nt) OVER (ORDER BY c DESC) AS cumtyp FROM hist),
+        |tot AS (SELECT sum(c * nt) AS tt, sum(nt) AS ty FROM hist),
+        |th AS (SELECT unnest([500000, 900000, 990000]) AS ppm),
+        |cand AS (SELECT ppm, c, nt, cumtok, cumtyp, tt, ty,
+        |    (tt * ppm + 999999) // 1000000 AS target,
+        |    row_number() OVER (PARTITION BY ppm ORDER BY cumtyp) AS rn
+        |  FROM th CROSS JOIN w CROSS JOIN tot
+        |  WHERE cumtok >= (tt * ppm + 999999) // 1000000)
+        |SELECT CAST(ppm AS BIGINT) AS threshold_ppm,
+        |  CAST(target AS BIGINT) AS target_tokens,
+        |  CAST(cumtyp - nt
+        |    + (target - (cumtok - c * nt) + c - 1) // c AS BIGINT) AS n_types,
+        |  CAST(ty AS BIGINT) AS total_types,
+        |  CAST(tt AS BIGINT) AS total_tokens
+        |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
 
     "q102_edit_verify" ->
       s"""WITH $shinglesCte,

@@ -566,6 +566,57 @@ object CorpusStats {
           .cast("double") / sum(col("__c")).cast("double"), 6).as("oov_rate"))
   }
 
+  /** Vocabulary coverage curve (the Zipf head/tail audit): for each
+    * coverage threshold (in ppm of the corpus token stream), the minimum
+    * number of vocabulary types — taken most-frequent-first — whose
+    * occurrences reach that share. The corpus card reads tokenizer
+    * economics straight off it ("512 types cover 90%; the last 1% costs
+    * 40k types"), and a coverage curve that flattens early says the
+    * corpus is template spam, not prose.
+    *
+    * Scale shape: the only corpus-order work is the token count
+    * aggregation; everything after rides the COUNT-OF-COUNTS histogram
+    * (count value → how many types have it), which is tiny at any corpus
+    * size (|distinct count values| = O(√tokens) under Zipf — thousands
+    * of rows at 100 TB). The global-order cumulative window runs over
+    * that histogram, never over the vocabulary, and the threshold cut is
+    * exact integer arithmetic: within a count class every type
+    * contributes exactly `c` tokens, so the partial take is
+    * `ceil((target − cum_before) / c)` — no per-type sort anywhere
+    * (the [[lengthOutliers]] histogram-order-statistics trick applied to
+    * the vocabulary axis). */
+  def zipfCoverage(docs: DataFrame, textCol: String,
+      thresholdsPpm: Seq[Long]): DataFrame = {
+    require(thresholdsPpm.nonEmpty &&
+      thresholdsPpm.forall(p => p > 0 && p <= 1000000L),
+      s"thresholds must be ppm in (0, 1e6]: $thresholdsPpm")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy(col("__c")).agg(count(lit(1)).as("__nt"))
+    val w = Window.orderBy(col("__c").desc)
+    val cum = hist
+      .withColumn("__cumtok", sum(col("__c") * col("__nt")).over(w))
+      .withColumn("__cumtyp", sum(col("__nt")).over(w))
+    val tot = hist.agg(sum(col("__c") * col("__nt")).as("__tt"),
+      sum(col("__nt")).as("__ty"))
+    val th = docs.sparkSession.range(1)
+      .select(explode(lit(thresholdsPpm.toArray)).as("ppm"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
+      // ceil(tt · ppm / 1e6) in exact long arithmetic
+      .withColumn("__target", expr("(__tt * ppm + 999999L) div 1000000L"))
+      .filter(col("__cumtok") >= col("__target"))
+      // first qualifying class: full classes before it + the partial take
+      .withColumn("__ntypes", col("__cumtyp") - col("__nt") +
+        expr("(__target - (__cumtok - __c * __nt) + __c - 1) div __c"))
+      .groupBy(col("ppm").as("threshold_ppm"))
+      .agg(
+        max(col("__target")).as("target_tokens"),
+        min_by(col("__ntypes"), col("__cumtyp")).as("n_types"),
+        max(col("__ty")).as("total_types"),
+        max(col("__tt")).as("total_tokens"))
+  }
+
   /** Gopher-style quality-rule pass rates per source (Rae et al. 2021,
     * "Scaling Language Models: ... Gopher", §A1.1 heuristics adapted to
     * the corpus's whitespace tokens): word count within

@@ -321,6 +321,34 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Token-shingle containment for candidate pairs — the SUBSET-duplicate
+    * detector Jaccard misses: a short document wholly embedded in a long
+    * one (syndicated article + boilerplate shell, quote-expansions,
+    * partial scrapes) scores low Jaccard (the union is dominated by the
+    * long side) but containment |A∩B| / |A| ≈ 1 on the short side.
+    * Emits both directions plus `max_containment` — the dedup decision
+    * signal (keep the superset, drop the contained copy).
+    *
+    * Same pair-join shape as [[jaccardOnPairs]]/[[ngramJaccardOnPairs]]:
+    * each document's DISTINCT token `n`-gram set is materialized once
+    * before the two id equi-joins, so a document in k candidate pairs
+    * never re-shingles, and only LSH candidates (never all pairs) reach
+    * the set intersection. */
+  def containmentOnPairs(pairs: DataFrame, docs: DataFrame,
+      textCol: String, idCol: String, n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      array_distinct(tokenShingles(col(textCol), n)).as("grams"))
+    val da = grams.select(col(idCol).as(s"${idCol}_a"), col("grams").as("grams_a"))
+    val db = grams.select(col(idCol).as(s"${idCol}_b"), col("grams").as("grams_b"))
+    val inter = size(array_intersect(col("grams_a"), col("grams_b"))).cast("double")
+    pairs.join(da, s"${idCol}_a").join(db, s"${idCol}_b")
+      .withColumn("containment_a", inter / size(col("grams_a")).cast("double"))
+      .withColumn("containment_b", inter / size(col("grams_b")).cast("double"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        col("containment_a"), col("containment_b"),
+        greatest(col("containment_a"), col("containment_b")).as("max_containment"))
+  }
+
   /** Duplicate clusters from candidate pairs: connected components by
     * iterative min-label propagation — every document reachable through
     * any chain of near-dup pairs gets the component's minimum id as its

@@ -335,4 +335,19 @@ class TextDedupSpec extends AnyFunSuite {
         (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(out.toList == List(("A", "B", 1L, 0.333333)))
   }
+
+  test("containmentOnPairs: subset duplicate scores 1.0 on the short side") {
+    import spark.implicits._
+    // doc 1's trigram set {a b c, b c d, c d e} is wholly inside doc 2's
+    // {a b c, b c d, c d e, d e f, e f g}: containment_a = 3/3 = 1,
+    // containment_b = 3/5 = 0.6 — while Jaccard would be only 3/5.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+    val out = TextDedup.containmentOnPairs(pairs, docs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toList == List((1L, 2L, 1.0, 0.6, 1.0)))
+  }
 }

@@ -278,6 +278,28 @@ class TextQualitySpec extends AnyFunSuite {
     // even though b alone has only one x (count 1 < 3).
   }
 
+  test("zipfCoverage: integer-exact threshold cut, including partial count classes") {
+    import spark.implicits._
+    // counts a=4, b=2, c=1 → histogram {4→1, 2→1, 1→1}, 7 tokens 3 types
+    val docs = Seq("a a a a b b c").toDF("text")
+    val out = CorpusStats.zipfCoverage(docs, "text",
+        Seq(500000L, 900000L, 1000000L))
+      .orderBy("threshold_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    // 50%: target ceil(3.5)=4 → the single a-class (c=4) suffices: 1 type.
+    // 90%: target ceil(6.3)=7 → a(4)+b(2)=6 < 7, needs c too: 3 types.
+    // 100%: target 7 → all 3 types.
+    assert(out == List((500000L, 4L, 1L, 3L, 7L),
+      (900000L, 7L, 3L, 3L, 7L), (1000000L, 7L, 3L, 3L, 7L)))
+    // partial take INSIDE a class: a=2,b=2,c=2,d=1 → hist {2→3, 1→1};
+    // 50% target 4 lands mid-class: ceil(4/2) = 2 of the 3 c=2 types.
+    val part = CorpusStats.zipfCoverage(
+        Seq("a a b b c c d").toDF("text"), "text", Seq(500000L))
+      .collect().head
+    assert((part.getLong(1), part.getLong(2)) == (4L, 2L))
+  }
+
   test("qualityRules: each rule gates independently; pass_all is the conjunction") {
     import spark.implicits._
     val docs = Seq(
