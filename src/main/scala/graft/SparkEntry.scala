@@ -1031,6 +1031,55 @@ object SparkEntry {
         .transform(ordered1(_, col("threshold_ppm")))
     }),
 
+    // Cross-split near-dup leakage: LSH candidate pairs whose endpoints
+    // land in different q107 splits (near-dup test/train leakage — the
+    // reason dedup must run before, or be aware of, the split). Each
+    // endpoint's split is computed IN PLACE from the id arithmetic
+    // (Curation.splitFor) — no join against an assignment table.
+    "q111_split_leakage" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      val sa = Curation.splitFor(col("doc_id_a"))
+      val sb = Curation.splitFor(col("doc_id_b"))
+      pairs
+        .groupBy(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+        .transform(ordered1(_, col("split_lo"), col("split_hi")))
+    }),
+
+    // Near-dup removal impact per source: documents losing the q54
+    // cluster election (cluster keeper = min id), with doc and token
+    // removal rates — the dedup scorecard a release card quotes.
+    "q112_dedup_impact" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      // losers: bounded by the candidate-pair population (tiny vs the
+      // corpus), so AQE broadcasts the join side at every scale where
+      // near-dups are rare; no forced broadcast (a 50%-duplicate crawl
+      // would overflow it).
+      val losers = TextDedup.dupClusters(pairs, "doc_id")
+        .filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id"), lit(1L).as("__dup"))
+      docs
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("__dup").isNotNull, col("__nt")).otherwise(0L))
+            .as("tokens_removed"),
+          round(sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("removal_rate"))
+        .transform(ordered1(_, col("source")))
+    }),
+
     // Levenshtein verification over the q26 LSH candidate pairs: the
     // tokenization-free near-dup check (first-200-chars prefix cap — the
     // per-pair O(prefix²) scale contract documented on the operator).
@@ -2442,6 +2491,55 @@ object SparkEntry {
         |  CAST(ty AS BIGINT) AS total_types,
         |  CAST(tt AS BIGINT) AS total_tokens
         |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
+
+    "q111_split_leakage" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |sp AS (SELECT doc_id_a, doc_id_b,
+         |  CASE WHEN (doc_id_a * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+         |       WHEN (doc_id_a * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS sa,
+         |  CASE WHEN (doc_id_b * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+         |       WHEN (doc_id_b * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS sb
+         |  FROM pairs)
+         |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         |  count(*) AS n_pairs, least(sa, sb) <> greatest(sa, sb) AS is_leak
+         |FROM sp GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+
+    "q112_dedup_impact" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN l.id IS NOT NULL
+         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+         |    AS tokens_removed,
+         |  round(CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS removal_rate
+         |FROM documents d LEFT JOIN losers l ON l.id = d.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q102_edit_verify" ->
       s"""WITH $shinglesCte,

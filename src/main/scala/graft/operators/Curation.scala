@@ -106,14 +106,21 @@ object Curation {
     * reproduces the assignment exactly, which is what makes the split
     * auditable by an external oracle. */
   def splitAssign(docs: DataFrame, idCol: String,
-      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+      trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    docs.withColumn("split", splitFor(col(idCol), trainPct, valPct))
+
+  /** [[splitAssign]]'s column form — the split of a single id expression.
+    * Because membership is pure id arithmetic, any operator can compute
+    * it in place (e.g. labeling both endpoints of a candidate pair)
+    * with no join against an assignment table — that locality is the
+    * point of hash-based splits. */
+  def splitFor(id: Column, trainPct: Int = 90, valPct: Int = 5): Column = {
     require(trainPct > 0 && valPct > 0 && trainPct + valPct < 100,
       s"train+val must leave room for test: $trainPct+$valPct")
-    val bucket = (col(idCol).cast("long") * lit(2654435761L)) %
+    val bucket = (id.cast("long") * lit(2654435761L)) %
       lit(4294967296L) % lit(100L)
-    docs.withColumn("split",
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test"))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
 }
