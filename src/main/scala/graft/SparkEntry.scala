@@ -970,6 +970,14 @@ object SparkEntry {
         .transform(ordered1(_, col("label")))
     }),
 
+    // Per-label centroid cohesion + nearest-other-centroid separation —
+    // the class-taxonomy audit (which labels to merge, which to split).
+    "q113_label_separation" -> ((s, d) => {
+      Similarity.labelSeparation(load(s, d, "embeddings"),
+          "embedding", "vec_id", "label")
+        .transform(ordered1(_, col("label")))
+    }),
+
     // Per-source unigram KL divergence from the pooled corpus — the
     // mixture-audit panel (register/language drift, template spam,
     // near-copy "independent" sources all read off it).
@@ -2491,6 +2499,34 @@ object SparkEntry {
         |  CAST(ty AS BIGINT) AS total_types,
         |  CAST(tt AS BIGINT) AS total_tokens
         |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
+
+    "q113_label_separation" ->
+      """WITH v AS (SELECT vec_id, label,
+        |    unnest(range(1, len(embedding) + 1)) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |cs AS (SELECT label, i, sum(x) AS s FROM v GROUP BY label, i),
+        |cn AS (SELECT label, sum(s * s) AS n2 FROM cs GROUP BY label),
+        |dots AS (SELECT a.label AS la, b.label AS lb, sum(a.s * b.s) AS dot
+        |  FROM cs a JOIN cs b ON a.i = b.i AND a.label <> b.label
+        |  GROUP BY 1, 2),
+        |near AS (SELECT la, lb, c FROM (
+        |  SELECT la, lb, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS c,
+        |    row_number() OVER (PARTITION BY la
+        |      ORDER BY dot / (sqrt(na.n2) * sqrt(nb.n2)) DESC, lb) AS rn
+        |  FROM dots JOIN cn na ON na.label = dots.la
+        |            JOIN cn nb ON nb.label = dots.lb) WHERE rn = 1),
+        |dv AS (SELECT v.label, v.vec_id,
+        |    sum(v.x * cs.s) AS dot, sum(v.x * v.x) AS vn2
+        |  FROM v JOIN cs ON cs.label = v.label AND cs.i = v.i
+        |  GROUP BY 1, 2 HAVING sum(v.x * v.x) > 0),
+        |coh AS (SELECT dv.label, count(*) AS n_vecs,
+        |    avg(dot / (sqrt(vn2) * sqrt(cn.n2))) AS m
+        |  FROM dv JOIN cn ON cn.label = dv.label GROUP BY dv.label)
+        |SELECT coh.label, n_vecs, round(m, 6) AS cohesion,
+        |  near.lb AS nearest_label, round(near.c, 6) AS nearest_cos
+        |FROM coh JOIN near ON near.la = coh.label
+        |ORDER BY label""".stripMargin,
 
     "q111_split_leakage" ->
       s"""WITH $shinglesCte,

@@ -313,4 +313,67 @@ object Similarity {
         round(col("n_vecs").cast("double") / col("__total"), roundTo).as("share"),
         round(col("mean_cos"), roundTo).as("mean_cos"))
   }
+
+  /** Per-label cluster-quality panel: cohesion (mean cosine of each
+    * vector to its own label centroid) and separation (the nearest OTHER
+    * label centroid by cosine). A label whose cohesion is low is
+    * internally incoherent (mixed concepts under one name); a pair of
+    * labels whose centroids are mutually nearest at high cosine are
+    * duplicates of each other — the class-taxonomy audit that tells a
+    * labeling effort where to split and where to merge (the
+    * [[knnLabelAgreement]] panel's geometric sibling: that one scores
+    * individual rows, this one scores the label scheme itself).
+    *
+    * Centroids are kept as per-dimension SUMS, never divided by the
+    * count — cosine is scale-invariant, so cos(sum) = cos(mean) and the
+    * division (a per-label float that the oracle would have to
+    * reproduce bit-for-bit) simply never happens. Zero vectors are
+    * excluded from cohesion (their cosine is undefined; they are
+    * [[embeddingAudit]]'s finding, not this panel's).
+    *
+    * Scale shape: the corpus-order work is two exploded-sum aggregations
+    * (centroid sums; per-vector dot products against the broadcast
+    * centroid frame) — the explode is re-run for the second pass rather
+    * than persisting a corpus×dim frame (the [[CorpusStats.lmLogProb]]
+    * economics). Everything else — norms, the |labels|² pairwise
+    * centroid matrix, the nearest-neighbor window — rides frames no
+    * bigger than |labels| × dim. Per-dimension double sums are rounded
+    * to 6 decimals only at the final cosines, the repo's
+    * float-association convention (the q103 precedent). */
+  def labelSeparation(embeds: DataFrame, vecCol: String, idCol: String,
+      labelCol: String): DataFrame = {
+    val v = embeds.select(col(labelCol).as("__l"), col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("__i", "__xf")))
+      .select(col("__l"), col("__id"), col("__i"),
+        col("__xf").cast("double").as("__x"))
+    val cs = v.groupBy(col("__l"), col("__i")).agg(sum(col("__x")).as("__s"))
+    val cn = cs.groupBy(col("__l")).agg(sum(col("__s") * col("__s")).as("__n2"))
+    val dots = cs.select(col("__l").as("__la"), col("__i"), col("__s").as("__sa"))
+      .join(cs.select(col("__l").as("__lb"), col("__i"), col("__s").as("__sb")), "__i")
+      .filter(col("__la") =!= col("__lb"))
+      .groupBy(col("__la"), col("__lb"))
+      .agg(sum(col("__sa") * col("__sb")).as("__dot"))
+    val near = dots
+      .join(cn.select(col("__l").as("__la"), col("__n2").as("__na")), "__la")
+      .join(cn.select(col("__l").as("__lb"), col("__n2").as("__nb")), "__lb")
+      .withColumn("__c", col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__la")).orderBy(col("__c").desc, col("__lb"))))
+      .filter(col("__rn") === 1)
+      .select(col("__la").as("__l"), col("__lb").as("nearest_label"),
+        round(col("__c"), 6).as("nearest_cos"))
+    val dv = v.join(broadcast(cs), Seq("__l", "__i"))
+      .groupBy(col("__l"), col("__id"))
+      .agg(sum(col("__x") * col("__s")).as("__dot"),
+        sum(col("__x") * col("__x")).as("__vn2"))
+      .filter(col("__vn2") > 0.0)
+    val coh = dv.join(broadcast(cn), "__l")
+      .groupBy(col("__l"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("__dot") / (sqrt(col("__vn2")) * sqrt(col("__n2")))), 6)
+          .as("cohesion"))
+    coh.join(near, "__l")
+      .select(col("__l").as(labelCol), col("n_vecs"), col("cohesion"),
+        col("nearest_label"), col("nearest_cos"))
+  }
 }

@@ -99,4 +99,22 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toList == List((0, 3L, 3L, 1.0), (1, 4L, 3L, 0.75)))
   }
+
+  test("labelSeparation: cohesion to own centroid, nearest other centroid by cosine") {
+    import spark.implicits._
+    // label A: (1,0)+(0,1) → centroid sum (1,1); each member's cosine to
+    // it is 1/√2 ≈ 0.707107. label B: two copies of (-1,0) → centroid
+    // (-2,0), cohesion exactly 1. Centroid cosine A↔B = -1/√2.
+    val embeds = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(-1.0f, 0.0f), 1), (4L, Seq(-1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelSeparation(embeds, "embedding", "vec_id", "label")
+      .orderBy("label").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(out.toList == List(
+      (0, 2L, 0.707107, 1, -0.707107),
+      (1, 2L, 1.0, 0, -0.707107)))
+  }
 }
