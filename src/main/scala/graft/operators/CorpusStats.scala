@@ -595,14 +595,20 @@ object CorpusStats {
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
     val hist = counts.groupBy(col("__c")).agg(count(lit(1)).as("__nt"))
     val w = Window.orderBy(col("__c").desc)
+    // totals ride a FULL-frame window over the same (tiny, already
+    // single-partition) histogram ordering — a separate hist.agg branch
+    // would duplicate the whole token-explode subtree in the plan
+    // (Catalyst re-executes shared DataFrames per consumer), doubling
+    // the corpus-order work; PlanShapeSpec pins the single Generate
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = hist
       .withColumn("__cumtok", sum(col("__c") * col("__nt")).over(w))
       .withColumn("__cumtyp", sum(col("__nt")).over(w))
-    val tot = hist.agg(sum(col("__c") * col("__nt")).as("__tt"),
-      sum(col("__nt")).as("__ty"))
+      .withColumn("__tt", sum(col("__c") * col("__nt")).over(wAll))
+      .withColumn("__ty", sum(col("__nt")).over(wAll))
     val th = docs.sparkSession.range(1)
       .select(explode(lit(thresholdsPpm.toArray)).as("ppm"))
-    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(th))
+    cum.crossJoin(broadcast(th))
       // ceil(tt · ppm / 1e6) in exact long arithmetic
       .withColumn("__target", expr("(__tt * ppm + 999999L) div 1000000L"))
       .filter(col("__cumtok") >= col("__target"))

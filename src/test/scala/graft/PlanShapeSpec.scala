@@ -150,4 +150,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(generates(plan) == 2) // band explode + pair explode
     assert(leaves(plan) == 1)
   }
+
+  test("oovRate tokenizes once; vocab membership is a window, not a join") {
+    // the threshold-vocabulary contract keeps membership on the token
+    // marginal window over the collapsed counts — a Join (or second
+    // Generate) means a vocab table rejoin re-running the tokenize scan
+    val plan = CorpusStats.oovRate(docs, "text", "source", minCount = 2L)
+    assert(generates(plan) == 1)
+    assert(windows(plan) == 1)
+    assert(joins(plan) == 0)
+    assert(leaves(plan) == 1)
+  }
+
+  test("zipfCoverage: one corpus-order explode; totals ride the histogram window") {
+    // Generate #1 is the token explode (corpus-order); #2 explodes the
+    // literal thresholds array. A third Generate means a totals branch
+    // re-runs the tokenize scan (the subtree-duplication defect this
+    // test caught on first writing: hist.agg(...) as a separate branch
+    // re-planned the whole explode+aggregate chain); the single join is
+    // the broadcast thresholds cross join against the cumulative frame
+    val plan = CorpusStats.zipfCoverage(docs, "text", Seq(500000L, 900000L))
+    assert(generates(plan) == 2)
+    assert(joins(plan) == 1)
+  }
+
+  test("splitLeakage labels pair endpoints in place: no join beyond the LSH self-join") {
+    // the split is id arithmetic (Curation.splitFor), so the only Join
+    // in the plan is the band self-join producing candidate pairs — an
+    // assignment-table join reappearing means the locality contract broke
+    val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 2)
+    val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+    val plan = pairs
+      .groupBy(
+        org.apache.spark.sql.functions.least(
+          graft.operators.Curation.splitFor(pairs("doc_id_a")),
+          graft.operators.Curation.splitFor(pairs("doc_id_b"))).as("split_lo"))
+      .count()
+    assert(joins(plan) == 1)
+  }
 }
