@@ -131,6 +131,62 @@ object StreamingEtl {
       }
   }
 
+  /** Streaming ingest dedup against a SELF-MAINTAINING band index — the
+    * streaming face of [[graft.operators.TextDedup.incrementalCandidates]]
+    * (q77's build/probe split as a continuously running pipeline): each
+    * micro-batch is MinHash-signatured (cost ∝ the batch, never the
+    * corpus), probed against the standing `(id, band)` index at
+    * `indexPath`, and only documents colliding with no indexed band are
+    * (a) handed to `onNovel` and (b) appended to the index — so a
+    * near-dup arriving in ANY later micro-batch is dropped by state that
+    * survives restarts (the index is a parquet table, not executor
+    * memory; T4 cross-run state in its durable form).
+    *
+    * Batch-INTERNAL near-dups are deliberately out of scope (both
+    * members are novel vs the corpus; compose
+    * [[graft.operators.TextDedup.lshCandidatePairs]] +
+    * [[graft.operators.TextDedup.dupClusters]] over the batch first if
+    * ingest batches self-duplicate). At 100 TB the index is written
+    * bucketed on `band` (see `buildBandIndex`'s scale contract) so the
+    * per-batch probe join never shuffles the standing index.
+    *
+    * Failure semantics: a micro-batch replay re-appends its band rows
+    * (at-least-once), which is CORRECT here — duplicate index rows
+    * cannot change candidate membership (`incrementalCandidates`
+    * distincts pairs), they only waste index bytes; compact with
+    * `distinct()` offline if replays are common. */
+  def dedupIngest(stream: DataFrame, indexPath: String, textCol: String,
+      idCol: String, numHashes: Int, shingleSize: Int, rowsPerBand: Int,
+      checkpointDir: String)(
+      onNovel: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sparkB = batch.sparkSession
+        val b = batch.toDF().persist() // signatured twice (probe + index append)
+        val idx = readIndexOrEmpty(sparkB, indexPath, b, idCol)
+        val dupIds = graft.operators.TextDedup.incrementalCandidates(
+            b, idx, textCol, idCol, numHashes, shingleSize, rowsPerBand)
+          .select(col(s"${idCol}_new").as(idCol)).distinct()
+        val novel = b.join(dupIds, Seq(idCol), "left_anti").persist()
+        graft.operators.TextDedup.buildBandIndex(
+            novel, textCol, idCol, numHashes, shingleSize, rowsPerBand)
+          .write.mode("append").parquet(indexPath)
+        onNovel(novel)
+        b.unpersist(); novel.unpersist()
+        ()
+      }
+      .start()
+
+  private def readIndexOrEmpty(spark: SparkSession, path: String,
+      like: DataFrame, idCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) spark.read.parquet(path)
+    else like.select(col(idCol), lit("").as("band")).limit(0)
+  }
+
   /** Per-key running state (T4's cross-run state, streaming form):
     * arbitrary stateful aggregation via mapGroupsWithState — here a
     * running (count, sum) per key, the minimal shape of a custom state

@@ -140,4 +140,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey(1L) == StreamingEtl.KeyedTotals(1L, 3L, 15.0))
     assert(byKey(2L) == StreamingEtl.KeyedTotals(2L, 1L, 1.0))
   }
+
+  test("dedupIngest drops near-dups of earlier micro-batches via the durable band index") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dedup_ingest").toString
+    val in = MemoryStream[(Long, String)]
+    val novel = scala.collection.mutable.ListBuffer[Long]()
+    val q = StreamingEtl.dedupIngest(
+        in.toDF().toDF("doc_id", "text"), s"$dir/index", "text", "doc_id",
+        numHashes = 4, shingleSize = 3, rowsPerBand = 2,
+        checkpointDir = s"$dir/ckpt") { batch =>
+      novel ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+    val proseA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val proseB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    in.addData((1L, proseA), (2L, proseB))
+    q.processAllAvailable()
+    assert(novel.toSet == Set(1L, 2L)) // empty index: everything is novel
+    // batch 2: a near-dup of doc 1 (same shingles, one token appended —
+    // every LSH band still collides) and one genuinely new document
+    in.addData((3L, proseA + " tail"), (4L, (1 to 30).map(i => s"gamma$i").mkString(" ")))
+    q.processAllAvailable()
+    q.stop()
+    assert(novel.toSet == Set(1L, 2L, 4L)) // 3 was dropped by the index probe
+    // the index carries state for the NEXT run: bands exist for 1, 2, 4 only
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L))
+  }
 }
