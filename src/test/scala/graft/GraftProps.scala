@@ -289,4 +289,69 @@ object GraftProps extends Properties("graft") {
           out.forall(r => r._3 <= size(r._1))
       }
     }
+
+  property("oovRate: counts bounded by totals, rates in [0,1], minCount=1 is all-in-vocab") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val docs = rows.map { case (k, v, t) =>
+          (s"s${k % 3}", s"w$k w${v % 5} z$t")
+        }.toDF("source", "text")
+        val out = graft.operators.CorpusStats.oovRate(docs, "text", "source", 2L)
+          .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        // a token with corpus count >= 1 always exists, so minCount=1 → zero OOV
+        val allIn = graft.operators.CorpusStats.oovRate(docs, "text", "source", 1L)
+          .collect().forall(r => r.getLong(2) == 0L && r.getDouble(4) == 0.0)
+        allIn && out.forall { case (nt, oovT, oovTy, rate) =>
+          // each OOV type occurs at least once in its source
+          oovT <= nt && oovTy <= oovT && rate >= 0.0 && rate <= 1.0
+        }
+      }
+    }
+
+  property("zipfCoverage: n_types nondecreasing in threshold, bounded by total_types") =
+    forAll(genRows) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val docs = rows.map { case (k, v, t) => s"w$k w${v % 4} y$t" }.toDF("text")
+        val out = graft.operators.CorpusStats.zipfCoverage(docs, "text",
+            Seq(250000L, 500000L, 750000L, 1000000L))
+          .orderBy("threshold_ppm").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        val ns = out.map(_._3)
+        ns.zip(ns.tail).forall { case (a, b) => a <= b } &&    // monotone
+          out.forall(r => r._3 >= 1 && r._3 <= r._4) &&        // within vocab
+          out.forall(r => r._2 <= r._5) &&                     // target ≤ total
+          out.last._3 == out.last._4                           // 100% needs all types
+      }
+    }
+
+  property("containment dominates Jaccard and is 1.0 on at least one side of equal sets") =
+    forAll(genRows) { rows =>
+      rows.size < 2 || {
+        import spark.implicits._
+        val docs = rows.zipWithIndex.map { case ((k, v, t), i) =>
+          (i.toLong, s"w${k % 3} x${v % 2} y${t % 2} tail tokens here")
+        }.toDF("doc_id", "text")
+        val ids = rows.indices.map(_.toLong)
+        val pairs = ids.combinations(2).map(p => (p(0), p(1))).toList
+          .toDF("doc_id_a", "doc_id_b")
+        val n = 2
+        val cont = TextDedup.containmentOnPairs(pairs, docs, "text", "doc_id", n)
+          .collect().map(r => ((r.getLong(0), r.getLong(1)),
+            (r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+        // token-shingle jaccard on the same pairs, driver-computed
+        val grams = docs.select(col("doc_id"),
+            array_distinct(graft.functions.TextFunctions.tokenShingles(col("text"), n)).as("g"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+        cont.forall { case ((a, b), (ca, cb, cm)) =>
+          val (ga, gb) = (grams(a), grams(b))
+          val j = (ga & gb).size.toDouble / (ga | gb).size.toDouble
+          val eps = 1e-9
+          cm + eps >= ca && cm + eps >= cb &&       // max is the max
+            ca + eps >= j && cb + eps >= j &&       // containment ≥ jaccard
+            (ga != gb || (ca > 1 - eps && cb > 1 - eps)) // equal sets ⇒ both 1
+        }
+      }
+    }
 }
