@@ -65,6 +65,45 @@ final class ParquetSource(path: String) extends ApiSource {
     spark.read.parquet(path)
 }
 
+/** [[JsonLinesSource]] with malformed-record quarantine: lines that fail
+  * to parse are captured via PERMISSIVE mode's corrupt-record column,
+  * written RAW to `quarantinePath` (append — each ingest adds its
+  * casualties, so a fixed parser can replay the whole quarantine later),
+  * and dropped from the returned frame. An API batch with a few mangled
+  * payloads must not abort the load (FAILFAST) or silently vanish rows
+  * (DROPMALFORMED, which also hides the evidence); quarantine is the
+  * production contract: load what parses, keep what didn't, byte-exact.
+  *
+  * The parsed frame is persisted before the split — Spark (correctly)
+  * refuses plans that filter on only the internal corrupt-record column
+  * of a live JSON scan, and the two consumers (good rows, quarantine
+  * write) would otherwise each re-read and re-parse the file. The
+  * quarantine write is eager (it happens during `fetch`); the returned
+  * good-rows frame stays lazy. Caller owns `spark.catalog.clearCache()`
+  * between unrelated ingests (the [[graft.operators.Curation.curate]]
+  * contract). */
+final class QuarantiningJsonSource(path: String, schema: StructType,
+    quarantinePath: String) extends ApiSource {
+  import org.apache.spark.sql.functions.col
+  def fetch(spark: SparkSession, params: Map[String, String]): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not already contain _corrupt_record")
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .persist()
+    val bad = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    if (!bad.isEmpty)
+      bad.write.mode("append").text(quarantinePath)
+    parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+  }
+}
+
 /** In-memory source for tests and for pre-built frames. */
 final class FrameSource(df: DataFrame) extends ApiSource {
   def fetch(spark: SparkSession, params: Map[String, String]): DataFrame = df
