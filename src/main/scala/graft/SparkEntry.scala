@@ -970,6 +970,15 @@ object SparkEntry {
         .transform(ordered1(_, col("label")))
     }),
 
+    // Hourly event-rate anomalies per type: z-scores over the zero-filled
+    // hourly grid, |z| >= 2 — integer-exact moments, so the flag boundary
+    // is engine-deterministic.
+    "q114_rate_anomaly" -> ((s, d) => {
+      TimeSeries.rateAnomaly(load(s, d, "events"), "event_type", "ts",
+          bucketSeconds = 3600L, zCut = 2.0)
+        .transform(ordered1(_, col("event_type"), col("bucket")))
+    }),
+
     // Per-label centroid cohesion + nearest-other-centroid separation —
     // the class-taxonomy audit (which labels to merge, which to split).
     "q113_label_separation" -> ((s, d) => {
@@ -2499,6 +2508,32 @@ object SparkEntry {
         |  CAST(ty AS BIGINT) AS total_types,
         |  CAST(tt AS BIGINT) AS total_tokens
         |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
+
+    "q114_rate_anomaly" ->
+      """WITH c AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS bucket,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |mm AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM mm),
+        |f AS (SELECT b.event_type, b.bucket, coalesce(c.x, 0) AS x
+        |  FROM b LEFT JOIN c ON c.event_type = b.event_type
+        |                    AND c.bucket = b.bucket),
+        |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+        |    sum(x * x) AS sxx FROM f GROUP BY 1)
+        |SELECT f.event_type, f.bucket, CAST(x AS BIGINT) AS n_events,
+        |  round((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           / CAST(n * n AS DOUBLE)), 6) AS z
+        |FROM f JOIN s ON s.event_type = f.event_type
+        |WHERE CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * n AS DOUBLE) > 0
+        |  AND abs((CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           / CAST(n * n AS DOUBLE))) >= 2.0
+        |ORDER BY f.event_type, f.bucket""".stripMargin,
 
     "q113_label_separation" ->
       """WITH v AS (SELECT vec_id, label,

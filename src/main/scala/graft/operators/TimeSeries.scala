@@ -140,4 +140,53 @@ object TimeSeries {
         (when(observed, pv).otherwise(col("__i")).cast("double") / 1000000.0)
           .as("interp_sum"))
   }
+
+  /** Per-key event-rate anomalies: hourly (or any `bucketSeconds`
+    * cadence) event counts z-scored against the key's own rate history
+    * over its zero-FILLED grid — the monitoring panel for ingest streams
+    * (a crawler that stalls shows z ≪ 0 hours; a retry storm z ≫ 0).
+    * Buckets with no events MUST enter the statistics as zeros (that is
+    * what "the crawler stalled" looks like), so the grid is densified
+    * per key from its min to max observed bucket before the moments.
+    *
+    * Determinism: bucket counts are integers, so Σx and Σx² are EXACT
+    * longs in any engine; mean and population variance are then single
+    * double expressions over exact integers — both engines compute
+    * bit-identical z-scores, and the `|z| ≥ zCut` boundary cannot
+    * disagree (rounding to 6 decimals only on output). Keys with zero
+    * variance have no anomalies by definition.
+    *
+    * Scale shape: one hash aggregation (events → per-bucket counts),
+    * one per-key min/max aggregation + sequence-explode for the grid
+    * (fan-out = span/cadence, the [[gapFill]] economics), a broadcast
+    * join of the |keys|-row moment table, and a final filter — no
+    * window over grid rows, no driver loops. Overflow: Σx² stays in
+    * LONG up to ~3e9 events per bucket per key. */
+  def rateAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long, zCut: Double): DataFrame = {
+    val u = unix_timestamp(col(tsCol))
+    val counts = events
+      .groupBy(col(keyCol),
+        timestamp_seconds(u - pmod(u, lit(bucketSeconds))).as("bucket"))
+      .agg(count(lit(1)).as("__x"))
+    val grid = counts.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
+        expr(s"INTERVAL $bucketSeconds SECONDS"))).as("bucket"))
+    val filled = grid.join(counts, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+    val stats = filled.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+    val mean = col("__sx").cast("double") / col("__n").cast("double")
+    val variance = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .cast("double") / (col("__n") * col("__n")).cast("double")
+    filled.join(broadcast(stats), keyCol)
+      .filter(variance > 0.0)
+      .withColumn("__z", (col("__x").cast("double") - mean) / sqrt(variance))
+      .filter(abs(col("__z")) >= zCut)
+      .select(col(keyCol), col("bucket"), col("__x").as("n_events"),
+        round(col("__z"), 6).as("z"))
+  }
 }

@@ -90,4 +90,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     // one bucket per user: a global grid would emit thousands of rows
     assert(out.count() == 2L)
   }
+
+  test("rateAnomaly zero-fills the grid and z-scores with exact moments") {
+    // key "a": hourly counts [3, 0, 3] (hour 1 has NO events — the zero
+    // must enter the moments): mean 2, pop var (3·18 − 36)/9 = 2, so
+    // z(0) = −2/√2 = −√2 — only the silent hour crosses |z| ≥ 1.
+    val events = Seq(
+      ("a", ts("2024-01-01 00:10:00")), ("a", ts("2024-01-01 00:20:00")),
+      ("a", ts("2024-01-01 00:59:59")),
+      ("a", ts("2024-01-01 02:10:00")), ("a", ts("2024-01-01 02:20:00")),
+      ("a", ts("2024-01-01 02:30:00")),
+      ("b", ts("2024-01-01 00:00:00")) // constant rate: zero variance, no rows
+    ).toDF("event_type", "ts")
+    val out = TimeSeries.rateAnomaly(events, "event_type", "ts", 3600L, 1.0)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toList ==
+      List(("a", ts("2024-01-01 01:00:00"), 0L, -1.414214)))
+  }
 }
