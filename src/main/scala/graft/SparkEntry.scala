@@ -970,6 +970,15 @@ object SparkEntry {
         .transform(ordered1(_, col("label")))
     }),
 
+    // Per-type Gini concentration of user event counts — the bot /
+    // power-user traffic audit (exact-integer numerator; one window over
+    // |users| rows per type).
+    "q115_event_gini" -> ((s, d) => {
+      Relational.giniConcentration(load(s, d, "events"),
+          "event_type", "user_id")
+        .transform(ordered1(_, col("event_type")))
+    }),
+
     // Hourly event-rate anomalies per type: z-scores over the zero-filled
     // hourly grid, |z| >= 2 — integer-exact moments, so the flag boundary
     // is engine-deterministic.
@@ -2508,6 +2517,19 @@ object SparkEntry {
         |  CAST(ty AS BIGINT) AS total_types,
         |  CAST(tt AS BIGINT) AS total_tokens
         |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
+
+    "q115_event_gini" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY x ASC, user_id ASC) AS i
+        |  FROM c)
+        |SELECT event_type, count(*) AS n_entities,
+        |  CAST(sum(x) AS BIGINT) AS n_rows,
+        |  round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |    / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q114_rate_anomaly" ->
       """WITH c AS (SELECT event_type,

@@ -81,6 +81,40 @@ object Relational {
       .limit(topK)
   }
 
+  /** Per-group Gini concentration of per-entity row counts — the
+    * traffic-concentration audit [[skewAudit]]'s top-k view cannot give:
+    * one number per group saying HOW unequal the whole distribution is
+    * (0 = every entity contributes equally, →1 = a handful of bots/power
+    * users produce everything). Formula over counts sorted ascending
+    * with rank i = 1..n: `G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx)` — the
+    * numerator and denominator are EXACT integer sums (counts are
+    * longs, ranks are longs), so both engines compute the identical
+    * double at the single final division; ties broken by entity id so
+    * the ranking itself is deterministic (Gini is tie-order invariant,
+    * the determinism is belt-and-braces).
+    *
+    * Scale shape: one hash aggregation (rows → per-entity counts), one
+    * per-group window over |entities| rows for the rank, one final
+    * reduction. Overflow: Σ(i·xᵢ) stays in LONG while
+    * |entities| × rows-per-group < ~9e18 — beyond any real tenant. */
+  def giniConcentration(df: DataFrame, groupCol: String,
+      entityCol: String): DataFrame = {
+    val counts = df.groupBy(col(groupCol), col(entityCol))
+      .agg(count(lit(1)).as("__x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__x").asc, col(entityCol).asc)
+    counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(col("__x")).as("n_rows"),
+        round((lit(2L) * sum(col("__i") * col("__x")) -
+          (count(lit(1)) + 1L) * sum(col("__x"))).cast("double") /
+          (count(lit(1)) * sum(col("__x"))).cast("double"), 6).as("gini"))
+  }
+
   /** Training-shard assignment audit: rows hash-route to `numShards`
     * shards (first 4 hex chars of `md5(key)` mod shards — engine-neutral,
     * uniform, and stable under re-runs), and each shard reports its row

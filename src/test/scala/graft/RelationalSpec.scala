@@ -194,4 +194,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(a.length == 1 && a.head.getLong(1) == 2L &&
       a.head.getLong(2) == 12L && a.head.getDouble(3) == 1.0)
   }
+
+  test("giniConcentration: 0 on equal counts, exact value on a skewed fixture") {
+    // group g: per-user counts [1, 1, 2] → ranks 1,2,3, Σi·x = 9,
+    // G = (2·9 − 4·4) / (3·4) = 2/12 = 0.166667
+    // group h: counts [2, 2] → perfectly equal, G = 0
+    val rows =
+      Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 3L), ("h", 7L), ("h", 7L),
+        ("h", 8L), ("h", 8L)).toDF("grp", "user")
+    val out = Relational.giniConcentration(rows, "grp", "user")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(("g", 3L, 4L, 0.166667), ("h", 2L, 4L, 0.0)))
+  }
 }
