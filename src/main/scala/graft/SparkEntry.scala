@@ -970,6 +970,14 @@ object SparkEntry {
         .transform(ordered1(_, col("label")))
     }),
 
+    // Next-event transition matrix per user timeline — empirical Markov
+    // transition counts + per-from-state shares.
+    "q116_transitions" -> ((s, d) => {
+      Sessionize.transitionMatrix(load(s, d, "events"),
+          "user_id", "ts", "event_type", tiebreakCol = "event_id")
+        .transform(ordered1(_, col("from_type"), col("to_type")))
+    }),
+
     // Per-type Gini concentration of user event counts — the bot /
     // power-user traffic audit (exact-integer numerator; one window over
     // |users| rows per type).
@@ -2517,6 +2525,17 @@ object SparkEntry {
         |  CAST(ty AS BIGINT) AS total_types,
         |  CAST(tt AS BIGINT) AS total_tokens
         |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
+
+    "q116_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / sum(count(*)) OVER (PARTITION BY from_type), 6) AS share
+        |FROM p WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
 
     "q115_event_gini" ->
       """WITH c AS (SELECT event_type, user_id, count(*) AS x

@@ -126,4 +126,31 @@ object Sessionize {
       .select(col("cohort_week"), col("week_offset"), col("n_active"),
         round(col("n_active").cast("double") / col("__size"), 6).as("retention"))
   }
+
+  /** Per-key next-event transition matrix — the Markov view of user
+    * behavior ("after a search, 40% click and 12% bounce"): consecutive
+    * event pairs within each key's timeline, counted per (from, to) type
+    * with each row's share of its `from` state (the empirical transition
+    * probability). Product analytics reads funnels OUT of this matrix;
+    * data-quality reads instrumentation bugs off it (a transition that
+    * "cannot happen" with nonzero count is a mis-fired event).
+    *
+    * Determinism: ordering within a key is (ts, tiebreakCol) — an exact
+    * total order, so the lead() pairing is engine-reproducible even
+    * with equal timestamps. Scale shape: one per-key window (shuffle by
+    * key — parallelism is |keys|) feeding one hash aggregation on the
+    * |types|² matrix; the share rides a window on the matrix frame. */
+  def transitionMatrix(events: DataFrame, key: String, ts: String,
+      typeCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tiebreakCol).asc)
+    events
+      .select(col(key), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
+  }
 }

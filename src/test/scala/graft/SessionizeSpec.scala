@@ -142,4 +142,20 @@ class SessionizeSpec extends AnyFunSuite {
       (2L, 1L, 0.5),  // u2 only
       (0L, 1L, 1.0))) // u3's cohort
   }
+
+  test("transitionMatrix counts consecutive pairs per key with tiebroken order") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val events = Seq(
+      (1L, at(0), "A", 10L), (1L, at(60), "B", 11L), (1L, at(120), "A", 12L),
+      (2L, at(0), "A", 20L), (2L, at(0), "A", 21L) // same ts: event_id orders
+    ).toDF("user_id", "ts", "event_type", "event_id")
+    val out = Sessionize.transitionMatrix(events, "user_id", "ts",
+        "event_type", "event_id")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(
+      ("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 1L, 1.0)))
+  }
 }
