@@ -608,9 +608,16 @@ object CorpusStats {
       .withColumn("__ty", sum(col("__nt")).over(wAll))
     val th = docs.sparkSession.range(1)
       .select(explode(lit(thresholdsPpm.toArray)).as("ppm"))
+    // ceil(tt · ppm / 1e6) exactly: the tt·ppm product runs in
+    // DECIMAL(38) (a LONG product would hit 2^63 at ~9.2e12 corpus
+    // tokens — real at the 100 TB scale this operator claims); the
+    // subtract-pmod form divides with no remainder so the decimal
+    // quotient is exact (the skewAudit idiom), and the result is ≤ tt,
+    // safely back in LONG
+    val a = col("__tt").cast(DecimalType(38, 0)) * col("ppm") + lit(999999L)
     cum.crossJoin(broadcast(th))
-      // ceil(tt · ppm / 1e6) in exact long arithmetic
-      .withColumn("__target", expr("(__tt * ppm + 999999L) div 1000000L"))
+      .withColumn("__target",
+        ((a - pmod(a, lit(1000000L))) / lit(1000000L)).cast("long"))
       .filter(col("__cumtok") >= col("__target"))
       // first qualifying class: full classes before it + the partial take
       .withColumn("__ntypes", col("__cumtyp") - col("__nt") +

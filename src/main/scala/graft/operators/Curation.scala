@@ -100,11 +100,15 @@ object Curation {
     * `id mod 100` would not — crawl ids arrive clustered by source.
     *
     * Envelope: `idCol` must be a non-negative integer < 2³¹ so the
-    * product stays inside a signed 64-bit long under ANSI arithmetic
-    * (documents ingest ids are row numbers in practice; wider ids should
-    * pre-hash to 32 bits). Pure per-row arithmetic — any engine
-    * reproduces the assignment exactly, which is what makes the split
-    * auditable by an external oracle. */
+    * product stays inside a signed 64-bit long (documents ingest ids
+    * are row numbers in practice; wider ids should pre-hash to 32
+    * bits). The envelope is data-dependent so it cannot be a
+    * constructor `require`; under this repo's ANSI mode an
+    * out-of-envelope id makes the multiply RAISE loudly rather than
+    * wrap to a sign-skewed bucket — run with ANSI on (Spark 4 default)
+    * or pre-hash. Pure per-row arithmetic — any engine reproduces the
+    * assignment exactly, which is what makes the split auditable by an
+    * external oracle. */
   def splitAssign(docs: DataFrame, idCol: String,
       trainPct: Int = 90, valPct: Int = 5): DataFrame =
     docs.withColumn("split", splitFor(col(idCol), trainPct, valPct))

@@ -101,8 +101,7 @@ object Relational {
       entityCol: String): DataFrame = {
     val counts = df.groupBy(col(groupCol), col(entityCol))
       .agg(count(lit(1)).as("__x"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
+    val w = Window.partitionBy(col(groupCol))
       .orderBy(col("__x").asc, col(entityCol).asc)
     counts
       .withColumn("__i", row_number().over(w).cast("long"))

@@ -160,8 +160,10 @@ object TimeSeries {
     * one per-key min/max aggregation + sequence-explode for the grid
     * (fan-out = span/cadence, the [[gapFill]] economics), a broadcast
     * join of the |keys|-row moment table, and a final filter — no
-    * window over grid rows, no driver loops. Overflow: Σx² stays in
-    * LONG up to ~3e9 events per bucket per key. */
+    * window over grid rows, no driver loops. Overflow: the Σx² LONG
+    * accumulator bounds per-bucket counts at ~3e9 (x² per row must fit
+    * 2^63; ANSI raises loudly beyond); the n·Σx² − (Σx)² moment
+    * products run in exact DECIMAL(38), so no envelope there. */
   def rateAnomaly(events: DataFrame, keyCol: String, tsCol: String,
       bucketSeconds: Long, zCut: Double): DataFrame = {
     val u = unix_timestamp(col(tsCol))
@@ -180,8 +182,15 @@ object TimeSeries {
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
         sum(col("__x") * col("__x")).as("__sxx"))
     val mean = col("__sx").cast("double") / col("__n").cast("double")
-    val variance = (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
-      .cast("double") / (col("__n") * col("__n")).cast("double")
+    // n·Σx² and (Σx)² run in DECIMAL(38): in LONG they overflow at
+    // ~1e6 events/bucket × 1e4 buckets — well inside real traffic —
+    // and (under ANSI) would abort the busiest keys. The exact decimal
+    // numerator is cast to double only at the end, matching the
+    // oracle's HUGEINT → DOUBLE path bit-for-bit.
+    val dec = DecimalType(38, 0)
+    val variance = (col("__n").cast(dec) * col("__sxx") -
+        col("__sx").cast(dec) * col("__sx")).cast("double") /
+      (col("__n") * col("__n")).cast("double")
     filled.join(broadcast(stats), keyCol)
       .filter(variance > 0.0)
       .withColumn("__z", (col("__x").cast("double") - mean) / sqrt(variance))

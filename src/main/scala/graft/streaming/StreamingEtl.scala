@@ -151,10 +151,15 @@ object StreamingEtl {
     * per-batch probe join never shuffles the standing index.
     *
     * Failure semantics: a micro-batch replay re-appends its band rows
-    * (at-least-once), which is CORRECT here — duplicate index rows
-    * cannot change candidate membership (`incrementalCandidates`
-    * distincts pairs), they only waste index bytes; compact with
-    * `distinct()` offline if replays are common. */
+    * (at-least-once). To keep the replay correct, the probe EXCLUDES
+    * index rows carrying the current batch's own ids — otherwise a
+    * failed attempt's append would make the batch's documents collide
+    * with THEMSELVES (and same-batch near-dup siblings with each other)
+    * on retry, silently dropping them. With the exclusion, a replayed
+    * batch probes exactly the pre-batch corpus again; its re-appended
+    * duplicate index rows cannot change later candidate membership
+    * (`incrementalCandidates` distincts pairs) and only waste index
+    * bytes — compact with `distinct()` offline if replays are common. */
   def dedupIngest(stream: DataFrame, indexPath: String, textCol: String,
       idCol: String, numHashes: Int, shingleSize: Int, rowsPerBand: Int,
       checkpointDir: String)(
@@ -165,7 +170,10 @@ object StreamingEtl {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val sparkB = batch.sparkSession
         val b = batch.toDF().persist() // signatured twice (probe + index append)
+        // replay safety: drop index rows from this batch's own ids (a
+        // previous failed attempt may have appended them) — see scaladoc
         val idx = readIndexOrEmpty(sparkB, indexPath, b, idCol)
+          .join(b.select(col(idCol)), Seq(idCol), "left_anti")
         val dupIds = graft.operators.TextDedup.incrementalCandidates(
             b, idx, textCol, idCol, numHashes, shingleSize, rowsPerBand)
           .select(col(s"${idCol}_new").as(idCol)).distinct()
@@ -183,7 +191,15 @@ object StreamingEtl {
       like: DataFrame, idCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty) spark.read.parquet(path)
+    // only DATA files count: a killed write leaves _temporary/ (and a
+    // degenerate first write may leave only _SUCCESS) — treating those
+    // as a readable index would crash-loop every restart on
+    // "unable to infer schema"
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) spark.read.parquet(path)
     else like.select(col(idCol), lit("").as("band")).limit(0)
   }
 

@@ -167,5 +167,26 @@ class StreamingSpec extends AnyFunSuite {
     val idx = spark.read.parquet(s"$dir/index")
     assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 4L))
+    // replay semantics: a batch re-processed after a failed attempt (same
+    // ids, index already holds their bands) must re-emit its documents —
+    // the probe excludes the batch's own index rows — while a NEW id that
+    // near-dups an indexed doc is still dropped
+    val in2 = MemoryStream[(Long, String)]
+    val novel2 = scala.collection.mutable.ListBuffer[Long]()
+    val q2 = StreamingEtl.dedupIngest(
+        in2.toDF().toDF("doc_id", "text"), s"$dir/index", "text", "doc_id",
+        numHashes = 4, shingleSize = 3, rowsPerBand = 2,
+        checkpointDir = s"$dir/ckpt2") { batch =>
+      novel2 ++= batch.select("doc_id").collect().map(_.getLong(0))
+    }
+    in2.addData((1L, proseA)) // replayed id: own bands excluded → re-emitted
+    q2.processAllAvailable()
+    assert(novel2.toSet == Set(1L))
+    // a LATER batch's new id near-dupping indexed doc 1 is still dropped
+    // (the exclusion is per-batch, and 1 is not in this batch)
+    in2.addData((5L, proseA + " tail"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(novel2.toSet == Set(1L))
   }
 }
