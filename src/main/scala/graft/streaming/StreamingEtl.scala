@@ -150,16 +150,25 @@ object StreamingEtl {
     * bucketed on `band` (see `buildBandIndex`'s scale contract) so the
     * per-batch probe join never shuffles the standing index.
     *
-    * Failure semantics: a micro-batch replay re-appends its band rows
-    * (at-least-once). To keep the replay correct, the probe EXCLUDES
-    * index rows carrying the current batch's own ids — otherwise a
-    * failed attempt's append would make the batch's documents collide
-    * with THEMSELVES (and same-batch near-dup siblings with each other)
-    * on retry, silently dropping them. With the exclusion, a replayed
-    * batch probes exactly the pre-batch corpus again; its re-appended
-    * duplicate index rows cannot change later candidate membership
-    * (`incrementalCandidates` distincts pairs) and only waste index
-    * bytes — compact with `distinct()` offline if replays are common. */
+    * Failure semantics: index rows carry the foreachBatch epoch
+    * (batchId), which Spark reuses when it replays a failed batch. The
+    * probe ignores rows of the CURRENT epoch — precisely the rows a
+    * failed prior attempt of this same batch appended. Without that, a
+    * replayed batch containing near-dup SIBLINGS (distinct ids, e.g.
+    * A and A′ both novel vs the corpus) would collide with each
+    * other's leftover rows and silently drop both; same-ID
+    * self-collisions were never possible (`incrementalCandidates`
+    * filters same-id pairs). Scoping the exclusion to the epoch — not
+    * to the batch's ids — keeps redelivered old ids deduping against
+    * their OLDER epochs' rows, so an at-least-once source cannot sneak
+    * a near-dup past the index by sharing a batch with its original.
+    * A replayed batch's re-appended rows only waste index bytes —
+    * compact offline with `distinct()` if replays are common. The
+    * epoch is the checkpoint's batchId, so the index is tied to ONE
+    * checkpoint lineage: restarting against the same index with a
+    * FRESH checkpoint re-uses epoch numbers and blinds the probe to
+    * those epochs' rows for one batch each — keep the checkpoint, or
+    * re-stamp the index epochs to -1 when deliberately resetting. */
   def dedupIngest(stream: DataFrame, indexPath: String, textCol: String,
       idCol: String, numHashes: Int, shingleSize: Int, rowsPerBand: Int,
       checkpointDir: String)(
@@ -167,19 +176,25 @@ object StreamingEtl {
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val sparkB = batch.sparkSession
         val b = batch.toDF().persist() // signatured twice (probe + index append)
-        // replay safety: drop index rows from this batch's own ids (a
-        // previous failed attempt may have appended them) — see scaladoc
+        // replay safety: index rows are stamped with the epoch (the
+        // foreachBatch batchId, which Spark REUSES on replay), and the
+        // probe ignores rows of the CURRENT epoch — exactly the rows a
+        // failed prior attempt of this same batch appended, and nothing
+        // else, so redelivered ids still dedup against their older
+        // epochs' rows — see scaladoc
         val idx = readIndexOrEmpty(sparkB, indexPath, b, idCol)
-          .join(b.select(col(idCol)), Seq(idCol), "left_anti")
+          .filter(col("epoch") =!= batchId)
+          .drop("epoch")
         val dupIds = graft.operators.TextDedup.incrementalCandidates(
             b, idx, textCol, idCol, numHashes, shingleSize, rowsPerBand)
           .select(col(s"${idCol}_new").as(idCol)).distinct()
         val novel = b.join(dupIds, Seq(idCol), "left_anti").persist()
         graft.operators.TextDedup.buildBandIndex(
             novel, textCol, idCol, numHashes, shingleSize, rowsPerBand)
+          .withColumn("epoch", lit(batchId))
           .write.mode("append").parquet(indexPath)
         onNovel(novel)
         b.unpersist(); novel.unpersist()
@@ -200,7 +215,8 @@ object StreamingEtl {
       !n.startsWith("_") && !n.startsWith(".")
     }
     if (hasData) spark.read.parquet(path)
-    else like.select(col(idCol), lit("").as("band")).limit(0)
+    else like.select(col(idCol), lit("").as("band"),
+      lit(-1L).as("epoch")).limit(0)
   }
 
   /** Per-key running state (T4's cross-run state, streaming form):

@@ -167,10 +167,18 @@ class StreamingSpec extends AnyFunSuite {
     val idx = spark.read.parquet(s"$dir/index")
     assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 4L))
-    // replay semantics: a batch re-processed after a failed attempt (same
-    // ids, index already holds their bands) must re-emit its documents —
-    // the probe excludes the batch's own index rows — while a NEW id that
-    // near-dups an indexed doc is still dropped
+    // REPLAY of a failed attempt (simulated with a fresh checkpoint, so
+    // batchId restarts at 0): near-dup SIBLINGS 10 and 11 were appended
+    // at epoch 0 by the "failed" attempt; on the retry the epoch-0 rows
+    // are excluded, so the siblings must NOT collide with their own
+    // leftovers — both are re-emitted and re-indexed
+    val proseC = (1 to 30).map(i => s"delta$i").mkString(" ")
+    val failedAttempt = Seq((10L, proseC), (11L, proseC + " tail"))
+      .toDF("doc_id", "text")
+    graft.operators.TextDedup.buildBandIndex(
+        failedAttempt, "text", "doc_id", 4, 3, 2)
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("append").parquet(s"$dir/index")
     val in2 = MemoryStream[(Long, String)]
     val novel2 = scala.collection.mutable.ListBuffer[Long]()
     val q2 = StreamingEtl.dedupIngest(
@@ -179,14 +187,16 @@ class StreamingSpec extends AnyFunSuite {
         checkpointDir = s"$dir/ckpt2") { batch =>
       novel2 ++= batch.select("doc_id").collect().map(_.getLong(0))
     }
-    in2.addData((1L, proseA)) // replayed id: own bands excluded → re-emitted
+    in2.addData((10L, proseC), (11L, proseC + " tail"))
     q2.processAllAvailable()
-    assert(novel2.toSet == Set(1L))
-    // a LATER batch's new id near-dupping indexed doc 1 is still dropped
-    // (the exclusion is per-batch, and 1 is not in this batch)
-    in2.addData((5L, proseA + " tail"))
+    assert(novel2.toSet == Set(10L, 11L))
+    // REDELIVERY in a later epoch: old id 1 (indexed at epoch 0) arrives
+    // again WITH a new near-dup 12 in the same batch — 12 must still be
+    // dropped (doc 1's OLDER-epoch rows are not excluded), while the
+    // redelivered id itself is re-emitted (same-id pairs are filtered)
+    in2.addData((1L, proseA), (12L, proseA + " tail"))
     q2.processAllAvailable()
     q2.stop()
-    assert(novel2.toSet == Set(1L))
+    assert(novel2.toSet == Set(10L, 11L, 1L))
   }
 }
