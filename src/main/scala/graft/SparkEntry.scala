@@ -970,6 +970,14 @@ object SparkEntry {
         .transform(ordered1(_, col("label")))
     }),
 
+    // Funnel step latency: integer-second gaps between consecutive
+    // first-occurrence steps, with the exact histogram lower-median.
+    "q117_funnel_latency" -> ((s, d) => {
+      Sessionize.funnelLatency(load(s, d, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"))
+        .transform(ordered1(_, col("step_from")))
+    }),
+
     // Next-event transition matrix per user timeline — empirical Markov
     // transition counts + per-from-state shares.
     "q116_transitions" -> ((s, d) => {
@@ -2525,6 +2533,34 @@ object SparkEntry {
         |  CAST(ty AS BIGINT) AS total_types,
         |  CAST(tt AS BIGINT) AS total_tokens
         |FROM cand WHERE rn = 1 ORDER BY threshold_ppm""".stripMargin,
+
+    "q117_funnel_latency" ->
+      """WITH f AS (SELECT user_id,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |      WHEN 'purchase' THEN 2 END AS si,
+        |    min(ts) AS t
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY 1, 2),
+        |p AS (SELECT user_id, si, t,
+        |    lead(si) OVER w AS nsi, lead(t) OVER w AS nt
+        |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY si)),
+        |l AS (SELECT si, date_diff('second', t, nt) AS lat
+        |  FROM p WHERE nsi = si + 1 AND nt >= t),
+        |h AS (SELECT si, lat, count(*) AS c FROM l GROUP BY 1, 2),
+        |cum AS (SELECT si, lat, c,
+        |    sum(c) OVER (PARTITION BY si ORDER BY lat) AS cm,
+        |    sum(c) OVER (PARTITION BY si) AS n,
+        |    sum(lat * c) OVER (PARTITION BY si) AS s
+        |  FROM h),
+        |agg AS (SELECT si, max(n) AS n_users,
+        |    round(CAST(max(s) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6)
+        |      AS mean_latency_s,
+        |    CAST(min(lat) AS BIGINT) AS median_latency_s
+        |  FROM cum WHERE cm >= ceil(n / 2.0) GROUP BY si)
+        |SELECT CASE si WHEN 0 THEN 'view' WHEN 1 THEN 'click' END AS step_from,
+        |  CASE si WHEN 0 THEN 'click' WHEN 1 THEN 'purchase' END AS step_to,
+        |  CAST(n_users AS BIGINT) AS n_users, mean_latency_s, median_latency_s
+        |FROM agg ORDER BY step_from""".stripMargin,
 
     "q116_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

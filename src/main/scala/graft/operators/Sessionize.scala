@@ -127,6 +127,64 @@ object Sessionize {
         round(col("n_active").cast("double") / col("__size"), 6).as("retention"))
   }
 
+  /** Latency between consecutive funnel steps — the "how long does
+    * conversion take" panel [[funnel]]'s completion counts cannot give:
+    * for each user who reaches step i and then step i+1 (first
+    * occurrences, forward in time), the integer-second gap, reported
+    * per step pair as user count, mean, and EXACT lower-median seconds.
+    *
+    * Determinism: gaps are `unix_timestamp` (floor-of-epoch) LONG
+    * differences — both engines produce the identical integer; the
+    * median is the histogram order statistic (first latency value whose
+    * cumulative count reaches ⌈n/2⌉), not an interpolated quantile, so
+    * it is integer-exact. Mean = exact long sum / count, rounded at 6.
+    *
+    * Scale shape: one hash aggregation (first occurrence per user ×
+    * step), ONE per-user window pairing consecutive present steps (a
+    * per-pair join would re-plan the firsts subtree per step — the
+    * subtree-duplication trap), then all statistics ride the collapsed
+    * (step, latency) histogram: the median needs no global sort of the
+    * latencies (the lengthOutliers histogram idiom). */
+  def funnelLatency(events: DataFrame, key: String, ts: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "need at least two funnel steps")
+    val si = steps.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, (s, i)) => when(col(typeCol) === s, i).otherwise(acc)
+    }
+    val firsts = events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(key), si.as("__si"))
+      .agg(min(col(ts)).as("__t"))
+    val w = Window.partitionBy(col(key)).orderBy(col("__si").asc)
+    val gaps = firsts
+      .withColumn("__nsi", lead(col("__si"), 1).over(w))
+      .withColumn("__nt", lead(col("__t"), 1).over(w))
+      .filter(col("__nsi") === col("__si") + 1 && col("__nt") >= col("__t"))
+      .select(col("__si"),
+        (unix_timestamp(col("__nt")) - unix_timestamp(col("__t"))).as("__lat"))
+    val hist = gaps.groupBy(col("__si"), col("__lat"))
+      .agg(count(lit(1)).as("__c"))
+    val ws = Window.partitionBy(col("__si"))
+    val wcum = ws.orderBy(col("__lat").asc)
+    val stepName = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, i)) => when(col("__si") === i, s).otherwise(acc)
+    }
+    val nextName = steps.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (s, i)) => when(col("__si") === i - 1, s).otherwise(acc)
+    }
+    hist
+      .withColumn("__cum", sum(col("__c")).over(wcum))
+      .withColumn("__n", sum(col("__c")).over(ws))
+      .withColumn("__sum", sum(col("__lat") * col("__c")).over(ws))
+      .filter(col("__cum") >= ceil(col("__n") / 2.0))
+      .groupBy(col("__si"))
+      .agg(max(col("__n")).as("n_users"),
+        round(max(col("__sum")).cast("double") /
+          max(col("__n")).cast("double"), 6).as("mean_latency_s"),
+        min(col("__lat")).as("median_latency_s"))
+      .select(stepName.as("step_from"), nextName.as("step_to"),
+        col("n_users"), col("mean_latency_s"), col("median_latency_s"))
+  }
+
   /** Per-key next-event transition matrix — the Markov view of user
     * behavior ("after a search, 40% click and 12% bounce"): consecutive
     * event pairs within each key's timeline, counted per (from, to) type

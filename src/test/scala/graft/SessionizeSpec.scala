@@ -143,6 +143,28 @@ class SessionizeSpec extends AnyFunSuite {
       (0L, 1L, 1.0))) // u3's cohort
   }
 
+  test("funnelLatency pairs consecutive first-occurrence steps; median is the histogram order statistic") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    val events = Seq(
+      (1L, at(0), "view"), (1L, at(100), "click"), (1L, at(160), "purchase"),
+      (2L, at(0), "view"), (2L, at(50), "click"),
+      (3L, at(0), "click"),                        // no preceding view: no pair
+      (4L, at(100), "view"), (4L, at(200), "purchase")) // skips click: not consecutive
+      .toDF("user_id", "ts", "event_type")
+    val out = Sessionize.funnelLatency(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step_from").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // view→click latencies [50, 100]: lower median 50, mean 75;
+    // click→purchase [60]
+    assert(out.toList == List(
+      ("click", "purchase", 1L, 60.0, 60L),
+      ("view", "click", 2L, 75.0, 50L)))
+  }
+
   test("transitionMatrix counts consecutive pairs per key with tiebroken order") {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
