@@ -978,6 +978,34 @@ object SparkEntry {
         .transform(ordered1(_, col("step_from")))
     }),
 
+    // Windowed co-occurrence PPMI (±3 tokens, unordered pairs) — the
+    // count matrix behind PPMI word vectors; q88's skip-gram
+    // generalization from one explode + one collapsed count table.
+    "q118_cooc_ppmi" -> ((s, d) => {
+      CorpusStats.cooccurrencePmi(parallel(load(s, d, "documents")),
+          "text", window = 3, topK = 50)
+    }),
+
+    // Deterministic token-weighted sample (Efraimidis–Spirakis A-ES over
+    // hash-derived uniforms): the reproducible first step of token-
+    // budgeted corpus assembly — re-runs and the oracle pick the same docs.
+    "q119_weighted_sample" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      Curation.weightedSample(docs, col("doc_id"),
+          TextFunctions.tokenCount(col("text")), n = 100)
+    }),
+
+    // Unicode NFC hygiene audit over a fixture that appends a combining-
+    // sequence suffix to every doc_id % 7 == 0 doc — non-NFC text hashes
+    // apart from its composed twin, so dedup needs this gate first.
+    "q120_nfc_audit" -> ((s, d) => {
+      val fx = load(s, d, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" cafe\u0301"))).otherwise(col("text")))
+      CorpusStats.normalizationAudit(fx, "text", "source")
+        .transform(ordered1(_, col("source")))
+    }),
+
     // Next-event transition matrix per user timeline — empirical Markov
     // transition counts + per-from-state shares.
     "q116_transitions" -> ((s, d) => {
@@ -2561,6 +2589,45 @@ object SparkEntry {
         |  CASE si WHEN 0 THEN 'click' WHEN 1 THEN 'purchase' END AS step_to,
         |  CAST(n_users AS BIGINT) AS n_users, mean_latency_s, median_latency_s
         |FROM agg ORDER BY step_from""".stripMargin,
+
+    "q118_cooc_ppmi" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT unnest(flatten([[ [least(t[i], t[i+j]), greatest(t[i], t[i+j])]
+        |    FOR i IN generate_series(1, len(t) - j)] FOR j IN generate_series(1, 3)])) AS pr
+        |  FROM d),
+        |pc AS (SELECT pr[1] AS w1, pr[2] AS w2, count(*) AS n_pair
+        |  FROM p GROUP BY 1, 2),
+        |toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS u,
+        |               (SELECT CAST(sum(n_pair) AS BIGINT) FROM pc) AS b),
+        |top AS (SELECT * FROM pc ORDER BY n_pair DESC, w1, w2 LIMIT 50)
+        |SELECT w1, w2, n_pair,
+        |  round(greatest(0.0, ln((CAST(n_pair AS DOUBLE) / b) /
+        |    ((CAST(c1.c AS DOUBLE) / u) * (CAST(c2.c AS DOUBLE) / u)))), 6) AS ppmi
+        |FROM top JOIN uni c1 ON top.w1 = c1.w JOIN uni c2 ON top.w2 = c2.w
+        |CROSS JOIN tot ORDER BY n_pair DESC, w1, w2""".stripMargin,
+
+    "q119_weighted_sample" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+        |  round(pow(((doc_id * 2654435761) % 4294967296 + 0.5) / 4294967296.0,
+        |    1.0 / len(string_split(text, ' '))), 6) AS priority
+        |FROM documents ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
+    "q120_nfc_audit" ->
+      """WITH fx AS (SELECT source,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' cafe' || chr(769)
+        |         ELSE text END AS text
+        |  FROM documents),
+        |n AS (SELECT source, text, nfc_normalize(text) AS nt FROM fx)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_denorm,
+        |  CAST(sum(length(text) - length(nt)) AS BIGINT) AS chars_saved,
+        |  round(CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS denorm_pct
+        |FROM n GROUP BY source ORDER BY source""".stripMargin,
 
     "q116_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

@@ -401,6 +401,92 @@ object CorpusStats {
       .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
   }
 
+  /** Windowed co-occurrence with PPMI (Church & Hanks '90; the
+    * count matrix behind PPMI word vectors, Levy & Goldberg '14):
+    * unordered token pairs within ±`window` positions, scored
+    * ppmi = max(0, ln(P(a,b) / (P(a)·P(b)))). [[collocations]] is the
+    * adjacent directional special case; this is the skip-gram
+    * generalization a distributional-semantics pipeline feeds on.
+    *
+    * Single-Generate design (the [[collocations]] sentinel trick,
+    * generalized): each doc emits ONE array holding both its unigram
+    * entries (w, sentinel) and its pair entries — `zip_with` over
+    * offset-`j` slices for j = 1..window, flattened — so one explode and
+    * one collapsed count aggregation carry unigram counts, pair counts,
+    * and both totals. A second tokenize scan for the unigram table (the
+    * q110 double-scan trap) never exists. Top-k by raw count runs
+    * BEFORE the unigram lookups: the k surviving rows broadcast against
+    * the vocabulary instead of joining the full pair table twice.
+    *
+    * The count table persists collapsed (|distinct pairs| rows) for its
+    * four consumers — same caller contract as [[collocations]]:
+    * `spark.catalog.clearCache()` between corpora in a shared session. */
+  def cooccurrencePmi(docs: DataFrame, textCol: String, window: Int,
+      topK: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    val t = TextFunctions.tokens(col(textCol))
+    val sentinel = " "
+    val entries = concat(
+      transform(t, w => struct(w.as("w1"), lit(sentinel).as("w2"))),
+      flatten(transform(sequence(lit(1), lit(window)), j => {
+        // slice length clamps at 0: sequence(1, size-j) would run
+        // DESCENDING for short docs (Spark's auto step -1) and read
+        // element_at(t, 0) — an ANSI error slice never reaches
+        val len = greatest(size(t) - j, lit(0))
+        zip_with(slice(t, lit(1), len), slice(t, j + 1, len),
+          (a, b) => struct(least(a, b).as("w1"), greatest(a, b).as("w2")))
+      })))
+    val g0 = docs
+      .select(explode(entries).as("e"))
+      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+      .persist()
+    val uni = g0.filter(col("w2") === sentinel)
+      .select(col("w1"), col("__c"))
+    val pairs = g0.filter(col("w2") =!= sentinel)
+      .select(col("w1"), col("w2"), col("__c").as("n_pair"))
+    val top = pairs
+      .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+    val totals = uni.agg(sum(col("__c")).as("__u"))
+      .crossJoin(pairs.agg(sum(col("n_pair")).as("__b")))
+    broadcast(top)
+      .join(uni.select(col("w1"), col("__c").as("__c1")), "w1")
+      .join(uni.select(col("w1").as("w2"), col("__c").as("__c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(greatest(lit(0.0), log(
+          (col("n_pair").cast("double") / col("__b")) /
+            ((col("__c1").cast("double") / col("__u")) *
+              (col("__c2").cast("double") / col("__u"))))), 6).as("ppmi"))
+      .orderBy(col("n_pair").desc, col("w1").asc, col("w2").asc)
+  }
+
+  /** Per-source NFC normalization audit: how much of the corpus is not
+    * in Unicode canonical form (combining sequences, compatibility
+    * leftovers) — the text-hygiene gate that decides whether a
+    * normalization pass must precede exact/near dedup (non-NFC
+    * duplicates hash apart and silently survive exact dedup).
+    *
+    * Per-row work is one codegen'd [[graft.expressions.NfcNormalize]]
+    * probe (ASCII fast path skips the normalizer entirely), then one
+    * |sources|-row aggregation — no shuffle wider than the group-by. */
+  def normalizationAudit(docs: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val nfc = ColumnBridge.column(
+      graft.expressions.NfcNormalize(ColumnBridge.expression(col(textCol))))
+    docs
+      .select(col(sourceCol), col(textCol).as("__t"), nfc.as("__n"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") =!= col("__t"), 1L).otherwise(0L))
+          .as("n_denorm"),
+        sum(length(col("__t")) - length(col("__n"))).as("chars_saved"))
+      .withColumn("denorm_pct",
+        round(col("n_denorm").cast("double") / col("n_docs"), 6))
+  }
+
   /** Per-source token-length deciles — the length-distribution panel of a
     * corpus card (truncation rates, packing efficiency, and outlier
     * filters all read off it). Deciles are ORDER STATISTICS, not

@@ -127,4 +127,35 @@ object Curation {
       .when(bucket < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Deterministic weighted sample without replacement
+    * (Efraimidis–Spirakis A-ES, Inf. Proc. Lett. 97(5)): each row draws
+    * priority u^(1/w) from a uniform u and its weight w, and the top-n
+    * priorities ARE a weighted sample without replacement. The uniform
+    * comes from the same Knuth multiplicative hash as [[splitFor]], so
+    * the "random" draw is pure id arithmetic: re-runs, retries, and the
+    * DuckDB oracle all select the identical sample — the property that
+    * makes a sampled corpus reproducible from its recipe.
+    *
+    * Token-budget selection is the canonical use: w = token count
+    * samples documents proportional to their token mass, the standard
+    * first step of budgeted corpus assembly.
+    *
+    * Scale shape: priority is a per-row projection (no shuffle), and
+    * top-n is `TakeOrderedAndProject` — per-partition heaps of n rows,
+    * one n-row merge on the driver side of the final stage; nothing
+    * global is sorted. Output order is (rounded priority desc, id asc):
+    * rounding to 6 dp absorbs cross-engine pow() ulp drift and the id
+    * breaks the rounded ties deterministically. */
+  def weightedSample(df: DataFrame, idCol: Column, weight: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive: $n")
+    val u = ((idCol.cast("long") * lit(2654435761L)) % lit(4294967296L) +
+      lit(0.5)) / lit(4294967296.0)
+    val pri = round(pow(u, lit(1.0) / weight.cast("double")), 6)
+    df.select(idCol.as("doc_id"), weight.cast("long").as("weight"),
+        pri.as("priority"))
+      .orderBy(col("priority").desc, col("doc_id").asc)
+      .limit(n)
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Curation
@@ -66,6 +67,28 @@ class CurationSpec extends AnyFunSuite {
     val again = Curation.splitAssign(docs.orderBy($"doc_id".desc), "doc_id")
       .select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(again == got)
+  }
+
+  test("weightedSample: priorities match the A-ES formula; re-runs identical") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, ("t " * i.toInt).trim))
+      .toDF("doc_id", "text")
+    val got = Curation.weightedSample(docs, col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")), n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replicate the arithmetic exactly: u from the Knuth hash, pri =
+    // round(u^(1/w), 6), top-10 by (pri desc, id asc)
+    val want = (1L to 40L).map { i =>
+      val u = ((i * 2654435761L) % 4294967296L + 0.5) / 4294967296.0
+      (i, i, math.round(math.pow(u, 1.0 / i) * 1e6) / 1e6)
+    }.sortBy { case (id, _, p) => (-p, id) }.take(10)
+    assert(got.toList == want.toList)
+    // weights, not ids, drive selection: the sample is not just top ids
+    assert(got.map(_._1).toSet != (31L to 40L).toSet)
+    val again = Curation.weightedSample(docs, col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")), n = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toList == got.toList)
   }
 
   test("splitAssign rejects percentages that leave no test slice") {

@@ -87,6 +87,31 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("cooccurrencePmi explodes one combined unigram+pair array") {
+    // the sentinel design carries unigram entries inside the SAME
+    // exploded array as the windowed pairs, persisted collapsed exactly
+    // like collocations: zero Generates outside the cache, one distinct
+    // cached plan holding the single explode. A second Generate anywhere
+    // means a separate unigram tokenize scan (the q110 trap) came back.
+    val df = CorpusStats.cooccurrencePmi(docs, "text", window = 3, topK = 5)
+    try {
+      assert(generates(df) == 0)
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan
+      }.distinct
+      assert(cached.size == 1)
+      val inner = cached.head match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      assert(inner.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.size == 1)
+    } finally spark.catalog.clearCache()
+  }
+
   test("corpusReport scans the documents once (window dup totals, no rejoin)") {
     // every per-text signal is computed in one projection over a single
     // scan; a second leaf means the dup-count branch re-reads the docs

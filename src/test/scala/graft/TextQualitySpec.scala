@@ -202,6 +202,39 @@ class TextQualitySpec extends AnyFunSuite {
       math.log((3.0 / 8) / ((3.0 / 12) * (3.0 / 12))) * 1e6) / 1e6)
   }
 
+  test("cooccurrencePmi: windowed unordered pairs, exact counts, ppmi floor") {
+    import spark.implicits._
+    // window=2 over "x y z": j=1 gives {x,y},{y,z}; j=2 gives {x,z}.
+    // Each unigram count 1, T_u = 3, T_p = 3:
+    // ppmi({x,y}) = max(0, ln((1/3)/((1/3)*(1/3)))) = ln 3.
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val out = CorpusStats.cooccurrencePmi(docs, "text", window = 2, topK = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    val ln3 = math.round(math.log(3.0) * 1e6) / 1e6
+    assert(out == Map(("x", "y") -> ((1L, ln3)), ("x", "z") -> ((1L, ln3)),
+      ("y", "z") -> ((1L, ln3))))
+    // repeated token: "a a a" pairs to {a,a} three times (2 at j=1, 1 at
+    // j=2) and the over-represented pair floors at ppmi >= 0
+    val rep = CorpusStats.cooccurrencePmi(
+        Seq((1L, "a a a")).toDF("doc_id", "text"), "text", 2, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rep.toList == List(("a", "a", 3L)))
+  }
+
+  test("normalizationAudit: decomposed rows counted, composed rows clean") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s", "plain ascii"),
+      ("s", "cafe\u0301"),   // e + combining acute: NFC composes, 1 shorter
+      ("s", "caf\u00e9"))    // already composed
+      .toDF("source", "text")
+    val r = CorpusStats.normalizationAudit(docs, "text", "source")
+      .collect().head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4)) == ("s", 3L, 1L, 1L, 0.333333))
+  }
+
   test("lengthDeciles selects exact order statistics per source") {
     import spark.implicits._
     // 10 docs of lengths 1..10 -> p10=1, p50=5, p90=9 (rank ceil(10k/10))
