@@ -227,26 +227,34 @@ object CorpusStats {
     * expression from the same exact integers, then average — rounded to
     * 6 decimals per the repo's float-association convention.
     *
-    * Scale shape: identical plan family to [[rareTokenStats]] — the
-    * occurrence stream probes the AQE-broadcast frequency table; the
-    * frequency branch's second tokenize scan is the measured-cheaper
-    * alternative to persisting a corpus-order-sized shared frame. A
-    * real deployment would persist `freq` as the trained model and
-    * score new batches against it — the same build/score split as
+    * Scale shape: tokenize ONCE into the collapsed `(doc, token, tf)`
+    * frame; the corpus frequency table, the vocabulary totals, and the
+    * per-document score are all derived from it. Both the frequency
+    * branch and the probe branch sit on the identical
+    * `Exchange(hashpartitioning(doc, token))` subtree, so ReuseExchange
+    * makes the explode + partial aggregation run once and the join
+    * probes with distinct (doc, token) pairs instead of the full
+    * occurrence stream — at web scale that is the difference between
+    * shuffling every token instance and shuffling the per-doc term
+    * dictionary. The instance-level mean is recovered exactly as the
+    * tf-weighted mean `Σ tf·logp / Σ tf`. A real deployment would
+    * persist `freq` as the trained model and score new batches against
+    * it — the same build/score split as
     * [[graft.operators.TextDedup.buildBandIndex]]. */
   def lmLogProb(docs: DataFrame, textCol: String, idCol: String,
       addK: Double = 0.5): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    val tf = docs.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val freq = tf.groupBy(col("token")).agg(sum(col("__tf")).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
-    toks.join(freq, "token")
+    val logp = log(col("__c") + addK) - log(col("__t") + col("__v") * addK)
+    tf.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        round(avg(log(col("__c") + addK) - log(col("__t") + col("__v") * addK)), 6)
-          .as("lm_logprob"))
+        sum(col("__tf")).as("n_tokens"),
+        round(sum(col("__tf") * logp) / sum(col("__tf")), 6).as("lm_logprob"))
   }
 
   /** Per-document TF-IDF top-`k` terms — the classic keyword/topic

@@ -33,12 +33,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     cache.getOrElseUpdate((spark, sfDir, name),
-      // Nano timestamps are read as epoch-longs and truncated to micros
-      // (exactly what the DuckDB oracle does on the same file).
+      // `events.ts` has shipped as both TIMESTAMP(NANOS) (read as
+      // epoch-longs under nanosAsLong and truncated to micros — exactly
+      // what the DuckDB oracle does on the same file) and plain
+      // TIMESTAMP(MICROS) (read directly). Adapt on the observed schema
+      // rather than assuming a generator version: schema inspection is a
+      // footer read, not a scan.
       if (name == "events") {
         configure(spark)
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$sfDir/$name.parquet"))
 
   /** `df` with at least the session's default parallelism worth of
