@@ -119,8 +119,12 @@ object Bench {
       val results = names.map(n => n -> best.getOrElse(n, -1.0))
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val failed = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val total = results.map(_._2).sum
-      val coldTotal = names.map(n => cold.getOrElse(n, -1.0)).sum
+      // Sum ONLY measured queries: a -1.0 failure sentinel in the sum
+      // UNDERSTATES the total (reads as "faster" exactly when the suite is
+      // broken). `measured_n` alongside makes partial coverage explicit.
+      val measured = results.filter(_._2 > 0)
+      val total = measured.map(_._2).sum
+      val coldTotal = names.flatMap(cold.get).sum
       val walls = passWalls.map(w => f"$w%.1f").mkString("[", ",", "]")
       val refined = names.count(n => runsOf(n) >= 2)
       val weak = if (oracleTimes.isEmpty) "" else {
@@ -138,7 +142,7 @@ object Bench {
         val oTotal = names.flatMap(oracleTimes.get).sum
         f""","oracle_total_sec":$oTotal%.2f,"weak":${w.mkString("{", ",", "}")},"weak_scope_excluded":${excl.mkString("[", ",", "]")}"""
       }
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","passes":${passWalls.size},"pass_wall_sec":$walls,"refined":$refined,"cold_total_sec":$coldTotal$weak}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"measured_n":${measured.size},"sf":"$sfDir","passes":${passWalls.size},"pass_wall_sec":$walls,"refined":$refined,"cold_total_sec":$coldTotal$weak}"""
     }
     // Never let a checkpoint-write failure take the result with it — the
     // stdout line (printed at exit) is the primary channel.

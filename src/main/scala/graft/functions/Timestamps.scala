@@ -74,4 +74,15 @@ object Timestamps {
     * so the precision loss is visible in the plan. */
   def toEstTimestamp(ts: Column): Column =
     from_utc_timestamp(date_trunc("second", ts), "America/New_York")
+
+  /** Epoch-microseconds of a timestamp of EITHER precision flavor —
+    * `unix_micros` itself rejects TIMESTAMP_NTZ with DATATYPE_MISMATCH,
+    * and source data has shipped as both types (the corpus regenerated
+    * from LTZ to NTZ mid-history, breaking every raw `unix_micros` call
+    * site). The cast is a no-op for TimestampType (Catalyst folds it
+    * away) and a wall-clock-preserving reinterpretation for NTZ under
+    * the repo-wide UTC session timezone, so both flavors land on the
+    * identical long. Use this, never bare `unix_micros`, inside
+    * operators that accept caller-supplied timestamp columns. */
+  def tsMicros(c: Column): Column = unix_micros(c.cast(TimestampType))
 }

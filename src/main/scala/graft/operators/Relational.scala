@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Timestamps.tsMicros
+
 /** Generalized relational operators (SURVEY.md §2.3/2.4/2.8). Thin,
   * built-in-backed wrappers — they exist so the engine's surface is
   * enumerable and so each carries its scale contract in one place.
@@ -276,10 +278,10 @@ object Relational {
       bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val w = lit(bucketSeconds * 1000000L)
-    val l = left.withColumn("__bucket", floor(unix_micros(col(leftTime)) / w))
+    val l = left.withColumn("__bucket", floor(tsMicros(col(leftTime)) / w))
     val r = right.withColumn("__bucket", explode(sequence(
-      floor(unix_micros(col(fromCol)) / w),
-      floor(unix_micros(col(toCol)) / w))))
+      floor(tsMicros(col(fromCol)) / w),
+      floor(tsMicros(col(toCol)) / w))))
     val joined = l.alias("l").join(r.alias("r"),
       col(s"l.$key") === col(s"r.$key") &&
         col("l.__bucket") === col("r.__bucket") &&

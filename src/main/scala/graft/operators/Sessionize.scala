@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Timestamps.tsMicros
+
 /** Gaps-and-islands sessionization: assign a session id to every event,
   * where a new session starts when the gap to the previous event of the
   * same key exceeds `gapSeconds`.
@@ -30,7 +32,7 @@ object Sessionize {
     // sub-second components and misclassify gaps within 1s of the bound.
     val isNew = when(
       prev.isNull ||
-        unix_micros(col(ts)) - unix_micros(prev) > gapSeconds * 1000000L,
+        tsMicros(col(ts)) - tsMicros(prev) > gapSeconds * 1000000L,
       lit(1L)).otherwise(lit(0L))
     df.withColumn(sessionCol,
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -67,7 +69,7 @@ object Sessionize {
   def funnel(events: DataFrame, key: String, ts: String, typeCol: String,
       steps: Seq[String], windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val micros = unix_micros(col(ts))
+    val micros = tsMicros(col(ts))
     // per-key first occurrence of step 0
     val first0 = events.filter(col(typeCol) === steps.head)
       .groupBy(col(key)).agg(min(micros).as("__t0"))

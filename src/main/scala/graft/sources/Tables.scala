@@ -46,6 +46,16 @@ object Tables {
           case org.apache.spark.sql.types.LongType =>
             raw.withColumn("ts",
               org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          // Third generator shape (2026-08-13 regen): parquet
+          // Timestamp(isAdjustedToUTC=false, micros) surfaces as
+          // TIMESTAMP_NTZ. Under the repo-wide UTC session TZ the cast to
+          // TimestampType is value-identical to how the DuckDB oracle reads
+          // the same file (plain TIMESTAMP), and it keeps every downstream
+          // operator on a single timestamp type.
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.col("ts")
+                .cast(org.apache.spark.sql.types.TimestampType))
           case _ => raw
         }
       } else spark.read.parquet(s"$sfDir/$name.parquet"))

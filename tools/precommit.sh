@@ -10,6 +10,26 @@ cd "$(git rev-parse --show-toplevel)"
 if git diff --cached --name-only | grep -q '^src/.*\.scala$'; then
   echo "[precommit] staged Scala sources detected - running sbt compile + test"
   sbt -batch 'set Test / testOptions += Tests.Argument("-oI")' compile test
+
+  # Full-suite oracle gate at sf0.001 (skip: GRAFT_SKIP_ORACLE=1). Round 6
+  # shipped 3 silently-erroring queries because nothing between "sbt test
+  # green" and the driver's per-round compare executed the query suite
+  # end-to-end; this runs every query + the DuckDB compare and fails red
+  # on a throw (_failed.json non-empty) or a value mismatch.
+  if [[ "${GRAFT_SKIP_ORACLE:-0}" != "1" ]]; then
+    echo "[precommit] running graft.Verify + oracle compare at sf0.001"
+    VOUT=$(mktemp -d /tmp/graft_verify.XXXXXX)
+    trap 'rm -rf "$VOUT"' EXIT
+    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $VOUT"
+    if [[ "$(cat "$VOUT/_failed.json" 2>/dev/null || echo missing)" != "{}" ]]; then
+      echo "[precommit] FAIL: verify failure manifest non-empty or missing:"
+      cat "$VOUT/_failed.json" 2>/dev/null || true
+      exit 1
+    fi
+    python3 tools/check_oracle.py /root/testdata/sf0.001 "$VOUT"
+  else
+    echo "[precommit] GRAFT_SKIP_ORACLE=1 - skipping oracle gate"
+  fi
 else
   echo "[precommit] no staged Scala sources - skipping build gate"
 fi
