@@ -44,8 +44,18 @@ object Tables {
         val raw = spark.read.parquet(s"$sfDir/$name.parquet")
         raw.schema("ts").dataType match {
           case org.apache.spark.sql.types.LongType =>
+            // INT64 ts has only ever shipped as epoch-NANOS (surfaced as
+            // LongType under nanosAsLong), but an unannotated epoch-MICROS
+            // long would surface identically and a blind div-1000 would
+            // corrupt it ~1000×. Disambiguate by magnitude on ONE row — a
+            // bounded driver-side head(), not a scan: epoch-nanos for any
+            // date after 1973 exceeds 1e17, epoch-micros stays below it
+            // until year 5138. Empty table → either reading is vacuous.
+            val nanos = raw.select("ts").head(1)
+              .headOption.forall(r => math.abs(r.getLong(0)) > 1e17.toLong)
+            val div = if (nanos) "ts div 1000" else "ts"
             raw.withColumn("ts",
-              org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+              org.apache.spark.sql.functions.expr(s"timestamp_micros($div)"))
           // Third generator shape (2026-08-13 regen): parquet
           // Timestamp(isAdjustedToUTC=false, micros) surfaces as
           // TIMESTAMP_NTZ. Under the repo-wide UTC session TZ the cast to

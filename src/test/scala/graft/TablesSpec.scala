@@ -53,6 +53,16 @@ class TablesSpec extends AnyFunSuite {
     })
   }
 
+  test("load surfaces unannotated INT64-micros events.ts as TimestampType") {
+    // The magnitude guard (ADVICE r06): an epoch-MICROS long surfaces as
+    // the same LongType as nanos — a blind div-1000 would shift values
+    // ~1000x. 2024 micros ~1.7e15 < 1e17 < 2024 nanos ~1.7e18.
+    import spark.implicits._
+    assertContract(loadFixture { path =>
+      instants.map(micros).toDF("ts").write.parquet(path)
+    })
+  }
+
   test("load surfaces TIMESTAMP_NTZ-micros events.ts as TimestampType") {
     import spark.implicits._
     val df = instants.toDF("s")
