@@ -32,43 +32,50 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, name),
-      // `events.ts` has shipped as both TIMESTAMP(NANOS) (read as
-      // epoch-longs under nanosAsLong and truncated to micros — exactly
-      // what the DuckDB oracle does on the same file) and plain
-      // TIMESTAMP(MICROS) (read directly). Adapt on the observed schema
-      // rather than assuming a generator version: schema inspection is a
-      // footer read, not a scan.
-      if (name == "events") {
-        configure(spark)
-        val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-        raw.schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            // INT64 ts has only ever shipped as epoch-NANOS (surfaced as
-            // LongType under nanosAsLong), but an unannotated epoch-MICROS
-            // long would surface identically and a blind div-1000 would
-            // corrupt it ~1000×. Disambiguate by magnitude on ONE row — a
-            // bounded driver-side head(), not a scan: epoch-nanos for any
-            // date after 1973 exceeds 1e17, epoch-micros stays below it
-            // until year 5138. Empty table → either reading is vacuous.
-            val nanos = raw.select("ts").head(1)
-              .headOption.forall(r => math.abs(r.getLong(0)) > 1e17.toLong)
-            val div = if (nanos) "ts div 1000" else "ts"
-            raw.withColumn("ts",
-              org.apache.spark.sql.functions.expr(s"timestamp_micros($div)"))
-          // Third generator shape (2026-08-13 regen): parquet
-          // Timestamp(isAdjustedToUTC=false, micros) surfaces as
-          // TIMESTAMP_NTZ. Under the repo-wide UTC session TZ the cast to
-          // TimestampType is value-identical to how the DuckDB oracle reads
-          // the same file (plain TIMESTAMP), and it keeps every downstream
-          // operator on a single timestamp type.
-          case org.apache.spark.sql.types.TimestampNTZType =>
-            raw.withColumn("ts",
-              org.apache.spark.sql.functions.col("ts")
-                .cast(org.apache.spark.sql.types.TimestampType))
-          case _ => raw
-        }
-      } else spark.read.parquet(s"$sfDir/$name.parquet"))
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      if (name == "events") configure(spark)
+      normalize(spark.read.parquet(s"$sfDir/$name.parquet"))
+    })
+
+  /** Timestamp-encoding normalization for the whole corpus: the generator
+    * has shipped timestamp columns under three parquet encodings across
+    * regenerations — TIMESTAMP(NANOS) (surfaced as epoch-long under
+    * nanosAsLong), TIMESTAMP(isAdjustedToUTC=false) micros (surfaced as
+    * TIMESTAMP_NTZ — the current shape of `events.ts`, `o_orderdate`,
+    * `l_shipdate`), and instant-adjusted TIMESTAMP. Mixed-type frames
+    * mostly limp along on implicit coercion, but strict functions
+    * (`unix_micros`) reject NTZ outright — round 6 lost three operators
+    * to exactly that. Pin ONE type at the source boundary: every
+    * timestamp column becomes TimestampType. Under the repo-wide UTC
+    * session TZ the NTZ cast is wall-clock-preserving and value-identical
+    * to how the DuckDB oracle reads the same files. Schema inspection is
+    * a footer read, not a scan; the one-row magnitude probe below is the
+    * only data touched. */
+  private def normalize(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    raw.schema.fields.foldLeft(raw) { (df, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          df.withColumn(f.name, col(f.name).cast(org.apache.spark.sql.types.TimestampType))
+        // INT64 `ts` has only ever shipped as epoch-NANOS (surfaced as
+        // LongType under nanosAsLong), but an unannotated epoch-MICROS
+        // long would surface identically and a blind div-1000 would
+        // corrupt it ~1000×. Disambiguate by magnitude on ONE row — a
+        // bounded driver-side head(), not a scan: epoch-nanos for any
+        // date after 1973 exceeds 1e17, epoch-micros stays below it
+        // until year 5138. Empty table → either reading is vacuous.
+        // Scoped to the `ts` name so ordinary long columns (keys,
+        // counts) are never touched.
+        case LongType if f.name == "ts" =>
+          val nanos = df.select(f.name).head(1)
+            .headOption.forall(r => math.abs(r.getLong(0)) > 1e17.toLong)
+          val div = if (nanos) s"${f.name} div 1000" else f.name
+          df.withColumn(f.name, expr(s"timestamp_micros($div)"))
+        case _ => df
+      }
+    }
+  }
 
   /** `df` with at least the session's default parallelism worth of
     * partitions. The test corpus is written as one row group per file, so

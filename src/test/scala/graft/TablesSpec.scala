@@ -79,6 +79,21 @@ class TablesSpec extends AnyFunSuite {
     })
   }
 
+  test("normalization covers every table's timestamp columns, not just events") {
+    // orders.o_orderdate and lineitem.l_shipdate ship NTZ-annotated too;
+    // strict functions would reject them the same way events.ts broke.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orders").toString
+    instants.toDF("s")
+      .select(lit(1L).as("o_orderkey"),
+        col("s").cast(TimestampType).cast(TimestampNTZType).as("o_orderdate"))
+      .write.parquet(s"$dir/orders.parquet")
+    val df = Tables.orders(spark, dir)
+    assert(df.schema("o_orderdate").dataType == TimestampType)
+    // a long column that is not named `ts` must never be touched
+    assert(df.schema("o_orderkey").dataType.typeName == "long")
+  }
+
   // Defense in depth (the round-6 failure had TWO layers: the loader fell
   // through AND the operators' bare unix_micros rejected what fell
   // through): the timestamp-driven operators must accept an NTZ column
