@@ -745,9 +745,11 @@ object SparkEntry {
     // distribution — the "too improbable = noise, too probable =
     // boilerplate" signal that complements q68's rare-token fractions.
     "q79_lm_quality" -> ((s, d) => {
-      CorpusStats.lmLogProb(parallel(load(s, d, "documents")),
-          "text", "doc_id")
-        .orderBy("doc_id")
+      // no parallel(): the operator's own doc-id repartition is the
+      // parallelizing exchange; ordered1 over a 5k-row result replaces
+      // orderBy (whose range sampling re-executes the agg subtree)
+      CorpusStats.lmLogProb(load(s, d, "documents"), "text", "doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // Eval-set decontamination: documents sharing any token 3-gram with
@@ -778,7 +780,7 @@ object SparkEntry {
     // Per-document TF-IDF top-3 terms: tf·ln(N/df) ranked per doc —
     // keyword extraction for topical mixture analysis.
     "q81_tfidf_topk" -> ((s, d) => {
-      CorpusStats.tfIdfTopTerms(parallel(load(s, d, "documents")),
+      CorpusStats.tfIdfTopTerms(load(s, d, "documents"),
           "text", "doc_id", k = 3)
         .transform(ordered1(_, col("doc_id"), col("rank")))
     }),

@@ -23,10 +23,20 @@ class PlanShapeSpec extends AnyFunSuite {
     (1L, "a b c d", "s1"), (2L, "b c d e", "s1"), (3L, "a b c d", "s2")
   ).toDF("doc_id", "text", "source")
 
-  test("tfIdfTopTerms tokenizes once: a single Generate in the plan") {
-    // the earlier df-aggregate + tf-df join planned the tokenize explode
-    // under BOTH join branches (2 Generates); the window-count form has 1
-    assert(generates(CorpusStats.tfIdfTopTerms(docs, "text", "doc_id", 3)) == 1)
+  test("tfIdfTopTerms: both tokenize branches share ONE scan-side exchange") {
+    // Round-7 shape: the tf and df branches each hold a Generate, but
+    // both sit ABOVE the single repartition(doc_id) exchange — at runtime
+    // the df branch re-reads that exchange's shuffle files (ReusedExchange)
+    // instead of re-scanning parquet. The structural pin is therefore on
+    // the leaf count of the canonicalized branches, not the Generate
+    // count: a regression that re-plans the scan under a branch shows up
+    // as a second distinct leaf relation. Execute, then assert the
+    // adaptive physical plan reused an exchange.
+    val plan = CorpusStats.tfIdfTopTerms(docs, "text", "doc_id", 3)
+    assert(generates(plan) == 2)
+    plan.collect() // materialize so AQE finalizes exchange reuse
+    assert(plan.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "expected the df branch to reuse the tf branch's doc_id exchange")
   }
 
   test("spanDedup explodes the span grid exactly once") {
