@@ -61,35 +61,12 @@ object SparkEntry {
     * same order as the decimal(28) widened buffer's 1e28 — either needs a
     * two-level (partial/final) re-aggregation design well before 100 TB of
     * a single skewed group. */
-  /** Per-row unscaled-long quantization shared by [[dsum]]/[[dsumPartial]].
-    *
-    * The straightforward `(dec(c, scale) * pow).cast(long)` routes EVERY
-    * row through `Double.toString` → BigDecimal parse → setScale (Spark's
-    * double→decimal cast uses the shortest decimal representation) —
-    * measured as the dominant cost of the whole aggregate (q01 at sf0.1:
-    * 0.76 s → 0.28 s with this fast path; values identical). The fast path
-    * is pure codegen'd double arithmetic: `floor(x*pow + 0.5)` = round
-    * half-up for positives, half-away agreeing with half-up everywhere off
-    * the exact boundary. It provably equals the decimal-cast result unless
-    * the scaled value sits within the combined representation error of a
-    * .5 rounding boundary, so rows inside a 1e-3 guard band — and rows
-    * with |scaled| ≥ 1e12, where double error (2^-52 · |scaled|) could
-    * approach the band itself — take the exact decimal cast. On real data
-    * essentially every row takes the fast branch; the semantics stay
-    * bit-identical to the decimal path for all inputs. */
-  private def unscaledLong(c: Column, scale: Int): Column = {
-    val pow = math.pow(10, scale).toLong
-    val scaled = c * lit(pow.toDouble)
-    val fast = floor(scaled + lit(0.5)).cast("long")
-    val exact = (dec(c, scale) * lit(pow)).cast("long")
-    when(abs(scaled - floor(scaled) - lit(0.5)) > lit(1e-3) &&
-      abs(scaled) < lit(1e12), fast).otherwise(exact)
-  }
-  private def dsum(c: Column, scale: Int): Column = {
-    val pow = math.pow(10, scale).toLong
-    (sum(unscaledLong(c, scale)).cast(DecimalType(38, 0)) / lit(pow))
-      .cast("double")
-  }
+  /** See [[graft.functions.Decimals]] — guarded fast-path quantization +
+    * exact final division (the q01 2.7× fix, shared with TimeSeries). */
+  private def unscaledLong(c: Column, scale: Int): Column =
+    graft.functions.Decimals.unscaledLong(c, scale)
+  private def dsum(c: Column, scale: Int): Column =
+    graft.functions.Decimals.dsum(c, scale)
   /** Two-level split of [[dsum]] for re-aggregation (rollup/cube over
     * pre-aggregated partials): `dsumPartial` is the per-group unscaled
     * BIGINT sum, `dsumFinal` re-sums partials and applies the one exact

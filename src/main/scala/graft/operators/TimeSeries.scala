@@ -39,8 +39,13 @@ object TimeSeries {
       floor(unix_timestamp(col(tsCol)) / bucketSeconds) * bucketSeconds)
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__ob"))
     events
+      // `__sum` is the exact micro-unit LONG (the Decimals fast-path
+      // quantization ≡ cast to DECIMAL(18,6)·10⁶ but without the per-row
+      // Double.toString decimal cast, and the SUM is the codegen'd long
+      // adder instead of a BigDecimal buffer). Interpolation consumes the
+      // micro units directly; gapFill divides once, exactly, at the end.
       .select(col(keyCol), bucket.as("__ob"),
-        col(valueCol).cast(DecimalType(18, 6)).as("__v"))
+        graft.functions.Decimals.unscaledLong(col(valueCol), 6).as("__v"))
       .groupBy(col(keyCol), col("__ob"))
       .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sum"))
       .withColumn("__next", lead(col("__ob"), 1).over(w))
@@ -78,8 +83,9 @@ object TimeSeries {
         keyCol, bucketSeconds)
       .select(col(keyCol), col("bucket"),
         when(observed, col("__n")).otherwise(lit(0L)).as("n_events"),
-        when(observed, col("__sum").cast("double")).as("bucket_sum"),
-        col("__sum").cast("double").as("filled_sum"))
+        when(observed,
+          graft.functions.Decimals.fromUnscaled(col("__sum"), 6)).as("bucket_sum"),
+        graft.functions.Decimals.fromUnscaled(col("__sum"), 6).as("filled_sum"))
   }
 
   /** [[gapFill]]'s linear-interpolation sibling: empty buckets get the
@@ -115,9 +121,9 @@ object TimeSeries {
   def interpolate(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, bucketSeconds: Long): DataFrame = {
     val observed = col("bucket") === col("__ob")
-    val micro = (c: Column) => (c * lit(1000000L)).cast("long")
-    val pv = micro(col("__sum"))
-    val nv = micro(col("__nexts"))
+    // __sum/__nexts are ALREADY micro-unit longs (observedRuns)
+    val pv = col("__sum")
+    val nv = col("__nexts")
     val k = ((unix_timestamp(col("bucket")) - unix_timestamp(col("__ob")))
       / lit(bucketSeconds)).cast("long")
     val m = ((unix_timestamp(col("__next")) - unix_timestamp(col("__ob")))
@@ -136,7 +142,8 @@ object TimeSeries {
       .withColumn("__i", expr("__t div __b"))
       .select(col(keyCol), col("bucket"),
         when(observed, col("__n")).otherwise(lit(0L)).as("n_events"),
-        when(observed, col("__sum").cast("double")).as("bucket_sum"),
+        when(observed,
+          graft.functions.Decimals.fromUnscaled(col("__sum"), 6)).as("bucket_sum"),
         (when(observed, pv).otherwise(col("__i")).cast("double") / 1000000.0)
           .as("interp_sum"))
   }
