@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Merge, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Itemsets, Merge, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1005,6 +1005,32 @@ object SparkEntry {
           concat(col("text"), lit(" cafe\u0301"))).otherwise(col("text")))
       CorpusStats.normalizationAudit(fx, "text", "source")
         .transform(ordered1(_, col("source")))
+    }),
+
+    // Recency-weighted activity score per user: value halves per week of
+    // age from a fixed batch anchor — the feature-store staple. The decay
+    // divisor is a long SHIFT (exact power of two), never libm pow.
+    "q121_decayed_sum" -> ((s, d) => {
+      TimeSeries.decayedSum(load(s, d, "events"), "user_id", "ts", "value",
+          anchor = "2024-02-01 00:00:00", halfLifeSeconds = 604800L)
+        .transform(ordered1(_, col("user_id")))
+    }),
+
+    // Inter-event burstiness per user (CV of gap seconds) — the
+    // bot-vs-human cadence signal; integer-exact moments.
+    "q122_burstiness" -> ((s, d) => {
+      Sessionize.interEventStats(load(s, d, "events"), "user_id", "ts",
+          tieBreak = Seq(col("event_id")))
+        .transform(ordered1(_, col("user_id")))
+    }),
+
+    // Market-basket co-occurrence: top part pairs by shared-order count —
+    // association mining's support table, exchange-reused self-join.
+    "q123_copurchase" -> ((s, d) => {
+      Itemsets.coOccurrencePairs(load(s, d, "lineitem"),
+          "l_orderkey", "l_partkey", topK = 50)
+        .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
+          col("n_groups").as("n_orders"))
     }),
 
     // Next-event transition matrix per user timeline — empirical Markov
@@ -2629,6 +2655,39 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN nt <> text THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS denorm_pct
         |FROM n GROUP BY source ORDER BY source""".stripMargin,
+
+    "q121_decayed_sum" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value / (1::BIGINT << CAST(GREATEST(LEAST(
+        |      (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(ts))
+        |        // 604800000000, 60), 0) AS INT))
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS decayed_sum
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q122_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) // 1000000 - lag(epoch_us(ts) // 1000000)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+        |  FROM events),
+        |s AS (SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS sg,
+        |    SUM(gap * gap) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_gaps,
+        |  round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_s,
+        |  CASE WHEN sg > 0 THEN round(
+        |    sqrt(CAST(n_gaps * sgg - sg * sg AS DOUBLE)) / CAST(sg AS DOUBLE), 6)
+        |  END AS cv_gap
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q123_copurchase" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  COUNT(*) AS n_orders
+        |FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b
+        |LIMIT 50""".stripMargin,
 
     "q116_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Frequent co-occurrence mining — the first step of market-basket /
+  * association analysis (Agrawal & Srikant '94 a-priori family), and in
+  * corpus curation the "which labels/tags/domains travel together" audit.
+  */
+object Itemsets {
+
+  /** Pairwise co-occurrence counts: for every unordered pair of distinct
+    * items appearing in the same group, the number of groups containing
+    * both, ranked by support. `item_a < item_b` canonicalizes the pair;
+    * the (count DESC, item_a, item_b) output order is a total order, so
+    * the top-k cut is engine-reproducible under ties.
+    *
+    * Scale shape: distinct (group, item) collapses multiplicity first
+    * (one hash aggregation), then the self-join meets on the group key —
+    * BOTH sides are the same aggregated frame, so the physical plan
+    * reuses one exchange (the q89 sourceOverlap idiom) and the join
+    * itself is shuffle-free. Fan-out is Σ k_g² over per-group item
+    * counts k_g — bounded by the natural basket size, NOT corpus size;
+    * a degenerate mega-group (one key holding millions of items) should
+    * be capped upstream the same way LSH mega-buckets are. The pair
+    * aggregation shuffles |pairs| rows on the pair key, and the final
+    * top-k is TakeOrderedAndProject (per-partition partial top-k + k-row
+    * driver merge, no global sort). */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    val items = df.select(col(groupCol), col(itemCol)).distinct()
+    val a = items.alias("a")
+    val b = items.alias("b")
+    a.join(b, col(s"a.$groupCol") === col(s"b.$groupCol") &&
+        col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .groupBy(col(s"a.$itemCol").as("item_a"), col(s"b.$itemCol").as("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("n_groups").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+}

@@ -187,6 +187,46 @@ object Sessionize {
         col("n_users"), col("mean_latency_s"), col("median_latency_s"))
   }
 
+  /** Per-key inter-event-time statistics — the burstiness/bot signal:
+    * humans produce irregular gaps (coefficient of variation ≈ 1 for a
+    * Poisson process, > 1 for bursty sessions), schedulers and bots
+    * produce near-constant ones (CV ≈ 0). Output per key: gap count,
+    * mean gap seconds, and CV = population-σ/mean — the standard
+    * dimensionless burstiness measure (Goh & Barabási '08 use its
+    * normalized sibling).
+    *
+    * Determinism: gaps are floor-of-epoch LONG second differences over
+    * an exact (ts, tieBreak) total order, so n, Σg, Σg² are identical
+    * integers in any engine; mean and CV are then single double
+    * expressions over those integers (`sqrt(n·Σg² − (Σg)²)/Σg`),
+    * rounded at 6 — bit-reproducible. CV is null for keys whose gaps
+    * sum to zero (all events in the same second). Overflow envelope:
+    * Σg² is exact below 2^63 and exact in DOUBLE below 2^53 — gaps of a
+    * month (2.6e6 s) square to 6.8e12, leaving room for ~1e3-gap keys
+    * before the double-exactness bound matters; year-scale gap spans
+    * would move the moments into DECIMAL(38) (the rateAnomaly idiom).
+    *
+    * Scale shape: one per-key window (hash shuffle on the key), one
+    * hash aggregation to |keys| rows — no joins, no grid. */
+  def interEventStats(events: DataFrame, key: String, ts: String,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts) +: tieBreak: _*)
+    val sec = unix_timestamp(col(ts))
+    val gap = sec - lag(sec, 1).over(w)
+    events
+      .select(col(key), gap.as("__g"))
+      .filter(col("__g").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("__g")).as("__sg"),
+        sum(col("__g") * col("__g")).as("__sgg"))
+      .select(col(key), col("n_gaps"),
+        round(col("__sg").cast("double") / col("n_gaps").cast("double"), 6)
+          .as("mean_gap_s"),
+        when(col("__sg") > 0, round(
+          sqrt((col("n_gaps") * col("__sgg") - col("__sg") * col("__sg"))
+            .cast("double")) / col("__sg").cast("double"), 6)).as("cv_gap"))
+  }
+
   /** Per-key next-event transition matrix — the Markov view of user
     * behavior ("after a search, 40% click and 12% bounce"): consecutive
     * event pairs within each key's timeline, counted per (from, to) type

@@ -205,4 +205,43 @@ object TimeSeries {
       .select(col(keyCol), col("bucket"), col("__x").as("n_events"),
         round(col("__z"), 6).as("z"))
   }
+
+  /** Time-decayed per-key value sum — the recency-weighted feature every
+    * behavioral model consumes ("activity score, half-life one week"):
+    * each event contributes `value / 2^(age_buckets div halfLifeBuckets)`
+    * where age is measured from a FIXED anchor (pass the batch watermark;
+    * never now(), which would make the feature irreproducible).
+    *
+    * Determinism: the decay divisor is an integer power of two built by
+    * LONG SHIFT (not `pow`, whose libm accuracy is engine-specific), so
+    * the per-event scaling is an EXACT binary operation both engines
+    * perform identically; the decayed values then quantize and sum under
+    * the repo-wide [[graft.functions.Decimals]] convention. The exponent
+    * clamps to [0, 60]: negative ages (events past the anchor) count
+    * undecayed rather than exploding, and beyond 2^60 the contribution
+    * is below any 6-decimal quantum anyway (and the shift would
+    * overflow).
+    *
+    * Scale shape: a pure per-row projection into ONE hash aggregation
+    * with map-side partials — the minimal plan; no window, no join. */
+  def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, anchor: String, halfLifeSeconds: Long): DataFrame = {
+    require(halfLifeSeconds > 0, s"halfLifeSeconds must be positive: $halfLifeSeconds")
+    val anchorMicros = java.sql.Timestamp.valueOf(anchor).getTime * 1000L
+    val age = lit(anchorMicros) - graft.functions.Timestamps.tsMicros(col(tsCol))
+    // exact floor division (the skewAudit idiom): subtract-pmod makes the
+    // numerator exactly divisible, so the double quotient is exact
+    val hl = lit(halfLifeSeconds * 1000000L)
+    val exponent = greatest(least(
+      ((age - pmod(age, hl)) / hl).cast("long"), lit(60L)), lit(0L))
+    events
+      .select(col(keyCol), col(valueCol).as("__val"), exponent.as("__e"))
+      // SQL shiftleft accepts a column shift amount (the Scala functions.
+      // shiftleft wrapper takes only a literal Int)
+      .withColumn("__decayed", col("__val") /
+        expr("cast(shiftleft(cast(1 as bigint), cast(__e as int)) as double)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.Decimals.dsum(col("__decayed"), 6).as("decayed_sum"))
+  }
 }

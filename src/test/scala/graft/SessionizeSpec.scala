@@ -34,6 +34,26 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(5L) == 1) // sessions are per-key
   }
 
+  test("interEventStats: exact integer moments, CV null on zero-sum gaps") {
+    val df = events(
+      // user 1: gaps 60, 60, 120 -> n=3, mean=80, Σg=240, Σg²=21600
+      // cv = sqrt(3·21600 − 240²)/240 = sqrt(7200)/240 = 0.353553
+      (1, "2024-01-01 10:00:00", 1), (1, "2024-01-01 10:01:00", 2),
+      (1, "2024-01-01 10:02:00", 3), (1, "2024-01-01 10:04:00", 4),
+      // user 2: both events in the same second -> Σg=0 -> cv null
+      (2, "2024-01-01 10:00:00", 5), (2, "2024-01-01 10:00:00", 6),
+      // user 3: single event -> no gaps -> no row
+      (3, "2024-01-01 10:00:00", 7))
+    val out = Sessionize.interEventStats(df, "user_id", "ts",
+        tieBreak = Seq(col("event_id")))
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 3L && out(0).getDouble(2) == 80.0)
+    assert(out(0).getDouble(3) == 0.353553)
+    assert(out(1).getLong(1) == 1L && out(1).getDouble(2) == 0.0)
+    assert(out(1).isNullAt(3))
+  }
+
   test("sessionStats aggregates bounds per (key, session)") {
     val df = events(
       (1, "2024-01-01 10:00:00", 1),

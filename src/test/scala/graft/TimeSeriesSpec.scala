@@ -108,4 +108,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.toList ==
       List(("a", ts("2024-01-01 01:00:00"), 0L, -1.414214)))
   }
+
+  test("decayedSum halves per elapsed half-life from the anchor, exactly") {
+    val events = Seq(
+      (1L, ts("2024-01-31 12:00:00"), 8.0), // age < 1 week  -> 8/1
+      (1L, ts("2024-01-20 00:00:00"), 8.0), // 1 half-life   -> 8/2
+      (1L, ts("2024-01-10 00:00:00"), 8.0), // 3 half-lives  -> 8/8
+      (2L, ts("2024-02-05 00:00:00"), 4.0)  // AFTER anchor: clamps to 4/1
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.decayedSum(events, "user_id", "ts", "value",
+        anchor = "2024-02-01 00:00:00", halfLifeSeconds = 604800L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toList == List((1L, 3L, 13.0), (2L, 1L, 4.0)))
+  }
+
+  test("decayedSum clamps huge ages to 2^60 instead of overflowing") {
+    val events = Seq((1L, ts("1970-01-02 00:00:00"), 1000000.0))
+      .toDF("user_id", "ts", "value")
+    val out = TimeSeries.decayedSum(events, "user_id", "ts", "value",
+        anchor = "2024-02-01 00:00:00", halfLifeSeconds = 3600L)
+      .collect().map(r => r.getDouble(2))
+    assert(out.toList == List(0.0)) // decayed below any 6-decimal quantum
+  }
 }
