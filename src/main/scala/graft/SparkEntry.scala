@@ -261,8 +261,9 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       load(s, d, "events")
         .withColumn("running_value",
-          sum(dec(col("value"), 2)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+          graft.functions.Decimals.fromUnscaled(
+            sum(unscaledLong(col("value"), 2)).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .withColumn("rn", row_number().over(w).cast("long"))
@@ -1031,6 +1032,16 @@ object SparkEntry {
           "l_orderkey", "l_partkey", topK = 50)
         .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
           col("n_groups").as("n_orders"))
+    }),
+
+    // Trailing 24h rolling count+sum as of each event (RANGE frame over
+    // epoch seconds — the time-window sibling of q14's ROWS frames).
+    "q124_rolling_window" -> ((s, d) => {
+      TimeSeries.rollingSum(load(s, d, "events"), "user_id", "ts", "value",
+          windowSeconds = 86400L)
+        .select(col("event_id"), col("user_id"), col("rolling_n"),
+          col("rolling_sum"))
+        .transform(ordered1(_, col("event_id")))
     }),
 
     // Next-event transition matrix per user timeline — empirical Markov
@@ -2688,6 +2699,17 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b
         |LIMIT 50""".stripMargin,
+
+    "q124_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS rolling_n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    AS rolling_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY epoch_us(ts) // 1000000
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q116_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

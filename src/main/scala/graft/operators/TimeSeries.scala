@@ -206,6 +206,35 @@ object TimeSeries {
         round(col("__z"), 6).as("z"))
   }
 
+  /** Per-event trailing time-window aggregate — "sum/count of the last N
+    * days as of each event", the rolling feature the ROWS-frame family
+    * (q14) cannot express: the frame is defined by event TIME, not row
+    * position, so sparse and bursty keys get correct windows.
+    *
+    * Implementation is a RANGE frame over floor-of-epoch LONG seconds —
+    * engine-portable (SQL RANGE over an integer ORDER BY), deterministic
+    * under intra-second ties (equal order keys share one frame, so no
+    * tiebreak ambiguity can change a sum), and the windowed SUM runs on
+    * exact quantized longs (the [[graft.functions.Decimals]] fast path)
+    * with one exact division at the end.
+    *
+    * Scale shape: one hash shuffle on the key, one per-partition sort,
+    * one Window operator computing both aggregates over the same frame —
+    * Spark's sliding-frame sum ADDS and REMOVES rows incrementally as
+    * the frame bounds advance (O(n) per partition, not O(n·frame)). */
+  def rollingSum(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, windowSeconds: Long, scale: Int = 2): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive: $windowSeconds")
+    val sec = unix_timestamp(col(tsCol))
+    val w = Window.partitionBy(col(keyCol)).orderBy(sec)
+      .rangeBetween(-windowSeconds, 0)
+    events
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum", graft.functions.Decimals.fromUnscaled(
+        sum(graft.functions.Decimals.unscaledLong(col(valueCol), scale)).over(w),
+        scale))
+  }
+
   /** Time-decayed per-key value sum — the recency-weighted feature every
     * behavioral model consumes ("activity score, half-life one week"):
     * each event contributes `value / 2^(age_buckets div halfLifeBuckets)`

@@ -109,6 +109,23 @@ class TimeSeriesSpec extends AnyFunSuite {
       List(("a", ts("2024-01-01 01:00:00"), 0L, -1.414214)))
   }
 
+  test("rollingSum windows by TIME, not row position; ties share a frame") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:00:30"), 2.0),  // 30s later: in 60s window
+      (1L, ts("2024-01-01 00:02:00"), 4.0),  // 90s after prev: alone
+      (2L, ts("2024-01-01 00:00:00"), 8.0),
+      (2L, ts("2024-01-01 00:00:00"), 16.0)  // same second: shared frame
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.rollingSum(events, "user_id", "ts", "value",
+        windowSeconds = 60L)
+      .orderBy("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(out.toList == List(
+      (1L, 1L, 1.0), (1L, 2L, 3.0), (1L, 1L, 4.0),
+      (2L, 2L, 24.0), (2L, 2L, 24.0)))
+  }
+
   test("decayedSum halves per elapsed half-life from the anchor, exactly") {
     val events = Seq(
       (1L, ts("2024-01-31 12:00:00"), 8.0), // age < 1 week  -> 8/1
