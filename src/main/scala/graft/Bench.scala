@@ -139,7 +139,10 @@ object Bench {
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>
           f""""$k":${v / oracleTimes(k)}%.2f""" }
         val excl = scopeExcluded.toSeq.sorted.map("\"" + _ + "\"")
-        val oTotal = names.flatMap(oracleTimes.get).sum
+        // measured names only: including a FAILED query's oracle time in
+        // the denominator flatters the headline ratio exactly when the
+        // suite is broken (same defect class as the -1.0 total sum)
+        val oTotal = measured.map(_._1).flatMap(oracleTimes.get).sum
         f""","oracle_total_sec":$oTotal%.2f,"weak":${w.mkString("{", ",", "}")},"weak_scope_excluded":${excl.mkString("[", ",", "]")}"""
       }
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"measured_n":${measured.size},"sf":"$sfDir","passes":${passWalls.size},"pass_wall_sec":$walls,"refined":$refined,"cold_total_sec":$coldTotal$weak}"""

@@ -74,10 +74,8 @@ object SparkEntry {
     * addition is associative. */
   private def dsumPartial(c: Column, scale: Int): Column =
     sum(unscaledLong(c, scale))
-  private def dsumFinal(partial: Column, scale: Int): Column = {
-    val pow = math.pow(10, scale).toLong
-    (sum(partial).cast(DecimalType(38, 0)) / lit(pow)).cast("double")
-  }
+  private def dsumFinal(partial: Column, scale: Int): Column =
+    graft.functions.Decimals.fromUnscaled(sum(partial), scale)
   private val revenueRow: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
   private val revenueSql =

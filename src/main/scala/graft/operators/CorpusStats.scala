@@ -277,15 +277,20 @@ object CorpusStats {
     * raw term counts, ranked per document (rounded score DESC, token ASC
     * for an engine-independent total order).
     *
-    * Scale shape: tf is one hash aggregation on (doc, token); df is a
-    * COUNT over `Window.partitionBy(token)` on the tf frame — one
-    * shuffle of the already-collapsed tf rows, replacing the earlier
-    * df-aggregate + tf↔df join whose second branch re-ran the
-    * tokenize/explode scan (a groupBy's partially-aggregated exchange
-    * is not reusable by a join on the same key, so "ReuseExchange" never
-    * actually fired there). N is a 1-row broadcast. The per-document
-    * ranking filter compiles to WindowGroupLimit, so each partition
-    * keeps only k rows per document before the window's shuffle. */
+    * Scale shape (round 7, the [[lmLogProb]] single-exchange form): ONE
+    * hash partition of the narrow docs frame on the doc id carries the
+    * tf aggregation, the per-doc ranking window, AND the df branch —
+    * HashPartitioning(doc) satisfies every downstream clustered
+    * distribution, and the df branch re-reads the shared exchange's
+    * shuffle files (ReuseExchange — works here precisely because the
+    * shared node is a plain repartition exchange, unlike a groupBy's
+    * partially-aggregated exchange, which a join can never reuse; that
+    * is what sank the PRE-round-5 df-join form and why round 5 used a
+    * token window instead, which paid a full tf-frame shuffle by
+    * token). The tf↔df join carries no hint: AQE broadcasts a small
+    * vocabulary, shuffle-joins a web-scale one. N is a 1-row broadcast.
+    * The per-document ranking filter compiles to WindowGroupLimit, so
+    * each partition keeps only k rows per document. */
   def tfIdfTopTerms(docs: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     // Same single-exchange shape as [[lmLogProb]]: tf, df, and the

@@ -73,9 +73,11 @@ object TimeSeries {
     * emitted BY its preceding observation, whose sum is the carried
     * value.
     *
-    * Value sums are accumulated in DECIMAL(18,6) and cast back to double
-    * (the repo-wide dsum convention) so the per-bucket sum is
-    * order-independent and any SQL oracle reproduces it bit-exactly. */
+    * Value sums are accumulated as exact micro-unit LONGS (the
+    * [[graft.functions.Decimals]] convention — quantization identical to
+    * a DECIMAL(18,6) cast, one exact decimal division at the end) so the
+    * per-bucket sum is order-independent and any SQL oracle reproduces
+    * it bit-exactly; overflow envelope 2^63 micro-units per bucket. */
   def gapFill(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, bucketSeconds: Long): DataFrame = {
     val observed = col("bucket") === col("__ob")
@@ -256,7 +258,14 @@ object TimeSeries {
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, anchor: String, halfLifeSeconds: Long): DataFrame = {
     require(halfLifeSeconds > 0, s"halfLifeSeconds must be positive: $halfLifeSeconds")
-    val anchorMicros = java.sql.Timestamp.valueOf(anchor).getTime * 1000L
+    // UTC-pinned parse: java.sql.Timestamp.valueOf would interpret the
+    // anchor in the JVM DEFAULT timezone, which nothing in the repo pins
+    // (only the Spark session TZ is set) — on a non-UTC host every age
+    // would shift by the host offset and q121 would diverge from the
+    // oracle's naive-UTC literal.
+    val anchorMicros = java.time.LocalDateTime
+      .parse(anchor.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
     val age = lit(anchorMicros) - graft.functions.Timestamps.tsMicros(col(tsCol))
     // exact floor division (the skewAudit idiom): subtract-pmod makes the
     // numerator exactly divisible, so the double quotient is exact

@@ -61,15 +61,20 @@ object Tables {
         // INT64 `ts` has only ever shipped as epoch-NANOS (surfaced as
         // LongType under nanosAsLong), but an unannotated epoch-MICROS
         // long would surface identically and a blind div-1000 would
-        // corrupt it ~1000×. Disambiguate by magnitude on ONE row — a
-        // bounded driver-side head(), not a scan: epoch-nanos for any
-        // date after 1973 exceeds 1e17, epoch-micros stays below it
-        // until year 5138. Empty table → either reading is vacuous.
-        // Scoped to the `ts` name so ordinary long columns (keys,
-        // counts) are never touched.
+        // corrupt it ~1000×. Disambiguate by magnitude over a BOUNDED
+        // 1024-row sample (not head(1): a leading NULL would throw, and a
+        // single sentinel/outlier first row would misclassify the whole
+        // column; max(abs) is null-safe and outlier-tolerant; LIMIT keeps
+        // the probe bounded at any corpus size). Epoch-nanos for any date
+        // after 1973 exceeds 1e17, epoch-micros stays below it until year
+        // 5138. All-null/empty → either reading is vacuous; default to
+        // the historical nanos shape. Scoped to the `ts` name so ordinary
+        // long columns (keys, counts) are never touched.
         case LongType if f.name == "ts" =>
-          val nanos = df.select(f.name).head(1)
-            .headOption.forall(r => math.abs(r.getLong(0)) > 1e17.toLong)
+          import org.apache.spark.sql.functions.{abs, max}
+          val probe = df.select(f.name).limit(1024)
+            .agg(max(abs(col(f.name)))).head
+          val nanos = probe.isNullAt(0) || probe.getLong(0) > 1e17.toLong
           val div = if (nanos) s"${f.name} div 1000" else f.name
           df.withColumn(f.name, expr(s"timestamp_micros($div)"))
         case _ => df

@@ -53,6 +53,23 @@ class TablesSpec extends AnyFunSuite {
     })
   }
 
+  test("INT64 probe survives leading NULLs and sentinel outliers") {
+    // head(1)-style probes would throw on a leading null ts and would
+    // misclassify a nanos file whose first row is a ts=0 sentinel; the
+    // max(abs) sample probe must classify by the bulk of the data.
+    import spark.implicits._
+    val df = loadFixture { path =>
+      (Seq[Option[Long]](None, Some(0L)) ++
+        instants.map(s => Some(micros(s) * 1000L)))
+        .toDF("ts").coalesce(1).write.parquet(path)
+    }
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(unix_micros(col("ts")))
+      .filter(col("ts").isNotNull && unix_micros(col("ts")) =!= 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == instants.map(micros).sorted)
+  }
+
   test("load surfaces unannotated INT64-micros events.ts as TimestampType") {
     // The magnitude guard (ADVICE r06): an epoch-MICROS long surfaces as
     // the same LongType as nanos — a blind div-1000 would shift values
