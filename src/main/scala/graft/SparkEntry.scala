@@ -1042,6 +1042,22 @@ object SparkEntry {
         .transform(ordered1(_, col("event_id")))
     }),
 
+    // One-sided CUSUM level-shift detection on hourly per-type rates
+    // (running-sum minus running-min closed form; integer-exact flags).
+    "q125_cusum_shift" -> ((s, d) => {
+      TimeSeries.cusumChangePoints(load(s, d, "events"), "event_type", "ts",
+          bucketSeconds = 3600L, driftK = 3L, threshold = 12L)
+        .transform(ordered1(_, col("event_type"), col("bucket_epoch")))
+    }),
+
+    // Lag-1 autocorrelation of zero-filled hourly rates per type — the
+    // burst-persistence/seasonality probe; exact long moments.
+    "q126_rate_autocorr" -> ((s, d) => {
+      TimeSeries.rateAutocorr(load(s, d, "events"), "event_type", "ts",
+          bucketSeconds = 3600L)
+        .transform(ordered1(_, col("event_type")))
+    }),
+
     // Next-event transition matrix per user timeline — empirical Markov
     // transition counts + per-from-state shares.
     "q116_transitions" -> ((s, d) => {
@@ -2708,6 +2724,69 @@ object SparkEntry {
         |  ORDER BY epoch_us(ts) // 1000000
         |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q125_cusum_shift" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket_epoch,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |bnd AS (SELECT event_type, min(bucket_epoch) AS lo,
+        |    max(bucket_epoch) AS hi
+        |  FROM c GROUP BY event_type),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, 3600)) AS bucket_epoch
+        |  FROM bnd),
+        |f AS (SELECT g.event_type, g.bucket_epoch,
+        |    coalesce(c.x, 0) AS x
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type
+        |    AND g.bucket_epoch = c.bucket_epoch),
+        |cu AS (SELECT event_type, bucket_epoch, x,
+        |    SUM(x - 3) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_epoch) AS c
+        |  FROM f),
+        |s AS (SELECT event_type, bucket_epoch, x,
+        |    c - LEAST(MIN(c) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_epoch), 0) AS s
+        |  FROM cu)
+        |SELECT event_type, bucket_epoch, x AS n_events,
+        |  CAST(s AS BIGINT) AS cusum
+        |FROM s WHERE s >= 12
+        |ORDER BY event_type, bucket_epoch""".stripMargin,
+
+    "q126_rate_autocorr" ->
+      """WITH c AS (SELECT event_type,
+        |    (epoch_us(ts) // 1000000 // 3600) * 3600 AS bucket_epoch,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |bnd AS (SELECT event_type, min(bucket_epoch) AS lo,
+        |    max(bucket_epoch) AS hi
+        |  FROM c GROUP BY event_type),
+        |g AS (SELECT event_type,
+        |    unnest(generate_series(lo, hi, 3600)) AS bucket_epoch
+        |  FROM bnd),
+        |f AS (SELECT g.event_type, g.bucket_epoch,
+        |    coalesce(c.x, 0) AS x
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type
+        |    AND g.bucket_epoch = c.bucket_epoch),
+        |p AS (SELECT event_type, x,
+        |    lead(x) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_epoch) AS y
+        |  FROM f),
+        |m AS (SELECT event_type, count(*) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+        |    SUM(x*x) AS sxx, SUM(y*y) AS syy
+        |  FROM p WHERE y IS NOT NULL GROUP BY event_type),
+        |v AS (SELECT event_type, n_pairs, sx, sy, sxy,
+        |    n_pairs * sxx - sx * sx AS vx,
+        |    n_pairs * syy - sy * sy AS vy
+        |  FROM m)
+        |SELECT event_type, n_pairs,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN round(
+        |    (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
+        |  END AS lag1_autocorr
+        |FROM v ORDER BY event_type""".stripMargin,
 
     "q116_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

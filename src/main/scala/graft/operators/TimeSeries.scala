@@ -208,6 +208,97 @@ object TimeSeries {
         round(col("__z"), 6).as("z"))
   }
 
+  /** Zero-FILLED per-key bucket counts on an epoch-second grid — the
+    * shared substrate of [[cusumChangePoints]] and [[rateAutocorr]]:
+    * (key, bucket_epoch, x) for every `bucketSeconds` step between the
+    * key's first and last event, absent buckets counted 0. Integer
+    * epoch buckets, not timestamps, so engines compare numbers rather
+    * than timezone renderings. One hash aggregation + a per-key
+    * min/max + bounded sequence-explode (fan-out = span/cadence). */
+  private def filledCounts(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive: $bucketSeconds")
+    val u = unix_timestamp(col(tsCol))
+    val counts = events
+      .groupBy(col(keyCol), (u - pmod(u, lit(bucketSeconds))).as("bucket_epoch"))
+      .agg(count(lit(1)).as("__x"))
+    val grid = counts.groupBy(col(keyCol))
+      .agg(min(col("bucket_epoch")).as("__lo"), max(col("bucket_epoch")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(bucketSeconds)))
+          .as("bucket_epoch"))
+    grid.join(counts, Seq(keyCol, "bucket_epoch"), "left")
+      .select(col(keyCol), col("bucket_epoch"),
+        coalesce(col("__x"), lit(0L)).as("__x"))
+  }
+
+  /** One-sided CUSUM change-point detection over per-key event rates
+    * (Page '54): flag the buckets where the cumulative exceedance of the
+    * rate over an allowance `driftK` crosses `threshold` — the standard
+    * "did the level shift up" monitor for ingest streams, where a z-score
+    * panel ([[rateAnomaly]]) flags single spikes but misses a sustained
+    * small shift.
+    *
+    * The textbook recursion `s_i = max(0, s_{i-1} + x_i − k)` is not a
+    * window aggregate, but it has a closed form every SQL engine can run:
+    * with `C_i = Σ_{j≤i}(x_j − k)`, `s_i = C_i − min(0, min_{j≤i} C_j)`
+    * — a running sum and a running min over the same window. All
+    * arithmetic is INTEGER (counts, integer drift, integer threshold),
+    * so both engines produce identical s_i and the crossing set exactly
+    * agrees.
+    *
+    * Scale shape: the [[filledCounts]] substrate plus ONE window pass
+    * per key computing both running aggregates — Catalyst stacks them in
+    * a single Window operator over one sort. */
+  def cusumChangePoints(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long, driftK: Long, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_epoch"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filledCounts(events, keyCol, tsCol, bucketSeconds)
+      .withColumn("__c", sum(col("__x") - driftK).over(w))
+      .withColumn("__s", col("__c") - least(min(col("__c")).over(w), lit(0L)))
+      .filter(col("__s") >= threshold)
+      .select(col(keyCol), col("bucket_epoch"), col("__x").as("n_events"),
+        col("__s").as("cusum"))
+  }
+
+  /** Lag-1 autocorrelation of the per-key bucket rate — the seasonality/
+    * burst-persistence probe: r ≈ 1 means load level persists bucket to
+    * bucket (capacity forecasting works), r ≈ 0 means memoryless arrivals,
+    * r < 0 means alternation (often a retry/backoff artifact). Pearson r
+    * over consecutive (x_i, x_{i+1}) pairs of the ZERO-FILLED grid
+    * (absent buckets are real observations of zero, exactly as
+    * [[rateAnomaly]] argues).
+    *
+    * Determinism: the five moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    * LONGS in any engine; r is then one double expression over them,
+    * rounded at 6. Keys with zero variance on either margin → null.
+    * Overflow envelope: Σxy exact below 2^63 bounds per-bucket counts
+    * at ~3e9 (the rateAnomaly envelope).
+    *
+    * Scale shape: [[filledCounts]] + one lead() window + one hash
+    * aggregation to |keys| rows. */
+  def rateAutocorr(events: DataFrame, keyCol: String, tsCol: String,
+      bucketSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket_epoch"))
+    val pairs = filledCounts(events, keyCol, tsCol, bucketSeconds)
+      .withColumn("__y", lead(col("__x"), 1).over(w))
+      .filter(col("__y").isNotNull)
+    val d = (c: Column) => c.cast("double")
+    pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__vx", col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .select(col(keyCol), col("n_pairs"),
+        when(col("__vx") > 0 && col("__vy") > 0, round(
+          (d(col("n_pairs")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
+            sqrt(d(col("__vx")) * d(col("__vy"))), 6)).as("lag1_autocorr"))
+  }
+
   /** Per-event trailing time-window aggregate — "sum/count of the last N
     * days as of each event", the rolling feature the ROWS-frame family
     * (q14) cannot express: the frame is defined by event TIME, not row

@@ -109,6 +109,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       List(("a", ts("2024-01-01 01:00:00"), 0L, -1.414214)))
   }
 
+  test("cusumChangePoints matches the textbook recursion on a shifted series") {
+    // counts per minute for one key: [3,3,3,9,9,0,9] with drift k=3.
+    // Recursion s_i = max(0, s_{i-1} + x_i - 3): [0,0,0,6,12,9,15]
+    // threshold 10 flags minutes 4 (s=12) and 6 (s=15).
+    val events = (Seq.fill(3)(0) ++ Seq.fill(3)(1) ++ Seq.fill(3)(2) ++
+      Seq.fill(9)(3) ++ Seq.fill(9)(4) ++ Seq.fill(0)(5) ++ Seq.fill(9)(6))
+      .zipWithIndex.map { case (minute, i) =>
+        ("k", ts(f"2024-01-01 00:$minute%02d:00"), i.toLong) }
+      .toDF("key", "ts", "event_id")
+    val out = TimeSeries.cusumChangePoints(events, "key", "ts",
+        bucketSeconds = 60L, driftK = 3L, threshold = 10L)
+      .orderBy("bucket_epoch").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    assert(out.toList == List((base + 240, 9L, 12L), (base + 360, 9L, 15L)))
+  }
+
+  test("rateAutocorr: perfect alternation gives r = -1, constants give null") {
+    // key "a": minute counts [2,1,2,1,2] -> lag-1 pairs perfectly
+    // anti-correlated -> r = -1. key "b": constant -> zero variance -> null.
+    val mk = (k: String, minuteCounts: Seq[Int]) =>
+      minuteCounts.zipWithIndex.flatMap { case (n, m) =>
+        Seq.fill(n)((k, ts(f"2024-01-01 00:$m%02d:30"))) }
+    val events = (mk("a", Seq(2, 1, 2, 1, 2)) ++ mk("b", Seq(3, 3, 3)))
+      .toDF("key", "ts")
+    val out = TimeSeries.rateAutocorr(events, "key", "ts", bucketSeconds = 60L)
+      .orderBy("key").collect()
+    assert(out(0).getLong(1) == 4L && out(0).getDouble(2) == -1.0)
+    assert(out(1).getLong(1) == 2L && out(1).isNullAt(2))
+  }
+
   test("rollingSum windows by TIME, not row position; ties share a frame") {
     val events = Seq(
       (1L, ts("2024-01-01 00:00:00"), 1.0),
