@@ -19,11 +19,14 @@ for name, sql in sorted(oracles.items()):
         best = min(best, time.time() - t0)
     times[name] = best
 total = sum(times.values())
+# Write the file BEFORE printing: piping stdout through `head` kills the
+# process with SIGPIPE mid-print, and a dump placed after the prints then
+# silently leaves a STALE times file for graft.Bench's weak list.
+# __sf_dir lets graft.Bench reject a times file measured at a different
+# scale factor than the bench run.
+out = dict(times)
+out["__sf_dir"] = sf_dir
+json.dump(out, open("/tmp/oracle_times.json", "w"))
 print(f"TOTAL {total:.2f}")
 for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
     print(f"{k:30s} {v:.3f}")
-# __sf_dir lets graft.Bench reject a times file measured at a different
-# scale factor than the bench run (a stale /tmp file would otherwise
-# produce a nonsense weak list).
-times["__sf_dir"] = sf_dir
-json.dump(times, open("/tmp/oracle_times.json", "w"))
