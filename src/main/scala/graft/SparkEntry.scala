@@ -586,9 +586,8 @@ object SparkEntry {
     // input): rare = corpus frequency below the corpus mean, compared in
     // integers (c·V < T) so the oracle is bit-exact.
     "q68_rare_tokens" -> ((s, d) => {
-      CorpusStats.rareTokenStats(parallel(load(s, d, "documents")),
-          "text", "doc_id")
-        .orderBy("doc_id")
+      CorpusStats.rareTokenStats(load(s, d, "documents"), "text", "doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // End-to-end dedup: MinHash → LSH candidates → connected components →
@@ -638,7 +637,7 @@ object SparkEntry {
         TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"))
       val rep = CorpusStats.repetitionSignals(docs, "text", "doc_id")
         .select(col("doc_id"), col("top_bigram_frac"))
-      val rare = CorpusStats.rareTokenStats(parallel(docs), "text", "doc_id")
+      val rare = CorpusStats.rareTokenStats(docs, "text", "doc_id")
         .select(col("doc_id"), col("rare_frac"))
       perRow.join(rep, "doc_id").join(rare, "doc_id")
         .withColumn("keep",
@@ -711,9 +710,8 @@ object SparkEntry {
     // Char-level Shannon entropy per document — the model-free gibberish
     // detector in the quality family (q22/q23/q51/q68 siblings).
     "q74_char_entropy" -> ((s, d) => {
-      CorpusStats.charEntropy(parallel(load(s, d, "documents")),
-          "text", "doc_id")
-        .orderBy("doc_id")
+      CorpusStats.charEntropy(load(s, d, "documents"), "text", "doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // Unigram-LM perplexity proxy (CCNet/Gopher quality family): mean

@@ -79,9 +79,19 @@ object CorpusStats {
     * collects; works for a 100M-token vocabulary where a driver-side
     * frequency map would not. */
   def rareTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextFunctions.tokens(col(textCol))).as("token"))
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+    // The [[lmLogProb]] single-exchange shape (round 7): one hash
+    // partition of the narrow docs frame on the doc id carries the
+    // (doc,token) collapse AND the final per-doc aggregation; the corpus
+    // frequency branch re-reads the same exchange's shuffle files
+    // (ReuseExchange) and joins hint-free, so AQE broadcasts a small
+    // vocabulary and shuffle-joins a web-scale one. Per-occurrence
+    // statistics are recovered exactly from the collapsed tf frame
+    // (n_tokens = Σtf, n_rare = Σ tf·rare).
+    val base = docs.repartition(col(idCol))
+    val tf = base.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("__tf"))
+    val freq = tf.groupBy(col("token")).agg(sum(col("__tf")).as("__c"))
     val tot = freq.agg(sum(col("__c")).as("__t"), count(lit(1)).as("__v"))
     // The cross-product runs in DECIMAL(38): at a 10^13-token corpus a
     // stopword's count × a 100M vocab exceeds Long and non-ANSI multiply
@@ -90,13 +100,14 @@ object CorpusStats {
     val rare = when(
       col("__c").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col("__v")
         < col("__t"), 1L).otherwise(0L)
-    toks.join(freq, "token")
+    tf.join(freq, "token")
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(rare).as("n_rare"),
-        (sum(rare).cast("double") / count(lit(1)).cast("double")).as("rare_frac"),
+        sum(col("__tf")).as("n_tokens"),
+        sum(rare * col("__tf")).as("n_rare"),
+        (sum(rare * col("__tf")).cast("double") /
+          sum(col("__tf")).cast("double")).as("rare_frac"),
         min(col("__c")).as("min_cf"),
         max(col("__c")).as("max_cf"))
   }
@@ -158,7 +169,13 @@ object CorpusStats {
     * The char alphabet bounds the first agg's output at |docs|×|alphabet|
     * rows, so map-side partials collapse it hard. */
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
+    // Both aggregations ride ONE doc-id hash partition of the narrow
+    // docs frame (HashPartitioning(doc) satisfies the (doc,char)
+    // grouping's clustered distribution too) — the round-7
+    // single-exchange idiom; there is no corpus-level branch here at
+    // all, so the whole operator is one exchange + two pipelined
+    // aggregations.
+    docs.repartition(col(idCol))
       .select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
       .groupBy(col(idCol), col("__ch"))
       .agg(count(lit(1)).as("__c"))
