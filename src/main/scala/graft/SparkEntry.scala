@@ -1056,6 +1056,15 @@ object SparkEntry {
         .transform(ordered1(_, col("event_type")))
     }),
 
+    // Entry-point conversion: per session entry type, how many sessions
+    // contained a purchase — sessionization consumed INSIDE a pipeline.
+    "q127_entry_conversion" -> ((s, d) => {
+      Sessionize.entryConversion(load(s, d, "events"), "user_id", "ts",
+          "event_type", target = "purchase", gapSeconds = 600L,
+          tieBreak = Seq(col("event_id")))
+        .transform(ordered1(_, col("entry_type")))
+    }),
+
     // Next-event transition matrix per user timeline — empirical Markov
     // transition counts + per-from-state shares.
     "q116_transitions" -> ((s, d) => {
@@ -2785,6 +2794,29 @@ object SparkEntry {
         |    / sqrt(CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6)
         |  END AS lag1_autocorr
         |FROM v ORDER BY event_type""".stripMargin,
+
+    "q127_entry_conversion" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |    THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS sid
+        |  FROM o),
+        |e AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |g AS (SELECT user_id, sid,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM e GROUP BY 1, 2)
+        |SELECT entry_type,
+        |  count(*) AS n_sessions,
+        |  CAST(sum(conv) AS BIGINT) AS n_converted,
+        |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conversion
+        |FROM g GROUP BY entry_type ORDER BY entry_type""".stripMargin,
 
     "q116_transitions" ->
       """WITH p AS (SELECT event_type AS from_type,

@@ -187,6 +187,40 @@ object Sessionize {
         col("n_users"), col("mean_latency_s"), col("median_latency_s"))
   }
 
+  /** Entry-point conversion: sessionize, take each session's FIRST event
+    * type as its entry point, and report per entry type how many
+    * sessions converted (contained a `target` event) — the "which
+    * landing page converts" panel, and the canonical use of
+    * [[sessionize]]'s per-event ids INSIDE a pipeline rather than as an
+    * end product.
+    *
+    * Determinism: the entry event is the minimum of the (ts, tieBreak,
+    * type) struct under lexicographic struct ordering — an exact total
+    * order, so equal-timestamp sessions pick the same entry in any
+    * engine; conversion is an integer max; the rate divides two exact
+    * longs, rounded at 6.
+    *
+    * Scale shape: [[sessionize]]'s one key-shuffle + single Window
+    * operator, then ONE aggregation to |key × session| rows that rides
+    * the window's existing key partitioning (grouping (key, session) is
+    * clustered under HashPartitioning(key) — no new exchange), and a
+    * final |entry types|-row aggregation. */
+  def entryConversion(events: DataFrame, key: String, ts: String,
+      typeCol: String, target: String, gapSeconds: Long,
+      tieBreak: Seq[Column] = Nil): DataFrame = {
+    val sessions = sessionize(events, key, ts, gapSeconds, tieBreak = tieBreak)
+    val entry = min(struct(col(ts) +: tieBreak :+ col(typeCol): _*))
+    sessions
+      .groupBy(col(key), col("session_id"))
+      .agg(entry.getField(typeCol).as("entry_type"),
+        max(when(col(typeCol) === target, 1L).otherwise(0L)).as("__conv"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("__conv")).as("n_converted"),
+        round(sum(col("__conv")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("conversion"))
+  }
+
   /** Per-key inter-event-time statistics — the burstiness/bot signal:
     * humans produce irregular gaps (coefficient of variation ≈ 1 for a
     * Poisson process, > 1 for bursty sessions), schedulers and bots

@@ -54,6 +54,30 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(1).isNullAt(3))
   }
 
+  test("entryConversion attributes conversion to the session's first event type") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1, session 1: view -> purchase (entry view, converted)
+      (1, "2024-01-01 10:00:00", "view", 1L),
+      (1, "2024-01-01 10:01:00", "purchase", 2L),
+      // user 1, session 2 (gap > 600s): view only (entry view, not conv)
+      (1, "2024-01-01 12:00:00", "view", 3L),
+      // user 2: search entry, no purchase
+      (2, "2024-01-01 10:00:00", "search", 4L),
+      // user 3: equal timestamps — event_id tiebreak picks 'view' entry
+      (3, "2024-01-01 10:00:00", "view", 5L),
+      (3, "2024-01-01 10:00:00", "purchase", 6L))
+      .map { case (u, t, ty, id) => (u, ts(t), ty, id) }
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = Sessionize.entryConversion(df, "user_id", "ts", "event_type",
+        target = "purchase", gapSeconds = 600,
+        tieBreak = Seq(col("event_id")))
+      .orderBy("entry_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toList == List(
+      ("search", 1L, 0L, 0.0), ("view", 3L, 2L, 0.666667)))
+  }
+
   test("sessionStats aggregates bounds per (key, session)") {
     val df = events(
       (1, "2024-01-01 10:00:00", 1),
