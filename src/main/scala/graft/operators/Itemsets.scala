@@ -25,7 +25,13 @@ object Itemsets {
     * be capped upstream the same way LSH mega-buckets are. The pair
     * aggregation shuffles |pairs| rows on the pair key, and the final
     * top-k is TakeOrderedAndProject (per-partition partial top-k + k-row
-    * driver merge, no global sort). */
+    * driver merge, no global sort).
+    *
+    * A/B'd (round 7, sf0.1, same session) against the collect_list +
+    * HOF pair-expansion form: 1.21 s vs 1.09 s — inside window noise,
+    * and the array form additionally materializes each group's whole
+    * item set in one row (a mega-basket becomes a mega-array in memory,
+    * where the join form merely fans out rows). Self-join kept. */
   def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
       topK: Int): DataFrame = {
     require(topK > 0, s"topK must be positive: $topK")
