@@ -116,7 +116,7 @@ object SparkEntry {
       Dedup.latestPerKey(load(s, d, "orders"), Seq("o_custkey"),
           Seq(col("o_orderdate").desc, col("o_orderkey").desc))
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .orderBy("o_custkey")
+        .transform(ordered1(_, col("o_custkey")))
     }),
 
     // ---- multi-way joins (SURVEY.md §2.3 generalized) -------------------
@@ -266,7 +266,9 @@ object SparkEntry {
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .withColumn("rn", row_number().over(w).cast("long"))
         .select("event_id", "user_id", "value", "running_value", "prev_type", "next_type", "rn")
-        .orderBy("user_id", "rn")
+        // ordered1, not orderBy: range-partition sampling re-executes the
+        // whole window subtree for boundary estimation
+        .transform(ordered1(_, col("user_id"), col("rn")))
     }),
 
     // ---- event-time tumbling window (streaming-shaped batch, T2) --------
@@ -331,7 +333,7 @@ object SparkEntry {
       Merge.upsert(target, source, "o_orderkey",
           Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"),
           actionCol = Some("action"))
-        .orderBy("o_orderkey")
+        .transform(ordered1(_, col("o_orderkey")))
     }),
 
     // ---- M2: retention filter-retain (delete as its relational dual) ----
