@@ -354,4 +354,75 @@ object GraftProps extends Properties("graft") {
         }
       }
     }
+
+  property("cusum closed form equals the textbook recursion on random series") =
+    forAll(Gen.listOfN(10, Gen.choose(0, 6)), Gen.choose(0L, 4L)) { (counts, k) =>
+      import spark.implicits._
+      // one event row per count unit, minute-bucketed
+      val events = counts.zipWithIndex.flatMap { case (n, m) =>
+        Seq.fill(n)(("u", Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")))
+      }
+      events.isEmpty || {
+        val out = graft.operators.TimeSeries.cusumChangePoints(
+            events.toDF("key", "ts"), "key", "ts",
+            bucketSeconds = 60L, driftK = k, threshold = Long.MinValue)
+          .orderBy("bucket_epoch").collect()
+          .map(r => r.getLong(1) -> r.getLong(3)).toMap
+        // driver-side recursion over the DENSE minute range the operator
+        // grids (first..last observed bucket)
+        val present = counts.zipWithIndex.filter(_._1 > 0).map(_._2)
+        val (lo, hi) = (present.min, present.max)
+        val expect = (lo to hi).scanLeft(0L) { (s, m) =>
+          math.max(0L, s + counts(m) - k)
+        }.drop(1)
+        val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+        (lo to hi).zip(expect).forall { case (m, s) =>
+          out(base + m * 60L) == s
+        }
+      }
+    }
+
+  property("decayedSum with zero elapsed half-lives equals the plain dsum") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0, 3), Gen.choose(0.0, 50.0)))) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        // all events inside the first half-life -> exponent 0 everywhere
+        val df = rows.zipWithIndex.map { case ((u, v), i) =>
+          (u.toLong, Timestamp.valueOf(f"2024-01-31 12:00:${i % 60}%02d"), v)
+        }.toDF("user_id", "ts", "value")
+        val got = graft.operators.TimeSeries.decayedSum(df, "user_id", "ts",
+            "value", anchor = "2024-02-01 00:00:00", halfLifeSeconds = 604800L)
+          .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+        val expect = rows.groupBy(_._1).map { case (u, vs) =>
+          u.toLong -> vs.map { case (_, v) =>
+            BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          }.sum.toDouble
+        }
+        got == expect
+      }
+    }
+
+  property("rollingSum over a window covering everything equals the group total") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.choose(0, 2), Gen.choose(0.0, 20.0)))) { rows =>
+      rows.isEmpty || {
+        import spark.implicits._
+        val df = rows.zipWithIndex.map { case ((u, v), i) =>
+          (u.toLong, Timestamp.valueOf(f"2024-01-01 00:00:${i % 60}%02d"), v)
+        }.toDF("user_id", "ts", "value")
+        val out = graft.operators.TimeSeries.rollingSum(df, "user_id", "ts",
+            "value", windowSeconds = 86400L)
+          .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+            r.getLong(3), r.getDouble(4)))
+        val totals = rows.groupBy(_._1).map { case (u, vs) =>
+          u.toLong -> (vs.size.toLong, vs.map { case (_, v) =>
+            BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          }.sum.toDouble)
+        }
+        // every row whose ts is the group MAX sees the whole group
+        val lastPerKey = out.groupBy(_._1).map { case (u, rs) =>
+          u -> rs.maxBy(_._2.getTime)
+        }
+        lastPerKey.forall { case (u, (_, _, n, s)) => (n, s) == totals(u) }
+      }
+    }
 }
