@@ -901,6 +901,15 @@ object SparkEntry {
         .transform(ordered1(_, col("step")))
     }),
 
+    // Any-order funnel — q94's unordered complement on the same steps;
+    // the ordered/unordered gap measures how real the prescribed order is.
+    "q128_funnel_anyorder" -> ((s, d) => {
+      Sessionize.funnelAnyOrder(load(s, d, "events"), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowSeconds = 7L * 86400L)
+        .transform(ordered1(_, col("step")))
+    }),
+
     // Weekly cohort retention matrix (first-seen week × activity offset).
     "q95_cohort_retention" -> ((s, d) => {
       Sessionize.cohortRetention(parallel(load(s, d, "events")),
@@ -2372,6 +2381,32 @@ object SparkEntry {
         |  CAST(s AS DOUBLE) AS bucket_sum,
         |  CAST(iu AS DOUBLE) / 1000000 AS interp_sum
         |FROM u ORDER BY user_id, bucket_epoch""".stripMargin,
+
+    "q128_funnel_anyorder" ->
+      """WITH t0 AS (SELECT user_id, min(epoch_us(ts)) AS t0
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fl AS (SELECT e.user_id,
+        |    max(CASE WHEN e.event_type = 'view' THEN 1 ELSE 0 END) AS h1,
+        |    max(CASE WHEN e.event_type = 'click' THEN 1 ELSE 0 END) AS h2,
+        |    max(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS h3
+        |  FROM events e JOIN t0 ON e.user_id = t0.user_id
+        |  WHERE e.event_type IN ('view', 'click', 'purchase')
+        |    AND epoch_us(e.ts) >= t0.t0
+        |    AND epoch_us(e.ts) <= t0.t0 + 604800000000
+        |  GROUP BY e.user_id),
+        |n AS (SELECT
+        |    CAST(SUM(h1) AS BIGINT) AS n1,
+        |    CAST(SUM(h1 * h2) AS BIGINT) AS n2,
+        |    CAST(SUM(h1 * h2 * h3) AS BIGINT) AS n3
+        |  FROM fl)
+        |SELECT step, step_name, n_keys,
+        |  round(CAST(n_keys AS DOUBLE) /
+        |    (SELECT n1 FROM n), 6) AS conversion
+        |FROM (
+        |  SELECT 1 AS step, 'view' AS step_name, n1 AS n_keys FROM n
+        |  UNION ALL SELECT 2, 'click', n2 FROM n
+        |  UNION ALL SELECT 3, 'purchase', n3 FROM n)
+        |ORDER BY step""".stripMargin,
 
     "q94_funnel" ->
       """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t0

@@ -97,6 +97,54 @@ object Sessionize {
         round(col("n_keys").cast("double") / col("__base"), 6).as("conversion"))
   }
 
+  /** Any-order funnel — [[funnel]]'s unordered complement, and the other
+    * half of the standard product-analytics pair: for each prefix of
+    * `steps`, how many keys performed ALL of those step types within
+    * `windowSeconds` of their FIRST anchor-step event, in any order.
+    * Comparing the two tells you whether a flow's prescribed order is
+    * real user behavior (ordered ≈ unordered) or an instrumentation
+    * fiction (unordered ≫ ordered).
+    *
+    * Scale shape: one |keys|-row aggregation anchors t0 (min anchor-step
+    * time), one equi-join of the relevant events against it (AQE
+    * broadcasts the anchor frame when small; hash join at scale), and
+    * ONE aggregation computes every step's presence flag — prefix counts
+    * are then conjunction sums over the |keys|-row flag frame, so the
+    * event stream is read once and shuffled once. Determinism: integer
+    * micros comparisons and exact long counts throughout. */
+  def funnelAnyOrder(events: DataFrame, key: String, ts: String,
+      typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val micros = tsMicros(col(ts))
+    val t0 = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(key)).agg(min(micros).as("__t0"))
+    val flags = events.filter(col(typeCol).isin(steps: _*))
+      .join(t0, Seq(key))
+      .filter(micros >= col("__t0") &&
+        micros <= col("__t0") + windowSeconds * 1000000L)
+      .groupBy(col(key))
+      .agg(
+        max(when(col(typeCol) === steps.head, 1L).otherwise(0L))
+          .as(s"__has_${steps.head}"),
+        steps.tail.map(st =>
+          max(when(col(typeCol) === st, 1L).otherwise(0L)).as(s"__has_$st")): _*)
+    val prefixCounts = steps.indices.map { i =>
+      val conj = steps.take(i + 1)
+        .map(st => col(s"__has_$st") === 1L).reduce(_ && _)
+      sum(when(conj, 1L).otherwise(0L)).as(s"__n_$i")
+    }
+    val row = flags.agg(prefixCounts.head, prefixCounts.tail: _*)
+    val panel = steps.zipWithIndex.map { case (name, i) =>
+      row.select(lit(i + 1).as("step"), lit(name).as("step_name"),
+        col(s"__n_$i").as("n_keys"))
+    }.reduce(_.union(_))
+    val base = panel.filter(col("step") === 1)
+      .select(col("n_keys").as("__base"))
+    panel.crossJoin(broadcast(base))
+      .select(col("step"), col("step_name"), col("n_keys"),
+        round(col("n_keys").cast("double") / col("__base"), 6).as("conversion"))
+  }
+
   /** Weekly cohort retention: keys grouped by first-seen week (the
     * cohort), counted by distinct activity in each subsequent week —
     * the (cohort, week-offset, n_active, retention-ratio) matrix every

@@ -54,6 +54,31 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out(1).isNullAt(3))
   }
 
+  test("funnelAnyOrder counts out-of-order completions the ordered funnel rejects") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1: view -> click -> buy, in order (both funnels count it)
+      (1, "2024-01-01 10:00:00", "view"), (1, "2024-01-01 10:01:00", "click"),
+      (1, "2024-01-01 10:02:00", "buy"),
+      // user 2: buy BEFORE click (out of the prescribed order, all after
+      // the anchor view) — any-order completes all 3; ordered finds the
+      // click at 10:02 but no buy strictly after it, stopping at step 2
+      (2, "2024-01-01 10:00:00", "view"), (2, "2024-01-01 10:01:00", "buy"),
+      (2, "2024-01-01 10:02:00", "click"),
+      // user 3: view only
+      (3, "2024-01-01 10:00:00", "view"))
+      .map { case (u, t, ty) => (u, ts(t), ty) }
+      .toDF("user_id", "ts", "event_type")
+    def counts(out: Array[org.apache.spark.sql.Row]) =
+      out.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("n_keys")).toList
+    val any = Sessionize.funnelAnyOrder(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"), windowSeconds = 3600).collect()
+    val ord = Sessionize.funnel(df, "user_id", "ts", "event_type",
+      Seq("view", "click", "buy"), windowSeconds = 3600).collect()
+    assert(counts(any) == List(3L, 2L, 2L)) // user 2 counts despite order
+    assert(counts(ord) == List(3L, 2L, 1L)) // ordered stops user 2 at click
+  }
+
   test("entryConversion attributes conversion to the session's first event type") {
     import spark.implicits._
     val df = Seq(
