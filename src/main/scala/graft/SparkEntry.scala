@@ -31,7 +31,16 @@ object SparkEntry {
     * partition + a local sort keeps the projection parallel, runs it
     * once, and yields the same deterministic order. Only for outputs
     * that fit one partition — large sorted outputs should sort the
-    * narrow base early instead (see TradeInQueries.rawSpark). */
+    * narrow base early instead (see TradeInQueries.rawSpark).
+    *
+    * Scope note: the totally-ordered OUTPUT itself is a harness
+    * artifact (the oracle compare reads rows in order); production
+    * jobs at 100 TB do not demand a total order of a fact table, and
+    * per-fact-row results there would keep a parallel `orderBy` (or no
+    * sort at all). At bench scale every such output is ≤ ~1M narrow
+    * rows, where the single-partition sort measurably beats orderBy's
+    * extra range-sampling job (q55's three-way A/B, round 6; q14,
+    * round 7). */
   private[graft] def ordered1(df: DataFrame, keys: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(keys: _*)
 

@@ -67,17 +67,19 @@ object CorpusStats {
     * integer cross-product `c · V < T` (count × vocab < total), never a
     * float threshold, so any SQL oracle reproduces it bit-exactly.
     *
-    * Scale shape: the exploded occurrence stream probes the
-    * AQE-broadcast frequency table (vocabularies are millions, not
-    * billions), then rolls up per document in one shuffle. The
-    * frequency branch re-runs the tokenize scan — that is the
-    * DELIBERATE choice: collapsing to a shared, persisted
-    * (doc, token, count) frame was measured 2× slower (the cache is
-    * corpus-order-sized; two streaming scans beat materializing it),
-    * and at 100 TB the same economics hold — or better, persist `freq`
-    * alone as the trained model (the build/score split). No driver
-    * collects; works for a 100M-token vocabulary where a driver-side
-    * frequency map would not. */
+    * Scale shape (round 7, the [[lmLogProb]] single-exchange form): ONE
+    * hash partition of the narrow docs frame on the doc id carries the
+    * (doc, token) tf collapse AND the final per-doc rollup; the corpus
+    * frequency branch re-reads that same exchange's shuffle files
+    * (ReuseExchange — no persisted cache, no parquet re-scan) and the
+    * tf↔freq join is hint-free, so AQE broadcasts a small vocabulary
+    * and shuffle-joins a web-scale one. Per-occurrence statistics are
+    * recovered EXACTLY from the collapsed frame (n_tokens = Σtf,
+    * n_rare = Σ tf·rare). An earlier round rejected a *persisted*
+    * shared-tf variant as 2× slower — the shared-exchange form pays no
+    * cache at all, which is why it wins where that one lost. At 100 TB,
+    * persist `freq` alone as the trained model (the build/score
+    * split). No driver collects. */
   def rareTokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     // The [[lmLogProb]] single-exchange shape (round 7): one hash
     // partition of the narrow docs frame on the doc id carries the

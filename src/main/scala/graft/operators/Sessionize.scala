@@ -90,6 +90,14 @@ object Sessionize {
         .select(lit(i + 1).as("step"), lit(name).as("step_name"),
           col("n_keys"))
     }.reduce(_.union(_))
+    conversionPanel(counts)
+  }
+
+  /** Shared output contract of both funnels: the (step, step_name,
+    * n_keys) union becomes (…, conversion) with conversion the round-6
+    * ratio to step 1's count. One place, so the two panels cannot
+    * drift. */
+  private def conversionPanel(counts: DataFrame): DataFrame = {
     val base = counts.filter(col("step") === 1)
       .select(col("n_keys").as("__base"))
     counts.crossJoin(broadcast(base))
@@ -138,11 +146,7 @@ object Sessionize {
       row.select(lit(i + 1).as("step"), lit(name).as("step_name"),
         col(s"__n_$i").as("n_keys"))
     }.reduce(_.union(_))
-    val base = panel.filter(col("step") === 1)
-      .select(col("n_keys").as("__base"))
-    panel.crossJoin(broadcast(base))
-      .select(col("step"), col("step_name"), col("n_keys"),
-        round(col("n_keys").cast("double") / col("__base"), 6).as("conversion"))
+    conversionPanel(panel)
   }
 
   /** Weekly cohort retention: keys grouped by first-seen week (the

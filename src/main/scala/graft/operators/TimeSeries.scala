@@ -175,18 +175,12 @@ object TimeSeries {
     * products run in exact DECIMAL(38), so no envelope there. */
   def rateAnomaly(events: DataFrame, keyCol: String, tsCol: String,
       bucketSeconds: Long, zCut: Double): DataFrame = {
-    val u = unix_timestamp(col(tsCol))
-    val counts = events
-      .groupBy(col(keyCol),
-        timestamp_seconds(u - pmod(u, lit(bucketSeconds))).as("bucket"))
-      .agg(count(lit(1)).as("__x"))
-    val grid = counts.groupBy(col(keyCol))
-      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
-      .select(col(keyCol), explode(sequence(col("__lo"), col("__hi"),
-        expr(s"INTERVAL $bucketSeconds SECONDS"))).as("bucket"))
-    val filled = grid.join(counts, Seq(keyCol, "bucket"), "left")
-      .select(col(keyCol), col("bucket"),
-        coalesce(col("__x"), lit(0L)).as("__x"))
+    // One shared densification ([[filledCounts]]) across the monitoring
+    // family; this operator's public contract keeps the TIMESTAMP bucket,
+    // reconstructed losslessly from the epoch-long grid key.
+    val filled = filledCounts(events, keyCol, tsCol, bucketSeconds)
+      .select(col(keyCol), timestamp_seconds(col("bucket_epoch")).as("bucket"),
+        col("__x"))
     val stats = filled.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
         sum(col("__x") * col("__x")).as("__sxx"))
@@ -209,7 +203,8 @@ object TimeSeries {
   }
 
   /** Zero-FILLED per-key bucket counts on an epoch-second grid — the
-    * shared substrate of [[cusumChangePoints]] and [[rateAutocorr]]:
+    * shared substrate of the monitoring family ([[rateAnomaly]],
+    * [[cusumChangePoints]], [[rateAutocorr]]):
     * (key, bucket_epoch, x) for every `bucketSeconds` step between the
     * key's first and last event, absent buckets counted 0. Integer
     * epoch buckets, not timestamps, so engines compare numbers rather
@@ -271,10 +266,13 @@ object TimeSeries {
     * [[rateAnomaly]] argues).
     *
     * Determinism: the five moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
-    * LONGS in any engine; r is then one double expression over them,
-    * rounded at 6. Keys with zero variance on either margin → null.
-    * Overflow envelope: Σxy exact below 2^63 bounds per-bucket counts
-    * at ~3e9 (the rateAnomaly envelope).
+    * LONGS in any engine; the variance products n·Σx² − (Σx)² run in
+    * DECIMAL(38) (in LONG they overflow for a busy key — the exact
+    * rateAnomaly hazard) and r is one double expression, rounded at 6.
+    * Keys with zero variance on either margin → null. Overflow envelope:
+    * the per-row x·y product and the Σx² accumulator bound per-bucket
+    * counts at ~3e9 (the rateAnomaly envelope); ANSI raises loudly
+    * beyond.
     *
     * Scale shape: [[filledCounts]] + one lead() window + one hash
     * aggregation to |keys| rows. */
@@ -285,15 +283,27 @@ object TimeSeries {
       .withColumn("__y", lead(col("__x"), 1).over(w))
       .filter(col("__y").isNotNull)
     val d = (c: Column) => c.cast("double")
+    // moment products in DECIMAL(38), not LONG: n·Σx² for a busy key
+    // (1e6 events/bucket × 1e4 buckets) exceeds 2^63 and would abort
+    // under ANSI — the exact overflow rateAnomaly handles the same way;
+    // the oracle's HUGEINT path matches bit-for-bit after the one
+    // double cast
+    val dec = DecimalType(38, 0)
     pairs.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
-      .withColumn("__vx", col("n_pairs") * col("__sxx") - col("__sx") * col("__sx"))
-      .withColumn("__vy", col("n_pairs") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("__vx", col("n_pairs").cast(dec) * col("__sxx") -
+        col("__sx").cast(dec) * col("__sx"))
+      .withColumn("__vy", col("n_pairs").cast(dec) * col("__syy") -
+        col("__sy").cast(dec) * col("__sy"))
       .select(col(keyCol), col("n_pairs"),
+        // numerator stays in DOUBLE arithmetic — the oracle computes
+        // CAST(..)::DOUBLE products, and the two engines must round the
+        // same way; overflow is not a risk in double (only precision,
+        // identical on both sides)
         when(col("__vx") > 0 && col("__vy") > 0, round(
           (d(col("n_pairs")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy"))) /
             sqrt(d(col("__vx")) * d(col("__vy"))), 6)).as("lag1_autocorr"))
