@@ -133,7 +133,11 @@ object Bench {
         // program than its minimal-answer oracle, so the per-query ratio
         // is excluded from the weak letter. Still fully counted in the
         // total, and listed here so the exclusion is visible.
-        val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom")
+        val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom",
+          // runs the partition-scoped DISK merge path (two partitioned
+          // parquet writes + read-back) against a minimal in-memory
+          // join oracle — unlike work by design, like q33.
+          "q129_tradein_merge_part")
         val w = results.collect { case (k, v)
           if v > 0 && !scopeExcluded(k) &&
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>

@@ -272,6 +272,52 @@ object TradeInQueries {
           col("TradeInDate"), col("TradeInDateEST"),
           col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"), col("action"))
         .transform(SparkEntry.ordered1(_, col("SaleInvoiceID")))
+    }),
+
+    // M1 partition-scoped (SURVEY.md §4.3): the same two-day merge as
+    // q33 run through the PRODUCTION disk path — Merge.upsertPartitioned
+    // via the pipeline's default mergeIntoTargetPartitioned — then the
+    // on-disk partitioned target read back. Only the partitions each
+    // batch touches are rewritten; k%10 duplicates whose TradeInDate
+    // moved +1 day across a month boundary exercise the moved-key probe
+    // end-to-end. Month granularity, not day: this fixture spreads
+    // trade-in days over ~7 years (a real daily feed touches 1–2 day
+    // partitions), and day keying here would write thousands of 6-row
+    // files per run. The oracle is q33's full-merge answer — the
+    // partition-scoped path must be indistinguishable from the full
+    // merge it replaces.
+    "q129_tradein_merge_part" -> ((s, d) => {
+      val base = narrowBase(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("k"))
+        .persist()
+      val day1 = widen(base.filter(col("k") % 3 =!= 0))
+      val day2 = widen(base.filter(col("k") % 2 === 0))
+        .withColumn("__dup", explode(
+          when(col("__k") % 10 === 0, array(lit(false), lit(true)))
+            .otherwise(array(lit(false)))))
+        .withColumn("TradeInAmount",
+          when(col("__dup"), expr(dec2("130.0", "__p")))
+            .otherwise(expr(dec2("120.0", "__p"))))
+        .withColumn("TradeInDate",
+          when(col("__dup"), concat(date_format(col("__ts") + expr("INTERVAL 1 DAY"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
+            .otherwise(col("TradeInDate")))
+      val work = java.nio.file.Files.createTempDirectory("graft_q129")
+        .toString + "/target"
+      val month = date_format(col("TradeInDate"), "yyyy-MM")
+      TradeInPipeline.mergeIntoTargetPartitioned(s, work,
+        TradeInPipeline.stage(day1, nowLit(Now1)), nowLit(Now1), partDay = month)
+      TradeInPipeline.mergeIntoTargetPartitioned(s, work,
+        TradeInPipeline.stage(day2, nowLit(Now2)), nowLit(Now2), partDay = month)
+      base.unpersist()
+      // Read-back is the query's answer: the product of this operator is
+      // the on-disk table. (The temp dir is left for process exit.)
+      s.read.parquet(work)
+        .select(col("SaleInvoiceID"),
+          col("TradeInAmount").cast("double").as("TradeInAmount"),
+          col("TradeInDate"), col("TradeInDateEST"),
+          col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"))
+        .orderBy("SaleInvoiceID")
     }))
 
   // ------------------------------------------------------------- oracles
@@ -345,6 +391,29 @@ object TradeInQueries {
          | CASE WHEN d2.k IS NOT NULL AND d1.k IS NOT NULL THEN TIMESTAMP '$Now2' END AS ETLRowUpdatedEST,
          | CASE WHEN d2.k IS NOT NULL AND d1.k IS NOT NULL THEN 'update'
          |      WHEN d2.k IS NOT NULL THEN 'insert' ELSE 'keep' END AS action
+         |FROM day1 d1 FULL OUTER JOIN day2 d2 ON d1.k = d2.k
+         |ORDER BY SaleInvoiceID""".stripMargin
+    },
+
+    // q33's oracle minus the action column: the partition-scoped disk
+    // path must produce exactly the full merge's answer.
+    "q129_tradein_merge_part" -> {
+      val d1 = parsedDuck("ts", "k % 5", Now1)
+      val d2base = parsedDuck("ts", "k % 5", Now2)
+      s"""WITH $baseCteDuck,
+         |day1 AS (SELECT k, $d1 AS dt,
+         |   CAST(CAST(${dec2("110.0")} AS DECIMAL(18,2)) AS DOUBLE) AS amt
+         |  FROM base WHERE k % 3 <> 0),
+         |day2 AS (SELECT k,
+         |   CASE WHEN k % 10 = 0 THEN ts + INTERVAL 1 DAY ELSE $d2base END AS dt,
+         |   CAST(CAST(CASE WHEN k % 10 = 0 THEN ${dec2("130.0")} ELSE ${dec2("120.0")} END AS DECIMAL(18,2)) AS DOUBLE) AS amt
+         |  FROM base WHERE k % 2 = 0)
+         |SELECT CAST(COALESCE(d2.k, d1.k) AS INT) AS SaleInvoiceID,
+         | CASE WHEN d2.k IS NOT NULL THEN d2.amt ELSE d1.amt END AS TradeInAmount,
+         | CASE WHEN d2.k IS NOT NULL THEN d2.dt ELSE d1.dt END AS TradeInDate,
+         | ${estTsDuck("CASE WHEN d2.k IS NOT NULL THEN d2.dt ELSE d1.dt END")} AS TradeInDateEST,
+         | CASE WHEN d1.k IS NOT NULL THEN TIMESTAMP '$Now1' ELSE TIMESTAMP '$Now2' END AS ETLRowInsertedEST,
+         | CASE WHEN d2.k IS NOT NULL AND d1.k IS NOT NULL THEN TIMESTAMP '$Now2' END AS ETLRowUpdatedEST
          |FROM day1 d1 FULL OUTER JOIN day2 d2 ON d1.k = d2.k
          |ORDER BY SaleInvoiceID""".stripMargin
     })

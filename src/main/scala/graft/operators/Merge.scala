@@ -103,10 +103,23 @@ object Merge {
     * (bounded by the batch's day count — driver-safe), the matching
     * target partitions are read via pushed-down partition pruning, the
     * standard [[upsert]] runs on that slice, and dynamic partition
-    * overwrite replaces exactly the written partitions. Requires the
-    * source to carry `partitionCol` and never move a row across
-    * partitions (true for the reference: the partition key is the
-    * business date). Returns the partition values merged. */
+    * overwrite replaces exactly the written partitions. Returns the
+    * partition values merged.
+    *
+    * Moved keys (`probeMovedKeys`, default on): a matched key whose
+    * `partitionCol` value CHANGED in this batch (the reference's
+    * business-date correction) has its live row in a partition the
+    * source does not mention; a slice-only merge would insert a
+    * duplicate and strand the stale row. The probe finds those rows
+    * without a full-table merge: batch keys unmatched in the slice are
+    * semi-joined against a (`key`, `partitionCol`)-pruned scan of the
+    * UNTOUCHED partitions — two thin columns with the partition filter
+    * pushed down, a tiny fraction of target bytes at 100 TB — and any
+    * hit partitions join the rewrite set. A partition emptied by its
+    * only row moving away is deleted explicitly (dynamic overwrite
+    * never clears a partition it writes no rows to). Pass
+    * `probeMovedKeys = false` only when the partition key is immutable
+    * per business key, which reduces to the pure pruned-slice plan. */
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,
@@ -114,26 +127,59 @@ object Merge {
       key: String,
       partitionCol: String,
       dataCols: Seq[String],
-      audit: Option[(String, String, Column)] = None): Seq[String] = {
-    val parts = source.select(col(partitionCol).cast("string"))
+      audit: Option[(String, String, Column)] = None,
+      probeMovedKeys: Boolean = true): Seq[String] = {
+    val parts0 = source.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq
-    if (parts.isEmpty) return Seq.empty
+    if (parts0.isEmpty) return Seq.empty
     val p = new org.apache.hadoop.fs.Path(targetPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(p)
+
+    // Partitions holding a prior row of a key whose partition value moved.
+    val movedParts: Seq[String] =
+      if (!exists || !probeMovedKeys) Seq.empty
+      else {
+        val target = spark.read.parquet(targetPath)
+        val sliceKeys = target
+          .filter(col(partitionCol).cast("string").isin(parts0: _*))
+          .select(col(key))
+        val unmatched = source.select(col(key))
+          .join(sliceKeys, Seq(key), "left_anti")
+        target
+          .filter(!col(partitionCol).cast("string").isin(parts0: _*))
+          .select(col(key), col(partitionCol).cast("string").as("__part"))
+          .join(broadcast(unmatched), Seq(key), "left_semi")
+          .select(col("__part")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    val parts = (parts0 ++ movedParts).distinct
+
     val targetSlice =
-      if (fs.exists(p))
+      if (exists)
         spark.read.parquet(targetPath)
           .filter(col(partitionCol).cast("string").isin(parts: _*))
           .select(source.columns.map(col): _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
-    val merged = upsert(targetSlice, source, key, dataCols, audit)
+    val merged0 = upsert(targetSlice, source, key, dataCols, audit)
+    // Only a moved-from partition can end up with zero output rows (every
+    // source partition receives at least its own batch rows), so the
+    // persist + emptied-partition sweep is paid only on moved-key runs.
+    val merged = if (movedParts.nonEmpty) merged0.persist() else merged0
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.mode("overwrite").partitionBy(partitionCol).parquet(targetPath)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    if (movedParts.nonEmpty) {
+      val written = merged.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      merged.unpersist()
+      for (part <- movedParts if !written.contains(part))
+        fs.delete(new org.apache.hadoop.fs.Path(p, s"$partitionCol=$part"), true)
     }
     parts.sorted
   }

@@ -100,6 +100,42 @@ object TradeInPipeline {
       audit = Some((insertedCol, updatedCol, now)), actionCol = actionCol)
   }
 
+  /** Partition column of the partition-scoped target layout: the
+    * trade-in business day. Stored as a directory key
+    * (`TradeInDay=yyyy-MM-dd/`), re-derived on read, dropped from the
+    * logical row by [[TradeInPipeline.readTarget]]. */
+  val partitionDayCol = "TradeInDay"
+
+  /** Stage 5, partition-scoped (SURVEY.md §4.3's prescribed default):
+    * dedup + type the staging batch and MERGE it into the
+    * `TradeInDay`-partitioned parquet target at `targetPath`, rewriting
+    * ONLY the partitions the batch touches — the reference's daily batch
+    * spans 1–2 business days, so the daily run reads and rewrites 1–2
+    * partitions of years of history instead of snapshotting the world
+    * (the [[mergeIntoTarget]] + writeSnapshot fallback). Date
+    * corrections that move an invoice across days are handled by
+    * [[graft.operators.Merge.upsertPartitioned]]'s moved-key probe.
+    * Returns the partition values rewritten.
+    *
+    * `partDay` is the partition expression over the typed source row —
+    * `to_date(TradeInDate)` by default; coarser keys (month) suit
+    * backfills whose batches span years. Staging rows always carry a
+    * parseable `TradeInDate` (stage()'s F4 fallback), so the partition
+    * value is never null. */
+  def mergeIntoTargetPartitioned(
+      spark: SparkSession, targetPath: String, staging: DataFrame,
+      now: Column, tieBreak: Seq[Column] = Nil,
+      partDay: Column = to_date(col("TradeInDate"))): Seq[String] = {
+    val source = toTyped(dedupSource(staging, tieBreak))
+      // upsert reads audit stamps from the target side; the source only
+      // needs the columns PRESENT so the target slice retains them.
+      .withColumn(updatedCol, lit(null).cast("timestamp"))
+      .withColumn(partitionDayCol, partDay)
+    Merge.upsertPartitioned(spark, targetPath, source, "SaleInvoiceID",
+      partitionDayCol, columns :+ partitionDayCol,
+      audit = Some((insertedCol, updatedCol, now)))
+  }
+
   /** Stage 6a (counts): rows inserted/updated "today" relative to `now`.
     * The reference compares a DATETIME to a date (`ETLRowInsertedEST =
     * CONVERT(date, GETDATE())`, rqtradein_etl.py:188-189) which only
@@ -158,7 +194,12 @@ final class TradeInPipeline(
     targetPath: String,
     names: TradeInPipeline.Names = TradeInPipeline.Names(),
     registerCatalog: Boolean = true,
-    now: () => Column = () => current_timestamp()) {
+    now: () => Column = () => current_timestamp(),
+    // Partition-scoped target by default (SURVEY §4.3): the daily merge
+    // rewrites only the TradeInDay partitions present in the batch.
+    // `false` falls back to the flat full-snapshot layout — only for
+    // small targets where a whole-table rewrite is acceptable.
+    partitionedTarget: Boolean = true) {
 
   import TradeInPipeline._
   import TradeInSchema._
@@ -169,6 +210,20 @@ final class TradeInPipeline(
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Target rows in `targetSchema` shape regardless of layout: the
+    * partitioned layout re-derives `TradeInDay` from directories, which
+    * this drops (an explicit-schema read would reject the extra column). */
+  private def readTarget(spark: SparkSession): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], targetSchema)
+    else if (partitionedTarget)
+      spark.read.parquet(targetPath)
+        .select(targetSchema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    else spark.read.schema(targetSchema).parquet(targetPath)
   }
 
   /** One daily run: fetch → stage/append → merge → counts → retention.
@@ -191,13 +246,19 @@ final class TradeInPipeline(
     val stagingAll = readOrEmpty(spark, stagingPath, stagingSchema).unionByName(staged)
     Merge.writeSnapshot(stagingAll, stagingPath)
 
-    // 5. merge into target.
+    // 5. merge into target — partition-scoped by default: only the
+    // TradeInDay partitions present in this batch are read and
+    // rewritten (plus any moved-key partitions the probe finds).
     val staging = spark.read.schema(stagingSchema).parquet(stagingPath)
-    val target = readOrEmpty(spark, targetPath, targetSchema)
-    Merge.writeSnapshot(mergeIntoTarget(target, staging, nowCol), targetPath)
+    if (partitionedTarget)
+      mergeIntoTargetPartitioned(spark, targetPath, staging, nowCol)
+    else
+      Merge.writeSnapshot(
+        mergeIntoTarget(readOrEmpty(spark, targetPath, targetSchema), staging, nowCol),
+        targetPath)
 
     // 6. counts + staging retention.
-    val newTarget = spark.read.schema(targetSchema).parquet(targetPath)
+    val newTarget = readTarget(spark)
     val (ins, upd) = todayCounts(newTarget, nowCol)
     Merge.writeSnapshot(retainToday(staging, nowCol), stagingPath)
     EtlResult(ins, upd)

@@ -114,6 +114,63 @@ class MergeSpec extends AnyFunSuite {
     assert(after == untouched)
   }
 
+  test("upsertPartitioned moved-key probe: changed partition value updates in place") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmove").toString + "/t"
+    Seq(
+      ("2024-01-01", 1, "a0"), ("2024-01-01", 2, "b0"),
+      ("2024-01-02", 3, "c0"))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    // k=1 moved 01-01 → 01-03; the batch never mentions 01-01, so only
+    // the probe can find (and retire) the stale row.
+    val batch = Seq(("2024-01-03", 1, "a1")).toDF("day", "k", "v")
+    val merged = Merge.upsertPartitioned(
+      spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    assert(merged == Seq("2024-01-01", "2024-01-03"))
+    val now = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSet
+    assert(now == Set(
+      ("2024-01-03", 1, "a1"), // exactly one row for k=1, in its new partition
+      ("2024-01-01", 2, "b0"), // old partition keeps its other rows
+      ("2024-01-02", 3, "c0")))
+    // the partition the batch and probe never touched was not rewritten
+    assert(new java.io.File(s"$dir/day=2024-01-02").exists())
+  }
+
+  test("upsertPartitioned: a partition emptied by its only key moving is deleted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmove2").toString + "/t"
+    Seq(("2024-01-01", 1, "a0"), ("2024-01-02", 2, "b0"))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    val batch = Seq(("2024-01-05", 1, "a1")).toDF("day", "k", "v")
+    Merge.upsertPartitioned(spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    val now = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSet
+    assert(now == Set(("2024-01-05", 1, "a1"), ("2024-01-02", 2, "b0")))
+    // dynamic overwrite writes no rows to 01-01; the sweep must delete it
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists())
+  }
+
+  test("upsertPartitioned probeMovedKeys=false keeps the pure pruned-slice plan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmove3").toString + "/t"
+    Seq(("2024-01-01", 1, "a0")).toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    val batch = Seq(("2024-01-03", 1, "a1")).toDF("day", "k", "v")
+    val merged = Merge.upsertPartitioned(
+      spark, dir, batch, "k", "day", Seq("day", "k", "v"), probeMovedKeys = false)
+    // contract mode: the stale row is deliberately out of scope
+    assert(merged == Seq("2024-01-03"))
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("upsertPartitioned into a missing target creates it from the batch") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -103,6 +103,32 @@ class TradeInPipelineSpec extends AnyFunSuite {
       .getString(0).startsWith("2024-06-04"))
   }
 
+  test("partitioned target: a daily run leaves untouched TradeInDay partitions byte-identical") {
+    val work = java.nio.file.Files.createTempDirectory("tipp").toString
+    val d0 = "2024-05-30"
+    val d1 = "2024-06-01"
+    val d2 = "2024-06-02"
+    // Day 1 batch spans two business days (late-arriving d0 row).
+    val r1 = pipelineAt(work, d1, rawBatch(Seq(
+      ("1", s"${d1}T01:00:00Z", "10.00"),
+      ("2", s"${d1}T02:00:00Z", "20.00"),
+      ("5", s"${d0}T09:00:00Z", "50.00")))).run(spark, Map())
+    assert(r1 == TradeInPipeline.EtlResult(inserted = 3, updated = 0))
+    val d0dir = new java.io.File(s"$work/target/TradeInDay=$d0")
+    assert(d0dir.exists(), "target must be laid out by TradeInDay")
+    val before = d0dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+
+    // Day 2 touches d1 (retained staging rows re-merge) and d2 — not d0.
+    val r2 = pipelineAt(work, d2, rawBatch(Seq(
+      ("4", s"${d2}T02:00:00Z", "40.00")))).run(spark, Map())
+    assert(r2 == TradeInPipeline.EtlResult(inserted = 1, updated = 2))
+    val after = d0dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "untouched day partition must not be rewritten")
+    assert(spark.read.parquet(s"$work/target").count() == 4)
+  }
+
   test("quarantine splits unparseable TradeInDates; null passes through clean") {
     val raw = rawBatch(Seq(
       ("1", "2024-06-01T01:00:00Z", "10.00"),
