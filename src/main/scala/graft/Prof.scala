@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Scratch profiling main (not part of the driver contract). */
 object Prof {
   def main(args: Array[String]): Unit = {
+    SparkEntry.singlePartitionFinals = true // harness JVM: bench-scale finals
     val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -272,16 +272,31 @@ object Relational {
     * Each (row, interval) pair meets in exactly one bucket (the row's
     * own), so no post-join dedup is needed. Pick `bucketSeconds` near the
     * typical interval length: too small replicates intervals, too large
-    * degrades the equi-join's selectivity toward the cartesian. */
+    * degrades the equi-join's selectivity toward the cartesian.
+    *
+    * Replication guard (`maxBucketsPerInterval`): one pathological
+    * interval — a year at `bucketSeconds = 60` — would silently explode
+    * to ~525k bucket rows and dominate the shuffle. An interval spanning
+    * more buckets than the cap FAILS the job with the offending span in
+    * the message (clamping instead would silently DROP matches beyond
+    * the clamp — a correctness bug, not a mitigation). Callers with
+    * legitimately long intervals raise the cap or `bucketSeconds`. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, fromCol: String, toCol: String,
-      bucketSeconds: Long): DataFrame = {
+      bucketSeconds: Long, maxBucketsPerInterval: Long = 4096L): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val w = lit(bucketSeconds * 1000000L)
     val l = left.withColumn("__bucket", floor(tsMicros(col(leftTime)) / w))
-    val r = right.withColumn("__bucket", explode(sequence(
-      floor(tsMicros(col(fromCol)) / w),
-      floor(tsMicros(col(toCol)) / w))))
+    val fromB = floor(tsMicros(col(fromCol)) / w)
+    val toB = floor(tsMicros(col(toCol)) / w)
+    val guardedToB = when(toB - fromB < lit(maxBucketsPerInterval), toB)
+      .otherwise(raise_error(concat(
+        lit(s"intervalJoin: interval spans more than $maxBucketsPerInterval " +
+          s"buckets at bucketSeconds=$bucketSeconds (span="),
+        (toB - fromB).cast("string"),
+        lit("); raise bucketSeconds or maxBucketsPerInterval"))))
+    val r = right.withColumn("__bucket", explode(sequence(fromB, guardedToB)))
     val joined = l.alias("l").join(r.alias("r"),
       col(s"l.$key") === col(s"r.$key") &&
         col("l.__bucket") === col("r.__bucket") &&

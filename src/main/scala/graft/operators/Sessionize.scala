@@ -69,6 +69,8 @@ object Sessionize {
   def funnel(events: DataFrame, key: String, ts: String, typeCol: String,
       steps: Seq[String], windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
     val micros = tsMicros(col(ts))
     // per-key first occurrence of step 0
     val first0 = events.filter(col(typeCol) === steps.head)
@@ -123,9 +125,14 @@ object Sessionize {
   def funnelAnyOrder(events: DataFrame, key: String, ts: String,
       typeCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size,
+      s"funnel steps must be distinct: $steps")
     val micros = tsMicros(col(ts))
     val t0 = events.filter(col(typeCol) === steps.head)
       .groupBy(col(key)).agg(min(micros).as("__t0"))
+    // Presence flags are named by step INDEX, not step name: a name-based
+    // column would let exotic step strings collide after Spark's
+    // identifier normalization and fail with an opaque AnalysisException.
     val flags = events.filter(col(typeCol).isin(steps: _*))
       .join(t0, Seq(key))
       .filter(micros >= col("__t0") &&
@@ -133,12 +140,13 @@ object Sessionize {
       .groupBy(col(key))
       .agg(
         max(when(col(typeCol) === steps.head, 1L).otherwise(0L))
-          .as(s"__has_${steps.head}"),
-        steps.tail.map(st =>
-          max(when(col(typeCol) === st, 1L).otherwise(0L)).as(s"__has_$st")): _*)
+          .as("__has_0"),
+        steps.tail.zipWithIndex.map { case (st, i) =>
+          max(when(col(typeCol) === st, 1L).otherwise(0L)).as(s"__has_${i + 1}")
+        }: _*)
     val prefixCounts = steps.indices.map { i =>
-      val conj = steps.take(i + 1)
-        .map(st => col(s"__has_$st") === 1L).reduce(_ && _)
+      val conj = (0 to i)
+        .map(j => col(s"__has_$j") === 1L).reduce(_ && _)
       sum(when(conj, 1L).otherwise(0L)).as(s"__n_$i")
     }
     val row = flags.agg(prefixCounts.head, prefixCounts.tail: _*)
@@ -289,8 +297,9 @@ object Sessionize {
     * sum to zero (all events in the same second). Overflow envelope:
     * Σg² is exact below 2^63 and exact in DOUBLE below 2^53 — gaps of a
     * month (2.6e6 s) square to 6.8e12, leaving room for ~1e3-gap keys
-    * before the double-exactness bound matters; year-scale gap spans
-    * would move the moments into DECIMAL(38) (the rateAnomaly idiom).
+    * before the double-exactness bound matters; the variance moment
+    * products are computed in DECIMAL(38) (the rateAutocorr idiom) so
+    * year-scale gap spans cannot overflow and abort under ANSI.
     *
     * Scale shape: one per-key window (hash shuffle on the key), one
     * hash aggregation to |keys| rows — no joins, no grid. */
@@ -308,8 +317,16 @@ object Sessionize {
       .select(col(key), col("n_gaps"),
         round(col("__sg").cast("double") / col("n_gaps").cast("double"), 6)
           .as("mean_gap_s"),
+        // Variance moments in DECIMAL(38): n·Σg² and (Σg)² overflow LONG
+        // for year-scale gaps × ~1e4 events and would abort under ANSI —
+        // the rateAutocorr idiom, applied here for consistency. The
+        // decimal→double rounding is identical to long→double below
+        // 2^53, so oracle hashes are unchanged in the exact envelope.
         when(col("__sg") > 0, round(
-          sqrt((col("n_gaps") * col("__sgg") - col("__sg") * col("__sg"))
+          sqrt((col("n_gaps").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              col("__sgg").cast(org.apache.spark.sql.types.DecimalType(38, 0)) -
+              col("__sg").cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              col("__sg").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
             .cast("double")) / col("__sg").cast("double"), 6)).as("cv_gap"))
   }
 

@@ -364,9 +364,14 @@ object TimeSeries {
     // (only the Spark session TZ is set) — on a non-UTC host every age
     // would shift by the host offset and q121 would diverge from the
     // oracle's naive-UTC literal.
-    val anchorMicros = java.time.LocalDateTime
+    // Lossless micros (NOT toEpochMilli * 1000, which truncates a
+    // sub-millisecond anchor to milliseconds while the oracle's
+    // epoch_us keeps full precision).
+    val anchorInstant = java.time.LocalDateTime
       .parse(anchor.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      .toInstant(java.time.ZoneOffset.UTC)
+    val anchorMicros =
+      anchorInstant.getEpochSecond * 1000000L + anchorInstant.getNano / 1000L
     val age = lit(anchorMicros) - graft.functions.Timestamps.tsMicros(col(tsCol))
     // exact floor division (the skewAudit idiom): subtract-pmod makes the
     // numerator exactly divisible, so the double quotient is exact

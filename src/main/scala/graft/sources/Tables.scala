@@ -67,14 +67,17 @@ object Tables {
         // column; max(abs) is null-safe and outlier-tolerant; LIMIT keeps
         // the probe bounded at any corpus size). Epoch-nanos for any date
         // after 1973 exceeds 1e17, epoch-micros stays below it until year
-        // 5138. All-null/empty → either reading is vacuous; default to
-        // the historical nanos shape. Scoped to the `ts` name so ordinary
-        // long columns (keys, counts) are never touched.
+        // 5138. All-null/empty — or all ZERO (epoch sentinels): a
+        // sentinel-heavy prefix says nothing about the real rows' unit —
+        // → either reading is vacuous; default to the historical nanos
+        // shape. Scoped to the `ts` name so ordinary long columns (keys,
+        // counts) are never touched.
         case LongType if f.name == "ts" =>
           import org.apache.spark.sql.functions.{abs, max}
           val probe = df.select(f.name).limit(1024)
             .agg(max(abs(col(f.name)))).head
-          val nanos = probe.isNullAt(0) || probe.getLong(0) > 1e17.toLong
+          val nanos = probe.isNullAt(0) || probe.getLong(0) == 0L ||
+            probe.getLong(0) > 1e17.toLong
           val div = if (nanos) s"${f.name} div 1000" else f.name
           df.withColumn(f.name, expr(s"timestamp_micros($div)"))
         case _ => df

@@ -209,6 +209,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins(plan) == 1)
   }
 
+  test("ordered1 finals: parallel orderBy for library callers, single-partition only under the harness flag") {
+    val d = "/root/testdata/sf0.001"
+    assume(new java.io.File(d).isDirectory)
+    graft.sources.Tables.configure(spark)
+    val names = Seq("q02_dedup_latest", "q14_window_frames", "q19_merge_upsert")
+    def singleReps(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+          if r.numPartitions == 1 => r
+      }.size
+    def globalSorts(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+      }.size
+    assert(!SparkEntry.singlePartitionFinals,
+      "test JVM must not run with SPARK_GRAFT_BENCH=1")
+    for (n <- names) {
+      val plan = SparkEntry.queries(n)(spark, d)
+      assert(singleReps(plan) == 0,
+        s"$n plans a single-partition Exchange with the harness flag OFF")
+      assert(globalSorts(plan) >= 1, s"$n must still pin a total order")
+    }
+    SparkEntry.singlePartitionFinals = true
+    try for (n <- names) {
+      assert(singleReps(SparkEntry.queries(n)(spark, d)) == 1,
+        s"$n: harness flag must take the measured single-partition form")
+    } finally SparkEntry.singlePartitionFinals = false
+  }
+
   test("splitLeakage labels pair endpoints in place: no join beyond the LSH self-join") {
     // the split is id arithmetic (Curation.splitFor), so the only Join
     // in the plan is the band self-join producing candidate pairs — an

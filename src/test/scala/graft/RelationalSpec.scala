@@ -111,6 +111,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("intervalJoin rejects an interval spanning more buckets than the cap") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val left = Seq((1, ts(10), 1L)).toDF("k", "t", "event")
+    // a year-long interval at 60 s buckets = ~525k bucket rows — the
+    // silent replication blow-up the guard exists to stop
+    val right = Seq((1, ts(0), ts(60 * 24 * 365), "yr")).toDF("k", "lo", "hi", "tag")
+    val guarded = Relational.intervalJoin(left, right, "k", "t", "lo", "hi",
+      bucketSeconds = 60)
+    val e = intercept[Exception](guarded.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("intervalJoin: interval spans more than")))
+    // an explicit cap large enough for the span admits it (1 match)
+    val ok = Relational.intervalJoin(left, right, "k", "t", "lo", "hi",
+      bucketSeconds = 60, maxBucketsPerInterval = 600000L)
+    assert(ok.count() == 1)
+  }
+
   test("groupedRowNumber matches the window row_number, groups spanning partitions") {
     import org.apache.spark.sql.expressions.Window
     // 3 groups × ~1700 rows each over a 4-thread session: every group

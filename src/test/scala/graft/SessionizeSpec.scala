@@ -79,6 +79,24 @@ class SessionizeSpec extends AnyFunSuite {
     assert(counts(ord) == List(3L, 2L, 1L)) // ordered stops user 2 at click
   }
 
+  test("funnels reject duplicate steps; exotic step names survive (index-based flags)") {
+    import spark.implicits._
+    val df = Seq((1, ts("2024-01-01 10:00:00"), "a.b"),
+      (1, ts("2024-01-01 10:01:00"), "c`d"))
+      .toDF("user_id", "ts", "event_type")
+    // duplicates are a contract error, not a downstream AnalysisException
+    intercept[IllegalArgumentException](Sessionize.funnel(
+      df, "user_id", "ts", "event_type", Seq("a.b", "a.b"), 3600))
+    intercept[IllegalArgumentException](Sessionize.funnelAnyOrder(
+      df, "user_id", "ts", "event_type", Seq("a.b", "a.b"), 3600))
+    // step strings that would collide/break as COLUMN names are fine as
+    // values: the presence flags are named by index
+    val out = Sessionize.funnelAnyOrder(df, "user_id", "ts", "event_type",
+      Seq("a.b", "c`d"), 3600).collect()
+    assert(out.sortBy(_.getAs[Int]("step")).map(_.getAs[Long]("n_keys")).toList
+      == List(1L, 1L))
+  }
+
   test("entryConversion attributes conversion to the session's first event type") {
     import spark.implicits._
     val df = Seq(

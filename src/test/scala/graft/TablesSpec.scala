@@ -70,6 +70,23 @@ class TablesSpec extends AnyFunSuite {
     assert(got.toSeq == instants.map(micros).sorted)
   }
 
+  test("INT64 probe treats an all-zero sample as vacuous (nanos default)") {
+    // A sentinel-heavy prefix can fill the whole bounded 1024-row sample
+    // with ts=0: max(abs)=0 says nothing about the real rows' unit, so
+    // the probe must fall back to the historical nanos default instead of
+    // reading a nanos file 1000x off (ADVICE r07).
+    import spark.implicits._
+    val df = loadFixture { path =>
+      (Seq.fill(1024)(0L) ++ instants.map(s => micros(s) * 1000L))
+        .toDF("ts").coalesce(1).write.parquet(path)
+    }
+    assert(df.schema("ts").dataType == TimestampType)
+    val got = df.select(unix_micros(col("ts")))
+      .filter(unix_micros(col("ts")) =!= 0L)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == instants.map(micros).sorted)
+  }
+
   test("load surfaces unannotated INT64-micros events.ts as TimestampType") {
     // The magnitude guard (ADVICE r06): an epoch-MICROS long surfaces as
     // the same LongType as nanos — a blind div-1000 would shift values

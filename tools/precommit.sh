@@ -17,16 +17,25 @@ if git diff --cached --name-only | grep -q '^src/.*\.scala$'; then
   # end-to-end; this runs every query + the DuckDB compare and fails red
   # on a throw (_failed.json non-empty) or a value mismatch.
   if [[ "${GRAFT_SKIP_ORACLE:-0}" != "1" ]]; then
-    echo "[precommit] running graft.Verify + oracle compare at sf0.001"
+    # Oracle corpus location: override with GRAFT_ORACLE_SF_DIR on
+    # checkouts without the default testdata layout.
+    SF_DIR="${GRAFT_ORACLE_SF_DIR:-/root/testdata/sf0.001}"
+    if [[ ! -d "$SF_DIR" ]]; then
+      echo "[precommit] FAIL: oracle corpus not found at $SF_DIR"
+      echo "[precommit] set GRAFT_ORACLE_SF_DIR=<sf dir> or GRAFT_SKIP_ORACLE=1 to skip"
+      exit 1
+    fi
+    echo "[precommit] running graft.Verify + oracle compare at $SF_DIR"
     VOUT=$(mktemp -d /tmp/graft_verify.XXXXXX)
     trap 'rm -rf "$VOUT"' EXIT
-    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.001 $VOUT"
+    SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify $SF_DIR $VOUT"
     if [[ "$(cat "$VOUT/_failed.json" 2>/dev/null || echo missing)" != "{}" ]]; then
-      echo "[precommit] FAIL: verify failure manifest non-empty or missing:"
+      echo "[precommit] FAIL: verify failure manifest non-empty or missing"
+      echo "[precommit] (GRAFT_SKIP_ORACLE=1 skips this gate entirely):"
       cat "$VOUT/_failed.json" 2>/dev/null || true
       exit 1
     fi
-    python3 tools/check_oracle.py /root/testdata/sf0.001 "$VOUT"
+    python3 tools/check_oracle.py "$SF_DIR" "$VOUT"
   else
     echo "[precommit] GRAFT_SKIP_ORACLE=1 - skipping oracle gate"
   fi
