@@ -9,12 +9,15 @@ import graft.functions.BinaryFunctions
   * over raw bytes — as a typed `mapPartitions` stage (the documented
   * last-resort tier for genuine per-partition imperative logic).
   *
-  * The codec is pluggable and SHIPPED AS A STUB: real image/audio
-  * libraries are not available in this environment, so [[HeaderCodec]]
-  * deterministically parses dimensions that the test fixture embeds in
-  * the payload header. The Spark-side contract — schema, partition-local
-  * batch loop, zero shuffle, typed output — is the real, tested part; a
-  * production deployment swaps in a JNI/ImageIO-backed [[MediaCodec]]
+  * The codec is pluggable, with two shipped implementations:
+  * [[HeaderCodec]] — a deterministic stub that parses the dimensions the
+  * test fixture embeds in the payload header (the oracle-checkable
+  * default, since the synthetic corpus is not real media) — and
+  * [[ImageIoCodec]] — a REAL header-level decoder over the JDK's
+  * `javax.imageio` (PNG/JPEG/GIF/BMP, zero new dependencies). Audio and
+  * video codecs remain out of scope offline; the Spark-side contract —
+  * schema, partition-local batch loop, zero shuffle, typed output — is
+  * identical for any [[MediaCodec]], so a JNI-backed one drops in
   * without touching the plan.
   */
 object Multimodal {
@@ -40,6 +43,37 @@ object Multimodal {
         if (bytes.length < off + 4) 0
         else new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII).toInt
       (ascii4(4), ascii4(8))
+    }
+  }
+
+  /** REAL codec for the formats the JDK ships decoders for (PNG, JPEG,
+    * GIF, BMP): `javax.imageio`, zero new dependencies. Dimensions come
+    * from the format reader's header parse (`ImageReader.getWidth/
+    * getHeight`), NOT a full pixel decode — the right cost model for a
+    * metadata pass over 100 TB of media. Unrecognized or truncated
+    * payloads yield (0, 0) so the stage stays total (the quarantine
+    * split upstream is where bad media should be routed).
+    *
+    * [[HeaderCodec]] remains the default: the synthetic corpus embeds
+    * dimensions in an ASCII header (not real media), and the oracle gate
+    * needs a kernel DuckDB can recompute. Real deployments pass this
+    * codec (or a JNI one for video) into the same stages. */
+  object ImageIoCodec extends MediaCodec {
+    def decode(bytes: Array[Byte]): (Int, Int) = {
+      var in: javax.imageio.stream.ImageInputStream = null
+      try {
+        in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) (0, 0)
+        else {
+          val r = readers.next()
+          try { r.setInput(in, true, true); (r.getWidth(0), r.getHeight(0)) }
+          finally r.dispose()
+        }
+      } catch {
+        case _: java.io.IOException => (0, 0)
+      } finally if (in != null) in.close()
     }
   }
 

@@ -137,16 +137,64 @@ object Similarity {
       .select(col(id), col(s"__v_$id"), col(s"__n_$id"), col("__cent"))
   }
 
-  /** Build the IVF index: assign every corpus vector to its nearest of
-    * `nlist` coarse centroids in one scan. Centroids here are the first
-    * `nlist` corpus vectors — deterministic and oracle-reproducible; a
-    * production index would k-means them, which changes recall, not the
-    * plan shape. */
-  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
-      nlist: Int, roundTo: Int = 6): IvfIndex = {
-    val cents = corpus.filter(col(idCol) < nlist)
+  /** Sampled-Lloyd centroids for [[buildIvfIndex]]: seed with the
+    * first-`nlist` vectors, then run `iterations` Lloyd steps over a
+    * DETERMINISTIC hash-sample of the corpus (`crc32(id) % sampleMod ==
+    * 0` — reproducible, no RNG; ~1/sampleMod of the rows). Each step
+    * broadcasts the tiny centroid frame, assigns the sample to nearest
+    * cells, and recomputes per-cell per-dimension means (posexplode →
+    * avg → re-assemble); a cell that captured no sample keeps its
+    * previous centroid. On a skewed corpus — where first-N seeds all
+    * land in one dense region — the moved centroids spread over the
+    * real clusters and `nProbe`-bounded recall improves; plan shape is
+    * unchanged (this is purely a better `centroids` input).
+    *
+    * Not the default: the q41/q100 oracles pin the deterministic
+    * first-N construction, and a DuckDB oracle cannot reasonably
+    * replay Lloyd means. Flag it in via `buildIvfIndex(...,
+    * centroids = Some(kmeansCentroids(...)))`. */
+  def kmeansCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, iterations: Int = 1, sampleMod: Int = 4,
+      roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1 && sampleMod >= 1, "iterations and sampleMod must be >= 1")
+    val sample = corpus
+      .filter(pmod(crc32(col(idCol).cast("string")), lit(sampleMod)) === 0)
+      .select(col(idCol), col(vecCol))
+      .persist()
+    var cents = corpus.filter(col(idCol) < nlist)
       .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("vec"),
         norm(col(vecCol)).as("nrm"))
+    for (_ <- 1 to iterations) {
+      val assigned = nearestCells(sample, cents, vecCol, idCol, "id", 1, roundTo)
+      val means = assigned
+        .select(col("__cent").as("cell"), posexplode(col("__v_id")).as(Seq("__pos", "__x")))
+        .groupBy(col("cell"), col("__pos")).agg(avg(col("__x")).as("__m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          e => e("__m")).as("__mv"))
+      cents = cents.alias("c")
+        .join(means.alias("m"), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("__mv"), col("c.vec")).as("vec"))
+        .withColumn("nrm", norm(col("vec")))
+    }
+    sample.unpersist()
+    cents
+  }
+
+  /** Build the IVF index: assign every corpus vector to its nearest of
+    * `nlist` coarse centroids in one scan. Default centroids are the
+    * first `nlist` corpus vectors — deterministic and
+    * oracle-reproducible; pass `centroids = Some(kmeansCentroids(...))`
+    * for recall on skewed corpora (changes recall, not the plan
+    * shape). A supplied frame must have the `(cell, vec, nrm)` schema. */
+  def buildIvfIndex(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, roundTo: Int = 6,
+      centroids: Option[DataFrame] = None): IvfIndex = {
+    val cents = centroids.getOrElse(
+      corpus.filter(col(idCol) < nlist)
+        .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("vec"),
+          norm(col(vecCol)).as("nrm")))
     val entries = nearestCells(corpus, cents, vecCol, idCol, "id", 1, roundTo)
       .select(col("id"), col("__v_id").as("vec"), col("__n_id").as("nrm"),
         col("__cent").as("cell"))

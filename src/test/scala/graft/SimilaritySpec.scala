@@ -41,6 +41,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaIndex.except(oneShot).isEmpty && oneShot.except(viaIndex).isEmpty)
   }
 
+  test("kmeansCentroids lifts nProbe-bounded recall on a skewed corpus; first-N unchanged") {
+    // Skewed construction: BOTH first-N seeds sit in a small cluster A
+    // near (1, 0, 0), while the mass of the corpus is cluster B near
+    // (0, 0, 1) with a ±y wobble. Under first-N the B points split
+    // across the two A-seed cells by wobble sign, so a 1-probe query
+    // into B sees only one shard of it.
+    val a = Seq(
+      (0L, Seq(1.0, 0.10, 0.0)), (1L, Seq(1.0, -0.10, 0.0)),
+      (2L, Seq(1.0, 0.05, 0.0)), (3L, Seq(1.0, -0.05, 0.0)),
+      (4L, Seq(1.0, 0.07, 0.0)), (5L, Seq(1.0, -0.07, 0.0)))
+    val b = (100L until 120L).map(i =>
+      (i, Seq(0.0, if (i < 115) 0.1 else -0.1, 1.0)))
+    val skew = (a ++ b).toDF("id", "emb")
+    val q = Seq((900L, Seq(0.0, -0.05, 1.0))).toDF("id", "emb")
+    val k = 10
+    def recall(index: Similarity.IvfIndex): Double = {
+      val truth = Similarity.bruteForceTopK(skew, q, "emb", "id", k)
+        .select("neighbor_id").as[Long].collect().toSet
+      val got = Similarity.ivfSearch(index, q, "emb", "id", k, nProbe = 1)
+        .select("neighbor_id").as[Long].collect().toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val firstN = Similarity.buildIvfIndex(skew, "emb", "id", nlist = 2)
+    val kmeans = Similarity.buildIvfIndex(skew, "emb", "id", nlist = 2,
+      centroids = Some(Similarity.kmeansCentroids(skew, "emb", "id",
+        nlist = 2, iterations = 2, sampleMod = 1)))
+    val (rFirst, rKmeans) = (recall(firstN), recall(kmeans))
+    assert(rKmeans >= rFirst,
+      s"sampled k-means must not lose recall: kmeans=$rKmeans firstN=$rFirst")
+    assert(rKmeans > rFirst,
+      s"on this skew the moved centroids must strictly win: kmeans=$rKmeans firstN=$rFirst")
+    assert(rKmeans == 1.0, s"both B shards must land in one probed cell: $rKmeans")
+  }
+
   test("lshSearch over a persisted index equals one-shot lshTopK") {
     val planes = Similarity.deterministicPlanes(3, 6)
     val oneShot = Similarity.lshTopK(corpus, queries, "emb", "id",

@@ -199,4 +199,61 @@ class StreamingSpec extends AnyFunSuite {
     q2.stop()
     assert(novel2.toSet == Set(10L, 11L, 1L))
   }
+
+  test("dedupIngest crash AFTER index append, BEFORE downstream emit: same-checkpoint replay loses no id, admits no dup") {
+    // The foreachBatch body appends novel bands to the index and THEN
+    // hands the batch downstream; a crash between the two is the worst
+    // window — the index already contains this epoch's rows but the
+    // consumer never saw the batch. On restart from the SAME checkpoint
+    // Spark replays the batch under the SAME batchId, and the epoch
+    // exclusion must make the leftover rows invisible to the probe:
+    // the batch's novel ids re-emit (nothing lost), while near-dups of
+    // OLDER epochs are still dropped (nothing dup-admitted).
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dedup_crash").toString
+    val proseX = (1 to 30).map(i => s"omega$i").mkString(" ")
+    val proseY = (1 to 30).map(i => s"sigma$i").mkString(" ")
+    val in = MemoryStream[(Long, String)]
+    val novel = scala.collection.mutable.ListBuffer[Long]()
+    @volatile var injectCrash = false
+    def start() = StreamingEtl.dedupIngest(
+        in.toDF().toDF("doc_id", "text"), s"$dir/index", "text", "doc_id",
+        numHashes = 4, shingleSize = 3, rowsPerBand = 2,
+        checkpointDir = s"$dir/ckpt") { batch =>
+      val ids = batch.select("doc_id").collect().map(_.getLong(0))
+      if (injectCrash) {
+        injectCrash = false
+        throw new RuntimeException("injected post-append crash")
+      }
+      novel ++= ids
+    }
+    val q1 = start()
+    in.addData((20L, proseX))
+    q1.processAllAvailable()
+    assert(novel.toSet == Set(20L))
+    // batch 1: a near-dup of 20 (must drop) + novel SIBLINGS 22/23
+    // (near-dups of each other but not of the corpus — the pair a naive
+    // replay would self-collide on)
+    injectCrash = true
+    in.addData((21L, proseX + " tail"), (22L, proseY), (23L, proseY + " tail"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // the crash landed after the append: epoch-1 leftovers are on disk
+    val leftover = spark.read.parquet(s"$dir/index")
+      .filter(org.apache.spark.sql.functions.col("epoch") === 1L)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(leftover == Set(22L, 23L), s"expected epoch-1 leftovers, got $leftover")
+
+    // restart against the SAME checkpoint: Spark replays batchId 1
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(novel.toSet == Set(20L, 22L, 23L),
+      "replay must re-emit the batch's novel ids and still drop the near-dup of 20")
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(20L, 22L, 23L), "index must hold exactly the admitted ids")
+  }
 }

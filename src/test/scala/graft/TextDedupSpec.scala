@@ -81,6 +81,19 @@ class TextDedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("dupClusters: a 200-hop chain converges within default iterations (pointer jump)") {
+    import spark.implicits._
+    // Plain min-label propagation moves labels one hop per round and
+    // would need 200 rounds here, blowing past maxIter=20 and silently
+    // under-merging; the pointer jump makes depth halve each round
+    // (~log2(200) ≈ 8 rounds), so the default budget must suffice.
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("doc_id_a", "doc_id_b")
+    val out = TextDedup.dupClusters(pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 201)
+    assert(out.values.forall(_ == 0L), "every chain node must carry the min id 0")
+  }
+
   test("lsh mega-bucket guard bounds identical-doc pairs linearly, keeps connectivity") {
     import spark.implicits._
     // 1000 byte-identical docs: every band hashes them into ONE bucket,
