@@ -77,6 +77,19 @@ object TextFunctions {
   def minhash(shingles: Column, seed: String): Column =
     array_min(transform(shingles, s => md5(concat(lit(seed + "|"), s))))
 
+  /** Per-document term-frequency map `token → count` — the codegen'd
+    * one-pass form of `explode(tokens) → groupBy(token).count()`
+    * ([[graft.expressions.TokenTf]]). Exploding the returned map yields
+    * the aggregated (token, tf) rows directly, skipping the
+    * one-row-per-occurrence explode AND the hash aggregation. Token
+    * semantics are identical to [[tokens]] (single-space split, empties
+    * preserved); counts are Long. */
+  def tokenTf(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.expressions.TokenTf(ColumnBridge.expression(text)))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def exactFingerprint(text: Column): Column = md5(text)
 

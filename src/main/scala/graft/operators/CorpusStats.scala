@@ -317,11 +317,14 @@ object CorpusStats {
     // (df's tiny aggregate + hint-free join replaces the earlier
     // Window.partitionBy(token), which shuffled the full tf frame by
     // token). Measured at sf0.1: 0.73 s → 0.53 s. The per-document
-    // ranking filter still compiles to WindowGroupLimit.
+    // ranking filter still compiles to WindowGroupLimit. Round 8: the
+    // explode+groupBy TF prefix is collapsed into the codegen'd
+    // [[TextFunctions.tokenTf]] map — one pass per document, no
+    // aggregation, ~45% fewer exploded rows (occurrences → distincts).
     val base = docs.repartition(col(idCol))
-    val tf = base.select(col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val tf = base
+      .select(col(idCol), explode(TextFunctions.tokenTf(col(textCol))))
+      .select(col(idCol), col("key").as("token"), col("value").as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("__n"))
     val w = Window.partitionBy(col(idCol))

@@ -23,6 +23,34 @@ class TextQualitySpec extends AnyFunSuite {
     assert(df(1).getDouble(1) == 1.0)     // all bigrams distinct
   }
 
+  test("tokenTf matches explode+groupBy on edge cases: empties, spaces, unicode, nulls") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("t", StringType, nullable = true)))
+    val rows = Seq(
+      Row(0, "a b a c a b"),
+      Row(1, ""),                    // single empty token
+      Row(2, "  "),                  // three empty tokens
+      Row(3, " lead and  trail "),   // leading/double/trailing spaces
+      Row(4, "héllo wörld héllo 日本語"), // multi-byte UTF-8
+      Row(5, null))
+    // RDD-backed so the codegen path actually runs (not a LocalRelation).
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = df.select(col("id"), explode(TextFunctions.tokenTf(col("t"))))
+      .select(col("id"), col("key"), col("value")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    val want = df.select(col("id"),
+        explode(TextFunctions.tokens(col("t"))).as("key"))
+      .groupBy("id", "key").agg(count(lit(1)).as("value")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(got.contains((0, "a", 3L)) && got.contains((2, "", 3L)))
+    // null text → null map → explode drops the row, same as split(null)
+    assert(!got.exists(_._1 == 5))
+  }
+
   test("countInSet counts duplicate hits, skips nulls and misses, matches HOF form") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.Row
