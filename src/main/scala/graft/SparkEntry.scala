@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Itemsets, Merge, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Itemsets, Merge, Profiling, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1465,6 +1465,31 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5),
           "embedding", "vec_id", k = 3, nlist = 8, nProbe = 2)
         .transform(ordered1(_, col("query_id"), col("rank")))
+    }),
+
+    // KMV distinct-cardinality sketch: per-source approximate distinct
+    // token count via the k-minimum-values estimator (bounded-state
+    // custom aggregate — the 100 TB substitute for count(distinct)).
+    // Input rides tokenTf's map keys: per-doc distinct tokens, no
+    // occurrence-level explode.
+    "q130_kmv_distinct" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      Profiling.approxDistinct(
+          docs.select(col("source"),
+            explode(map_keys(TextFunctions.tokenTf(col("text")))).as("token")),
+          Seq("source"), col("token"), k = 32)
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // One-pass multi-column table profile: null counts, KMV distinct
+    // estimates, numeric min/max/exact-decimal mean, string lengths —
+    // a single aggregation with bounded per-column sketch state (no
+    // Expand, no per-column passes).
+    "q131_profile" -> ((s, d) => {
+      Profiling.profile(load(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"), k = 256)
+        .transform(ordered1(_, col("column")))
     })
   )
 
@@ -1502,6 +1527,64 @@ object SparkEntry {
   private def simhashBitsSql(bits: Int): String = (0 until bits).map { j =>
     s"CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), ${j + 1}, 1) >= '8')) > len(t) THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
+
+  /** The KMV estimate over a sorted min-hash list column `arr` (matching
+    * [[graft.operators.Profiling.kmvEstimate]]): the k-th hash's first 13
+    * hex digits as a fraction of 16^13 = 2^52. Rendered as a digit-sum of
+    * exact integer literals — every intermediate is an exact-in-double
+    * integer < 2^52, so the sum is EXACT regardless of association and
+    * both engines reach the identical double before the one rounded
+    * division. */
+  private def kmvEstimateSql(arr: String, k: Int): String = {
+    val digits = (1 to 13).map { i =>
+      s"CAST(strpos('0123456789abcdef', substring($arr[$k], $i, 1)) - 1 AS DOUBLE) * ${math.pow(16, 13 - i).toLong}.0"
+    }.mkString(" + ")
+    s"""CASE WHEN len($arr) < $k THEN CAST(len($arr) AS DOUBLE)
+       |  ELSE round(${(k - 1).toDouble} / (($digits) / 4503599627370496.0), 4) END""".stripMargin
+  }
+
+  /** One profile row (matching [[graft.operators.Profiling.profile]]) for
+    * column `c` of `kind` ∈ {int, str, dbl, ts} on `table`. */
+  private def profileColSql(table: String, c: String, kind: String, k: Int): String = {
+    val hash = kind match {
+      case "str" => c
+      case "dbl" => s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
+      case "ts"  => s"CAST(epoch_us($c) AS VARCHAR)"
+      case _     => s"CAST($c AS VARCHAR)"
+    }
+    val numv = kind match {
+      case "str" => "CAST(NULL AS DOUBLE)"
+      case "ts"  => s"CAST(epoch_us($c) AS DOUBLE)"
+      case _     => s"CAST($c AS DOUBLE)"
+    }
+    // exact scaled-integer mean source (micro-quantized numerics, raw
+    // epoch micros for timestamps) — mirrors Profiling.meanScaled
+    val (meanSrc, quantum) = kind match {
+      case "str" => ("CAST(NULL AS HUGEINT)", 1L)
+      case "ts"  => (s"CAST(epoch_us($c) AS HUGEINT)", 1L)
+      case _     => (s"CAST(CAST($c AS DECIMAL(18,6)) * 1000000 AS HUGEINT)", 1000000L)
+    }
+    val (minLen, maxLen) =
+      if (kind == "str") (s"CAST(min(length($c)) AS BIGINT)", s"CAST(max(length($c)) AS BIGINT)")
+      else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+    // floor((2S + n) / 2n) in exact integers = half-up mean, then one
+    // small-magnitude double conversion (mirrors Profiling.profile)
+    val a = "(2 * s_sum + n_nn)"
+    val b = "(2 * n_nn)"
+    s"""SELECT '$c' AS "column", n_rows, n_null,
+       |  ${kmvEstimateSql("mins", k)} AS approx_distinct,
+       |  min_val, max_val,
+       |  CASE WHEN n_nn > 0 THEN
+       |    CAST(($a - ((($a % $b) + $b) % $b)) // $b AS DOUBLE) / $quantum.0
+       |  ELSE NULL END AS mean_val,
+       |  min_len, max_len
+       |FROM (SELECT count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  list_sort(list_distinct(list(md5($hash))))[1:$k] AS mins,
+       |  min($numv) AS min_val, max($numv) AS max_val,
+       |  sum($meanSrc) AS s_sum, CAST(count($c) AS HUGEINT) AS n_nn,
+       |  $minLen AS min_len, $maxLen AS max_len FROM $table)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -3135,7 +3218,24 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
-        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q130_kmv_distinct" ->
+      s"""WITH tok AS (SELECT source,
+         |  unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |g AS (SELECT source, count(*) AS n_rows,
+         |  list_sort(list_distinct(list(md5(token))))[1:32] AS mins
+         |  FROM tok GROUP BY source)
+         |SELECT source, n_rows, CAST(len(mins) AS BIGINT) AS n_sketch,
+         |  ${kmvEstimateSql("mins", 32)} AS est_distinct
+         |FROM g ORDER BY source""".stripMargin,
+
+    "q131_profile" -> Seq(
+        ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
+        ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str"))
+      .map { case (c, kind) => profileColSql("orders", c, kind, 256) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+import graft.expressions.KMinDistinct
+
+/** Cardinality estimation and one-pass table profiling — the ingest-side
+  * audit operators a 100 TB pipeline runs before anything else touches a
+  * new corpus drop (schema drift, null storms, key-cardinality checks).
+  *
+  * Both operators are built on [[graft.expressions.KMinDistinct]], a KMV
+  * (k-minimum-values) distinct sketch: exact `count(distinct x)` carries
+  * per-group state proportional to the true cardinality, and multiple
+  * distinct aggregates in one pass force Catalyst's Expand (the input is
+  * replicated once PER distinct column before the exchange — profiling
+  * 10 columns exactly would shuffle the table 10×). The sketch holds k
+  * 32-byte hashes per group regardless of cardinality, partial-aggregates
+  * map-side, and merges by union-truncate, so a whole-table multi-column
+  * profile stays ONE pass with a single 1-row exchange.
+  *
+  * Estimator (Bar-Yossef et al. 2002): with `arr` the k smallest distinct
+  * `md5(x)` values, `est = (k-1) / frac(arr[k])`, where `frac` maps the
+  * hash's first 13 hex digits into [0,1). 13 digits = 52 bits: every
+  * intermediate is an exact-in-double integer, so any oracle engine
+  * summing digit·16^j literals reproduces the double bit-for-bit.
+  * Fewer than k distinct values ⇒ the array length is the exact count.
+  * Relative error ≈ 1/√(k−2): k=256 ⇒ ~6 %, k=1024 ⇒ ~3 %.
+  */
+object Profiling {
+
+  /** 2^52 = 16^13, the fraction denominator — kept as an exact literal so
+    * oracle SQL can embed the same constant rather than trusting pow(). */
+  val Denom52: Double = 4503599627370496.0
+
+  /** Aggregate: sorted array of the k smallest distinct values of `c`. */
+  def kminDistinct(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KMinDistinct(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** KMV estimate from a [[kminDistinct]] array of md5 hashes (rounded to
+    * 4 decimals; exact when the group has fewer than k distinct values). */
+  def kmvEstimate(arr: Column, k: Int): Column = {
+    val frac =
+      conv(substring(element_at(arr, k), 1, 13), 16, 10).cast("double") /
+        lit(Denom52)
+    when(size(arr) < k, size(arr).cast("double"))
+      .otherwise(round(lit((k - 1).toDouble) / frac, 4))
+  }
+
+  /** Per-group approximate distinct count of `value` — one shuffle of
+    * k-hash sketch rows per group, never of the data. */
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        kminDistinct(md5(value.cast("string")), k).as("__kmin"))
+      .select(groupCols.map(col) ++ Seq(col("n_rows"),
+        size(col("__kmin")).cast("long").as("n_sketch"),
+        kmvEstimate(col("__kmin"), k).as("est_distinct")): _*)
+  }
+
+  /** Engine-portable hash key per type family, so the sketch (and any
+    * oracle recomputing it) sees identical strings:
+    * integrals/strings render canonically everywhere; doubles are
+    * quantized through DECIMAL(18,6) (raw double→string formatting is
+    * engine-specific); timestamps go through exact epoch micros. */
+  private def hashKey(c: Column, dt: DataType): Column = dt match {
+    case _: StringType => c
+    case _: DoubleType | _: FloatType =>
+      c.cast(DecimalType(18, 6)).cast("string")
+    case _: TimestampType | _: TimestampNTZType =>
+      unix_micros(c.cast("timestamp")).cast("string")
+    case _ => c.cast("string")
+  }
+
+  /** Numeric rendering for min/max/mean: integrals and doubles as-is,
+    * timestamps as epoch micros (exact in double to 2^53 µs ≈ 2255 CE). */
+  private def numVal(c: Column, dt: DataType): Column = dt match {
+    case _: TimestampType | _: TimestampNTZType =>
+      unix_micros(c.cast("timestamp")).cast("double")
+    case _: NumericType => c.cast("double")
+    case _ => lit(null).cast("double")
+  }
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** Exact floor division over integral decimals (remainder removed
+    * before dividing, so the quotient is exact — same construction as
+    * [[CorpusStats.mixturePlan]]). */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast(dec38)
+
+  /** The column's value as an exact scaled integer for the mean: numerics
+    * quantized to 10^-6 (×10^6), timestamps as raw epoch micros. All mean
+    * arithmetic stays in exact DECIMAL(38,0) integers until one final
+    * small-magnitude double conversion — a double SUM would be
+    * partition-order-dependent, and even an exact wide sum diverges
+    * across engines the moment it exceeds 2^53 and each converts to
+    * double its own way (measured: the epoch-micros mean differed in the
+    * 16th digit between conversions of the same exact 1.3e19 sum). */
+  private def meanScaled(c: Column, dt: DataType): (Column, Long) = dt match {
+    case _: TimestampType | _: TimestampNTZType =>
+      (unix_micros(c.cast("timestamp")).cast(dec38), 1L)
+    case _: NumericType =>
+      ((c.cast(DecimalType(18, 6)) * lit(1000000L)).cast(dec38), 1000000L)
+    case _ => (lit(null).cast(dec38), 1L)
+  }
+
+  /** One-pass multi-column profile: one row per column with row/null
+    * counts, the KMV distinct estimate, numeric min/max/mean (mean
+    * computed in exact integer arithmetic — see [[meanScaled]] — with
+    * half-up rounding at 6 decimals for numerics / 1 µs for timestamps),
+    * and string length stats. Columns must be numeric, string, or
+    * timestamp.
+    *
+    * Plan shape: ONE aggregation over one scan — a 2-stage global agg
+    * whose final exchange carries a single row of bounded-size sketches;
+    * `inline` then unpacks it to the per-column report. No Expand, no
+    * per-column passes, no distinct shuffle of data rows. */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val schema = df.schema
+    cols.foreach { c =>
+      val dt = schema(c).dataType
+      require(dt.isInstanceOf[NumericType] || dt.isInstanceOf[StringType] ||
+          dt.isInstanceOf[TimestampType] || dt.isInstanceOf[TimestampNTZType],
+        s"profile: unsupported type for $c: $dt")
+    }
+    val aggs = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val isStr = dt.isInstanceOf[StringType]
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__${c}__nnull"),
+        kminDistinct(md5(hashKey(col(c), dt)), k).as(s"__${c}__kmin"),
+        min(numVal(col(c), dt)).as(s"__${c}__min"),
+        max(numVal(col(c), dt)).as(s"__${c}__max"),
+        sum(meanScaled(col(c), dt)._1).as(s"__${c}__sum"),
+        (if (isStr) min(length(col(c))).cast("long") else lit(null).cast("long"))
+          .as(s"__${c}__minlen"),
+        (if (isStr) max(length(col(c))).cast("long") else lit(null).cast("long"))
+          .as(s"__${c}__maxlen"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val reports = cols.map { c =>
+      val dt = schema(c).dataType
+      val quantum = meanScaled(col(c), dt)._2
+      val nonNull = (col("n_rows") - col(s"__${c}__nnull")).cast(dec38)
+      // round-half-up of S/n in pure integers: floor((2S + n) / 2n); the
+      // resulting scaled mean is < 2^53 by construction, so BOTH the
+      // final decimal→double conversion and the /quantum division are
+      // exact-then-single-rounded and engine-independent.
+      val meanInt = floorDiv(
+        col(s"__${c}__sum") * lit(2) + nonNull, nonNull * lit(2))
+      struct(
+        lit(c).as("column"),
+        col("n_rows").as("n_rows"),
+        col(s"__${c}__nnull").as("n_null"),
+        kmvEstimate(col(s"__${c}__kmin"), k).as("approx_distinct"),
+        col(s"__${c}__min").as("min_val"),
+        col(s"__${c}__max").as("max_val"),
+        when(nonNull > 0, meanInt.cast("double") / lit(quantum.toDouble))
+          .as("mean_val"),
+        col(s"__${c}__minlen").as("min_len"),
+        col(s"__${c}__maxlen").as("max_len"))
+    }
+    one.select(inline(array(reports: _*)))
+  }
+}
