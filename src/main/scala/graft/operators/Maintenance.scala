@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table-maintenance operators. At 100 TB the dominant operational costs
   * of a parquet lake are (a) small files — every scan pays per-file
@@ -53,5 +54,69 @@ object Maintenance {
       .filter(_.getName.stripPrefix(prefix) < cutoff)
     dropped.foreach(d => fs.delete(d, true))
     dropped.map(_.getName.stripPrefix(prefix)).sorted
+  }
+
+  /** Z-order clustered rewrite — multi-dimensional data skipping. A
+    * single-column sort makes parquet min/max stats selective for ONE
+    * predicate column and useless for every other; interleaving the bits
+    * of rank-binned dimension values (a Morton curve) makes every file a
+    * small hyper-rectangle, so row-group pruning works for range
+    * predicates on ANY clustered dimension. This is the OPTIMIZE
+    * ZORDER maintenance pass of a parquet lake, as a snapshot-swap
+    * rewrite ([[Merge.writeSnapshot]], same crash-safety as [[compact]]).
+    *
+    * Binning is rank-based (per-dimension quantile boundaries from
+    * `approxQuantile`, collected once at bounded driver cost and folded
+    * into the expression as literals), NOT min/max-linear: linear bins
+    * collapse under skew — one hot key would drag half the value range
+    * into one bin and the curve degenerates to a single-dim sort.
+    *
+    * Scale shape: one sampled quantile pass, then one range shuffle on
+    * the z-key with an in-partition sort — identical cost to the plain
+    * global sort a naive "sort by the filter column" rewrite pays.
+    * Returns the file count. */
+  def zorderWrite(spark: SparkSession, df: DataFrame, dims: Seq[String],
+      path: String, numFiles: Int, bitsPerDim: Int = 6): Int = {
+    require(dims.size >= 2, s"zorder needs >= 2 dims (got $dims); use a plain sort for 1")
+    require(bitsPerDim >= 1 && bitsPerDim * dims.size <= 62,
+      s"bitsPerDim * dims must fit a long: $bitsPerDim * ${dims.size}")
+    require(numFiles > 0, "numFiles must be positive")
+    val nBins = 1 << bitsPerDim
+    // interior quantile boundaries per dim; a value's bin is the count of
+    // boundaries <= it, evaluated as a codegen-friendly sum over literals
+    val bounds: Map[String, Array[Double]] = dims.map { d =>
+      val qs = (1 until nBins).map(_.toDouble / nBins).toArray
+      d -> df.stat.approxQuantile(d, qs, 0.001)
+    }.toMap
+    def bin(d: String): Column = {
+      val c = col(d).cast("double")
+      bounds(d).distinct.map(b => when(c >= b, 1L).otherwise(0L))
+        .reduce(_ + _)
+    }
+    val zkey = dims.zipWithIndex.map { case (d, k) =>
+      val b = bin(d)
+      (0 until bitsPerDim).map { i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * dims.size + k)
+      }.reduce[Column](_.bitwiseOR(_))
+    }.reduce[Column](_.bitwiseOR(_))
+    val clustered = df.withColumn("__z", zkey)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    Merge.writeSnapshot(clustered, path)
+    numFiles
+  }
+
+  /** Per-file min/max envelope of `cols` — the data-skipping audit: how
+    * selective would a range predicate on each column be against this
+    * layout? One scan, one small aggregation keyed by file name. */
+  def skippingStats(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 }

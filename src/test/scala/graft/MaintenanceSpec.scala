@@ -35,6 +35,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(n == 4) // ceil(total / (total/3 rounded down)) = 4
   }
 
+  test("zorderWrite: every clustered dim gets a tight per-file envelope; plain sort does not") {
+    import spark.implicits._
+    // two independent uniform dims 0..99 — a single-dim sort leaves the
+    // other dim's per-file span at ~the full range
+    val df = (0 until 10000).map(i => (i.toLong, (i % 100).toLong,
+      ((i * 37) % 100).toLong)).toDF("id", "a", "b")
+    def avgSpan(path: String, c: String): Double = {
+      val rows = Maintenance.skippingStats(spark, path, Seq("a", "b")).collect()
+      rows.map(r => r.getAs[Double](s"${c}_max") - r.getAs[Double](s"${c}_min"))
+        .sum / rows.length / 99.0
+    }
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString + "/t"
+    Maintenance.zorderWrite(spark, df, Seq("a", "b"), zDir, numFiles = 16)
+    val sDir = java.nio.file.Files.createTempDirectory("sort").toString + "/t"
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a").write.parquet(sDir)
+    // z-order: BOTH dims tight (~sqrt(16)=4 cells/dim => ~25% span)
+    assert(avgSpan(zDir, "a") < 0.45, s"zorder a span ${avgSpan(zDir, "a")}")
+    assert(avgSpan(zDir, "b") < 0.45, s"zorder b span ${avgSpan(zDir, "b")}")
+    // single-dim sort: a tight, b near-full span in every file
+    assert(avgSpan(sDir, "a") < 0.2)
+    assert(avgSpan(sDir, "b") > 0.8)
+    // rewrite is lossless
+    assert(spark.read.parquet(zDir).select("id").as[Long].collect().sorted.toSeq
+      == (0L until 10000L))
+  }
+
   test("dropPartitionsBefore removes only older partitions, metadata-only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ret").toString + "/t"
