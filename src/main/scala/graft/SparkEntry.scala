@@ -1490,6 +1490,15 @@ object SparkEntry {
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"), k = 256)
         .transform(ordered1(_, col("column")))
+    }),
+
+    // KMV sketch algebra: distinct-key overlap of two tables (the join
+    // planner's cardinality question) from two bounded sketches — no
+    // join, no shuffled data rows.
+    "q132_join_cardinality" -> ((s, d) => {
+      Profiling.overlapEstimate(
+        load(s, d, "orders"), col("o_custkey"),
+        load(s, d, "customer"), col("c_custkey"), k = 128)
     })
   )
 
@@ -3235,7 +3244,21 @@ object SparkEntry {
         ("o_orderkey", "int"), ("o_custkey", "int"), ("o_orderstatus", "str"),
         ("o_totalprice", "dbl"), ("o_orderdate", "ts"), ("o_orderpriority", "str"))
       .map { case (c, kind) => profileColSql("orders", c, kind, 256) }
-      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+
+    "q132_join_cardinality" ->
+      s"""WITH a AS (SELECT list_sort(list_distinct(list(md5(CAST(o_custkey AS VARCHAR)))))[1:128] AS am FROM orders),
+         |b AS (SELECT list_sort(list_distinct(list(md5(CAST(c_custkey AS VARCHAR)))))[1:128] AS bm FROM customer),
+         |u AS (SELECT am, bm, list_sort(list_distinct(am || bm))[1:128] AS um FROM a, b),
+         |j AS (SELECT am, bm, um,
+         |  round(CAST(len(list_filter(um, x -> list_contains(am, x) AND list_contains(bm, x))) AS DOUBLE)
+         |    / CAST(len(um) AS DOUBLE), 6) AS jac FROM u)
+         |SELECT ${kmvEstimateSql("am", 128)} AS est_left,
+         |  ${kmvEstimateSql("bm", 128)} AS est_right,
+         |  ${kmvEstimateSql("um", 128)} AS est_union,
+         |  jac AS jaccard_est,
+         |  round(jac * ${kmvEstimateSql("um", 128)}, 4) AS est_intersect
+         |FROM j""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

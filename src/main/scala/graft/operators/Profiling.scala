@@ -63,6 +63,35 @@ object Profiling {
         kmvEstimate(col("__kmin"), k).as("est_distinct")): _*)
   }
 
+  /** Distinct-key overlap between two frames from their KMV sketches —
+    * join-cardinality estimation without a join: |A|, |B|, |A∪B| by the
+    * KMV estimator, Jaccard from the union sketch (the k smallest
+    * combined hashes are a uniform sample of A∪B, so the fraction of
+    * them present in BOTH sketches estimates |A∩B|/|A∪B| — Beyer et
+    * al. 2007), and |A∩B| as their product. Each side is ONE bounded
+    * aggregation; the two 1-row sketches then combine with pure array
+    * math. This is the planner's ask — "how many keys will this join
+    * match?" — at the cost of two scans and zero shuffled data rows.
+    * Exact (not estimated) whenever a side has fewer than k distinct
+    * keys, since the sketch then IS the distinct key set. */
+  def overlapEstimate(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, k: Int): DataFrame = {
+    val sa = left.agg(kminDistinct(md5(leftKey.cast("string")), k).as("__a"))
+    val sb = right.agg(kminDistinct(md5(rightKey.cast("string")), k).as("__b"))
+    val u = slice(array_sort(array_union(col("__a"), col("__b"))), 1, k)
+    val inBoth = size(filter(u,
+      x => array_contains(col("__a"), x) && array_contains(col("__b"), x)))
+    val jac = round(inBoth.cast("double") / size(u).cast("double"), 6)
+    sa.crossJoin(broadcast(sb))
+      .withColumn("__u", u)
+      .select(
+        kmvEstimate(col("__a"), k).as("est_left"),
+        kmvEstimate(col("__b"), k).as("est_right"),
+        kmvEstimate(col("__u"), k).as("est_union"),
+        jac.as("jaccard_est"),
+        round(jac * kmvEstimate(col("__u"), k), 4).as("est_intersect"))
+  }
+
   /** Engine-portable hash key per type family, so the sketch (and any
     * oracle recomputing it) sees identical strings:
     * integrals/strings render canonically everywhere; doubles are

@@ -66,6 +66,27 @@ class ProfilingSpec extends AnyFunSuite {
     assert(out(0).getDouble(3) == 1531.9271)
   }
 
+  test("overlapEstimate: known 1/3 Jaccard recovered; exact below k") {
+    val a = spark.range(0, 1000).select(col("id"))
+    val b = spark.range(500, 1500).select(col("id"))
+    val r = Profiling.overlapEstimate(a, col("id"), b, col("id"), k = 128)
+      .collect().head
+    // true: |A|=|B|=1000, |A∪B|=1500, J=1/3, |A∩B|=500. k=128 ⇒ σ≈9%
+    // per estimate; Jaccard σ ≈ sqrt(J(1-J)/k) ≈ 4pp. Generous 4σ bounds.
+    assert(math.abs(r.getDouble(0) - 1000) < 350, s"est_left ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 1000) < 350)
+    assert(math.abs(r.getDouble(2) - 1500) < 500)
+    assert(math.abs(r.getDouble(3) - 0.3333) < 0.17, s"jaccard ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 500) < 350, s"est_intersect ${r.getDouble(4)}")
+    // both sides under k: everything exact
+    val sa = spark.range(0, 50).select(col("id"))
+    val sb = spark.range(30, 80).select(col("id"))
+    val e = Profiling.overlapEstimate(sa, col("id"), sb, col("id"), k = 128)
+      .collect().head
+    assert(e.getDouble(0) == 50.0 && e.getDouble(1) == 50.0 && e.getDouble(2) == 80.0)
+    assert(e.getDouble(3) == 0.25 && e.getDouble(4) == 20.0)
+  }
+
   test("profile: nulls, negatives, all-null column, string lengths, timestamp micros") {
     val df = Seq(
       (Some(-10L), Some("aa"), Some(Timestamp.valueOf("2024-01-01 00:00:00.000001")), None: Option[Double]),
