@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.BpeTrainer
+
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Independent single-process reference: greedy-left merge + exact
+    * recount, mirroring the classic BPE trainer loop. */
+  private def referenceTrain(corpus: Seq[String], rounds: Int, minCount: Long,
+      joiner: String): (Seq[(String, String, Long)], Seq[String]) = {
+    var docs = corpus.map(_.split(" ", -1).toSeq)
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var done = false
+    var r = 0
+    while (r < rounds && !done) {
+      val counts = docs.flatMap(t => t.zip(t.drop(1)))
+        .groupBy(identity).map { case (p, v) => (p, v.size.toLong) }
+      val best = counts.toSeq
+        .sortBy { case ((l2, r2), n) => (-n, l2, r2) }.headOption
+      best match {
+        case Some(((l, rr), n)) if n >= minCount =>
+          merges += ((l, rr, n))
+          docs = docs.map { t =>
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < t.length) {
+              if (i + 1 < t.length && t(i) == l && t(i + 1) == rr) {
+                out += l + joiner + rr; i += 2
+              } else { out += t(i); i += 1 }
+            }
+            out.result()
+          }
+          r += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), docs.map(_.mkString(" ")))
+  }
+
+  test("train matches the reference implementation, including greedy overlap") {
+    val corpus = Seq(
+      "the cat sat on the mat",
+      "the cat ate the cat food",
+      "a a a a a",                       // overlap: greedy-left pairs
+      "the cat sat",
+      "")
+    val (wantMerges, wantCorpus) =
+      referenceTrain(corpus, rounds = 5, minCount = 2, joiner = "")
+    val res = BpeTrainer.train(
+      corpus.toDF("text").repartition(3), "text", rounds = 5, joiner = "")
+    assert(res.merges.map(m => (m.left, m.right, m.pairCount)) == wantMerges)
+    assert(res.merges.map(_.round) == res.merges.indices)
+    assert(res.corpus.select("text").as[String].collect().sorted.toSeq
+      == wantCorpus.sorted)
+    // first merge is (a,a): 4 overlapping occurrences in "a a a a a"
+    // beat (the,cat)'s 3 — and the merge then applies greedy-left,
+    // fusing non-overlapping pairs only: "aa aa a"
+    assert(res.merges.head.left == "a" && res.merges.head.right == "a"
+      && res.merges.head.pairCount == 4)
+    assert((res.merges(1).left, res.merges(1).right) == ("the", "cat"))
+    assert(res.corpus.select("text").as[String].collect()
+      .exists(t => t == "aa aa a" || t.startsWith("aaaa") || t.contains("aa")))
+  }
+
+  test("train stops when no pair reaches minCount, and joiner='' concatenates") {
+    val res = BpeTrainer.train(
+      Seq("x y", "p q").toDF("text"), "text", rounds = 10, joiner = "")
+    assert(res.merges.isEmpty) // every pair occurs once < minCount=2
+    val res2 = BpeTrainer.train(
+      Seq("x y", "x y z").toDF("text"), "text", rounds = 10, joiner = "")
+    assert(res2.merges.map(_.merged) == Seq("xy"))
+    assert(res2.corpus.select("text").as[String].collect().sorted.toSeq
+      == Seq("xy", "xy z"))
+  }
+}
