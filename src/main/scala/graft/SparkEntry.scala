@@ -1499,6 +1499,23 @@ object SparkEntry {
       Profiling.overlapEstimate(
         load(s, d, "orders"), col("o_custkey"),
         load(s, d, "customer"), col("c_custkey"), k = 128)
+    }),
+
+    // Change-data feed between two snapshot versions (CDC): one
+    // key-keyed full-outer join classifying insert/update/delete, the
+    // inverse of the MERGE family. Versions are deterministic
+    // perturbations of orders (%11=3 inserted, %11=7 deleted, %5=0
+    // repriced).
+    "q133_snapshot_diff" -> ((s, d) => {
+      val base = load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val oldDf = base.filter(col("o_orderkey") % 11 =!= 3)
+      val newDf = base.filter(col("o_orderkey") % 11 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")))
+      Merge.snapshotDiff(oldDf, newDf, Seq("o_orderkey"))
+        .transform(ordered1(_, col("o_orderkey")))
     })
   )
 
@@ -3258,7 +3275,26 @@ object SparkEntry {
          |  ${kmvEstimateSql("um", 128)} AS est_union,
          |  jac AS jaccard_est,
          |  round(jac * ${kmvEstimateSql("um", 128)}, 4) AS est_intersect
-         |FROM j""".stripMargin
+         |FROM j ORDER BY est_left""".stripMargin,
+
+    "q133_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders),
+        |oldv AS (SELECT * FROM base WHERE o_orderkey % 11 <> 3),
+        |newv AS (SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderstatus FROM base WHERE o_orderkey % 11 <> 7),
+        |j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey ELSE o.o_custkey END AS o_custkey,
+        |  CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice ELSE o.o_totalprice END AS o_totalprice,
+        |  CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus ELSE o.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       WHEN NOT (o.o_custkey IS NOT DISTINCT FROM n.o_custkey
+        |             AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        |             AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+        |         THEN 'update' END AS change_type
+        |  FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
+        |SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

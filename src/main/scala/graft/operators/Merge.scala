@@ -207,4 +207,48 @@ object Merge {
     }
     if (hadBackup) fs.delete(bak, true)
   }
+
+  /** Change-data feed between two snapshots of the same schema: one row
+    * per key whose state changed, classified `insert` (key only in
+    * `newDf`), `delete` (key only in `oldDf`), or `update` (present in
+    * both with any non-key column differing under null-safe equality).
+    * Unchanged keys are dropped — the feed is the MERGE a downstream
+    * consumer would need to apply to catch up, which makes this the
+    * inverse of [[upsert]]: `upsert(old, snapshotDiff-rows…)` rebuilds
+    * `new` (deletes excepted). Emitted values are the new-side row
+    * (old-side for deletes).
+    *
+    * Scale shape: ONE key-keyed full-outer join — shuffle on the key
+    * like any MERGE, AQE broadcasts a small side; the non-key comparison
+    * is a codegen'd per-row conjunction, no second pass. For
+    * date-partitioned snapshots, pre-filter both sides to the changed
+    * window and the join only shuffles that window (the
+    * [[upsertPartitioned]] discipline). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    require(oldDf.columns.toSeq == newDf.columns.toSeq,
+      s"schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val dataCols = oldDf.columns.filterNot(keys.contains).toSeq
+    def tag(df: DataFrame, p: String): DataFrame =
+      dataCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"__${p}_$c"))
+        .withColumn(s"__${p}_present", lit(true))
+    val joined = tag(oldDf, "o").join(tag(newDf, "n"), keys, "full_outer")
+    val changed =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+        .reduce(_ || _)
+    val ctype = when(col("__o_present").isNull, "insert")
+      .when(col("__n_present").isNull, "delete")
+      .when(changed, "update")
+    joined
+      .withColumn("change_type", ctype)
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) ++
+        // presence-gated, not coalesce: an update whose NEW value is
+        // genuinely NULL must emit that NULL, not the old value
+        dataCols.map(c => when(col("__n_present").isNotNull, col(s"__n_$c"))
+          .otherwise(col(s"__o_$c")).as(c)) :+
+        col("change_type"): _*)
+  }
 }

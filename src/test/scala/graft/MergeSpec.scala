@@ -171,6 +171,32 @@ class MergeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("snapshotDiff classifies insert/update/delete, emits new-side NULLs, drops unchanged") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val oldDf = Seq(
+      (1, Option("a")), (2, Option("b")), (3, Option("c")), (4, Option("d")))
+      .toDF("k", "v")
+    val newDf = Seq(
+      (1, Option("a")),          // unchanged → dropped
+      (2, Option("B")),          // update
+      (3, None: Option[String]), // update to NULL: must emit NULL, not "c"
+      (5, Option("e")))          // insert; 4 deleted
+      .toDF("k", "v")
+    val got = Merge.snapshotDiff(oldDf, newDf, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getInt(0), Option(r.getString(1)), r.getString(2))).toSeq
+    assert(got == Seq(
+      (2, Some("B"), "update"),
+      (3, None, "update"),
+      (4, Some("d"), "delete"),
+      (5, Some("e"), "insert")))
+    // schema mismatch rejected up front
+    intercept[IllegalArgumentException] {
+      Merge.snapshotDiff(oldDf, newDf.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
+
   test("upsertPartitioned into a missing target creates it from the batch") {
     val spark = TestSpark.spark
     import spark.implicits._
