@@ -1516,6 +1516,20 @@ object SparkEntry {
             .otherwise(col("o_totalprice")))
       Merge.snapshotDiff(oldDf, newDf, Seq("o_orderkey"))
         .transform(ordered1(_, col("o_orderkey")))
+    }),
+
+    // ANN quality gate: recall@3 of the LSH index against the exact
+    // brute-force neighbors — the eval an ANN path must pass before the
+    // exact path is retired.
+    "q134_ann_recall" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 3),
+          Similarity.lshTopK(emb, queries, "embedding", "vec_id", k = 3,
+            planes = Similarity.deterministicPlanes(4, 64)),
+          "query_id", "neighbor_id")
+        .transform(ordered1(_, col("query_id")))
     })
   )
 
@@ -3294,7 +3308,39 @@ object SparkEntry {
         |             AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
         |         THEN 'update' END AS change_type
         |  FROM oldv o FULL OUTER JOIN newv n ON o.o_orderkey = n.o_orderkey)
-        |SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin
+        |SELECT * FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    "q134_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |xs AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROUND(list_dot_product(qv, cv)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+         |  FROM c, q WHERE query_id <> neighbor_id),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM xs) WHERE rnk <= 3),
+         |qb AS (SELECT query_id, qv, ${bucketSql("qv")} AS bucket FROM q),
+         |cb AS (SELECT neighbor_id, cv, ${bucketSql("cv")} AS bucket FROM c),
+         |as_ AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROUND(list_dot_product(qv, cv)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+         |  FROM cb JOIN qb USING (bucket) WHERE query_id <> neighbor_id),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM as_) WHERE rnk <= 3)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  round(CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

@@ -424,4 +424,28 @@ object Similarity {
       .select(col("__l").as(labelCol), col("n_vecs"), col("cohesion"),
         col("nearest_label"), col("nearest_cos"))
   }
+
+  /** Recall@k of an approximate top-k table against the exact baseline —
+    * the retrieval-quality gate every ANN deployment needs before the
+    * exact path is switched off: per query, the fraction of true top-k
+    * neighbors the approximate index returned. Inputs are any two
+    * (query, neighbor) top-k frames (e.g. [[bruteForceTopK]] vs
+    * [[lshTopK]] / [[ivfTopK]]).
+    *
+    * Scale shape: one equi-join on (query, neighbor) — the k-row-per-
+    * query frames are tiny relative to the corpus that produced them —
+    * then a per-query count. AQE broadcasts the approximate side. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, queryCol: String,
+      neighborCol: String): DataFrame = {
+    val hit = approx.select(col(queryCol), col(neighborCol))
+      .withColumn("__hit", lit(1L))
+    exact.select(col(queryCol), col(neighborCol))
+      .join(hit, Seq(queryCol, neighborCol), "left")
+      .groupBy(col(queryCol))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col(queryCol), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
 }

@@ -151,4 +151,18 @@ class SimilaritySpec extends AnyFunSuite {
       (0, 2L, 0.707107, 1, -0.707107),
       (1, 2L, 1.0, 0, -0.707107)))
   }
+
+  test("recallAtK: per-query hit fraction against the exact baseline") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(exact, approx, "query_id", "neighbor_id")
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toList == List(
+      (1L, 3L, 2L, 0.666667), // 10,12 hit; 11 missed; 99 is not penalized
+      (2L, 2L, 0L, 0.0)))
+  }
 }
