@@ -1530,6 +1530,23 @@ object SparkEntry {
             planes = Similarity.deterministicPlanes(4, 64)),
           "query_id", "neighbor_id")
         .transform(ordered1(_, col("query_id")))
+    }),
+
+    // Incrementally-maintained COUNT DISTINCT: three per-batch partials
+    // (additive measures + bounded KMV sketch) merged at read time —
+    // bit-identical to the single-pass whole-history aggregate by the
+    // k-minima union law, so the oracle computes the latter.
+    "q135_incremental_distinct" -> ((s, d) => {
+      val ev = load(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("user_id"))
+      val parts = Seq(0, 1, 2).map(m =>
+        IncrementalAgg.partialWithDistinct(
+          ev.filter(pmod(col("event_id"), lit(3)) === m),
+          Seq("event_type"), "event_id", "user_id", 64))
+      IncrementalAgg.estimateDistinct(
+          IncrementalAgg.mergePartialsWithDistinct(parts, Seq("event_type"), 64), 64)
+        .select(col("event_type"), col("n"), col("sum_m"), col("est_distinct"))
+        .transform(ordered1(_, col("event_type")))
     })
   )
 
@@ -3340,7 +3357,16 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE), 6) AS recall
          |FROM exact e LEFT JOIN approx a
          |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
-         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
+
+    "q135_incremental_distinct" ->
+      s"""WITH g AS (SELECT event_type, count(*) AS n,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_m,
+         |  list_sort(list_distinct(list(md5(CAST(user_id AS VARCHAR)))))[1:64] AS mins
+         |  FROM events GROUP BY event_type)
+         |SELECT event_type, n, sum_m,
+         |  ${kmvEstimateSql("mins", 64)} AS est_distinct
+         |FROM g ORDER BY event_type""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

@@ -121,3 +121,68 @@ case class KMinDistinct(
   override protected def withNewChildInternal(newChild: Expression): KMinDistinct =
     copy(child = newChild)
 }
+
+/** Sketch-of-sketches: [[KMinDistinct]] whose input is an ARRAY of hash
+  * strings — each element updates the buffer. Because "k smallest
+  * distinct" of a union equals "k smallest distinct" of the union of
+  * per-part k-minima, re-aggregating stored sketch arrays with this
+  * aggregate yields EXACTLY the sketch of the concatenated raw data —
+  * the property that makes KMV sketches incrementally maintainable
+  * (store a bounded array per batch partition, merge at read time;
+  * see [[graft.operators.IncrementalAgg.mergePartialsWithDistinct]]). */
+case class KMinDistinctMerge(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"k must be positive: $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_kmin_distinct_merge"
+
+  private val scalar = KMinDistinct(child, k)
+
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
+
+  override def update(buf: java.util.TreeSet[UTF8String], input: InternalRow):
+      java.util.TreeSet[UTF8String] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        if (s != null) {
+          if (buf.size < k) { if (!buf.contains(s)) buf.add(s.clone()) }
+          else if (s.compareTo(buf.last()) < 0 && !buf.contains(s)) {
+            buf.pollLast()
+            buf.add(s.clone())
+          }
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[UTF8String],
+      other: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] =
+    scalar.merge(buf, other)
+  override def eval(buf: java.util.TreeSet[UTF8String]): Any = scalar.eval(buf)
+  override def serialize(buf: java.util.TreeSet[UTF8String]): Array[Byte] =
+    scalar.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] =
+    scalar.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KMinDistinctMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KMinDistinctMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KMinDistinctMerge =
+    copy(child = newChild)
+}

@@ -33,4 +33,41 @@ object IncrementalAgg {
         sum(col("sum_m")).as("sum_m"),
         min(col("min_m")).as("min_m"),
         max(col("max_m")).as("max_m"))
+
+  /** [[partial]] plus a KMV distinct sketch of `distinctCol` — COUNT
+    * DISTINCT is the one common measure additive partials cannot carry
+    * (distinct does not add across batches), but a bounded k-minima
+    * sketch does: per batch it is k hashes per key, and re-sketching
+    * stored sketches is EXACTLY the sketch of the concatenated history
+    * (k smallest of a union = k smallest of the per-part k-minima). */
+  def partialWithDistinct(batch: DataFrame, keys: Seq[String],
+      measure: String, distinctCol: String, k: Int): DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(measure)).as("sum_m"),
+        min(col(measure)).as("min_m"),
+        max(col(measure)).as("max_m"),
+        Profiling.kminDistinct(md5(col(distinctCol).cast("string")), k)
+          .as("kmin_d"))
+
+  /** Merge [[partialWithDistinct]] partials; `estimateDistinct` reads
+    * the merged sketch out as a cardinality ([[Profiling.kmvEstimate]]). */
+  def mergePartialsWithDistinct(parts: Seq[DataFrame], keys: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val kminMerge = ColumnBridge.column(
+      graft.expressions.KMinDistinctMerge(
+        ColumnBridge.expression(col("kmin_d")), k).toAggregateExpression())
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sum(col("sum_m")).as("sum_m"),
+        min(col("min_m")).as("min_m"),
+        max(col("max_m")).as("max_m"),
+        kminMerge.as("kmin_d"))
+  }
+
+  def estimateDistinct(merged: DataFrame, k: Int): DataFrame =
+    merged.withColumn("est_distinct",
+      Profiling.kmvEstimate(col("kmin_d"), k))
 }
