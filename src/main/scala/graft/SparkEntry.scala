@@ -1547,6 +1547,15 @@ object SparkEntry {
           IncrementalAgg.mergePartialsWithDistinct(parts, Seq("event_type"), 64), 64)
         .select(col("event_type"), col("n"), col("sum_m"), col("est_distinct"))
         .transform(ordered1(_, col("event_type")))
+    }),
+
+    // SemDeDup: embedding-space dedup with the pairwise cosine bounded
+    // to IVF cells (all-pairs is O(n²); clusters make it tractable) —
+    // min-id keeper election per ε-ball.
+    "q136_semantic_dedup" -> ((s, d) => {
+      Similarity.semanticDedup(load(s, d, "embeddings"), "embedding",
+          "vec_id", nlist = 8, threshold = 0.3)
+        .transform(ordered1(_, col("vec_id")))
     })
   )
 
@@ -3366,7 +3375,25 @@ object SparkEntry {
          |  FROM events GROUP BY event_type)
          |SELECT event_type, n, sum_m,
          |  ${kmvEstimateSql("mins", 64)} AS est_distinct
-         |FROM g ORDER BY event_type""".stripMargin
+         |FROM g ORDER BY event_type""".stripMargin,
+
+    "q136_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cell, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+        |assign AS (SELECT vec_id, v, n, cell,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ROUND(list_dot_product(v, cv) / (n * cn), 6) DESC, cell) AS rn
+        |  FROM e CROSS JOIN c),
+        |m AS (SELECT vec_id, v, n, cell FROM assign WHERE rn = 1),
+        |p AS (SELECT a.vec_id AS id_a, min(b.vec_id) AS dup_of
+        |  FROM m a JOIN m b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE ROUND(list_dot_product(a.v, b.v) / (a.n * b.n), 6) >= 0.3
+        |  GROUP BY a.vec_id)
+        |SELECT m.vec_id, m.cell, p.id_a IS NOT NULL AS is_dup, p.dup_of
+        |FROM m LEFT JOIN p ON m.vec_id = p.id_a
+        |ORDER BY m.vec_id""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

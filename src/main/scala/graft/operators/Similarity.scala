@@ -425,6 +425,51 @@ object Similarity {
         col("nearest_label"), col("nearest_cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space
+    * deduplication by CLUSTER-BOUNDED pairwise cosine — assign every
+    * vector to its nearest coarse centroid ([[buildIvfIndex]], one scan,
+    * centroids broadcast), then compare pairs only WITHIN a cell and
+    * flag each vector that has a lower-id cell-mate at cosine ≥
+    * `threshold` as a duplicate of the smallest such id. The cluster
+    * step is what makes semantic dedup tractable: all-pairs cosine is
+    * O(n²) over the corpus, within-cell pairs are O(Σ|cell|²) — bounded
+    * by the clustering, and guarded here (`maxCell`) so one degenerate
+    * mega-cell fails fast instead of silently exploding the shuffle.
+    *
+    * Keeper election is min-id-per-ball (the paper keeps one random
+    * representative; min-id is the deterministic choice every engine
+    * reproduces). Emits one row per vector: cell, is_dup, dup_of. */
+  def semanticDedup(corpus: DataFrame, vecCol: String, idCol: String,
+      nlist: Int, threshold: Double, roundTo: Int = 6,
+      centroids: Option[DataFrame] = None,
+      maxCell: Long = 100000L): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold in (0,1]: $threshold")
+    require(maxCell > 0, "maxCell must be positive")
+    val e = buildIvfIndex(corpus, vecCol, idCol, nlist, roundTo, centroids)
+      .entries
+    val counts = e.groupBy(col("cell")).agg(count(lit(1)).as("__cnt"))
+    val guarded = e.join(broadcast(counts), "cell")
+      .where(when(col("__cnt") <= maxCell, lit(true)).otherwise(raise_error(
+        concat(lit(s"semanticDedup: cell "), col("cell"),
+          lit(s" holds "), col("__cnt"),
+          lit(s" vectors (> maxCell=$maxCell); use better centroids or raise maxCell")))))
+    val a = guarded.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("__va"), col("nrm").as("__na"))
+    val b = guarded.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("__vb"), col("nrm").as("__nb"))
+    val dupOf = a.join(b, "cell")
+      .filter(col("id_b") < col("id_a"))
+      .withColumn("__cos",
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), roundTo))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("dup_of"))
+    e.select(col("id").as(idCol), col("cell"))
+      .join(dupOf.withColumnRenamed("id_a", idCol), Seq(idCol), "left")
+      .withColumn("is_dup", col("dup_of").isNotNull)
+      .select(col(idCol), col("cell"), col("is_dup"), col("dup_of"))
+  }
+
   /** Recall@k of an approximate top-k table against the exact baseline —
     * the retrieval-quality gate every ANN deployment needs before the
     * exact path is switched off: per query, the fraction of true top-k

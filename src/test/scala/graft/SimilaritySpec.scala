@@ -152,6 +152,37 @@ class SimilaritySpec extends AnyFunSuite {
       (1, 2L, 1.0, 0, -0.707107)))
   }
 
+  test("semanticDedup: within-cell ε-ball election, min-id keeper, mega-cell guard") {
+    import spark.implicits._
+    // centroids = vec_id < 2: cell 0 ~ +x, cell 1 ~ +y. Vectors 2 and 4
+    // are near-copies of 0's direction (same cell, cosine 1.0); vector 3
+    // lands in cell 1 alone.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.5f, 0.6f)),
+      (4L, Seq(3.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        nlist = 2, threshold = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (0L, 0L, false, -1L),   // keeper of the +x ball
+      (1L, 1L, false, -1L),
+      (2L, 0L, true, 0L),
+      (3L, 1L, false, -1L),   // shares cell 1 with vec 1, cosine ~0.77 < 0.9
+      (4L, 0L, true, 0L)))
+    // one mega-cell trips the guard
+    val ex = intercept[Exception] {
+      Similarity.semanticDedup(emb, "embedding", "vec_id",
+        nlist = 1, threshold = 0.9, maxCell = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxCell") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxCell")))
+  }
+
   test("recallAtK: per-query hit fraction against the exact baseline") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
