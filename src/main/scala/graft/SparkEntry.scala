@@ -1556,6 +1556,23 @@ object SparkEntry {
       Similarity.semanticDedup(load(s, d, "embeddings"), "embedding",
           "vec_id", nlist = 8, threshold = 0.3)
         .transform(ordered1(_, col("vec_id")))
+    }),
+
+    // Content-defined chunking dedup audit: variable-size chunks split
+    // at rolling-hash content boundaries (edit-resilient, unlike fixed
+    // windows), then per-source chunk-level duplication ratio.
+    "q137_cdc_dedup" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      docs.select(col("source"),
+          explode(TextFunctions.cdcChunks(col("text"), 8, 1)).as("chunk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct"),
+          round(lit(1.0) - countDistinct(col("chunk")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_ratio"),
+          round(sum(length(col("chunk"))).cast("double")
+            / count(lit(1)).cast("double"), 6).as("avg_len"))
+        .transform(ordered1(_, col("source")))
     })
   )
 
@@ -3393,7 +3410,24 @@ object SparkEntry {
         |  GROUP BY a.vec_id)
         |SELECT m.vec_id, m.cell, p.id_a IS NOT NULL AS is_dup, p.dup_of
         |FROM m LEFT JOIN p ON m.vec_id = p.id_a
-        |ORDER BY m.vec_id""".stripMargin
+        |ORDER BY m.vec_id""".stripMargin,
+
+    "q137_cdc_dedup" ->
+      """WITH b AS (SELECT source, text,
+        |  [0] || [i FOR i IN generate_series(8, len(text))
+        |          IF substring(md5(substring(text, i - 7, 8)), 1, 1) = '0']
+        |      || [len(text)] AS bnds
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT source,
+        |  unnest([substring(text, bnds[i] + 1, bnds[i + 1] - bnds[i])
+        |          FOR i IN generate_series(1, len(bnds) - 1)
+        |          IF bnds[i + 1] > bnds[i]]) AS chunk
+        |  FROM b)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+        |  round(CAST(sum(length(chunk)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_len
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

@@ -90,6 +90,17 @@ object TextFunctions {
       graft.expressions.TokenTf(ColumnBridge.expression(text)))
   }
 
+  /** Content-defined chunks ([[graft.expressions.CdcChunks]]): boundaries
+    * wherever the rolling `window`-char md5 has `maskHexZeros` leading
+    * zero hex digits — expected chunk length 16^maskHexZeros. Insert a
+    * byte and fixed-size chunking shifts every later chunk; CDC re-syncs
+    * at the next content boundary, so chunk-level dedup survives edits. */
+  def cdcChunks(text: Column, window: Int = 8, maskHexZeros: Int = 1): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.CdcChunks(
+      ColumnBridge.expression(text), window, maskHexZeros))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def exactFingerprint(text: Column): Column = md5(text)
 

@@ -9,6 +9,33 @@ import graft.operators.TextDedup
 class TextDedupSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("cdcChunks: lossless cover, content-anchored boundaries survive a prefix edit") {
+    // seeded-random text: chunks are all distinct, so set intersection
+    // measures positional survival (periodic text would collapse the set)
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "X" + base // one char inserted at the front
+    val out = TestSpark.strings("t", Seq(base, edited, "", null, "short"))
+      .select(TextFunctions.cdcChunks(col("t"), 8, 1).as("c"))
+      .collect().map(r => Option(r.getSeq[String](0)).map(_.toList))
+    val (cBase, cEdit) = (out(0).get, out(1).get)
+    // chunks losslessly cover the text, none empty
+    assert(cBase.mkString == base && cBase.forall(_.nonEmpty))
+    assert(cEdit.mkString == edited)
+    // ~2000 chars at 1/16 boundary rate → many chunks
+    assert(cBase.size > 20)
+    // THE CDC property: the edit perturbs only the first chunk(s); the
+    // chunk multiset downstream of the first boundary is unchanged
+    // (fixed-size windows would shift every chunk)
+    val shared = cBase.toSet.intersect(cEdit.toSet)
+    assert(shared.size >= cBase.size - 4,
+      s"only ${shared.size} of ${cBase.size} chunks survived the edit")
+    // degenerate inputs
+    assert(out(2).get == Nil)       // empty text → no chunks
+    assert(out(3).isEmpty)          // null in → null out
+    assert(out(4).get == List("short")) // shorter than window → one chunk
+  }
+
   test("charShingles slides one char at a time and truncates short texts") {
     val out = TestSpark.strings("t", Seq("abcd", "ab", null))
       .select(TextFunctions.charShingles(col("t"), 3).as("g"))
