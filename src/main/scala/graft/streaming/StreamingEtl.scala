@@ -224,6 +224,9 @@ object StreamingEtl {
     * running (count, sum) per key, the minimal shape of a custom state
     * machine (session builders, CDC reconcilers, …). */
   final case class KeyedTotals(key: Long, n: Long, total: Double)
+  /** Bounded per-key state: the k smallest distinct md5 hex digests. */
+  final case class KeyedSketch(key: Long, n: Long, mins: Seq[String])
+  final case class KeyedDistinct(key: Long, n: Long, estDistinct: Double)
   def runningTotals(events: Dataset[(Long, Double)]): Dataset[KeyedTotals] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
@@ -235,6 +238,52 @@ object StreamingEtl {
           }
           state.update(next)
           next
+      }
+  }
+
+  /** Per-key running DISTINCT count over an unbounded stream with
+    * BOUNDED state — the streaming twin of
+    * [[graft.operators.IncrementalAgg.partialWithDistinct]]. Exact
+    * streaming distinct needs state proportional to the true
+    * cardinality (every seen value, forever — the classic unbounded-
+    * state leak); a KMV sketch holds the k smallest md5 hex digests of
+    * the values seen, so state is ≤ k×32 chars per key no matter how
+    * many distinct values stream through, and the emitted estimate is
+    * IDENTICAL to what the batch sketch over the whole history would
+    * say (k-minima are order-insensitive, so replay/late arrivals
+    * cannot change a converged sketch). Exact while a key has seen
+    * fewer than k distinct values. */
+  def runningDistinct(events: Dataset[(Long, String)],
+      k: Int): Dataset[KeyedDistinct] = {
+    require(k > 0, "k must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KeyedSketch, KeyedDistinct](GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, String)], state: GroupState[KeyedSketch]) =>
+          val mins = scala.collection.mutable.TreeSet.empty[String]
+          mins ++= state.getOption.map(_.mins).getOrElse(Seq.empty)
+          var n = state.getOption.map(_.n).getOrElse(0L)
+          rows.foreach { case (_, v) =>
+            n += 1
+            if (v != null) {
+              val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(v)
+              if (mins.size < k) mins += h
+              else if (h < mins.last && !mins.contains(h)) {
+                mins -= mins.last
+                mins += h
+              }
+            }
+          }
+          state.update(KeyedSketch(key, n, mins.toSeq))
+          val est =
+            if (mins.size < k) mins.size.toDouble
+            else {
+              val frac = java.lang.Long.parseLong(mins.last.substring(0, 13), 16)
+                .toDouble / graft.operators.Profiling.Denom52
+              BigDecimal((k - 1).toDouble / frac)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+          KeyedDistinct(key, n, est)
       }
   }
 }

@@ -141,6 +141,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(byKey(2L) == StreamingEtl.KeyedTotals(2L, 1L, 1.0))
   }
 
+  test("runningDistinct: bounded sketch state across batches matches the batch sketch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingEtl.runningDistinct(in.toDS(), k = 16)
+    val q = out.writeStream.format("memory").queryName("state_d")
+      .outputMode(OutputMode.Update()).start()
+    // 60 values, 40 distinct, spread over two batches with replays
+    val batch1 = (0 until 30).map(i => (1L, s"u${i % 25}"))
+    val batch2 = (0 until 30).map(i => (1L, s"u${i % 25 + 15}")) // overlaps 15..24
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val last = spark.table("state_d").as[StreamingEtl.KeyedDistinct].collect()
+      .filter(_.key == 1L).maxBy(_.n)
+    q.stop()
+    assert(last.n == 60L)
+    // same data through the batch KMV path must give the identical estimate
+    import spark.implicits._
+    val batchEst = graft.operators.Profiling.approxDistinct(
+        (batch1 ++ batch2).toDF("k", "v"), Seq("k"), col("v"), k = 16)
+      .collect().head.getDouble(3)
+    assert(last.estDistinct == batchEst,
+      s"stream ${last.estDistinct} != batch $batchEst")
+  }
+
   test("dedupIngest drops near-dups of earlier micro-batches via the durable band index") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dedup_ingest").toString
