@@ -238,6 +238,55 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally SparkEntry.singlePartitionFinals = false
   }
 
+  test("profile: ONE aggregation pass, no Expand, one scan — the claim vs count(distinct)") {
+    // multiple exact count(distinct) columns force Catalyst's Expand
+    // (input replicated once per distinct aggregate before the
+    // exchange); the KMV-sketch profile must never plan one
+    val df = Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "s", "x")
+    val plan = graft.operators.Profiling.profile(df, Seq("k", "s", "x"), k = 8)
+    val expands = plan.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.size
+    assert(expands == 0, "profile must not plan an Expand")
+    assert(leaves(plan) == 1)
+    val aggs = plan.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(aggs == 1, s"profile must be ONE aggregation, got $aggs")
+    // the exact-distinct control DOES plan an Expand — proving the
+    // comparison is real, not vacuous
+    val exact = df.agg(
+      org.apache.spark.sql.functions.countDistinct(org.apache.spark.sql.functions.col("k")),
+      org.apache.spark.sql.functions.countDistinct(org.apache.spark.sql.functions.col("s")))
+    val controlExpands = exact.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }.size
+    assert(controlExpands == 1)
+  }
+
+  test("semanticDedup: the pair stage joins only within cells (no cartesian)") {
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plan = graft.operators.Similarity.semanticDedup(
+      emb, "embedding", "vec_id", nlist = 2, threshold = 0.5)
+    // condition-free joins in this plan are ONLY the broadcast
+    // centroid-assignment cross joins — bounded at nlist rows by
+    // construction — appearing once per consuming branch. The
+    // scale-critical claim is that every join over VECTOR-sized frames
+    // (the pair stage, the dup_of attach) carries an equi-condition:
+    // a condition-free join between two corpus-sized sides would be
+    // the all-pairs O(n²) SemDeDup exists to avoid.
+    val equiJoins = plan.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.nonEmpty => j
+    }
+    assert(equiJoins.size >= 2,
+      s"expected cell-keyed pair + dup_of joins, got ${equiJoins.size}")
+    // the pair stage must be keyed on the cell assignment — an id-only
+    // (or missing) condition there is the all-pairs O(n²) regression
+    assert(equiJoins.exists(_.condition.get.toString.contains("cell")),
+      "no join carries the cell equi-condition")
+  }
+
   test("splitLeakage labels pair endpoints in place: no join beyond the LSH self-join") {
     // the split is id arithmetic (Curation.splitFor), so the only Join
     // in the plan is the band self-join producing candidate pairs — an
