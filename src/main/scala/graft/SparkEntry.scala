@@ -1558,6 +1558,18 @@ object SparkEntry {
         .transform(ordered1(_, col("vec_id")))
     }),
 
+    // Multi-probe LSH ANN: each query also probes the Hamming-1 buckets
+    // (one hyperplane flipped) — recall toward exact without growing the
+    // one-row-per-vector index; only the broadcast query side fans out.
+    "q138_knn_multiprobe" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val planes = Similarity.deterministicPlanes(4, 64)
+      Similarity.lshSearchMultiProbe(
+          Similarity.buildLshIndex(emb, "embedding", "vec_id", planes),
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3, planes)
+        .transform(ordered1(_, col("query_id"), col("rank")))
+    }),
+
     // Content-defined chunking dedup audit: variable-size chunks split
     // at rolling-hash content boundaries (edit-resilient, unlike fixed
     // windows), then per-source chunk-level duplication ratio.
@@ -3427,7 +3439,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
         |  round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
         |  round(CAST(sum(length(chunk)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_len
-        |FROM ch GROUP BY source ORDER BY source""".stripMargin
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
+    "q138_knn_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |qb0 AS (SELECT query_id, qv, ${bucketSql("qv")} AS b0 FROM q),
+         |qb AS (SELECT query_id, qv,
+         |  unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+         |  FROM qb0),
+         |cb AS (SELECT neighbor_id, cv, ${bucketSql("cv")} AS bucket FROM c),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    ROUND(list_dot_product(qv, cv)
+         |      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+         |  FROM cb JOIN qb USING (bucket) WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double

@@ -89,6 +89,41 @@ object Similarity {
     lshSearch(buildLshIndex(corpus, vecCol, idCol, planes), queries,
       vecCol, idCol, k, planes, roundTo)
 
+  /** Multi-probe LSH search (Lv et al. 2007): each query probes its own
+    * bucket PLUS every bucket at Hamming distance 1 (one hyperplane sign
+    * flipped) — the buckets a true neighbor most likely fell into when a
+    * single plane narrowly disagreed. Recall rises toward exact search
+    * without growing the index: the corpus side still holds ONE row per
+    * vector, only the tiny broadcast query side fans out ×(planes+1).
+    * The alternative recall lever — more hash tables — multiplies corpus
+    * storage and shuffle instead; multi-probe is the scale-friendly
+    * knob. A neighbor cannot be double-counted: it lives in exactly one
+    * bucket and the probe set is distinct. */
+  def lshSearchMultiProbe(index: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, planes: Seq[Seq[Double]],
+      roundTo: Int = 6): DataFrame = {
+    val probes = array(
+      col("__b0") +: planes.indices.map(j =>
+        col("__b0").bitwiseXOR(lit(1 << j))): _*)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"), norm(col(vecCol)).as("__qn"),
+        hyperplaneBucket(col(vecCol), planes).as("__b0"))
+      .withColumn("__bucket", explode(probes))
+      .drop("__b0")
+    val c = index.select(col("id").as("neighbor_id"), col("vec").as("__cv"),
+      col("nrm").as("__cn"), col("bucket").as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rn").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (north-star dedup family):
     * LSH-bucketed candidate generation — only same-bucket (a, b) pairs
     * with a < b are scored — then a cosine threshold. The corpus never

@@ -183,6 +183,29 @@ class SimilaritySpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("maxCell")))
   }
 
+  test("multi-probe LSH: recall dominates single-probe, never exceeds exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 200L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val planes = Similarity.deterministicPlanes(4, 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", 5)
+    val single = Similarity.lshTopK(emb, queries, "embedding", "vec_id", 5, planes)
+    val multi = Similarity.lshSearchMultiProbe(
+      Similarity.buildLshIndex(emb, "embedding", "vec_id", planes),
+      queries, "embedding", "vec_id", 5, planes)
+    def macroRecall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val r = Similarity.recallAtK(exact, approx, "query_id", "neighbor_id")
+        .agg(avg(col("recall"))).collect().head.getDouble(0)
+      r
+    }
+    val (rs, rm) = (macroRecall(single), macroRecall(multi))
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > rs, s"fixture should show a strict improvement (rs=$rs rm=$rm)")
+    assert(rm <= 1.0)
+  }
+
   test("recallAtK: per-query hit fraction against the exact baseline") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
