@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, IncrementalAgg, Itemsets, Merge, Profiling, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, IncrementalAgg, Itemsets, Merge, Profiling, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1556,6 +1556,41 @@ object SparkEntry {
       Similarity.semanticDedup(load(s, d, "embeddings"), "embedding",
           "vec_id", nlist = 8, threshold = 0.3)
         .transform(ordered1(_, col("vec_id")))
+    }),
+
+    // Blocked probabilistic record linkage (Fellegi-Sunter): customer
+    // linked against a deterministically perturbed second source —
+    // blocking on (nation, segment) bounds candidate pairs; field
+    // log-odds scores threshold into links. The %7 nationkey perturbation
+    // lands in the wrong block and the %13 name mangle under-scores, so
+    // precision stays 1.0 while recall measures both loss modes.
+    "q139_record_linkage" -> ((s, d) => {
+      val a = load(s, d, "customer")
+      val b = a
+        .withColumn("c_name",
+          when(col("c_custkey") % 13 === 0, concat(col("c_name"), lit(" jr")))
+            .when(col("c_custkey") % 3 === 0,
+              lower(regexp_replace(col("c_name"), "#", " ")))
+            .otherwise(col("c_name")))
+        .withColumn("c_nationkey",
+          when(col("c_custkey") % 7 === 0,
+            pmod(col("c_nationkey") + 1, lit(25)).cast("int"))
+            .otherwise(col("c_nationkey")))
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 0.01)
+            .otherwise(col("c_acctbal")))
+        .filter(col("c_custkey") % 11 =!= 4)
+      def norm(c: Column) = lower(regexp_replace(c, "#", " "))
+      val links = EntityResolution.link(a, b,
+        Seq("c_nationkey", "c_mktsegment"),
+        Seq(
+          when(norm(col("c_name_a")) === norm(col("c_name_b")), 4.0)
+            .otherwise(-1.5),
+          when(abs(col("c_acctbal_a") - col("c_acctbal_b")) <= 0.02, 2.0)
+            .otherwise(-0.5)),
+        threshold = 4.0)
+      EntityResolution.evalLinks(links,
+        col("c_custkey_a") === col("c_custkey_b"), b.count())
     }),
 
     // Multi-probe LSH ANN: each query also probes the Hamming-1 buckets
@@ -3459,7 +3494,32 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
-         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q139_record_linkage" ->
+      """WITH b AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 13 = 0 THEN c_name || ' jr'
+        |       WHEN c_custkey % 3 = 0 THEN lower(replace(c_name, '#', ' '))
+        |       ELSE c_name END AS c_name,
+        |  CASE WHEN c_custkey % 7 = 0 THEN CAST((c_nationkey + 1) % 25 AS INTEGER)
+        |       ELSE c_nationkey END AS c_nationkey,
+        |  CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 0.01 ELSE c_acctbal END AS c_acctbal,
+        |  c_mktsegment FROM customer WHERE c_custkey % 11 <> 4),
+        |l AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+        |  (CASE WHEN lower(replace(a.c_name, '#', ' ')) = lower(replace(b.c_name, '#', ' '))
+        |        THEN 4.0 ELSE -1.5 END
+        |   + CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 0.02 THEN 2.0 ELSE -0.5 END) AS score
+        |  FROM customer a JOIN b ON a.c_nationkey = b.c_nationkey
+        |    AND a.c_mktsegment = b.c_mktsegment),
+        |k AS (SELECT * FROM l WHERE score >= 4.0)
+        |SELECT count(*) AS n_links,
+        |  CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+        |  (SELECT count(*) FROM b) AS n_true,
+        |  round(CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS precision,
+        |  round(CAST(sum(CASE WHEN ka = kb THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST((SELECT count(*) FROM b) AS DOUBLE), 6) AS recall
+        |FROM k ORDER BY n_links""".stripMargin
   ) ++ TradeInQueries.oracleSql ++ MediaQueries.oracleSql
 
   /** Hyperplane-bucket SQL with the LSH planes embedded as double
