@@ -48,6 +48,28 @@ object BpeTrainer {
     ColumnBridge.column(graft.expressions.BpeMergePair(
       ColumnBridge.expression(text), left, right, joiner))
 
+  /** Apply an already-learned merge table to a (new) corpus, in training
+    * order — the inference side of [[train]]: encode held-out documents
+    * with the frozen vocabulary. Each rule is one narrow codegen'd
+    * scanner pass; the whole chain stays a single shuffle-free
+    * projection stage. For production-size vocabularies (tens of
+    * thousands of rules) chain depth makes expression trees unwieldy —
+    * batch through [[applyMergesCheckpointed]] instead. */
+  def applyMerges(docs: DataFrame, textCol: String, merges: Seq[MergeRule],
+      joiner: String = ""): DataFrame =
+    merges.sortBy(_.round).foldLeft(docs)((d, m) =>
+      d.withColumn(textCol, applyMerge(col(textCol), m.left, m.right, joiner)))
+
+  /** [[applyMerges]] with a localCheckpoint every `batch` rules, keeping
+    * expression-tree depth bounded for large vocabularies. */
+  def applyMergesCheckpointed(docs: DataFrame, textCol: String,
+      merges: Seq[MergeRule], joiner: String = "",
+      batch: Int = 64): DataFrame = {
+    require(batch > 0, "batch must be positive")
+    merges.sortBy(_.round).grouped(batch).foldLeft(docs)((d, g) =>
+      applyMerges(d, textCol, g, joiner).localCheckpoint())
+  }
+
   def train(docs: DataFrame, textCol: String, rounds: Int,
       minCount: Long = 2L, joiner: String = "\u0001"): Result = {
     require(rounds > 0, "rounds must be positive")

@@ -67,6 +67,28 @@ class BpeTrainerSpec extends AnyFunSuite {
       .exists(t => t == "aa aa a" || t.startsWith("aaaa") || t.contains("aa")))
   }
 
+  test("applyMerges encodes held-out text with the frozen vocabulary") {
+    val res = BpeTrainer.train(
+      Seq("new york city", "new york state", "new york city hall")
+        .toDF("text"), "text", rounds = 2, joiner = "")
+    assert(res.merges.map(m => (m.left, m.right)) ==
+      Seq(("new", "york"), ("newyork", "city")))
+    // held-out doc: both rules apply in training order
+    val held = BpeTrainer.applyMerges(
+      Seq("visit new york city today", "old york city").toDF("text"),
+      "text", res.merges, joiner = "")
+      .orderBy("text").collect().map(_.getString(0)).toSeq
+    // "old york city": no "new york" → second rule ("newyork","city")
+    // does not fire either — merges are token-exact, not substring
+    assert(held == Seq("old york city", "visit newyorkcity today"))
+    // checkpointed variant is identical
+    val held2 = BpeTrainer.applyMergesCheckpointed(
+      Seq("visit new york city today", "old york city").toDF("text"),
+      "text", res.merges, joiner = "", batch = 1)
+      .orderBy("text").collect().map(_.getString(0)).toSeq
+    assert(held2 == held)
+  }
+
   test("train stops when no pair reaches minCount, and joiner='' concatenates") {
     val res = BpeTrainer.train(
       Seq("x y", "p q").toDF("text"), "text", rounds = 10, joiner = "")
