@@ -1558,6 +1558,21 @@ object SparkEntry {
         .transform(ordered1(_, col("vec_id")))
     }),
 
+    // PSI drift monitor: reference-quantile bins (order-statistics
+    // edges, no global window), both snapshots counted in, per-bin
+    // (p−q)·ln(p/q) terms — the production feature-drift gate.
+    "q140_drift_psi" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      Profiling.driftPsi(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+                .otherwise(col("o_totalprice"))),
+          "o_totalprice", bins = 10)
+        .transform(ordered1(_, col("bin")))
+    }),
+
     // Blocked probabilistic record linkage (Fellegi-Sunter): customer
     // linked against a deterministically perturbed second source —
     // blocking on (nation, segment) bounds candidate pairs; field
@@ -3495,6 +3510,36 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q140_drift_psi" -> {
+      val edges = (1 to 9).map(k =>
+        s"max(CASE WHEN rn = ceil(n * $k / 10.0) THEN x END) AS e$k").mkString(", ")
+      val binExpr = (1 to 9).map(k =>
+        s"CASE WHEN x > e$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH r AS (SELECT o_totalprice AS x FROM orders
+         |  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL),
+         |c AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+         |             ELSE o_totalprice END AS x
+         |  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL),
+         |rk AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+         |  (SELECT count(*) FROM r) AS n FROM r),
+         |e AS (SELECT $edges FROM rk),
+         |rb AS (SELECT ($binExpr) AS bin FROM r CROSS JOIN e),
+         |cb AS (SELECT ($binExpr) AS bin FROM c CROSS JOIN e),
+         |rc AS (SELECT bin, count(*) AS nr FROM rb GROUP BY bin),
+         |cc AS (SELECT bin, count(*) AS nc FROM cb GROUP BY bin),
+         |base AS (SELECT CAST(i AS INTEGER) AS bin,
+         |  coalesce(nr, 0) AS n_ref, coalesce(nc, 0) AS n_cur
+         |  FROM generate_series(0, 9) g(i)
+         |  LEFT JOIN rc ON rc.bin = i LEFT JOIN cc ON cc.bin = i),
+         |t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM base)
+         |SELECT bin, n_ref, n_cur,
+         |  round((greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+         |         - greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6))
+         |    * ln(greatest(CAST(n_ref AS DOUBLE) / tr, 1e-6)
+         |         / greatest(CAST(n_cur AS DOUBLE) / tc, 1e-6)), 6) AS psi_term
+         |FROM base, t ORDER BY bin""".stripMargin
+    },
 
     "q139_record_linkage" ->
       """WITH b AS (SELECT c_custkey,

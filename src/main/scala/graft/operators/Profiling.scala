@@ -92,6 +92,62 @@ object Profiling {
         round(jac * kmvEstimate(col("__u"), k), 4).as("est_intersect"))
   }
 
+  /** Population Stability Index drift monitor: how far `current`'s
+    * distribution of `valueCol` has moved from `reference`'s — THE
+    * standard production gate on feature/score drift between a training
+    * snapshot and live data. Reference-side exact quantiles define
+    * `bins` equal-population bins; both sides are counted into them and
+    * each bin contributes `(p−q)·ln(p/q)` (proportions smoothed at
+    * `epsilon` so an empty bin stays finite). Rule of thumb: total PSI
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Scale shape: bin edges come from [[Relational.groupedRowNumber]]'s
+    * range-partitioned order statistics (a global `Window.orderBy` would
+    * run ONE task at any cluster size — the same trap that operator
+    * exists to avoid), the bins-1 edge row is broadcast, and each side
+    * pays one scan + one tiny aggregation by bin id. */
+  def driftPsi(reference: DataFrame, current: DataFrame, valueCol: String,
+      bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    require(epsilon > 0, "epsilon must be positive")
+    val spark = reference.sparkSession
+    val r = reference.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull).withColumn("__g", lit(0))
+    val cur = current.select(col(valueCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull)
+    val ranked = Relational.groupedRowNumber(r, Seq("__g"),
+        Seq(col("__x").asc), "__rn")
+      // total via 1-row broadcast, NOT count().over(partitionBy(__g)) —
+      // that window's single group would collapse the ranked frame to
+      // one task, the exact trap groupedRowNumber just avoided
+      .crossJoin(broadcast(r.agg(count(lit(1)).as("__n"))))
+    // value at rank ceil(n·k/bins) — deterministic under ties because all
+    // tied ranks hold the same value
+    val eCols = (1 until bins).map(k =>
+      max(when(col("__rn") === ceil(col("__n") * k / bins.toDouble), col("__x")))
+        .as(s"__e$k"))
+    val edges = ranked.groupBy(col("__g"))
+      .agg(eCols.head, eCols.tail: _*)
+      .drop("__g")
+    def binned(df: DataFrame): DataFrame =
+      df.crossJoin(broadcast(edges))
+        .select((1 until bins).map(k =>
+          when(col("__x") > col(s"__e$k"), 1).otherwise(0))
+          .reduce(_ + _).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+    val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
+    val joined = spine
+      .join(binned(r).withColumnRenamed("n", "n_ref"), Seq("bin"), "left")
+      .join(binned(cur).withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val tot = joined.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
+    val p = greatest(col("n_ref").cast("double") / col("__tr").cast("double"), lit(epsilon))
+    val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"), lit(epsilon))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("psi_term"))
+  }
+
   /** Engine-portable hash key per type family, so the sketch (and any
     * oracle recomputing it) sees identical strings:
     * integrals/strings render canonically everywhere; doubles are

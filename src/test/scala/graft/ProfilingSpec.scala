@@ -87,6 +87,21 @@ class ProfilingSpec extends AnyFunSuite {
     assert(e.getDouble(3) == 0.25 && e.getDouble(4) == 20.0)
   }
 
+  test("driftPsi: identical snapshots ~0; a hard shift scores large; bins equal-population") {
+    val ref = spark.range(1000).select((col("id") % 100).cast("double").as("v"))
+    val same = Profiling.driftPsi(ref, ref, "v", bins = 10)
+      .agg(sum(col("psi_term"))).collect().head.getDouble(0)
+    assert(math.abs(same) < 1e-9, s"identical snapshots scored $same")
+    val bins = Profiling.driftPsi(ref, ref, "v", bins = 10)
+      .select("n_ref").collect().map(_.getLong(0))
+    assert(bins.forall(_ == 100L), s"reference bins not equal-population: ${bins.toList}")
+    // shift: everything lands in the top reference bin
+    val shifted = spark.range(1000).select((col("id") % 100 + 1000).cast("double").as("v"))
+    val psi = Profiling.driftPsi(ref, shifted, "v", bins = 10)
+      .agg(sum(col("psi_term"))).collect().head.getDouble(0)
+    assert(psi > 1.0, s"hard shift scored only $psi")
+  }
+
   test("profile: nulls, negatives, all-null column, string lengths, timestamp micros") {
     val df = Seq(
       (Some(-10L), Some("aa"), Some(Timestamp.valueOf("2024-01-01 00:00:00.000001")), None: Option[Double]),
