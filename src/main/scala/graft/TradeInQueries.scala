@@ -302,8 +302,12 @@ object TradeInQueries {
           when(col("__dup"), concat(date_format(col("__ts") + expr("INTERVAL 1 DAY"),
             "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
             .otherwise(col("TradeInDate")))
-      val work = java.nio.file.Files.createTempDirectory("graft_q129")
-        .toString + "/target"
+      val workRoot = java.nio.file.Files.createTempDirectory("graft_q129")
+      // createTempDirectory does NOT delete at exit; without a hook every
+      // invocation leaks a full partitioned parquet table into /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(workRoot.toFile): Unit))
+      val work = workRoot.toString + "/target"
       val month = date_format(col("TradeInDate"), "yyyy-MM")
       TradeInPipeline.mergeIntoTargetPartitioned(s, work,
         TradeInPipeline.stage(day1, nowLit(Now1)), nowLit(Now1), partDay = month)

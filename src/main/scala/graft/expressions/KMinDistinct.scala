@@ -60,7 +60,9 @@ case class KMinDistinct(
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      if (buf.size < k) buf.add(s.clone())
+      // contains-check BEFORE cloning: a duplicate row must not pay the
+      // copy (the hottest path of a low-cardinality exact-count group)
+      if (buf.size < k) { if (!buf.contains(s)) buf.add(s.clone()) }
       else if (s.compareTo(buf.last()) < 0 && !buf.contains(s)) {
         buf.pollLast()
         buf.add(s.clone())

@@ -74,10 +74,7 @@ object BpeTrainer {
       minCount: Long = 2L, joiner: String = "\u0001"): Result = {
     require(rounds > 0, "rounds must be positive")
     require(minCount > 0, "minCount must be positive")
-    def ckptRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
+    import OpsUtil.ckptRdds
     var cur = docs.localCheckpoint()
     val merges = Seq.newBuilder[MergeRule]
     var round = 0

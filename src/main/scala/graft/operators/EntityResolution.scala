@@ -40,13 +40,16 @@ object EntityResolution {
       .agg(count(lit(1)).as("__bl"))
       .join(right.groupBy(blockCols.map(col): _*)
         .agg(count(lit(1)).as("__br")), blockCols)
+    // the pair-count product is taken in DOUBLE: two multi-billion-row
+    // block counts overflow a LONG product and would wrap negative,
+    // silently passing the guard in exactly the case it exists to catch
+    val pairCount = col("__bl").cast("double") * col("__br").cast("double")
     val guarded = l.join(broadcast(counts), blockCols)
-      .where(when(col("__bl") * col("__br") <= maxBlock, lit(true))
-        .otherwise(raise_error(concat(
-          lit("EntityResolution.link: block "),
-          concat_ws(",", blockCols.map(col): _*),
-          lit(" yields "), col("__bl") * col("__br"),
-          lit(s" candidate pairs (> maxBlock=$maxBlock); refine the blocking key")))))
+      .where(OpsUtil.orRaise(pairCount <= maxBlock.toDouble,
+        lit("EntityResolution.link: block "),
+        concat_ws(",", blockCols.map(col): _*),
+        lit(" yields "), pairCount.cast("decimal(38,0)").cast("string"),
+        lit(s" candidate pairs (> maxBlock=$maxBlock); refine the blocking key")))
       .drop("__bl", "__br")
     guarded.join(suffixed(right, "_b"), blockCols)
       .withColumn("score", fieldScores.reduce(_ + _))

@@ -82,12 +82,17 @@ object Maintenance {
       s"bitsPerDim * dims must fit a long: $bitsPerDim * ${dims.size}")
     require(numFiles > 0, "numFiles must be positive")
     val nBins = 1 << bitsPerDim
-    // interior quantile boundaries per dim; a value's bin is the count of
-    // boundaries <= it, evaluated as a codegen-friendly sum over literals
-    val bounds: Map[String, Array[Double]] = dims.map { d =>
-      val qs = (1 until nBins).map(_.toDouble / nBins).toArray
-      d -> df.stat.approxQuantile(d, qs, 0.001)
-    }.toMap
+    // interior quantile boundaries per dim — ONE sampled pass for all
+    // dims (the multi-column approxQuantile overload), not one scan per
+    // dimension; a value's bin is the count of boundaries <= it,
+    // evaluated as a codegen-friendly sum over literals
+    val qs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val allBounds = df.stat.approxQuantile(dims.toArray, qs, 0.001)
+    val bounds: Map[String, Array[Double]] = dims.zip(allBounds).toMap
+    bounds.foreach { case (d, b) =>
+      require(b.nonEmpty,
+        s"zorderWrite: dimension $d has no non-null values in this snapshot")
+    }
     def bin(d: String): Column = {
       val c = col(d).cast("double")
       bounds(d).distinct.map(b => when(c >= b, 1L).otherwise(0L))

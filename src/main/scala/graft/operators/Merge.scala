@@ -172,7 +172,12 @@ object Merge {
         target
           .filter(!col(partitionCol).cast("string").isin(parts0: _*))
           .select(col(key), col(partitionCol).cast("string").as("__part"))
-          .join(broadcast(unmatched), Seq(key), "left_semi")
+          // NO forced broadcast: on an insert-heavy day EVERY new key is
+          // "unmatched", so a broadcast hint would materialize the whole
+          // batch key column on the driver; let AQE pick (it still
+          // broadcasts when the unmatched set is genuinely small —
+          // the steady-state update-heavy case)
+          .join(unmatched, Seq(key), "left_semi")
           .select(col("__part")).distinct()
           .collect().map(_.getString(0)).toSeq
       }

@@ -64,15 +64,22 @@ object Multimodal {
       try {
         in = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(bytes))
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) (0, 0)
+        if (in == null) (0, 0) // no registered stream SPI for this input
         else {
-          val r = readers.next()
-          try { r.setInput(in, true, true); (r.getWidth(0), r.getHeight(0)) }
-          finally r.dispose()
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) (0, 0)
+          else {
+            val r = readers.next()
+            try { r.setInput(in, true, true); (r.getWidth(0), r.getHeight(0)) }
+            finally r.dispose()
+          }
         }
       } catch {
-        case _: java.io.IOException => (0, 0)
+        // ImageIO format readers throw RuntimeExceptions (IAE, IOOBE,
+        // NegativeArraySize…) on malformed headers, not just IOException;
+        // the decode stage's contract is TOTAL — a corrupt payload yields
+        // (0,0), it must never kill the task.
+        case scala.util.control.NonFatal(_) => (0, 0)
       } finally if (in != null) in.close()
     }
   }

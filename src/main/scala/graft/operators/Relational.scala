@@ -290,13 +290,13 @@ object Relational {
     val l = left.withColumn("__bucket", floor(tsMicros(col(leftTime)) / w))
     val fromB = floor(tsMicros(col(fromCol)) / w)
     val toB = floor(tsMicros(col(toCol)) / w)
-    val guardedToB = when(toB - fromB < lit(maxBucketsPerInterval), toB)
-      .otherwise(raise_error(concat(
+    val r = right
+      .where(OpsUtil.orRaise(toB - fromB < lit(maxBucketsPerInterval),
         lit(s"intervalJoin: interval spans more than $maxBucketsPerInterval " +
           s"buckets at bucketSeconds=$bucketSeconds (span="),
         (toB - fromB).cast("string"),
-        lit("); raise bucketSeconds or maxBucketsPerInterval"))))
-    val r = right.withColumn("__bucket", explode(sequence(fromB, guardedToB)))
+        lit("); raise bucketSeconds or maxBucketsPerInterval")))
+      .withColumn("__bucket", explode(sequence(fromB, toB)))
     val joined = l.alias("l").join(r.alias("r"),
       col(s"l.$key") === col(s"r.$key") &&
         col("l.__bucket") === col("r.__bucket") &&

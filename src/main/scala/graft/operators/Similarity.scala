@@ -485,10 +485,10 @@ object Similarity {
       .entries
     val counts = e.groupBy(col("cell")).agg(count(lit(1)).as("__cnt"))
     val guarded = e.join(broadcast(counts), "cell")
-      .where(when(col("__cnt") <= maxCell, lit(true)).otherwise(raise_error(
-        concat(lit(s"semanticDedup: cell "), col("cell"),
-          lit(s" holds "), col("__cnt"),
-          lit(s" vectors (> maxCell=$maxCell); use better centroids or raise maxCell")))))
+      .where(OpsUtil.orRaise(col("__cnt") <= maxCell,
+        lit(s"semanticDedup: cell "), col("cell"),
+        lit(s" holds "), col("__cnt"),
+        lit(s" vectors (> maxCell=$maxCell); use better centroids or raise maxCell")))
     val a = guarded.select(col("cell"), col("id").as("id_a"),
       col("vec").as("__va"), col("nrm").as("__na"))
     val b = guarded.select(col("cell"), col("id").as("id_b"),

@@ -384,14 +384,11 @@ object TextDedup {
       .localCheckpoint()
     var converged = false
     var i = 0
-    // localCheckpoint blocks are invisible to DataFrame.unpersist; free
-    // each superseded round's blocks through the RDD handle so storage
-    // stays O(1) rounds instead of O(iterations) (the eager checkpoint
-    // means `next` never re-reads the previous round's blocks).
-    def ckptRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
-      df.queryExecution.logical.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }
+    // free each superseded round's localCheckpoint blocks (OpsUtil
+    // scaladoc) so storage stays O(1) rounds instead of O(iterations)
+    // (the eager checkpoint means `next` never re-reads the previous
+    // round's blocks).
+    import OpsUtil.ckptRdds
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("__nbr"))
