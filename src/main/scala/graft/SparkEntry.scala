@@ -1604,8 +1604,9 @@ object SparkEntry {
           when(abs(col("c_acctbal_a") - col("c_acctbal_b")) <= 0.02, 2.0)
             .otherwise(-0.5)),
         threshold = 4.0)
-      EntityResolution.evalLinks(links,
-        col("c_custkey_a") === col("c_custkey_b"), b.count())
+      EntityResolution.evalLinksAgainst(links,
+        col("c_custkey_a") === col("c_custkey_b"),
+        b.agg(count(lit(1)).as("n_true")))
     }),
 
     // Multi-probe LSH ANN: each query also probes the Hamming-1 buckets

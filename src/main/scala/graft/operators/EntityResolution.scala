@@ -63,12 +63,22 @@ object EntityResolution {
     * (the recall denominator, counted independently of blocking so
     * missed-by-blocking pairs hurt recall, as they should). */
   def evalLinks(links: DataFrame, truePair: Column, nTrue: Long): DataFrame =
+    evalLinksAgainst(links, truePair,
+      links.sparkSession.range(1).select(lit(nTrue).as("n_true")))
+
+  /** [[evalLinks]] with the truth total supplied as a 1-row frame
+    * (`n_true` column) instead of a driver value — keeps the whole eval
+    * one job (a driver-side `.count()` for the denominator would run the
+    * truth side's full lineage as a separate action). */
+  def evalLinksAgainst(links: DataFrame, truePair: Column,
+      truthTotal: DataFrame): DataFrame =
     links.agg(
       count(lit(1)).as("n_links"),
       sum(when(truePair, 1L).otherwise(0L)).as("n_correct"))
-      .select(col("n_links"), col("n_correct"), lit(nTrue).as("n_true"),
+      .crossJoin(broadcast(truthTotal))
+      .select(col("n_links"), col("n_correct"), col("n_true"),
         round(col("n_correct").cast("double") / col("n_links").cast("double"), 6)
           .as("precision"),
-        round(col("n_correct").cast("double") / lit(nTrue.toDouble), 6)
+        round(col("n_correct").cast("double") / col("n_true").cast("double"), 6)
           .as("recall"))
 }
