@@ -1558,6 +1558,15 @@ object SparkEntry {
         .transform(ordered1(_, col("vec_id")))
     }),
 
+    // Per-source corpus profile: the one-pass no-Expand profiler keyed
+    // by source — per-stratum row/null counts, KMV distinct estimates,
+    // length and n_chars stats in a single keyed aggregation.
+    "q141_profile_by_source" -> ((s, d) => {
+      Profiling.profileBy(load(s, d, "documents"), Seq("source"),
+          Seq("text", "n_chars"), k = 64)
+        .transform(ordered1(_, col("source"), col("column")))
+    }),
+
     // PSI drift monitor: reference-quantile bins (order-statistics
     // edges, no global window), both snapshots counted in, per-bin
     // (p−q)·ln(p/q) terms — the production feature-drift gate.
@@ -1690,8 +1699,12 @@ object SparkEntry {
   }
 
   /** One profile row (matching [[graft.operators.Profiling.profile]]) for
-    * column `c` of `kind` ∈ {int, str, dbl, ts} on `table`. */
-  private def profileColSql(table: String, c: String, kind: String, k: Int): String = {
+    * column `c` of `kind` ∈ {int, str, dbl, ts} on `table`; with `group`
+    * set, one row per group value ([[Profiling.profileBy]]). */
+  private def profileColSql(table: String, c: String, kind: String, k: Int,
+      group: Option[String] = None): String = {
+    val gSel = group.map(g => s"$g, ").getOrElse("")
+    val gBy = group.map(g => s" GROUP BY $g").getOrElse("")
     val hash = kind match {
       case "str" => c
       case "dbl" => s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
@@ -1717,19 +1730,19 @@ object SparkEntry {
     // small-magnitude double conversion (mirrors Profiling.profile)
     val a = "(2 * s_sum + n_nn)"
     val b = "(2 * n_nn)"
-    s"""SELECT '$c' AS "column", n_rows, n_null,
+    s"""SELECT $gSel'$c' AS "column", n_rows, n_null,
        |  ${kmvEstimateSql("mins", k)} AS approx_distinct,
        |  min_val, max_val,
        |  CASE WHEN n_nn > 0 THEN
        |    CAST(($a - ((($a % $b) + $b) % $b)) // $b AS DOUBLE) / $quantum.0
        |  ELSE NULL END AS mean_val,
        |  min_len, max_len
-       |FROM (SELECT count(*) AS n_rows,
+       |FROM (SELECT ${gSel}count(*) AS n_rows,
        |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        |  list_sort(list_distinct(list(md5($hash))))[1:$k] AS mins,
        |  min($numv) AS min_val, max($numv) AS max_val,
        |  sum($meanSrc) AS s_sum, CAST(count($c) AS HUGEINT) AS n_nn,
-       |  $minLen AS min_len, $maxLen AS max_len FROM $table)""".stripMargin
+       |  $minLen AS min_len, $maxLen AS max_len FROM $table$gBy)""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3511,6 +3524,11 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q141_profile_by_source" -> Seq(("text", "str"), ("n_chars", "int"))
+      .map { case (c, kind) =>
+        profileColSql("documents", c, kind, 64, group = Some("source")) }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY source, \"column\""),
 
     "q140_drift_psi" -> {
       val edges = (1 to 9).map(k =>

@@ -206,7 +206,15 @@ object Profiling {
     * whose final exchange carries a single row of bounded-size sketches;
     * `inline` then unpacks it to the per-column report. No Expand, no
     * per-column passes, no distinct shuffle of data rows. */
-  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame =
+    profileBy(df, Seq.empty, cols, k)
+
+  /** [[profile]] stratified by `groupCols` — one report row per (group,
+    * column): the per-source / per-shard audit form. Identical plan
+    * shape: still ONE aggregation (now keyed), still sketch-bounded
+    * state per group, still no Expand. */
+  def profileBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String],
+      k: Int = 256): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
     val schema = df.schema
     cols.foreach { c =>
@@ -229,7 +237,8 @@ object Profiling {
         (if (isStr) max(length(col(c))).cast("long") else lit(null).cast("long"))
           .as(s"__${c}__maxlen"))
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val one = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val reports = cols.map { c =>
       val dt = schema(c).dataType
       val quantum = meanScaled(col(c), dt)._2
@@ -252,6 +261,6 @@ object Profiling {
         col(s"__${c}__minlen").as("min_len"),
         col(s"__${c}__maxlen").as("max_len"))
     }
-    one.select(inline(array(reports: _*)))
+    one.select(groupCols.map(col) :+ inline(array(reports: _*)): _*)
   }
 }

@@ -132,6 +132,21 @@ class ProfilingSpec extends AnyFunSuite {
     assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6))
   }
 
+  test("profileBy: per-group rows match per-group profile() runs") {
+    val df = Seq(("a", 1L, "xx"), ("a", 2L, "y"), ("b", 10L, null))
+      .toDF("g", "n", "s")
+    val grouped = Profiling.profileBy(df, Seq("g"), Seq("n", "s"), k = 8)
+      .orderBy("g", "column").collect().map(_.toString).toSeq
+    val manual = Seq("a", "b").flatMap { g =>
+      Profiling.profile(df.filter(col("g") === g), Seq("n", "s"), k = 8)
+        .withColumn("g", lit(g))
+        .select("g", "column", "n_rows", "n_null", "approx_distinct",
+          "min_val", "max_val", "mean_val", "min_len", "max_len")
+        .orderBy("column").collect().map(_.toString)
+    }
+    assert(grouped == manual)
+  }
+
   test("profile rejects unsupported column types") {
     val df = Seq((1, Seq(1, 2))).toDF("a", "arr")
     intercept[IllegalArgumentException] {
