@@ -57,14 +57,26 @@ object Relational {
     * and grouping matches the equality the salt factor will actually be
     * used under (Spark's join/group comparison, which normalizes ±0.0
     * and NaN — a string-keyed pre-cast would split "-0.0" from "0.0"
-    * into different groups than the join being salted). */
+    * into different groups than the join being salted).
+    *
+    * Shape note (round 9): top-k FIRST. The per-key counts feed two
+    * branches — the 1-row totals and the top-k — and ReuseExchange
+    * already dedupes the groupBy shuffle between them; the remaining
+    * waste in the old shape was computing the share/ratio/salt decimal
+    * arithmetic and the broadcast join over EVERY distinct key before
+    * the limit. Taking the `topK` heaviest off the counts exchange
+    * (TakeOrderedAndProject) and only then joining the broadcast totals
+    * runs the derived arithmetic on `topK` rows instead of |keys|. */
   def skewAudit(df: DataFrame, key: Column, topK: Int): DataFrame = {
     val counts = df.groupBy(key.as("__k"))
       .agg(count(lit(1)).as("n_rows"))
       .select(col("__k").cast("string").as("key"), col("n_rows"))
     val totals = counts.agg(sum(col("n_rows")).as("__t"),
       count(lit(1)).as("__k"))
-    counts.crossJoin(broadcast(totals))
+    counts
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topK)
+      .crossJoin(broadcast(totals))
       .select(col("key"), col("n_rows"),
         round(col("n_rows").cast("double") / col("__t"), 6).as("share"),
         round(col("n_rows").cast("double") * col("__k") / col("__t"), 6)
@@ -79,8 +91,11 @@ object Relational {
           ((a - pmod(a, col("__t"))) / col("__t"))
             .cast("long").as("salt_factor")
         })
-      .orderBy(col("n_rows").desc, col("key").asc)
-      .limit(topK)
+      // TakeOrderedAndProject already emits the topK rows fully sorted in
+      // ONE partition and the broadcast join preserves stream-side order,
+      // so a within-partition sort re-asserts the output contract without
+      // the range exchange a full orderBy would plan over 25 rows.
+      .sortWithinPartitions(col("n_rows").desc, col("key").asc)
   }
 
   /** Per-group Gini concentration of per-entity row counts — the
