@@ -1707,7 +1707,10 @@ object SparkEntry {
     val gBy = group.map(g => s" GROUP BY $g").getOrElse("")
     val hash = kind match {
       case "str" => c
-      case "dbl" => s"CAST(CAST($c AS DECIMAL(18,6)) AS VARCHAR)"
+      // DECIMAL(30,6) mirrors Profiling.hashKey's round-9 widening (a
+      // (18,6) cast nulls out at |v| >= 1e12; rendering is scale-driven,
+      // so in-range strings are unchanged)
+      case "dbl" => s"CAST(CAST($c AS DECIMAL(30,6)) AS VARCHAR)"
       case "ts"  => s"CAST(epoch_us($c) AS VARCHAR)"
       case _     => s"CAST($c AS VARCHAR)"
     }
@@ -1721,7 +1724,11 @@ object SparkEntry {
     val (meanSrc, quantum) = kind match {
       case "str" => ("CAST(NULL AS HUGEINT)", 1L)
       case "ts"  => (s"CAST(epoch_us($c) AS HUGEINT)", 1L)
-      case _     => (s"CAST(CAST($c AS DECIMAL(18,6)) * 1000000 AS HUGEINT)", 1000000L)
+      // mirrors Profiling.meanScaled's round-9 split: integrals go
+      // straight to exact HUGEINT (no narrow-decimal hop that nulls out
+      // at |v| >= 1e12), fractionals quantize through DECIMAL(30,6)
+      case "dbl" => (s"CAST(CAST($c AS DECIMAL(30,6)) * 1000000 AS HUGEINT)", 1000000L)
+      case _     => (s"CAST($c AS HUGEINT) * 1000000", 1000000L)
     }
     val (minLen, maxLen) =
       if (kind == "str") (s"CAST(min(length($c)) AS BIGINT)", s"CAST(max(length($c)) AS BIGINT)")

@@ -27,6 +27,25 @@ import graft.pipeline.{TradeInPipeline, TradeInSchema}
   */
 object TradeInQueries {
 
+  /** Temp dirs created by disk-path queries (q129), all deleted by ONE
+    * JVM shutdown hook. A hook registered per invocation accumulates a
+    * thread per run over a long session (round-8 advice finding); the
+    * dirs themselves must live until process exit because the returned
+    * DataFrame reads them lazily — the caller's action runs after the
+    * query function has returned. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tempDirHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempDirs.forEach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit)))
+    true
+  }
+  private def registerTempDir(p: java.nio.file.Path): Unit = {
+    require(tempDirHookInstalled)
+    tempDirs.add(p): Unit
+  }
+
   // ------------------------------------------------------------- fixture
 
   /** Fixed "now" per logical run — replayable F4 fallback + audit stamps. */
@@ -303,10 +322,9 @@ object TradeInQueries {
             "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
             .otherwise(col("TradeInDate")))
       val workRoot = java.nio.file.Files.createTempDirectory("graft_q129")
-      // createTempDirectory does NOT delete at exit; without a hook every
+      // createTempDirectory does NOT delete at exit; without cleanup every
       // invocation leaks a full partitioned parquet table into /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(workRoot.toFile): Unit))
+      registerTempDir(workRoot)
       val work = workRoot.toString + "/target"
       val month = date_format(col("TradeInDate"), "yyyy-MM")
       TradeInPipeline.mergeIntoTargetPartitioned(s, work,

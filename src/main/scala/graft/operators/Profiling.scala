@@ -156,7 +156,12 @@ object Profiling {
   private def hashKey(c: Column, dt: DataType): Column = dt match {
     case _: StringType => c
     case _: DoubleType | _: FloatType =>
-      c.cast(DecimalType(18, 6)).cast("string")
+      // DECIMAL(30,6), not (18,6): a (18,6) cast overflows to null at
+      // |v| >= 1e12 under non-ANSI mode, silently DROPPING the value
+      // from the distinct sketch (round-8 advice finding). (30,6) holds
+      // |v| < 1e24 — beyond a double's exact-integer range; rendering is
+      // scale-driven so in-range strings are unchanged.
+      c.cast(DecimalType(30, 6)).cast("string")
     case _: TimestampType | _: TimestampNTZType =>
       unix_micros(c.cast("timestamp")).cast("string")
     case _ => c.cast("string")
@@ -190,8 +195,20 @@ object Profiling {
   private def meanScaled(c: Column, dt: DataType): (Column, Long) = dt match {
     case _: TimestampType | _: TimestampNTZType =>
       (unix_micros(c.cast("timestamp")).cast(dec38), 1L)
+    // Integral types need no 1e-6 quantum hop through a narrow decimal:
+    // the old DECIMAL(18,6) cast overflowed to null at |v| >= 1e12
+    // (e.g. an epoch-micros long column), silently dropping rows from
+    // the mean's sum while they stayed in the non-null denominator
+    // (round-8 advice finding). A direct ×1e6 in DECIMAL(38,0) is exact
+    // over the full long range.
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      ((c.cast(dec38) * lit(1000000L)).cast(dec38), 1000000L)
+    // Fractional types: quantize at 1e-6 through DECIMAL(30,6) —
+    // |v| < 1e24 (beyond a double's exact-integer range); ×1e6 fits
+    // DECIMAL(38,0). Doubles past 1e24 would still null-overflow; that
+    // magnitude carries no sub-unit information to quantize anyway.
     case _: NumericType =>
-      ((c.cast(DecimalType(18, 6)) * lit(1000000L)).cast(dec38), 1000000L)
+      ((c.cast(DecimalType(30, 6)) * lit(1000000L)).cast(dec38), 1000000L)
     case _ => (lit(null).cast(dec38), 1L)
   }
 
@@ -212,10 +229,35 @@ object Profiling {
   /** [[profile]] stratified by `groupCols` — one report row per (group,
     * column): the per-source / per-shard audit form. Identical plan
     * shape: still ONE aggregation (now keyed), still sketch-bounded
-    * state per group, still no Expand. */
+    * state per group, still no Expand.
+    *
+    * State envelope: each (group × column) holds 7 fixed agg buffers
+    * plus a k-entry md5-hex sketch ≈ `k×48 + 112` bytes — ~12.4 KiB at
+    * the default k=256, so per-executor aggregation state is
+    * `groups/executors × |cols| × 12.4 KiB` before spill. A 1M-group
+    * stratification over 10 columns is ~124 GiB of total state — a
+    * wrong-key mistake, not a profile. `maxGroups` fails fast on it: a
+    * cheap HLL pre-pass over just the group columns (one narrow scan,
+    * no shuffle beyond a 1-row agg) estimates the group cardinality and
+    * raises with the formula instead of letting the real aggregation
+    * OOM-or-spill its way through. Set `maxGroups = 0` to skip the
+    * pre-pass (e.g. when the caller already knows the cardinality). */
   def profileBy(df: DataFrame, groupCols: Seq[String], cols: Seq[String],
-      k: Int = 256): DataFrame = {
+      k: Int = 256, maxGroups: Long = 2000000L): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
+    if (groupCols.nonEmpty && maxGroups > 0) {
+      // ±2% HLL error is irrelevant at guard granularity; the pre-pass
+      // scans only the group columns (column pruning keeps it narrow)
+      val est = df.select(approx_count_distinct(
+        struct(groupCols.map(col): _*)).as("g")).collect().head.getLong(0)
+      val perGroupBytes = cols.size.toLong * (k.toLong * 48 + 112)
+      require(est <= maxGroups,
+        s"profileBy: ~$est groups x ${cols.size} columns ~= " +
+        s"${est * perGroupBytes / (1L << 20)} MiB aggregation state " +
+        s"(k=$k => ~$perGroupBytes bytes/group) exceeds maxGroups=$maxGroups; " +
+        "stratify on a coarser key, raise maxGroups, or pass maxGroups=0 " +
+        "to skip this guard")
+    }
     val schema = df.schema
     cols.foreach { c =>
       val dt = schema(c).dataType
@@ -243,10 +285,12 @@ object Profiling {
       val dt = schema(c).dataType
       val quantum = meanScaled(col(c), dt)._2
       val nonNull = (col("n_rows") - col(s"__${c}__nnull")).cast(dec38)
-      // round-half-up of S/n in pure integers: floor((2S + n) / 2n); the
-      // resulting scaled mean is < 2^53 by construction, so BOTH the
-      // final decimal→double conversion and the /quantum division are
-      // exact-then-single-rounded and engine-independent.
+      // round-half-up of S/n in pure integers: floor((2S + n) / 2n).
+      // The final decimal→double conversion rounds the same exact
+      // integer to the same IEEE double in both engines (nearest-even),
+      // and the /quantum division is a single further IEEE op — so the
+      // result is engine-independent even when the scaled mean exceeds
+      // 2^53 (large-magnitude columns after the round-9 widening).
       val meanInt = floorDiv(
         col(s"__${c}__sum") * lit(2) + nonNull, nonNull * lit(2))
       struct(

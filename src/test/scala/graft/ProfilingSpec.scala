@@ -132,6 +132,32 @@ class ProfilingSpec extends AnyFunSuite {
     assert(z.isNullAt(4) && z.isNullAt(5) && z.isNullAt(6))
   }
 
+  test("profile: large-magnitude longs and doubles don't null-overflow (r8 advice)") {
+    // Epoch-micros-sized longs (~1.7e15) and >1e12 doubles overflowed the
+    // old DECIMAL(18,6) quantization to null: rows silently vanished from
+    // the mean's sum (but not its denominator) and from the sketch.
+    val df = Seq(
+      (1700000000000001L, 2.5e13),
+      (1700000000000003L, 2.5e13 + 0.25),
+      (1700000000000005L, -3.0e12))
+      .toDF("big", "dbl")
+    val out = Profiling.profile(df, Seq("big", "dbl"), k = 8)
+      .orderBy("column").collect().map(r => r.getString(0) -> r).toMap
+    val b = out("big")
+    assert(b.getLong(1) == 3 && b.getLong(2) == 0)
+    assert(b.getDouble(3) == 3.0)                       // sketch saw all rows
+    assert(b.getDouble(4) == 1700000000000001.0 && b.getDouble(5) == 1700000000000005.0)
+    // the integer mean is exact in decimal; the final ×1e6-scaled value
+    // sits past 2^53, so the one double conversion carries IEEE nearest
+    // rounding (deterministic, both engines round the same exact integer)
+    assert(math.abs(b.getDouble(6) - 1700000000000003.0) < 1.0)
+    val d = out("dbl")
+    assert(d.getDouble(3) == 3.0)
+    // mean = (2.5e13 + (2.5e13+0.25) - 3.0e12)/3 quantized at 1e-6:
+    // scaled = 47000000000000250000/3 = 15666666666666750000 exactly
+    assert(math.abs(d.getDouble(6) - 1.566666666666675e13) < 1.0)
+  }
+
   test("profileBy: per-group rows match per-group profile() runs") {
     val df = Seq(("a", 1L, "xx"), ("a", 2L, "y"), ("b", 10L, null))
       .toDF("g", "n", "s")
@@ -145,6 +171,19 @@ class ProfilingSpec extends AnyFunSuite {
         .orderBy("column").collect().map(_.toString)
     }
     assert(grouped == manual)
+  }
+
+  test("profileBy: maxGroups guard fires on high-cardinality stratification") {
+    val df = spark.range(100)
+      .select(col("id").cast("string").as("g"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.profileBy(df, Seq("g"), Seq("v"), k = 8, maxGroups = 10L)
+    }
+    assert(e.getMessage.contains("maxGroups=10"))
+    assert(e.getMessage.contains("bytes/group"))
+    // maxGroups=0 skips the pre-pass entirely
+    assert(Profiling.profileBy(df, Seq("g"), Seq("v"), k = 8, maxGroups = 0L)
+      .count() == 100)
   }
 
   test("profile rejects unsupported column types") {
