@@ -89,6 +89,58 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(held2 == held)
   }
 
+  test("batch promotion: equals sequential when top pairs are symbol-disjoint") {
+    // Four pair families with disjoint symbols and strictly decreasing
+    // counts; merged symbols create no new pairs (each doc is one pair),
+    // so batch promotion must equal single-promotion exactly.
+    val corpus =
+      Seq.fill(10)("a b") ++ Seq.fill(8)("c d") ++
+      Seq.fill(6)("e f") ++ Seq.fill(4)("g h")
+    val seqRes = BpeTrainer.train(corpus.toDF("text").repartition(3),
+      "text", rounds = 4, joiner = "")
+    val batRes = BpeTrainer.train(corpus.toDF("text").repartition(3),
+      "text", rounds = 4, joiner = "", batchSize = 4)
+    assert(batRes.merges == seqRes.merges)
+    assert(batRes.merges.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("a", "b", 10L), ("c", "d", 8L), ("e", "f", 6L), ("g", "h", 4L)))
+    assert(batRes.corpus.select("text").as[String].collect().sorted.toSeq
+      == seqRes.corpus.select("text").as[String].collect().sorted.toSeq)
+  }
+
+  test("batch promotion: shared-symbol candidate is deferred, not promoted stale") {
+    // (x,y) count 5 outranks (y,z) count 4, and merging (x,y) DESTROYS
+    // every (y,z) occurrence ("x y z" -> "xy z"). A naive batch would
+    // promote (y,z) with its stale count; deferral must instead recount
+    // and promote (xy,z) — exactly what sequential promotion does.
+    val corpus = Seq.fill(4)("x y z") ++ Seq.fill(1)("x y")
+    val seqRes = BpeTrainer.train(corpus.toDF("text"), "text",
+      rounds = 2, joiner = "")
+    val batRes = BpeTrainer.train(corpus.toDF("text"), "text",
+      rounds = 2, joiner = "", batchSize = 4)
+    assert(batRes.merges == seqRes.merges)
+    assert(batRes.merges.map(m => (m.left, m.right, m.pairCount)) ==
+      Seq(("x", "y", 5L), ("xy", "z", 4L)))
+    assert(batRes.corpus.select("text").as[String].collect().sorted.toSeq
+      == Seq("xy", "xyz", "xyz", "xyz", "xyz"))
+  }
+
+  test("train result carries its joiner; applyMerges(result) round-trips") {
+    // default joiner (U+0001): inference through the Result overload
+    // must reproduce the training-corpus encoding on the same text —
+    // the round-8 advice scenario (mismatched joiner between train and
+    // apply silently no-ops later rules).
+    val docs = Seq("new york city", "new york state", "new york city hall")
+    val res = BpeTrainer.train(docs.toDF("text"), "text", rounds = 2)
+    assert(res.joiner == "\u0001")
+    val applied = BpeTrainer.applyMerges(docs.toDF("text"), "text", res)
+      .select("text").as[String].collect().sorted.toSeq
+    val trained = res.corpus.select("text").as[String].collect().sorted.toSeq
+    assert(applied == trained)
+    // second rule references the fused first symbol and DID fire
+    assert(res.merges(1).left == "new\u0001york")
+    assert(applied.exists(_.contains("new\u0001york\u0001city")))
+  }
+
   test("train stops when no pair reaches minCount, and joiner='' concatenates") {
     val res = BpeTrainer.train(
       Seq("x y", "p q").toDF("text"), "text", rounds = 10, joiner = "")
