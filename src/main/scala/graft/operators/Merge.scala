@@ -160,36 +160,55 @@ object Merge {
     val exists = fs.exists(p)
 
     // Partitions holding a prior row of a key whose partition value moved.
+    // A plain semi-join against the batch keys (round 9) — NOT an
+    // anti-join against the parts0 slice: after a crash between the
+    // dynamic-overwrite write and the emptied-partition sweep, the key
+    // already sits in its new partition, so "source keys missing from
+    // the parts0 slice" is empty and an anti-join-refined probe would
+    // never find (or heal) the stale moved-from copy. Rows physically
+    // outside parts0 whose key is in the batch are exactly the
+    // stale-or-moving set, crashed or not.
     val movedParts: Seq[String] =
       if (!exists || !probeMovedKeys) Seq.empty
       else {
-        val target = spark.read.parquet(targetPath)
-        val sliceKeys = target
-          .filter(col(partitionCol).cast("string").isin(parts0: _*))
-          .select(col(key))
-        val unmatched = source.select(col(key))
-          .join(sliceKeys, Seq(key), "left_anti")
-        target
+        spark.read.parquet(targetPath)
           .filter(!col(partitionCol).cast("string").isin(parts0: _*))
           .select(col(key), col(partitionCol).cast("string").as("__part"))
-          // NO forced broadcast: on an insert-heavy day EVERY new key is
-          // "unmatched", so a broadcast hint would materialize the whole
-          // batch key column on the driver; let AQE pick (it still
-          // broadcasts when the unmatched set is genuinely small —
-          // the steady-state update-heavy case)
-          .join(unmatched, Seq(key), "left_semi")
+          // NO forced broadcast: on an insert-heavy day the batch key
+          // column is the whole batch; let AQE pick (it still
+          // broadcasts when the batch is genuinely small — the
+          // steady-state daily-window case)
+          .join(source.select(col(key)).distinct(), Seq(key), "left_semi")
           .select(col("__part")).distinct()
           .collect().map(_.getString(0)).toSeq
       }
     val parts = (parts0 ++ movedParts).distinct
 
-    val targetSlice =
+    val targetSlice0 =
       if (exists)
         spark.read.parquet(targetPath)
           .filter(col(partitionCol).cast("string").isin(parts: _*))
           .select(source.columns.map(col): _*)
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+    // Crash-heal dedup, paid only on moved-key runs: a crash in the
+    // write→sweep window leaves a key in BOTH its new partition and the
+    // stale moved-from one; the full-outer merge would fan such a key
+    // out to two identical output rows. Keep one target row per key,
+    // preferring the copy inside parts0 (the already-merged one, which
+    // carries the correct audit stamps), tie-broken deterministically.
+    val targetSlice =
+      if (movedParts.isEmpty) targetSlice0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(key))
+          .orderBy(
+            when(col(partitionCol).cast("string").isin(parts0: _*), 0)
+              .otherwise(1).asc,
+            col(partitionCol).cast("string").desc)
+        targetSlice0.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      }
     val merged0 = upsert(targetSlice, source, key, dataCols, audit)
     // Only a moved-from partition can end up with zero output rows (every
     // source partition receives at least its own batch rows), so the

@@ -207,11 +207,22 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
           e => e("__m")).as("__mv"))
-      cents = cents.alias("c")
+      // localCheckpoint per Lloyd step (the BpeTrainer/dupClusters
+      // idiom): each iteration re-derives `cents` from the previous
+      // frame, so without a checkpoint the plan nests one join + agg
+      // deeper per step — quadratic analysis cost and a re-execution of
+      // every prior step at the final action. The centroid frame is
+      // nlist rows, so the materialization is trivial; superseded
+      // checkpoint blocks are freed to keep storage O(1) iterations.
+      val next = cents.alias("c")
         .join(means.alias("m"), Seq("cell"), "left")
         .select(col("cell"),
           coalesce(col("__mv"), col("c.vec")).as("vec"))
         .withColumn("nrm", norm(col("vec")))
+        .localCheckpoint()
+      val superseded = OpsUtil.ckptRdds(cents)
+      cents = next
+      superseded.foreach(_.unpersist(blocking = false))
     }
     sample.unpersist()
     cents

@@ -27,14 +27,25 @@ import graft.pipeline.{TradeInPipeline, TradeInSchema}
 object StreamingEtl {
 
   /** T1: drain `sourceDir` (JSON-lines batches in the raw 41-col API
-    * shape), stage, and MERGE each micro-batch into the parquet snapshot
-    * at `targetPath`. Returns after the AvailableNow drain completes. */
+    * shape), stage, and MERGE each micro-batch into the parquet table
+    * at `targetPath`. Returns after the AvailableNow drain completes.
+    *
+    * `partitioned = true` (the default since round 9, matching the batch
+    * pipeline's default) routes each micro-batch through the
+    * partition-scoped merge: only the day-partitions present in the
+    * batch (plus any stale moved-key partitions the probe finds) are
+    * read and rewritten, so a steady stream of daily windows never
+    * rewrites the accumulated history — the full-snapshot
+    * `writeSnapshot` form (`partitioned = false`) rewrites the entire
+    * target every micro-batch, which is exactly the shape that cannot
+    * survive an ever-growing table. */
   def ingestAvailableNow(
       spark: SparkSession,
       sourceDir: String,
       targetPath: String,
       checkpointDir: String,
-      now: () => org.apache.spark.sql.Column = () => current_timestamp()): Unit = {
+      now: () => org.apache.spark.sql.Column = () => current_timestamp(),
+      partitioned: Boolean = true): Unit = {
 
     val rawSchema = StructType(TradeInSchema.rawColumns.map(c =>
       org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
@@ -46,9 +57,14 @@ object StreamingEtl {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val target = readTargetOrEmpty(batch.sparkSession, targetPath)
-        Merge.writeSnapshot(
-          TradeInPipeline.mergeIntoTarget(target, batch.toDF(), now()), targetPath)
+        if (partitioned)
+          TradeInPipeline.mergeIntoTargetPartitioned(
+            batch.sparkSession, targetPath, batch.toDF(), now()): Unit
+        else {
+          val target = readTargetOrEmpty(batch.sparkSession, targetPath)
+          Merge.writeSnapshot(
+            TradeInPipeline.mergeIntoTarget(target, batch.toDF(), now()), targetPath)
+        }
         ()
       }
       .start()

@@ -157,6 +157,63 @@ class MergeSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/day=2024-01-01").exists())
   }
 
+  test("upsertPartitioned crash heal: stale moved-from copy is retired on re-run") {
+    // The write→sweep window is two non-atomic steps; a crash between
+    // them leaves key k=1 in BOTH its new partition (already merged,
+    // correct values) and the stale moved-from one. A re-run of the same
+    // batch must converge: one row per key, stale copy gone, no
+    // duplicate fan-out through the full-outer merge.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcrash").toString + "/t"
+    Seq(("2024-01-01", 1, "a0"), ("2024-01-02", 2, "b0"))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    val batch = Seq(("2024-01-05", 1, "a1")).toDF("day", "k", "v")
+    Merge.upsertPartitioned(spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists())
+    // reconstruct the crashed layout: the dynamic overwrite completed
+    // (k=1 lives in day=2024-01-05) but the sweep never ran — put the
+    // stale pre-move row back into its old partition directory
+    Seq((1, "a0")).toDF("k", "v")
+      .write.parquet(s"$dir/day=2024-01-01")
+    assert(spark.read.parquet(dir).filter(col("k") === 1).count() == 2)
+    // re-run the same batch (the operational heal: retry the failed job)
+    val merged = Merge.upsertPartitioned(
+      spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    assert(merged.contains("2024-01-01"), s"probe missed the stale partition: $merged")
+    val now = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSeq.sorted
+    assert(now == Seq(("2024-01-02", 2, "b0"), ("2024-01-05", 1, "a1")),
+      s"target did not converge: $now")
+    assert(!new java.io.File(s"$dir/day=2024-01-01").exists(),
+      "stale moved-from partition not swept on the healing re-run")
+  }
+
+  test("upsertPartitioned crash heal: stale partition with other live keys is rewritten, not deleted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pcrash2").toString + "/t"
+    Seq(("2024-01-01", 1, "a0"), ("2024-01-01", 9, "z0"))
+      .toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    val batch = Seq(("2024-01-05", 1, "a1")).toDF("day", "k", "v")
+    Merge.upsertPartitioned(spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    // crashed layout: k=1 landed in 01-05, but 01-01 was never rewritten
+    // (crash before the overwrite completed the old partition) — it
+    // still holds the stale k=1 AND the innocent k=9
+    Seq((1, "a0")).toDF("k", "v").write.mode("append")
+      .parquet(s"$dir/day=2024-01-01")
+    val merged = Merge.upsertPartitioned(
+      spark, dir, batch, "k", "day", Seq("day", "k", "v"))
+    val now = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSeq.sorted
+    assert(now == Seq(("2024-01-01", 9, "z0"), ("2024-01-05", 1, "a1")),
+      s"heal lost a live key or kept the stale copy: $now")
+  }
+
   test("upsertPartitioned probeMovedKeys=false keeps the pure pruned-slice plan") {
     val spark = TestSpark.spark
     import spark.implicits._

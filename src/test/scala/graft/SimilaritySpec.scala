@@ -75,6 +75,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rKmeans == 1.0, s"both B shards must land in one probed cell: $rKmeans")
   }
 
+  test("kmeansCentroids: plan depth stays flat across iterations (r9 checkpoint)") {
+    // Without the per-step localCheckpoint the plan nested one
+    // join+agg deeper per Lloyd iteration. With it, every iteration
+    // ends at a materialized LogicalRDD, so the returned frame's plan
+    // size is iteration-independent and the centroids stay correct.
+    val skew = ((0L until 6L).map(i => (i, Seq(1.0, 0.0, 0.0))) ++
+      (100L until 120L).map(i => (i, Seq(0.0, 0.1, 1.0)))).toDF("id", "emb")
+    def planSize(iters: Int): (Int, Long) = {
+      val c = Similarity.kmeansCentroids(skew, "emb", "id",
+        nlist = 2, iterations = iters, sampleMod = 1)
+      (c.queryExecution.logical.collect { case n => n }.size, c.count())
+    }
+    val (s1, n1) = planSize(1)
+    val (s5, n5) = planSize(5)
+    assert(n1 == 2 && n5 == 2)
+    assert(s5 == s1, s"plan grew with iterations: $s1 -> $s5 nodes")
+    assert(s1 <= 3, s"checkpointed plan should be a bare scan, got $s1 nodes")
+  }
+
   test("lshSearch over a persisted index equals one-shot lshTopK") {
     val planes = Similarity.deterministicPlanes(3, 6)
     val oneShot = Similarity.lshTopK(corpus, queries, "emb", "id",

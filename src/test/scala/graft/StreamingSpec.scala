@@ -47,6 +47,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(amt2 == "21.00")
   }
 
+  test("AvailableNow ingest (partitioned): untouched day-partitions are byte-identical across micro-batches") {
+    val work = java.nio.file.Files.createTempDirectory("sep").toString
+    val src = s"$work/in"; new java.io.File(src).mkdirs()
+    def record(id: String, day: String, amt: String) =
+      s"""{"SaleInvoiceID": "$id", "TradeInDate": "${day}T01:00:00Z", "TradeInAmount": "$amt"}"""
+    def writeBatch(name: String, lines: String*): Unit = {
+      val f = new java.io.PrintWriter(s"$src/$name")
+      lines.foreach(f.println); f.close()
+    }
+    def run() = StreamingEtl.ingestAvailableNow(spark, src,
+      s"$work/target", s"$work/ckpt",
+      now = () => lit("2024-06-05 06:00:00").cast("timestamp"))
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(dir)
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+
+    writeBatch("b1.json",
+      record("1", "2024-06-01", "10.00"), record("2", "2024-06-02", "20.00"))
+    run()
+    val day1Dir = s"$work/target/TradeInDay=2024-06-01"
+    assert(new java.io.File(day1Dir).exists(), "partitioned layout expected")
+    val before = fileState(day1Dir)
+    assert(before.nonEmpty)
+
+    // second micro-batch touches only 2024-06-02; 06-01 must not be
+    // rewritten — same files, same bytes, same mtimes
+    writeBatch("b2.json",
+      record("2", "2024-06-02", "21.00"), record("3", "2024-06-02", "30.00"))
+    run()
+    assert(fileState(day1Dir) == before,
+      "untouched partition was rewritten by an unrelated micro-batch")
+    val target = spark.read.parquet(s"$work/target")
+    assert(target.count() == 3)
+    assert(target.filter(col("SaleInvoiceID") === 2)
+      .select(col("TradeInAmount").cast("string")).head().getString(0) == "21.00")
+  }
+
   test("watermark dedup: duplicate (key, event-time) rows collapse to one") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Timestamp)]
