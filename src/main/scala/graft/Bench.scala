@@ -138,7 +138,12 @@ object Bench {
           // runs the partition-scoped DISK merge path (two partitioned
           // parquet writes + read-back) against a minimal in-memory
           // join oracle — unlike work by design, like q33.
-          "q129_tradein_merge_part")
+          "q129_tradein_merge_part",
+          // performs the z-order clustered REWRITE (quantile pass +
+          // range shuffle + parquet write) plus the data-derived audit
+          // scan; the oracle merely reads the written files' footers —
+          // unlike work by construction (the write IS the operator).
+          "q142_zorder_skipping")
         val w = results.collect { case (k, v)
           if v > 0 && !scopeExcluded(k) &&
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>

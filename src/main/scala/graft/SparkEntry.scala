@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, IncrementalAgg, Itemsets, Merge, Profiling, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1565,6 +1565,29 @@ object SparkEntry {
       Profiling.profileBy(load(s, d, "documents"), Seq("source"),
           Seq("text", "n_chars"), k = 64)
         .transform(ordered1(_, col("source"), col("column")))
+    }),
+
+    // Z-order clustered rewrite + data-skipping audit, hash-gated
+    // against the parquet FOOTERS: Spark writes the Morton-clustered
+    // lineitem slice to a fixed work dir and derives the per-file
+    // min/max envelope from the DATA (skippingStats); the DuckDB oracle
+    // reads the same files' footer statistics (parquet_metadata) — so
+    // the gate cross-checks the audit against what the footers actually
+    // promise a scanner. The work dir is fixed because the oracle SQL
+    // is static text; the driver runs Verify before the oracle compare,
+    // never concurrently.
+    "q142_zorder_skipping" -> ((s, d) => {
+      val dir = "/tmp/graft_q142_zorder/t"
+      Maintenance.zorderWrite(s,
+        load(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey"),
+        Seq("l_partkey", "l_suppkey"), dir, numFiles = 8, bitsPerDim = 4)
+      Maintenance.skippingStats(s, dir, Seq("l_partkey", "l_suppkey"))
+        // input_file_name is a file:// URI; the oracle sees the plain
+        // path its glob matched — normalize to the oracle's rendering
+        .select(regexp_replace(col("file"), "^file:/+", "/").as("file"),
+          col("n_rows"), col("l_partkey_min"), col("l_partkey_max"),
+          col("l_suppkey_min"), col("l_suppkey_max"))
+        .transform(ordered1(_, col("file")))
     }),
 
     // PSI drift monitor: reference-quantile bins (order-statistics
@@ -3531,6 +3554,32 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // Footer-stats oracle: the Spark side derives the per-file envelope
+    // from the DATA of its own z-ordered write; DuckDB reads the same
+    // files' parquet FOOTERS. INT64 footer stats are exact, so the two
+    // must hash-match — a divergence means the audit (or the writer's
+    // stats) is lying to the scanner.
+    "q142_zorder_skipping" ->
+      """WITH m AS (SELECT file_name, row_group_id, row_group_num_rows,
+        |    path_in_schema, stats_min_value, stats_max_value
+        |  FROM parquet_metadata('/tmp/graft_q142_zorder/t/*.parquet')),
+        |rg AS (SELECT file_name, row_group_id,
+        |    any_value(row_group_num_rows) AS nr FROM m GROUP BY 1, 2),
+        |nf AS (SELECT file_name, CAST(sum(nr) AS BIGINT) AS n_rows
+        |  FROM rg GROUP BY 1),
+        |pk AS (SELECT file_name,
+        |    min(CAST(stats_min_value AS DOUBLE)) AS l_partkey_min,
+        |    max(CAST(stats_max_value AS DOUBLE)) AS l_partkey_max
+        |  FROM m WHERE path_in_schema = 'l_partkey' GROUP BY 1),
+        |sk AS (SELECT file_name,
+        |    min(CAST(stats_min_value AS DOUBLE)) AS l_suppkey_min,
+        |    max(CAST(stats_max_value AS DOUBLE)) AS l_suppkey_max
+        |  FROM m WHERE path_in_schema = 'l_suppkey' GROUP BY 1)
+        |SELECT file_name AS file, n_rows, l_partkey_min, l_partkey_max,
+        |  l_suppkey_min, l_suppkey_max
+        |FROM nf JOIN pk USING (file_name) JOIN sk USING (file_name)
+        |ORDER BY file""".stripMargin,
 
     "q141_profile_by_source" -> Seq(("text", "str"), ("n_chars", "int"))
       .map { case (c, kind) =>
