@@ -1567,6 +1567,19 @@ object SparkEntry {
         .transform(ordered1(_, col("source"), col("column")))
     }),
 
+    // Exact corpus vocabulary head (heavy hitters) with bounded state:
+    // a Misra-Gries candidate pass (k counters, one narrow exchange —
+    // the token cardinality never shuffles) then a broadcast exact
+    // confirm pass. Every token at >= 0.2% of all occurrences, with its
+    // exact count — the high-frequency-token audit of a corpus card.
+    "q143_heavy_hitters" -> ((s, d) => {
+      Profiling.heavyHitters(
+          parallel(load(s, d, "documents"))
+            .select(explode(TextFunctions.tokens(col("text"))).as("token")),
+          col("token"), minSharePpm = 2000L)
+        .transform(ordered1(_, desc("n_rows"), col("key")))
+    }),
+
     // Z-order clustered rewrite + data-skipping audit, hash-gated
     // against the parquet FOOTERS: Spark writes the Morton-clustered
     // lineitem slice to a fixed work dir and derives the per-file
@@ -3554,6 +3567,18 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q143_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS key
+        |  FROM documents),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+        |  WHERE key IS NOT NULL)
+        |SELECT key, count(*) AS n_rows,
+        |  round(CAST(count(*) AS DOUBLE) / n, 6) AS share
+        |FROM toks CROSS JOIN t
+        |GROUP BY key, n
+        |HAVING count(*) * 1000000 >= n * 2000
+        |ORDER BY n_rows DESC, key""".stripMargin,
 
     // Footer-stats oracle: the Spark side derives the per-file envelope
     // from the DATA of its own z-ordered write; DuckDB reads the same

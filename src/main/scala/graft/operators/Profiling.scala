@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
-import graft.expressions.KMinDistinct
+import graft.expressions.{KMinDistinct, MisraGries}
 
 /** Cardinality estimation and one-pass table profiling — the ingest-side
   * audit operators a 100 TB pipeline runs before anything else touches a
@@ -48,6 +48,60 @@ object Profiling {
         lit(Denom52)
     when(size(arr) < k, size(arr).cast("double"))
       .otherwise(round(lit((k - 1).toDouble) / frac, 4))
+  }
+
+  /** Aggregate: sorted array of Misra–Gries candidate heavy-hitter keys
+    * of `c` with `k` counters (every key with count > N/(k+1) is
+    * guaranteed present; the summary's counts are stream-order noise and
+    * deliberately not emitted). */
+  def misraGries(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGries(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** EXACT heavy hitters without a full-key shuffle: every key whose
+    * row count is at least `minSharePpm` parts-per-million of the table,
+    * with its exact count and share.
+    *
+    * Two bounded passes:
+    *   1. candidate pass — ONE aggregation carrying a [[misraGries]]
+    *      summary with k = ceil(1e6/minSharePpm) counters plus the row
+    *      total. MG guarantees every key with count > N/(k+1) survives,
+    *      and k is chosen so N/(k+1) < N·minSharePpm/1e6 ≤ any
+    *      qualifying count — the candidate set provably contains every
+    *      answer key. State is k entries per partition, merged
+    *      associatively; nothing key-cardinality-sized ever shuffles.
+    *   2. confirm pass — broadcast the ≤ k candidate keys back over the
+    *      table, count ONLY them exactly (a k-entry hash aggregation),
+    *      and keep those meeting the exact integer threshold
+    *      `count · 1e6 ≥ N · minSharePpm` (DECIMAL—no long overflow at
+    *      any N). Stream-order noise in the sketch cannot reach the
+    *      output: false candidates are filtered by the exact count, and
+    *      true heavy keys are never false-absent by the MG guarantee.
+    *
+    * Contrast [[graft.operators.Relational.skewAudit]]: that is a top-k
+    * by rank over a full groupBy (right when the key cardinality is
+    * shuffle-able); this is threshold-exact with bounded state (right
+    * when it is not). `minSharePpm ≥ 100` keeps k ≤ 10 000 — the
+    * candidate array must broadcast. */
+  def heavyHitters(df: DataFrame, key: Column,
+      minSharePpm: Long): DataFrame = {
+    require(minSharePpm >= 100 && minSharePpm <= 1000000L,
+      s"minSharePpm must be in [100, 1e6] (k = ceil(1e6/ppm) counters " +
+      s"must stay broadcast-sized): $minSharePpm")
+    val k = ((1000000L + minSharePpm - 1) / minSharePpm).toInt
+    val keyed = df.select(key.cast("string").as("key"))
+    val cand = keyed.agg(
+      misraGries(col("key"), k).as("__cand"),
+      count(col("key")).as("__n"))
+    val candKeys = cand.select(
+      explode(col("__cand")).as("key"), col("__n"))
+    keyed.join(broadcast(candKeys), Seq("key"))
+      .groupBy(col("key"), col("__n"))
+      .agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows").cast(dec38) * lit(1000000L) >=
+        col("__n").cast(dec38) * lit(minSharePpm))
+      .select(col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__n"), 6).as("share"))
   }
 
   /** Per-group approximate distinct count of `value` — one shuffle of

@@ -102,6 +102,49 @@ class ProfilingSpec extends AnyFunSuite {
     assert(psi > 1.0, s"hard shift scored only $psi")
   }
 
+  test("heavyHitters: exact counts above threshold, bounded-state candidates, null keys ignored") {
+    // Zipf-ish: key i (0..9) appears 1000-100*i times (heavy head),
+    // plus 5000 singleton keys (the long tail that must never shuffle
+    // whole through the exact path) and some nulls.
+    val head = (0 until 10).flatMap(i => Seq.fill(1000 - 100 * i)(s"h$i"))
+    val tail = (0 until 5000).map(i => s"t$i")
+    val nulls = Seq.fill(37)(null: String)
+    val rng = new scala.util.Random(42)
+    val df = spark.createDataset(rng.shuffle(
+      (head ++ tail ++ nulls).toList))
+      .repartition(8).toDF("k")
+    val n = head.size + tail.size // non-null rows = 5500 + 5000 = 10500
+    // threshold 3% of 10500 = 315 rows: h0..h6 qualify (1000..400), h7
+    // (300) and below do not
+    val got = Profiling.heavyHitters(df, col("k"), minSharePpm = 30000L)
+      .orderBy(desc("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = (0 until 10).map(i => (s"h$i", (1000 - 100 * i).toLong))
+      .filter { case (_, c) => c * 1000000L >= n.toLong * 30000L }
+      .map { case (key, c) =>
+        (key, c, BigDecimal(c.toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    assert(got == want, s"got $got")
+    // partition-count invariance: the exact confirm pass erases the
+    // sketch's stream-order noise
+    val got1 = Profiling.heavyHitters(df.repartition(1), col("k"), 30000L)
+      .orderBy(desc("n_rows")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got1 == got)
+  }
+
+  test("heavyHitters: boundary count exactly at threshold is kept; ppm bounds enforced") {
+    // 100 non-null rows, 5% threshold = exactly 5 rows: "edge" has 5
+    val df = (Seq.fill(5)("edge") ++ Seq.fill(4)("below") ++
+      (0 until 91).map(i => s"u$i")).toDF("k")
+    val got = Profiling.heavyHitters(df, col("k"), minSharePpm = 50000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("edge", 5L)))
+    intercept[IllegalArgumentException] {
+      Profiling.heavyHitters(df, col("k"), minSharePpm = 99L)
+    }
+  }
+
   test("profile: nulls, negatives, all-null column, string lengths, timestamp micros") {
     val df = Seq(
       (Some(-10L), Some("aa"), Some(Timestamp.valueOf("2024-01-01 00:00:00.000001")), None: Option[Double]),
