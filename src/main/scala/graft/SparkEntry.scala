@@ -1567,6 +1567,25 @@ object SparkEntry {
         .transform(ordered1(_, col("source"), col("column")))
     }),
 
+    // Per-column snapshot profile drift: two one-pass profiles joined —
+    // null-ratio delta, distinct-estimate ratio, mean shift per column.
+    // The even/odd orders split with a %7 price bump and %11 nulled
+    // priority plants drift in exactly two columns.
+    "q144_profile_diff" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      Profiling.profileDiff(
+          o.filter(col("o_orderkey") % 2 === 0),
+          o.filter(col("o_orderkey") % 2 === 1)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 1.1)
+                .otherwise(col("o_totalprice")))
+            .withColumn("o_orderpriority",
+              when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+                .otherwise(col("o_orderpriority"))),
+          Seq("o_custkey", "o_totalprice", "o_orderpriority"), k = 256)
+        .transform(ordered1(_, col("column")))
+    }),
+
     // Exact corpus vocabulary head (heavy hitters) with bounded state:
     // a Misra-Gries candidate pass (k counters, one narrow exchange —
     // the token cardinality never shuffles) then a broadcast exact
@@ -3567,6 +3586,34 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q144_profile_diff" -> {
+      val refT = "(SELECT * FROM orders WHERE o_orderkey % 2 = 0)"
+      val curT =
+        """(SELECT o_custkey,
+          |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+          |       ELSE o_totalprice END AS o_totalprice,
+          |  CASE WHEN o_orderkey % 11 = 0 THEN NULL
+          |       ELSE o_orderpriority END AS o_orderpriority
+          | FROM orders WHERE o_orderkey % 2 = 1)""".stripMargin
+      val kinds = Seq(("o_custkey", "int"), ("o_totalprice", "dbl"),
+        ("o_orderpriority", "str"))
+      def prof(t: String) = kinds
+        .map { case (c, kd) => profileColSql(t, c, kd, 256) }
+        .mkString("(", "\nUNION ALL\n", ")")
+      s"""WITH refp AS ${prof(refT)},
+         |curp AS ${prof(curT)}
+         |SELECT refp."column" AS "column",
+         |  refp.n_rows AS n_ref, curp.n_rows AS n_cur,
+         |  round(CAST(curp.n_null AS DOUBLE) / curp.n_rows
+         |      - CAST(refp.n_null AS DOUBLE) / refp.n_rows, 6) AS null_delta,
+         |  CASE WHEN refp.approx_distinct > 0
+         |    THEN round(curp.approx_distinct / refp.approx_distinct, 6)
+         |  END AS distinct_ratio,
+         |  round(curp.mean_val - refp.mean_val, 6) AS mean_shift
+         |FROM refp JOIN curp ON refp."column" = curp."column"
+         |ORDER BY "column"""".stripMargin
+    },
 
     "q143_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS key

@@ -280,6 +280,36 @@ object Profiling {
   def profile(df: DataFrame, cols: Seq[String], k: Int = 256): DataFrame =
     profileBy(df, Seq.empty, cols, k)
 
+  /** Snapshot-to-snapshot profile drift — the per-COLUMN complement of
+    * [[driftPsi]]'s per-distribution view: run the one-pass profiler on
+    * both snapshots and report, per column, row counts, the null-ratio
+    * delta, the distinct-estimate ratio, and the mean shift. The first
+    * gate a daily-feed regression check runs: a jumped null ratio or a
+    * collapsed distinct count is a broken upstream extract long before
+    * any model metric moves.
+    *
+    * Scale shape: exactly two [[profile]] aggregations (one scan each,
+    * bounded sketch state, no Expand) and a |cols|-row join. All deltas
+    * are single IEEE ops over the profiler's already-engine-exact
+    * values, so the report is oracle-reproducible. */
+  def profileDiff(ref: DataFrame, cur: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame = {
+    def slim(df: DataFrame, suffix: String): DataFrame =
+      profile(df, cols, k).select(col("column"),
+        col("n_rows").as(s"__n$suffix"),
+        col("n_null").as(s"__nn$suffix"),
+        col("approx_distinct").as(s"__d$suffix"),
+        col("mean_val").as(s"__m$suffix"))
+    slim(ref, "r").join(slim(cur, "c"), Seq("column"))
+      .select(col("column"),
+        col("__nr").as("n_ref"), col("__nc").as("n_cur"),
+        round(col("__nnc").cast("double") / col("__nc") -
+          col("__nnr").cast("double") / col("__nr"), 6).as("null_delta"),
+        when(col("__dr") > 0,
+          round(col("__dc") / col("__dr"), 6)).as("distinct_ratio"),
+        round(col("__mc") - col("__mr"), 6).as("mean_shift"))
+  }
+
   /** [[profile]] stratified by `groupCols` — one report row per (group,
     * column): the per-source / per-shard audit form. Identical plan
     * shape: still ONE aggregation (now keyed), still sketch-bounded

@@ -201,6 +201,33 @@ class ProfilingSpec extends AnyFunSuite {
     assert(math.abs(d.getDouble(6) - 1.566666666666675e13) < 1.0)
   }
 
+  test("profileDiff: planted null/distinct/mean drift lands in the right columns") {
+    val ref = spark.range(1000)
+      .select(col("id").as("a"), (col("id") % 100).cast("double").as("b"),
+        concat(lit("s"), col("id") % 50).as("s"))
+    val cur = spark.range(1000)
+      .select(col("id").as("a"),
+        // mean 49.5 -> 50.0 (+0.5), and distinct collapses 100 -> 10
+        ((col("id") % 10) * 10 + 5).cast("double").as("b"),
+        // 10% of s nulled
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), col("id") % 50)).as("s"))
+    val out = Profiling.profileDiff(ref, cur, Seq("a", "b", "s"), k = 64)
+      .orderBy("column").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(1) == 1000 && a.getLong(2) == 1000)
+    assert(a.getDouble(3) == 0.0)                     // null_delta
+    assert(a.getDouble(5) == 0.0)                     // mean_shift
+    val b = out("b")
+    assert(b.getDouble(5) == 0.5, s"mean_shift ${b.getDouble(5)}")
+    assert(b.getDouble(4) < 0.5,                      // distinct_ratio collapse
+      s"distinct_ratio ${b.getDouble(4)}")
+    val s = out("s")
+    assert(s.getDouble(3) == 0.1, s"null_delta ${s.getDouble(3)}")
+    assert(s.isNullAt(5))                             // no mean for strings
+  }
+
   test("profileBy: per-group rows match per-group profile() runs") {
     val df = Seq(("a", 1L, "xx"), ("a", 2L, "y"), ("b", 10L, null))
       .toDF("g", "n", "s")
