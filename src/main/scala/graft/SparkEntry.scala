@@ -1467,6 +1467,20 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // Hard-negative mining: per query the top-k highest-cosine
+    // neighbors INSIDE the confusable band [0.0, 0.9) — the band filter
+    // runs before the ranking so near-duplicates can't crowd out the
+    // negatives a contrastive loss actually needs. Same IVF probe shape
+    // as q41.
+    "q145_hard_negatives" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      Similarity.hardNegatives(
+          Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8),
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 3, nProbe = 2, negHi = 0.9, negLo = 0.0)
+        .transform(ordered1(_, col("query_id"), col("rank")))
+    }),
+
     // KMV distinct-cardinality sketch: per-source approximate distinct
     // token count via the k-minimum-values estimator (bounded-state
     // custom aggregate — the 100 TB substitute for count(distinct)).
@@ -3438,6 +3452,28 @@ object SparkEntry {
         |ranked AS (SELECT query_id, neighbor_id, cosine,
         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
         |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q145_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+        |assign AS (SELECT vec_id, v, n, cent,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ROUND(list_dot_product(v, cv) / (n * cn), 6) DESC, cent) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id AS neighbor_id, v AS nv, n AS nn, cent
+        |  FROM assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, n AS qn, cent
+        |  FROM assign WHERE vec_id < 5 AND rn <= 2),
+        |banded AS (SELECT DISTINCT query_id, neighbor_id,
+        |    ROUND(list_dot_product(qv, nv) / (qn * nn), 6) AS cosine
+        |  FROM cells JOIN probes USING (cent) WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM banded WHERE cosine >= 0.0 AND cosine < 0.9)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
 

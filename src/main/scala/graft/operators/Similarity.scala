@@ -288,6 +288,44 @@ object Similarity {
     ivfSearch(buildIvfIndex(corpus, vecCol, idCol, nlist, roundTo),
       queries, vecCol, idCol, k, nProbe, roundTo)
 
+  /** Hard-negative mining for contrastive training: per query, the `k`
+    * HIGHEST-cosine neighbors whose similarity falls in
+    * `[negLo, negHi)` — close enough to be confusable (the negatives
+    * that actually move a contrastive loss), but strictly below the
+    * near-duplicate band `>= negHi` (mining a paraphrase as a negative
+    * actively teaches the model the wrong thing — the reason this is
+    * NOT just ANN-top-k: the band filter must run BEFORE the per-query
+    * ranking, or duplicates crowd the k slots out).
+    *
+    * Scale shape: identical to [[ivfSearch]] — centroids broadcast,
+    * each query scored only against its `nProbe` probed cells, one
+    * window over the per-query candidate band for the top-k. The same
+    * rounded-cosine id-tie-broken total order as every other ranking
+    * here, so a SQL oracle reproduces the exact pair set. */
+  def hardNegatives(index: IvfIndex, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, nProbe: Int,
+      negHi: Double, negLo: Double = -1.0, roundTo: Int = 6): DataFrame = {
+    require(negLo < negHi, s"negLo must be < negHi: [$negLo, $negHi)")
+    val cells = index.entries.select(col("id").as("neighbor_id"),
+      col("vec").as("__v_neighbor_id"), col("nrm").as("__n_neighbor_id"),
+      col("cell").as("__cent"))
+    val probes = nearestCells(queries, index.centroids, vecCol, idCol,
+      "query_id", nProbe, roundTo)
+    val banded = cells.join(probes, Seq("__cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(
+        dot(col("__v_query_id"), col("__v_neighbor_id")) /
+          (col("__n_query_id") * col("__n_neighbor_id")), roundTo))
+      .filter(col("cosine") >= negLo && col("cosine") < negHi)
+      .select("query_id", "neighbor_id", "cosine").distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    banded.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("__rn").as("rank"))
+  }
+
   /** Deterministic pseudo-random unit-ish hyperplanes from a seed (golden-
     * ratio lattice — no RNG dependency, reproducible across engines). */
   def deterministicPlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =

@@ -75,6 +75,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rKmeans == 1.0, s"both B shards must land in one probed cell: $rKmeans")
   }
 
+  test("hardNegatives: near-dup band excluded BEFORE ranking, never after") {
+    // corpus: query 0's clones (cosine ~1.0, the near-dup band), a
+    // confusable cluster (moderate cosine), and an orthogonal tail.
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.001, 0.0)),   // near-dup of 0
+      (2L, Seq(0.999, -0.001, 0.0)), // near-dup of 0
+      (3L, Seq(0.7, 0.7, 0.0)),     // confusable
+      (4L, Seq(0.6, 0.8, 0.0)),     // confusable
+      (5L, Seq(0.0, 0.0, 1.0)),     // orthogonal (cosine 0.0 — in band)
+      (6L, Seq(-0.5, 0.0, 0.5)))    // negative cosine — below band
+      .toDF("id", "emb")
+    val idx = Similarity.buildIvfIndex(vecs, "emb", "id", nlist = 1)
+    val got = Similarity.hardNegatives(idx, vecs.filter(col("id") === 0),
+      "emb", "id", k = 3, nProbe = 1, negHi = 0.9, negLo = 0.0)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq
+    // top-k ANN would return 1,2 (the clones); the band must skip them
+    // and rank the confusables first, then the orthogonal boundary hit
+    assert(got == Seq((3L, 1), (4L, 2), (5L, 3)), s"got $got")
+  }
+
   test("kmeansCentroids: plan depth stays flat across iterations (r9 checkpoint)") {
     // Without the per-step localCheckpoint the plan nested one
     // join+agg deeper per Lloyd iteration. With it, every iteration
