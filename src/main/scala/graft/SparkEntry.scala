@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Quantization, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1481,6 +1481,62 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // Int8 scalar quantization quality gate: per-label reconstruction
+    // audit (range / MSE / cosine-to-reconstruction) for the 4× embedding
+    // storage cut. One scan, one hash agg, exact decimal means.
+    "q146_int8_quantize" -> ((s, d) => {
+      Quantization.int8Audit(load(s, d, "embeddings"),
+          "embedding", "vec_id", "label")
+        .transform(ordered1(_, col("label")))
+    }),
+
+    // Product-quantization encode + distortion audit: 4 subspaces × 8
+    // first-N centroids (the q41 convention), corpus assigned map-side
+    // against the broadcast codebook, per-cell population and mean
+    // squared distortion.
+    "q147_pq_codes" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val cb = Quantization.pqCodebook(emb, "embedding", "vec_id",
+        m = 4, ksub = 8)
+      Quantization.pqDistortion(
+          Quantization.pqAssign(emb, "embedding", "vec_id", cb, m = 4))
+        .transform(ordered1(_, col("subspace"), col("code")))
+    }),
+
+    // Incremental IVF maintenance: build on the 4/5 base slice (its
+    // first-8 vectors as frozen centroids), append the held-out 1/5
+    // without re-assigning the base, audit per-cell base/appended
+    // populations. Equals a fresh full build by construction (per-row
+    // assignment against identical centroids).
+    "q148_ivf_append" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+      val idx = Similarity.buildIvfIndex(base, "embedding", "vec_id",
+        nlist = 10)
+      val appended = Similarity.ivfAppend(idx,
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0), "embedding", "vec_id")
+      appended.entries
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(pmod(col("id"), lit(5)) === 0, 1L).otherwise(0L))
+            .as("n_appended"))
+        .transform(ordered1(_, col("cell")))
+    }),
+
+    // Asymmetric-distance (ADC) top-k over the PQ codes: queries stay
+    // full-precision, corpus is never decompressed — each code row costs
+    // a broadcast-table lookup, per-subspace components decimal-summed.
+    "q149_pq_adc" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val cb = Quantization.pqCodebook(emb, "embedding", "vec_id",
+        m = 4, ksub = 8)
+      val codes = Quantization.pqAssign(emb, "embedding", "vec_id", cb, m = 4)
+        .select(col("id"), col("subspace"), col("code"))
+      Quantization.pqSearchAdc(codes, cb, emb.filter(col("vec_id") < 5),
+          "embedding", "vec_id", m = 4, k = 3)
+        .transform(ordered1(_, col("query_id"), col("rank")))
+    }),
+
     // KMV distinct-cardinality sketch: per-source approximate distinct
     // token count via the k-minimum-values estimator (bounded-state
     // custom aggregate — the 100 TB substitute for count(distinct)).
@@ -1770,6 +1826,18 @@ object SparkEntry {
   /** One profile row (matching [[graft.operators.Profiling.profile]]) for
     * column `c` of `kind` ∈ {int, str, dbl, ts} on `table`; with `group`
     * set, one row per group value ([[Profiling.profileBy]]). */
+  /** DuckDB mirror of [[graft.functions.Decimals.dmean]]: quantize at
+    * `scale` through the same DECIMAL cast, sum in HUGEINT, half-up
+    * integer mean `floor((2S + n)/2n)`, one final double conversion. */
+  private def dmeanSql(x: String, scale: Int): String = {
+    val pow = "1" + ("0" * scale)
+    val s = s"SUM(CAST(CAST($x AS DECIMAL(18,$scale)) * $pow AS HUGEINT))"
+    val n = s"CAST(COUNT($x) AS HUGEINT)"
+    val a = s"(2 * $s + $n)"
+    val b = s"(2 * $n)"
+    s"CASE WHEN $n > 0 THEN CAST(($a - ((($a % $b) + $b) % $b)) // $b AS DOUBLE) / $pow.0 ELSE NULL END"
+  }
+
   private def profileColSql(table: String, c: String, kind: String, k: Int,
       group: Option[String] = None): String = {
     val gSel = group.map(g => s"$g, ").getOrElse("")
@@ -3476,6 +3544,86 @@ object SparkEntry {
         |  FROM banded WHERE cosine >= 0.0 AND cosine < 0.9)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q146_int8_quantize" ->
+      s"""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT label, v, list_min(v) AS vmin,
+         |  (list_max(v) - list_min(v)) / 255.0 AS scale FROM e),
+         |r AS (SELECT label, scale, v,
+         |    list_transform(v, x -> CASE WHEN scale = 0 THEN vmin
+         |      ELSE vmin + LEAST(GREATEST(floor((x - vmin) / scale + 0.5), 0), 255) * scale END) AS vq
+         |  FROM p),
+         |s AS (SELECT label, scale * 255.0 AS rng, list_dot_product(v, v) AS dxx,
+         |    list_dot_product(v, vq) AS dxy, list_dot_product(vq, vq) AS dyy,
+         |    len(v) AS dim FROM r),
+         |mrow AS (SELECT label, rng, (dxx - 2 * dxy + dyy) / dim AS mse,
+         |    CASE WHEN dxx > 0 AND dyy > 0 THEN dxy / sqrt(dxx * dyy) END AS cos FROM s)
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  ${dmeanSql("rng", 6)} AS avg_range,
+         |  ${dmeanSql("mse", 12)} AS avg_mse,
+         |  ${dmeanSql("cos", 9)} AS avg_cosine
+         |FROM mrow GROUP BY label ORDER BY label""".stripMargin,
+
+    "q147_pq_codes" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, CAST(t.ss AS INT) AS subspace,
+         |    v[(CAST(t.ss AS INT) * (len(v) // 4) + 1):(CAST(t.ss AS INT) * (len(v) // 4) + (len(v) // 4))] AS sv
+         |  FROM e, range(0, 4) t(ss)),
+         |cb AS (SELECT subspace, vec_id AS cent, sv AS cv,
+         |    list_dot_product(sv, sv) AS dcc FROM sub WHERE vec_id < 8),
+         |scored AS (SELECT s.vec_id, s.subspace, cb.cent,
+         |    ROUND(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv) + cb.dcc, 6) AS dist2
+         |  FROM sub s JOIN cb USING (subspace)),
+         |a AS (SELECT vec_id, subspace, cent, dist2,
+         |    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist2, cent) AS rn
+         |  FROM scored)
+         |SELECT subspace, cent AS code, COUNT(*) AS n_vecs,
+         |  ${dmeanSql("dist2", 6)} AS avg_dist2
+         |FROM a WHERE rn = 1 GROUP BY subspace, cent ORDER BY subspace, code""".stripMargin,
+
+    "q148_ivf_append" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent, v AS cv, n AS cn FROM e
+        |  WHERE vec_id < 10 AND vec_id % 5 <> 0),
+        |assign AS (SELECT vec_id, cent,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY ROUND(list_dot_product(v, cv) / (n * cn), 6) DESC, cent) AS rn
+        |  FROM e CROSS JOIN c)
+        |SELECT cent AS cell, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_appended
+        |FROM assign WHERE rn = 1 GROUP BY cent ORDER BY cell""".stripMargin,
+
+    "q149_pq_adc" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(t.ss AS INT) AS subspace,
+        |    v[(CAST(t.ss AS INT) * (len(v) // 4) + 1):(CAST(t.ss AS INT) * (len(v) // 4) + (len(v) // 4))] AS sv
+        |  FROM e, range(0, 4) t(ss)),
+        |cb AS (SELECT subspace, vec_id AS cent, sv AS cv,
+        |    list_dot_product(sv, sv) AS dcc FROM sub WHERE vec_id < 8),
+        |scored AS (SELECT s.vec_id, s.subspace, cb.cent,
+        |    ROUND(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv) + cb.dcc, 6) AS dist2
+        |  FROM sub s JOIN cb USING (subspace)),
+        |a AS (SELECT vec_id, subspace, cent, dist2,
+        |    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist2, cent) AS rn
+        |  FROM scored),
+        |codes AS (SELECT vec_id AS id, subspace, cent AS code FROM a WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, subspace, sv AS qs,
+        |    list_dot_product(sv, sv) AS dqq FROM sub WHERE vec_id < 5),
+        |tbl AS (SELECT q.query_id, cb.subspace, cb.cent,
+        |    ROUND(q.dqq - 2 * list_dot_product(q.qs, cb.cv) + cb.dcc, 6) AS comp
+        |  FROM q JOIN cb ON q.subspace = cb.subspace),
+        |sc AS (SELECT tbl.query_id, codes.id AS neighbor_id,
+        |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS adc_dist
+        |  FROM codes JOIN tbl ON codes.subspace = tbl.subspace AND codes.code = tbl.cent
+        |  WHERE codes.id <> tbl.query_id
+        |  GROUP BY tbl.query_id, codes.id),
+        |rk AS (SELECT query_id, neighbor_id, adc_dist,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rnk
+        |  FROM sc)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
+        |FROM rk WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q130_kmv_distinct" ->
       s"""WITH tok AS (SELECT source,

@@ -247,6 +247,26 @@ object Similarity {
     IvfIndex(cents, entries)
   }
 
+  /** Incremental index maintenance: assign ONLY the new vectors to the
+    * existing (frozen) centroids and append their postings — the
+    * standard production shape for a growing corpus, where re-running
+    * [[buildIvfIndex]] would re-pay the full 100 TB assignment scan for
+    * a 0.1% daily delta. Because the centroids are unchanged, the
+    * appended index is IDENTICAL to a fresh build over base ∪ delta
+    * with the same centroid frame (assignment is per-row), so searches
+    * need no special casing; what appending does NOT do is re-balance —
+    * monitor with [[cellBalance]] and rebuild centroids when drift
+    * (cells absorbing a disproportionate share of appends) crosses the
+    * line. */
+  def ivfAppend(index: IvfIndex, newVecs: DataFrame, vecCol: String,
+      idCol: String, roundTo: Int = 6): IvfIndex = {
+    val appended = nearestCells(newVecs, index.centroids, vecCol, idCol,
+        "id", 1, roundTo)
+      .select(col("id"), col("__v_id").as("vec"), col("__n_id").as("nrm"),
+        col("__cent").as("cell"))
+    IvfIndex(index.centroids, index.entries.unionByName(appended))
+  }
+
   /** Search a prebuilt [[IvfIndex]]: each query probes its `nProbe`
     * nearest cells and is scored exactly against only those cells'
     * entries. */

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantization, Similarity}
+
+/** Vector-compression contracts: int8 codes must reconstruct within the
+  * quantization step, PQ must encode centroid vectors losslessly, ADC
+  * search must equal the distance to the reconstruction it claims to
+  * approximate, and incremental IVF append must equal a fresh full
+  * build over the same centroids (the no-special-casing guarantee the
+  * scaladoc sells). */
+class QuantizationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(seed: Int, d: Int = 8): Seq[Double] =
+    (0 until d).map(j => math.sin(seed * 7 + j * 3 + 1) * (1 + j % 3))
+  private lazy val corpus = (0 until 40).map(i => (i.toLong, vec(i), i % 4))
+    .toDF("id", "emb", "label")
+
+  test("int8 codes are in [0,255] and dequantize within scale/2 per element") {
+    val q = Quantization.quantizeInt8(corpus, "emb", "id")
+      .withColumn("vq", Quantization.dequantInt8(col("codes"), col("vmin"), col("scale")))
+    val rows = q.join(corpus.select(col("id"), col("emb")), "id").collect()
+    assert(rows.length == 40)
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](r.fieldIndex("codes"))
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val scale = r.getAs[Double]("scale")
+      val orig = r.getSeq[Double](r.fieldIndex("emb"))
+      val rec = r.getSeq[Double](r.fieldIndex("vq"))
+      orig.zip(rec).foreach { case (x, xr) =>
+        assert(math.abs(x - xr) <= scale / 2 + 1e-12,
+          s"|$x - $xr| > scale/2 = ${scale / 2}")
+      }
+    }
+  }
+
+  test("constant vector: zero scale, all-zero codes, exact reconstruction") {
+    val const = Seq((1L, Seq(2.5, 2.5, 2.5))).toDF("id", "emb")
+    val r = Quantization.quantizeInt8(const, "emb", "id")
+      .withColumn("vq", Quantization.dequantInt8(col("codes"), col("vmin"), col("scale")))
+      .head()
+    assert(r.getAs[Double]("scale") == 0.0)
+    assert(r.getSeq[Int](r.fieldIndex("codes")).forall(_ == 0))
+    assert(r.getSeq[Double](r.fieldIndex("vq")) == Seq(2.5, 2.5, 2.5))
+  }
+
+  test("int8Audit: near-perfect cosine, tiny MSE, one row per label") {
+    val audit = Quantization.int8Audit(corpus, "emb", "id", "label").collect()
+    assert(audit.length == 4)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 10)
+      assert(r.getAs[Double]("avg_cosine") > 0.999)
+      assert(r.getAs[Double]("avg_mse") < 1e-3)
+      assert(r.getAs[Double]("avg_range") > 0)
+    }
+  }
+
+  test("pqAssign encodes codebook vectors losslessly (dist2 = 0, own code)") {
+    val cb = Quantization.pqCodebook(corpus, "emb", "id", m = 4, ksub = 8)
+    val assigned = Quantization.pqAssign(corpus, "emb", "id", cb, m = 4)
+    assert(assigned.count() == 40 * 4)
+    // A vector that IS centroid i must land on a zero-distortion cell
+    // (possibly a duplicate centroid's id, never a worse one).
+    val own = assigned.filter(col("id") < 8)
+    assert(own.filter(col("dist2") =!= 0.0).count() == 0)
+  }
+
+  test("pq fails fast when dim is not divisible by m") {
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "emb")
+    val cb = Quantization.pqCodebook(corpus, "emb", "id", m = 4, ksub = 8)
+    val ex = intercept[Exception] {
+      Quantization.pqAssign(bad, "emb", "id", cb, m = 4).collect()
+    }
+    assert(ex.getMessage.contains("not divisible") ||
+      Option(ex.getCause).exists(_.getMessage.contains("not divisible")))
+  }
+
+  test("ADC distance equals exact distance to the PQ reconstruction") {
+    val m = 4
+    val cb = Quantization.pqCodebook(corpus, "emb", "id", m = m, ksub = 8)
+    val codes = Quantization.pqAssign(corpus, "emb", "id", cb, m = m)
+      .select(col("id"), col("subspace"), col("code"))
+    val queries = corpus.filter(col("id") < 2)
+    val adc = Quantization.pqSearchAdc(codes, cb, queries, "emb", "id",
+      m = m, k = 40)
+    // Reference: reconstruct each corpus vector from its codes and score
+    // ||q - rec||^2 per (query, neighbor) with the same per-subspace
+    // 6-dp rounding, summed exactly.
+    val cbRows = cb.collect().map(r =>
+      (r.getAs[Int]("subspace"), r.getAs[Long]("cent")) ->
+        r.getSeq[Double](r.fieldIndex("cv"))).toMap
+    val codeRows = codes.collect()
+      .groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("subspace"))
+        .map(r => (r.getAs[Int]("subspace"), r.getAs[Long]("code")))).toMap
+    val vecs = corpus.collect().map(r =>
+      r.getAs[Long]("id") -> r.getSeq[Double](r.fieldIndex("emb"))).toMap
+    def expected(q: Long, x: Long): BigDecimal =
+      codeRows(x).map { case (ss, code) =>
+        val qs = vecs(q).slice(ss * 2, ss * 2 + 2)
+        val cv = cbRows((ss, code))
+        val comp = qs.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        BigDecimal(comp).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+    adc.collect().foreach { r =>
+      val e = expected(r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      // Tolerance: the operator folds dqq-2dqc+dcc while the reference
+      // zips (a-b)^2 — equal in R, ~1e-16 apart in IEEE, so a component
+      // sitting ON a .5e-6 rounding boundary may round apart by 1e-6.
+      assert(math.abs(r.getAs[Double]("adc_dist") - e.toDouble) < 2.1e-6,
+        s"adc ${r.getAs[Double]("adc_dist")} != reconstruction dist $e")
+    }
+  }
+
+  test("ivfAppend equals a fresh full build over the same centroids") {
+    val base = corpus.filter(col("id") % 3 =!= 0)
+    val delta = corpus.filter(col("id") % 3 === 0)
+    val idx = Similarity.buildIvfIndex(base, "emb", "id", nlist = 6)
+    val appended = Similarity.ivfAppend(idx, delta, "emb", "id")
+    val fresh = Similarity.buildIvfIndex(corpus, "emb", "id", nlist = 6,
+      centroids = Some(idx.centroids))
+    val a = appended.entries.select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = fresh.entries.select("id", "cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == f)
+    assert(a.size == 40)
+  }
+}
