@@ -1537,6 +1537,38 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // Lloyd-refined PQ codebook (1 iteration): all 4 subspaces train in
+    // the same two jobs — deterministic rounded-argmin assignment +
+    // exact-decimal per-position means — then the refined codebook's
+    // distortion audit. The oracle replays the full refinement.
+    "q150_pq_refined" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val cb = Quantization.pqCodebookRefined(emb, "embedding", "vec_id",
+        m = 4, ksub = 8, iterations = 1)
+      Quantization.pqDistortion(
+          Quantization.pqAssign(emb, "embedding", "vec_id", cb, m = 4))
+        .transform(ordered1(_, col("subspace"), col("code")))
+    }),
+
+    // Compression-loss recall gate: ADC-over-PQ-codes top-10 vs the
+    // exact squared-L2 baseline (like-for-like metric) — the number that
+    // decides whether 4-byte codes may replace 256-byte vectors.
+    "q151_pq_recall" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+      val cb = Quantization.pqCodebook(emb, "embedding", "vec_id",
+        m = 4, ksub = 8)
+      val codes = Quantization.pqAssign(emb, "embedding", "vec_id", cb, m = 4)
+        .select(col("id"), col("subspace"), col("code"))
+      Similarity.recallAtK(
+          Similarity.bruteForceL2TopK(emb, queries, "embedding", "vec_id",
+            k = 10),
+          Quantization.pqSearchAdc(codes, cb, queries, "embedding", "vec_id",
+            m = 4, k = 10),
+          "query_id", "neighbor_id")
+        .transform(ordered1(_, col("query_id")))
+    }),
+
     // KMV distinct-cardinality sketch: per-source approximate distinct
     // token count via the k-minimum-values estimator (bounded-state
     // custom aggregate — the 100 TB substitute for count(distinct)).
@@ -3624,6 +3656,84 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS INT) AS rank
         |FROM rk WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q150_pq_refined" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |sub AS (SELECT vec_id, CAST(t.ss AS INT) AS subspace,
+         |    v[(CAST(t.ss AS INT) * (len(v) // 4) + 1):(CAST(t.ss AS INT) * (len(v) // 4) + (len(v) // 4))] AS sv
+         |  FROM e, range(0, 4) t(ss)),
+         |cb AS (SELECT subspace, vec_id AS cent, sv AS cv,
+         |    list_dot_product(sv, sv) AS dcc FROM sub WHERE vec_id < 8),
+         |s1 AS (SELECT s.vec_id, s.subspace, s.sv, cb.cent,
+         |    ROUND(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv) + cb.dcc, 6) AS dist2
+         |  FROM sub s JOIN cb USING (subspace)),
+         |a1 AS (SELECT vec_id, subspace, sv, cent FROM (
+         |    SELECT vec_id, subspace, sv, cent,
+         |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist2, cent) AS rn
+         |    FROM s1) WHERE rn = 1),
+         |pos AS (SELECT a1.subspace, a1.cent, CAST(r.p AS INT) AS p,
+         |    a1.sv[CAST(r.p AS INT) + 1] AS x
+         |  FROM a1 JOIN range(0, 64) r(p) ON r.p < len(a1.sv)),
+         |pm AS (SELECT subspace, cent, p, ${dmeanSql("x", 9)} AS mx
+         |  FROM pos GROUP BY subspace, cent, p),
+         |mv AS (SELECT subspace, cent, list(mx ORDER BY p) AS cv2
+         |  FROM pm GROUP BY subspace, cent),
+         |cb2 AS (SELECT cb.subspace, cb.cent, COALESCE(mv.cv2, cb.cv) AS cv,
+         |    list_dot_product(COALESCE(mv.cv2, cb.cv), COALESCE(mv.cv2, cb.cv)) AS dcc
+         |  FROM cb LEFT JOIN mv ON cb.subspace = mv.subspace AND cb.cent = mv.cent),
+         |s2 AS (SELECT s.vec_id, s.subspace, cb2.cent,
+         |    ROUND(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb2.cv) + cb2.dcc, 6) AS dist2
+         |  FROM sub s JOIN cb2 ON s.subspace = cb2.subspace),
+         |a2 AS (SELECT vec_id, subspace, cent, dist2,
+         |    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist2, cent) AS rn
+         |  FROM s2)
+         |SELECT subspace, cent AS code, COUNT(*) AS n_vecs,
+         |  ${dmeanSql("dist2", 6)} AS avg_dist2
+         |FROM a2 WHERE rn = 1 GROUP BY subspace, cent ORDER BY subspace, code""".stripMargin,
+
+    "q151_pq_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ql AS (SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS dqq
+        |  FROM e WHERE vec_id < 5),
+        |x AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |    ROUND(dqq - 2 * list_dot_product(qv, e.v) + list_dot_product(e.v, e.v), 6) AS dist2
+        |  FROM e, ql WHERE query_id <> e.vec_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rnk
+        |    FROM x) WHERE rnk <= 10),
+        |sub AS (SELECT vec_id, CAST(t.ss AS INT) AS subspace,
+        |    v[(CAST(t.ss AS INT) * (len(v) // 4) + 1):(CAST(t.ss AS INT) * (len(v) // 4) + (len(v) // 4))] AS sv
+        |  FROM e, range(0, 4) t(ss)),
+        |cb AS (SELECT subspace, vec_id AS cent, sv AS cv,
+        |    list_dot_product(sv, sv) AS dcc FROM sub WHERE vec_id < 8),
+        |scored AS (SELECT s.vec_id, s.subspace, cb.cent,
+        |    ROUND(list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, cb.cv) + cb.dcc, 6) AS dist2
+        |  FROM sub s JOIN cb USING (subspace)),
+        |a AS (SELECT vec_id, subspace, cent, dist2,
+        |    row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist2, cent) AS rn
+        |  FROM scored),
+        |codes AS (SELECT vec_id AS id, subspace, cent AS code FROM a WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, subspace, sv AS qsv,
+        |    list_dot_product(sv, sv) AS dqq2 FROM sub WHERE vec_id < 5),
+        |tbl AS (SELECT qs.query_id, cb.subspace, cb.cent,
+        |    ROUND(qs.dqq2 - 2 * list_dot_product(qs.qsv, cb.cv) + cb.dcc, 6) AS comp
+        |  FROM qs JOIN cb ON qs.subspace = cb.subspace),
+        |sc AS (SELECT tbl.query_id, codes.id AS neighbor_id,
+        |    CAST(SUM(CAST(comp AS DECIMAL(18,6))) AS DOUBLE) AS adc
+        |  FROM codes JOIN tbl ON codes.subspace = tbl.subspace AND codes.code = tbl.cent
+        |  WHERE codes.id <> tbl.query_id GROUP BY tbl.query_id, codes.id),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+        |    FROM sc) WHERE rnk <= 10)
+        |SELECT e2.query_id, count(*) AS n_exact,
+        |  CAST(sum(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN a2.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS recall
+        |FROM exact e2 LEFT JOIN approx a2
+        |  ON e2.query_id = a2.query_id AND e2.neighbor_id = a2.neighbor_id
+        |GROUP BY e2.query_id ORDER BY e2.query_id""".stripMargin,
 
     "q130_kmv_distinct" ->
       s"""WITH tok AS (SELECT source,

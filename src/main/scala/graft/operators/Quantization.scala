@@ -130,6 +130,58 @@ object Quantization {
       .withColumn("dcc", dot(col("cv"), col("cv")))
   }
 
+  /** Lloyd-refined PQ codebook: seed with [[pqCodebook]]'s first-N
+    * convention, then per iteration (a) assign every (vector, subspace)
+    * to its nearest centroid — the [[pqAssign]] shape, with the member
+    * subvector riding the argmin struct so no re-join is needed — and
+    * (b) recompute each (subspace, code) centroid as the per-position
+    * exact-decimal mean of its members. ALL m subspaces train in the
+    * SAME two jobs per iteration (explode → assign → posexplode → mean),
+    * not m sequential trainings — the Spark-first shape for codebook
+    * learning, and the difference between 2 and 2m scheduler rounds.
+    * Cells that capture no members keep their previous center (the
+    * [[Similarity.kmeansCentroids]] convention, as is the per-iteration
+    * localCheckpoint that keeps the centroid plan O(1) deep).
+    *
+    * Deterministic end to end (rounded-distance argmin with id ties,
+    * half-up decimal means) — a SQL oracle can replay the refinement,
+    * unlike classic RNG k-means. */
+  def pqCodebookRefined(embeds: DataFrame, vecCol: String, idCol: String,
+      m: Int, ksub: Int, iterations: Int = 1, roundTo: Int = 6): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    val sub = subspaces(embeds, vecCol, idCol, m, "id", "__sv")
+      .withColumn("__dss", dot(col("__sv"), col("__sv")))
+    val subIn = if (iterations > 1) sub.persist() else sub
+    var cb = pqCodebook(embeds, vecCol, idCol, m, ksub)
+    for (_ <- 1 to iterations) {
+      val scored = subIn.join(broadcast(cb), Seq("subspace"))
+        .withColumn("dist2", round(
+          col("__dss") - dot(col("__sv"), col("cv")) * 2 + col("dcc"), roundTo))
+      val assigned = scored.groupBy(col("id"), col("subspace"))
+        .agg(min(struct(col("dist2"), col("cent"), col("__sv"))).as("__best"))
+        .select(col("subspace"), col("__best.cent").as("cent"),
+          col("__best.__sv").as("__msv"))
+      val means = assigned
+        .select(col("subspace"), col("cent"),
+          posexplode(col("__msv")).as(Seq("__pos", "__x")))
+        .groupBy(col("subspace"), col("cent"), col("__pos"))
+        .agg(Decimals.dmean(col("__x"), 9).as("__m"))
+        .groupBy(col("subspace"), col("cent"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          e => e("__m")).as("__mv"))
+      val next = cb.join(means, Seq("subspace", "cent"), "left")
+        .select(col("subspace"), col("cent"),
+          coalesce(col("__mv"), col("cv")).as("cv"))
+        .withColumn("dcc", dot(col("cv"), col("cv")))
+        .localCheckpoint()
+      val superseded = OpsUtil.ckptRdds(cb)
+      cb = next
+      superseded.foreach(_.unpersist(blocking = false))
+    }
+    if (iterations > 1) subIn.unpersist(blocking = false)
+    cb
+  }
+
   /** Encode the corpus: per (vector, subspace), the nearest codebook
     * centroid by squared L2 (‖s‖² − 2⟨s,c⟩ + ‖c‖², per-side self-dots
     * computed once below the join), rounded for rank stability, ties to

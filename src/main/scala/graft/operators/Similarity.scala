@@ -43,6 +43,31 @@ object Similarity {
         col("__rn").as("rank"))
   }
 
+  /** Exact squared-L2 top-k — [[bruteForceTopK]]'s Euclidean sibling and
+    * the like-for-like baseline for distance-metric indexes (PQ/ADC
+    * approximates L2, so gating its recall against a COSINE baseline
+    * would conflate metric mismatch with quantization loss). Same shape:
+    * queries broadcast, per-side self-dots below the join, one codegen'd
+    * dot per pair, rounded-distance ranking with id ties. */
+  def bruteForceL2TopK(corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, roundTo: Int = 6,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"), dot(col(vecCol), col(vecCol)).as("__dqq"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"), dot(col(vecCol), col(vecCol)).as("__dcc"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("dist2", round(
+        col("__dqq") - dot(col("__qv"), col("__cv")) * 2 + col("__dcc"), roundTo))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dist2"),
+        col("__rn").as("rank"))
+  }
+
   /** Corpus side of the LSH index: one row per vector with its routing
     * bucket — schema `(id, vec, nrm, bucket)`. At scale THIS frame is the
     * index: persist it (or write/reload as parquet, ideally partitioned by

@@ -117,6 +117,40 @@ class QuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("pqCodebookRefined never increases total distortion; 3 iterations run flat") {
+    def totalDistortion(cb: org.apache.spark.sql.DataFrame): Double =
+      Quantization.pqAssign(corpus, "emb", "id", cb, m = 4)
+        .agg(sum(col("dist2"))).head().getDouble(0)
+    val seed = Quantization.pqCodebook(corpus, "emb", "id", m = 4, ksub = 8)
+    val r1 = Quantization.pqCodebookRefined(corpus, "emb", "id",
+      m = 4, ksub = 8, iterations = 1)
+    val r3 = Quantization.pqCodebookRefined(corpus, "emb", "id",
+      m = 4, ksub = 8, iterations = 3)
+    val (d0, d1, d3) = (totalDistortion(seed), totalDistortion(r1), totalDistortion(r3))
+    // Lloyd steps are non-increasing in distortion (up to the 6-dp
+    // rounding the determinism contract imposes).
+    assert(d1 <= d0 + 1e-4, s"1 iteration worsened distortion: $d0 -> $d1")
+    assert(d3 <= d1 + 1e-4, s"3 iterations worsened distortion: $d1 -> $d3")
+    assert(r3.count() == 4 * 8)
+  }
+
+  test("bruteForceL2TopK rank-1 is the true nearest by squared L2") {
+    val queries = corpus.filter(col("id") < 2)
+    val top = Similarity.bruteForceL2TopK(corpus, queries, "emb", "id", k = 1)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("dist2"))).toMap
+    val vecs = corpus.collect().map(r =>
+      r.getAs[Long]("id") -> r.getSeq[Double](r.fieldIndex("emb"))).toMap
+    for (q <- Seq(0L, 1L)) {
+      val best = vecs.filter(_._1 != q).map { case (i, v) =>
+        (i, v.zip(vecs(q)).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }.minBy { case (i, d) => (BigDecimal(d).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP), i) }
+      assert(top(q)._1 == best._1)
+      assert(math.abs(top(q)._2 - best._2) < 1e-5)
+    }
+  }
+
   test("ivfAppend equals a fresh full build over the same centroids") {
     val base = corpus.filter(col("id") % 3 =!= 0)
     val delta = corpus.filter(col("id") % 3 === 0)
