@@ -605,7 +605,7 @@ object SparkEntry {
     "q51_repetition" -> ((s, d) => {
       CorpusStats.repetitionSignals(load(s, d, "documents"),
           "text", "doc_id")
-        .orderBy("doc_id")
+        .transform(ordered1(_, col("doc_id")))
     }),
 
     // Corpus-relative rare-token quality stats (C4/Gopher-style filter

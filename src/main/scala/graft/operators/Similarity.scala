@@ -266,11 +266,19 @@ object Similarity {
       corpus.filter(col(idCol) < nlist)
         .select(col(idCol).as("cell"), asDouble(col(vecCol)).as("vec"),
           norm(col(vecCol)).as("nrm")))
-    val entries = nearestCells(corpus, cents, vecCol, idCol, "id", 1, roundTo)
+    IvfIndex(cents, assignToCells(corpus, cents, vecCol, idCol, roundTo))
+  }
+
+  /** The assignment half of [[buildIvfIndex]] / [[ivfAppend]] as a
+    * standalone batch operation: the `(id, vec, nrm, cell)` postings
+    * frame for `df` against a frozen `(cell, vec, nrm)` centroid frame.
+    * This is the unit a streaming ingest appends per micro-batch
+    * ([[graft.streaming.StreamingEtl.annIngest]]). */
+  def assignToCells(df: DataFrame, centroids: DataFrame, vecCol: String,
+      idCol: String, roundTo: Int = 6): DataFrame =
+    nearestCells(df, centroids, vecCol, idCol, "id", 1, roundTo)
       .select(col("id"), col("__v_id").as("vec"), col("__n_id").as("nrm"),
         col("__cent").as("cell"))
-    IvfIndex(cents, entries)
-  }
 
   /** Incremental index maintenance: assign ONLY the new vectors to the
     * existing (frozen) centroids and append their postings — the
@@ -284,13 +292,9 @@ object Similarity {
     * (cells absorbing a disproportionate share of appends) crosses the
     * line. */
   def ivfAppend(index: IvfIndex, newVecs: DataFrame, vecCol: String,
-      idCol: String, roundTo: Int = 6): IvfIndex = {
-    val appended = nearestCells(newVecs, index.centroids, vecCol, idCol,
-        "id", 1, roundTo)
-      .select(col("id"), col("__v_id").as("vec"), col("__n_id").as("nrm"),
-        col("__cent").as("cell"))
-    IvfIndex(index.centroids, index.entries.unionByName(appended))
-  }
+      idCol: String, roundTo: Int = 6): IvfIndex =
+    IvfIndex(index.centroids, index.entries.unionByName(
+      assignToCells(newVecs, index.centroids, vecCol, idCol, roundTo)))
 
   /** Search a prebuilt [[IvfIndex]]: each query probes its `nProbe`
     * nearest cells and is scored exactly against only those cells'

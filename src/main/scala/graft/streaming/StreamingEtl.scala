@@ -218,6 +218,36 @@ object StreamingEtl {
       }
       .start()
 
+  /** Continuous ANN index ingest: each micro-batch of embedding rows is
+    * assigned to the FROZEN broadcast centroids
+    * ([[graft.operators.Similarity.assignToCells]] — the
+    * `ivfAppend` unit) and lands as postings under the index root, so a
+    * growing vector corpus is searchable without ever re-scanning
+    * history (the batch-side argument at `Similarity.ivfAppend`, in
+    * streaming form).
+    *
+    * Exactly-once without an epoch-probe dance: each batch writes its
+    * postings to its OWN `epoch=<batchId>` subdirectory with
+    * mode=overwrite. Spark reuses batchIds on replay, so a crashed
+    * attempt's partial/complete output is simply overwritten by the
+    * redelivered batch — append-only at the index level, idempotent at
+    * the epoch level. Readers load the root (`spark.read.parquet(root)`
+    * discovers the epoch partition column; drop it to get a plain
+    * entries frame for [[graft.operators.Similarity.ivfSearch]]). */
+  def annIngest(stream: DataFrame, indexPath: String, centroids: DataFrame,
+      vecCol: String, idCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Similarity
+          .assignToCells(batch.toDF(), centroids, vecCol, idCol)
+          .write.mode("overwrite").parquet(s"$indexPath/epoch=$batchId")
+        ()
+      }
+      .start()
+
   private def readIndexOrEmpty(spark: SparkSession, path: String,
       like: DataFrame, idCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)

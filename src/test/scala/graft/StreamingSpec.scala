@@ -322,4 +322,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(idx.select("doc_id").distinct().collect().map(_.getLong(0)).toSet ==
       Set(20L, 22L, 23L), "index must hold exactly the admitted ids")
   }
+
+  test("annIngest: streamed postings equal the batch IVF build; epoch replay is idempotent") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ann_ingest").toString
+    def vec(seed: Int): Seq[Double] =
+      (0 until 6).map(j => math.sin(seed * 7 + j * 3 + 1) * (1 + j % 2))
+    val all = (0 until 30).map(i => (i.toLong, vec(i)))
+    val corpus = all.toDF("id", "emb")
+    val cents = Similarity.buildIvfIndex(corpus, "emb", "id", nlist = 4).centroids
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = StreamingEtl.annIngest(in.toDF().toDF("id", "emb"),
+      s"$dir/index", cents, "emb", "id", s"$dir/ckpt")
+    in.addData(all.take(10): _*)
+    q.processAllAvailable()
+    in.addData(all.drop(10): _*)
+    q.processAllAvailable()
+    q.stop()
+    def postings(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = postings(spark.read.parquet(s"$dir/index"))
+    val batch = postings(
+      Similarity.buildIvfIndex(corpus, "emb", "id", nlist = 4,
+        centroids = Some(cents)).entries)
+    assert(streamed == batch)
+    assert(streamed.size == 30)
+    // Replay of a reused batchId: the epoch directory is overwritten, so
+    // a redelivered first batch leaves the index unchanged.
+    Similarity.assignToCells(all.take(10).toDF("id", "emb"), cents, "emb", "id")
+      .write.mode("overwrite").parquet(s"$dir/index/epoch=0")
+    assert(spark.read.parquet(s"$dir/index").count() == 30)
+    assert(postings(spark.read.parquet(s"$dir/index")) == batch)
+  }
 }
