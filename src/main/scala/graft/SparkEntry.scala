@@ -1569,6 +1569,15 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id")))
     }),
 
+    // T5-style span corruption: deterministic hash-chosen spans masked
+    // with <extra_id_k> sentinels, (input, target) denoising pairs
+    // regenerable from the recipe on any engine.
+    "q152_span_corruption" -> ((s, d) => {
+      graft.operators.Packing.spanCorruption(parallel(load(s, d, "documents")),
+          "text", "doc_id", spanLen = 3, corruptEvery = 5)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
     // KMV distinct-cardinality sketch: per-source approximate distinct
     // token count via the k-minimum-values estimator (bounded-state
     // custom aggregate — the 100 TB substitute for count(distinct)).
@@ -3734,6 +3743,32 @@ object SparkEntry {
         |FROM exact e2 LEFT JOIN approx a2
         |  ON e2.query_id = a2.query_id AND e2.neighbor_id = a2.neighbor_id
         |GROUP BY e2.query_id ORDER BY e2.query_id""".stripMargin,
+
+    "q152_span_corruption" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp0 AS (SELECT doc_id, t,
+        |    CAST(unnest(range(CAST(ceil(len(t) / 3.0) AS BIGINT))) AS INT) AS si
+        |  FROM d),
+        |sp AS (SELECT doc_id, si,
+        |    t[(si * 3 + 1):(si * 3 + 3)] AS span,
+        |    ((doc_id * 2654435761 + si) % 5) = 0 AS masked
+        |  FROM sp0),
+        |mk AS (SELECT doc_id, si, span, masked,
+        |    SUM(CASE WHEN masked THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        |      ORDER BY si ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS k
+        |  FROM sp),
+        |pc AS (SELECT doc_id, si, masked,
+        |    CASE WHEN masked THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+        |         ELSE array_to_string(span, ' ') END AS piece,
+        |    CASE WHEN masked
+        |         THEN '<extra_id_' || CAST(k AS VARCHAR) || '> ' || array_to_string(span, ' ')
+        |    END AS tgt
+        |  FROM mk)
+        |SELECT doc_id,
+        |  string_agg(piece, ' ' ORDER BY si) AS input_text,
+        |  COALESCE(string_agg(tgt, ' ' ORDER BY si), '') AS target_text,
+        |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q130_kmv_distinct" ->
       s"""WITH tok AS (SELECT source,

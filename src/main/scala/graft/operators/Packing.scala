@@ -26,6 +26,55 @@ object Packing {
     * should instead use the [[Relational.groupedRowNumber]] pattern
     * (range partition + broadcast per-partition prefix sums) with the
     * running token sum as the rank payload. */
+  /** T5-style span-corruption pair construction (Raffel et al., JMLR
+    * 2020 §3.1.4): cut each document's token stream into consecutive
+    * `spanLen`-token spans, mask a deterministic 1/`corruptEvery` of
+    * them, and emit the denoising training pair — `input_text` with each
+    * masked span replaced by its `<extra_id_k>` sentinel, `target_text`
+    * holding the sentinels with the dropped tokens. The "random" span
+    * choice is the same Knuth multiplicative hash the split/sample
+    * operators use (`(id·2654435761 + span_i) % corruptEvery == 0`), so
+    * the corpus regenerates bit-identically on any engine — objective
+    * data you can re-derive from a recipe instead of storing.
+    *
+    * Scale shape: explode to span rows (narrow: one span's tokens per
+    * row), ONE window per document for the running sentinel index, one
+    * ordered reassembly aggregation — the q84 span-election shape; no
+    * cross-document state anywhere. */
+  def spanCorruption(docs: DataFrame, textCol: String, idCol: String,
+      spanLen: Int = 3, corruptEvery: Int = 5): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be positive: $spanLen")
+    require(corruptEvery >= 2, s"corruptEvery must leave uncorrupted spans: $corruptEvery")
+    val toks = split(col(textCol), " ")
+    val nSpans = ceil(size(toks).cast("double") / spanLen).cast("int")
+    val spans = docs
+      .select(col(idCol), toks.as("__t"), nSpans.as("__n"))
+      .withColumn("__si", explode(sequence(lit(0), col("__n") - 1)))
+      .select(col(idCol), col("__si"),
+        slice(col("__t"), col("__si") * spanLen + 1, lit(spanLen)).as("__span"),
+        (pmod(col(idCol).cast("long") * lit(2654435761L) + col("__si"),
+          lit(corruptEvery.toLong)) === 0).as("__masked"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__si")).rowsBetween(Window.unboundedPreceding, 0)
+    val marked = spans
+      .withColumn("__k",
+        sum(when(col("__masked"), 1L).otherwise(0L)).over(w) - 1)
+      .withColumn("__piece", when(col("__masked"),
+          concat(lit("<extra_id_"), col("__k").cast("string"), lit(">")))
+        .otherwise(array_join(col("__span"), " ")))
+      .withColumn("__tgt", when(col("__masked"),
+        concat(lit("<extra_id_"), col("__k").cast("string"), lit("> "),
+          array_join(col("__span"), " "))))
+    marked.groupBy(col(idCol)).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("__si"), col("__piece")))),
+        e => e("__piece")), " ").as("input_text"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("__si"), col("__tgt")))),
+        e => e("__tgt")), " ").as("target_text"),
+      sum(when(col("__masked"), 1L).otherwise(0L)).as("n_masked"))
+  }
+
   def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
       shardCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")

@@ -57,4 +57,48 @@ class PackingSpec extends AnyFunSuite {
       Packing.packSequences(docs, "doc_id", "n_tokens", "shard", 0L)
     }
   }
+
+  test("spanCorruption pairs are invertible: substituting targets back reconstructs the text") {
+    val texts = (0 until 25).map(i =>
+      (i.toLong, (1 to (5 + i)).map(t => s"w${i}_$t").mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val out = Packing.spanCorruption(docs, "text", "doc_id",
+      spanLen = 3, corruptEvery = 5).collect()
+    assert(out.length == 25)
+    val orig = texts.toMap
+    var totalMasked = 0L
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val input = r.getAs[String]("input_text")
+      val target = r.getAs[String]("target_text")
+      val n = r.getAs[Long]("n_masked")
+      totalMasked += n
+      assert("<extra_id_".r.findAllIn(input).size == n)
+      // target = "<extra_id_0> tok tok <extra_id_1> tok ..."; split it
+      // back into (sentinel -> span) and substitute into the input.
+      var rebuilt = input
+      if (n > 0) {
+        val parts = target.split("(?=<extra_id_)").filter(_.nonEmpty)
+        assert(parts.length == n)
+        parts.foreach { p =>
+          val sentinel = p.substring(0, p.indexOf('>') + 1)
+          val span = p.substring(p.indexOf('>') + 1).trim
+          rebuilt = rebuilt.replace(sentinel, span)
+        }
+      }
+      assert(rebuilt == orig(id), s"doc $id failed to reconstruct")
+    }
+    // the deterministic hash masks a nontrivial share of spans overall
+    assert(totalMasked > 0)
+  }
+
+  test("spanCorruption rejects degenerate parameters") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.spanCorruption(docs, "text", "doc_id", spanLen = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.spanCorruption(docs, "text", "doc_id", corruptEvery = 1)
+    }
+  }
 }
