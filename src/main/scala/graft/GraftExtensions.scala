@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{CountInSet, DotProduct, MinGramMd5}
+import graft.expressions.{CdcChunks, CountInSet, DotProduct, KMinDistinct, KMinDistinctMerge, MinGramMd5, MisraGries, NfcNormalize, TokenTf}
 
 /** Session extension wiring: exposes graft's native Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works
@@ -76,6 +76,58 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // .contaminatedIdsBloom]]) — and any SQL user — can use the engine's
     // own sketch instead of a UDF. The aggregate builder returns the
     // AggregateFunction; the analyzer wraps it in an AggregateExpression.
+    // Round-9 additions: every remaining native expression becomes SQL-
+    // callable with the same expression-builder (not UDF) injection, so
+    // the SQL path codegens identically to the Column-API path.
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_tf"),
+      new ExpressionInfo(classOf[TokenTf].getName, "graft_token_tf"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_token_tf(text)")
+        TokenTf(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_nfc(text)")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_cdc_chunks(text, window, maskHexZeros)")
+        CdcChunks(children.head, intLit(children(1), "window"),
+          intLit(children(2), "maskHexZeros"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KMinDistinct].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_kmv(x, k)")
+        KMinDistinct(children.head, intLit(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kmv_merge"),
+      new ExpressionInfo(classOf[KMinDistinctMerge].getName, "graft_kmv_merge"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_kmv_merge(mins, k)")
+        KMinDistinctMerge(children.head, intLit(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "graft_misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "graft_misra_gries(x, k)")
+        MisraGries(children.head, intLit(children(1), "k"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),

@@ -105,4 +105,34 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |""".stripMargin).collect().head
     assert(out.getBoolean(0) && out.getBoolean(1))
   }
+
+  test("round-9 expressions are SQL-callable and agree with their Column-API forms") {
+    // graft_token_tf: per-document term-frequency map
+    val tf = spark.sql("SELECT graft_token_tf('a b a c b a') AS m")
+      .collect().head.getMap[String, Int](0)
+    assert(tf == Map("a" -> 3, "b" -> 2, "c" -> 1))
+    // graft_nfc: decomposed e + combining acute normalizes to é
+    val nfc = spark.sql("SELECT graft_nfc('é') AS s").collect().head.getString(0)
+    assert(nfc == "é")
+    // graft_cdc_chunks: deterministic, concatenation of chunks = input
+    val chunks = spark.sql("SELECT graft_cdc_chunks('the quick brown fox jumps over the lazy dog', 8, 2) AS c")
+      .collect().head.getSeq[String](0)
+    assert(chunks.mkString("") == "the quick brown fox jumps over the lazy dog")
+    // graft_kmv + graft_kmv_merge: sketch of a split stream merges to the
+    // whole-stream sketch (the k-minima union law)
+    val kmv = spark.sql(
+      """WITH s(x, half) AS (VALUES ('a', 0), ('b', 0), ('c', 1), ('d', 1), ('a', 1)),
+        |whole AS (SELECT graft_kmv(x, 3) AS mins FROM s),
+        |parts AS (SELECT graft_kmv(x, 3) AS mins FROM s GROUP BY half),
+        |merged AS (SELECT graft_kmv_merge(mins, 3) AS mins FROM parts)
+        |SELECT (SELECT mins FROM whole) = (SELECT mins FROM merged) AS same
+        |""".stripMargin).collect().head.getBoolean(0)
+    assert(kmv)
+    // graft_misra_gries: the heavy key survives the k-bounded summary
+    val mg = spark.sql(
+      """WITH s(x) AS (VALUES ('hot'),('hot'),('hot'),('hot'),('a'),('b'),('c'))
+        |SELECT graft_misra_gries(x, 2) AS cand FROM s""".stripMargin)
+      .collect().head.getSeq[String](0)
+    assert(mg.contains("hot"))
+  }
 }
