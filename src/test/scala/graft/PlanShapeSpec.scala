@@ -301,4 +301,45 @@ class PlanShapeSpec extends AnyFunSuite {
       .count()
     assert(joins(plan) == 1)
   }
+
+  private def vecs = (0 until 16).map(i =>
+    (i.toLong, (0 until 8).map(j => math.sin(i * 7 + j) * 2), i % 2))
+    .toDF("id", "emb", "label")
+
+  test("int8Audit is a single-scan single-aggregation: no join, no explode") {
+    val plan = graft.operators.Quantization.int8Audit(vecs, "emb", "id", "label")
+    assert(joins(plan) == 0, "reconstruction audit must not rejoin the corpus")
+    assert(generates(plan) == 0, "per-row dot-product folds, no explode")
+  }
+
+  test("pqAssign broadcasts the codebook and partial-aggregates the argmin before the exchange") {
+    val cb = graft.operators.Quantization.pqCodebook(vecs, "emb", "id", m = 4, ksub = 4)
+    val plan = graft.operators.Quantization.pqAssign(vecs, "emb", "id", cb, m = 4)
+    plan.collect()
+    val phys = plan.queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"),
+      "codebook must broadcast, never shuffle the corpus for scoring")
+    assert(!phys.contains("SortMergeJoin"))
+    // min(struct) argmin = hash aggregate with a map-side partial: the
+    // xksub scored fan-out must collapse BEFORE the exchange (a window
+    // rank-1 would sort-shuffle every scored row instead)
+    assert(phys.contains("partial_min"),
+      "argmin must be a partial-aggregating hash agg, not a window")
+    assert(plan.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }.isEmpty)
+  }
+
+  test("pqSearchAdc prunes the vectors: only (id, subspace, code) reach the distance-table join") {
+    val cb = graft.operators.Quantization.pqCodebook(vecs, "emb", "id", m = 4, ksub = 4)
+    val codes = graft.operators.Quantization.pqAssign(vecs, "emb", "id", cb, m = 4)
+      .select("id", "subspace", "code")
+    val plan = graft.operators.Quantization.pqSearchAdc(
+      codes, cb, vecs.filter(org.apache.spark.sql.functions.col("id") < 2),
+      "emb", "id", m = 4, k = 3)
+    // the ADC sum is decimal-quantized per component: a raw double SUM
+    // over the per-subspace components would be partition-order-dependent
+    val agg = plan.queryExecution.optimizedPlan.toString
+    assert(agg.contains("sum"), "ADC total must aggregate components")
+    assert(joins(plan) <= 3, s"ADC search grew unexpected joins:\n$agg")
+  }
 }
