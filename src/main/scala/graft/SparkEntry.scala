@@ -1578,6 +1578,15 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
+    // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
+    // Pure projection — no explode, no window, no join.
+    "q153_mlm_mask" -> ((s, d) => {
+      graft.operators.Packing.mlmMask(parallel(load(s, d, "documents")),
+          "text", "doc_id")
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
     // KMV distinct-cardinality sketch: per-source approximate distinct
     // token count via the k-minimum-values estimator (bounded-state
     // custom aggregate — the 100 TB substitute for count(distinct)).
@@ -3769,6 +3778,28 @@ object SparkEntry {
         |  COALESCE(string_agg(tgt, ' ' ORDER BY si), '') AS target_text,
         |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q153_mlm_mask" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |m AS (SELECT doc_id, t, len(t) AS n, range(len(t)) AS idx FROM d)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(idx, i -> CASE
+        |    WHEN ((doc_id * 2654435761 + i) % 20) >= 3 THEN t[CAST(i AS INT) + 1]
+        |    WHEN ((doc_id * 40503 + i) % 10) < 8 THEN '[MASK]'
+        |    WHEN ((doc_id * 40503 + i) % 10) = 8
+        |      THEN t[CAST((doc_id * 97 + i * 31) % n AS INT) + 1]
+        |    ELSE t[CAST(i AS INT) + 1] END), ' ') AS input_text,
+        |  COALESCE(array_to_string(list_filter(list_transform(idx, i -> CASE
+        |    WHEN ((doc_id * 2654435761 + i) % 20) < 3
+        |      THEN CAST(i AS VARCHAR) || ':' || t[CAST(i AS INT) + 1]
+        |    END), p -> p IS NOT NULL), ' '), '') AS labels,
+        |  CAST(len(list_filter(idx, i -> ((doc_id * 2654435761 + i) % 20) < 3
+        |    AND ((doc_id * 40503 + i) % 10) < 8)) AS BIGINT) AS n_masked,
+        |  CAST(len(list_filter(idx, i -> ((doc_id * 2654435761 + i) % 20) < 3
+        |    AND ((doc_id * 40503 + i) % 10) = 8)) AS BIGINT) AS n_random,
+        |  CAST(len(list_filter(idx, i -> ((doc_id * 2654435761 + i) % 20) < 3
+        |    AND ((doc_id * 40503 + i) % 10) = 9)) AS BIGINT) AS n_kept
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q130_kmv_distinct" ->
       s"""WITH tok AS (SELECT source,

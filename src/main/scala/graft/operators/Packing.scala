@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,6 +73,48 @@ object Packing {
         array_sort(collect_list(struct(col("__si"), col("__tgt")))),
         e => e("__tgt")), " ").as("target_text"),
       sum(when(col("__masked"), 1L).otherwise(0L)).as("n_masked"))
+  }
+
+  /** BERT-style MLM masking (Devlin et al. 2019 §3.1): select a
+    * deterministic ~15% of token positions (3/20 via the shared
+    * multiplicative hash); of the selected, 80% become `[MASK]`, 10% are
+    * replaced by another token of the SAME document (position-hash draw
+    * — corpus-vocab draws need a broadcast vocab index; the doc-local
+    * draw keeps the operator a pure projection, the scale property this
+    * implementation optimizes for), 10% keep the original token.
+    * `labels` records `pos:original` for every selected position — the
+    * prediction targets.
+    *
+    * Scale shape: NO explode, NO window, no join — every output column
+    * is a higher-order-function fold over the token array inside one
+    * projection, so the operator is embarrassingly parallel and stays in
+    * whole-stage codegen. Deterministic on any engine (integer hash
+    * arithmetic only), so masked corpora regenerate from the recipe. */
+  def mlmMask(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val id = col(idCol).cast("long")
+    def sel(i: Column) = pmod(id * lit(2654435761L) + i, lit(20L)) < 3
+    def cls(i: Column) = pmod(id * lit(40503L) + i, lit(10L))
+    def rep(i: Column) =
+      element_at(col("__t"), (pmod(id * lit(97L) + i * 31, col("__n").cast("long")) + 1).cast("int"))
+    docs
+      .select(col(idCol), toks.as("__t"), n.as("__n"))
+      .select(col(idCol),
+        array_join(transform(col("__t"), (x, i) =>
+          when(!sel(i), x)
+            .when(cls(i) < 8, lit("[MASK]"))
+            .when(cls(i) === 8, rep(i))
+            .otherwise(x)), " ").as("input_text"),
+        array_join(filter(transform(col("__t"), (x, i) =>
+          when(sel(i), concat(i.cast("string"), lit(":"), x))),
+          p => p.isNotNull), " ").as("labels"),
+        size(filter(sequence(lit(0), col("__n") - 1), i =>
+          sel(i) && cls(i) < 8)).cast("long").as("n_masked"),
+        size(filter(sequence(lit(0), col("__n") - 1), i =>
+          sel(i) && cls(i) === 8)).cast("long").as("n_random"),
+        size(filter(sequence(lit(0), col("__n") - 1), i =>
+          sel(i) && cls(i) === 9)).cast("long").as("n_kept"))
   }
 
   def packSequences(docs: DataFrame, idCol: String, tokensCol: String,

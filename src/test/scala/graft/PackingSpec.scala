@@ -92,6 +92,46 @@ class PackingSpec extends AnyFunSuite {
     assert(totalMasked > 0)
   }
 
+  test("mlmMask: token-count preserved, labels align with changed positions, pure projection") {
+    val texts = (0 until 40).map(i =>
+      (i.toLong, (1 to (10 + i)).map(t => s"tok${i}_$t").mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val plan = Packing.mlmMask(docs, "text", "doc_id")
+    // the scale contract: a pure projection — no explode, no window, no join
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, Window => LW}
+    val opt = plan.queryExecution.optimizedPlan
+    assert(opt.collect { case g: Generate => g }.isEmpty)
+    assert(opt.collect { case j: Join => j }.isEmpty)
+    assert(opt.collect { case w: LW => w }.isEmpty)
+    val orig = texts.toMap
+    var selected = 0L; var tokens = 0L
+    plan.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val in = r.getAs[String]("input_text").split(" ")
+      val ot = orig(id).split(" ")
+      assert(in.length == ot.length, s"doc $id changed token count")
+      tokens += ot.length
+      val labels = r.getAs[String]("labels")
+      val labelPos = if (labels.isEmpty) Set.empty[Int]
+        else labels.split(" ").map { p =>
+          val Array(pos, tok) = p.split(":", 2)
+          assert(ot(pos.toInt) == tok, s"label records wrong original at $pos")
+          pos.toInt
+        }.toSet
+      selected += labelPos.size
+      // every changed position must be a selected one (keep-class
+      // positions are selected but unchanged)
+      in.zip(ot).zipWithIndex.foreach { case ((a, b), i) =>
+        if (a != b) assert(labelPos.contains(i), s"doc $id pos $i changed unselected")
+      }
+      assert(r.getAs[Long]("n_masked") + r.getAs[Long]("n_random") +
+        r.getAs[Long]("n_kept") == labelPos.size)
+      assert(in.count(_ == "[MASK]") == r.getAs[Long]("n_masked"))
+    }
+    val rate = selected.toDouble / tokens
+    assert(rate > 0.10 && rate < 0.20, s"selection rate $rate outside ~15% band")
+  }
+
   test("spanCorruption rejects degenerate parameters") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
