@@ -1742,6 +1742,23 @@ object SparkEntry {
         .transform(ordered1(_, col("file")))
     }),
 
+    // IVF index on DISK in the cell-partitioned layout: build, compact
+    // to cell=<id> directories, read back, search — answers must equal
+    // the in-memory q41 exactly (same oracle), while the storage layout
+    // lets a probe-bounded search read only its cells' directories.
+    // Fixed work dir for the same reason as q142.
+    "q154_ivf_partitioned" -> ((s, d) => {
+      val dir = "/tmp/graft_q154_ivfidx/t"
+      val emb = load(s, d, "embeddings")
+      val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
+      Maintenance.compactIvfIndex(s, idx.entries, dir)
+      Similarity.ivfSearch(
+          Similarity.IvfIndex(idx.centroids, s.read.parquet(dir)),
+          emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+          k = 3, nProbe = 2)
+        .transform(ordered1(_, col("query_id"), col("rank")))
+    }),
+
     // PSI drift monitor: reference-quantile bins (order-statistics
     // edges, no global window), both snapshots counted in, per-bin
     // (p−q)·ln(p/q) terms — the production feature-drift gate.
@@ -3552,6 +3569,30 @@ object SparkEntry {
          |ORDER BY vec_id_a, vec_id_b""".stripMargin,
 
     "q41_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent, v AS cv, n AS cn FROM e WHERE vec_id < 8),
+        |assign AS (SELECT vec_id, v, n, cent,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY ROUND(list_dot_product(v, cv) / (n * cn), 6) DESC, cent) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id AS neighbor_id, v AS nv, n AS nn, cent
+        |  FROM assign WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, v AS qv, n AS qn, cent
+        |  FROM assign WHERE vec_id < 5 AND rn <= 2),
+        |scored AS (SELECT DISTINCT query_id, neighbor_id,
+        |    ROUND(list_dot_product(qv, nv) / (qn * nn), 6) AS cosine
+        |  FROM cells JOIN probes USING (cent) WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
+        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // identical program to q41 — the Spark side answers from the DISK
+    // cell-partitioned index, which must change nothing about the answer
+    "q154_ivf_partitioned" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS n
         |  FROM embeddings),

@@ -33,6 +33,26 @@ object Maintenance {
     nFiles
   }
 
+  /** Compact an [[graft.streaming.StreamingEtl.annIngest]] epoch tree (or
+    * any flat entries frame) into the CELL-PARTITIONED index layout:
+    * `out/cell=<id>/part-*.parquet`, one write partition per cell
+    * (`repartition(cell)` before `partitionBy` — the q129 lesson: without
+    * it every task writes a file into every cell directory and the file
+    * count explodes tasks×cells). This layout is what makes an IVF index
+    * WORTH being on disk at 100 TB: a search that probes `nProbe` of
+    * `nlist` cells reads only those cells' directories — partition
+    * pruning does the inverted-file part of "inverted file index" at the
+    * storage layer, instead of scanning all postings and filtering.
+    * Readers: `spark.read.parquet(out)` rediscovers `cell` as a
+    * partition column; hand the frame to
+    * [[graft.operators.Similarity.ivfSearch]] as `IvfIndex.entries`. */
+  def compactIvfIndex(spark: SparkSession, entries: DataFrame,
+      outPath: String): Unit =
+    entries
+      .repartition(col("cell"))
+      .write.mode("overwrite")
+      .partitionBy("cell").parquet(outPath)
+
   /** Partition-level retention for a `col=value`-partitioned layout:
     * drops every partition directory whose string value sorts strictly
     * below `cutoff` (ISO dates sort correctly as strings). Pure metadata

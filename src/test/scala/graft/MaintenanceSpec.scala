@@ -61,6 +61,40 @@ class MaintenanceSpec extends AnyFunSuite {
       == (0L until 10000L))
   }
 
+  test("compactIvfIndex: cell-partitioned layout, pruned cell reads, identical search answers") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString + "/t"
+    def vec(seed: Int): Seq[Double] =
+      (0 until 6).map(j => math.sin(seed * 7 + j * 3 + 1) * (1 + j % 2))
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "emb")
+    val queries = corpus.filter(col("id") < 3)
+    val idx = Similarity.buildIvfIndex(corpus, "emb", "id", nlist = 4)
+    Maintenance.compactIvfIndex(spark, idx.entries, dir)
+    // one directory per non-empty cell, exactly one data file per cell
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 4)
+    cellDirs.foreach { cd =>
+      assert(cd.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${cd.getName}: repartition(cell) must yield one file per cell")
+    }
+    val disk = spark.read.parquet(dir)
+    // a cell-restricted read prunes at the PARTITION level (the scan's
+    // file index filters directories, no data files of other cells open)
+    val oneCell = disk.filter(col("cell") === cellDirs.head.getName.stripPrefix("cell=").toInt)
+    val scanStr = oneCell.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters: [isnotnull(cell"),
+      s"expected a partition filter on cell, got:\n$scanStr")
+    // and the search answers are byte-identical to the in-memory index
+    val mem = Similarity.ivfSearch(idx, queries, "emb", "id", k = 5, nProbe = 2)
+      .collect().map(_.toString).sorted
+    val viaDisk = Similarity.ivfSearch(Similarity.IvfIndex(idx.centroids, disk),
+        queries, "emb", "id", k = 5, nProbe = 2)
+      .collect().map(_.toString).sorted
+    assert(mem.sameElements(viaDisk))
+  }
+
   test("dropPartitionsBefore removes only older partitions, metadata-only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ret").toString + "/t"
