@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Quantization, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, Graph, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Quantization, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1759,6 +1759,17 @@ object SparkEntry {
         .transform(ordered1(_, col("query_id"), col("rank")))
     }),
 
+    // Weighted PageRank over the event-type transition graph, 3 exact
+    // iterations with uniform dangling redistribution — the iterative-
+    // analytics shape (join + agg per step, checkpointed node frame,
+    // decimal-quantized messages) the oracle replays unrolled.
+    "q155_pagerank" -> ((s, d) => {
+      val edges = Sessionize.transitionMatrix(load(s, d, "events"),
+        "user_id", "ts", "event_type", tiebreakCol = "event_id")
+      Graph.pageRank(edges, "from_type", "to_type", "n", iterations = 3)
+        .transform(ordered1(_, col("node")))
+    }),
+
     // PSI drift monitor: reference-quantile bins (order-statistics
     // edges, no global window), both snapshots counted in, per-bin
     // (p−q)·ln(p/q) terms — the production feature-drift gate.
@@ -1903,6 +1914,25 @@ object SparkEntry {
     val a = s"(2 * $s + $n)"
     val b = s"(2 * $n)"
     s"CASE WHEN $n > 0 THEN CAST(($a - ((($a % $b) + $b) % $b)) // $b AS DOUBLE) / $pow.0 ELSE NULL END"
+  }
+
+  /** One unrolled PageRank iteration (the q155 oracle): mirrors
+    * `Graph.pageRank`'s decimal-quantized contribution sums, dangling
+    * redistribution, and 12-dp per-iteration rounding. Assumes CTEs
+    * `t(src, dst, p)`, `nodes(node)`, `nc(nn)`, and `r${i-1}` exist. */
+  private def prIterSql(i: Int): String = {
+    val prev = s"r${i - 1}"
+    // exact unscaled-integer sums with ONE double conversion + ONE
+    // division, mirroring Graph.pageRank's quantized reductions
+    def usum(x: String) =
+      s"CAST(SUM(CAST(CAST($x AS DECIMAL(18,12)) * 1000000000000 AS HUGEINT)) AS DOUBLE) / 1000000000000.0"
+    s"""c$i AS (SELECT t.dst AS node, ${usum(s"$prev.rank * t.p")} AS contrib
+       |  FROM t JOIN $prev ON t.src = $prev.node GROUP BY t.dst),
+       |d$i AS (SELECT COALESCE(${usum("rank")}, 0.0) AS dsum
+       |  FROM $prev WHERE node NOT IN (SELECT src FROM t)),
+       |r$i AS (SELECT n.node, ROUND((1.0 - 0.85) / (SELECT nn FROM nc) +
+       |    0.85 * (COALESCE(c$i.contrib, 0.0) + (SELECT dsum FROM d$i) / (SELECT nn FROM nc)), 12) AS rank
+       |  FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)""".stripMargin
   }
 
   private def profileColSql(table: String, c: String, kind: String, k: Int,
@@ -3589,6 +3619,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q155_pagerank" ->
+      s"""WITH pr AS (SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts ASC, event_id ASC) AS dst
+         |  FROM events),
+         |e AS (SELECT src, dst, count(*) AS n FROM pr
+         |  WHERE dst IS NOT NULL GROUP BY src, dst),
+         |t AS (SELECT src, dst,
+         |    CAST(n AS DOUBLE) / sum(CAST(n AS DOUBLE)) OVER (PARTITION BY src) AS p
+         |  FROM e),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+         |r0 AS (SELECT node, 1.0 / (SELECT nn FROM nc) AS rank FROM nodes),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)}
+         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin,
 
     // identical program to q41 — the Spark side answers from the DISK
     // cell-partitioned index, which must change nothing about the answer

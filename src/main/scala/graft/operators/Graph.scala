@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Decimals
+
+/** Iterative graph analytics over edge-list DataFrames. The shape every
+  * iteration shares: ranks live in a tiny per-node frame, each step is
+  * one join of the (large, static) edge list against it plus one
+  * aggregation, and the refreshed frame is `localCheckpoint`ed so the
+  * plan stays O(1) deep across iterations (the
+  * [[Similarity.kmeansCentroids]] / [[TextDedup]] pointer-jump
+  * discipline — without it the analyzer cost and recovery lineage grow
+  * linearly and every action replays all prior steps).
+  *
+  * Determinism: per-edge contributions are IEEE-double, but every
+  * cross-row reduction is decimal-quantized ([[Decimals.unscaledLong]]
+  * at 1e-12) and each iteration's ranks are rounded back to 12 dp — so
+  * the fixpoint trajectory is bit-identical on any engine, and a SQL
+  * oracle replays the whole iteration unrolled. */
+object Graph {
+
+  /** Weighted PageRank (Brin/Page 1998) with uniform dangling-mass
+    * redistribution: per iteration
+    * `rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/wout(u) + dm)`
+    * where `dm` is the rank mass parked on nodes with no out-edges,
+    * spread uniformly. `edges` is `(src, dst, w)`; returns
+    * `(node, rank)` after `iterations` steps from the uniform start.
+    *
+    * Scale shape: the edge list is joined (never shuffled wider than its
+    * own (src) partitioning — `wout` is pre-joined ONCE before the
+    * loop), contributions collapse through a map-side-partial hash
+    * aggregation per iteration, and the node frame — the only thing that
+    * iterates — is |V| rows. The dangling term and N are 1-row broadcast
+    * crossJoins, never driver-side scalars. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iterations: Int = 3, damping: Double = 0.85,
+      roundTo: Int = 12): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1: $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val nCount = nodes.agg(count(lit(1)).as("nn"))
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // static per-edge transition weight, built once outside the loop
+    val trans = e.join(outw, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))
+      .localCheckpoint()
+    val srcs = trans.select(col("src").as("node")).distinct().localCheckpoint()
+    var ranks = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("nn").cast("double")).as("rank"))
+      .localCheckpoint()
+    // exact integer sum at 1e-12, ONE double conversion, ONE IEEE
+    // division — NOT Decimals.fromUnscaled: its in-decimal division
+    // picks up Spark's precision-loss result scale (6) above scale 6
+    // and would silently truncate the ranks (the dmean lesson). The
+    // unscaled total is ≤ ~1e12 (total rank mass ≈ 1), double-exact.
+    val pow = math.pow(10, roundTo)
+    val dec = (c: org.apache.spark.sql.Column) =>
+      sum(Decimals.unscaledLong(c, roundTo)).cast("double") / lit(pow)
+    for (_ <- 1 to iterations) {
+      val contribs = trans.join(ranks, trans("src") === ranks("node"))
+        .groupBy(col("dst")).agg(dec(col("rank") * col("p")).as("contrib"))
+      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(dec(col("rank")), lit(0.0)).as("__dsum"))
+      val next = ranks.select(col("node"))
+        .join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .crossJoin(broadcast(nCount))
+        .select(col("node"), round(
+          lit(1.0 - damping) / col("nn").cast("double") +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("__dsum") / col("nn").cast("double")), roundTo).as("rank"))
+        .localCheckpoint()
+      val superseded = OpsUtil.ckptRdds(ranks)
+      ranks = next
+      superseded.foreach(_.unpersist(blocking = false))
+    }
+    ranks
+  }
+}
