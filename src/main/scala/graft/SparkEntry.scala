@@ -1770,6 +1770,21 @@ object SparkEntry {
         .transform(ordered1(_, col("node")))
     }),
 
+    // Triangle counts + clustering coefficients over the co-purchase
+    // graph (part pairs sharing >= 2 orders): once-only path-join
+    // enumeration behind the maxDegree wedge-bomb guard.
+    "q156_triangles" -> ((s, d) => {
+      val it = load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val edges = it.alias("a").join(it.alias("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      Graph.triangleStats(edges, "x", "y")
+        .transform(ordered1(_, col("node")))
+    }),
+
     // PSI drift monitor: reference-quantile bins (order-statistics
     // edges, no global window), both snapshots counted in, per-bin
     // (p−q)·ln(p/q) terms — the production feature-drift gate.
@@ -3619,6 +3634,29 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank
         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q156_triangles" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM it a JOIN it b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY node),
+        |tri AS (SELECT e1.x AS na, e1.y AS nb, e2.y AS nc
+        |  FROM e e1 JOIN e e2 ON e1.y = e2.x
+        |  JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+        |  (SELECT na AS node FROM tri UNION ALL SELECT nb FROM tri
+        |   UNION ALL SELECT nc FROM tri) GROUP BY node)
+        |SELECT deg.node, deg.degree,
+        |  COALESCE(pn.n_triangles, 0) AS n_triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    ROUND(CAST(COALESCE(pn.n_triangles, 0) * 2 AS DOUBLE)
+        |      / CAST(deg.degree * (deg.degree - 1) AS DOUBLE), 6)
+        |  END AS clustering
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |ORDER BY deg.node""".stripMargin,
 
     "q155_pagerank" ->
       s"""WITH pr AS (SELECT event_type AS src,

@@ -34,6 +34,54 @@ object Graph {
     * aggregation per iteration, and the node frame — the only thing that
     * iterates — is |V| rows. The dangling term and N are 1-row broadcast
     * crossJoins, never driver-side scalars. */
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected graph. Edges are canonicalized to `a < b`; a triangle
+    * `{a<b<c}` is enumerated exactly once as the path join
+    * `e(a,b) ⋈ e(b,c) ⋈ e(a,c)` — the standard distributed triangle
+    * enumeration, whose cost is Σ wedges. Because wedges grow with
+    * degree SQUARED, a hub node quietly turns the join into a bomb, so
+    * the edge stream is gated through a `maxDegree` fail-fast check
+    * (the maxCell/maxBlock idiom): the job dies naming the offending
+    * degree instead of materializing a hub's wedge explosion.
+    * Output: `(node, degree, n_triangles, clustering)` for every node,
+    * clustering = 2T/(d(d−1)) rounded to 6 (NULL for degree < 2). */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDegree: Int = 10000): DataFrame = {
+    require(maxDegree >= 1, s"maxDegree must be positive: $maxDegree")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .withColumn("__chk",
+        when(col("degree") <= maxDegree, lit(true)).otherwise(raise_error(
+          concat(lit(s"triangleStats: node degree exceeds maxDegree=$maxDegree (degree="),
+            col("degree").cast("string"),
+            lit("); wedge cost is quadratic in degree — raise maxDegree or prune hubs")))
+          .cast("boolean")))
+    // every edge passes the degree gate BEFORE entering the wedge join
+    val eg = e.join(deg.filter(col("__chk")).select(col("node")),
+      col("a") === col("node")).select(col("a"), col("b"))
+    val tri = eg.alias("e1")
+      .join(eg.alias("e2"), col("e1.b") === col("e2.a"))
+      .join(eg.alias("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("na"), col("e1.b").as("nb"), col("e2.b").as("nc"))
+    val perNode = tri
+      .select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("node"), col("degree"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2, round(
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .as("clustering"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int = 3, damping: Double = 0.85,
       roundTo: Int = 12): DataFrame = {

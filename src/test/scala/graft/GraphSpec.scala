@@ -43,6 +43,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r("heavy") > 2 * r("light"))
   }
 
+  test("triangleStats counts a known graph exactly, any edge orientation") {
+    // K4 minus one edge on {1,2,3,4}: triangles {1,2,3} and {1,2,4};
+    // edges given in MIXED orientation to exercise canonicalization.
+    val edges = Seq((1L, 2L), (3L, 1L), (2L, 3L), (4L, 1L), (2L, 4L))
+      .toDF("u", "v")
+    val r = Graph.triangleStats(edges, "u", "v")
+      .collect().map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("degree"), x.getAs[Long]("n_triangles"),
+          Option(x.getAs[java.lang.Double]("clustering")).map(_.doubleValue))).toMap
+    assert(r(1L) == ((3L, 2L, Some(round6(2.0 * 2 / (3 * 2))))))
+    assert(r(2L) == ((3L, 2L, Some(round6(2.0 * 2 / (3 * 2))))))
+    assert(r(3L) == ((2L, 1L, Some(1.0))))
+    assert(r(4L) == ((2L, 1L, Some(1.0))))
+  }
+  private def round6(d: Double) =
+    BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("triangleStats fails fast on a hub above maxDegree") {
+    val hub = (1 to 20).map(i => (0L, i.toLong)).toDF("u", "v")
+    val ex = intercept[Exception] {
+      Graph.triangleStats(hub, "u", "v", maxDegree = 10).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("maxDegree")))
+  }
+
   test("10 iterations keep the rank plan flat (checkpoint discipline)") {
     val edges = Seq(("a", "b", 1L), ("b", "a", 1L)).toDF("src", "dst", "w")
     val r = Graph.pageRank(edges, "src", "dst", "w", iterations = 10)
