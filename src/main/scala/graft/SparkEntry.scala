@@ -1751,7 +1751,7 @@ object SparkEntry {
       val dir = "/tmp/graft_q154_ivfidx/t"
       val emb = load(s, d, "embeddings")
       val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id", nlist = 8)
-      Maintenance.compactIvfIndex(s, idx.entries, dir)
+      Maintenance.compactIvfIndex(idx.entries, dir)
       Similarity.ivfSearch(
           Similarity.IvfIndex(idx.centroids, s.read.parquet(dir)),
           emb.filter(col("vec_id") < 5), "embedding", "vec_id",
@@ -3816,9 +3816,9 @@ object SparkEntry {
          |    SELECT vec_id, subspace, sv, cent,
          |      row_number() OVER (PARTITION BY vec_id, subspace ORDER BY dist2, cent) AS rn
          |    FROM s1) WHERE rn = 1),
-         |pos AS (SELECT a1.subspace, a1.cent, CAST(r.p AS INT) AS p,
-         |    a1.sv[CAST(r.p AS INT) + 1] AS x
-         |  FROM a1 JOIN range(0, 64) r(p) ON r.p < len(a1.sv)),
+         |pos0 AS (SELECT subspace, cent, sv,
+         |    CAST(unnest(range(len(sv))) AS INT) AS p FROM a1),
+         |pos AS (SELECT subspace, cent, p, sv[p + 1] AS x FROM pos0),
          |pm AS (SELECT subspace, cent, p, ${dmeanSql("x", 9)} AS mx
          |  FROM pos GROUP BY subspace, cent, p),
          |mv AS (SELECT subspace, cent, list(mx ORDER BY p) AS cv2

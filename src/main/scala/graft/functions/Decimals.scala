@@ -68,11 +68,24 @@ object Decimals {
     * for empty/all-null groups. */
   def dmean(c: Column, scale: Int): Column = {
     val dec38 = DecimalType(38, 0)
-    val s = sum(unscaledLong(c, scale)).cast(dec38)
-    val n = count(c).cast(dec38)
+    val quantized = unscaledLong(c, scale)
+    val s = sum(quantized).cast(dec38)
+    // denominator counts the QUANTIZED values; a non-null input whose
+    // DECIMAL(18,scale) cast overflows to null must abort loudly, not
+    // silently shrink the numerator while staying in the denominator
+    // (the oracle's decimal cast errors on the same row, so a silent
+    // skip here would also diverge cross-engine)
+    val overflowed = sum(when(c.isNotNull && quantized.isNull, 1L)
+      .otherwise(0L)) > 0
+    val n = count(quantized).cast(dec38)
     val a = s * lit(2) + n
     val b = n * lit(2)
-    val q = ((a - pmod(a, b)) / b).cast(dec38)
+    val q0 = ((a - pmod(a, b)) / b).cast(dec38)
+    val q = when(overflowed, raise_error(lit(
+        s"dmean: value exceeds the DECIMAL(18,$scale) quantization range " +
+          s"(|v| >= 1e${18 - scale}); widen the scale or pre-clip"))
+        .cast(DecimalType(38, 0)))
+      .otherwise(q0)
     // Double conversion BEFORE the /10^scale: a decimal division here
     // would pick up Spark's precision-loss scale (6) and truncate
     // high-scale means to zero. The scaled mean is an exact integer —

@@ -21,19 +21,6 @@ import graft.functions.Decimals
   * oracle replays the whole iteration unrolled. */
 object Graph {
 
-  /** Weighted PageRank (Brin/Page 1998) with uniform dangling-mass
-    * redistribution: per iteration
-    * `rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/wout(u) + dm)`
-    * where `dm` is the rank mass parked on nodes with no out-edges,
-    * spread uniformly. `edges` is `(src, dst, w)`; returns
-    * `(node, rank)` after `iterations` steps from the uniform start.
-    *
-    * Scale shape: the edge list is joined (never shuffled wider than its
-    * own (src) partitioning — `wout` is pre-joined ONCE before the
-    * loop), contributions collapse through a map-side-partial hash
-    * aggregation per iteration, and the node frame — the only thing that
-    * iterates — is |V| rows. The dangling term and N are 1-row broadcast
-    * crossJoins, never driver-side scalars. */
   /** Per-node triangle counts and local clustering coefficient over an
     * undirected graph. Edges are canonicalized to `a < b`; a triangle
     * `{a<b<c}` is enumerated exactly once as the path join
@@ -55,14 +42,13 @@ object Graph {
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .withColumn("__chk",
-        when(col("degree") <= maxDegree, lit(true)).otherwise(raise_error(
-          concat(lit(s"triangleStats: node degree exceeds maxDegree=$maxDegree (degree="),
-            col("degree").cast("string"),
-            lit("); wedge cost is quadratic in degree — raise maxDegree or prune hubs")))
-          .cast("boolean")))
     // every edge passes the degree gate BEFORE entering the wedge join
-    val eg = e.join(deg.filter(col("__chk")).select(col("node")),
+    // (the shared orRaise fail-fast idiom)
+    val eg = e.join(deg.where(OpsUtil.orRaise(col("degree") <= maxDegree,
+        lit(s"triangleStats: node degree exceeds maxDegree=$maxDegree (degree="),
+        col("degree").cast("string"),
+        lit("); wedge cost is quadratic in degree — raise maxDegree or prune hubs")))
+        .select(col("node")),
       col("a") === col("node")).select(col("a"), col("b"))
     val tri = eg.alias("e1")
       .join(eg.alias("e2"), col("e1.b") === col("e2.a"))
@@ -82,6 +68,19 @@ object Graph {
           .as("clustering"))
   }
 
+  /** Weighted PageRank (Brin/Page 1998) with uniform dangling-mass
+    * redistribution: per iteration
+    * `rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/wout(u) + dm)`
+    * where `dm` is the rank mass parked on nodes with no out-edges,
+    * spread uniformly. `edges` is `(src, dst, w)`; returns
+    * `(node, rank)` after `iterations` steps from the uniform start.
+    *
+    * Scale shape: the edge list is joined (never shuffled wider than its
+    * own (src) partitioning — `wout` is pre-joined ONCE before the
+    * loop), contributions collapse through a map-side-partial hash
+    * aggregation per iteration, and the node frame — the only thing that
+    * iterates — is |V| rows. The dangling term and N are 1-row broadcast
+    * crossJoins, never driver-side scalars. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iterations: Int = 3, damping: Double = 0.85,
       roundTo: Int = 12): DataFrame = {
@@ -93,7 +92,13 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val nCount = nodes.agg(count(lit(1)).as("nn"))
-    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    // out-weight totals quantized at 1e-6 like every cross-row reduction
+    // here: a raw double SUM is partition-order-dependent for fractional
+    // weights (integer counts — the common case — are exact either way,
+    // which is why the q155 oracle's plain window SUM still matches)
+    val outw = e.groupBy(col("src")).agg(
+      (sum(Decimals.unscaledLong(col("w"), 6)).cast("double") / lit(1e6))
+        .as("wout"))
     // static per-edge transition weight, built once outside the loop
     val trans = e.join(outw, Seq("src"))
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("p"))

@@ -46,8 +46,7 @@ object Maintenance {
     * Readers: `spark.read.parquet(out)` rediscovers `cell` as a
     * partition column; hand the frame to
     * [[graft.operators.Similarity.ivfSearch]] as `IvfIndex.entries`. */
-  def compactIvfIndex(spark: SparkSession, entries: DataFrame,
-      outPath: String): Unit =
+  def compactIvfIndex(entries: DataFrame, outPath: String): Unit =
     entries
       .repartition(col("cell"))
       .write.mode("overwrite")

@@ -247,7 +247,14 @@ object Quantization {
         col("subspace") === col("__ss") && col("code") === col("__ct"))
       .filter(col("id") =!= col("query_id"))
       .groupBy(col("query_id"), col("id"))
-      .agg(Decimals.dsum(col("__comp"), roundTo).as("adc_dist"))
+      .agg(Decimals.dsum(col("__comp"), roundTo).as("adc_dist"),
+        count(lit(1)).as("__nc"))
+      // a neighbor missing (or duplicating) subspace components would
+      // silently rank with a truncated distance — fail loudly instead
+      // (codes frame and m out of sync, or a corrupted codes re-read)
+      .where(OpsUtil.orRaise(col("__nc") === m,
+        lit("pqSearchAdc: neighbor aggregated "), col("__nc").cast("string"),
+        lit(s" of $m subspace components — codes frame and m disagree")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_dist").asc, col("id").asc)
     scored.withColumn("__rn", row_number().over(w))

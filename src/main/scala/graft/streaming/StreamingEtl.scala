@@ -236,17 +236,24 @@ object StreamingEtl {
     * entries frame for [[graft.operators.Similarity.ivfSearch]]). */
   def annIngest(stream: DataFrame, indexPath: String, centroids: DataFrame,
       vecCol: String, idCol: String, checkpointDir: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // pin the centroids ONCE: without this each micro-batch re-executes
+    // the captured centroid plan (paying its build per batch), and a
+    // live underlying source could silently change the centroids
+    // mid-stream — breaking the frozen-centroid equivalence this
+    // operator's correctness rests on
+    val frozen = centroids.localCheckpoint()
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Similarity
-          .assignToCells(batch.toDF(), centroids, vecCol, idCol)
+          .assignToCells(batch.toDF(), frozen, vecCol, idCol)
           .write.mode("overwrite").parquet(s"$indexPath/epoch=$batchId")
         ()
       }
       .start()
+  }
 
   private def readIndexOrEmpty(spark: SparkSession, path: String,
       like: DataFrame, idCol: String): DataFrame = {

@@ -70,7 +70,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val corpus = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "emb")
     val queries = corpus.filter(col("id") < 3)
     val idx = Similarity.buildIvfIndex(corpus, "emb", "id", nlist = 4)
-    Maintenance.compactIvfIndex(spark, idx.entries, dir)
+    Maintenance.compactIvfIndex(idx.entries, dir)
     // one directory per non-empty cell, exactly one data file per cell
     val cellDirs = new java.io.File(dir).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))

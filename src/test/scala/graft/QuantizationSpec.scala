@@ -151,6 +151,26 @@ class QuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("dmean aborts loudly when a value overflows the quantization range") {
+    // |v| >= 1e6 overflows DECIMAL(18,12): must abort loudly, never
+    // silently drop the row from the numerator while counting it in the
+    // denominator. Under ANSI mode (the Spark 4 default) the decimal
+    // cast itself throws; under ansi=false the cast nulls out and
+    // dmean's own overflow guard raises instead — either way, loud.
+    val df = Seq(0.5, 2.0e7).toDF("x")
+    val ex = intercept[Exception] {
+      df.agg(graft.functions.Decimals.dmean(col("x"), 12)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && (m.contains("quantization range")
+      || m.contains("cannot be represented"))))
+    // in-range values are unaffected
+    val ok = Seq(0.25, 0.75).toDF("x")
+      .agg(graft.functions.Decimals.dmean(col("x"), 12)).head().getDouble(0)
+    assert(ok == 0.5)
+  }
+
   test("ivfAppend equals a fresh full build over the same centroids") {
     val base = corpus.filter(col("id") % 3 =!= 0)
     val delta = corpus.filter(col("id") % 3 === 0)
