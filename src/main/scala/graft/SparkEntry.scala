@@ -1578,6 +1578,23 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id")))
     }),
 
+    // Inverse-cloze retrieval pairs: first-half anchor / second-half
+    // positive, in-batch negative = next-by-md5 within the doc's hash
+    // bucket (64-way parallel windows, no global sort).
+    "q157_ict_pairs" -> ((s, d) => {
+      graft.operators.Packing.ictPairs(parallel(load(s, d, "documents")),
+          "text", "doc_id", numBuckets = 64)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // Skip-gram (center, context, offset) pair counts over per-user
+    // event sequences — word2vec/item2vec training-pair generation.
+    "q158_skipgram" -> ((s, d) => {
+      Sessionize.skipgramPairs(load(s, d, "events"),
+          "user_id", "ts", "event_type", tiebreakCol = "event_id", window = 2)
+        .transform(ordered1(_, col("center"), col("context"), col("rel_pos")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -3905,6 +3922,34 @@ object SparkEntry {
         |  COALESCE(string_agg(tgt, ' ' ORDER BY si), '') AS target_text,
         |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
         |FROM pc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q157_ict_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |s AS (SELECT doc_id,
+        |    array_to_string(t[1:CAST(ceil(len(t) / 2.0) AS INT)], ' ') AS anchor,
+        |    array_to_string(t[CAST(ceil(len(t) / 2.0) AS INT) + 1:len(t)], ' ') AS positive,
+        |    (doc_id * 2654435761) % 64 AS bucket,
+        |    md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM d)
+        |SELECT doc_id, anchor, positive,
+        |  COALESCE(lead(doc_id) OVER (PARTITION BY bucket ORDER BY ord, doc_id),
+        |    first_value(doc_id) OVER (PARTITION BY bucket ORDER BY ord, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS neg_doc_id
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q158_skipgram" ->
+      """WITH b AS (SELECT event_type,
+        |    lag(event_type, 2) OVER w AS m2, lag(event_type, 1) OVER w AS m1,
+        |    lead(event_type, 1) OVER w AS p1, lead(event_type, 2) OVER w AS p2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |u AS (
+        |  SELECT event_type AS center, -2 AS rp, m2 AS context FROM b
+        |  UNION ALL SELECT event_type, -1, m1 FROM b
+        |  UNION ALL SELECT event_type, 1, p1 FROM b
+        |  UNION ALL SELECT event_type, 2, p2 FROM b)
+        |SELECT center, context, CAST(rp AS INT) AS rel_pos, count(*) AS n
+        |FROM u WHERE context IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY center, context, rel_pos""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -75,6 +75,36 @@ object Packing {
       sum(when(col("__masked"), 1L).otherwise(0L)).as("n_masked"))
   }
 
+  /** Inverse-cloze-task pairs (Lee et al. 2019, ORQA §3): the retrieval
+    * pretraining objective — `anchor` = the document's first half,
+    * `positive` = its second half (the surrounding context the anchor
+    * should retrieve), plus a deterministic in-batch `neg_doc_id`. The
+    * negative is the NEXT doc in md5 order WITHIN the doc's hash bucket
+    * (wrapping to the bucket's first): effectively a random other
+    * document, assigned with `numBuckets`-way parallel windows instead
+    * of the single global window a naive "shuffle and pair" would cost.
+    * Pure per-row splits + one bucketed window — no joins. */
+  def ictPairs(docs: DataFrame, textCol: String, idCol: String,
+      numBuckets: Int = 64): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be positive: $numBuckets")
+    val toks = split(col(textCol), " ")
+    val half = ceil(size(toks).cast("double") / 2).cast("int")
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__ord"), col(idCol))
+    docs
+      .select(col(idCol),
+        array_join(slice(toks, lit(1), half), " ").as("anchor"),
+        array_join(slice(toks, half + 1, greatest(size(toks) - half, lit(0))), " ")
+          .as("positive"))
+      .withColumn("__bucket",
+        pmod(col(idCol).cast("long") * lit(2654435761L), lit(numBuckets.toLong)))
+      .withColumn("__ord", md5(col(idCol).cast("string")))
+      .withColumn("neg_doc_id", coalesce(
+        lead(col(idCol), 1).over(w),
+        first(col(idCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      .select(col(idCol), col("anchor"), col("positive"), col("neg_doc_id"))
+  }
+
   /** BERT-style MLM masking (Devlin et al. 2019 §3.1): select a
     * deterministic ~15% of token positions (3/20 via the shared
     * multiplicative hash); of the selected, 80% become `[MASK]`, 10% are

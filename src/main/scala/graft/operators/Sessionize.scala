@@ -343,6 +343,41 @@ object Sessionize {
     * with equal timestamps. Scale shape: one per-key window (shuffle by
     * key — parallelism is |keys|) feeding one hash aggregation on the
     * |types|² matrix; the share rides a window on the matrix frame. */
+  /** Skip-gram (center, context) pair counts from per-key event
+    * sequences — word2vec-style training pairs over behavioral data
+    * (Mikolov et al. 2013; the item2vec recipe). For every event, its
+    * neighbors at offsets ±1..±`window` within the same key's
+    * time-ordered sequence become context pairs, aggregated to
+    * `(center, context, rel_pos, n)`.
+    *
+    * Scale shape: ONE hash partition of the narrow events frame on the
+    * key carries all 2·window lag/lead columns (a single Window
+    * operator — Spark folds same-spec window functions into one pass);
+    * the pair fan-out (×2·window) happens map-side AFTER that exchange
+    * and collapses straight into the count aggregation. */
+  def skipgramPairs(events: DataFrame, key: String, ts: String,
+      typeCol: String, tiebreakCol: String, window: Int = 2): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(tiebreakCol).asc)
+    val offsets = (-window to window).filter(_ != 0)
+    // window columns first (one Window operator — same spec), the
+    // explode in a SEPARATE projection: Spark rejects window functions
+    // inside a generator expression
+    val withCtx = events.select(col(typeCol).as("center") +:
+      offsets.map(o =>
+        (if (o < 0) lag(col(typeCol), -o) else lead(col(typeCol), o))
+          .over(w).as(s"__c$o")): _*)
+    val ctx = array(offsets.map(o =>
+      struct(lit(o).as("rel_pos"), col(s"__c$o").as("context"))): _*)
+    withCtx
+      .select(col("center"), explode(ctx).as("p"))
+      .filter(col("p.context").isNotNull)
+      .groupBy(col("center"), col("p.context").as("context"),
+        col("p.rel_pos").as("rel_pos"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def transitionMatrix(events: DataFrame, key: String, ts: String,
       typeCol: String, tiebreakCol: String): DataFrame = {
     val w = Window.partitionBy(col(key))

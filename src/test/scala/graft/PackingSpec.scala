@@ -132,6 +132,24 @@ class PackingSpec extends AnyFunSuite {
     assert(rate > 0.10 && rate < 0.20, s"selection rate $rate outside ~15% band")
   }
 
+  test("ictPairs: anchor+positive reconstruct the document; negatives are other docs") {
+    val texts = (0 until 60).map(i =>
+      (i.toLong, (1 to (4 + i % 7)).map(t => s"w${i}_$t").mkString(" ")))
+    val docs = texts.toDF("doc_id", "text")
+    val rows = Packing.ictPairs(docs, "text", "doc_id", numBuckets = 8).collect()
+    assert(rows.length == 60)
+    val orig = texts.toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val joined = (r.getAs[String]("anchor") + " " + r.getAs[String]("positive")).trim
+      assert(joined == orig(id), s"doc $id split is not a partition of the text")
+      // 60 docs over 8 buckets: no singleton buckets, so the in-batch
+      // negative is always a DIFFERENT document
+      assert(r.getAs[Long]("neg_doc_id") != id)
+      assert(orig.contains(r.getAs[Long]("neg_doc_id")))
+    }
+  }
+
   test("spanCorruption rejects degenerate parameters") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

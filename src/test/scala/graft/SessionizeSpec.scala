@@ -267,4 +267,31 @@ class SessionizeSpec extends AnyFunSuite {
     assert(out.toList == List(
       ("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5), ("B", "A", 1L, 1.0)))
   }
+
+  test("skipgramPairs: symmetric offsets mirror, and rel_pos=1 equals transitionMatrix counts") {
+    import spark.implicits._
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 10L, "A"), (2L, ts(1), 10L, "B"), (3L, ts(2), 10L, "C"),
+      (4L, ts(3), 10L, "A"), (5L, ts(0), 20L, "B"), (6L, ts(1), 20L, "A"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val pairs = Sessionize.skipgramPairs(ev, "user_id", "ts", "event_type",
+        "event_id", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)) ->
+        r.getAs[Long]("n")).toMap
+    // mirror symmetry: (c, x, +k) must equal (x, c, -k)
+    pairs.foreach { case ((c, x, k), n) =>
+      assert(pairs.getOrElse((x, c, -k), 0L) == n,
+        s"asymmetric pair ($c,$x,$k)")
+    }
+    // rel_pos = +1 IS the transition count
+    val trans = Sessionize.transitionMatrix(ev, "user_id", "ts",
+        "event_type", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n")).toMap
+    trans.foreach { case ((f, t), n) =>
+      assert(pairs.getOrElse((f, t, 1), 0L) == n)
+    }
+    assert(pairs(("A", "C", 2)) == 1L) // the distance-2 pair exists
+  }
 }
