@@ -1595,6 +1595,17 @@ object SparkEntry {
         .transform(ordered1(_, col("center"), col("context"), col("rel_pos")))
     }),
 
+    // Exact set-similarity self-join (AllPairs/PPJoin prefix filter):
+    // every doc pair with 3-gram-shingle Jaccard >= 0.5, no false
+    // negatives — the exact counterpart to the MinHash/LSH pipeline.
+    // Candidates come only from rare-first prefix shingles + the length
+    // filter; verification touches candidate pairs alone.
+    "q159_similarity_join" -> ((s, d) => {
+      TextDedup.similarityJoin(parallel(load(s, d, "documents")),
+          "text", "doc_id", tau = 0.5, shingleSize = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -3950,6 +3961,22 @@ object SparkEntry {
         |SELECT center, context, CAST(rp AS INT) AS rel_pos, count(*) AS n
         |FROM u WHERE context IS NOT NULL
         |GROUP BY 1, 2, 3 ORDER BY center, context, rel_pos""".stripMargin,
+
+    "q159_similarity_join" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+        |  unnest([array_to_string(t[i:i+2], ' ')
+        |    FOR i IN generate_series(1, greatest(len(t) - 2, 1))]) AS g FROM d)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia AS doc_id_a, ib AS doc_id_b,
+        |  CAST(inter AS BIGINT) AS n_shared,
+        |  round(CAST(inter AS DOUBLE) / (za.n + zb.n - inter), 6) AS jaccard
+        |FROM ov JOIN sz za ON ia = za.doc_id JOIN sz zb ON ib = zb.doc_id
+        |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

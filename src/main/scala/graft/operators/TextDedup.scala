@@ -624,6 +624,80 @@ object TextDedup {
       .distinct()
   }
 
+  /** Exact set-similarity self-join with prefix filtering: every document
+    * pair whose token `shingleSize`-gram shingle sets have Jaccard >= tau,
+    * with NO false negatives — the exact counterpart to the MinHash/LSH
+    * pipeline ([[lshCandidatePairs]] trades recall for speed; this is the
+    * AllPairs/PPJoin family: Bayardo et al., WWW'07; Vernica et al.,
+    * SIGMOD'10 for the MapReduce shape). Returns
+    * `(idCol_a, idCol_b, n_shared, jaccard)` with idCol_a < idCol_b.
+    *
+    * Why it never goes quadratic: a pair at Jaccard >= tau shares at
+    * least ceil(tau*n) of either side's n shingles, so — ordering every
+    * document's shingles by GLOBAL rarity (document frequency, then
+    * shingle) — the smallest shared shingle must land in both documents'
+    * first `n - ceil(tau*n) + 1` shingles (if it didn't, the >= ceil(tau*n)
+    * shared shingles would all have to fit in the ceil(tau*n) - 1 slots
+    * behind the prefix). Candidate generation therefore equi-joins only
+    * the PREFIX explosions — dominated by rare shingles with tiny
+    * buckets by construction — plus the Jaccard length filter
+    * (min(na,nb) >= tau*max(na,nb)) at the join. Only surviving candidate
+    * pairs pay the exact `array_intersect` verification.
+    *
+    * Plan shape: one shuffle for the shingle document-frequency
+    * aggregation, one equi-join attaching df to the exploded shingles
+    * (AQE broadcasts small vocabularies; degrades to a hash join on the
+    * shingle key at corpus scale — never quadratic), one per-document
+    * sort_array/collect_list aggregation (per-doc arrays are bounded by
+    * document length), the prefix self-join, and the verify join back to
+    * the two sorted-set arrays. The epsilon inside ceil() only ever
+    * LENGTHENS a prefix (more candidates, same answer) — never shortens
+    * it, which is the direction that would break exactness. */
+  def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
+      tau: Double, shingleSize: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1: $tau")
+    val shingled = docs
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
+        i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
+    val df = shingled.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    // Per-document shingle set, sorted rare-first under the global
+    // (df, shingle) order; struct sort gives that order for free.
+    val sets = shingled
+      .join(df, "__g")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__s"))
+      .select(col(idCol),
+        transform(col("__s"), s => s.getField("__g")).as("__set"),
+        size(col("__s")).as("__n"))
+    val prefixLen = (col("__n") - ceil(lit(tau) * col("__n") - lit(1e-9)) + 1)
+      .cast("int")
+    val prefixes = sets.select(col(idCol), col("__n"),
+      explode(slice(col("__set"), lit(1), prefixLen)).as("__g"))
+    val a = prefixes.alias("a")
+    val b = prefixes.alias("b")
+    val candidates = a
+      .join(b, col("a.__g") === col("b.__g") &&
+        col(s"a.$idCol") < col(s"b.$idCol") &&
+        least(col("a.__n"), col("b.__n")).cast("double") >=
+          lit(tau) * greatest(col("a.__n"), col("b.__n")).cast("double") - lit(1e-9))
+      .select(col(s"a.$idCol").as(s"${idCol}_a"), col(s"b.$idCol").as(s"${idCol}_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col(idCol).as(s"${idCol}_a"),
+        col("__set").as("__sa"), col("__n").as("__na")), s"${idCol}_a")
+      .join(sets.select(col(idCol).as(s"${idCol}_b"),
+        col("__set").as("__sb"), col("__n").as("__nb")), s"${idCol}_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(col("n_shared").cast("double") /
+        (col("__na") + col("__nb") - col("n_shared")) >= lit(tau))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+  }
+
   /** Cross-source n-gram overlap audit — for every pair of sources, how
     * many distinct token `shingleSize`-gram shingles they share and the
     * Jaccard of their shingle sets: the between-domain contamination /

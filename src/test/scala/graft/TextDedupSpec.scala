@@ -45,6 +45,56 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(2).isEmpty)
   }
 
+  test("similarityJoin: matches exhaustive Jaccard, boundary inclusive, no false negatives") {
+    import spark.implicits._
+    // 1-gram shingles so expected Jaccards are hand-computable token-set
+    // Jaccards. Docs engineered to cover: an exact dup (j=1), a boundary
+    // pair at exactly tau, a pair sharing only RARE tokens (the prefix
+    // filter's hard case), and sub-threshold noise docs that share a
+    // very common token with everyone (tests that prefix ordering pushes
+    // the common token out of prefixes without dropping true pairs).
+    val docs = Seq(
+      (1L, "common alpha beta gamma"),
+      (2L, "common alpha beta gamma"),           // j(1,2)=1.0
+      (3L, "common alpha beta delta"),           // j(1,3)=3/5=0.6
+      (4L, "common rare1 rare2 rare3"),
+      (5L, "common rare1 rare2 zz"),             // j(4,5)=3/5=0.6
+      (6L, "common other1 other2 other3 other4"),// below tau vs all
+      (7L, "alpha beta gamma common")            // same SET as 1 → j=1.0
+    ).toDF("doc_id", "text")
+    val got = TextDedup.similarityJoin(docs, "text", "doc_id",
+        tau = 0.6, shingleSize = 1)
+      .orderBy("doc_id_a", "doc_id_b")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // exhaustive ground truth over token sets
+    val sets = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      j = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      if j >= 0.6
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == expect.keySet,
+      s"pair set mismatch: got ${got.keySet}, expected ${expect.keySet}")
+    expect.foreach { case (k, j) =>
+      assert(math.abs(got(k) - j) < 1e-6, s"$k: got ${got(k)}, expected $j") }
+    // boundary pairs at exactly tau=0.6 ARE present (inclusive threshold)
+    assert(got.contains((1L, 3L)) && got.contains((4L, 5L)))
+  }
+
+  test("similarityJoin: shingle mode finds planted near-dup, not unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w${i % 13}").mkString(" ")
+    val nearDup = base.replace("w5", "w99") // small edit
+    val other = (1 to 40).map(i => s"v${i % 11}").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, other))
+      .toDF("doc_id", "text")
+    val got = TextDedup.similarityJoin(docs, "text", "doc_id",
+        tau = 0.3, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)))
+  }
+
   test("ngramJaccardOnPairs: identical docs 1.0, disjoint docs 0.0") {
     import spark.implicits._
     val docs = Seq(
