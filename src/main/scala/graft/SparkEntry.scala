@@ -1606,6 +1606,33 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
     }),
 
+    // Leave-one-out target encoding with additive smoothing: each order's
+    // priority encoded as the mean total price of all OTHER orders in
+    // that priority, shrunk toward the global mean — the leakage-safe
+    // categorical feature. Fit = |categories|-row + 1-row broadcast aggs;
+    // the per-row pass never shuffles.
+    "q160_target_encode" -> ((s, d) => {
+      graft.operators.Features.looTargetEncode(parallel(load(s, d, "orders")),
+          "o_orderkey", "o_orderpriority", "o_totalprice",
+          scale = 2, smoothing = 10.0)
+        .transform(ordered1(_, col("o_orderkey")))
+    }),
+
+    // Fit/transform feature scaling: z-score + min-max per numeric
+    // column from ONE 1-row exact-moment aggregation broadcast back over
+    // the table — the standard two-pass scaler at corpus scale.
+    "q161_feature_scale" -> ((s, d) => {
+      graft.operators.Features.standardize(parallel(load(s, d, "lineitem")),
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 2)
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+        // the sort must be total over the emitted columns or ties land in
+        // engine-dependent order.
+        .transform(ordered1(_, col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice_z"), col("l_quantity_z"), col("l_discount_z"),
+          col("l_extendedprice_mm"), col("l_quantity_mm"), col("l_discount_mm")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -3977,6 +4004,67 @@ object SparkEntry {
         |FROM ov JOIN sz za ON ia = za.doc_id JOIN sz zb ON ib = zb.doc_id
         |WHERE CAST(inter AS DOUBLE) / (za.n + zb.n - inter) >= 0.5
         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+    "q160_target_encode" ->
+      """WITH g AS (SELECT o_orderpriority AS cat,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        |    COUNT(o_totalprice) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS ts,
+        |    COUNT(o_totalprice) AS tn FROM orders)
+        |SELECT o.o_orderkey, o.o_orderpriority, g.n AS n_cat,
+        |  round((CAST(g.s - CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |      + 10.0 * (CAST(t.ts AS DOUBLE) / CAST(t.tn AS DOUBLE)))
+        |    / (CAST(g.n AS DOUBLE) - 1.0 + 10.0), 6) AS loo_enc
+        |FROM orders o LEFT JOIN g ON o.o_orderpriority = g.cat CROSS JOIN t
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q161_feature_scale" ->
+      """WITH q AS (SELECT l_orderkey, l_linenumber,
+        |    l_quantity, l_extendedprice, l_discount,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS HUGEINT) AS q1,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS HUGEINT) AS q2,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS HUGEINT) AS q3
+        |  FROM lineitem),
+        |st AS (SELECT
+        |    SUM(q1) AS s1, SUM(q1*q1) AS ss1, COUNT(l_quantity) AS n1,
+        |    MIN(l_quantity) AS mn1, MAX(l_quantity) AS mx1,
+        |    SUM(q2) AS s2, SUM(q2*q2) AS ss2, COUNT(l_extendedprice) AS n2,
+        |    MIN(l_extendedprice) AS mn2, MAX(l_extendedprice) AS mx2,
+        |    SUM(q3) AS s3, SUM(q3*q3) AS ss3, COUNT(l_discount) AS n3,
+        |    MIN(l_discount) AS mn3, MAX(l_discount) AS mx3
+        |  FROM q),
+        |st2 AS (SELECT *,
+        |    CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE)/100.0 AS mean1,
+        |    sqrt(CAST(n1*ss1 - s1*s1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+        |      /CAST(n1 AS DOUBLE))/100.0 AS std1,
+        |    CAST(s2 AS DOUBLE)/CAST(n2 AS DOUBLE)/100.0 AS mean2,
+        |    sqrt(CAST(n2*ss2 - s2*s2 AS DOUBLE)/CAST(n2 AS DOUBLE)
+        |      /CAST(n2 AS DOUBLE))/100.0 AS std2,
+        |    CAST(s3 AS DOUBLE)/CAST(n3 AS DOUBLE)/100.0 AS mean3,
+        |    sqrt(CAST(n3*ss3 - s3*s3 AS DOUBLE)/CAST(n3 AS DOUBLE)
+        |      /CAST(n3 AS DOUBLE))/100.0 AS std3
+        |  FROM st)
+        |SELECT q.l_orderkey, q.l_linenumber,
+        |  CASE WHEN std1 > 0 THEN round((q.l_quantity - mean1)/std1, 6) + 0 END
+        |    AS l_quantity_z,
+        |  CASE WHEN mx1 - mn1 > 0
+        |    THEN round((q.l_quantity - mn1)/(mx1 - mn1), 6) + 0 END
+        |    AS l_quantity_mm,
+        |  CASE WHEN std2 > 0
+        |    THEN round((q.l_extendedprice - mean2)/std2, 6) + 0 END
+        |    AS l_extendedprice_z,
+        |  CASE WHEN mx2 - mn2 > 0
+        |    THEN round((q.l_extendedprice - mn2)/(mx2 - mn2), 6) + 0 END
+        |    AS l_extendedprice_mm,
+        |  CASE WHEN std3 > 0 THEN round((q.l_discount - mean3)/std3, 6) + 0 END
+        |    AS l_discount_z,
+        |  CASE WHEN mx3 - mn3 > 0
+        |    THEN round((q.l_discount - mn3)/(mx3 - mn3), 6) + 0 END
+        |    AS l_discount_mm
+        |FROM q CROSS JOIN st2 ORDER BY l_orderkey, l_linenumber,
+        |  l_extendedprice_z, l_quantity_z, l_discount_z,
+        |  l_extendedprice_mm, l_quantity_mm, l_discount_mm""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

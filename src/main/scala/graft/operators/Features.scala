@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.Decimals
+
+/** Tabular feature-engineering operators for training-data preparation:
+  * leakage-safe target encoding and fit/transform scaling. Both follow
+  * the two-pass fit/transform contract every large-scale feature
+  * pipeline uses — a bounded statistics aggregation (the "fit", rows =
+  * |categories| or 1) broadcast back over the full table (the
+  * "transform"), so the per-row pass never shuffles.
+  */
+object Features {
+
+  private val dec38 = DecimalType(38, 0)
+
+  /** Leave-one-out target encoding with additive smoothing: each row's
+    * category is encoded as the mean target of all OTHER rows in the
+    * category, shrunk toward the global mean by `smoothing` pseudo-
+    * observations —
+    * `enc_i = (S_cat - y_i + m*globalMean) / (n_cat - 1 + m)`.
+    * Excluding the row's own target is what makes the feature usable on
+    * training rows without leaking the label (plain per-category means
+    * memorize rare categories); the smoothing term keeps singleton
+    * categories at the prior instead of dividing by zero.
+    *
+    * Output: `(idCol, catCol, n_cat, loo_enc)` — one row per input row.
+    * Rows with a NULL category or NULL target get a NULL encoding (and
+    * still appear: the stats join is a LEFT join so no training row is
+    * silently dropped).
+    *
+    * Exactness: targets quantize to unscaled longs at `scale`
+    * ([[Decimals.unscaledLong]] — identical semantics to a
+    * DECIMAL(18,scale) cast), so `S_cat` and `S_cat - y_i` are exact
+    * integers; the only doubles are the final smoothed division — the
+    * same IEEE op sequence any SQL oracle writes.
+    *
+    * Scale shape: one map-side-combined aggregation to |categories|
+    * rows + a 1-row global aggregation, both broadcast back over the
+    * table — the per-row pass is shuffle-free, and nothing in the plan
+    * grows with row count except the two scans. */
+  def looTargetEncode(df: DataFrame, idCol: String, catCol: String,
+      targetCol: String, scale: Int, smoothing: Double): DataFrame = {
+    require(smoothing > 0.0, s"need smoothing > 0: $smoothing")
+    val pow = math.pow(10, scale).toLong
+    val q = Decimals.unscaledLong(col(targetCol), scale)
+    val quantized = df.select(col(idCol), col(catCol), q.as("__q"))
+    val perCat = quantized.groupBy(col(catCol))
+      .agg(sum(col("__q")).as("__s"), count(col("__q")).as("__n"))
+    val total = quantized.agg(sum(col("__q")).cast(dec38).as("__ts"),
+      count(col("__q")).as("__tn"))
+    val gm = (col("__ts") / lit(pow)).cast("double") / col("__tn").cast("double")
+    val looSum = ((col("__s").cast(dec38) - col("__q")) / lit(pow)).cast("double")
+    quantized
+      .join(broadcast(perCat), Seq(catCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col(catCol), col("__n").as("n_cat"),
+        round((looSum + lit(smoothing) * gm) /
+          (col("__n").cast("double") - lit(1.0) + lit(smoothing)), 6)
+          .as("loo_enc"))
+  }
+
+  /** Fit/transform feature scaling: for each column in `cols`, appends
+    * `<col>_z` (z-score against the population mean/std) and `<col>_mm`
+    * (min-max to [0,1]). Constant columns (std = 0 or max = min) scale
+    * to NULL rather than inventing a value.
+    *
+    * Exactness: values quantize to unscaled longs at `scale`; first and
+    * second moments sum in DECIMAL(38,0) (q² for a 1e7-unscaled value is
+    * 1e14 — ~600k such rows overflow a LONG second moment, the same
+    * widening [[Sessionize]]'s interEventStats needed), so
+    * `n·Σq² - (Σq)²` is an exact integer and mean/std are each ONE
+    * fixed sequence of IEEE ops from exact integers — engine-
+    * independent, oracle-reproducible.
+    *
+    * Scale shape: the fit is a single 1-row aggregation over all
+    * columns (map-side partials, one tiny exchange); the transform
+    * cross-joins that broadcast row — shuffle-free per-row pass, two
+    * scans total, nothing grows with row count. */
+  def standardize(df: DataFrame, keyCols: Seq[String], cols: Seq[String],
+      scale: Int): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val pow = math.pow(10, scale).toLong
+    val aggs = cols.flatMap { c =>
+      val q = Decimals.unscaledLong(col(c), scale).cast(dec38)
+      Seq(sum(q).as(s"__s_$c"), sum(q * q).as(s"__ss_$c"),
+        count(col(c)).as(s"__n_$c"),
+        min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val scaled = cols.flatMap { c =>
+      val n = col(s"__n_$c").cast("double")
+      val mean = col(s"__s_$c").cast("double") / n / lit(pow.toDouble)
+      val varNum = (col(s"__n_$c").cast(dec38) * col(s"__ss_$c") -
+        col(s"__s_$c") * col(s"__s_$c")).cast("double")
+      val std = sqrt(varNum / n / n) / lit(pow.toDouble)
+      val range = col(s"__max_$c") - col(s"__min_$c")
+      Seq(
+        when(std > 0, round((col(c) - mean) / std, 6)).as(s"${c}_z"),
+        when(range > 0, round((col(c) - col(s"__min_$c")) / range, 6))
+          .as(s"${c}_mm"))
+    }
+    df.crossJoin(broadcast(stats))
+      .select(keyCols.map(col) ++ scaled: _*)
+  }
+}
