@@ -1633,6 +1633,31 @@ object SparkEntry {
           col("l_extendedprice_mm"), col("l_quantity_mm"), col("l_discount_mm")))
     }),
 
+    // Content-addressed corpus manifest: per-shard doc/byte counts and an
+    // order-independent additive digest over every (id, content) md5 —
+    // the reproducibility gate between corpus versions. Bounded state
+    // (4 word sums/shard), incremental by construction.
+    "q162_corpus_manifest" -> ((s, d) => {
+      Maintenance.corpusManifest(parallel(load(s, d, "documents")),
+          "doc_id", "text", numShards = 8)
+        .transform(ordered1(_, col("shard")))
+    }),
+
+    // Deterministic negative sampling: k hash-drawn item candidates per
+    // user minus the user's observed positives — contrastive-training
+    // negatives reproducible across runs (md5 of (user, draw), no RNG).
+    "q163_negative_sampling" -> ((s, d) => {
+      val pos = load(s, d, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+        .join(load(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("item")), "o_orderkey")
+        .select(col("user_id"), col("item")).distinct()
+      Curation.negativeSample(pos, "user_id", "item",
+          load(s, d, "part").select(col("p_partkey").as("item")), k = 8)
+        .transform(ordered1(_, col("user_id"), col("neg_item")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4065,6 +4090,50 @@ object SparkEntry {
         |FROM q CROSS JOIN st2 ORDER BY l_orderkey, l_linenumber,
         |  l_extendedprice_z, l_quantity_z, l_discount_z,
         |  l_extendedprice_mm, l_quantity_mm, l_discount_mm""".stripMargin,
+
+    "q162_corpus_manifest" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h FROM documents),
+        |w AS (SELECT
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+        |      % 8 AS shard,
+        |    length(text) AS nb,
+        |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS w0,
+        |    CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS w1,
+        |    CAST(('0x' || substr(h, 17, 8)) AS BIGINT) AS w2,
+        |    CAST(('0x' || substr(h, 25, 8)) AS BIGINT) AS w3
+        |  FROM d),
+        |g AS (SELECT shard, count(*) AS n_docs,
+        |    CAST(sum(nb) AS BIGINT) AS n_bytes,
+        |    CAST(sum(w0) % 4294967296 AS BIGINT) AS m0,
+        |    CAST(sum(w1) % 4294967296 AS BIGINT) AS m1,
+        |    CAST(sum(w2) % 4294967296 AS BIGINT) AS m2,
+        |    CAST(sum(w3) % 4294967296 AS BIGINT) AS m3
+        |  FROM w GROUP BY shard)
+        |SELECT shard, n_docs, n_bytes,
+        |  md5(CAST(m0 AS VARCHAR) || '-' || CAST(m1 AS VARCHAR) || '-' ||
+        |      CAST(m2 AS VARCHAR) || '-' || CAST(m3 AS VARCHAR))
+        |    AS manifest_hash
+        |FROM g ORDER BY shard""".stripMargin,
+
+    "q163_negative_sampling" ->
+      """WITH pos AS (SELECT DISTINCT o.o_custkey AS user_id,
+        |    l.l_partkey AS item
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |u AS (SELECT DISTINCT user_id FROM pos),
+        |n AS (SELECT count(*) AS ni FROM part),
+        |c AS (SELECT user_id, j,
+        |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '-' ||
+        |      CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % ni AS item
+        |  FROM u CROSS JOIN n CROSS JOIN generate_series(0, 7) AS t(j)),
+        |cj AS (SELECT c.user_id, c.item, c.j FROM c
+        |  JOIN part p ON c.item = p.p_partkey),
+        |flt AS (SELECT cj.user_id, cj.item, cj.j FROM cj
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos
+        |    WHERE pos.user_id = cj.user_id AND pos.item = cj.item))
+        |SELECT user_id, item AS neg_item, CAST(min(j) AS INT) AS sample_idx
+        |FROM flt GROUP BY user_id, item
+        |ORDER BY user_id, neg_item""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

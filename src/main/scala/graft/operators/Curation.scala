@@ -198,4 +198,49 @@ object Curation {
       .orderBy(col("priority").desc, col("doc_id").asc)
       .limit(n)
   }
+
+  /** Deterministic negative sampling for pairwise training (word2vec /
+    * two-tower recommender contrastive negatives): for every user in
+    * `positives`, draw `k` pseudo-random item candidates from the item
+    * domain by hashing (user, draw-index), then anti-join the user's
+    * positives away — the standard "sampled uniform negatives minus
+    * observed positives" construction, reproducible across runs and
+    * engines because the randomness is md5 of the pair, not an RNG.
+    *
+    * `items` must carry dense `0..n-1` keys in `itemCol` (the hash maps
+    * onto `[0, n)`); the inner join back to `items` drops any candidate
+    * outside the real domain rather than fabricating an item. A
+    * candidate that collides with a positive is dropped, not redrawn, so
+    * users with many positives yield slightly fewer than `k` negatives —
+    * the documented tradeoff that keeps the op one pass (a redraw loop
+    * is iterative by construction). Duplicate draws of the same item
+    * keep the smallest draw index.
+    *
+    * Output: `(userCol, neg_<itemCol>, sample_idx)`.
+    *
+    * Scale shape: candidates are |users|·k rows built by a shuffle-free
+    * explode; the item-domain join broadcasts (item dims are small), the
+    * 1-row domain count is a broadcast cross-join, and the positives
+    * anti-join is one hash shuffle on (user, item) — never wider than
+    * the candidate set. Nothing is quadratic in users x items. */
+  def negativeSample(positives: DataFrame, userCol: String, itemCol: String,
+      items: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val negCol = s"neg_$itemCol"
+    val nItems = items.agg(count(lit(1)).as("__ni"))
+    val cands = positives.select(col(userCol)).distinct()
+      .crossJoin(broadcast(nItems))
+      .select(col(userCol), explode(sequence(lit(0), lit(k - 1))).as("__j"),
+        col("__ni"))
+      .withColumn(negCol, pmod(
+        conv(substring(md5(concat(col(userCol).cast("string"), lit("-"),
+          col("__j").cast("string"))), 1, 8), 16, 10).cast("long"),
+        col("__ni")))
+    cands
+      .join(broadcast(items.select(col(itemCol).as(negCol))), negCol)
+      .join(positives.select(col(userCol), col(itemCol).as(negCol)).distinct(),
+        Seq(userCol, negCol), "left_anti")
+      .groupBy(col(userCol), col(negCol))
+      .agg(min(col("__j")).cast("int").as("sample_idx"))
+  }
 }

@@ -143,4 +143,52 @@ object Maintenance {
       .groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
+
+  /** Content-addressed corpus manifest: per shard, row/byte counts and a
+    * digest over every document's (id, content) — the reproducibility
+    * gate two corpus versions compare before a training run ("same
+    * manifest" proves bit-identical shard content without shipping the
+    * shards). Shard assignment is the same md5-of-id bucketing as
+    * [[Relational.shardAudit]].
+    *
+    * The digest is ADDITIVE, not a hash chain: each document's md5 is
+    * split into four 32-bit words, the per-shard digest is the four word
+    * sums mod 2^32, and `manifest_hash` is the md5 of that 4-tuple.
+    * Order-independence is the point at scale — a hash chain needs every
+    * digest sorted in one place (unbounded aggregation state and a
+    * per-shard global sort), while word sums are 4 longs of state,
+    * map-side combinable, and INCREMENTAL: adding or retiring documents
+    * updates the manifest by adding/subtracting their words, no full
+    * rescan (the multiset-hashing construction of Bellare-Micciancio's
+    * AdHash, CRYPTO '97). Word sums accumulate in DECIMAL(38,0): 10^12
+    * docs x 2^32 overflows a LONG well before 100 TB.
+    *
+    * Scale shape: one projection (md5 + word slices per row), one
+    * map-side-combined aggregation to |shards| rows. Nothing is sorted,
+    * nothing collected. */
+  def corpusManifest(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val shard = pmod(
+      conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("long"), lit(numShards.toLong))
+    val digest = md5(concat(col(idCol).cast("string"), lit(":"), col(textCol)))
+    val words = (0 until 4).map(i =>
+      conv(substring(digest, 1 + 8 * i, 8), 16, 10).cast("long")
+        .as(s"__w$i"))
+    val wordSums = (0 until 4).map(i =>
+      (sum(col(s"__w$i").cast(dec38)) % lit(4294967296L)).cast("long")
+        .as(s"__m$i"))
+    docs
+      .select(Seq(shard.as("shard"), length(col(textCol)).as("__nb")) ++
+        words: _*)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(sum(col("__nb").cast(dec38)).cast("long").as("n_bytes")) ++
+          wordSums): _*)
+      .select(col("shard"), col("n_docs"), col("n_bytes"),
+        md5(concat_ws("-", col("__m0"), col("__m1"), col("__m2"),
+          col("__m3"))).as("manifest_hash"))
+  }
 }

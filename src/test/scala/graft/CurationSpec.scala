@@ -123,4 +123,35 @@ class CurationSpec extends AnyFunSuite {
       Curation.splitAssign(docs, "doc_id", trainPct = 95, valPct = 5)
     }
   }
+
+  test("negativeSample: in-domain, never a positive, deterministic, <= k per user") {
+    import spark.implicits._
+    val items = (0L until 20L).toDF("item")
+    val pos = Seq((1L, 3L), (1L, 7L), (2L, 0L), (3L, 11L))
+      .toDF("user_id", "item")
+    val run1 = Curation.negativeSample(pos, "user_id", "item", items, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val run2 = Curation.negativeSample(pos, "user_id", "item", items, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(run1.sameElements(run2)) // hash-derived, no RNG
+    val posSet = Set((1L, 3L), (1L, 7L), (2L, 0L), (3L, 11L))
+    run1.foreach { case (u, i, j) =>
+      assert(i >= 0 && i < 20, s"out of domain: $i")
+      assert(!posSet((u, i)), s"sampled a positive: ($u, $i)")
+      assert(j >= 0 && j < 8)
+    }
+    run1.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.length <= 8, s"user $u got ${rows.length} > k")
+      // duplicate draws collapsed: each (user, item) appears once
+      assert(rows.map(_._2).distinct.length == rows.length)
+    }
+  }
+
+  test("negativeSample: user whose positives cover the domain yields nothing") {
+    import spark.implicits._
+    val items = (0L until 4L).toDF("item")
+    val pos = (0L until 4L).map(i => (9L, i)).toDF("user_id", "item")
+    val out = Curation.negativeSample(pos, "user_id", "item", items, k = 6)
+    assert(out.count() == 0)
+  }
 }

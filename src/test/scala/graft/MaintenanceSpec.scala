@@ -111,4 +111,28 @@ class MaintenanceSpec extends AnyFunSuite {
     // idempotent
     assert(Maintenance.dropPartitionsBefore(spark, dir, "day", "2024-01-03").isEmpty)
   }
+
+  test("corpusManifest: order-independent, content-sensitive, counts exact") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"document body $i")).toDF("doc_id", "text")
+    val base = Maintenance.corpusManifest(docs, "doc_id", "text", numShards = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(base.values.map(_._1).sum == 50)
+    assert(base.values.map(_._2).sum ==
+      (1L to 50L).map(i => s"document body $i".length.toLong).sum)
+    // order-independence: reversed input produces the identical manifest
+    val reversed = Maintenance.corpusManifest(
+        (1L to 50L).reverse.map(i => (i, s"document body $i")).toDF("doc_id", "text"),
+        "doc_id", "text", numShards = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(reversed == base)
+    // content sensitivity: editing ONE doc flips exactly its shard's hash
+    val edited = Maintenance.corpusManifest(
+        (1L to 50L).map(i => (i, if (i == 17L) "EDITED" else s"document body $i"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    val changed = base.keys.filter(s => edited(s) != base(s)._3)
+    assert(changed.size == 1, s"expected exactly one shard to change: $changed")
+  }
 }
