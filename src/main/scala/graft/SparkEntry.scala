@@ -1658,6 +1658,41 @@ object SparkEntry {
         .transform(ordered1(_, col("user_id"), col("neg_item")))
     }),
 
+    // Temporal train/holdout split at the exact-rank 75% time cutoff +
+    // audit (counts, entity coverage, cold-start population) — the
+    // leakage-safe split for time-ordered data; rank via range-
+    // partitioned order statistics, never a single-task global window.
+    "q164_time_split" -> ((s, d) => {
+      Curation.temporalSplit(load(s, d, "events"), "user_id", "ts",
+          trainFrac = 0.75)
+        .transform(ordered1(_, col("split")))
+    }),
+
+    // Johnson-Lindenstrauss random projection (64 → 16 dims, Rademacher
+    // signs) + pairwise cosine-distortion audit — the training-free
+    // embedding-compression lever; projection is dOut codegen'd dot
+    // folds against literal sign arrays, shuffle-free.
+    "q165_jl_projection" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{asDouble, dot, norm}
+      val signs = Quantization.projectionSigns(64, 16)
+      val base = load(s, d, "embeddings").filter(col("vec_id") < 40)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val proj = Quantization.randomProject(base, "v", signs, "p")
+        .withColumn("nv", norm(col("v")))
+        .withColumn("np", norm(col("p")))
+      val a = proj.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("p").as("pa"), col("nv").as("nva"), col("np").as("npa"))
+      val b = proj.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("p").as("pb"), col("nv").as("nvb"), col("np").as("npb"))
+      val cosO = dot(col("va"), col("vb")) / (col("nva") * col("nvb"))
+      val cosP = dot(col("pa"), col("pb")) / (col("npa") * col("npb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosO, 6).as("cos_orig"), round(cosP, 6).as("cos_proj"),
+          round(abs(cosO - cosP), 6).as("abs_err"))
+        .transform(ordered1(_, col("id_a"), col("id_b")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4134,6 +4169,50 @@ object SparkEntry {
         |SELECT user_id, item AS neg_item, CAST(min(j) AS INT) AS sample_idx
         |FROM flt GROUP BY user_id, item
         |ORDER BY user_id, neg_item""".stripMargin,
+
+    "q164_time_split" ->
+      """WITH e AS (SELECT user_id AS u, ts FROM events WHERE ts IS NOT NULL),
+        |o AS (SELECT u, ts, row_number() OVER (ORDER BY ts) AS rn,
+        |    count(*) OVER () AS n FROM e),
+        |c AS (SELECT max(ts) AS cut FROM o WHERE rn = ceil(n * 0.75)),
+        |a AS (SELECT u, ts,
+        |    CASE WHEN ts <= c.cut THEN 'train' ELSE 'test' END AS split
+        |  FROM e CROSS JOIN c),
+        |p AS (SELECT split, count(*) AS n_events,
+        |    count(DISTINCT u) AS n_entities,
+        |    min(ts) AS first_ts, max(ts) AS last_ts FROM a GROUP BY split),
+        |tr AS (SELECT DISTINCT u FROM a WHERE split = 'train'),
+        |cold AS (SELECT count(*) AS nc
+        |  FROM (SELECT DISTINCT u FROM a WHERE split = 'test') t
+        |  WHERE NOT EXISTS (SELECT 1 FROM tr WHERE tr.u = t.u))
+        |SELECT split, n_events, n_entities, first_ts, last_ts,
+        |  CASE WHEN split = 'test' THEN (SELECT nc FROM cold)
+        |       ELSE 0 END AS n_cold_entities
+        |FROM p ORDER BY split""".stripMargin,
+
+    // Generated, not hand-written: the Rademacher sign lists come from
+    // the same deterministic projectionSigns the Spark side uses, so the
+    // two engines run the identical literal matrix.
+    "q165_jl_projection" -> {
+      val signs = graft.operators.Quantization.projectionSigns(64, 16)
+      val projExprs = signs.map(s =>
+        s"list_dot_product(cv, [${s.mkString(", ")}]) / 4.0")
+        .mkString(",\n      ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE vec_id < 40),
+         |p AS (SELECT vec_id, cv, [$projExprs] AS pv FROM c),
+         |n AS (SELECT vec_id, cv, pv,
+         |    sqrt(list_dot_product(cv, cv)) AS nv,
+         |    sqrt(list_dot_product(pv, pv)) AS np FROM p)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.cv, b.cv) / (a.nv * b.nv), 6) AS cos_orig,
+         |  round(list_dot_product(a.pv, b.pv) / (a.np * b.np), 6) AS cos_proj,
+         |  round(abs(list_dot_product(a.cv, b.cv) / (a.nv * b.nv)
+         |          - list_dot_product(a.pv, b.pv) / (a.np * b.np)), 6)
+         |    AS abs_err
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

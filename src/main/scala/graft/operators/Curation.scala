@@ -243,4 +243,55 @@ object Curation {
       .groupBy(col(userCol), col(negCol))
       .agg(min(col("__j")).cast("int").as("sample_idx"))
   }
+
+  /** Temporal train/holdout split at an exact-rank global time cutoff,
+    * with the audit a forecasting/recsys pipeline checks before training:
+    * the first `trainFrac` of events BY TIME become train, the rest test
+    * (a hash split like [[splitAssign]] leaks the future into training —
+    * time-ordered data must split on the clock). The cutoff is the
+    * timestamp at rank `ceil(trainFrac·n)`, so the boundary is a real
+    * observed instant and re-runs reproduce it exactly; ties at the
+    * cutoff value all land in train (`<=`).
+    *
+    * Output (one row per split): `split, n_events, n_entities, first_ts,
+    * last_ts, n_cold_entities` — cold = entities that appear ONLY in
+    * test, the cold-start population whose metrics a temporal evaluation
+    * must report separately.
+    *
+    * Scale shape: the rank is [[Relational.groupedRowNumber]]'s
+    * range-partitioned order statistic (no single-task global window),
+    * the cutoff re-enters as a 1-row broadcast, and the audit is two
+    * bounded aggregations plus one anti-join on entity id. */
+  def temporalSplit(events: DataFrame, entityCol: String, tsCol: String,
+      trainFrac: Double): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac < 1.0,
+      s"need 0 < trainFrac < 1: $trainFrac")
+    val e = events.select(col(entityCol).as("__u"), col(tsCol).as("__ts"))
+      .filter(col("__ts").isNotNull).withColumn("__g", lit(0))
+    val ranked = Relational.groupedRowNumber(e, Seq("__g"),
+        Seq(col("__ts").asc), "__rn")
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("__n"))))
+    val cutoff = ranked.groupBy(col("__g"))
+      .agg(max(when(col("__rn") === ceil(col("__n") * lit(trainFrac)),
+        col("__ts"))).as("__cut"))
+      .drop("__g")
+    val assigned = e.crossJoin(broadcast(cutoff))
+      .withColumn("split",
+        when(col("__ts") <= col("__cut"), lit("train")).otherwise(lit("test")))
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__u")).as("n_entities"),
+        min(col("__ts")).as("first_ts"), max(col("__ts")).as("last_ts"))
+    val trainEntities = assigned.filter(col("split") === "train")
+      .select(col("__u")).distinct()
+    val cold = assigned.filter(col("split") === "test")
+      .select(col("__u")).distinct()
+      .join(trainEntities, Seq("__u"), "left_anti")
+      .agg(count(lit(1)).as("n_cold_entities"))
+      .withColumn("split", lit("test"))
+    perSplit.join(broadcast(cold), Seq("split"), "left")
+      .na.fill(0L, Seq("n_cold_entities"))
+      .select(col("split"), col("n_events"), col("n_entities"),
+        col("first_ts"), col("last_ts"), col("n_cold_entities"))
+  }
 }

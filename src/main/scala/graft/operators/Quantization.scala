@@ -262,4 +262,37 @@ object Quantization {
       .select(col("query_id"), col("id").as("neighbor_id"),
         col("adc_dist"), col("__rn").as("rank"))
   }
+
+  /** Deterministic Rademacher sign matrix for [[randomProject]]:
+    * `signs(j)(i) = ±1` by the first md5 nibble of "i-j" — the
+    * Achlioptas '01 database-friendly Johnson-Lindenstrauss projection
+    * (±1 entries preserve pairwise geometry like Gaussian entries do,
+    * with no float matrix to ship: any engine regenerates the matrix
+    * from the formula). */
+  def projectionSigns(dIn: Int, dOut: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dOut).map(j => (0 until dIn).map { i =>
+      val h = md.digest(s"$i-$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+    })
+  }
+
+  /** Johnson-Lindenstrauss random projection: compress each vector to
+    * `signs.length` dimensions via `proj_j = dot(v, signs_j)/sqrt(dOut)`
+    * — the cheapest embedding-compression lever (no training, unlike
+    * [[pqCodebook]]) and the standard pre-filter in front of exact
+    * rescoring when even int8 vectors are too wide to shuffle.
+    *
+    * Scale shape: pure per-row projection — `dOut` codegen'd
+    * [[graft.functions.VectorFunctions.dot]] folds against literal sign
+    * arrays, no shuffle, no state. Appends `projCol` (array<double>). */
+  def randomProject(embeds: DataFrame, vecCol: String,
+      signs: Seq[Seq[Double]], projCol: String = "proj"): DataFrame = {
+    require(signs.nonEmpty, "signs must be non-empty")
+    val scale = math.sqrt(signs.length.toDouble)
+    val comps = signs.map { s =>
+      dot(col(vecCol), array(s.map(lit): _*)) / lit(scale)
+    }
+    embeds.withColumn(projCol, array(comps: _*))
+  }
 }

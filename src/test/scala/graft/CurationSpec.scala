@@ -147,6 +147,27 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("temporalSplit: exact-rank cutoff, ties land in train, cold entities counted") {
+    import spark.implicits._
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+    // 10 events; trainFrac 0.7 → cutoff = ts at rank 7 (= day 7). Event 8
+    // TIES the cutoff timestamp so <= must pull it into train. User "c"
+    // appears only after the cutoff → the cold-start entity.
+    val events = Seq(
+      ("a", ts(1)), ("a", ts(2)), ("a", ts(3)), ("a", ts(4)), ("a", ts(5)),
+      ("b", ts(6)), ("b", ts(7)), ("b", ts(7)), // tie at cutoff
+      ("c", ts(9)), ("c", ts(10))
+    ).toDF("user_id", "ts")
+    val out = Curation.temporalSplit(events, "user_id", "ts", trainFrac = 0.7)
+      .orderBy("split").collect()
+    val test = out(0); val train = out(1)
+    assert(train.getString(0) == "train" && test.getString(0) == "test")
+    assert(train.getLong(1) == 8 && test.getLong(1) == 2) // tie → train
+    assert(train.getLong(2) == 2 && test.getLong(2) == 1) // entities a,b | c
+    assert(train.getLong(5) == 0 && test.getLong(5) == 1) // c is cold
+    assert(test.getTimestamp(3) == ts(9) && test.getTimestamp(4) == ts(10))
+  }
+
   test("negativeSample: user whose positives cover the domain yields nothing") {
     import spark.implicits._
     val items = (0L until 4L).toDF("item")

@@ -185,4 +185,32 @@ class QuantizationSpec extends AnyFunSuite {
     assert(a == f)
     assert(a.size == 40)
   }
+
+  test("randomProject: deterministic signs, JL distortion bounded on seeded vectors") {
+    import spark.implicits._
+    val signs = Quantization.projectionSigns(32, 16)
+    assert(signs == Quantization.projectionSigns(32, 16))
+    assert(signs.size == 16 && signs.forall(_.size == 32))
+    assert(signs.flatten.forall(s => s == 1.0 || s == -1.0))
+    // both signs occur (an all-ones matrix would be a broken generator)
+    assert(signs.flatten.distinct.size == 2)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextGaussian()))).toDF("id", "v")
+    val proj = Quantization.randomProject(vecs, "v", signs, "p")
+      .select(col("id"), col("v"), col("p")).collect()
+      .map(r => (r.getSeq[Double](1), r.getSeq[Double](2)))
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val errs = for {
+      i <- proj.indices; j <- proj.indices if i < j
+    } yield math.abs(cos(proj(i)._1, proj(j)._1) - cos(proj(i)._2, proj(j)._2))
+    // 32→16 halves the dimension; mean cosine distortion on gaussian
+    // vectors concentrates well under 0.25 (JL with ±1 entries)
+    assert(errs.sum / errs.size < 0.25,
+      s"mean distortion ${errs.sum / errs.size} too high")
+    assert(proj.forall(_._2.size == 16))
+  }
 }
