@@ -1693,6 +1693,38 @@ object SparkEntry {
         .transform(ordered1(_, col("id_a"), col("id_b")))
     }),
 
+    // Per-source quota capping: at most 15 docs per source by token-count
+    // priority — the "no more than N of X" corpus-assembly primitive a
+    // fraction-based mixture can't express. rank<=cap compiles to
+    // WindowGroupLimit (per-task cap-sized heaps).
+    "q166_source_quota" -> ((s, d) => {
+      Curation.groupQuota(parallel(load(s, d, "documents")),
+          col("doc_id"), col("source"),
+          TextFunctions.tokenCount(col("text")), cap = 15)
+        .transform(ordered1(_, col("group"), col("rank")))
+    }),
+
+    // Cross-source quantile normalization: each doc's token count mapped
+    // to the POOLED distribution's value at the doc's within-source
+    // relative rank — batch-effect correction before one global
+    // threshold. Both rank passes are range-partitioned order statistics.
+    "q167_quantile_norm" -> ((s, d) => {
+      Curation.quantileNormalize(
+          parallel(load(s, d, "documents"))
+            .withColumn("tokens",
+              TextFunctions.tokenCount(col("text")).cast("double")),
+          "doc_id", "source", "tokens")
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+    // LSH banding S-curve planner for 128 hashes: collision probability
+    // per (rows, bands, similarity) plus each config's inflection
+    // threshold — how the MinHash stack's parameters get chosen.
+    "q168_lsh_planner" -> ((s, d) => {
+      TextDedup.lshPlan(s, numHashes = 128)
+        .transform(ordered1(_, col("r"), col("s")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4213,6 +4245,40 @@ object SparkEntry {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q166_source_quota" ->
+      """SELECT doc_id AS id, source AS "group", CAST(rn AS INT) AS rank
+        |FROM (SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY "group", rank""".stripMargin,
+
+    "q167_quantile_norm" ->
+      """WITH v AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS tokens
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, tokens,
+        |    row_number() OVER (PARTITION BY source ORDER BY tokens, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS ng FROM v),
+        |o AS (SELECT tokens AS norm_val,
+        |    row_number() OVER (ORDER BY tokens, doc_id) AS grn FROM v),
+        |t AS (SELECT count(*) AS n FROM v)
+        |SELECT g.doc_id, g.source, g.tokens, o.norm_val
+        |FROM g CROSS JOIN t
+        |JOIN o ON o.grn =
+        |  CAST(ceil(((2 * g.rn - 1) / (2.0 * g.ng)) * t.n) AS BIGINT)
+        |ORDER BY g.doc_id""".stripMargin,
+
+    "q168_lsh_planner" ->
+      """WITH cfg AS (SELECT CAST(i AS INT) AS r, CAST(128 // i AS INT) AS b
+        |  FROM generate_series(1, 128) t(i) WHERE 128 % i = 0),
+        |grid AS (SELECT k * 0.05 AS s FROM generate_series(1, 19) g(k))
+        |SELECT r, b, round(power(1.0/b, 1.0/r), 6) AS threshold,
+        |  round(s, 2) AS s,
+        |  round(1 - power(1 - power(s, r), b), 6) AS p_collide
+        |FROM cfg CROSS JOIN grid ORDER BY r, s""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

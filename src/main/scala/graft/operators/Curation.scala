@@ -244,6 +244,65 @@ object Curation {
       .agg(min(col("__j")).cast("int").as("sample_idx"))
   }
 
+  /** Per-source quota capping: keep at most `cap` rows per group, chosen
+    * by priority — the corpus-assembly primitive that stops one crawl
+    * from drowning the mixture (a FRACTION-based mix like
+    * [[domainMixture]] cannot express "no more than N docs of X").
+    * Returns `(idCol, groupCol, rank)` for kept rows; rank is the
+    * 1-based position within the group under (priority DESC, id ASC).
+    *
+    * Scale shape: one hash shuffle on the group key; the rank<=cap
+    * filter compiles to WindowGroupLimit, so each task keeps a cap-sized
+    * heap per group instead of materializing full group sorts. */
+  def groupQuota(df: DataFrame, idCol: Column, groupCol: Column,
+      priority: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    import org.apache.spark.sql.expressions.Window
+    df.select(idCol.as("id"), groupCol.as("group"), priority.as("__p"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("group"))
+          .orderBy(col("__p").desc, col("id").asc)))
+      .filter(col("rank") <= cap)
+      .select(col("id"), col("group"), col("rank"))
+  }
+
+  /** Cross-group quantile normalization: replace each row's value with
+    * the POOLED distribution's value at the row's within-group relative
+    * rank — the batch-effect correction that makes per-source quality
+    * scores comparable before one global threshold (a score of "0.8"
+    * from a lenient scorer and a strict scorer land at the same
+    * percentile-matched value). Midpoint ranks `(2r-1)/(2n)` keep the
+    * mapping inside the observed pooled range.
+    *
+    * Output: `(idCol, groupCol, valueCol, norm_val)`.
+    *
+    * Scale shape: both rank passes are [[Relational.groupedRowNumber]]
+    * range-partitioned order statistics (no single-task window); the
+    * percentile lookup is an equi-join on the computed pooled rank —
+    * one hash shuffle against the N-row sorted-value frame, never a
+    * range join. */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = df.select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as(valueCol))
+      .filter(col(valueCol).isNotNull)
+    val ranked = Relational.groupedRowNumber(v, Seq(groupCol),
+        Seq(col(valueCol).asc, col(idCol).asc), "__rn")
+      .join(broadcast(v.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__ng"))), groupCol)
+    val pooled = Relational.groupedRowNumber(
+        v.withColumn("__g", lit(0)), Seq("__g"),
+        Seq(col(valueCol).asc, col(idCol).asc), "__grn")
+      .select(col("__grn"), col(valueCol).as("norm_val"))
+    val total = v.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("__tr", ceil(
+        (lit(2) * col("__rn") - lit(1)).cast("double") /
+          (lit(2.0) * col("__ng")) * col("__n")).cast("long"))
+      .join(pooled, col("__tr") === col("__grn"))
+      .select(col(idCol), col(groupCol), col(valueCol), col("norm_val"))
+  }
+
   /** Temporal train/holdout split at an exact-rank global time cutoff,
     * with the audit a forecasting/recsys pipeline checks before training:
     * the first `trainFrac` of events BY TIME become train, the rest test

@@ -624,6 +624,33 @@ object TextDedup {
       .distinct()
   }
 
+  /** LSH parameter planner: the banding S-curve table that picks
+    * (bands b, rows-per-band r) for [[lshCandidatePairs]] given a target
+    * similarity threshold. For every (r, b) with r·b = `numHashes` and
+    * every similarity s on a 0.05 grid, emits the collision probability
+    * `1 - (1 - s^r)^b` and the config's inflection threshold
+    * `(1/b)^(1/r)` (Leskovec/Rajaraman/Ullman, MMDS ch. 3) — pick the
+    * config whose threshold brackets the Jaccard you care about, read
+    * its false-positive/negative mass off the curve. Pure closed-form
+    * generation, |divisors|×19 rows; final values round to 6 dp (the
+    * repo convention that absorbs cross-engine pow() ulp drift). */
+  def lshPlan(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int): DataFrame = {
+    require(numHashes >= 1, s"numHashes must be >= 1: $numHashes")
+    val cfg = spark.range(1, numHashes + 1)
+      .filter(lit(numHashes) % col("id") === 0)
+      .select(col("id").cast("int").as("r"),
+        (lit(numHashes) / col("id")).cast("int").as("b"))
+    val grid = spark.range(1, 20).select((col("id") * lit(0.05)).as("__s"))
+    cfg.crossJoin(grid)
+      .select(col("r"), col("b"),
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6)
+          .as("threshold"),
+        round(col("__s"), 2).as("s"),
+        round(lit(1) - pow(lit(1) - pow(col("__s"), col("r")), col("b")), 6)
+          .as("p_collide"))
+  }
+
   /** Exact set-similarity self-join with prefix filtering: every document
     * pair whose token `shingleSize`-gram shingle sets have Jaccard >= tau,
     * with NO false negatives — the exact counterpart to the MinHash/LSH

@@ -147,6 +147,35 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("groupQuota: cap enforced per group, priority then id order") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 10), ("A", 2L, 30), ("A", 3L, 20), ("A", 4L, 30),
+      ("B", 5L, 1)
+    ).toDF("src", "id", "w")
+    val got = Curation.groupQuota(df, col("id"), col("src"), col("w"), cap = 2)
+      .orderBy("group", "rank").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    // A keeps w=30 twice (id 2 before id 4 — tie broken by id); B keeps its one row
+    assert(got.toSeq == Seq(("A", 2L, 1), ("A", 4L, 2), ("B", 5L, 1)))
+  }
+
+  test("quantileNormalize: groups map onto the same pooled values") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 1.0), ("A", 2L, 2.0), ("A", 3L, 3.0),
+      ("B", 4L, 10.0), ("B", 5L, 20.0), ("B", 6L, 30.0)
+    ).toDF("src", "id", "v")
+    val got = Curation.quantileNormalize(df, "id", "src", "v")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // pooled sorted: 1,2,3,10,20,30 (N=6); within-group midpoint ranks
+    // (1/6, 3/6, 5/6) → pooled ranks ceil(1,3,5) → values 1, 3, 20 —
+    // IDENTICAL for both groups despite disjoint raw scales
+    assert(got.toSeq == Seq(
+      (1L, 1.0), (2L, 3.0), (3L, 20.0),
+      (4L, 1.0), (5L, 3.0), (6L, 20.0)))
+  }
+
   test("temporalSplit: exact-rank cutoff, ties land in train, cold entities counted") {
     import spark.implicits._
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")

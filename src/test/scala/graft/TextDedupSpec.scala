@@ -45,6 +45,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(2).isEmpty)
   }
 
+  test("lshPlan: S-curve sane — r*b fixed, probabilities monotone in s, threshold ordered") {
+    val rows = graft.operators.TextDedup.lshPlan(spark, numHashes = 64)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.forall { case (r, b, _, _, _) => r * b == 64 })
+    assert(rows.forall { case (_, _, _, _, p) => p >= 0.0 && p <= 1.0 })
+    // per config, collision probability is non-decreasing in s
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      val ps = g.sortBy(_._4).map(_._5)
+      assert(ps.zip(ps.tail).forall { case (a, c) => a <= c })
+    }
+    // more rows per band → higher threshold (steeper, right-shifted curve)
+    val th = rows.groupBy(_._1).map { case (r, g) => (r, g.head._3) }
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(th.zip(th.tail).forall { case (a, c) => a < c })
+    // r=1, b=64: any single matching hash collides — near 1 even at s=0.3
+    val loose = rows.find(t => t._1 == 1 && math.abs(t._4 - 0.3) < 1e-9).get
+    assert(loose._5 > 0.99)
+  }
+
   test("similarityJoin: matches exhaustive Jaccard, boundary inclusive, no false negatives") {
     import spark.implicits._
     // 1-gram shingles so expected Jaccards are hand-computable token-set
