@@ -1725,6 +1725,30 @@ object SparkEntry {
         .transform(ordered1(_, col("r"), col("s")))
     }),
 
+    // Exact binary AUC (Mann-Whitney midranks, integer-exact to the last
+    // division): score = first embedding component rounded to 2dp (real
+    // tie groups exercise the midrank path), label = class >= 5. Rows
+    // collapse to the bounded distinct-score domain before any window.
+    "q169_auc_eval" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.aucBinary(emb,
+        round(element_at(graft.functions.VectorFunctions
+          .asDouble(col("embedding")), 1), 2),
+        (col("label") >= 5).cast("int"))
+    }),
+
+    // Precision/recall at every distinct score threshold — the operating-
+    // point table for calibrating a quality filter. Same bounded-domain
+    // reduction as q169.
+    "q170_pr_curve" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.prCurve(emb,
+          round(element_at(graft.functions.VectorFunctions
+            .asDouble(col("embedding")), 1), 2),
+          (col("label") >= 5).cast("int"))
+        .transform(ordered1(_, col("threshold")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4279,6 +4303,44 @@ object SparkEntry {
         |  round(s, 2) AS s,
         |  round(1 - power(1 - power(s, r), b), 6) AS p_collide
         |FROM cfg CROSS JOIN grid ORDER BY r, s""".stripMargin,
+
+    "q169_auc_eval" ->
+      """WITH s AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 2) + 0 AS sc,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |g AS (SELECT sc, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+        |  FROM s GROUP BY sc),
+        |o AS (SELECT cp, c,
+        |    sum(c) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - c + 1 AS mn,
+        |    sum(c) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) AS mx
+        |  FROM g),
+        |t AS (SELECT CAST(sum(cp * (mn + mx)) AS BIGINT) AS sp,
+        |    CAST(sum(cp) AS BIGINT) AS np,
+        |    CAST(sum(c - cp) AS BIGINT) AS nn,
+        |    count(*) AS n_thresholds FROM o)
+        |SELECT np + nn AS n, np AS n_pos, nn AS n_neg, n_thresholds,
+        |  CASE WHEN np > 0 AND nn > 0 THEN
+        |    round(CAST(sp - np * (np + 1) AS DOUBLE)
+        |      / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM t""".stripMargin,
+
+    "q170_pr_curve" ->
+      """WITH s AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 2) + 0
+        |      AS threshold,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |g AS (SELECT threshold, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+        |  FROM s GROUP BY threshold),
+        |o AS (SELECT threshold,
+        |    CAST(sum(cp) OVER w AS BIGINT) AS tp,
+        |    CAST(sum(c - cp) OVER w AS BIGINT) AS fp
+        |  FROM g WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS tp_all FROM g)
+        |SELECT threshold, tp, fp, t.tp_all - tp AS fn,
+        |  round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) AS precision,
+        |  CASE WHEN t.tp_all > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(t.tp_all AS DOUBLE), 6)
+        |  END AS recall
+        |FROM o CROSS JOIN t ORDER BY threshold""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
