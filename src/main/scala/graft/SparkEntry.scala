@@ -1749,6 +1749,39 @@ object SparkEntry {
         .transform(ordered1(_, col("threshold")))
     }),
 
+    // Calibration reliability table: 10 equal-width probability bins with
+    // exact confidence sums (decimal-quantized), observed positive rate,
+    // |acc-conf| gap, and per-bin ECE contributions.
+    "q171_calibration" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val prob = round((element_at(graft.functions.VectorFunctions
+        .asDouble(col("embedding")), 1) + lit(1.0)) / lit(2.0), 2)
+      graft.operators.Evaluation.calibration(emb, prob,
+          (col("label") >= 5).cast("int"), bins = 10, scale = 2)
+        .transform(ordered1(_, col("bin")))
+    }),
+
+    // Retrieval eval over the exact top-10: hits@10, NDCG@10, MRR with
+    // "same label" relevance. DCG uses shared literal micro-long rank
+    // discounts (dcgWeightsMicro) — integer sums, no cross-engine log().
+    "q172_retrieval_ndcg" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val lab = emb.select(col("vec_id"), col("label"))
+      val ranked = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") < 30), "embedding", "vec_id", k = 10)
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), "query_id")
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), "neighbor_id")
+        .withColumn("rel", (col("__ql") === col("__nl")).cast("int"))
+      val nrel = emb.groupBy(col("label").as("__ql2"))
+        .agg((count(lit(1)) - 1).as("n_rel"))
+      graft.operators.Evaluation.retrievalMetrics(
+          ranked.join(broadcast(nrel), col("__ql") === col("__ql2")),
+          "query_id", "rank", "rel", "n_rel", k = 10)
+        .transform(ordered1(_, col("query_id")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4341,6 +4374,71 @@ object SparkEntry {
         |    round(CAST(tp AS DOUBLE) / CAST(t.tp_all AS DOUBLE), 6)
         |  END AS recall
         |FROM o CROSS JOIN t ORDER BY threshold""".stripMargin,
+
+    "q171_calibration" ->
+      """WITH s AS (SELECT
+        |    round((CAST(embedding AS DOUBLE[])[1] + 1.0) / 2.0, 2) + 0 AS p,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |g AS (SELECT LEAST(GREATEST(CAST(floor(p * 10) AS INT), 0), 9)
+        |      AS bin,
+        |    count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |    SUM(CAST(p AS DECIMAL(18,2))) AS sp FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM g)
+        |SELECT bin, n, n_pos,
+        |  round(CAST(sp AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_conf,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS frac_pos,
+        |  round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_gap,
+        |  round(abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(sp AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS ece_term
+        |FROM g CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // Generated: the DCG discount / ideal-DCG tables are the SAME
+    // micro-long literals Evaluation.dcgWeightsMicro feeds the Spark
+    // side — no cross-engine log() runs anywhere.
+    "q172_retrieval_ndcg" -> {
+      val w = graft.operators.Evaluation.dcgWeightsMicro(10)
+      val idcg = w.scanLeft(0L)(_ + _).tail
+      val wVals = w.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      val iVals = idcg.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id,
+         |    CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < 30),
+         |c AS (SELECT vec_id AS neighbor_id,
+         |    CAST(embedding AS DOUBLE[]) AS cv, label AS nl FROM embeddings),
+         |scored AS (SELECT query_id, neighbor_id, ql, nl,
+         |    ROUND(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv))
+         |      * sqrt(list_dot_product(cv, cv))), 6) AS cosine
+         |  FROM c, q WHERE query_id <> neighbor_id),
+         |ranked AS (SELECT query_id, ql, nl, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+         |  FROM scored),
+         |top AS (SELECT query_id, ql,
+         |    CASE WHEN ql = nl THEN 1 ELSE 0 END AS rel, rnk
+         |  FROM ranked WHERE rnk <= 10),
+         |lc AS (SELECT label, count(*) - 1 AS n_rel FROM embeddings
+         |  GROUP BY label),
+         |wt AS (SELECT * FROM (VALUES $wVals) AS t(rnk, wm)),
+         |agg AS (SELECT t.query_id, lc.n_rel,
+         |    CAST(sum(t.rel) AS BIGINT) AS hits,
+         |    CAST(sum(CASE WHEN t.rel = 1 THEN wt.wm ELSE 0 END) AS BIGINT)
+         |      AS dcg,
+         |    min(CASE WHEN t.rel = 1 THEN t.rnk END) AS fr
+         |  FROM top t JOIN lc ON t.ql = lc.label JOIN wt ON wt.rnk = t.rnk
+         |  GROUP BY 1, 2),
+         |id AS (SELECT * FROM (VALUES $iVals) AS t(m, im))
+         |SELECT a.query_id, a.n_rel, a.hits,
+         |  CASE WHEN LEAST(a.n_rel, 10) > 0
+         |    THEN round(CAST(a.dcg AS DOUBLE) / CAST(id.im AS DOUBLE), 6)
+         |    ELSE 0.0 END AS ndcg,
+         |  CASE WHEN a.fr IS NOT NULL
+         |    THEN round(1.0 / CAST(a.fr AS DOUBLE), 6) ELSE 0.0 END AS mrr
+         |FROM agg a JOIN id ON id.m = LEAST(a.n_rel, 10)
+         |ORDER BY query_id""".stripMargin
+    },
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

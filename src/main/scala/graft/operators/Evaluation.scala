@@ -54,6 +54,89 @@ object Evaluation {
             6)).as("auc"))
   }
 
+  /** Calibration (reliability) table: equal-width probability bins with
+    * exact counts, mean predicted confidence, observed positive rate,
+    * the |acc − conf| gap, and each bin's expected-calibration-error
+    * contribution (their sum is ECE). The audit a scored quality filter
+    * runs before its scores are trusted as probabilities.
+    *
+    * Exactness: predicted probabilities quantize to unscaled longs at
+    * `scale` ([[Decimals.unscaledLong]]), so per-bin confidence sums are
+    * integers and every emitted double is one fixed IEEE op sequence
+    * from exact integers. Probabilities outside [0,1] clamp into the
+    * edge bins rather than fabricating bins.
+    *
+    * Scale shape: one hash aggregation to `bins` rows + a 1-row
+    * broadcast total. */
+  def calibration(df: DataFrame, probCol: Column, labelCol: Column,
+      bins: Int, scale: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2: $bins")
+    val pow = math.pow(10, scale).toLong
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val bin = least(greatest(floor(probCol * bins).cast("int"), lit(0)),
+      lit(bins - 1))
+    val grouped = df
+      .select(bin.as("bin"), labelCol.cast("long").as("__y"),
+        graft.functions.Decimals.unscaledLong(probCol, scale).as("__q"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__pos"),
+        sum(col("__q")).as("__sq"))
+    val total = grouped.agg(sum(col("n")).as("__nt"))
+    val meanConf = (col("__sq").cast(dec38) / lit(pow)).cast("double") /
+      col("n").cast("double")
+    val fracPos = col("__pos").cast("double") / col("n").cast("double")
+    grouped.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("__pos").as("n_pos"),
+        round(meanConf, 6).as("mean_conf"),
+        round(fracPos, 6).as("frac_pos"),
+        round(abs(fracPos - meanConf), 6).as("abs_gap"),
+        round(abs(fracPos - meanConf) * col("n").cast("double") /
+          col("__nt").cast("double"), 6).as("ece_term"))
+  }
+
+  /** Fixed DCG rank discounts `round6(1/log2(i+1))` as micro-unit longs,
+    * i = 1..k. Shared by [[retrievalMetrics]] AND any SQL oracle: the
+    * weights are computed ONCE here and embedded as literals on both
+    * sides, so no cross-engine log()/pow() ever runs — and integer
+    * weight sums make DCG immune to floating-point summation order. */
+  def dcgWeightsMicro(k: Int): Seq[Long] =
+    (1 to k).map(i => (BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact)
+
+  /** Binary-relevance retrieval metrics per query over a ranked result
+    * list: hits@k, NDCG@k, and MRR — the eval a vector index runs
+    * against labeled data ("neighbors should share my label").
+    * `ranked` carries one row per (query, rank<=k) with a 0/1 `relCol`;
+    * `nRelCol` is the query's TOTAL relevant count in the corpus (caps
+    * the ideal DCG). DCG sums the fixed micro-long discounts of
+    * [[dcgWeightsMicro]] — integer arithmetic, so partition order
+    * cannot leak in; the one double division (DCG/IDCG) and the 1/rank
+    * MRR round to 6 dp.
+    *
+    * Scale shape: one hash aggregation keyed by query; the discount
+    * table is a k-element literal array. */
+  def retrievalMetrics(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, nRelCol: String, k: Int): DataFrame = {
+    val w = dcgWeightsMicro(k)
+    val wArr = array(w.map(lit): _*)
+    val idcgArr = array(w.scanLeft(0L)(_ + _).tail.map(lit): _*)
+    val rel = col(relCol).cast("long")
+    ranked
+      .groupBy(col(queryCol), col(nRelCol))
+      .agg(sum(rel).as("hits"),
+        sum(when(rel === 1, element_at(wArr, col(rankCol).cast("int")))
+          .otherwise(0L)).as("__dcg"),
+        min(when(rel === 1, col(rankCol))).as("__fr"))
+      .withColumn("__m", least(col(nRelCol).cast("int"), lit(k)))
+      .select(col(queryCol), col(nRelCol), col("hits"),
+        when(col("__m") > 0, round(col("__dcg").cast("double") /
+          element_at(idcgArr, col("__m")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("ndcg"),
+        when(col("__fr").isNotNull,
+          round(lit(1.0) / col("__fr").cast("double"), 6))
+          .otherwise(lit(0.0)).as("mrr"))
+  }
+
   /** Precision/recall curve at every distinct score threshold
     * ("predict positive when score >= t"): per threshold, exact
     * TP/FP/FN counts and the derived precision/recall — the table a

@@ -44,6 +44,45 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows(3) == (0.6, 2L, 2L, 0L, 0.5, 1.0))
   }
 
+  test("calibration: exact bin stats, ECE terms, out-of-range clamps to edge bins") {
+    import spark.implicits._
+    val df = Seq((0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1), (0.55, 0),
+      (1.0, 1), (-0.2, 0)).toDF("p", "y")
+    val rows = Evaluation.calibration(df, col("p"), col("y"),
+        bins = 10, scale = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(6)))
+    // bin 0: p={0.05,0.05,-0.2 clamped}; bin 5: {0.55}; bin 9: {0.95,0.95,1.0 clamped}
+    assert(rows.map(_._1).toSeq == Seq(0, 5, 9))
+    val b0 = rows(0); val b5 = rows(1); val b9 = rows(2)
+    assert(b0._2 == 3 && b0._3 == 1)
+    assert(b0._4 == round6((0.05 + 0.05 - 0.2) / 3)) // mean conf incl. clamp
+    assert(b5._2 == 1 && b5._3 == 0 && b5._4 == 0.55)
+    assert(b9._2 == 3 && b9._3 == 3 && b9._4 == round6(2.9 / 3))
+    // ECE terms sum to ECE; spot-check bin 5: |0 − 0.55|·1/7
+    assert(b5._6 == round6(0.55 / 7))
+  }
+
+  test("retrievalMetrics: NDCG/MRR from literal discounts, capped ideal, zero-hit query") {
+    import spark.implicits._
+    val w = Evaluation.dcgWeightsMicro(3)
+    assert(w == Seq(1000000L, 630930L, 500000L))
+    val ranked = Seq(
+      ("A", 1, 1, 5L), ("A", 2, 0, 5L), ("A", 3, 1, 5L),
+      ("B", 1, 0, 5L), ("B", 2, 0, 5L), ("B", 3, 0, 5L),
+      ("C", 1, 0, 1L), ("C", 2, 1, 1L), ("C", 3, 0, 1L)
+    ).toDF("q", "rank", "rel", "n_rel")
+    val got = Evaluation.retrievalMetrics(ranked, "q", "rank", "rel",
+        "n_rel", k = 3)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got(0) == (("A", 2L, round6(1500000.0 / 2130930.0), 1.0)))
+    assert(got(1) == (("B", 0L, 0.0, 0.0)))
+    // C has only ONE relevant doc in the corpus → ideal DCG caps at m=1
+    assert(got(2) == (("C", 1L, round6(630930.0 / 1000000.0), 0.5)))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
