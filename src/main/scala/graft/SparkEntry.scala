@@ -1606,6 +1606,7 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
     }),
 
+
     // Leave-one-out target encoding with additive smoothing: each order's
     // priority encoded as the mean total price of all OTHER orders in
     // that priority, shrunk toward the global mean — the leakage-safe
@@ -1780,6 +1781,31 @@ object SparkEntry {
           ranked.join(broadcast(nrel), col("__ql") === col("__ql2")),
           "query_id", "rank", "rel", "n_rel", k = 10)
         .transform(ordered1(_, col("query_id")))
+    }),
+
+    // Preference-pair construction (DPO/RLHF reward-data shape): per
+    // source, highest-scored doc = chosen, lowest = rejected, with the
+    // margin. ONE struct-ordered min/max aggregation — no per-group sort.
+    "q173_preference_pairs" -> ((s, d) => {
+      graft.operators.Packing.preferencePairs(
+          parallel(load(s, d, "documents")), "source", "doc_id",
+          TextFunctions.tokenCount(col("text")))
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Corpus-version diff from two additive manifests: per shard
+    // added/removed/changed/unchanged + doc/byte deltas — which shards a
+    // training run must re-read. Fixture: ~1% of docs retired, every
+    // 50th edited.
+    "q174_manifest_diff" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val cur = docs.filter(col("doc_id") % 97 =!= 0)
+        .withColumn("text", when(col("doc_id") % 50 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Maintenance.manifestDiff(
+          Maintenance.corpusManifest(docs, "doc_id", "text", numShards = 8),
+          Maintenance.corpusManifest(cur, "doc_id", "text", numShards = 8))
+        .transform(ordered1(_, col("shard")))
     }),
 
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
@@ -4438,6 +4464,66 @@ object SparkEntry {
          |    THEN round(1.0 / CAST(a.fr AS DOUBLE), 6) ELSE 0.0 END AS mrr
          |FROM agg a JOIN id ON id.m = LEAST(a.n_rel, 10)
          |ORDER BY query_id""".stripMargin
+    },
+
+    "q173_preference_pairs" ->
+      """WITH v AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS sc
+        |  FROM documents),
+        |ch AS (SELECT source, doc_id AS chosen_id, sc AS chosen_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sc DESC, doc_id ASC) AS rn FROM v),
+        |rj AS (SELECT source, doc_id AS rejected_id, sc AS rejected_score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY sc ASC, doc_id ASC) AS rn FROM v),
+        |n AS (SELECT source, count(*) AS n FROM v GROUP BY source)
+        |SELECT ch.source, chosen_id, chosen_score, rejected_id,
+        |  rejected_score,
+        |  round(chosen_score - rejected_score, 6) AS margin
+        |FROM ch JOIN rj ON ch.source = rj.source AND ch.rn = 1 AND rj.rn = 1
+        |JOIN n ON n.source = ch.source
+        |WHERE n.n >= 2 AND chosen_id <> rejected_id
+        |ORDER BY ch.source""".stripMargin,
+
+    // Generated: the manifest CTE chain is built once by a local helper
+    // and instantiated for both corpus versions.
+    "q174_manifest_diff" -> {
+      def manifestSql(src: String, tag: String) =
+        s"""w$tag AS (SELECT
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+           |      AS BIGINT) % 8 AS shard,
+           |    length(text) AS nb,
+           |    CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS w0,
+           |    CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS w1,
+           |    CAST(('0x' || substr(h, 17, 8)) AS BIGINT) AS w2,
+           |    CAST(('0x' || substr(h, 25, 8)) AS BIGINT) AS w3
+           |  FROM (SELECT doc_id, text,
+           |      md5(CAST(doc_id AS VARCHAR) || ':' || text) AS h
+           |    FROM $src)),
+           |g$tag AS (SELECT shard, count(*) AS n_docs,
+           |    CAST(sum(nb) AS BIGINT) AS n_bytes,
+           |    md5(CAST(CAST(sum(w0) % 4294967296 AS BIGINT) AS VARCHAR) ||
+           |      '-' || CAST(CAST(sum(w1) % 4294967296 AS BIGINT) AS VARCHAR) ||
+           |      '-' || CAST(CAST(sum(w2) % 4294967296 AS BIGINT) AS VARCHAR) ||
+           |      '-' || CAST(CAST(sum(w3) % 4294967296 AS BIGINT) AS VARCHAR))
+           |      AS mh
+           |  FROM w$tag GROUP BY shard)""".stripMargin
+      s"""WITH dref AS (SELECT doc_id, text FROM documents),
+         |dcur AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 97 <> 0),
+         |${manifestSql("dref", "r")},
+         |${manifestSql("dcur", "c")}
+         |SELECT COALESCE(gr.shard, gc.shard) AS shard,
+         |  CASE WHEN gr.shard IS NULL THEN 'added'
+         |       WHEN gc.shard IS NULL THEN 'removed'
+         |       WHEN gr.mh = gc.mh THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  COALESCE(gc.n_docs, 0) - COALESCE(gr.n_docs, 0) AS doc_delta,
+         |  COALESCE(gc.n_bytes, 0) - COALESCE(gr.n_bytes, 0) AS byte_delta
+         |FROM gr FULL OUTER JOIN gc ON gr.shard = gc.shard
+         |ORDER BY shard""".stripMargin
     },
 
     "q153_mlm_mask" ->

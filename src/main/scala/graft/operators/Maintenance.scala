@@ -191,4 +191,28 @@ object Maintenance {
         md5(concat_ws("-", col("__m0"), col("__m1"), col("__m2"),
           col("__m3"))).as("manifest_hash"))
   }
+
+  /** Diff of two [[corpusManifest]] outputs: per shard, `added` /
+    * `removed` / `changed` / `unchanged` plus the doc and byte deltas —
+    * the corpus-version comparison that tells a training run WHICH
+    * shards to re-read without touching unchanged data (the additive
+    * digest makes "unchanged" a constant-size check, not a rescan).
+    *
+    * Scale shape: a |shards|-row full-outer join — trivially bounded. */
+  def manifestDiff(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val r = ref.select(col("shard"), col("n_docs").as("__dr"),
+      col("n_bytes").as("__br"), col("manifest_hash").as("__hr"))
+    val c = cur.select(col("shard"), col("n_docs").as("__dc"),
+      col("n_bytes").as("__bc"), col("manifest_hash").as("__hc"))
+    r.join(c, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        when(col("__hr").isNull, lit("added"))
+          .when(col("__hc").isNull, lit("removed"))
+          .when(col("__hr") === col("__hc"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("__dc"), lit(0L)) - coalesce(col("__dr"), lit(0L)))
+          .as("doc_delta"),
+        (coalesce(col("__bc"), lit(0L)) - coalesce(col("__br"), lit(0L)))
+          .as("byte_delta"))
+  }
 }

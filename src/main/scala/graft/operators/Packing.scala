@@ -188,4 +188,34 @@ object Packing {
         array_join(slice(col("__t"), col("start_token").cast("int"), lit(window)), " ")
           .as("chunk_text"))
   }
+
+  /** Preference-pair construction (the DPO/RLHF reward-data shape): per
+    * group, the highest-scored member becomes `chosen` and the
+    * lowest-scored `rejected`, with the score margin — turning any
+    * per-candidate quality signal into pairwise training data. Ties
+    * break deterministically (lowest id wins on both sides), groups with
+    * fewer than two members or where chosen = rejected (all scores AND
+    * ids collapse) are dropped rather than emitting degenerate pairs.
+    *
+    * Scale shape: ONE hash aggregation — argmax/argmin ride a single
+    * struct-ordered min/max pair (lexicographic struct comparison:
+    * score first, negated id second so score ties pick the LOWEST id),
+    * not a per-group sort or window. */
+  def preferencePairs(docs: DataFrame, groupCol: String, idCol: String,
+      score: Column): DataFrame = {
+    val s = docs.select(col(groupCol), col(idCol).cast("long").as("__id"),
+      score.cast("double").as("__sc"))
+    s.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        max(struct(col("__sc").as("s"), (-col("__id")).as("nid"))).as("__ch"),
+        min(struct(col("__sc").as("s"), col("__id").as("id"))).as("__rj"))
+      .filter(col("__n") >= 2)
+      .select(col(groupCol),
+        (-col("__ch.nid")).as("chosen_id"),
+        col("__ch.s").as("chosen_score"),
+        col("__rj.id").as("rejected_id"),
+        col("__rj.s").as("rejected_score"),
+        round(col("__ch.s") - col("__rj.s"), 6).as("margin"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+  }
 }

@@ -135,4 +135,42 @@ class MaintenanceSpec extends AnyFunSuite {
     val changed = base.keys.filter(s => edited(s) != base(s)._3)
     assert(changed.size == 1, s"expected exactly one shard to change: $changed")
   }
+
+  test("manifestDiff: added/removed/changed/unchanged statuses and deltas") {
+    import spark.implicits._
+    // cur drops every doc of one shard (removed) and edits one doc of
+    // another (changed); 'added' is exercised by the reverse diff.
+    val ref = (1L to 40L).map(i => (i, s"body $i")).toDF("doc_id", "text")
+    val refM = Maintenance.corpusManifest(ref, "doc_id", "text", numShards = 4)
+    val shardOf = refM.select("shard").collect().map(_.getLong(0)).toSet
+    assert(shardOf == Set(0L, 1L, 2L, 3L))
+    // drop an entire shard's docs + edit one remaining doc
+    val dropShard = 2L
+    val shardExpr = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("doc_id").cast("string")),
+          1, 4), 16, 10).cast("long"), lit(4L))
+    // edit a doc that SURVIVES the drop, so exactly one shard reads
+    // 'changed' independent of where doc ids happen to hash
+    val byShard = ref.withColumn("__sh", shardExpr).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val editId = byShard.collectFirst {
+      case (id, sh) if sh != dropShard => id }.get
+    val cur = ref.withColumn("__sh", shardExpr)
+      .filter(col("__sh") =!= dropShard).drop("__sh")
+      .withColumn("text",
+        when(col("doc_id") === editId, lit("EDITED")).otherwise(col("text")))
+    val curM = Maintenance.corpusManifest(cur, "doc_id", "text", numShards = 4)
+    val statuses = Maintenance.manifestDiff(refM, curM).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(statuses(dropShard)._1 == "removed")
+    assert(statuses(dropShard)._2 < 0) // docs went away
+    assert(statuses(byShard(editId))._1 == "changed")
+    assert(statuses.values.count(_._1 == "unchanged") == 2)
+    // reverse direction: the dropped shard reads as 'added'
+    val rev = Maintenance.manifestDiff(curM, refM).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rev(dropShard) == "added")
+  }
 }

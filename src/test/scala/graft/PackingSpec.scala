@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Packing
@@ -158,5 +159,24 @@ class PackingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Packing.spanCorruption(docs, "text", "doc_id", corruptEvery = 1)
     }
+  }
+
+  test("preferencePairs: argmax/argmin with id tie-breaks, degenerate groups dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", 1L, 5.0), ("A", 2L, 9.0), ("A", 3L, 9.0), ("A", 4L, 5.0),
+      ("B", 5L, 7.0),              // singleton → dropped
+      ("C", 6L, 3.0), ("C", 7L, 3.0) // all-equal scores → ids break the tie
+    ).toDF("src", "id", "sc")
+    val got = Packing.preferencePairs(docs, "src", "id", col("sc"))
+      .orderBy("src").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    // A: chosen = lowest id among the 9.0 ties (2), rejected = lowest id
+    // among the 5.0 ties (1)
+    assert(got(0) == (("A", 2L, 9.0, 1L, 5.0, 4.0)))
+    // B is a singleton; C's scores all tie so chosen and rejected both
+    // resolve to id 6 — both groups must be dropped, leaving only A
+    assert(got.length == 1)
   }
 }
