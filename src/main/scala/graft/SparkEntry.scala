@@ -1808,6 +1808,27 @@ object SparkEntry {
         .transform(ordered1(_, col("shard")))
     }),
 
+    // Per-source AUC fairness panel: does the (toy) length-based quality
+    // score rank English docs equally well in every source? Same exact
+    // midrank arithmetic as q169, windows partitioned by group.
+    "q175_group_auc" -> ((s, d) => {
+      graft.operators.Evaluation.aucBinaryBy(load(s, d, "documents"),
+          "source",
+          round(TextFunctions.tokenCount(col("text")).cast("double") /
+            lit(100.0), 2),
+          (col("lang") === "en").cast("int"))
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Embedding-space outliers: top-20 by Euclidean distance to the
+    // exact per-dimension centroid — the cheap mis-embedding screen.
+    // One 1-row aggregation + broadcast + TakeOrderedAndProject.
+    "q176_embedding_outliers" -> ((s, d) => {
+      Similarity.centroidOutliers(load(s, d, "embeddings"),
+          "embedding", "vec_id", dim = 64, k = 20)
+        .transform(ordered1(_, col("dist").desc, col("vec_id")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4524,6 +4545,46 @@ object SparkEntry {
          |  COALESCE(gc.n_bytes, 0) - COALESCE(gr.n_bytes, 0) AS byte_delta
          |FROM gr FULL OUTER JOIN gc ON gr.shard = gc.shard
          |ORDER BY shard""".stripMargin
+    },
+
+    "q175_group_auc" ->
+      """WITH s AS (SELECT source,
+        |    round(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 2)
+        |      AS sc,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        |g AS (SELECT source, sc, count(*) AS c,
+        |    CAST(sum(y) AS BIGINT) AS cp FROM s GROUP BY 1, 2),
+        |o AS (SELECT source, cp, c,
+        |    sum(c) OVER w - c + 1 AS mn, sum(c) OVER w AS mx
+        |  FROM g WINDOW w AS (PARTITION BY source ORDER BY sc
+        |    ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT source, CAST(sum(cp * (mn + mx)) AS BIGINT) AS sp,
+        |    CAST(sum(cp) AS BIGINT) AS np, CAST(sum(c - cp) AS BIGINT) AS nn,
+        |    count(*) AS n_thresholds FROM o GROUP BY source)
+        |SELECT source, np + nn AS n, np AS n_pos, nn AS n_neg, n_thresholds,
+        |  CASE WHEN np > 0 AND nn > 0 THEN
+        |    round(CAST(sp - np * (np + 1) AS DOUBLE)
+        |      / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6)
+        |  END AS auc
+        |FROM t ORDER BY source""".stripMargin,
+
+    // Generated: 64 per-dimension exact sums, mirroring
+    // Similarity.centroidOutliers' decimal quantization.
+    "q176_embedding_outliers" -> {
+      val sums = (0 until 64).map(i =>
+        s"SUM(CAST(CAST(cv[${i + 1}] AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS s$i")
+        .mkString(", ")
+      val means = (0 until 64).map(i =>
+        s"CAST(s$i AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)").mkString(", ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |st AS (SELECT count(*) AS n, $sums FROM c),
+         |m AS (SELECT n, [$means] AS mv FROM st),
+         |d AS (SELECT vec_id,
+         |    [cv[i] - mv[i] FOR i IN generate_series(1, 64)] AS dv
+         |  FROM c CROSS JOIN m)
+         |SELECT vec_id, round(sqrt(list_dot_product(dv, dv)), 6) AS dist
+         |FROM d ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
     },
 
     "q153_mlm_mask" ->

@@ -54,6 +54,39 @@ object Evaluation {
             6)).as("auc"))
   }
 
+  /** [[aucBinary]] stratified by a group column — the fairness panel
+    * ("does the scorer rank equally well for every source/cohort?"). One
+    * row per group with the same exact midrank arithmetic; the rank walk
+    * is a window PARTITIONED by group over the bounded per-group score
+    * domain, so groups parallelize. */
+  def aucBinaryBy(df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column): DataFrame = {
+    val groups = df
+      .select(col(groupCol), scoreCol.as("__s"), labelCol.cast("long").as("__y"))
+      .groupBy(col(groupCol), col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__cp"))
+    val cum = groups.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(col(groupCol))
+        .orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cum
+      .select(col(groupCol), col("__cp"), col("__c"),
+        (col("__cum") - col("__c") + 1).as("__mn"), col("__cum").as("__mx"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__cp") * (col("__mn") + col("__mx"))).as("__sp"),
+        sum(col("__cp")).as("__np"),
+        sum(col("__c") - col("__cp")).as("__nn"),
+        count(lit(1)).as("n_thresholds"))
+      .select(col(groupCol), (col("__np") + col("__nn")).as("n"),
+        col("__np").as("n_pos"), col("__nn").as("n_neg"),
+        col("n_thresholds"),
+        when(col("__np") > 0 && col("__nn") > 0,
+          round((col("__sp") - col("__np") * (col("__np") + lit(1)))
+            .cast("double") /
+            (lit(2.0) * col("__np").cast("double") * col("__nn").cast("double")),
+            6)).as("auc"))
+  }
+
   /** Calibration (reliability) table: equal-width probability bins with
     * exact counts, mean predicted confidence, observed positive rate,
     * the |acc − conf| gap, and each bin's expected-calibration-error

@@ -626,4 +626,39 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact").cast("double"), 6)
           .as("recall"))
   }
+
+  /** Embedding-space outliers by distance to the corpus centroid — the
+    * cheap first screen for mis-embedded rows (all-zero vectors, wrong
+    * normalization, foreign-model leakage) before any clustering.
+    * Returns the top `k` `(idCol, dist)` by Euclidean distance to the
+    * per-dimension mean vector.
+    *
+    * Exactness: the centroid comes from per-dimension decimal-quantized
+    * sums ([[graft.functions.Decimals.unscaledLong]] at scale 6 — `dim`
+    * exact integer columns in ONE 1-row aggregation), and the distance
+    * is the codegen'd strict-index-order [[VectorFunctions.dot]] fold of
+    * the per-row difference vector — every double is one fixed IEEE op
+    * sequence from exact sums, oracle-reproducible.
+    *
+    * Scale shape: one map-side-combined 1-row aggregation (dim buffers),
+    * the centroid re-enters as a broadcast cross-join, the per-row
+    * distance never shuffles, and top-k is TakeOrderedAndProject. */
+  def centroidOutliers(embeds: DataFrame, vecCol: String, idCol: String,
+      dim: Int, k: Int): DataFrame = {
+    require(dim >= 1 && k >= 1, s"need dim >= 1 and k >= 1: dim=$dim k=$k")
+    val v = asDouble(col(vecCol))
+    val sums = (0 until dim).map(i => sum(graft.functions.Decimals
+      .unscaledLong(element_at(v, i + 1), 6)).as(s"__s$i"))
+    val stats = embeds.agg(count(lit(1)).as("__n"), sums: _*)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val meanArr = array((0 until dim).map(i =>
+      (col(s"__s$i").cast(dec38) / lit(1000000L)).cast("double") /
+        col("__n").cast("double")): _*)
+    embeds.crossJoin(broadcast(stats))
+      .select(col(idCol), meanArr.as("__mv"), v.as("__v"))
+      .withColumn("__d", zip_with(col("__v"), col("__mv"), (a, b) => a - b))
+      .select(col(idCol), round(sqrt(dot(col("__d"), col("__d"))), 6).as("dist"))
+      .orderBy(col("dist").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

@@ -44,6 +44,26 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rows(3) == (0.6, 2L, 2L, 0L, 0.5, 1.0))
   }
 
+  test("aucBinaryBy: per-group AUC matches the global op run per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 0.1, 0), ("g1", 0.2, 0), ("g1", 0.3, 1), ("g1", 0.3, 0),
+      ("g1", 0.4, 1),
+      ("g2", 0.5, 1), ("g2", 0.6, 0), // inverted ranking → AUC 0
+      ("g3", 0.9, 1), ("g3", 0.8, 1)  // single class → NULL
+    ).toDF("grp", "s", "y")
+    val got = Evaluation.aucBinaryBy(df, "grp", col("s"), col("y"))
+      .orderBy("grp").collect()
+    assert(got(0).getString(0) == "g1" &&
+      got(0).getDouble(5) == round6(5.5 / 6.0))
+    assert(got(1).getDouble(5) == 0.0)
+    assert(got(2).isNullAt(5))
+    // per-group results equal running the global op on each slice
+    val solo = Evaluation.aucBinary(df.filter(col("grp") === "g1"),
+      col("s"), col("y")).collect().head.getDouble(4)
+    assert(solo == got(0).getDouble(5))
+  }
+
   test("calibration: exact bin stats, ECE terms, out-of-range clamps to edge bins") {
     import spark.implicits._
     val df = Seq((0.05, 0), (0.05, 1), (0.95, 1), (0.95, 1), (0.55, 0),

@@ -260,4 +260,22 @@ class SimilaritySpec extends AnyFunSuite {
       (1L, 3L, 2L, 0.666667), // 10,12 hit; 11 missed; 99 is not penalized
       (2L, 2L, 0L, 0.0)))
   }
+
+  test("centroidOutliers: exact centroid, hand-computed distances, top-k order") {
+    import spark.implicits._
+    // centroid of the four vectors is (3, 3)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(2.0f, 0.0f)),
+      (3L, Seq(0.0f, 2.0f)), (4L, Seq(10.0f, 10.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroidOutliers(vecs, "embedding", "vec_id",
+        dim = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (4L, r6(math.sqrt(49.0 + 49.0))),
+      (1L, r6(math.sqrt(18.0))),
+      (2L, r6(math.sqrt(10.0)))))
+  }
 }
