@@ -1808,6 +1808,7 @@ object SparkEntry {
         .transform(ordered1(_, col("shard")))
     }),
 
+
     // Per-source AUC fairness panel: does the (toy) length-based quality
     // score rank English docs equally well in every source? Same exact
     // midrank arithmetic as q169, windows partitioned by group.

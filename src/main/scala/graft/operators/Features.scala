@@ -47,6 +47,10 @@ object Features {
     require(smoothing > 0.0, s"need smoothing > 0: $smoothing")
     val pow = math.pow(10, scale).toLong
     val q = Decimals.unscaledLong(col(targetCol), scale)
+    // three consumers (per-category fit, global fit, probe side) share
+    // the scan; a persist here measured a WASH in a same-JVM two-order
+    // A/B at sf0.1 (0.55-0.85 s both shapes) — the narrow columnar scan
+    // recomputes cheaper than the cache materializes, so stay lazy.
     val quantized = df.select(col(idCol), col(catCol), q.as("__q"))
     val perCat = quantized.groupBy(col(catCol))
       .agg(sum(col("__q")).as("__s"), count(col("__q")).as("__n"))
