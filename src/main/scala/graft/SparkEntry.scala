@@ -1809,6 +1809,21 @@ object SparkEntry {
     }),
 
 
+    // Spearman rank correlation between token count and char count —
+    // "do two quality signals agree on ordering?" Exact midranks over
+    // bounded value domains, doubled-rank integer moments.
+    "q177_spearman" -> ((s, d) => {
+      graft.operators.Evaluation.spearman(load(s, d, "documents"),
+        TextFunctions.tokenCount(col("text")), col("n_chars"))
+    }),
+
+    // Chi-square independence audit: lang x source contingency with the
+    // full zero-filled spine, expected counts, per-cell terms.
+    "q178_chi2_bias" -> ((s, d) => {
+      Profiling.contingencyChi2(load(s, d, "documents"), "lang", "source")
+        .transform(ordered1(_, col("lang"), col("source")))
+    }),
+
     // Per-source AUC fairness panel: does the (toy) length-based quality
     // score rank English docs equally well in every source? Same exact
     // midrank arithmetic as q169, windows partitioned by group.
@@ -4587,6 +4602,56 @@ object SparkEntry {
          |SELECT vec_id, round(sqrt(list_dot_product(dv, dv)), 6) AS dist
          |FROM d ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin
     },
+
+    // Doubled midranks (2*cum - c + 1, integers) mirror
+    // Evaluation.spearman's exact DECIMAL(38,0) moment fold; HUGEINT is
+    // DuckDB's 128-bit equivalent.
+    "q177_spearman" ->
+      """WITH v AS (SELECT CAST(len(string_split(text, ' ')) AS DOUBLE) AS x,
+        |    CAST(n_chars AS DOUBLE) AS y
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |gx AS (SELECT x, count(*) AS c FROM v GROUP BY x),
+        |rx AS (SELECT x,
+        |    2 * sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - c + 1 AS a
+        |  FROM gx),
+        |gy AS (SELECT y, count(*) AS c FROM v GROUP BY y),
+        |ry AS (SELECT y,
+        |    2 * sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c + 1 AS b
+        |  FROM gy),
+        |r AS (SELECT CAST(a AS HUGEINT) AS a, CAST(b AS HUGEINT) AS b
+        |  FROM v JOIN rx USING (x) JOIN ry USING (y)),
+        |t AS (SELECT count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+        |    sum(a*a) AS saa, sum(b*b) AS sbb, sum(a*b) AS sab FROM r)
+        |SELECT n,
+        |  CASE WHEN CAST(n AS HUGEINT)*saa - sa*sa > 0
+        |        AND CAST(n AS HUGEINT)*sbb - sb*sb > 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT)*sab - sa*sb AS DOUBLE)
+        |      / sqrt(CAST(CAST(n AS HUGEINT)*saa - sa*sa AS DOUBLE)
+        |           * CAST(CAST(n AS HUGEINT)*sbb - sb*sb AS DOUBLE)), 6)
+        |  END AS rho
+        |FROM t""".stripMargin,
+
+    // Expected counts and chi2 terms reproduce Profiling.contingencyChi2's
+    // single IEEE sequence: e = rt*ct/n, term = (o-e)*(o-e)/e.
+    "q178_chi2_bias" ->
+      """WITH o AS (SELECT lang, source, count(*) AS n_obs
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, count(*) AS rt FROM documents GROUP BY 1),
+        |ct AS (SELECT source, count(*) AS ct FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n FROM documents)
+        |SELECT rt.lang, ct.source, COALESCE(o.n_obs, 0) AS n_obs,
+        |  round(CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE)
+        |    / CAST(t.n AS DOUBLE), 6) AS expected,
+        |  round((CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+        |      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE)
+        |      - CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    / (CAST(rt.rt AS DOUBLE) * CAST(ct.ct AS DOUBLE) / CAST(t.n AS DOUBLE)),
+        |    6) AS chi2_term
+        |FROM rt CROSS JOIN ct
+        |LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+        |CROSS JOIN t
+        |ORDER BY 1, 2""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

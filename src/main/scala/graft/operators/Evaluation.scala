@@ -170,6 +170,52 @@ object Evaluation {
           .otherwise(lit(0.0)).as("mrr"))
   }
 
+  /** Spearman rank correlation between two quality signals, ties by
+    * midranks — "do two scorers agree on the ordering?" is the check a
+    * pipeline runs before swapping a cheap signal in for an expensive
+    * one. Doubled midranks (`min_rank + max_rank`, an integer) keep the
+    * whole computation integral: the Pearson moments of the doubled
+    * ranks accumulate in DECIMAL(38,0) and rho comes out in one final
+    * fixed IEEE sequence — engine-exact (doubling both variables leaves
+    * the correlation unchanged).
+    *
+    * Returns one row `(n, rho)`; NULL rho when either variable is
+    * constant. Callers should pass quantized signals (the distinct-value
+    * domain bounds the rank-walk window, as in [[aucBinary]]).
+    *
+    * Scale shape: per variable, one hash aggregation to the distinct
+    * value domain + a window over THAT bounded frame; ranks rejoin rows
+    * by value (broadcast-sized maps); one 1-row moment fold. */
+  def spearman(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.select(xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def doubledRanks(c: String): DataFrame = v
+      .groupBy(col(c))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(c), (lit(2) * col("__cum") - col("__c") + 1).as(s"__dr$c"))
+    val ranked = v
+      .join(broadcast(doubledRanks("__x")), "__x")
+      .join(broadcast(doubledRanks("__y")), "__y")
+      .select(col("__dr__x").cast(dec38).as("__a"),
+        col("__dr__y").cast(dec38).as("__b"))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("__a")).as("__sa"),
+        sum(col("__b")).as("__sb"), sum(col("__a") * col("__a")).as("__saa"),
+        sum(col("__b") * col("__b")).as("__sbb"),
+        sum(col("__a") * col("__b")).as("__sab"))
+      .select(col("n"),
+        {
+          val n = col("n").cast(dec38)
+          val num = (n * col("__sab") - col("__sa") * col("__sb")).cast("double")
+          val d1 = (n * col("__saa") - col("__sa") * col("__sa")).cast("double")
+          val d2 = (n * col("__sbb") - col("__sb") * col("__sb")).cast("double")
+          when(d1 > 0 && d2 > 0, round(num / sqrt(d1 * d2), 6)).as("rho")
+        })
+  }
+
   /** Precision/recall curve at every distinct score threshold
     * ("predict positive when score >= t"): per threshold, exact
     * TP/FP/FN counts and the derived precision/recall — the table a

@@ -391,4 +391,34 @@ object Profiling {
     }
     one.select(groupCols.map(col) :+ inline(array(reports: _*)): _*)
   }
+
+  /** Chi-square independence audit of two categorical columns — the
+    * bias check a corpus card runs ("is language independent of source,
+    * or does one crawl carry all the Chinese?"). Emits the FULL
+    * contingency spine (every a×b combination, zero-filled — omitting
+    * empty cells would understate the statistic) with observed count,
+    * expected count under independence, and the cell's chi-square term;
+    * the term sum is the test statistic with (|a|-1)(|b|-1) degrees of
+    * freedom.
+    *
+    * Scale shape: one hash aggregation to |a|·|b| cells + two marginal
+    * aggregations + a 1-row total, all broadcast onto the bounded spine.
+    * Expected counts and terms are single IEEE sequences from exact
+    * longs — oracle-reproducible. */
+  def contingencyChi2(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol), col(bCol)).agg(count(lit(1)).as("n_obs"))
+    val rowT = df.groupBy(col(aCol)).agg(count(lit(1)).as("__rt"))
+    val colT = df.groupBy(col(bCol)).agg(count(lit(1)).as("__ct"))
+    val total = df.agg(count(lit(1)).as("__n"))
+    val e = col("__rt").cast("double") * col("__ct").cast("double") /
+      col("__n").cast("double")
+    val o = coalesce(col("n_obs"), lit(0L)).cast("double")
+    rowT.crossJoin(colT)
+      .join(obs, Seq(aCol, bCol), "left")
+      .crossJoin(broadcast(total))
+      .select(col(aCol), col(bCol),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        round(e, 6).as("expected"),
+        round((o - e) * (o - e) / e, 6).as("chi2_term"))
+  }
 }

@@ -103,6 +103,25 @@ class EvaluationSpec extends AnyFunSuite {
     assert(got(2) == (("C", 1L, round6(630930.0 / 1000000.0), 0.5)))
   }
 
+  test("spearman: monotone, inverted, known permutation, ties, degenerate") {
+    import spark.implicits._
+    def rho(xs: Seq[(Double, Double)]): Option[Double] = {
+      val r = Evaluation.spearman(xs.toDF("x", "y"), col("x"), col("y"))
+        .collect().head
+      if (r.isNullAt(1)) None else Some(r.getDouble(1))
+    }
+    assert(rho(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0))) == Some(1.0))
+    assert(rho(Seq((1.0, 30.0), (2.0, 20.0), (3.0, 10.0))) == Some(-1.0))
+    // ranks x = 1..4, ranks y = (1,3,2,4): rho = 1 - 6·2/(4·15) = 0.8
+    assert(rho(Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)))
+      == Some(0.8))
+    // tied x → midranks (1.5, 1.5, 3) vs (1,2,3): rho = √3/2
+    assert(rho(Seq((1.0, 3.0), (1.0, 5.0), (2.0, 7.0)))
+      == Some(round6(math.sqrt(3.0) / 2.0)))
+    // constant variable → NULL, not NaN
+    assert(rho(Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0))).isEmpty)
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

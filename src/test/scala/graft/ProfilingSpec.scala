@@ -262,4 +262,29 @@ class ProfilingSpec extends AnyFunSuite {
       Profiling.profile(df, Seq("arr"))
     }
   }
+
+  test("contingencyChi2: hand-computed 2x2 terms and zero-filled spine") {
+    // 2x2: rows a=30 b=70, cols x=40 y=60, n=100
+    val rows = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val got = Profiling.contingencyChi2(rows.toDF("r", "c"), "r", "c")
+      .orderBy("r", "c").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4)))
+    assert(got(0) == (("a", "x", 10L, 12.0, round6(4.0 / 12))))
+    assert(got(1) == (("a", "y", 20L, 18.0, round6(4.0 / 18))))
+    assert(got(2) == (("b", "x", 30L, 28.0, round6(4.0 / 28))))
+    assert(got(3) == (("b", "y", 40L, 42.0, round6(4.0 / 42))))
+    // a category seen only in one column still yields the full spine:
+    // cell (c, x) is zero-filled and its term equals its expected count
+    val spined = Profiling.contingencyChi2(
+      (rows ++ Seq.fill(5)(("c", "y"))).toDF("r", "c"), "r", "c")
+      .orderBy("r", "c").collect()
+    assert(spined.length == 6)
+    val cx = spined.find(x => x.getString(0) == "c" && x.getString(1) == "x").get
+    assert(cx.getLong(2) == 0L && cx.getDouble(4) == cx.getDouble(3))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
