@@ -1824,6 +1824,43 @@ object SparkEntry {
         .transform(ordered1(_, col("lang"), col("source")))
     }),
 
+    // ROC curve points (TPR/FPR per distinct threshold) — the plottable
+    // complement of q169's exact midrank AUC, same bounded-domain shape
+    // as q170.
+    "q179_roc_curve" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.rocCurve(emb,
+          round(element_at(graft.functions.VectorFunctions
+            .asDouble(col("embedding")), 1), 2),
+          (col("label") >= 5).cast("int"))
+        .transform(ordered1(_, col("threshold")))
+    }),
+
+    // Cohen's kappa between two heuristic raters (token-count vs
+    // char-count thresholds): chance-corrected agreement from exact
+    // marginal counts.
+    "q180_rater_kappa" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      graft.operators.Evaluation.cohenKappa(docs,
+        (TextFunctions.tokenCount(col("text")) >= 60).cast("int"),
+        (col("n_chars") >= 300).cast("int"))
+    }),
+
+    // Per-cell cluster-vs-label purity panel over the q41/q100
+    // first-10-centroid assignment.
+    "q181_cluster_purity" -> ((s, d) => {
+      Similarity.clusterLabelAgreement(parallel(load(s, d, "embeddings")),
+          "embedding", "vec_id", "label", nlist = 10)
+        .transform(ordered1(_, col("cell")))
+    }),
+
+    // One-row clustering summary: overall purity + NMI (nats) between
+    // the cell assignment and the label column.
+    "q182_cluster_nmi" -> ((s, d) => {
+      Similarity.clusterAgreementSummary(parallel(load(s, d, "embeddings")),
+        "embedding", "vec_id", "label", nlist = 10)
+    }),
+
     // Per-source AUC fairness panel: does the (toy) length-based quality
     // score rank English docs equally well in every source? Same exact
     // midrank arithmetic as q169, windows partitioned by group.
@@ -4652,6 +4689,122 @@ object SparkEntry {
         |LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
         |CROSS JOIN t
         |ORDER BY 1, 2""".stripMargin,
+
+    "q179_roc_curve" ->
+      """WITH s AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 2) + 0
+        |      AS threshold,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |g AS (SELECT threshold, count(*) AS c, CAST(sum(y) AS BIGINT) AS cp
+        |  FROM s GROUP BY threshold),
+        |o AS (SELECT threshold,
+        |    CAST(sum(cp) OVER w AS BIGINT) AS tp,
+        |    CAST(sum(c - cp) OVER w AS BIGINT) AS fp
+        |  FROM g WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(sum(cp) AS BIGINT) AS p,
+        |    CAST(sum(c - cp) AS BIGINT) AS nn FROM g)
+        |SELECT threshold, tp, fp,
+        |  CASE WHEN t.p > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / CAST(t.p AS DOUBLE), 6) END AS tpr,
+        |  CASE WHEN t.nn > 0 THEN
+        |    round(CAST(fp AS DOUBLE) / CAST(t.nn AS DOUBLE), 6) END AS fpr
+        |FROM o CROSS JOIN t ORDER BY threshold""".stripMargin,
+
+    // po/pe/kappa reproduce Evaluation.cohenKappa's IEEE sequence; the
+    // expected-agreement products widen to HUGEINT like the Spark side's
+    // DECIMAL(38,0).
+    "q180_rater_kappa" ->
+      """WITH v AS (SELECT
+        |    CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS b FROM documents),
+        |ag AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+        |  FROM v),
+        |ma AS (SELECT a AS k, count(*) AS ca FROM v GROUP BY a),
+        |mb AS (SELECT b AS k, count(*) AS cb FROM v GROUP BY b),
+        |pe AS (SELECT COALESCE(sum(CAST(ca AS HUGEINT) * CAST(cb AS HUGEINT)),
+        |    0) AS pe_num FROM ma JOIN mb USING (k))
+        |SELECT n,
+        |  round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(pe_num AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN CAST(pe_num AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) < 1.0 THEN
+        |    round((CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+        |      / (1.0 - CAST(pe_num AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6)
+        |  END AS kappa
+        |FROM ag CROSS JOIN pe ORDER BY n""".stripMargin,
+
+    // Assignment CTE is the q100 convention (first-10 centroids, argmax
+    // cosine, ties to the smallest cell).
+    "q181_cluster_purity" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 10),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |scored AS (SELECT vec_id, label, cell,
+        |  round(list_dot_product(vv, cv)
+        |    / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6)
+        |    AS cos
+        |  FROM v CROSS JOIN c),
+        |assigned AS (SELECT cell, label FROM (
+        |  SELECT vec_id, label, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |cl AS (SELECT cell, label, count(*) AS nck FROM assigned GROUP BY 1, 2),
+        |pc AS (SELECT cell, CAST(sum(nck) AS BIGINT) AS n_vecs
+        |  FROM cl GROUP BY cell),
+        |top AS (SELECT cell, label AS top_label, nck AS n_top FROM (
+        |  SELECT cell, label, nck,
+        |    row_number() OVER (PARTITION BY cell ORDER BY nck DESC, label) AS r
+        |  FROM cl) WHERE r = 1)
+        |SELECT pc.cell, pc.n_vecs, top.top_label, top.n_top,
+        |  round(CAST(top.n_top AS DOUBLE) / CAST(pc.n_vecs AS DOUBLE), 6)
+        |    AS purity
+        |FROM pc JOIN top ON pc.cell = top.cell ORDER BY pc.cell""".stripMargin,
+
+    // Entropy/MI terms are the same fixed IEEE sequences as
+    // Similarity.clusterAgreementSummary (natural log over exact counts).
+    "q182_cluster_nmi" ->
+      """WITH c AS (SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings WHERE vec_id < 10),
+        |v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv
+        |  FROM embeddings),
+        |scored AS (SELECT vec_id, label, cell,
+        |  round(list_dot_product(vv, cv)
+        |    / (sqrt(list_dot_product(vv, vv)) * sqrt(list_dot_product(cv, cv))), 6)
+        |    AS cos
+        |  FROM v CROSS JOIN c),
+        |assigned AS (SELECT cell, label FROM (
+        |  SELECT vec_id, label, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |cl AS (SELECT cell, label, count(*) AS nck FROM assigned GROUP BY 1, 2),
+        |nc AS (SELECT cell, CAST(sum(nck) AS BIGINT) AS ncnt, max(nck) AS mx
+        |  FROM cl GROUP BY cell),
+        |nl AS (SELECT label, CAST(sum(nck) AS BIGINT) AS nlc
+        |  FROM cl GROUP BY label),
+        |t AS (SELECT CAST(sum(nck) AS BIGINT) AS n FROM cl),
+        |hc AS (SELECT count(*) AS n_cells,
+        |    sum(-(CAST(ncnt AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ln(CAST(ncnt AS DOUBLE) / CAST(t.n AS DOUBLE))) AS hcv
+        |  FROM nc CROSS JOIN t),
+        |hl AS (SELECT count(*) AS n_labels,
+        |    sum(-(CAST(nlc AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ln(CAST(nlc AS DOUBLE) / CAST(t.n AS DOUBLE))) AS hlv
+        |  FROM nl CROSS JOIN t),
+        |pur AS (SELECT CAST(sum(mx) AS BIGINT) AS mxsum FROM nc),
+        |mi AS (SELECT sum((CAST(nck AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * ln(CAST(nck AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |      / (CAST(ncnt AS DOUBLE) * CAST(nlc AS DOUBLE)))) AS miv
+        |  FROM cl JOIN nc USING (cell) JOIN nl USING (label) CROSS JOIN t)
+        |SELECT t.n AS n, hc.n_cells, hl.n_labels,
+        |  round(CAST(pur.mxsum AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS purity,
+        |  CASE WHEN hc.hcv > 0 AND hl.hlv > 0 THEN
+        |    round(mi.miv / sqrt(hc.hcv * hl.hlv), 6) END AS nmi
+        |FROM t CROSS JOIN hc CROSS JOIN hl CROSS JOIN pur CROSS JOIN mi"""
+        .stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -216,6 +216,73 @@ object Evaluation {
         })
   }
 
+  /** ROC curve at every distinct score threshold ("predict positive when
+    * score >= t"): exact TP/FP counts plus the TPR/FPR pair — the raw
+    * points whose trapezoidal integral is [[aucBinary]] (kept exact there
+    * via midranks; this table is for PLOTTING and threshold picking, the
+    * two uses that need the per-point coordinates).
+    *
+    * Scale shape: identical to [[prCurve]] — one hash aggregation to the
+    * bounded distinct-score domain, one descending cumulative window over
+    * that frame, one 1-row broadcast of the class totals. */
+  def rocCurve(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val groups = df
+      .select(scoreCol.as("threshold"), labelCol.cast("long").as("__y"))
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__cp"))
+    val desc = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = groups
+      .withColumn("tp", sum(col("__cp")).over(desc))
+      .withColumn("fp", sum(col("__c") - col("__cp")).over(desc))
+    val totals = groups.agg(sum(col("__cp")).as("__p"),
+      sum(col("__c") - col("__cp")).as("__n"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("threshold"), col("tp"), col("fp"),
+        when(col("__p") > 0,
+          round(col("tp").cast("double") / col("__p").cast("double"), 6))
+          .as("tpr"),
+        when(col("__n") > 0,
+          round(col("fp").cast("double") / col("__n").cast("double"), 6))
+          .as("fpr"))
+  }
+
+  /** Cohen's kappa between two categorical raters — chance-corrected
+    * agreement, the standard check on a labeling pipeline ("do the two
+    * annotators/heuristics agree beyond what their marginal label rates
+    * guarantee?"). Categories compare as strings; rows where either
+    * rating is NULL are excluded (no rating ≠ a rating of NULL).
+    *
+    * Exactness: observed and expected agreement both come from exact
+    * long counts; the expected-agreement products widen to
+    * DECIMAL(38,0) before summing (category-count products overflow
+    * long at ~10^9.5 rows per side), and po/pe/kappa are each one fixed
+    * IEEE sequence from those integers. Returns one row
+    * `(n, po, pe, kappa)`; kappa is NULL when pe = 1 (a single shared
+    * category — chance agreement is total and kappa is undefined).
+    *
+    * Scale shape: one row-level fold (n + agree count) plus two hash
+    * aggregations to the bounded category domains whose equi-join on
+    * category is the pe sum — no row-level shuffle anywhere. */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = df.select(aCol.cast("string").as("__a"), bCol.cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val agree = v.agg(count(lit(1)).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("__agree"))
+    val pe = v.groupBy(col("__a")).agg(count(lit(1)).as("__ca"))
+      .join(v.groupBy(col("__b")).agg(count(lit(1)).as("__cb")),
+        col("__a") === col("__b"))
+      .agg(coalesce(sum(col("__ca").cast(dec38) * col("__cb").cast(dec38)),
+        lit(0).cast(dec38)).as("__pe_num"))
+    val n = col("n").cast("double")
+    val po = col("__agree").cast("double") / n
+    val peV = col("__pe_num").cast("double") / (n * n)
+    agree.crossJoin(broadcast(pe))
+      .select(col("n"), round(po, 6).as("po"), round(peV, 6).as("pe"),
+        when(peV < 1.0, round((po - peV) / (lit(1.0) - peV), 6)).as("kappa"))
+  }
+
   /** Precision/recall curve at every distinct score threshold
     * ("predict positive when score >= t"): per threshold, exact
     * TP/FP/FN counts and the derived precision/recall — the table a

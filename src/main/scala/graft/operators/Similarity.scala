@@ -280,6 +280,108 @@ object Similarity {
       .select(col("id"), col("__v_id").as("vec"), col("__n_id").as("nrm"),
         col("__cent").as("cell"))
 
+  /** Per-cell cluster-vs-label agreement panel: assign every vector to
+    * its nearest centroid (the [[buildIvfIndex]] first-`nlist`
+    * convention) and report, per cell, the population, the majority
+    * label, and the cell's purity — the audit that tells a clustering
+    * whether its cells mean anything ("cell 7 is 92% label 3" vs "cell 7
+    * is noise"). Ties on the majority break to the smallest label;
+    * assignment ties break to the smallest cell (the [[cellBalance]]
+    * convention, so the two panels describe the same partition of the
+    * corpus).
+    *
+    * Scale shape: centroids broadcast; the per-row argmax is a window
+    * over `nlist` scored copies (bounded fan-out, window-group-limited);
+    * everything after is hash aggregation over the |cells|x|labels|
+    * contingency. The label rides through assignment — no join back to
+    * the corpus. */
+  def clusterLabelAgreement(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, nlist: Int, roundTo: Int = 6): DataFrame = {
+    val cl = cellLabelCounts(corpus, vecCol, idCol, labelCol, nlist, roundTo)
+    val perCell = cl.groupBy(col("cell"))
+      .agg(sum(col("__nck")).as("n_vecs"))
+    val top = cl.withColumn("__r", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("__nck").desc, col("__lab"))))
+      .filter(col("__r") === 1)
+      .select(col("cell"), col("__lab").as("top_label"),
+        col("__nck").as("n_top"))
+    perCell.join(top, "cell")
+      .select(col("cell"), col("n_vecs"), col("top_label"), col("n_top"),
+        round(col("n_top").cast("double") / col("n_vecs").cast("double"),
+          roundTo).as("purity"))
+  }
+
+  /** One-row clustering-quality summary over the same assignment as
+    * [[clusterLabelAgreement]]: overall purity and normalized mutual
+    * information `I(C;L) / sqrt(H(C)·H(L))` (nats) between the cell
+    * assignment and the label column — purity rewards majority mass,
+    * NMI penalizes the degenerate everything-in-one-cell clustering that
+    * purity alone can't see. NMI is NULL when either marginal entropy is
+    * 0 (a single cell or a single label — agreement is undefined, not
+    * perfect).
+    *
+    * All entropy/MI terms are fixed IEEE sequences from exact long
+    * counts, summed over the bounded contingency (the q103 KL
+    * precedent). Returns `(n, n_cells, n_labels, purity, nmi)`. */
+  def clusterAgreementSummary(corpus: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, nlist: Int,
+      roundTo: Int = 6): DataFrame = {
+    val cl = cellLabelCounts(corpus, vecCol, idCol, labelCol, nlist, roundTo)
+    val ncF = cl.groupBy(col("cell"))
+      .agg(sum(col("__nck")).as("__nc"), max(col("__nck")).as("__mx"))
+    val nlF = cl.groupBy(col("__lab")).agg(sum(col("__nck")).as("__nl"))
+    val tot = cl.agg(sum(col("__nck")).as("__n"))
+    def entropyOf(marg: DataFrame, cnt: String, outN: String,
+        outH: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("__n").cast("double")
+      marg.crossJoin(broadcast(tot))
+        .agg(count(lit(1)).as(outN), sum(-p * log(p)).as(outH))
+    }
+    val hC = entropyOf(ncF, "__nc", "n_cells", "__hc")
+    val hL = entropyOf(nlF, "__nl", "n_labels", "__hl")
+    val pur = ncF.agg(sum(col("__mx")).as("__mxsum"))
+    val mi = cl
+      .join(broadcast(ncF.select(col("cell"), col("__nc"))), "cell")
+      .join(broadcast(nlF), "__lab")
+      .crossJoin(broadcast(tot))
+      .agg(sum((col("__nck").cast("double") / col("__n").cast("double")) *
+        log(col("__nck").cast("double") * col("__n").cast("double") /
+          (col("__nc").cast("double") * col("__nl").cast("double"))))
+        .as("__mi"))
+    tot.crossJoin(broadcast(hC)).crossJoin(broadcast(hL))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(pur))
+      .select(col("__n").as("n"), col("n_cells"), col("n_labels"),
+        round(col("__mxsum").cast("double") / col("__n").cast("double"),
+          roundTo).as("purity"),
+        when(col("__hc") > 0 && col("__hl") > 0,
+          round(col("__mi") / sqrt(col("__hc") * col("__hl")), roundTo))
+          .as("nmi"))
+  }
+
+  /** Shared contingency for the cluster-agreement pair: nearest-centroid
+    * assignment (label carried through) collapsed to per-(cell, label)
+    * counts. */
+  private def cellLabelCounts(corpus: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, nlist: Int,
+      roundTo: Int): DataFrame = {
+    val cents = corpus.filter(col(idCol) < nlist)
+      .select(col(idCol).as("__cent"), asDouble(col(vecCol)).as("__cv"),
+        norm(col(vecCol)).as("__cn"))
+    corpus
+      .select(col(idCol).as("__id"), col(labelCol).as("__lab"),
+        asDouble(col(vecCol)).as("__v"), norm(col(vecCol)).as("__n0"))
+      .join(broadcast(cents), lit(true))
+      .withColumn("__cos", round(
+        dot(col("__v"), col("__cv")) / (col("__n0") * col("__cn")), roundTo))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__id"))
+          .orderBy(col("__cos").desc, col("__cent"))))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__cent").as("cell"), col("__lab"))
+      .agg(count(lit(1)).as("__nck"))
+  }
+
   /** Incremental index maintenance: assign ONLY the new vectors to the
     * existing (frozen) centroids and append their postings — the
     * standard production shape for a growing corpus, where re-running

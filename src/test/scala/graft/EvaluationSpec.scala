@@ -103,6 +103,50 @@ class EvaluationSpec extends AnyFunSuite {
     assert(got(2) == (("C", 1L, round6(630930.0 / 1000000.0), 0.5)))
   }
 
+  test("rocCurve: exact TP/FP walk with TPR/FPR coordinates") {
+    import spark.implicits._
+    val df = Seq((0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)).toDF("s", "y")
+    val rows = Evaluation.rocCurve(df, col("s"), col("y"))
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows(0) == (0.9, 1L, 0L, 0.5, 0.0))
+    assert(rows(1) == (0.8, 1L, 1L, 0.5, 0.5))
+    assert(rows(2) == (0.7, 2L, 1L, 1.0, 0.5))
+    assert(rows(3) == (0.6, 2L, 2L, 1.0, 1.0))
+    // single-class input → the empty class's rate is NULL, not 0/0
+    val onePos = Seq((0.9, 1), (0.8, 1)).toDF("s", "y")
+    assert(Evaluation.rocCurve(onePos, col("s"), col("y"))
+      .collect().forall(_.isNullAt(4)))
+  }
+
+  test("cohenKappa: textbook 2x2, multi-category, NULLs, degenerate") {
+    import spark.implicits._
+    // yes/yes 20, yes/no 5, no/yes 10, no/no 15: po=0.7, pe=0.5, k=0.4
+    val twoByTwo =
+      Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = Evaluation.cohenKappa(twoByTwo.toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(r.getLong(0) == 50 && r.getDouble(1) == 0.7 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4)
+    // categories only one rater uses contribute 0 to pe, not an error
+    val multi = Seq(("x", "x"), ("y", "z"), ("z", "y")).toDF("a", "b")
+    val m = Evaluation.cohenKappa(multi, col("a"), col("b")).collect().head
+    // po = 1/3; pe = (1·1 + 1·1 + 1·1)/9 = 1/3; kappa = 0
+    assert(m.getDouble(1) == round6(1.0 / 3) && m.getDouble(2) ==
+      round6(1.0 / 3) && m.getDouble(3) == 0.0)
+    // NULL ratings are excluded rows
+    val withNull = Seq(("a", Some("a")), ("b", None), ("a", Some("a")))
+      .toDF("a", "b")
+    assert(Evaluation.cohenKappa(withNull, col("a"), col("b"))
+      .collect().head.getLong(0) == 2)
+    // single shared category → pe = 1 → kappa NULL
+    val const = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    assert(Evaluation.cohenKappa(const, col("a"), col("b"))
+      .collect().head.isNullAt(3))
+  }
+
   test("spearman: monotone, inverted, known permutation, ties, degenerate") {
     import spark.implicits._
     def rho(xs: Seq[(Double, Double)]): Option[Double] = {

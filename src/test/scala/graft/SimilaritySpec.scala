@@ -278,4 +278,36 @@ class SimilaritySpec extends AnyFunSuite {
       (1L, r6(math.sqrt(18.0))),
       (2L, r6(math.sqrt(10.0)))))
   }
+
+  test("clusterLabelAgreement + summary: hand-built 2-cell contingency") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // centroids = ids 0,1; id2→cell0 (label 0), id3→cell1 (label 0)
+    // cell0: {0,0} pure; cell1: {1,0} tie → smallest label wins
+    val emb = Seq(
+      (0L, Seq(1.0, 0.0), 0), (1L, Seq(0.0, 1.0), 1),
+      (2L, Seq(0.9, 0.1), 0), (3L, Seq(0.1, 0.9), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val panel = Similarity.clusterLabelAgreement(emb, "embedding", "vec_id",
+        "label", nlist = 2)
+      .orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(panel.toSeq == Seq((0L, 2L, 0, 2L, 1.0), (1L, 2L, 0, 1L, 0.5)))
+    val s = Similarity.clusterAgreementSummary(emb, "embedding", "vec_id",
+      "label", nlist = 2).collect().head
+    assert(s.getLong(0) == 4 && s.getLong(1) == 2 && s.getLong(2) == 2)
+    assert(s.getDouble(3) == 0.75)
+    // contingency (c0,l0)=2 (c1,l0)=1 (c1,l1)=1; nc=(2,2), nl=(3,1), n=4
+    val mi = 0.5 * math.log(8.0 / 6.0) + 0.25 * math.log(4.0 / 6.0) +
+      0.25 * math.log(4.0 / 2.0)
+    val hc = -(0.5 * math.log(0.5)) * 2
+    val hl = -(0.75 * math.log(0.75)) - 0.25 * math.log(0.25)
+    assert(s.getDouble(4) == r6(mi / math.sqrt(hc * hl)))
+    // single label → H(L)=0 → NMI NULL (purity still defined)
+    val oneLabel = Similarity.clusterAgreementSummary(
+      emb.withColumn("label", lit(7)), "embedding", "vec_id", "label",
+      nlist = 2).collect().head
+    assert(oneLabel.isNullAt(4) && oneLabel.getDouble(3) == 1.0)
+  }
 }
