@@ -1882,6 +1882,79 @@ object SparkEntry {
         .transform(ordered1(_, col("dist").desc, col("vec_id")))
     }),
 
+    // Exact two-sample KS: the largest ECDF gap between English and
+    // non-English length distributions — unbinned drift gate (PSI's
+    // complement). Two bounded distinct-value aggs, one window over the
+    // merged frame, integer argmax.
+    "q183_ks_test" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      graft.operators.Evaluation.ksTwoSample(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"),
+        col("n_chars"))
+    }),
+
+    // Kendall's tau-b between coarse length and token-count buckets:
+    // ordering-only association from the joint cell grid (O(cells²)
+    // broadcast pair walk, row count never quadratic).
+    "q184_kendall_tau" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      graft.operators.Evaluation.kendallTau(docs,
+        floor(col("n_chars") / lit(100)),
+        floor(TextFunctions.tokenCount(col("text")) / lit(20)))
+    }),
+
+    // Kaplan-Meier user-lifetime curve: per-user observed span in days,
+    // censored when the user was still active in the final week. The
+    // cumulative log-survival window runs over the bounded distinct-
+    // duration frame only.
+    "q185_survival_km" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val spans = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__first"), max(col("ts")).as("__last"))
+      val cut = e.agg(max(col("ts")).as("__maxts"))
+      val durations = spans.crossJoin(broadcast(cut))
+        .select(datediff(col("__last"), col("__first")).as("dur"),
+          when(col("__last") < col("__maxts") - expr("INTERVAL 7 DAYS"), 1L)
+            .otherwise(0L).as("ev"))
+      TimeSeries.kaplanMeier(durations, col("dur"), col("ev"))
+        .transform(ordered1(_, col("duration")))
+    }),
+
+    // Fleiss' kappa across a 3-heuristic labeling panel (token-count,
+    // char-count, stopword-presence raters): one hash aggregation, no
+    // join, no window.
+    "q186_fleiss_kappa" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      graft.operators.Evaluation.fleissKappa(docs, Seq(
+        (TextFunctions.tokenCount(col("text")) >= 60).cast("int"),
+        (col("n_chars") >= 300).cast("int"),
+        col("text").contains(" the ").cast("int")))
+    }),
+
+    // Exact covariance matrix of the leading 8 embedding dimensions:
+    // one 1-row aggregation with decimal-quantized cross-product sums
+    // (44 buffers), no explode — the geometry-drift monitor and the
+    // PCA front end.
+    "q187_embedding_cov" -> ((s, d) => {
+      Similarity.embeddingCovariance(load(s, d, "embeddings"),
+          "embedding", dims = 8)
+        .transform(ordered1(_, col("i"), col("j")))
+    }),
+
+    // Theil-Sen robust activity trend per user: median pairwise slope
+    // over per-day event counts (pair walk bounded by the day grid,
+    // never the event count).
+    "q188_theil_sen" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val daily = e.groupBy(col("user_id"),
+          datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("2024-01-01")))
+            .as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      TimeSeries.theilSen(daily, "user_id", col("day"), col("cnt"))
+        .transform(ordered1(_, col("user_id")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -4805,6 +4878,170 @@ object SparkEntry {
         |    round(mi.miv / sqrt(hc.hcv * hl.hlv), 6) END AS nmi
         |FROM t CROSS JOIN hc CROSS JOIN hl CROSS JOIN pur CROSS JOIN mi"""
         .stripMargin,
+
+    // Integer ECDF-gap argmax mirrors Evaluation.ksTwoSample: HUGEINT
+    // cross-multiplied cumulative counts, ties to the smallest value.
+    "q183_ks_test" ->
+      """WITH av AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |bv AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |ga AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+        |gb AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+        |m AS (SELECT COALESCE(ga.v, gb.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+        |c AS (SELECT v, sum(ca) OVER w AS cuma, sum(cb) OVER w AS cumb
+        |  FROM m WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(cb) AS BIGINT) AS nb, count(*) AS nv FROM m),
+        |g AS (SELECT v, na, nb, nv,
+        |    abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |      AS gap
+        |  FROM c CROSS JOIN t),
+        |mx AS (SELECT max(gap) AS gmax FROM g)
+        |SELECT na AS n_a, nb AS n_b, nv AS n_values,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round(CAST(gmax AS DOUBLE)
+        |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS d_stat,
+        |  min(v) AS at_value
+        |FROM g CROSS JOIN mx WHERE gap = gmax
+        |GROUP BY na, nb, nv, gmax""".stripMargin,
+
+    // Concordant/discordant HUGEINT pair sums over the joint cell grid,
+    // tie terms doubled — Evaluation.kendallTau's DECIMAL(38,0) walk.
+    "q184_kendall_tau" ->
+      """WITH v AS (SELECT CAST(floor(n_chars / 100) AS DOUBLE) AS x,
+        |    CAST(floor(len(string_split(text, ' ')) / 20) AS DOUBLE) AS y
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+        |  FROM v GROUP BY x, y),
+        |pairs AS (SELECT
+        |    COALESCE(sum(CASE WHEN a.y < b.y THEN a.c * b.c END),
+        |      CAST(0 AS HUGEINT)) AS concordant,
+        |    COALESCE(sum(CASE WHEN a.y > b.y THEN a.c * b.c END),
+        |      CAST(0 AS HUGEINT)) AS discordant
+        |  FROM cells a JOIN cells b ON a.x < b.x),
+        |t AS (SELECT CAST(sum(c) AS HUGEINT) AS n, count(*) AS n_cells
+        |  FROM cells),
+        |tx AS (SELECT COALESCE(sum(cx * (cx - 1)), CAST(0 AS HUGEINT))
+        |    AS tx2 FROM (SELECT sum(c) AS cx FROM cells GROUP BY x)),
+        |ty AS (SELECT COALESCE(sum(cy * (cy - 1)), CAST(0 AS HUGEINT))
+        |    AS ty2 FROM (SELECT sum(c) AS cy FROM cells GROUP BY y))
+        |SELECT CAST(t.n AS BIGINT) AS n, t.n_cells,
+        |  CAST(concordant AS BIGINT) AS concordant,
+        |  CAST(discordant AS BIGINT) AS discordant,
+        |  CASE WHEN (CAST(t.n * (t.n - 1) AS DOUBLE)
+        |        - CAST(tx2 AS DOUBLE)) / 2.0 > 0
+        |      AND (CAST(t.n * (t.n - 1) AS DOUBLE)
+        |        - CAST(ty2 AS DOUBLE)) / 2.0 > 0 THEN
+        |    round(CAST(concordant - discordant AS DOUBLE)
+        |      / sqrt(((CAST(t.n * (t.n - 1) AS DOUBLE)
+        |          - CAST(tx2 AS DOUBLE)) / 2.0)
+        |        * ((CAST(t.n * (t.n - 1) AS DOUBLE)
+        |          - CAST(ty2 AS DOUBLE)) / 2.0)), 6)
+        |  END AS tau_b
+        |FROM t CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+
+    // ln/exp cumulative product over the distinct-duration frame, the
+    // e = r step pinned to -infinity — TimeSeries.kaplanMeier's sequence.
+    "q185_survival_km" ->
+      """WITH spans AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+        |  FROM events GROUP BY user_id),
+        |cut AS (SELECT max(ts) AS m FROM events),
+        |d AS (SELECT CAST(date_diff('day', CAST(f AS DATE), CAST(l AS DATE))
+        |      AS DOUBLE) AS duration,
+        |    CASE WHEN l < m - INTERVAL 7 DAY THEN 1 ELSE 0 END AS ev
+        |  FROM spans CROSS JOIN cut),
+        |g AS (SELECT duration, CAST(sum(ev) AS BIGINT) AS n_event,
+        |    CAST(count(*) - sum(ev) AS BIGINT) AS n_censored,
+        |    count(*) AS c FROM d GROUP BY duration),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM g),
+        |r AS (SELECT duration, n_event, n_censored,
+        |    CAST(t.n - sum(c) OVER (ORDER BY duration
+        |      ROWS UNBOUNDED PRECEDING) + c AS BIGINT) AS n_risk
+        |  FROM g CROSS JOIN t)
+        |SELECT duration, n_risk, n_event, n_censored,
+        |  round(exp(sum(CASE
+        |      WHEN n_event > 0 AND n_event < n_risk THEN
+        |        ln(1 - CAST(n_event AS DOUBLE) / CAST(n_risk AS DOUBLE))
+        |      WHEN n_event > 0 THEN CAST('-infinity' AS DOUBLE)
+        |      ELSE 0.0 END)
+        |    OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6)
+        |    AS survival
+        |FROM r ORDER BY duration""".stripMargin,
+
+    // P-bar/P-e from exact integer agreement weights r(r-1)+(k-r)(k-r-1)
+    // — Evaluation.fleissKappa's one-fold arithmetic, k = 3 raters.
+    "q186_fleiss_kappa" ->
+      """WITH v AS (SELECT
+        |    (CASE WHEN len(string_split(text, ' ')) >= 60 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+        |     + CASE WHEN text LIKE '% the %' THEN 1 ELSE 0 END) AS r
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |a AS (SELECT count(*) AS n, CAST(sum(r) AS HUGEINT) AS sr,
+        |    CAST(sum(r * (r - 1) + (3 - r) * (3 - r - 1)) AS HUGEINT)
+        |      AS sagree
+        |  FROM v),
+        |k AS (SELECT n, sr, sagree,
+        |    CAST(sagree AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0 * 2.0)
+        |      AS pbar,
+        |    (CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+        |      * (CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+        |    + (1.0 - CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+        |      * (1.0 - CAST(sr AS DOUBLE) / (CAST(n AS DOUBLE) * 3.0))
+        |      AS pe
+        |  FROM a)
+        |SELECT n, 3 AS n_raters, round(pbar, 6) AS p_bar,
+        |  round(pe, 6) AS p_e,
+        |  CASE WHEN pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 6)
+        |  END AS kappa
+        |FROM k""".stripMargin,
+
+    // Generated: 8 quantized dim sums + 36 HUGEINT cross-product sums,
+    // numerator n*Sij - Si*Sj exact — Similarity.embeddingCovariance.
+    "q187_embedding_cov" -> {
+      val dims = 8
+      val q = (1 to dims).map(i =>
+        s"CAST(CAST(cv[$i] AS DECIMAL(18,6)) * 1000000 AS HUGEINT)")
+      val pairIdx = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val sums = (0 until dims).map(i => s"SUM(${q(i)}) AS s$i") ++
+        pairIdx.map { case (i, j) =>
+          s"SUM(${q(i)} * ${q(j)}) AS p${i}_$j" }
+      val branches = pairIdx.map { case (i, j) =>
+        s"""SELECT $i AS i, $j AS j, n,
+           |  round(CAST(CAST(n AS HUGEINT) * p${i}_$j - s$i * s$j AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9) AS cov
+           |FROM st""".stripMargin
+      }
+      s"""WITH c AS (SELECT CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+         |st AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM c)
+         |${branches.mkString("\nUNION ALL\n")}
+         |ORDER BY i, j""".stripMargin
+    },
+
+    // Per-user pairwise-slope median with the explicit floor-midrank
+    // picks — TimeSeries.theilSen's sum/count convention.
+    "q188_theil_sen" ->
+      """WITH p AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS DOUBLE) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY user_id,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))),
+        |np AS (SELECT user_id, count(*) AS n_points FROM p GROUP BY user_id),
+        |s AS (SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS sl
+        |  FROM p a JOIN p b ON a.user_id = b.user_id AND a.x < b.x),
+        |r AS (SELECT user_id, sl,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY sl) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS npair FROM s),
+        |m AS (SELECT user_id, npair AS n_pairs,
+        |    round(sum(sl) / count(*), 6) AS slope
+        |  FROM r
+        |  WHERE rn = CAST(floor((npair + 1) / 2.0) AS BIGINT)
+        |     OR rn = CAST(floor((npair + 2) / 2.0) AS BIGINT)
+        |  GROUP BY user_id, npair)
+        |SELECT m.user_id, np.n_points, m.n_pairs, m.slope
+        |FROM m JOIN np USING (user_id) ORDER BY m.user_id""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -312,4 +312,175 @@ object Evaluation {
           round(col("tp").cast("double") / col("__tp_all").cast("double"), 6))
           .as("recall"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `valueCol`
+    * distributions of two frames — the UNBINNED complement of
+    * [[Profiling.driftPsi]]: PSI answers "how much did the binned shape
+    * move", KS answers "what is the single largest ECDF gap and where".
+    * The distribution-shift gate a training pipeline runs between a
+    * reference snapshot and a fresh crawl before mixing them.
+    *
+    * Exactness: with `na`/`nb` the side totals, the ECDF gap at value v
+    * is `|cumA·nb − cumB·na| / (na·nb)` — the numerator is an exact
+    * DECIMAL(38,0) integer per distinct value, so the argmax is an
+    * integer comparison and only the final division is IEEE. Ties on the
+    * max gap resolve to the smallest value.
+    *
+    * Returns one row `(n_a, n_b, n_values, d_stat, at_value)`; NULL
+    * d_stat when either side is empty.
+    *
+    * Scale shape: each side hash-aggregates to its distinct-value
+    * domain (bounded — callers pass quantized signals, as in
+    * [[aucBinary]]); a full-outer equi-join merges the two bounded
+    * frames; ONE cumulative window runs over that merged frame; totals
+    * ride a 1-row broadcast. No row-level shuffle anywhere. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(df: DataFrame, cnt: String): DataFrame = df
+      .select(valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as(cnt))
+    val merged = side(a, "__ca").join(side(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("__cumA", sum(col("__ca")).over(w))
+      .withColumn("__cumB", sum(col("__cb")).over(w))
+    val totals = merged.agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+      count(lit(1)).as("n_values"))
+    val gaps = cum.crossJoin(broadcast(totals))
+      .select(col("__v"), col("n_a"), col("n_b"), col("n_values"),
+        abs(col("__cumA").cast(dec38) * col("n_b").cast(dec38) -
+          col("__cumB").cast(dec38) * col("n_a").cast(dec38)).as("__gap"))
+    val dmax = gaps.agg(max(col("__gap")).as("__gmax"))
+    gaps.crossJoin(broadcast(dmax))
+      .filter(col("__gap") === col("__gmax"))
+      .groupBy(col("n_a"), col("n_b"), col("n_values"), col("__gmax"))
+      .agg(min(col("__v")).as("at_value"))
+      .select(col("n_a"), col("n_b"), col("n_values"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__gmax").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+          .as("d_stat"),
+        col("at_value"))
+  }
+
+  /** Kendall's tau-b rank correlation from the JOINT distinct-value
+    * contingency — concordant/discordant pair counts with the standard
+    * tie corrections. Tau reads association from pair ORDERINGS only, so
+    * unlike [[spearman]]'s moment fold it is insensitive to rank-gap
+    * magnitudes — the pair a ranker comparison wants.
+    *
+    * Semantics: with cells `(x, y, c)`, `C = Σ c₁c₂` over cell pairs
+    * with x₁<x₂ ∧ y₁<y₂, `D` the same with y₁>y₂, and
+    * `tau_b = (C−D) / √((n₀−tx)(n₀−ty))` where `n₀ = n(n−1)/2` and
+    * tx/ty are the per-variable tie-pair counts. All counts stay in
+    * DECIMAL(38,0) until the one final IEEE division. Returns one row
+    * `(n, n_cells, concordant, discordant, tau_b)`; NULL tau_b when
+    * either variable is constant.
+    *
+    * Scale shape: one hash aggregation collapses rows to the joint
+    * distinct-value grid (bounded because callers quantize both
+    * signals, the [[aucBinary]] convention), then a broadcast
+    * self-join over that k-cell frame does the O(k²) pair walk —
+    * `maxCells` fail-fasts if the grid is not actually bounded, the
+    * [[Similarity.semanticDedup]] guard idiom. Row count never enters
+    * the quadratic term. */
+  def kendallTau(df: DataFrame, xCol: Column, yCol: Column,
+      maxCells: Long = 10000L): DataFrame = {
+    require(maxCells > 0, "maxCells must be positive")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df
+      .select(xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).cast(dec38).as("__c"))
+    val guarded = cells.crossJoin(
+        broadcast(cells.agg(count(lit(1)).as("__k"))))
+      .where(OpsUtil.orRaise(col("__k") <= maxCells,
+        lit("kendallTau: joint value grid has "), col("__k"),
+        lit(s" cells (> maxCells=$maxCells); quantize the inputs more " +
+          "coarsely or raise maxCells")))
+      .select(col("__x"), col("__y"), col("__c"))
+    val a = guarded.select(col("__x").as("__x1"), col("__y").as("__y1"),
+      col("__c").as("__c1"))
+    val b = guarded.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = a.join(broadcast(b), col("__x1") < col("__x2"))
+      .agg(
+        coalesce(sum(when(col("__y1") < col("__y2"),
+          col("__c1") * col("__c2"))), lit(0).cast(dec38)).as("concordant"),
+        coalesce(sum(when(col("__y1") > col("__y2"),
+          col("__c1") * col("__c2"))), lit(0).cast(dec38)).as("discordant"))
+    val ties = guarded.agg(
+      sum(col("__c")).cast(dec38).as("__n"),
+      count(lit(1)).as("n_cells"))
+    val tx = guarded.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+      .agg(coalesce(sum(col("__cx") * (col("__cx") - 1)), lit(0).cast(dec38))
+        .as("__tx2"))
+    val ty = guarded.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+      .agg(coalesce(sum(col("__cy") * (col("__cy") - 1)), lit(0).cast(dec38))
+        .as("__ty2"))
+    ties.crossJoin(broadcast(pairs)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("__n").cast("long").as("n"), col("n_cells"),
+        col("concordant").cast("long").as("concordant"),
+        col("discordant").cast("long").as("discordant"),
+        {
+          // doubled counts throughout: n0x2 = n(n-1), tx2 = Σ cx(cx-1),
+          // so (n0-tx)(n0-ty) = (n0x2-tx2)(n0x2-ty2)/4 — the 4 cancels
+          // against (2C-2D)' numerator staying as-is: tau = (C-D)/sqrt(
+          // ((n0x2-tx2)/2)((n0x2-ty2)/2))
+          val n0x2 = (col("__n") * (col("__n") - 1)).cast("double")
+          val dx = (n0x2 - col("__tx2").cast("double")) / lit(2.0)
+          val dy = (n0x2 - col("__ty2").cast("double")) / lit(2.0)
+          val num = (col("concordant") - col("discordant")).cast("double")
+          when(dx > 0 && dy > 0, round(num / sqrt(dx * dy), 6)).as("tau_b")
+        })
+  }
+
+  /** Fleiss' kappa for k raters over binary categories — the multi-rater
+    * generalization of [[cohenKappa]] ("across the whole labeling
+    * panel, how much agreement beyond chance?"). Each column of
+    * `raterCols` is one rater's 0/1 assignment; rows with any NULL
+    * rating are excluded (a fixed panel per item — the statistic's
+    * standard balanced form).
+    *
+    * Exactness: per item, `r = Σ ratings` and agreement weight
+    * `Σ_c n_c(n_c−1) = r(r−1) + (k−r)(k−r−1)`, an integer; `P̄` and
+    * `P̄e` (from exact category-total squares in DECIMAL(38,0)) are each
+    * one IEEE sequence. Returns one row
+    * `(n, n_raters, p_bar, p_e, kappa)`; kappa NULL when p_e = 1.
+    *
+    * Scale shape: one row-level projection (`r` per item) folded by a
+    * single hash aggregation — no join, no window, no shuffle beyond
+    * the 1-row final. */
+  def fleissKappa(df: DataFrame, raterCols: Seq[Column]): DataFrame = {
+    require(raterCols.size >= 2, "fleissKappa needs at least 2 raters")
+    val k = raterCols.size
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // a NULL rating nulls the whole sum, so the isNotNull filter drops
+    // any item with an incomplete panel
+    val r = raterCols.map(_.cast("long")).reduce(_ + _)
+    val items = df.select(r.as("__r")).filter(col("__r").isNotNull)
+    val agg = items.agg(
+      count(lit(1)).as("n"),
+      sum(col("__r")).cast(dec38).as("__sr"),
+      sum(col("__r") * (col("__r") - 1) +
+        (lit(k.toLong) - col("__r")) * (lit(k.toLong) - col("__r") - 1))
+        .cast(dec38).as("__sagree"))
+    val n = col("n").cast("double")
+    val kk = lit(k.toDouble)
+    // P̄ = Σ_i Σ_c n_ic(n_ic-1) / (n·k·(k-1)); p1 = Σr/(n·k), p0 = 1-p1;
+    // P̄e = p1² + p0²
+    val pBar = col("__sagree").cast("double") / (n * kk * lit((k - 1).toDouble))
+    val p1 = col("__sr").cast("double") / (n * kk)
+    val pe = p1 * p1 + (lit(1.0) - p1) * (lit(1.0) - p1)
+    agg.select(col("n"), lit(k).as("n_raters"),
+      round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
+      when(pe < 1.0, round((pBar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
+  }
 }

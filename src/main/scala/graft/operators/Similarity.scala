@@ -763,4 +763,96 @@ object Similarity {
       .orderBy(col("dist").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Exact population covariance matrix over the leading `dims`
+    * embedding dimensions — the input both to drift monitoring
+    * ("did the embedding model's output geometry move?") and to
+    * [[topPrincipalComponent]]'s power iteration. Returns the upper
+    * triangle as rows `(i, j, n, cov)`, 0-based, i ≤ j.
+    *
+    * Exactness: each value quantizes to an unscaled long at `scale`
+    * ([[graft.functions.Decimals.unscaledLong]], the
+    * [[centroidOutliers]] convention); cross-products accumulate in
+    * DECIMAL(38,0) (a q·q product already fills 2·scale digits — a
+    * long buffer would overflow near 10^6 rows at scale 6); the
+    * numerator `n·Sij − Si·Sj` is an exact integer and only the final
+    * division is IEEE.
+    *
+    * Scale shape: ONE 1-row map-side-combined aggregation carrying
+    * `dims·(dims+3)/2` buffers — no explode, no shuffle of data rows.
+    * The buffer count is the quadratic term, so `dims` is capped
+    * (lead dims of a wide embedding are the drift-sensitive ones; a
+    * full-width matrix at d=1024 belongs to a block-wise variant). */
+  def embeddingCovariance(embeds: DataFrame, vecCol: String, dims: Int,
+      scale: Int = 6): DataFrame = {
+    require(dims >= 2 && dims <= 16,
+      s"dims must be in [2,16] (${dims * (dims + 1) / 2} pair buffers " +
+        "at 16 already): use a block-wise variant beyond that")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = asDouble(col(vecCol))
+    val q = (0 until dims).map(i => graft.functions.Decimals
+      .unscaledLong(element_at(v, i + 1), scale))
+    val pairs = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+    val aggs =
+      (0 until dims).map(i => sum(q(i)).cast(dec38).as(s"__s$i")) ++
+        pairs.map { case (i, j) =>
+          sum(q(i).cast(dec38) * q(j).cast(dec38)).as(s"__p${i}_$j") }
+    val stats = embeds.agg(count(lit(1)).as("__n"), aggs: _*)
+    val pow2 = math.pow(10, 2 * scale)
+    val rows = pairs.map { case (i, j) =>
+      val num = (col("__n").cast(dec38) * col(s"__p${i}_$j") -
+        col(s"__s$i") * col(s"__s$j"))
+      struct(lit(i).as("i"), lit(j).as("j"), col("__n").as("n"),
+        round(num.cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double") * lit(pow2)),
+          9).as("cov"))
+    }
+    stats.select(inline(array(rows: _*)))
+  }
+
+  /** Dominant eigenvector of a [[embeddingCovariance]] matrix by power
+    * iteration — the data-driven 1-D projection ([[Features]]' JL
+    * projection is its oblivious cousin). The cov matrix is bounded
+    * driver metadata (≤ 16×16 by the covariance cap), so the iteration
+    * runs locally; the returned unit vector is deterministic: it starts
+    * from the normalized all-ones vector and the sign convention makes
+    * the largest-|component| coordinate positive.
+    *
+    * Scale posture: the DISTRIBUTED work ended inside
+    * [[embeddingCovariance]]'s one-pass aggregation; iterating on a
+    * d×d matrix driver-side is the documented bounded-metadata idiom
+    * (the [[BpeTrainer]] 1-row election, the Bloom sketch bytes). */
+  def topPrincipalComponent(cov: DataFrame, dims: Int,
+      iterations: Int = 50): Array[Double] = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val m = Array.ofDim[Double](dims, dims)
+    cov.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    var vec = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    var it = 0
+    while (it < iterations) {
+      val next = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => m(i)(j) * vec(j)).sum)
+      val nrm = math.sqrt(next.map(x => x * x).sum)
+      if (nrm == 0.0) return vec // degenerate (zero matrix): keep start
+      vec = next.map(_ / nrm)
+      it += 1
+    }
+    val kMax = vec.indices.maxBy(i => math.abs(vec(i)))
+    if (vec(kMax) < 0) vec.map(-_) else vec
+  }
+
+  /** Projection of each embedding onto a fixed component vector (e.g.
+    * [[topPrincipalComponent]]'s output): `(idCol, score)` with the
+    * codegen'd strict-index-order dot fold. The component broadcasts as
+    * a literal — the per-row work never shuffles. */
+  def pcProject(embeds: DataFrame, vecCol: String, idCol: String,
+      component: Array[Double]): DataFrame = {
+    val lits = array(component.map(lit(_)): _*)
+    embeds.select(col(idCol),
+      round(dot(asDouble(col(vecCol)), lits), 6).as("score"))
+  }
 }

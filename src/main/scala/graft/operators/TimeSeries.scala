@@ -356,6 +356,117 @@ object TimeSeries {
     *
     * Scale shape: a pure per-row projection into ONE hash aggregation
     * with map-side partials — the minimal plan; no window, no join. */
+  /** Kaplan–Meier survival curve over right-censored durations — the
+    * retention/lifetime estimator that, unlike a raw survival fraction,
+    * is unbiased under censoring (entities still alive at observation
+    * end contribute risk-time without counting as deaths). The lifetime
+    * read a product team runs on user/session/document longevity.
+    *
+    * Input: one row per entity with its observed `durationCol` (numeric,
+    * e.g. days) and `eventCol` = 1 if the terminal event was OBSERVED,
+    * 0 if the duration is censored. NULL durations are excluded.
+    *
+    * Returns one row per distinct duration:
+    * `(duration, n_risk, n_event, n_censored, survival)` where
+    * `survival = Π_{t ≤ d} (1 − e_t / r_t)` — computed as
+    * `exp(Σ ln(1 − e/r))` so the running product is a cumulative
+    * window SUM (associative; the ln/exp round-trip is the one
+    * documented non-integer step, the [[Similarity]] NMI convention,
+    * and a 0 factor propagates exactly: ln 0 = −∞, exp −∞ = 0).
+    *
+    * Scale shape: one hash aggregation collapses entities to the
+    * distinct-duration frame (bounded — durations are day-grained by
+    * construction); ONE cumulative window over that frame computes both
+    * the at-risk walk and the log-survival sum; totals ride a 1-row
+    * broadcast. Entity count never hits a window. */
+  def kaplanMeier(df: DataFrame, durationCol: Column,
+      eventCol: Column): DataFrame = {
+    val g = df
+      .select(durationCol.cast("double").as("duration"),
+        eventCol.cast("long").as("__e"))
+      .filter(col("duration").isNotNull)
+      .groupBy(col("duration"))
+      .agg(sum(col("__e")).as("n_event"),
+        (count(lit(1)) - sum(col("__e"))).as("n_censored"),
+        count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = g.agg(sum(col("__c")).as("__n"))
+    g.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("__n") - sum(col("__c")).over(w) + col("__c"))
+      // Spark's log() is NULL at 0 where the math wants ln 0 = −∞ (the
+      // everyone-died step must zero the whole tail), so the e = r case
+      // is spelled explicitly; the oracle mirrors with '-infinity'.
+      .withColumn("__lnf",
+        when(col("n_event") > 0 && col("n_event") < col("n_risk"),
+          log(lit(1.0) - col("n_event").cast("double") /
+            col("n_risk").cast("double")))
+          .when(col("n_event") > 0, lit(Double.NegativeInfinity))
+          .otherwise(lit(0.0)))
+      .withColumn("survival", round(exp(sum(col("__lnf")).over(w)), 6))
+      .select(col("duration"), col("n_risk"), col("n_event"),
+        col("n_censored"), col("survival"))
+  }
+
+  /** Theil–Sen robust slope per key: the MEDIAN of all pairwise slopes
+    * `(y_j − y_i)/(x_j − x_i)`, x_i < x_j — the trend estimator that
+    * shrugs off the outlier buckets that wreck a least-squares fit
+    * (up to ~29% contamination). The per-entity usage-trend panel.
+    *
+    * Median convention: slopes sort ascending; odd count takes the
+    * middle element, even count averages the two middles as
+    * `(lo + hi)/2.0` — spelled out so the oracle runs the IDENTICAL
+    * arithmetic rather than an engine-private interpolation. Keys with
+    * a single point yield no pairs and drop out.
+    *
+    * Returns `(key, n_points, n_pairs, slope)` with slope rounded at 6.
+    *
+    * Scale shape: one hash aggregation to (key, x) points; a per-key
+    * equi-join builds the O(p²) pair frame — p is the per-key POINT
+    * count (bounded by the grid span, e.g. ≤366 daily buckets/year),
+    * never the event count, and `maxPoints` fail-fasts the invariant
+    * ([[Relational.intervalJoin]]'s guard idiom). The median rank walk
+    * is a window partitioned by key over that bounded pair frame. */
+  def theilSen(points: DataFrame, keyCol: String, xCol: Column, yCol: Column,
+      maxPoints: Long = 4096L): DataFrame = {
+    require(maxPoints > 0, "maxPoints must be positive")
+    val p = points
+      .select(col(keyCol).as("__k"), xCol.cast("double").as("__x"),
+        yCol.cast("double").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val counted = p.groupBy(col("__k")).agg(count(lit(1)).as("n_points"))
+    val guarded = p.join(counted.where(OpsUtil.orRaise(
+        col("n_points") <= maxPoints,
+        lit("theilSen: key "), col("__k").cast("string"), lit(" has "),
+        col("n_points"),
+        lit(s" points (> maxPoints=$maxPoints); coarsen the x grid or " +
+          "raise maxPoints"))), Seq("__k"))
+    val a = guarded.select(col("__k"), col("n_points"), col("__x").as("__x1"),
+      col("__y").as("__y1"))
+    val b = guarded.select(col("__k"), col("__x").as("__x2"),
+      col("__y").as("__y2"))
+    val slopes = a.join(b, Seq("__k"))
+      .filter(col("__x1") < col("__x2"))
+      .select(col("__k"), col("n_points"),
+        ((col("__y2") - col("__y1")) / (col("__x2") - col("__x1")))
+          .as("__s"))
+    val wOrd = Window.partitionBy(col("__k")).orderBy(col("__s"))
+    slopes
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      // integer-floor midrank picks: Spark's Column./ is TRUE division,
+      // so spell the floor explicitly (n_pairs < 2^53 keeps it exact)
+      .filter(col("__rn") === floor((col("n_pairs") + 1) / lit(2.0)) ||
+        col("__rn") === floor((col("n_pairs") + 2) / lit(2.0)))
+      // one surviving row (odd n_pairs) or two (even): sum/count IS the
+      // "middle element or mean of the two middles" convention above
+      .groupBy(col("__k"), col("n_points"), col("n_pairs"))
+      .agg(round(sum(col("__s")) / count(lit(1)).cast("double"), 6)
+        .as("slope"))
+      .select(col("__k").as(keyCol), col("n_points"), col("n_pairs"),
+        col("slope"))
+  }
+
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, anchor: String, halfLifeSeconds: Long): DataFrame = {
     require(halfLifeSeconds > 0, s"halfLifeSeconds must be positive: $halfLifeSeconds")
