@@ -1955,6 +1955,22 @@ object SparkEntry {
         .transform(ordered1(_, col("user_id")))
     }),
 
+    // Top principal component of the embedding cloud projected back onto
+    // every vector: power iteration on the bounded 4x4 covariance runs
+    // driver-side (the documented bounded-metadata idiom — the matrix IS
+    // metadata), so the distributed work is ONE 1-row covariance
+    // aggregation plus a per-row broadcast-literal dot. 30 iterations,
+    // exact fixed-point early exit (provably oracle-safe: a fixed point
+    // makes every further iteration a no-op).
+    "q189_pca_project" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val cov = Similarity.embeddingCovariance(emb, "embedding", dims = 4)
+      val comp = Similarity.topPrincipalComponent(cov, dims = 4,
+        iterations = 30)
+      Similarity.pcProject(emb, "embedding", "vec_id", comp)
+        .transform(ordered1(_, col("vec_id")))
+    }),
+
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
     // [MASK]/doc-local-replacement/keep, labels = pos:original targets.
     // Pure projection — no explode, no window, no join.
@@ -5026,7 +5042,7 @@ object SparkEntry {
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
         |      AS DOUBLE) AS x,
         |    CAST(count(*) AS DOUBLE) AS y
-        |  FROM events GROUP BY user_id,
+        |  FROM events WHERE ts IS NOT NULL GROUP BY user_id,
         |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))),
         |np AS (SELECT user_id, count(*) AS n_points FROM p GROUP BY user_id),
         |s AS (SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS sl
@@ -5042,6 +5058,64 @@ object SparkEntry {
         |  GROUP BY user_id, npair)
         |SELECT m.user_id, np.n_points, m.n_pairs, m.slope
         |FROM m JOIN np USING (user_id) ORDER BY m.user_id""".stripMargin,
+
+    // Full power iteration reproduced in SQL: the 4x4 covariance (q187's
+    // exact HUGEINT arithmetic at dims=4) feeds a 30-step recursive CTE
+    // whose per-step arithmetic is the IDENTICAL left-associative IEEE
+    // sequence the driver-side loop runs (fold from 0.5 start, sqrt
+    // norm, first-max sign convention), then the same strict-index-order
+    // dot per row.
+    "q189_pca_project" -> {
+      val dims = 4
+      val q = (1 to dims).map(i =>
+        s"CAST(CAST(cv[$i] AS DECIMAL(18,6)) * 1000000 AS HUGEINT)")
+      val pairIdx = for { i <- 0 until dims; j <- i until dims } yield (i, j)
+      val sums = (0 until dims).map(i => s"SUM(${q(i)}) AS s$i") ++
+        pairIdx.map { case (i, j) => s"SUM(${q(i)} * ${q(j)}) AS p${i}_$j" }
+      def covExpr(i: Int, j: Int): String = {
+        val (a, b) = if (i <= j) (i, j) else (j, i)
+        s"round(CAST(CAST(n AS HUGEINT) * p${a}_$b - s$a * s$b AS DOUBLE)" +
+          s" / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12), 9)"
+      }
+      val mCols = (for { i <- 0 until dims; j <- 0 until dims }
+        yield s"${covExpr(i, j)} AS m${i}_$j").mkString(", ")
+      val mv = (0 until dims).map(i =>
+        (0 until dims).map(j => s"m${i}_$j * v$j").mkString(" + "))
+      val nrmSq = (0 until dims).map(i => s"n$i * n$i").mkString(" + ")
+      val absGe = (0 until dims).map { i =>
+        val later = (i + 1 until dims).map(j => s"abs(v$i) >= abs(v$j)")
+        if (later.isEmpty) s"ELSE v$i END"
+        else s"WHEN ${later.mkString(" AND ")} THEN v$i"
+      }
+      val dotExpr = (0 until dims).map(i => s"cv[${i + 1}] * c$i")
+        .mkString(" + ")
+      s"""WITH RECURSIVE
+         |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings),
+         |st AS (SELECT count(*) AS n, ${sums.mkString(", ")} FROM c),
+         |m AS (SELECT $mCols FROM st),
+         |it AS (
+         |  SELECT 0 AS k, ${(0 until dims)
+              .map(i => s"CAST(0.5 AS DOUBLE) AS v$i").mkString(", ")}
+         |  UNION ALL
+         |  SELECT k + 1, ${(0 until dims)
+              .map(i => s"n$i / nrm AS v$i").mkString(", ")}
+         |  FROM (SELECT k, ${(0 until dims)
+              .map(i => s"n$i").mkString(", ")}, sqrt($nrmSq) AS nrm
+         |    FROM (SELECT k, ${mv.zipWithIndex
+              .map { case (e, i) => s"$e AS n$i" }.mkString(", ")}
+         |      FROM it, m))
+         |  WHERE k < 30),
+         |fin AS (SELECT ${(0 until dims).map(i => s"v$i").mkString(", ")},
+         |  CASE ${absGe.mkString(" ")} AS pick
+         |  FROM it WHERE k = 30),
+         |comp AS (SELECT ${(0 until dims)
+              .map(i => s"CASE WHEN pick < 0 THEN -v$i ELSE v$i END AS c$i")
+              .mkString(", ")}
+         |  FROM fin)
+         |SELECT vec_id, round($dotExpr, 6) AS score
+         |FROM c, comp ORDER BY vec_id""".stripMargin
+    },
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -464,8 +464,18 @@ object Evaluation {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // a NULL rating nulls the whole sum, so the isNotNull filter drops
     // any item with an incomplete panel
-    val r = raterCols.map(_.cast("long")).reduce(_ + _)
-    val items = df.select(r.as("__r")).filter(col("__r").isNotNull)
+    val casted = raterCols.map(_.cast("long"))
+    // out-of-domain ratings would silently corrupt the r(r-1)+(k-r)(k-r-1)
+    // agreement weight, so fail fast instead of producing a plausible kappa
+    val inDomain = casted
+      .map(c => c.isNull || c === 0L || c === 1L)
+      .reduce(_ && _)
+    val r = casted.reduce(_ + _)
+    val items = df
+      .where(OpsUtil.orRaise(inDomain,
+        lit("fleissKappa: rating outside {0, 1, NULL}; raterCols must be " +
+          "binary 0/1 assignments")))
+      .select(r.as("__r")).filter(col("__r").isNotNull)
     val agg = items.agg(
       count(lit(1)).as("n"),
       sum(col("__r")).cast(dec38).as("__sr"),

@@ -826,19 +826,32 @@ object Similarity {
       iterations: Int = 50): Array[Double] = {
     require(iterations >= 1, "iterations must be >= 1")
     val m = Array.ofDim[Double](dims, dims)
+    // an empty input frame yields n = 0 rows with NULL cov — skip them
+    // (the matrix stays zero and the degenerate branch below returns the
+    // start vector) instead of throwing on getDouble
     cov.select(col("i"), col("j"), col("cov")).collect().foreach { r =>
-      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
-      m(i)(j) = c
-      m(j)(i) = c
+      if (!r.isNullAt(2)) {
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        m(i)(j) = c
+        m(j)(i) = c
+      }
     }
     var vec = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     var it = 0
-    while (it < iterations) {
+    var converged = false
+    while (it < iterations && !converged) {
       val next = Array.tabulate(dims)(i =>
         (0 until dims).map(j => m(i)(j) * vec(j)).sum)
       val nrm = math.sqrt(next.map(x => x * x).sum)
       if (nrm == 0.0) return vec // degenerate (zero matrix): keep start
-      vec = next.map(_ / nrm)
+      val scaled = next.map(_ / nrm)
+      // EXACT fixed-point convergence check: once the normalized vector
+      // reproduces itself bit-for-bit, every further iteration is a
+      // no-op, so early exit provably cannot diverge from a fixed-count
+      // reference (an epsilon tolerance here would — the remaining
+      // iterations could drift a value across a rounding boundary)
+      converged = scaled.sameElements(vec)
+      vec = scaled
       it += 1
     }
     val kMax = vec.indices.maxBy(i => math.abs(vec(i)))

@@ -338,24 +338,6 @@ object TimeSeries {
         scale))
   }
 
-  /** Time-decayed per-key value sum — the recency-weighted feature every
-    * behavioral model consumes ("activity score, half-life one week"):
-    * each event contributes `value / 2^(age_buckets div halfLifeBuckets)`
-    * where age is measured from a FIXED anchor (pass the batch watermark;
-    * never now(), which would make the feature irreproducible).
-    *
-    * Determinism: the decay divisor is an integer power of two built by
-    * LONG SHIFT (not `pow`, whose libm accuracy is engine-specific), so
-    * the per-event scaling is an EXACT binary operation both engines
-    * perform identically; the decayed values then quantize and sum under
-    * the repo-wide [[graft.functions.Decimals]] convention. The exponent
-    * clamps to [0, 60]: negative ages (events past the anchor) count
-    * undecayed rather than exploding, and beyond 2^60 the contribution
-    * is below any 6-decimal quantum anyway (and the shift would
-    * overflow).
-    *
-    * Scale shape: a pure per-row projection into ONE hash aggregation
-    * with map-side partials — the minimal plan; no window, no join. */
   /** Kaplan–Meier survival curve over right-censored durations — the
     * retention/lifetime estimator that, unlike a raw survival fraction,
     * is unbiased under censoring (entities still alive at observation
@@ -467,6 +449,24 @@ object TimeSeries {
         col("slope"))
   }
 
+  /** Time-decayed per-key value sum — the recency-weighted feature every
+    * behavioral model consumes ("activity score, half-life one week"):
+    * each event contributes `value / 2^(age_buckets div halfLifeBuckets)`
+    * where age is measured from a FIXED anchor (pass the batch watermark;
+    * never now(), which would make the feature irreproducible).
+    *
+    * Determinism: the decay divisor is an integer power of two built by
+    * LONG SHIFT (not `pow`, whose libm accuracy is engine-specific), so
+    * the per-event scaling is an EXACT binary operation both engines
+    * perform identically; the decayed values then quantize and sum under
+    * the repo-wide [[graft.functions.Decimals]] convention. The exponent
+    * clamps to [0, 60]: negative ages (events past the anchor) count
+    * undecayed rather than exploding, and beyond 2^60 the contribution
+    * is below any 6-decimal quantum anyway (and the shift would
+    * overflow).
+    *
+    * Scale shape: a pure per-row projection into ONE hash aggregation
+    * with map-side partials — the minimal plan; no window, no join. */
   def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, anchor: String, halfLifeSeconds: Long): DataFrame = {
     require(halfLifeSeconds > 0, s"halfLifeSeconds must be positive: $halfLifeSeconds")

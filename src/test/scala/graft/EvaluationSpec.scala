@@ -166,6 +166,89 @@ class EvaluationSpec extends AnyFunSuite {
     assert(rho(Seq((5.0, 1.0), (5.0, 2.0), (5.0, 3.0))).isEmpty)
   }
 
+  test("ksTwoSample: hand-computed ECDF gap, identical sides, empty side") {
+    import spark.implicits._
+    // a={1,2,3}, b={2,3,4}: cumA·nb−cumB·na over merged {1,2,3,4} is
+    // 3,3,3,0 → D = 3/(3·3) at the smallest arg-max value 1
+    val a = Seq(1.0, 2.0, 3.0).toDF("v")
+    val b = Seq(2.0, 3.0, 4.0).toDF("v")
+    val r = Evaluation.ksTwoSample(a, b, col("v")).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 4)
+    assert(r.getDouble(3) == round6(3.0 / 9.0))
+    assert(r.getDouble(4) == 1.0)
+    // identical distributions → D = 0 at the smallest value
+    val same = Evaluation.ksTwoSample(a, a, col("v")).collect().head
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 1.0)
+    // empty side → NULL d_stat (undefined, not 0 or 1)
+    val empty = Seq.empty[Double].toDF("v")
+    assert(Evaluation.ksTwoSample(a, empty, col("v"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("kendallTau: concordant, discordant, tie-corrected, guards") {
+    import spark.implicits._
+    def tau(xs: Seq[(Double, Double)]): org.apache.spark.sql.Row =
+      Evaluation.kendallTau(xs.toDF("x", "y"), col("x"), col("y"))
+        .collect().head
+    val up = tau(Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)))
+    assert(up.getLong(2) == 3 && up.getLong(3) == 0)
+    assert(up.getDouble(4) == 1.0)
+    assert(tau(Seq((1.0, 3.0), (2.0, 2.0), (3.0, 1.0))).getDouble(4) == -1.0)
+    // ties on both sides: C=4, D=0, n0=6, tx=ty=1 → 4/√(5·5) = 0.8
+    val tied = tau(Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 3.0)))
+    assert(tied.getLong(0) == 4 && tied.getLong(1) == 4)
+    assert(tied.getLong(2) == 4 && tied.getLong(3) == 0)
+    assert(tied.getDouble(4) == 0.8)
+    // constant variable → NULL tau
+    assert(tau(Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0))).isNullAt(4))
+    // maxCells fail-fast
+    val ex = intercept[Exception] {
+      Evaluation.kendallTau(
+        Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y"),
+        col("x"), col("y"), maxCells = 2).collect()
+    }
+    assert(ex.getMessage.contains("maxCells") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxCells")))
+  }
+
+  test("fleissKappa: hand-computed panel, NULL row excluded, guards") {
+    import spark.implicits._
+    // 3 raters, items r = (3,0,2,1): P̄ = 16/24 = 2/3, p1 = 0.5,
+    // P̄e = 0.5 → kappa = (2/3 − 1/2)/(1/2) = 1/3
+    val df = Seq((1, 1, 1), (0, 0, 0), (1, 1, 0), (1, 0, 0))
+      .toDF("r1", "r2", "r3")
+    val cols = Seq(col("r1"), col("r2"), col("r3"))
+    val r = Evaluation.fleissKappa(df, cols).collect().head
+    assert(r.getLong(0) == 4 && r.getInt(1) == 3)
+    assert(r.getDouble(2) == round6(2.0 / 3.0))
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == round6(1.0 / 3.0))
+    // an incomplete panel (NULL rating) drops the item, not the run
+    val withNull = Seq((Some(1), Some(1), Some(1)), (Some(0), Some(0), Some(0)),
+      (Some(1), Some(1), Some(0)), (Some(1), Some(0), Some(0)),
+      (Some(1), None, Some(1))).toDF("r1", "r2", "r3")
+    val rn = Evaluation.fleissKappa(withNull, cols).collect().head
+    assert(rn.getLong(0) == 4 && rn.getDouble(4) == round6(1.0 / 3.0))
+    // unanimous panel on both categories → kappa 1
+    val perfect = Seq((1, 1, 1), (0, 0, 0)).toDF("r1", "r2", "r3")
+    assert(Evaluation.fleissKappa(perfect, cols)
+      .collect().head.getDouble(4) == 1.0)
+    // degenerate p_e = 1 (every rating identical) → NULL kappa
+    val const = Seq((1, 1, 1), (1, 1, 1)).toDF("r1", "r2", "r3")
+    assert(Evaluation.fleissKappa(const, cols).collect().head.isNullAt(4))
+    // out-of-domain rating fails fast instead of corrupting the weights
+    val bad = Seq((1, 2, 1)).toDF("r1", "r2", "r3")
+    val ex = intercept[Exception] {
+      Evaluation.fleissKappa(bad, cols).collect()
+    }
+    assert(ex.getMessage.contains("fleissKappa") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fleissKappa")))
+    // fewer than 2 raters rejected up front
+    intercept[IllegalArgumentException] {
+      Evaluation.fleissKappa(df, Seq(col("r1")))
+    }
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }

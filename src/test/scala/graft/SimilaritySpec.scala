@@ -310,4 +310,60 @@ class SimilaritySpec extends AnyFunSuite {
       nlist = 2).collect().head
     assert(oneLabel.isNullAt(4) && oneLabel.getDouble(3) == 1.0)
   }
+
+  test("embeddingCovariance: exact hand-computed 2x2; empty input NULL cov") {
+    // vectors (1,0) (0,1) (1,1) (0,0): cov00 = cov11 = 0.25, cov01 = 0
+    val emb = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 1.0)), (3L, Seq(0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingCovariance(emb, "embedding", dims = 2)
+      .orderBy("i", "j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 0, 4L, 0.25), (0, 1, 4L, 0.0),
+      (1, 1, 4L, 0.25)))
+    // empty frame: n = 0 rows carry NULL cov, not a crash or NaN
+    val empty = emb.filter(col("vec_id") < 0)
+    val nulls = Similarity.embeddingCovariance(empty, "embedding", dims = 2)
+      .collect()
+    assert(nulls.length == 3 && nulls.forall(_.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      Similarity.embeddingCovariance(emb, "embedding", dims = 17)
+    }
+  }
+
+  test("topPrincipalComponent: dominant axis, sign convention, degenerates") {
+    // diag(4, 1): dominant eigenvector is the x-axis
+    val diag = Seq((0, 0, 10L, 4.0), (0, 1, 10L, 0.0), (1, 1, 10L, 1.0))
+      .toDF("i", "j", "n", "cov")
+    val v = Similarity.topPrincipalComponent(diag, dims = 2, iterations = 60)
+    assert(math.abs(v(0) - 1.0) < 1e-9 && math.abs(v(1)) < 1e-9)
+    // [[1, -0.9], [-0.9, 1.1]]: dominant eigenvector has opposite-sign
+    // components; the largest-|component| coordinate is made positive
+    val mixed = Seq((0, 0, 10L, 1.0), (0, 1, 10L, -0.9), (1, 1, 10L, 1.1))
+      .toDF("i", "j", "n", "cov")
+    val m = Similarity.topPrincipalComponent(mixed, dims = 2, iterations = 200)
+    assert(m(1) > 0 && m(0) < 0)
+    assert(math.abs(m(0) * m(0) + m(1) * m(1) - 1.0) < 1e-9)
+    // eigen equation check: (A·v) / λ ≈ v with λ = (2.1 + √3.25)/2
+    val lam = (2.1 + math.sqrt(3.25)) / 2.0
+    val av0 = 1.0 * m(0) - 0.9 * m(1)
+    val av1 = -0.9 * m(0) + 1.1 * m(1)
+    assert(math.abs(av0 / lam - m(0)) < 1e-6)
+    assert(math.abs(av1 / lam - m(1)) < 1e-6)
+    // NULL cov rows (empty covariance input) skip cleanly → start vector
+    val emptyEmb = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val nullCov = Similarity.embeddingCovariance(emptyEmb, "embedding",
+      dims = 2)
+    val s = Similarity.topPrincipalComponent(nullCov, dims = 2)
+    assert(s.toSeq == Seq(1.0 / math.sqrt(2.0), 1.0 / math.sqrt(2.0)))
+  }
+
+  test("pcProject: strict index-order dot against a literal component") {
+    val emb = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(3.0, 4.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.pcProject(emb, "embedding", "vec_id",
+        Array(0.5, 0.25))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((0L, 1.0), (1L, 2.5)))
+  }
 }

@@ -171,6 +171,54 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.toList == List((1L, 3L, 13.0), (2L, 1L, 4.0)))
   }
 
+  test("kaplanMeier: textbook survival walk with censoring") {
+    import org.apache.spark.sql.functions.col
+    // durations (1,evt) (2,cens) (3,evt) (3,evt) (4,cens):
+    // S(1)=4/5=0.8, S(2)=0.8 (censor only), S(3)=0.8·(1/3), S(4) flat
+    val df = Seq((1.0, 1), (2.0, 0), (3.0, 1), (3.0, 1), (4.0, 0))
+      .toDF("d", "e")
+    val rows = TimeSeries.kaplanMeier(df, col("d"), col("e"))
+      .orderBy("duration").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toList == List(
+      (1.0, 5L, 1L, 0L, 0.8),
+      (2.0, 4L, 0L, 1L, 0.8),
+      (3.0, 3L, 2L, 0L, 0.266667),
+      (4.0, 1L, 0L, 1L, 0.266667)))
+    // everyone-dies step zeroes the curve exactly (ln 0 spelled as −∞)
+    val wipe = Seq((1.0, 1), (2.0, 1), (2.0, 1)).toDF("d", "e")
+    val s = TimeSeries.kaplanMeier(wipe, col("d"), col("e"))
+      .orderBy("duration").collect().map(_.getDouble(4))
+    assert(s.toList == List(0.666667, 0.0))
+    // NULL durations are excluded, not grouped
+    val withNull = Seq((Some(1.0), 1), (None, 1)).toDF("d", "e")
+    assert(TimeSeries.kaplanMeier(withNull, col("d"), col("e"))
+      .count() == 1)
+  }
+
+  test("theilSen: median pairwise slope, even-count mean, guards") {
+    import org.apache.spark.sql.functions.col
+    // key a slopes {1,2,3} → median 2; key b slopes
+    // {2,1,1,0,0.5,1} sorted {0,0.5,1,1,1,2} → mean of middles = 1
+    val pts = Seq(
+      ("a", 0.0, 0.0), ("a", 1.0, 1.0), ("a", 2.0, 4.0),
+      ("b", 0.0, 0.0), ("b", 1.0, 2.0), ("b", 2.0, 2.0), ("b", 3.0, 3.0),
+      ("c", 5.0, 5.0) // single point: no pairs, drops out
+    ).toDF("k", "x", "y")
+    val rows = TimeSeries.theilSen(pts, "k", col("x"), col("y"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.toList == List(("a", 3L, 3L, 2.0), ("b", 4L, 6L, 1.0)))
+    // maxPoints fail-fast names the offending key
+    val ex = intercept[Exception] {
+      TimeSeries.theilSen(pts, "k", col("x"), col("y"), maxPoints = 2L)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxPoints") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxPoints")))
+  }
+
   test("decayedSum clamps huge ages to 2^60 instead of overflowing") {
     val events = Seq((1L, ts("1970-01-02 00:00:00"), 1000000.0))
       .toDF("user_id", "ts", "value")
