@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 import graft.sources.Tables.{load, parallel}
 import graft.functions.Timestamps
 import graft.functions.TextFunctions
-import graft.operators.{CorpusStats, Curation, Dedup, EntityResolution, Graph, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Quantization, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+import graft.operators.{CorpusStats, Curation, DataQuality, Dedup, EntityResolution, Graph, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Quantization, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
 
 /** Driver contract (SURVEY.md §7): one `queries` entry per implemented
   * operator, each with equivalent ANSI SQL for the DuckDB oracle.
@@ -1969,6 +1969,68 @@ object SparkEntry {
         iterations = 30)
       Similarity.pcProject(emb, "embedding", "vec_id", comp)
         .transform(ordered1(_, col("vec_id")))
+    }),
+
+    // Declarative data-quality gate over the orders ingest: all
+    // row-level checks fuse into ONE aggregation pass; uniqueness and
+    // the functional dependency each pay exactly their own keyed hash
+    // agg; referential is a broadcast anti-join count. One report row
+    // per check.
+    "q190_data_checks" -> ((s, d) => {
+      import DataQuality._
+      DataQuality.validate(load(s, d, "orders"), Seq(
+        Completeness("c1_custkey_complete", col("o_custkey"), 1.0),
+        Uniqueness("c2_orderkey_unique", Seq("o_orderkey")),
+        ValueRange("c3_price_range", col("o_totalprice"), 0.0, 1000000.0),
+        InSet("c4_status_domain", col("o_orderstatus"), Seq("O", "F", "P")),
+        RowCountBetween("c5_rowcount", 1L, 100000000L),
+        Referential("c6_custkey_ref", col("o_custkey"),
+          load(s, d, "customer"), col("c_custkey")),
+        FunctionalDep("c7_key_determines_date", Seq("o_orderkey"),
+          col("o_orderdate"))))
+    }),
+
+    // Multi-class confusion matrix (zero-filled spine) for a
+    // deterministic first-dim-quantile pseudo-classifier vs the true
+    // label — the per-class error-geometry read.
+    "q191_confusion" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.confusionMatrix(emb, col("label"),
+          pmod(floor(element_at(graft.functions.VectorFunctions
+            .asDouble(col("embedding")), 1) * 10).cast("long"), lit(10L)))
+        .transform(ordered1(_, col("actual"), col("predicted")))
+    }),
+
+    // Per-class precision/recall/F1 over the same pseudo-classifier.
+    "q192_class_report" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.classificationReport(emb, col("label"),
+          pmod(floor(element_at(graft.functions.VectorFunctions
+            .asDouble(col("embedding")), 1) * 10).cast("long"), lit(10L)))
+        .transform(ordered1(_, col("label")))
+    }),
+
+    // Brier score + clamped log-loss in one aggregation pass over a
+    // [0,1]-squashed first-dim probability.
+    "q193_prob_scores" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val p = greatest(lit(0.0), least(lit(1.0),
+        round(lit(0.5) + element_at(graft.functions.VectorFunctions
+          .asDouble(col("embedding")), 1) / lit(4.0), 3)))
+      graft.operators.Evaluation.probScores(emb, p,
+        (col("label") >= 5).cast("int"))
+    }),
+
+    // McNemar disagreement-cell test between two single-dim
+    // pseudo-classifiers scored on the same rows.
+    "q194_mcnemar" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      def pred(dim: Int) = pmod(floor(element_at(graft.functions
+        .VectorFunctions.asDouble(col("embedding")), dim) * 10)
+        .cast("long"), lit(10L))
+      graft.operators.Evaluation.mcnemar(emb,
+        (pred(1) === col("label").cast("long")).cast("int"),
+        (pred(2) === col("label").cast("long")).cast("int"))
     }),
 
     // BERT-style MLM masking: ~15% of positions selected by hash, 80/10/10
@@ -5116,6 +5178,154 @@ object SparkEntry {
          |SELECT vec_id, round($dotExpr, 6) AS score
          |FROM c, comp ORDER BY vec_id""".stripMargin
     },
+
+    // Each check reproduced as plain SQL aggregation; "check" quoted
+    // (reserved word). passed compares UNROUNDED values, observed
+    // rounds for display — the operator's gate-vs-display contract.
+    "q190_data_checks" ->
+      """WITH rw AS (SELECT count(*) AS n, count(o_custkey) AS nn,
+        |    coalesce(sum(CASE WHEN o_totalprice IS NOT NULL AND
+        |      (CAST(o_totalprice AS DOUBLE) < 0.0 OR
+        |       CAST(o_totalprice AS DOUBLE) > 1000000.0)
+        |      THEN 1 ELSE 0 END), 0) AS viol_range,
+        |    coalesce(sum(CASE WHEN o_orderstatus IS NOT NULL AND
+        |      o_orderstatus NOT IN ('O', 'F', 'P')
+        |      THEN 1 ELSE 0 END), 0) AS viol_set
+        |  FROM orders),
+        |uq AS (SELECT coalesce(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END), 0)
+        |    AS viol
+        |  FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)),
+        |rf AS (SELECT count(*) AS viol FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |fd AS (SELECT coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0)
+        |    AS viol
+        |  FROM (SELECT count(DISTINCT o_orderdate) AS d FROM orders
+        |    GROUP BY o_orderkey))
+        |SELECT * FROM (
+        |SELECT 'c1_custkey_complete' AS "check", 'completeness' AS kind,
+        |  CASE WHEN n > 0
+        |    THEN round(CAST(nn AS DOUBLE) / CAST(n AS DOUBLE), 6) END
+        |    AS observed,
+        |  1.0 AS threshold,
+        |  (n = 0 OR CAST(nn AS DOUBLE) / CAST(n AS DOUBLE) >= 1.0) AS passed
+        |FROM rw
+        |UNION ALL
+        |SELECT 'c2_orderkey_unique', 'uniqueness', CAST(viol AS DOUBLE),
+        |  0.0, viol = 0 FROM uq
+        |UNION ALL
+        |SELECT 'c3_price_range', 'value_range', CAST(viol_range AS DOUBLE),
+        |  0.0, viol_range = 0 FROM rw
+        |UNION ALL
+        |SELECT 'c4_status_domain', 'in_set', CAST(viol_set AS DOUBLE),
+        |  0.0, viol_set = 0 FROM rw
+        |UNION ALL
+        |SELECT 'c5_rowcount', 'row_count', CAST(n AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), n >= 1 AND n <= 100000000 FROM rw
+        |UNION ALL
+        |SELECT 'c6_custkey_ref', 'referential', CAST(viol AS DOUBLE),
+        |  0.0, viol = 0 FROM rf
+        |UNION ALL
+        |SELECT 'c7_key_determines_date', 'functional_dep',
+        |  CAST(viol AS DOUBLE), 0.0, viol = 0 FROM fd
+        |) ORDER BY "check"""".stripMargin,
+
+    // Positive modulo spelled ((x % 10) + 10) % 10 to mirror Spark's
+    // pmod; labels stringified like the operator.
+    "q191_confusion" ->
+      """WITH pr AS (SELECT CAST(label AS VARCHAR) AS actual,
+        |    CAST(((CAST(floor(CAST(embedding AS DOUBLE[])[1] * 10)
+        |      AS BIGINT) % 10) + 10) % 10 AS VARCHAR) AS predicted
+        |  FROM embeddings),
+        |pairs AS (SELECT actual, predicted, count(*) AS c FROM pr
+        |  GROUP BY actual, predicted),
+        |labels AS (SELECT DISTINCT actual AS l FROM pairs
+        |  UNION SELECT DISTINCT predicted FROM pairs),
+        |rt AS (SELECT actual, sum(c) AS rtot FROM pairs GROUP BY actual)
+        |SELECT a.l AS actual, p.l AS predicted,
+        |  coalesce(pairs.c, 0) AS n_obs,
+        |  CASE WHEN rt.rtot > 0 THEN
+        |    round(CAST(coalesce(pairs.c, 0) AS DOUBLE) /
+        |      CAST(rt.rtot AS DOUBLE), 6) END AS row_rate
+        |FROM labels a CROSS JOIN labels p
+        |LEFT JOIN pairs ON pairs.actual = a.l AND pairs.predicted = p.l
+        |LEFT JOIN rt ON rt.actual = a.l
+        |ORDER BY actual, predicted""".stripMargin,
+
+    "q192_class_report" ->
+      """WITH pr AS (SELECT CAST(label AS VARCHAR) AS a,
+        |    CAST(((CAST(floor(CAST(embedding AS DOUBLE[])[1] * 10)
+        |      AS BIGINT) % 10) + 10) % 10 AS VARCHAR) AS p
+        |  FROM embeddings),
+        |act AS (SELECT a AS label, count(*) AS n_actual FROM pr GROUP BY a),
+        |pre AS (SELECT p AS label, count(*) AS n_predicted FROM pr
+        |  GROUP BY p),
+        |diag AS (SELECT a AS label, count(*) AS tp FROM pr WHERE a = p
+        |  GROUP BY a),
+        |m AS (SELECT coalesce(act.label, pre.label) AS label,
+        |    coalesce(n_actual, 0) AS n_actual,
+        |    coalesce(n_predicted, 0) AS n_predicted
+        |  FROM act FULL OUTER JOIN pre ON act.label = pre.label)
+        |SELECT m.label, m.n_actual, m.n_predicted,
+        |  coalesce(diag.tp, 0) AS tp,
+        |  CASE WHEN m.n_predicted > 0 THEN
+        |    round(CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_predicted, 6)
+        |    END AS precision,
+        |  CASE WHEN m.n_actual > 0 THEN
+        |    round(CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_actual, 6)
+        |    END AS recall,
+        |  CASE WHEN m.n_predicted > 0 AND m.n_actual > 0 AND
+        |      (CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_predicted +
+        |       CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_actual) > 0 THEN
+        |    round(2.0 * (CAST(coalesce(diag.tp, 0) AS DOUBLE) /
+        |        m.n_predicted) *
+        |      (CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_actual) /
+        |      (CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_predicted +
+        |       CAST(coalesce(diag.tp, 0) AS DOUBLE) / m.n_actual), 6)
+        |    END AS f1
+        |FROM m LEFT JOIN diag ON diag.label = m.label
+        |ORDER BY m.label""".stripMargin,
+
+    // Same clamp constant (1e-15) as the operator default.
+    "q193_prob_scores" ->
+      """WITH s AS (SELECT
+        |    greatest(0.0, least(1.0,
+        |      round(0.5 + CAST(embedding AS DOUBLE[])[1] / 4.0, 3))) AS p,
+        |    CAST(label >= 5 AS DOUBLE) AS y
+        |  FROM embeddings),
+        |c AS (SELECT p, y,
+        |    least(greatest(p, 1e-15), 1.0 - 1e-15) AS pc FROM s)
+        |SELECT count(*) AS n,
+        |  round(avg((p - y) * (p - y)), 6) AS brier,
+        |  round(avg(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))), 6)
+        |    AS log_loss
+        |FROM c""".stripMargin,
+
+    "q194_mcnemar" ->
+      """WITH s AS (SELECT
+        |    CAST(((CAST(floor(CAST(embedding AS DOUBLE[])[1] * 10)
+        |      AS BIGINT) % 10) + 10) % 10 = label AS BIGINT) AS a,
+        |    CAST(((CAST(floor(CAST(embedding AS DOUBLE[])[2] * 10)
+        |      AS BIGINT) % 10) + 10) % 10 = label AS BIGINT) AS b
+        |  FROM embeddings),
+        |cells AS (SELECT count(*) AS n,
+        |    CAST(coalesce(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS both_right,
+        |    CAST(coalesce(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS both_wrong,
+        |    CAST(coalesce(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS a_only,
+        |    CAST(coalesce(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END),
+        |      0) AS BIGINT) AS b_only
+        |  FROM s)
+        |SELECT n, both_right, both_wrong, a_only, b_only,
+        |  CASE WHEN a_only + b_only > 0 THEN
+        |    round((abs(CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE))
+        |        - 1.0) *
+        |      (abs(CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE)) - 1.0)
+        |      / (CAST(a_only AS DOUBLE) + CAST(b_only AS DOUBLE)), 6)
+        |    END AS statistic
+        |FROM cells""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -442,6 +442,158 @@ object Evaluation {
         })
   }
 
+  /** Multi-class confusion matrix with a ZERO-FILLED spine — every
+    * (actual, predicted) cell of the label grid appears, observed or
+    * not, because the downstream consumer (a per-class dashboard, a
+    * cost-matrix fold) indexes cells positionally and a missing cell is
+    * a silent wrong answer (the [[Profiling.contingencyChi2]] spine
+    * convention). Labels = distinct actuals ∪ distinct predictions.
+    *
+    * Returns `(actual, predicted, n_obs, row_rate)` where `row_rate` =
+    * n_obs / Σ n_obs over the actual's row (the per-class recall
+    * diagonal); NULL when the actual never occurs. NULL labels are
+    * excluded — label NULL-ness is [[DataQuality.Completeness]]'s job.
+    *
+    * Scale shape: one (actual, predicted) hash aggregation bounded by
+    * the label-pair grid; the spine is a broadcast cross join of the two
+    * bounded label domains; row totals ride a broadcast equi-join. */
+  def confusionMatrix(df: DataFrame, actualCol: Column,
+      predictedCol: Column): DataFrame = {
+    val pairs = df
+      .select(actualCol.cast("string").as("actual"),
+        predictedCol.cast("string").as("predicted"))
+      .filter(col("actual").isNotNull && col("predicted").isNotNull)
+      .groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("__c"))
+    val labels = pairs.select(col("actual").as("__l"))
+      .union(pairs.select(col("predicted")))
+      .distinct()
+    val spine = labels.select(col("__l").as("actual"))
+      .crossJoin(broadcast(labels.select(col("__l").as("predicted"))))
+    val rowT = pairs.groupBy(col("actual")).agg(sum(col("__c")).as("__rt"))
+    spine
+      .join(pairs, Seq("actual", "predicted"), "left")
+      .join(broadcast(rowT), Seq("actual"), "left")
+      .select(col("actual"), col("predicted"),
+        coalesce(col("__c"), lit(0L)).as("n_obs"),
+        when(col("__rt") > 0,
+          round(coalesce(col("__c"), lit(0L)).cast("double") /
+            col("__rt").cast("double"), 6)).as("row_rate"))
+  }
+
+  /** Per-class precision / recall / F1 over a multi-class prediction
+    * frame — the classification report every model gate reads. One row
+    * per label in distinct(actual) ∪ distinct(predicted):
+    * `(label, n_actual, n_predicted, tp, precision, recall, f1)`.
+    * Precision is NULL when the class is never predicted, recall NULL
+    * when it never occurs, F1 NULL unless both are defined and nonzero
+    * in sum — degenerate classes surface as NULL, not fake zeros.
+    *
+    * Scale shape: the same bounded (actual, predicted) aggregation as
+    * [[confusionMatrix]]; margins and the diagonal are bounded
+    * per-label folds joined on the label frame — row count never
+    * re-enters after the first aggregation. */
+  def classificationReport(df: DataFrame, actualCol: Column,
+      predictedCol: Column): DataFrame = {
+    val pairs = df
+      .select(actualCol.cast("string").as("__a"),
+        predictedCol.cast("string").as("__p"))
+      .filter(col("__a").isNotNull && col("__p").isNotNull)
+      .groupBy(col("__a"), col("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val actT = pairs.groupBy(col("__a").as("label"))
+      .agg(sum(col("__c")).as("n_actual"))
+    val preT = pairs.groupBy(col("__p").as("label"))
+      .agg(sum(col("__c")).as("n_predicted"))
+    val diag = pairs.filter(col("__a") === col("__p"))
+      .select(col("__a").as("label"), col("__c").as("tp"))
+    val p = col("tp").cast("double") / col("n_predicted").cast("double")
+    val r = col("tp").cast("double") / col("n_actual").cast("double")
+    actT.join(preT, Seq("label"), "full_outer")
+      .join(diag, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("label"), col("n_actual"), col("n_predicted"), col("tp"),
+        when(col("n_predicted") > 0, round(p, 6)).as("precision"),
+        when(col("n_actual") > 0, round(r, 6)).as("recall"),
+        when(col("n_predicted") > 0 && col("n_actual") > 0 && (p + r) > 0,
+          round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
+
+  /** Probabilistic-forecast scoring in one pass: Brier score
+    * `mean((p − y)²)` and log-loss `mean(−[y·ln p̃ + (1−y)·ln(1−p̃)])`
+    * with `p̃ = clamp(p, eps, 1−eps)` — the clamp is part of the
+    * CONTRACT (a single hard 0/1 miss otherwise makes the whole
+    * corpus's log-loss infinite, which grades the pipeline, not the
+    * model). Returns one row `(n, brier, log_loss)`; NULL metrics on an
+    * empty frame. Rows with NULL prob or label are excluded.
+    *
+    * Scale shape: pure per-row projection into ONE map-side-combined
+    * 1-row aggregation — the minimal plan. */
+  def probScores(df: DataFrame, probCol: Column, labelCol: Column,
+      eps: Double = 1e-15): DataFrame = {
+    require(eps > 0 && eps < 0.5, s"eps must be in (0, 0.5): $eps")
+    val p = probCol.cast("double")
+    val y = labelCol.cast("double")
+    val pc = least(greatest(p, lit(eps)), lit(1.0 - eps))
+    df.select(p.as("__p"), y.as("__y"), pc.as("__pc"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        round(avg((col("__p") - col("__y")) * (col("__p") - col("__y"))), 6)
+          .as("brier"),
+        round(avg(-(col("__y") * log(col("__pc")) +
+          (lit(1.0) - col("__y")) * log(lit(1.0) - col("__pc")))), 6)
+          .as("log_loss"))
+  }
+
+  /** McNemar's paired test for two classifiers scored on the SAME rows —
+    * the A/B gate that, unlike comparing two accuracies, uses only the
+    * DISAGREEMENT cells (b = A right/B wrong, c = A wrong/B right) and so
+    * detects a real difference the shared-easy-rows mass would wash out.
+    * Uses the continuity-corrected statistic
+    * `(|b − c| − 1)² / (b + c)`; NULL when b + c = 0 (no disagreements —
+    * the test is undefined, not "no difference proven").
+    *
+    * Inputs are correctness indicator columns (1 = correct). Rows where
+    * either indicator is NULL are excluded; out-of-domain values fail
+    * fast ([[fleissKappa]]'s guard contract).
+    *
+    * Returns one row `(n, both_right, both_wrong, a_only, b_only,
+    * statistic)`.
+    *
+    * Scale shape: one map-side-combined 1-row aggregation. */
+  def mcnemar(df: DataFrame, aCorrectCol: Column,
+      bCorrectCol: Column): DataFrame = {
+    val a = aCorrectCol.cast("long")
+    val b = bCorrectCol.cast("long")
+    val inDomain = Seq(a, b)
+      .map(c => c.isNull || c === 0L || c === 1L)
+      .reduce(_ && _)
+    val cells = df
+      .where(OpsUtil.orRaise(inDomain,
+        lit("mcnemar: correctness indicator outside {0, 1, NULL}")))
+      .select(a.as("__a"), b.as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum((col("__a") === 1 && col("__b") === 1).cast("long")),
+          lit(0L)).as("both_right"),
+        coalesce(sum((col("__a") === 0 && col("__b") === 0).cast("long")),
+          lit(0L)).as("both_wrong"),
+        coalesce(sum((col("__a") === 1 && col("__b") === 0).cast("long")),
+          lit(0L)).as("a_only"),
+        coalesce(sum((col("__a") === 0 && col("__b") === 1).cast("long")),
+          lit(0L)).as("b_only"))
+    val bb = col("a_only").cast("double")
+    val cc = col("b_only").cast("double")
+    cells.select(col("n"), col("both_right"), col("both_wrong"),
+      col("a_only"), col("b_only"),
+      when(col("a_only") + col("b_only") > 0,
+        round((abs(bb - cc) - 1.0) * (abs(bb - cc) - 1.0) / (bb + cc), 6))
+        .as("statistic"))
+  }
+
   /** Fleiss' kappa for k raters over binary categories — the multi-rater
     * generalization of [[cohenKappa]] ("across the whole labeling
     * panel, how much agreement beyond chance?"). Each column of

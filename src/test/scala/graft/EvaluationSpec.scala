@@ -249,6 +249,86 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("confusionMatrix: zero-filled spine, row rates, NULL exclusion") {
+    import spark.implicits._
+    // actuals {a,b}, predictions {a,c}: spine is 3x3 = 9 cells
+    val df = Seq(("a", "a"), ("a", "c"), ("b", "a"),
+      (null, "a"), ("b", null)).toDF("y", "p")
+    val rows = Evaluation.confusionMatrix(df, col("y"), col("p"))
+      .orderBy("actual", "predicted").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(rows.length == 9)
+    assert(rows.toSeq == Seq(
+      ("a", "a", 1L, 0.5), ("a", "b", 0L, 0.0), ("a", "c", 1L, 0.5),
+      ("b", "a", 1L, 1.0), ("b", "b", 0L, 0.0), ("b", "c", 0L, 0.0),
+      // label c never occurs as actual → row_rate NULL across its row
+      ("c", "a", 0L, -1.0), ("c", "b", 0L, -1.0), ("c", "c", 0L, -1.0)))
+  }
+
+  test("classificationReport: hand-computed P/R/F1, degenerate NULLs") {
+    import spark.implicits._
+    // a: tp=2, n_actual=3, n_predicted=2 → P=1, R=2/3, F1=0.8
+    // b: tp=1, n_actual=2, n_predicted=2 → P=R=F1=0.5
+    // c: predicted only → recall/F1 NULL; never right → P=0
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c"))
+      .toDF("y", "p")
+    val rows = Evaluation.classificationReport(df, col("y"), col("p"))
+      .orderBy("label").collect()
+    val a = rows(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 3 && a.getLong(2) == 2
+      && a.getLong(3) == 2)
+    assert(a.getDouble(4) == 1.0 && a.getDouble(5) == round6(2.0 / 3.0))
+    assert(a.getDouble(6) == 0.8)
+    val b = rows(1)
+    assert(b.getLong(1) == 2 && b.getLong(2) == 2 && b.getLong(3) == 1)
+    assert(b.getDouble(4) == 0.5 && b.getDouble(5) == 0.5
+      && b.getDouble(6) == 0.5)
+    val c = rows(2)
+    assert(c.getLong(1) == 0 && c.getLong(2) == 1 && c.getLong(3) == 0)
+    assert(c.getDouble(4) == 0.0 && c.isNullAt(5) && c.isNullAt(6))
+  }
+
+  test("probScores: hand-computed Brier and clamped log-loss") {
+    import spark.implicits._
+    val df = Seq((0.8, 1), (0.4, 0), (0.5, 1)).toDF("p", "y")
+    val r = Evaluation.probScores(df, col("p"), col("y")).collect().head
+    assert(r.getLong(0) == 3)
+    assert(r.getDouble(1) ==
+      round6((0.04 + 0.16 + 0.25) / 3.0))
+    assert(r.getDouble(2) == round6(
+      (-math.log(0.8) - math.log(0.6) - math.log(0.5)) / 3.0))
+    // a hard 0-probability miss is clamped, not infinite
+    val hard = Seq((0.0, 1)).toDF("p", "y")
+    val h = Evaluation.probScores(hard, col("p"), col("y")).collect().head
+    assert(h.getDouble(2) == round6(-math.log(1e-15)))
+    intercept[IllegalArgumentException] {
+      Evaluation.probScores(df, col("p"), col("y"), eps = 0.7)
+    }
+  }
+
+  test("mcnemar: disagreement cells, continuity correction, guards") {
+    import spark.implicits._
+    // b=3 (a right, b wrong), c=1 → stat = (|3−1|−1)²/4 = 0.25
+    val df = Seq((1, 1), (0, 0), (1, 0), (1, 0), (1, 0), (0, 1))
+      .toDF("a", "b")
+    val r = Evaluation.mcnemar(df, col("a"), col("b")).collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 1 && r.getLong(2) == 1)
+    assert(r.getLong(3) == 3 && r.getLong(4) == 1)
+    assert(r.getDouble(5) == 0.25)
+    // total agreement → NULL statistic
+    val agree = Seq((1, 1), (0, 0)).toDF("a", "b")
+    assert(Evaluation.mcnemar(agree, col("a"), col("b"))
+      .collect().head.isNullAt(5))
+    // out-of-domain indicator fails fast
+    val ex = intercept[Exception] {
+      Evaluation.mcnemar(Seq((2, 1)).toDF("a", "b"), col("a"), col("b"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("mcnemar") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mcnemar")))
+  }
+
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 }
