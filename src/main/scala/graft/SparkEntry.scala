@@ -2021,6 +2021,44 @@ object SparkEntry {
         (col("label") >= 5).cast("int"))
     }),
 
+    // Mutual-information feature ranking: which quantized document
+    // signal carries the most language-label information? Bounded
+    // unpivot → one contingency aggregation per feature.
+    "q195_mi_ranking" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      graft.operators.Features.miRanking(docs, Seq(
+          "len_decile" -> least(floor(col("n_chars") / lit(100.0)), lit(9L))
+            .cast("long"),
+          "token_bucket" -> least(floor(TextFunctions.tokenCount(col("text"))
+            / lit(20.0)), lit(9L)).cast("long"),
+          "source" -> col("source")),
+          col("lang"))
+        .transform(ordered1(_, col("feature")))
+    }),
+
+    // Day-of-week x hour-of-day load shape with gap to the global mean
+    // value; dow normalized to 0=Sunday on both engines.
+    "q196_seasonal_profile" -> ((s, d) => {
+      TimeSeries.seasonalProfile(load(s, d, "events"), col("ts"),
+          col("value"))
+        .transform(ordered1(_, col("dow"), col("hour")))
+    }),
+
+    // Fairness audit of the q191 pseudo-classifier binarized at
+    // label>=5: per-source positive rate / TPR / FPR with gaps to the
+    // global rates.
+    "q197_fairness_panel" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val dim1 = element_at(graft.functions.VectorFunctions
+        .asDouble(col("embedding")), 1)
+      graft.operators.Evaluation.fairnessPanel(
+          emb.withColumn("grp", pmod(col("vec_id"), lit(4L))),
+          col("grp"),
+          (dim1 >= 0).cast("int"),
+          (col("label") >= 5).cast("int"))
+        .transform(ordered1(_, col("group")))
+    }),
+
     // McNemar disagreement-cell test between two single-dim
     // pseudo-classifiers scored on the same rows.
     "q194_mcnemar" -> ((s, d) => {
@@ -5300,6 +5338,94 @@ object SparkEntry {
         |  round(avg(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))), 6)
         |    AS log_loss
         |FROM c""".stripMargin,
+
+    // Feature/value/label contingency per feature; probabilities are
+    // exact count ratios, each MI term one IEEE sequence (q182's NMI
+    // convention), rank by mi desc with name tiebreak.
+    "q195_mi_ranking" ->
+      """WITH s AS (
+        |  SELECT 'len_decile' AS f,
+        |    CAST(least(CAST(floor(n_chars / 100.0) AS BIGINT), 9)
+        |      AS VARCHAR) AS v, lang AS y FROM documents
+        |  UNION ALL
+        |  SELECT 'token_bucket',
+        |    CAST(least(CAST(floor(len(string_split(text, ' ')) / 20.0)
+        |      AS BIGINT), 9) AS VARCHAR), lang FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source, lang FROM documents),
+        |st AS (SELECT f, v, y FROM s
+        |  WHERE y IS NOT NULL AND v IS NOT NULL),
+        |cells AS (SELECT f, v, y, count(*) AS c FROM st GROUP BY f, v, y),
+        |vm AS (SELECT f, v, sum(c) AS cv FROM cells GROUP BY f, v),
+        |ym AS (SELECT f, y, sum(c) AS cy FROM cells GROUP BY f, y),
+        |tt AS (SELECT f, CAST(sum(c) AS BIGINT) AS n FROM cells GROUP BY f),
+        |mi AS (SELECT cells.f,
+        |    sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE) /
+        |        (CAST(cv AS DOUBLE) * CAST(cy AS DOUBLE)))) AS mi
+        |  FROM cells
+        |  JOIN vm ON vm.f = cells.f AND vm.v = cells.v
+        |  JOIN ym ON ym.f = cells.f AND ym.y = cells.y
+        |  JOIN tt ON tt.f = cells.f
+        |  GROUP BY cells.f),
+        |nv AS (SELECT f, count(*) AS n_values FROM vm GROUP BY f),
+        |nl AS (SELECT f, count(*) AS n_labels FROM ym GROUP BY f)
+        |SELECT tt.f AS feature, tt.n, nv.n_values, nl.n_labels,
+        |  round(mi.mi, 6) AS mi,
+        |  CAST(row_number() OVER (ORDER BY mi.mi DESC, tt.f) AS INT)
+        |    AS rank
+        |FROM tt JOIN mi ON mi.f = tt.f JOIN nv ON nv.f = tt.f
+        |JOIN nl ON nl.f = tt.f
+        |ORDER BY feature""".stripMargin,
+
+    // dow spelled to 0=Sunday on both engines; value quantized at the
+    // repo DECIMAL(18,6) convention, one exact integer sum per bucket.
+    "q196_seasonal_profile" ->
+      """WITH b AS (SELECT CAST(dayofweek(ts) AS INT) AS dow,
+        |    CAST(extract(hour FROM ts) AS INT) AS hour,
+        |    CAST(value AS DECIMAL(18,6)) AS q
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT count(*) AS gn,
+        |    CAST(CAST(sum(q) * 1000000 AS HUGEINT) AS DOUBLE) AS gs
+        |  FROM b),
+        |k AS (SELECT dow, hour, count(*) AS n,
+        |    CAST(CAST(sum(q) * 1000000 AS HUGEINT) AS DOUBLE) AS s
+        |  FROM b GROUP BY dow, hour)
+        |SELECT dow, hour, n,
+        |  round(s / 1000000.0 / n, 6) AS mean_value,
+        |  round(s / 1000000.0 / n - gs / 1000000.0 / gn, 6) AS mean_gap
+        |FROM k, g ORDER BY dow, hour""".stripMargin,
+
+    // Group x prediction x label cells → rates and gaps; group is
+    // vec_id mod 4, prediction = first-dim sign, label binarized at 5.
+    "q197_fairness_panel" ->
+      """WITH s AS (SELECT CAST(vec_id % 4 AS VARCHAR) AS grp,
+        |    CAST(CAST(embedding AS DOUBLE[])[1] >= 0 AS BIGINT) AS p,
+        |    CAST(label >= 5 AS BIGINT) AS y
+        |  FROM embeddings),
+        |g AS (SELECT grp, count(*) AS n,
+        |    CAST(sum(p) AS BIGINT) AS np, CAST(sum(y) AS BIGINT) AS ny,
+        |    CAST(sum(p * y) AS BIGINT) AS tp,
+        |    CAST(sum(p * (1 - y)) AS BIGINT) AS fp
+        |  FROM s GROUP BY grp),
+        |a AS (SELECT
+        |    CAST(sum(p) AS DOUBLE) / count(*) AS gpos,
+        |    CAST(sum(p * y) AS DOUBLE) / CAST(sum(y) AS DOUBLE) AS gtpr,
+        |    CAST(sum(p * (1 - y)) AS DOUBLE) /
+        |      CAST(count(*) - sum(y) AS DOUBLE) AS gfpr
+        |  FROM s)
+        |SELECT grp AS "group", n,
+        |  round(CAST(np AS DOUBLE) / n, 6) AS pos_rate,
+        |  CASE WHEN ny > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / ny, 6) END AS tpr,
+        |  CASE WHEN n - ny > 0 THEN
+        |    round(CAST(fp AS DOUBLE) / (n - ny), 6) END AS fpr,
+        |  round(CAST(np AS DOUBLE) / n - gpos, 6) AS pos_rate_gap,
+        |  CASE WHEN ny > 0 THEN
+        |    round(CAST(tp AS DOUBLE) / ny - gtpr, 6) END AS tpr_gap,
+        |  CASE WHEN n - ny > 0 THEN
+        |    round(CAST(fp AS DOUBLE) / (n - ny) - gfpr, 6) END AS fpr_gap
+        |FROM g, a ORDER BY "group"""".stripMargin,
 
     "q194_mcnemar" ->
       """WITH s AS (SELECT

@@ -594,6 +594,62 @@ object Evaluation {
         .as("statistic"))
   }
 
+  /** Per-group fairness panel for a binary classifier — demographic
+    * parity (predicted-positive rate) and equalized-odds components
+    * (TPR / FPR) per protected group, each with its gap to the GLOBAL
+    * rate, so the audit reads directly as "group g is flagged 12 points
+    * more often than the corpus". The training-data-audit sibling of
+    * [[aucBinaryBy]]'s per-group ranking check.
+    *
+    * Returns one row per group:
+    * `(group, n, pos_rate, tpr, fpr, pos_rate_gap, tpr_gap, fpr_gap)`.
+    * TPR is NULL where the group has no positive labels, FPR where no
+    * negatives (undefined, not 0); gaps are NULL when either side is.
+    * Rows with NULL group, prediction, or label are excluded;
+    * out-of-domain indicators fail fast ([[fleissKappa]]'s contract).
+    *
+    * Scale shape: ONE map-side-combined hash aggregation to |groups|
+    * rows; the global rates ride a 1-row broadcast cross join. No
+    * window, no row-level shuffle. */
+  def fairnessPanel(df: DataFrame, groupCol: Column, predCol: Column,
+      labelCol: Column): DataFrame = {
+    val p = predCol.cast("long")
+    val y = labelCol.cast("long")
+    val inDomain = Seq(p, y).map(c => c.isNull || c === 0L || c === 1L)
+      .reduce(_ && _)
+    val base = df
+      .where(OpsUtil.orRaise(inDomain,
+        lit("fairnessPanel: prediction/label outside {0, 1, NULL}")))
+      .select(groupCol.cast("string").as("group"), p.as("__p"), y.as("__y"))
+      .filter(col("group").isNotNull && col("__p").isNotNull &&
+        col("__y").isNotNull)
+    def rates(grouped: org.apache.spark.sql.RelationalGroupedDataset)
+        : DataFrame = grouped
+      .agg(count(lit(1)).as("n"),
+        sum(col("__p")).as("__np"),
+        sum(col("__y")).as("__ny"),
+        sum(col("__p") * col("__y")).as("__tp"),
+        sum(col("__p") * (lit(1L) - col("__y"))).as("__fp"))
+    def pr(n: Column, d: Column): Column =
+      when(d > 0, n.cast("double") / d.cast("double"))
+    val g = rates(base.groupBy(col("group")))
+    val all = rates(base.groupBy())
+      .select(pr(col("__np"), col("n")).as("__gpos"),
+        pr(col("__tp"), col("__ny")).as("__gtpr"),
+        pr(col("__fp"), col("n") - col("__ny")).as("__gfpr"))
+    g.crossJoin(broadcast(all))
+      .select(col("group"), col("n"),
+        round(pr(col("__np"), col("n")), 6).as("pos_rate"),
+        round(pr(col("__tp"), col("__ny")), 6).as("tpr"),
+        round(pr(col("__fp"), col("n") - col("__ny")), 6).as("fpr"),
+        round(pr(col("__np"), col("n")) - col("__gpos"), 6)
+          .as("pos_rate_gap"),
+        round(pr(col("__tp"), col("__ny")) - col("__gtpr"), 6)
+          .as("tpr_gap"),
+        round(pr(col("__fp"), col("n") - col("__ny")) - col("__gfpr"), 6)
+          .as("fpr_gap"))
+  }
+
   /** Fleiss' kappa for k raters over binary categories — the multi-rater
     * generalization of [[cohenKappa]] ("across the whole labeling
     * panel, how much agreement beyond chance?"). Each column of

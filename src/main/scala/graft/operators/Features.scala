@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -109,5 +109,71 @@ object Features {
     }
     df.crossJoin(broadcast(stats))
       .select(keyCols.map(col) ++ scaled: _*)
+  }
+
+  /** Mutual-information feature ranking against a discrete label — the
+    * filter-style feature-selection pass a training pipeline runs before
+    * paying for a model fit: `I(F;Y) = Σ p(f,y)·ln(p(f,y)/(p(f)p(y)))`
+    * (nats) per feature, higher = more label signal. Features must be
+    * pre-quantized by the caller (deciles, buckets — the
+    * [[Evaluation.aucBinary]] bounded-domain convention); MI on raw
+    * continuous values is a cardinality bug, not a statistic.
+    *
+    * Rows with a NULL label are excluded everywhere; a NULL feature
+    * VALUE is excluded from that feature's table only (each feature is
+    * scored on its observed support, so per-feature `n` is reported).
+    *
+    * Returns one row per feature:
+    * `(feature, n, n_values, n_labels, mi, rank)` — rank 1 = most
+    * informative, ties broken by feature name. All probabilities are
+    * exact long-count ratios; each cell's term is one fixed IEEE
+    * sequence (the [[Similarity.clusterAgreementSummary]] convention).
+    *
+    * Scale shape: the features UNPIVOT into (feature, value, label)
+    * rows — an |F|× row multiplier that map-side combine collapses to
+    * the bounded per-feature contingency before anything shuffles (the
+    * token-explode precedent, but with a hard bounded domain). One hash
+    * aggregation builds all cells; marginals and the MI fold are
+    * per-feature aggs over that bounded frame; the rank window runs
+    * over |F| rows. */
+  def miRanking(df: DataFrame, features: Seq[(String, Column)],
+      labelCol: Column): DataFrame = {
+    require(features.nonEmpty, "miRanking needs at least one feature")
+    require(features.map(_._1).distinct.size == features.size,
+      "feature names must be unique")
+    val stacked = df
+      .filter(labelCol.isNotNull)
+      .select(labelCol.cast("string").as("__y"),
+        array(features.map { case (n, c) =>
+          struct(lit(n).as("f"), c.cast("string").as("v")) }: _*)
+          .as("__fs"))
+      .select(col("__y"), explode(col("__fs")).as("__fv"))
+      .select(col("__fv.f").as("__f"), col("__fv.v").as("__v"), col("__y"))
+      .filter(col("__v").isNotNull)
+    val cells = stacked.groupBy(col("__f"), col("__v"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val vMarg = cells.groupBy(col("__f"), col("__v"))
+      .agg(sum(col("__c")).as("__cv"))
+    val yMarg = cells.groupBy(col("__f"), col("__y"))
+      .agg(sum(col("__c")).as("__cy"))
+    val tot = cells.groupBy(col("__f")).agg(sum(col("__c")).as("__n"))
+    val term = (col("__c").cast("double") / col("__n").cast("double")) *
+      log(col("__c").cast("double") * col("__n").cast("double") /
+        (col("__cv").cast("double") * col("__cy").cast("double")))
+    val mi = cells
+      .join(vMarg, Seq("__f", "__v"))
+      .join(yMarg, Seq("__f", "__y"))
+      .join(broadcast(tot), Seq("__f"))
+      .groupBy(col("__f"))
+      .agg(sum(term).as("__mi"))
+    val counts = vMarg.groupBy(col("__f")).agg(count(lit(1)).as("n_values"))
+      .join(yMarg.groupBy(col("__f")).agg(count(lit(1)).as("n_labels")),
+        Seq("__f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__mi").desc, col("__f"))
+    tot.join(mi, Seq("__f")).join(counts, Seq("__f"))
+      .select(col("__f").as("feature"), col("__n").as("n"),
+        col("n_values"), col("n_labels"), round(col("__mi"), 6).as("mi"),
+        row_number().over(w).as("rank"))
   }
 }

@@ -338,6 +338,45 @@ object TimeSeries {
         scale))
   }
 
+  /** Day-of-week × hour-of-day seasonal profile — the load-shape /
+    * activity-rhythm panel behind both capacity planning and the
+    * "is this burst seasonal or anomalous?" triage that
+    * [[rateAnomaly]]-style detectors need as a baseline. One row per
+    * observed (dow, hour) bucket:
+    * `(dow, hour, n, mean_value, mean_gap)` where `dow` is 0 = Sunday
+    * (the portable convention — spelled explicitly on both engines
+    * because their native dayofweek origins differ) and `mean_gap` is
+    * the bucket mean minus the GLOBAL mean value.
+    *
+    * Exactness: values quantize to unscaled longs at `scale`
+    * ([[graft.functions.Decimals]]); bucket and global sums are exact
+    * integers; each mean is the one IEEE sequence
+    * `(sum/10^scale)/n` and the gap subtracts the two. NULL timestamps
+    * and NULL values are excluded.
+    *
+    * Scale shape: ONE map-side-combined hash aggregation to ≤ 168
+    * buckets; the global mean rides a 1-row broadcast cross join. */
+  def seasonalProfile(events: DataFrame, tsCol: Column, valueCol: Column,
+      scale: Int = 6): DataFrame = {
+    val q = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val pow = math.pow(10, scale)
+    val base = events
+      .filter(tsCol.isNotNull && valueCol.isNotNull)
+      // Spark dayofweek is 1 = Sunday; normalize to 0 = Sunday
+      .select((dayofweek(tsCol) - 1).as("dow"), hour(tsCol).as("hour"),
+        q.as("__q"))
+    def mean(s: Column, n: Column): Column =
+      (s.cast("double") / lit(pow)) / n.cast("double")
+    val buckets = base.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("__s"))
+    val global = base.agg(count(lit(1)).as("__gn"), sum(col("__q")).as("__gs"))
+    buckets.crossJoin(broadcast(global))
+      .select(col("dow"), col("hour"), col("n"),
+        round(mean(col("__s"), col("n")), 6).as("mean_value"),
+        round(mean(col("__s"), col("n")) -
+          mean(col("__gs"), col("__gn")), 6).as("mean_gap"))
+  }
+
   /** Kaplan–Meier survival curve over right-censored durations — the
     * retention/lifetime estimator that, unlike a raw survival fraction,
     * is unbiased under censoring (entities still alive at observation

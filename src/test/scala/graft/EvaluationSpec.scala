@@ -307,6 +307,35 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("fairnessPanel: per-group rates, gaps to global, degenerate NULLs") {
+    import spark.implicits._
+    // g1: (p,y) = (1,1)(1,0)(0,1)(0,0); g2: (1,1)(1,1)
+    // global: pos 4/6, tpr 3/4, fpr 1/2
+    val df = Seq(("g1", 1, 1), ("g1", 1, 0), ("g1", 0, 1), ("g1", 0, 0),
+      ("g2", 1, 1), ("g2", 1, 1)).toDF("g", "p", "y")
+    val rows = Evaluation.fairnessPanel(df, col("g"), col("p"), col("y"))
+      .orderBy("group").collect()
+    val g1 = rows(0)
+    assert(g1.getLong(1) == 4 && g1.getDouble(2) == 0.5)
+    assert(g1.getDouble(3) == 0.5 && g1.getDouble(4) == 0.5)
+    assert(g1.getDouble(5) == round6(0.5 - 4.0 / 6.0))
+    assert(g1.getDouble(6) == -0.25 && g1.getDouble(7) == 0.0)
+    val g2 = rows(1)
+    assert(g2.getLong(1) == 2 && g2.getDouble(2) == 1.0)
+    assert(g2.getDouble(3) == 1.0)
+    // no negatives in g2 → FPR and its gap NULL, not 0
+    assert(g2.isNullAt(4) && g2.isNullAt(7))
+    assert(g2.getDouble(5) == round6(1.0 - 4.0 / 6.0))
+    assert(g2.getDouble(6) == 0.25)
+    // out-of-domain prediction fails fast
+    val ex = intercept[Exception] {
+      Evaluation.fairnessPanel(Seq(("g", 3, 1)).toDF("g", "p", "y"),
+        col("g"), col("p"), col("y")).collect()
+    }
+    assert(ex.getMessage.contains("fairnessPanel") ||
+      Option(ex.getCause).exists(_.getMessage.contains("fairnessPanel")))
+  }
+
   test("mcnemar: disagreement cells, continuity correction, guards") {
     import spark.implicits._
     // b=3 (a right, b wrong), c=1 → stat = (|3−1|−1)²/4 = 0.25

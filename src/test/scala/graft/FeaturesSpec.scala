@@ -44,4 +44,41 @@ class FeaturesSpec extends AnyFunSuite {
     // constant column: std = 0 and range = 0 → nulls, not NaN/Infinity
     assert(out.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
+
+  test("miRanking: perfect feature = H(Y), constant = 0, NULL support") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = Seq(
+      ("a", "a", "x", Some("a")), ("a", "a", "x", Some("a")),
+      ("b", "b", "x", None), ("b", "b", "x", Some("b"))
+    ).toDF("y", "perfect", "const", "sparse")
+    val rows = Features.miRanking(df, Seq(
+        "perfect" -> col("perfect"), "const" -> col("const"),
+        "sparse" -> col("sparse")),
+        col("y"))
+      .orderBy("feature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    val byName = rows.map(t => t._1 -> t).toMap
+    // perfect copy of the label: MI = H(Y) = ln 2, ranked first
+    assert(byName("perfect") == (("perfect", 4L, 2L, 2L, r6(math.log(2.0)), 1)))
+    // constant feature: zero information, ranked last
+    assert(byName("const")._5 == 0.0 && byName("const")._6 == 3)
+    // NULL values excluded from the feature's OWN support only: n = 3,
+    // and on its observed rows it still separates the label perfectly
+    // (2 label values on the support) -> H(Y|support) = 2/3 vs 1/3
+    assert(byName("sparse")._2 == 3L && byName("sparse")._3 == 2L)
+    val hs = -(2.0 / 3.0) * math.log(2.0 / 3.0) -
+      (1.0 / 3.0) * math.log(1.0 / 3.0)
+    assert(math.abs(byName("sparse")._5 - hs) < 2e-6)
+    assert(byName("sparse")._6 == 2)
+    intercept[IllegalArgumentException] {
+      Features.miRanking(df, Seq.empty, col("y"))
+    }
+    intercept[IllegalArgumentException] {
+      Features.miRanking(df,
+        Seq("a" -> col("const"), "a" -> col("const")), col("y"))
+    }
+  }
 }

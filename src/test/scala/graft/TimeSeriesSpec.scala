@@ -171,6 +171,24 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.toList == List((1L, 3L, 13.0), (2L, 1L, 4.0)))
   }
 
+  test("seasonalProfile: exact bucket means, 0=Sunday dow, global gap") {
+    import org.apache.spark.sql.functions.col
+    // 2024-01-07 is a Sunday → dow 0
+    val events = Seq(
+      (ts("2024-01-07 05:10:00"), 1.5),
+      (ts("2024-01-07 05:50:00"), 2.5),
+      (ts("2024-01-08 13:00:00"), 4.0)
+    ).toDF("ts", "value")
+    val rows = TimeSeries.seasonalProfile(events, col("ts"), col("value"))
+      .orderBy("dow", "hour").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    // global mean = 8/3 = 2.666667
+    assert(rows.toList == List(
+      (0, 5, 2L, 2.0, -0.666667),
+      (1, 13, 1L, 4.0, 1.333333)))
+  }
+
   test("kaplanMeier: textbook survival walk with censoring") {
     import org.apache.spark.sql.functions.col
     // durations (1,evt) (2,cens) (3,evt) (3,evt) (4,cens):
