@@ -2059,6 +2059,35 @@ object SparkEntry {
         .transform(ordered1(_, col("group")))
     }),
 
+    // Held-out bigram NLL under an add-1 bigram LM trained on the rest
+    // of the corpus: bigrams built per-row (slice+zip, no positional
+    // join), scoring join moves bigram TYPES only.
+    "q198_bigram_nll" -> ((s, d) => {
+      CorpusStats.bigramNll(parallel(load(s, d, "documents")), "text",
+          "doc_id", "source", holdoutMod = 7)
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Corpus Flesch reading-ease from exact integer totals (words,
+    // [.!?]+ sentences, vowel-run syllables) — one aggregation pass.
+    "q199_readability" -> ((s, d) => {
+      CorpusStats.readability(load(s, d, "documents"), "text", "source")
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // Rank-biased overlap (p=0.9, k=20) between dim-1 and dim-2
+    // rankings of the embedding corpus — everything after the two
+    // TakeOrdered top-k selections runs on <= 2k rows.
+    "q200_rbo" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      def dim(i: Int) = element_at(graft.functions.VectorFunctions
+        .asDouble(col("embedding")), i)
+      graft.operators.Evaluation.rankBiasedOverlap(
+        emb.select(col("vec_id"), dim(1).as("s")),
+        emb.select(col("vec_id"), dim(2).as("s")),
+        col("vec_id"), col("s"), k = 20, p = 0.9)
+    }),
+
     // McNemar disagreement-cell test between two single-dim
     // pseudo-classifiers scored on the same rows.
     "q194_mcnemar" -> ((s, d) => {
@@ -5426,6 +5455,85 @@ object SparkEntry {
         |  CASE WHEN n - ny > 0 THEN
         |    round(CAST(fp AS DOUBLE) / (n - ny) - gfpr, 6) END AS fpr_gap
         |FROM g, a ORDER BY "group"""".stripMargin,
+
+    // Bigram construction via the 1-based position spine
+    // range(1, len(t)); add-1 smoothing spelled with the same literal
+    // arithmetic as the operator.
+    "q198_bigram_nll" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2,
+        |    doc_id % 7 = 0 AS held
+        |  FROM d, unnest(range(1, len(t))) AS u(i)),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg WHERE NOT held
+        |  GROUP BY w1, w2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(t) AS w FROM d WHERE doc_id % 7 <> 0)),
+        |ht AS (SELECT source, w1, w2, count(*) AS n FROM bg WHERE held
+        |  GROUP BY source, w1, w2),
+        |nd AS (SELECT source, count(DISTINCT doc_id) AS n_docs FROM bg
+        |  WHERE held GROUP BY source),
+        |sc AS (SELECT ht.source, ht.n,
+        |    -ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(cu.cu, 0) AS DOUBLE) +
+        |        1.0 * CAST(v.v AS DOUBLE))) AS nll
+        |  FROM ht LEFT JOIN cb ON cb.w1 = ht.w1 AND cb.w2 = ht.w2
+        |  LEFT JOIN cu ON cu.w1 = ht.w1
+        |  CROSS JOIN v)
+        |SELECT sc.source, nd.n_docs, CAST(sum(sc.n) AS BIGINT) AS n_bigrams,
+        |  round(sum(sc.nll * CAST(sc.n AS DOUBLE)) /
+        |    CAST(sum(sc.n) AS DOUBLE), 6) AS avg_nll
+        |FROM sc JOIN nd ON nd.source = sc.source
+        |GROUP BY sc.source, nd.n_docs
+        |ORDER BY sc.source""".stripMargin,
+
+    "q199_readability" ->
+      """WITH a AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |    CAST(sum(greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(sum(greatest(
+        |      len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), 1))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents WHERE text IS NOT NULL GROUP BY source)
+        |SELECT source, n_docs, n_words, n_sentences, n_syllables,
+        |  round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+        |    AS words_per_sentence,
+        |  round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+        |    AS syllables_per_word,
+        |  CASE WHEN n_words > 0 THEN round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) /
+        |        CAST(n_sentences AS DOUBLE))
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) /
+        |        CAST(n_words AS DOUBLE)), 6) END AS flesch
+        |FROM a ORDER BY source""".stripMargin,
+
+    // (1.0 - 0.9) spelled as the subtraction so both engines carry the
+    // identical IEEE value, not a 0.1 literal.
+    "q200_rbo" ->
+      """WITH s AS (SELECT vec_id,
+        |    CAST(embedding AS DOUBLE[])[1] AS s1,
+        |    CAST(embedding AS DOUBLE[])[2] AS s2
+        |  FROM embeddings),
+        |ra AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY s1 DESC, vec_id) AS r
+        |  FROM s ORDER BY s1 DESC, vec_id LIMIT 20),
+        |rb AS (SELECT vec_id,
+        |    row_number() OVER (ORDER BY s2 DESC, vec_id) AS r
+        |  FROM s ORDER BY s2 DESC, vec_id LIMIT 20),
+        |j AS (SELECT ra.vec_id, ra.r AS r1, rb.r AS r2
+        |  FROM ra JOIN rb USING (vec_id)),
+        |t AS (SELECT d,
+        |    pow(0.9, CAST(d AS DOUBLE) - 1.0) * CAST(ov AS DOUBLE) /
+        |      CAST(d AS DOUBLE) AS term
+        |  FROM (SELECT u.d,
+        |      (SELECT count(*) FROM j WHERE r1 <= u.d AND r2 <= u.d) AS ov
+        |    FROM unnest(range(1, 21)) AS u(d)))
+        |SELECT CAST(20 AS INT) AS k, 0.9 AS p,
+        |  (SELECT count(*) FROM j) AS n_common,
+        |  round((1.0 - 0.9) * sum(term), 6) AS rbo
+        |FROM t""".stripMargin,
 
     "q194_mcnemar" ->
       """WITH s AS (SELECT

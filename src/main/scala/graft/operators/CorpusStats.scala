@@ -816,4 +816,114 @@ object CorpusStats {
         round(n(col("__rw") && col("__rm") && col("__rs")).cast("double") /
           count(lit(1)).cast("double"), 6).as("pass_rate"))
   }
+
+  /** Held-out bigram negative log-likelihood under an add-k (Laplace)
+    * bigram language model trained on the REST of the corpus — the
+    * classic intrinsic quality signal ("how predictable is this slice
+    * under the corpus's own statistics?") that, unlike [[lmQuality]]'s
+    * per-document heuristics, actually conditions on context. Docs with
+    * `id % holdoutMod == 0` are held out; the others train.
+    *
+    * Model: `P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V)` with `c(w1)` the
+    * trained CONTEXT count (Σ over following tokens, so the distribution
+    * sums to 1 over the vocabulary) and `V` the trained vocabulary size;
+    * an unseen context backs off to the uniform `k/(k·V)`. Per group:
+    * `(group, n_docs, n_bigrams, avg_nll)` in nats, rounded 6.
+    *
+    * Scale shape: bigrams build per-row (slice + zip + explode — no
+    * positional self-join); training counts are two hash aggregations on
+    * bounded type domains; scoring is one equi-join of held-out bigram
+    * TYPES (aggregated first, so the join carries distinct bigrams ×
+    * their count, not occurrences) against the trained counts; V rides a
+    * 1-row broadcast. The final fold is one group aggregation. */
+  def bigramNll(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, holdoutMod: Int = 10, k: Double = 1.0): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(k > 0, s"add-k smoothing needs k > 0: $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val bigrams = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), col(groupCol).as("__g"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+      .select(col("__id"), col("__g"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"),
+        (pmod(col("__id"), lit(holdoutMod.toLong)) === 0).as("__held"))
+    val train = bigrams.filter(!col("__held"))
+    val cb = train.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+    val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+    val vocab = docs
+      .filter(col(textCol).isNotNull &&
+        pmod(col(idCol), lit(holdoutMod.toLong)) =!= 0)
+      .select(explode(toks).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    // aggregate held-out occurrences to bigram types per group FIRST so
+    // the scoring join moves |types| rows, then weight by occurrence
+    val heldTypes = bigrams.filter(col("__held"))
+      .groupBy(col("__g"), col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(col("__id")).as("__ndoc"))
+    val nDocs = bigrams.filter(col("__held"))
+      .groupBy(col("__g")).agg(count_distinct(col("__id")).as("n_docs"))
+    val scored = heldTypes
+      .join(cb, Seq("__w1", "__w2"), "left")
+      .join(cu, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__g"), col("__n"),
+        (-log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("__cu"), lit(0L)).cast("double") +
+            lit(k) * col("__v").cast("double")))).as("__nll"))
+    scored.groupBy(col("__g"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        round(sum(col("__nll") * col("__n").cast("double")) /
+          sum(col("__n")).cast("double"), 6).as("avg_nll"))
+      .join(nDocs, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_bigrams"),
+        col("avg_nll"))
+  }
+
+  /** Corpus-level Flesch reading-ease panel from EXACT integer totals —
+    * readability as a curation signal ("is this source academic prose or
+    * listicles?"). Heuristics are deliberately simple and
+    * oracle-reproducible: words = whitespace tokens, sentences =
+    * `[.!?]+` runs (min 1 per doc), syllables = `[aeiouyAEIOUY]+` vowel
+    * runs (min 1 per doc — every word carries at least one nucleus).
+    *
+    * Per group: `(group, n_docs, n_words, n_sentences, n_syllables,
+    * words_per_sentence, syllables_per_word, flesch)` where `flesch` =
+    * `206.835 − 1.015·(W/S) − 84.6·(Y/W)` computed ONCE from the exact
+    * corpus totals (a mean of per-doc scores would put an IEEE sum of
+    * millions of doubles in the hash; integer totals keep the fold
+    * order-free and the final formula one fixed sequence).
+    *
+    * Scale shape: pure per-row regexp counts into ONE map-side-combined
+    * hash aggregation — no explode, no join, no window. */
+  def readability(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val words = TextFunctions.tokenCount(col(textCol)).cast("long")
+    val sentences = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val syllables = greatest(
+      size(regexp_extract_all(col(textCol), lit("[aeiouyAEIOUY]+"), lit(0))),
+      lit(1)).cast("long")
+    val ws = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val yw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), words.as("__w"), sentences.as("__s"),
+        syllables.as("__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("n_words"),
+        sum(col("__s")).as("n_sentences"),
+        sum(col("__y")).as("n_syllables"))
+      .select(col("__g").as(groupCol), col("n_docs"), col("n_words"),
+        col("n_sentences"), col("n_syllables"),
+        round(ws, 6).as("words_per_sentence"),
+        round(yw, 6).as("syllables_per_word"),
+        when(col("n_words") > 0,
+          round(lit(206.835) - lit(1.015) * ws - lit(84.6) * yw, 6))
+          .as("flesch"))
+  }
 }

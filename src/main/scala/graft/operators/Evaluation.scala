@@ -594,6 +594,59 @@ object Evaluation {
         .as("statistic"))
   }
 
+  /** Rank-biased overlap (truncated) between two top-k rankings of the
+    * same id space — the ranker-comparison metric that, unlike set
+    * overlap@k, weights agreement at the TOP (Webber et al.'s RBO with
+    * persistence `p`): `RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_d∩B_d|/d`.
+    * The A/B answer to "did the new scorer actually change what users
+    * see first?".
+    *
+    * Inputs are two frames each carrying `(idCol, scoreCol)`; ranks are
+    * dense positions by score DESC with id ASC tiebreak (deterministic —
+    * rankings must not depend on partitioning). Returns one row
+    * `(k, p, n_common, rbo)` where `n_common` = ids in both top-k.
+    *
+    * Scale shape: each side reduces to its top-k via
+    * TakeOrderedAndProject (k bounded); everything after runs on ≤ 2k
+    * rows — the depth spine is a k-row broadcast cross join, the
+    * overlap-at-depth walk a bounded aggregation. Row count touches
+    * nothing but the two top-k selections. */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, idCol: Column,
+      scoreCol: Column, k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(p > 0 && p < 1, s"persistence p must be in (0,1): $p")
+    def topk(df: DataFrame, rank: String): DataFrame = df
+      .select(idCol.as("__id"), scoreCol.cast("double").as("__s"))
+      .filter(col("__id").isNotNull && col("__s").isNotNull)
+      .orderBy(col("__s").desc, col("__id").asc)
+      .limit(k)
+      .withColumn(rank, row_number().over(
+        Window.orderBy(col("__s").desc, col("__id").asc)))
+      .select(col("__id"), col(rank))
+    val joined = topk(a, "__ra").join(topk(b, "__rb"), Seq("__id"))
+    val depths = spark_range_df(joined, k)
+    val terms = depths
+      .join(joined, col("__ra") <= col("__d") && col("__rb") <= col("__d"),
+        "left")
+      .groupBy(col("__d"))
+      .agg(count(col("__id")).as("__ov"))
+      .select(col("__d"),
+        (pow(lit(p), col("__d").cast("double") - 1.0) *
+          col("__ov").cast("double") / col("__d").cast("double"))
+          .as("__t"))
+    val common = joined.agg(count(lit(1)).as("n_common"))
+    terms.agg(sum(col("__t")).as("__sum"))
+      .crossJoin(broadcast(common))
+      .select(lit(k).as("k"), lit(p).as("p"), col("n_common"),
+        round(lit(1.0 - p) * col("__sum"), 6).as("rbo"))
+  }
+
+  /** k-row depth spine 1..k built from the session at hand (a bounded
+    * literal frame — never a row-dependent range). */
+  private def spark_range_df(like: DataFrame, k: Int): DataFrame =
+    like.sparkSession.range(1, k + 1).toDF("__d")
+      .select(col("__d").cast("int").as("__d"))
+
   /** Per-group fairness panel for a binary classifier — demographic
     * parity (predicted-positive rate) and equalized-odds components
     * (TPR / FPR) per protected group, each with its gap to the GLOBAL

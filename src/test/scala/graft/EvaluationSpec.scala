@@ -307,6 +307,33 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("rankBiasedOverlap: identical, disjoint, and swapped-top rankings") {
+    import spark.implicits._
+    val a = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s")
+    // identical rankings at k=3, p=0.5 → 1 − p^k = 0.875
+    val same = Evaluation.rankBiasedOverlap(a, a, col("id"), col("s"),
+      k = 3, p = 0.5).collect().head
+    assert(same.getInt(0) == 3 && same.getDouble(1) == 0.5)
+    assert(same.getLong(2) == 3 && same.getDouble(3) == 0.875)
+    // top-2 swapped: overlap@1 = 0, @2 = 2, @3 = 3 →
+    // 0.5·(0 + 0.5·1 + 0.25·1) = 0.375
+    val b = Seq((2L, 3.0), (1L, 2.0), (3L, 1.0)).toDF("id", "s")
+    val swap = Evaluation.rankBiasedOverlap(a, b, col("id"), col("s"),
+      k = 3, p = 0.5).collect().head
+    assert(swap.getLong(2) == 3 && swap.getDouble(3) == 0.375)
+    // disjoint id spaces → 0 overlap everywhere
+    val c = Seq((7L, 3.0), (8L, 2.0)).toDF("id", "s")
+    val none = Evaluation.rankBiasedOverlap(a, c, col("id"), col("s"),
+      k = 3, p = 0.5).collect().head
+    assert(none.getLong(2) == 0 && none.getDouble(3) == 0.0)
+    intercept[IllegalArgumentException] {
+      Evaluation.rankBiasedOverlap(a, b, col("id"), col("s"), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Evaluation.rankBiasedOverlap(a, b, col("id"), col("s"), k = 3, p = 1.0)
+    }
+  }
+
   test("fairnessPanel: per-group rates, gaps to global, degenerate NULLs") {
     import spark.implicits._
     // g1: (p,y) = (1,1)(1,0)(0,1)(0,0); g2: (1,1)(1,1)

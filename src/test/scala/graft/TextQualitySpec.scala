@@ -375,4 +375,47 @@ class TextQualitySpec extends AnyFunSuite {
       r.getLong(4), r.getLong(5), r.getDouble(6)) ==
       ("s", 3L, 2L, 1L, 2L, 1L, 0.333333))
   }
+
+  test("bigramNll: hand-computed add-1 model, OOV context backoff") {
+    import spark.implicits._
+    // train (odd ids): "a b a" -> (a,b)(b,a); "a b" -> (a,b)
+    // held (even ids): "a b c" -> (a,b): -ln(3/4); (b,c): -ln(1/3)
+    // V = |{a,b}| = 2; single-token held doc contributes nothing
+    val docs = Seq(
+      (1L, "g", "a b a"), (3L, "g", "a b"),
+      (2L, "g", "a b c"), (4L, "g", "x")
+    ).toDF("doc_id", "source", "text")
+    val r = CorpusStats.bigramNll(docs, "text", "doc_id", "source",
+      holdoutMod = 2).collect().head
+    assert(r.getString(0) == "g" && r.getLong(1) == 1 && r.getLong(2) == 2)
+    val expected = (-math.log(3.0 / 4.0) + math.log(3.0)) / 2.0
+    assert(math.abs(r.getDouble(3) - expected) < 2e-6)
+    // unseen CONTEXT (not just unseen bigram) backs off to k/(kV):
+    // held "z z" -> -ln(1/(0+2)) = ln 2
+    val oov = Seq((1L, "g", "a b"), (2L, "g", "z z"))
+      .toDF("doc_id", "source", "text")
+    val r2 = CorpusStats.bigramNll(oov, "text", "doc_id", "source",
+      holdoutMod = 2).collect().head
+    assert(math.abs(r2.getDouble(3) - math.log(2.0)) < 2e-6)
+    intercept[IllegalArgumentException] {
+      CorpusStats.bigramNll(docs, "text", "doc_id", "source", holdoutMod = 1)
+    }
+  }
+
+  test("readability: exact totals, floor-1 sentences and syllables") {
+    import spark.implicits._
+    // "Hello world. Bye." : words 3, sentence runs 2, vowel runs 4
+    // "no punct here"     : words 3, sentences floor to 1, vowel runs 4
+    val docs = Seq((1L, "s", "Hello world. Bye."), (2L, "s", "no punct here"))
+      .toDF("doc_id", "source", "text")
+    val r = CorpusStats.readability(docs, "text", "source").collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 6 && r.getLong(3) == 3 &&
+      r.getLong(4) == 8)
+    assert(r.getDouble(5) == 2.0) // 6 words / 3 sentences
+    val yw = 8.0 / 6.0
+    assert(r.getDouble(6) ==
+      BigDecimal(yw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val flesch = 206.835 - 1.015 * 2.0 - 84.6 * yw
+    assert(math.abs(r.getDouble(7) - flesch) < 2e-6)
+  }
 }
