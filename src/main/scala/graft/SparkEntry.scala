@@ -2088,6 +2088,30 @@ object SparkEntry {
         col("vec_id"), col("s"), k = 20, p = 0.9)
     }),
 
+    // Winsorized/trimmed order-value means per priority: exact
+    // order-statistic fences from one cumulative walk over the
+    // (group, cents) histogram.
+    "q201_winsorized" -> ((s, d) => {
+      Profiling.winsorizedStats(load(s, d, "orders"), "o_orderpriority",
+          col("o_totalprice"), alpha = 0.05, scale = 2)
+        .transform(ordered1(_, col("o_orderpriority")))
+    }),
+
+    // Hill tail index of the token frequency distribution over the
+    // top-100 types — one Zipf-collapsed aggregation + TakeOrdered.
+    "q202_tail_index" -> ((s, d) => {
+      CorpusStats.tailIndex(parallel(load(s, d, "documents")), "text",
+        k = 100)
+    }),
+
+    // Benford first-digit audit of order totals: exact unscaled-integer
+    // digit extraction (never log10), zero-filled 1-9 spine.
+    "q203_benford" -> ((s, d) => {
+      Profiling.benfordAudit(load(s, d, "orders"), col("o_totalprice"),
+          scale = 2)
+        .transform(ordered1(_, col("digit")))
+    }),
+
     // McNemar disagreement-cell test between two single-dim
     // pseudo-classifiers scored on the same rows.
     "q194_mcnemar" -> ((s, d) => {
@@ -5534,6 +5558,85 @@ object SparkEntry {
         |  (SELECT count(*) FROM j) AS n_common,
         |  round((1.0 - 0.9) * sum(term), 6) AS rbo
         |FROM t""".stripMargin,
+
+    // The identical rank walk: hist → cumulative window → fences at
+    // ranks k+1 and n-k, HUGEINT sums, one final IEEE division chain.
+    "q201_winsorized" ->
+      """WITH h AS (SELECT o_orderpriority AS g,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+        |    count(*) AS c
+        |  FROM orders WHERE o_totalprice IS NOT NULL
+        |  GROUP BY g, q),
+        |r AS (SELECT g, q, c,
+        |    CAST(sum(c) OVER (PARTITION BY g ORDER BY q
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+        |  FROM h),
+        |r2 AS (SELECT g, q, c, hi, n, hi - c + 1 AS lo,
+        |    CAST(floor(CAST(n AS DOUBLE) * 0.05) AS BIGINT) AS k
+        |  FROM r),
+        |a AS (SELECT g, max(n) AS n, max(k) AS k,
+        |    sum(CAST(q AS HUGEINT) * CAST(greatest(0,
+        |      least(hi, n - k) - greatest(lo, k + 1) + 1) AS HUGEINT))
+        |      AS smid,
+        |    min(CASE WHEN hi >= k + 1 THEN q END) AS vlo,
+        |    min(CASE WHEN hi >= n - k THEN q END) AS vhi
+        |  FROM r2 GROUP BY g)
+        |SELECT g AS o_orderpriority, n, k,
+        |  round(CAST(vlo AS DOUBLE) / 100.0, 6) AS fence_low,
+        |  round(CAST(vhi AS DOUBLE) / 100.0, 6) AS fence_high,
+        |  CASE WHEN n - 2 * k > 0 THEN
+        |    round((CAST(smid AS DOUBLE) / 100.0) /
+        |      CAST(n - 2 * k AS DOUBLE), 6) END AS trimmed_mean,
+        |  round((CAST(smid + CAST(k AS HUGEINT) * vlo +
+        |      CAST(k AS HUGEINT) * vhi AS DOUBLE) / 100.0) /
+        |    CAST(n AS DOUBLE), 6) AS winsor_mean
+        |FROM a ORDER BY o_orderpriority""".stripMargin,
+
+    "q202_tail_index" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |cnt AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+        |top AS (SELECT w, f FROM cnt ORDER BY f DESC, w ASC LIMIT 100),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(min(f) AS BIGINT) AS fk FROM top),
+        |s AS (SELECT max(kk.m) AS m, max(kk.fk) AS fk,
+        |    sum(ln(CAST(top.f AS DOUBLE) / CAST(kk.fk AS DOUBLE))) AS lsum
+        |  FROM top, kk)
+        |SELECT m AS k, fk AS f_kth,
+        |  CASE WHEN lsum > 0 THEN
+        |    round(CAST(m AS DOUBLE) / lsum, 6) END AS alpha
+        |FROM s""".stripMargin,
+
+    // Leading digit from the exact unscaled-cents integer string; the
+    // Benford expectation spelled ln(1+1/d)/ln(10) on both engines.
+    "q203_benford" ->
+      """WITH v AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |    AS digit
+        |  FROM v WHERE cents > 0),
+        |c AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY digit),
+        |t AS (SELECT count(*) AS n FROM d),
+        |sp AS (SELECT CAST(u.dd AS INT) AS digit
+        |  FROM unnest(range(1, 10)) AS u(dd))
+        |SELECT sp.digit, coalesce(c.n_obs, 0) AS n_obs,
+        |  round(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE),
+        |    6) AS share,
+        |  round(ln(1.0 + 1.0 / CAST(sp.digit AS DOUBLE)) / ln(10.0), 6)
+        |    AS benford,
+        |  round(CAST(coalesce(c.n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE) -
+        |    ln(1.0 + 1.0 / CAST(sp.digit AS DOUBLE)) / ln(10.0), 6) AS gap,
+        |  round(CAST(n AS DOUBLE) *
+        |    (CAST(coalesce(c.n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      ln(1.0 + 1.0 / CAST(sp.digit AS DOUBLE)) / ln(10.0)) *
+        |    (CAST(coalesce(c.n_obs, 0) AS DOUBLE) / CAST(n AS DOUBLE) -
+        |      ln(1.0 + 1.0 / CAST(sp.digit AS DOUBLE)) / ln(10.0)) /
+        |    (ln(1.0 + 1.0 / CAST(sp.digit AS DOUBLE)) / ln(10.0)), 6)
+        |    AS chi2_term
+        |FROM sp LEFT JOIN c ON c.digit = sp.digit, t
+        |ORDER BY sp.digit""".stripMargin,
 
     "q194_mcnemar" ->
       """WITH s AS (SELECT

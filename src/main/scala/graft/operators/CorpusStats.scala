@@ -926,4 +926,38 @@ object CorpusStats {
           round(lit(206.835) - lit(1.015) * ws - lit(84.6) * yw, 6))
           .as("flesch"))
   }
+
+  /** Hill tail-index estimate over the token frequency distribution —
+    * "how Zipfian is this corpus?" as one number: on the k most frequent
+    * types, `alpha = ( (1/k)·Σ ln(f_i / f_(k)) )^{-1}` (f_(k) = k-th
+    * largest frequency). A natural-text corpus sits near alpha ≈ 1;
+    * boilerplate-flooded or deduplicated-to-death corpora drift away —
+    * the one-row drift complement of [[zipfCoverage]]'s curve.
+    *
+    * Ties at the cut rank resolve by token ASC (deterministic top-k, the
+    * repo convention). Returns `(k, f_kth, alpha)`; k is the ACTUAL
+    * count taken (vocab may be smaller); alpha NULL when every top-k
+    * frequency equals f_(k) (log-sum 0 — the estimator is undefined).
+    *
+    * Scale shape: one token-count hash aggregation (Zipf-collapsed),
+    * top-k via TakeOrderedAndProject, then a k-row fold. */
+  def tailIndex(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"tail index needs k >= 2: $k")
+    val top = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(k)
+    val fk = top.agg(count(lit(1)).as("__m"), min(col("__f")).as("f_kth"))
+    top.crossJoin(broadcast(fk))
+      .select(col("__m"), col("f_kth"),
+        log(col("__f").cast("double") / col("f_kth").cast("double"))
+          .as("__l"))
+      .groupBy(col("__m"), col("f_kth"))
+      .agg(sum(col("__l")).as("__lsum"))
+      .select(col("__m").as("k"), col("f_kth"),
+        when(col("__lsum") > 0,
+          round(col("__m").cast("double") / col("__lsum"), 6)).as("alpha"))
+  }
 }

@@ -421,4 +421,109 @@ object Profiling {
         round(e, 6).as("expected"),
         round((o - e) * (o - e) / e, 6).as("chi2_term"))
   }
+
+  /** Winsorized and trimmed means with exact order-statistic fences —
+    * the robust location estimates a metrics pipeline swaps in when a
+    * handful of corrupted magnitudes would drag a plain mean ("mean
+    * order value" with one 10^9 typo in the batch). `k = floor(alpha·n)`
+    * values are fenced at EACH end; the trimmed mean drops them, the
+    * winsorized mean clamps them to the fence values (ranks k+1 and
+    * n−k, 1-based — spelled so any SQL oracle selects the same
+    * integers).
+    *
+    * Returns one row per group: `(group, n, k, fence_low, fence_high,
+    * trimmed_mean, winsor_mean)`; trimmed_mean NULL when n − 2k = 0.
+    * NULL values are excluded. Values quantize at `scale`
+    * ([[graft.functions.Decimals]]); every sum is an exact DECIMAL(38,0)
+    * integer and each mean is one final IEEE sequence.
+    *
+    * Scale shape: ONE scan into a (group, value) histogram (map-side
+    * combined, bounded by the quantized value domain per group — the
+    * [[CorpusStats.lengthOutliers]] plan family); the rank walk is one
+    * cumulative window over that bounded frame (the group total rides
+    * the same exchange); fences and sums fold in a single per-group
+    * aggregation. No row-level window, no second scan. */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: Column,
+      alpha: Double, scale: Int = 6): DataFrame = {
+    require(alpha >= 0 && alpha < 0.5, s"alpha must be in [0, 0.5): $alpha")
+    val dec38 = DecimalType(38, 0)
+    val pow = math.pow(10, scale)
+    val hist = df
+      .select(col(groupCol).as("__g"),
+        graft.functions.Decimals.unscaledLong(valueCol, scale).as("__q"))
+      .filter(col("__q").isNotNull)
+      .groupBy(col("__g"), col("__q"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__q").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g"))
+    val ranked = hist
+      .withColumn("__hi", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__lo", col("__hi") - col("__c") + 1)
+      .withColumn("__k",
+        floor(col("__n").cast("double") * lit(alpha)).cast("long"))
+    val midCnt = greatest(lit(0L),
+      least(col("__hi"), col("__n") - col("__k")) -
+        greatest(col("__lo"), col("__k") + 1) + 1)
+    val agg = ranked.groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("k"),
+        sum(col("__q").cast(dec38) * midCnt.cast(dec38)).as("__smid"),
+        min(when(col("__hi") >= col("__k") + 1, col("__q"))).as("__vlo"),
+        min(when(col("__hi") >= col("__n") - col("__k"), col("__q")))
+          .as("__vhi"))
+    val trimmedN = col("n") - lit(2L) * col("k")
+    val wsum = col("__smid") + col("k").cast(dec38) * col("__vlo").cast(dec38) +
+      col("k").cast(dec38) * col("__vhi").cast(dec38)
+    agg.select(col("__g").as(groupCol), col("n"), col("k"),
+      round(col("__vlo").cast("double") / lit(pow), 6).as("fence_low"),
+      round(col("__vhi").cast("double") / lit(pow), 6).as("fence_high"),
+      when(trimmedN > 0,
+        round((col("__smid").cast("double") / lit(pow)) /
+          trimmedN.cast("double"), 6)).as("trimmed_mean"),
+      round((wsum.cast("double") / lit(pow)) / col("n").cast("double"), 6)
+        .as("winsor_mean"))
+  }
+
+  /** Benford first-digit audit over a positive money/measure column —
+    * the cheap fabrication screen: organically-generated magnitudes
+    * follow `P(d) = log10(1 + 1/d)`, hand-entered or synthesized ones
+    * don\'t. Returns the zero-filled digit spine 1–9 with
+    * `(digit, n_obs, share, benford, gap, chi2_term)`; `chi2_term` =
+    * `n·(share − benford)²/benford` so the suite sums to the audit
+    * statistic. Non-positive and NULL values are excluded (no leading
+    * digit).
+    *
+    * The digit is extracted from the value\'s EXACT unscaled integer
+    * rendering (quantize at `scale` → long → string → first char) —
+    * never via log10/pow, whose boundary rounding (log10(1000) just
+    * under 3) misclassifies exact powers of ten on some libms.
+    *
+    * Scale shape: per-row projection into one bounded (≤ 9 group) hash
+    * aggregation; the spine is a 9-row range broadcast. */
+  def benfordAudit(df: DataFrame, valueCol: Column,
+      scale: Int = 2): DataFrame = {
+    val cents = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val digits = df
+      .select(cents.as("__u"))
+      .filter(col("__u").isNotNull && col("__u") > 0)
+      .select(substring(col("__u").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = digits.groupBy(col("digit")).agg(count(lit(1)).as("__c"))
+    val total = digits.agg(count(lit(1)).as("__n"))
+    val spine = df.sparkSession.range(1, 10).toDF("digit")
+      .select(col("digit").cast("int").as("digit"))
+    val share = coalesce(col("__c"), lit(0L)).cast("double") /
+      col("__n").cast("double")
+    val benford = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+      log(lit(10.0))
+    spine.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("__c"), lit(0L)).as("n_obs"),
+        round(share, 6).as("share"), round(benford, 6).as("benford"),
+        round(share - benford, 6).as("gap"),
+        round(col("__n").cast("double") * (share - benford) *
+          (share - benford) / benford, 6).as("chi2_term"))
+  }
 }

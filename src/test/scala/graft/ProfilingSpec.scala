@@ -287,4 +287,42 @@ class ProfilingSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("winsorizedStats: exact fences, trimmed vs winsorized, alpha=0") {
+    val vals = Seq(0.0, 1.0, 1.0, 2.0, 3.0, 5.0, 8.0, 13.0, 21.0, 1000.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = Profiling.winsorizedStats(df, "g", col("v"), alpha = 0.1)
+      .collect().head
+    // n=10, k=1: fences at ranks 2 and 9 -> 1 and 21
+    assert(r.getLong(1) == 10 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 21.0)
+    // mid ranks 2..9 sum 54 -> trimmed 6.75; winsor (54+1+21)/10 = 7.6
+    assert(r.getDouble(5) == 6.75 && r.getDouble(6) == 7.6)
+    // alpha = 0: both collapse to the exact mean
+    val r0 = Profiling.winsorizedStats(df, "g", col("v"), alpha = 0.0)
+      .collect().head
+    val mean = BigDecimal(vals.sum / 10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getLong(2) == 0 && r0.getDouble(5) == mean &&
+      r0.getDouble(6) == mean)
+    intercept[IllegalArgumentException] {
+      Profiling.winsorizedStats(df, "g", col("v"), alpha = 0.5)
+    }
+  }
+
+  test("benfordAudit: exact digit extraction, zero-filled spine, exclusions") {
+    val df = Seq(1.00, 1.23, 2.50, 9.99, 0.0, -3.0).toDF("v")
+    val rows = Profiling.benfordAudit(df, col("v")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 9)
+    val byDigit = rows.map(t => t._1 -> t).toMap
+    assert(byDigit(1)._2 == 2 && byDigit(1)._3 == 0.5)
+    assert(byDigit(2)._2 == 1 && byDigit(9)._2 == 1)
+    assert((3 to 8).forall(d => byDigit(d)._2 == 0L))
+    // benford expectation of digit 1 = ln2/ln10
+    val b1 = Profiling.benfordAudit(df, col("v")).collect()
+      .find(_.getInt(0) == 1).get.getDouble(3)
+    assert(b1 == BigDecimal(math.log(2.0) / math.log(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }

@@ -418,4 +418,24 @@ class TextQualitySpec extends AnyFunSuite {
     val flesch = 206.835 - 1.015 * 2.0 - 84.6 * yw
     assert(math.abs(r.getDouble(7) - flesch) < 2e-6)
   }
+
+  test("tailIndex: hand-computed Hill estimate, degenerate uniform NULL") {
+    import spark.implicits._
+    // counts a:4 b:2 c:1; top-2 = {a:4, b:2}: alpha = 2 / ln(4/2)
+    val docs = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val r = CorpusStats.tailIndex(docs, "text", k = 2).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == BigDecimal(2.0 / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // uniform top-k (all counts equal) -> log-sum 0 -> NULL estimator
+    val flat = Seq((1L, "x y z")).toDF("doc_id", "text")
+    assert(CorpusStats.tailIndex(flat, "text", k = 3)
+      .collect().head.isNullAt(2))
+    // vocab smaller than k: reported k is the actual count taken
+    assert(CorpusStats.tailIndex(flat, "text", k = 100)
+      .collect().head.getLong(0) == 3)
+    intercept[IllegalArgumentException] {
+      CorpusStats.tailIndex(docs, "text", k = 1)
+    }
+  }
 }
