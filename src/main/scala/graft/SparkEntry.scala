@@ -2112,6 +2112,40 @@ object SparkEntry {
         .transform(ordered1(_, col("digit")))
     }),
 
+    // Two-proportion z-test with entity-level collapse (each user
+    // converts once, not once per event) between the user_id-parity
+    // variants.
+    "q204_ab_test" -> ((s, d) => {
+      graft.operators.Evaluation.abTest(load(s, d, "events"),
+        when(pmod(col("user_id"), lit(2L)) === 0, lit("a"))
+          .otherwise(lit("b")),
+        col("user_id"),
+        (col("event_type") === "purchase").cast("int"))
+    }),
+
+    // Jensen-Shannon divergence between pre-/post-1997 order-value
+    // histograms — the symmetric bounded drift number.
+    "q206_js_divergence" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val bin = floor(col("o_totalprice") / lit(10000.0)).cast("long")
+      graft.operators.Evaluation.jsDivergence(
+        o.filter(col("o_orderdate") <
+          lit(java.sql.Date.valueOf("1997-01-01"))).select(bin.as("bin")),
+        o.filter(col("o_orderdate") >=
+          lit(java.sql.Date.valueOf("1997-01-01"))).select(bin.as("bin")),
+        col("bin"))
+    }),
+
+    // Split-conformal threshold at alpha=0.1 over the quantized
+    // first-dim nonconformity score.
+    "q207_conformal" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.conformalThreshold(emb,
+        round(abs(element_at(graft.functions.VectorFunctions
+          .asDouble(col("embedding")), 1)), 2),
+        alpha = 0.1)
+    }),
+
     // McNemar disagreement-cell test between two single-dim
     // pseudo-classifiers scored on the same rows.
     "q194_mcnemar" -> ((s, d) => {
@@ -5637,6 +5671,94 @@ object SparkEntry {
         |    AS chi2_term
         |FROM sp LEFT JOIN c ON c.digit = sp.digit, t
         |ORDER BY sp.digit""".stripMargin,
+
+    "q204_ab_test" ->
+      """WITH ent AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+        |    user_id AS e,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY v, e),
+        |arms AS (SELECT
+        |    CAST(sum(CASE WHEN v = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN v = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN v = 'a' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(sum(CASE WHEN v = 'b' THEN conv ELSE 0 END) AS BIGINT)
+        |      AS conv_b
+        |  FROM ent)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |    AS rate_a,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |    AS rate_b,
+        |  round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS lift,
+        |  round((CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) -
+        |    CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |    sqrt((CAST(conv_a + conv_b AS DOUBLE) /
+        |        CAST(n_a + n_b AS DOUBLE)) *
+        |      (1.0 - CAST(conv_a + conv_b AS DOUBLE) /
+        |        CAST(n_a + n_b AS DOUBLE)) *
+        |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
+        |    AS z
+        |FROM arms""".stripMargin,
+
+    // 0·ln0 = 0 on each side's own KL; the mixture is always positive
+    // on observed bins — no epsilon.
+    "q206_js_divergence" ->
+      """WITH a AS (SELECT CAST(CAST(floor(o_totalprice / 10000.0)
+        |      AS BIGINT) AS VARCHAR) AS b, count(*) AS ca
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |bb AS (SELECT CAST(CAST(floor(o_totalprice / 10000.0)
+        |      AS BIGINT) AS VARCHAR) AS b, count(*) AS cb
+        |  FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT coalesce(a.b, bb.b) AS b,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN bb ON a.b = bb.b),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+        |    CAST(sum(cb) AS BIGINT) AS n_b, count(*) AS n_bins FROM m)
+        |SELECT n_a, n_b, n_bins,
+        |  round(sum(
+        |    CASE WHEN ca > 0 THEN
+        |      (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+        |      ln((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) /
+        |        ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |          CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0)) / 2.0
+        |      ELSE 0.0 END +
+        |    CASE WHEN cb > 0 THEN
+        |      (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+        |      ln((CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) /
+        |        ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) +
+        |          CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0)) / 2.0
+        |      ELSE 0.0 END), 6) AS js
+        |FROM m, t GROUP BY n_a, n_b, n_bins""".stripMargin,
+
+    // Exact ceil((n+1)(1-alpha)) order statistic; (1.0 - 0.1) spelled
+    // as the subtraction for the identical IEEE value on both engines.
+    "q207_conformal" ->
+      """WITH h AS (SELECT round(abs(CAST(embedding AS DOUBLE[])[1]), 2)
+        |    AS s, count(*) AS c
+        |  FROM embeddings GROUP BY 1),
+        |r AS (SELECT s, c,
+        |    CAST(sum(c) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum
+        |  FROM h),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+        |k AS (SELECT n,
+        |    CAST(ceil((CAST(n AS DOUBLE) + 1.0) * (1.0 - 0.1)) AS BIGINT)
+        |      AS rank FROM t)
+        |SELECT k.n, k.rank,
+        |  min(CASE WHEN r.cum >= k.rank THEN r.s END) AS threshold
+        |FROM r, k GROUP BY k.n, k.rank""".stripMargin,
 
     "q194_mcnemar" ->
       """WITH s AS (SELECT

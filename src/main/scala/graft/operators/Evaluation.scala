@@ -594,6 +594,139 @@ object Evaluation {
         .as("statistic"))
   }
 
+  /** Two-proportion z-test between an experiment's variants — the A/B
+    * readout: per-entity conversion rates, their difference, and the
+    * pooled-variance z statistic
+    * `z = (p_b − p_a) / √(p̂(1−p̂)(1/n_a + 1/n_b))`. Entities (not raw
+    * events) are the unit: each entity converts once or not at all, so
+    * the frame is first collapsed to one row per (variant, entity) with
+    * `max(converted)` — double-counting a heavy user's events is the
+    * classic A/B bug this operator refuses to reproduce.
+    *
+    * Returns one row `(n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift,
+    * z)`; z NULL when either arm is empty or the pooled variance is 0
+    * (all or none converted everywhere — no information). `variantCol`
+    * must yield exactly the two values `a` and `b` after string cast;
+    * anything else fails fast.
+    *
+    * Scale shape: one (variant, entity) hash aggregation — map-side
+    * combined on the entity key — then a 2-row fold. No window, no
+    * join. */
+  def abTest(df: DataFrame, variantCol: Column, entityCol: Column,
+      convertedCol: Column): DataFrame = {
+    val v = variantCol.cast("string")
+    val entities = df
+      .where(OpsUtil.orRaise(v.isNull || v.isin("a", "b"),
+        lit("abTest: variant must be 'a' or 'b', got "), v))
+      .select(v.as("__v"), entityCol.as("__e"),
+        convertedCol.cast("long").as("__c"))
+      .filter(col("__v").isNotNull && col("__e").isNotNull)
+      .groupBy(col("__v"), col("__e"))
+      .agg(max(coalesce(col("__c"), lit(0L))).as("__conv"))
+    val arms = entities.groupBy()
+      .agg(
+        sum((col("__v") === "a").cast("long")).as("n_a"),
+        sum((col("__v") === "b").cast("long")).as("n_b"),
+        sum(when(col("__v") === "a", col("__conv")).otherwise(0L))
+          .as("conv_a"),
+        sum(when(col("__v") === "b", col("__conv")).otherwise(0L))
+          .as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("conv_a").cast("double") / na
+    val pb = col("conv_b").cast("double") / nb
+    val pp = (col("conv_a") + col("conv_b")).cast("double") / (na + nb)
+    val se = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb))
+    arms.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0, round(pa, 6)).as("rate_a"),
+      when(col("n_b") > 0, round(pb, 6)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, round(pb - pa, 6)).as("lift"),
+      when(col("n_a") > 0 && col("n_b") > 0 && pp > 0 && pp < 1,
+        round((pb - pa) / se, 6)).as("z"))
+  }
+
+  /** Split-conformal prediction threshold: the `ceil((n+1)(1−alpha))`-th
+    * smallest calibration nonconformity score — the distribution-free
+    * cutoff guaranteeing ≥ 1−alpha coverage on exchangeable future rows
+    * (Vovk et al.). The model-agnostic uncertainty gate a scoring
+    * pipeline computes once per calibration batch.
+    *
+    * The rank is an exact integer order statistic (any SQL oracle
+    * selects the same value); when the rank exceeds n (tiny calibration
+    * sets at small alpha) the threshold is NULL — "no finite-sample
+    * guarantee possible", not +∞. NULL scores are excluded.
+    *
+    * Returns one row `(n, rank, threshold)`.
+    *
+    * Scale shape: scores collapse to a value histogram (bounded —
+    * callers quantize, the [[aucBinary]] convention); the rank
+    * selection is one cumulative window over that bounded frame. */
+  def conformalThreshold(df: DataFrame, scoreCol: Column,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val hist = df
+      .select(scoreCol.cast("double").as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__s").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("__c")).as("n"))
+    val rk = ceil((col("n").cast("double") + 1.0) * lit(1.0 - alpha))
+      .cast("long")
+    hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("n"), rk.as("rank"),
+        when(col("__cum") >= rk, col("__s")).as("__hit"))
+      .groupBy(col("n"), col("rank"))
+      .agg(min(col("__hit")).as("threshold"))
+  }
+
+  /** Jensen–Shannon divergence between two binned distributions — the
+    * SYMMETRIC, always-finite drift measure completing the family
+    * ([[Profiling.driftPsi]] is bin-ratio weighted, [[ksTwoSample]] is
+    * unbinned max-gap): `JS = ½·KL(P‖M) + ½·KL(Q‖M)` with
+    * `M = ½(P+Q)`, in nats, bounded by ln 2. Zero-count bins contribute
+    * 0 to their own side's KL (0·ln0 = 0) and are always finite on the
+    * mixture side — no epsilon hacks.
+    *
+    * `binCol` values are the caller's quantized buckets. Returns one
+    * row `(n_a, n_b, n_bins, js)`; NULL when either side is empty.
+    *
+    * Scale shape: each side hash-aggregates to its bin histogram; one
+    * full-outer merge of two bounded frames; a 1-row fold. */
+  def jsDivergence(a: DataFrame, b: DataFrame, binCol: Column): DataFrame = {
+    def side(df: DataFrame, cnt: String): DataFrame = df
+      .select(binCol.cast("string").as("__b"))
+      .filter(col("__b").isNotNull)
+      .groupBy(col("__b")).agg(count(lit(1)).as(cnt))
+    val merged = side(a, "__ca").join(side(b, "__cb"), Seq("__b"),
+        "full_outer")
+      .select(col("__b"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val tot = merged.agg(sum(col("__ca")).as("n_a"),
+      sum(col("__cb")).as("n_b"), count(lit(1)).as("n_bins"))
+    val withT = merged.crossJoin(broadcast(tot))
+    // NULL (not ANSI-error) on an empty side: the mixture term references
+    // BOTH shares inside the taken branch, so an empty side's 0/0 would
+    // throw before the output guard ever ran — a NULL denominator
+    // propagates to the guarded NULL result instead
+    val p = col("__ca").cast("double") /
+      when(col("n_a") > 0, col("n_a").cast("double"))
+    val q = col("__cb").cast("double") /
+      when(col("n_b") > 0, col("n_b").cast("double"))
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(col("__ca") > 0, p * log(p / m) / lit(2.0)).otherwise(lit(0.0)) +
+      when(col("__cb") > 0, q * log(q / m) / lit(2.0)).otherwise(lit(0.0))
+    withT
+      .groupBy(col("n_a"), col("n_b"), col("n_bins"))
+      .agg(sum(term).as("__js"))
+      .select(col("n_a"), col("n_b"), col("n_bins"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(col("__js"), 6))
+          .as("js"))
+  }
+
   /** Rank-biased overlap (truncated) between two top-k rankings of the
     * same id space — the ranker-comparison metric that, unlike set
     * overlap@k, weights agreement at the TOP (Webber et al.'s RBO with

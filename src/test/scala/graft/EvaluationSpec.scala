@@ -307,6 +307,76 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("abTest: entity-level collapse, pooled z, guards") {
+    import spark.implicits._
+    // a: u0 converts (2 events!), u2 doesn't; b: u1, u3 convert, u5 not
+    val df = Seq(("a", 0L, 1), ("a", 0L, 0), ("a", 2L, 0),
+      ("b", 1L, 1), ("b", 3L, 1), ("b", 3L, 0), ("b", 5L, 0))
+      .toDF("v", "u", "c")
+    val r = Evaluation.abTest(df, col("v"), col("u"), col("c"))
+      .collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+    assert(r.getLong(2) == 1 && r.getLong(3) == 2) // u0 counted ONCE
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == round6(2.0 / 3.0))
+    assert(r.getDouble(6) == round6(2.0 / 3.0 - 0.5))
+    val pp = 3.0 / 5.0
+    val se = math.sqrt(pp * (1.0 - pp) * (1.0 / 2.0 + 1.0 / 3.0))
+    assert(r.getDouble(7) == round6((2.0 / 3.0 - 0.5) / se))
+    // universal conversion → pooled variance 0 → z NULL
+    val all = Seq(("a", 1L, 1), ("b", 2L, 1)).toDF("v", "u", "c")
+    assert(Evaluation.abTest(all, col("v"), col("u"), col("c"))
+      .collect().head.isNullAt(7))
+    val ex = intercept[Exception] {
+      Evaluation.abTest(Seq(("c", 1L, 1)).toDF("v", "u", "c"),
+        col("v"), col("u"), col("c")).collect()
+    }
+    assert(ex.getMessage.contains("abTest") ||
+      Option(ex.getCause).exists(_.getMessage.contains("abTest")))
+  }
+
+  test("jsDivergence: identical zero, disjoint ln2, hand case, empty side") {
+    import spark.implicits._
+    val x = Seq("x", "x", "y").toDF("b")
+    val same = Evaluation.jsDivergence(x, x, col("b")).collect().head
+    assert(same.getLong(0) == 3 && same.getLong(1) == 3 &&
+      same.getLong(2) == 2 && same.getDouble(3) == 0.0)
+    // disjoint supports hit the ln 2 bound
+    val y = Seq("z").toDF("b")
+    assert(Evaluation.jsDivergence(x, y, col("b")).collect()
+      .head.getDouble(3) == round6(math.log(2.0)))
+    // p=(2/3,1/3) vs q=(1/3,2/3)
+    val q = Seq("x", "y", "y").toDF("b")
+    val js = (2.0 / 3.0) * math.log(4.0 / 3.0) +
+      (1.0 / 3.0) * math.log(2.0 / 3.0)
+    val got = Evaluation.jsDivergence(x, q, col("b")).collect().head
+    assert(math.abs(got.getDouble(3) - js) < 2e-6)
+    // an empty side is NULL, not an ANSI divide-by-zero crash
+    val empty = Seq.empty[String].toDF("b")
+    assert(Evaluation.jsDivergence(x, empty, col("b"))
+      .collect().head.isNullAt(3))
+  }
+
+  test("conformalThreshold: exact rank, ties, no-guarantee NULL") {
+    import spark.implicits._
+    val df = (1 to 10).map(_.toDouble).toDF("s")
+    val r = Evaluation.conformalThreshold(df, col("s"), alpha = 0.25)
+      .collect().head
+    // rank = ceil(11 * 0.75) = 9 → 9th smallest = 9.0
+    assert(r.getLong(0) == 10 && r.getLong(1) == 9 &&
+      r.getDouble(2) == 9.0)
+    // ties: [1,1,1,2] at alpha=0.5 → rank 3 lands inside the 1-run
+    val ties = Seq(1.0, 1.0, 1.0, 2.0).toDF("s")
+    assert(Evaluation.conformalThreshold(ties, col("s"), alpha = 0.5)
+      .collect().head.getDouble(2) == 1.0)
+    // rank beyond n → NULL threshold (no finite-sample guarantee)
+    val tiny = Seq(1.0, 2.0).toDF("s")
+    assert(Evaluation.conformalThreshold(tiny, col("s"), alpha = 0.1)
+      .collect().head.isNullAt(2))
+    intercept[IllegalArgumentException] {
+      Evaluation.conformalThreshold(df, col("s"), alpha = 0.0)
+    }
+  }
+
   test("rankBiasedOverlap: identical, disjoint, and swapped-top rankings") {
     import spark.implicits._
     val a = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s")
