@@ -2123,6 +2123,14 @@ object SparkEntry {
         (col("event_type") === "purchase").cast("int"))
     }),
 
+    // First-touch vs last-touch credit for the events preceding each
+    // user's first purchase — one window pass over prior events.
+    "q205_attribution" -> ((s, d) => {
+      Sessionize.touchAttribution(load(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type", "purchase")
+        .transform(ordered1(_, col("event_type")))
+    }),
+
     // Jensen-Shannon divergence between pre-/post-1997 order-value
     // histograms — the symmetric bounded drift number.
     "q206_js_divergence" -> ((s, d) => {
@@ -5705,6 +5713,33 @@ object SparkEntry {
         |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
         |    AS z
         |FROM arms""".stripMargin,
+
+    // First conversion by (ts, event_id); priors strictly before in the
+    // same order; both row_numbers share one window sort.
+    "q205_attribution" ->
+      """WITH conv AS (SELECT user_id,
+        |    min(ROW(ts, event_id)) AS fp
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |c2 AS (SELECT user_id, fp[1] AS fpts, fp[2] AS fpid
+        |  FROM conv),
+        |pri AS (SELECT e.user_id, e.ts, e.event_id, e.event_type
+        |  FROM events e JOIN c2 USING (user_id)
+        |  WHERE e.event_type <> 'purchase' AND
+        |    (e.ts < c2.fpts OR (e.ts = c2.fpts AND e.event_id < c2.fpid))),
+        |r AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM pri),
+        |f AS (SELECT event_type, count(*) AS first_touch FROM r
+        |  WHERE rn = 1 GROUP BY event_type),
+        |l AS (SELECT event_type, count(*) AS last_touch FROM r
+        |  WHERE rn = n GROUP BY event_type)
+        |SELECT coalesce(f.event_type, l.event_type) AS event_type,
+        |  coalesce(first_touch, 0) AS first_touch,
+        |  coalesce(last_touch, 0) AS last_touch
+        |FROM f FULL OUTER JOIN l ON f.event_type = l.event_type
+        |ORDER BY event_type""".stripMargin,
 
     // 0·ln0 = 0 on each side's own KL; the mixture is always positive
     // on observed bins — no epsilon.

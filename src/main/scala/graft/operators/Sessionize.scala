@@ -391,4 +391,53 @@ object Sessionize {
       .withColumn("share", round(col("n").cast("double") /
         sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"), 6))
   }
+
+  /** First-touch / last-touch conversion attribution — the marketing
+    * question every event pipeline eventually answers: of the events a
+    * user saw BEFORE their first conversion, which type gets the
+    * credit? First-touch credits the earliest prior event, last-touch
+    * the latest; the panel reports both so the (always large) gap
+    * between the two models is visible, not silently chosen.
+    *
+    * Semantics: conversion = the user\'s FIRST `convType` event by
+    * `(ts, id)` order (the id tiebreak makes simultaneous events
+    * deterministic); prior events are those strictly before it in the
+    * same order, of any non-conversion type; users with no prior events
+    * drop out. Returns one row per credited event type:
+    * `(event_type, first_touch, last_touch)`, zero-filled where a type
+    * takes credit under only one model.
+    *
+    * Scale shape: one hash aggregation to per-user first conversions,
+    * one equi-join back on the user key (AQE broadcasts when the
+    * converter set is small), ONE window pass over prior events
+    * (partitioned by user, both row_numbers share the sort), two
+    * bounded type-level counts. */
+  def touchAttribution(events: DataFrame, key: String, ts: String,
+      idCol: String, typeCol: String, convType: String): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .groupBy(col(key))
+      .agg(min(struct(col(ts), col(idCol))).as("__fp"))
+      .select(col(key), col("__fp").getField(ts).as("__fpts"),
+        col("__fp").getField(idCol).as("__fpid"))
+    val priors = events
+      .filter(col(typeCol) =!= convType)
+      .join(conv, key)
+      .filter(col(ts) < col("__fpts") ||
+        (col(ts) === col("__fpts") && col(idCol) < col("__fpid")))
+    val wAsc = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(idCol).asc)
+    val picked = priors
+      .withColumn("__rn", row_number().over(wAsc))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
+    val first = picked.filter(col("__rn") === 1)
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("first_touch"))
+    val last = picked.filter(col("__rn") === col("__n"))
+      .groupBy(col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("last_touch"))
+    first.join(last, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+  }
 }

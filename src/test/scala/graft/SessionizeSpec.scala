@@ -294,4 +294,31 @@ class SessionizeSpec extends AnyFunSuite {
     }
     assert(pairs(("A", "C", 2)) == 1L) // the distance-2 pair exists
   }
+
+  test("touchAttribution: first/last credit, tiebreaks, no-prior dropout") {
+    import spark.implicits._
+    // u1: view -> click -> purchase : first=view, last=click
+    // u2: click -> purchase -> view : post-conversion view ignored
+    // u3: purchase only             : no priors, drops out
+    // u4: two simultaneous events before purchase: id breaks the tie
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 09:00:00"), 4L, "click"),
+      (2L, ts("2024-01-01 09:01:00"), 5L, "purchase"),
+      (2L, ts("2024-01-01 09:02:00"), 6L, "view"),
+      (3L, ts("2024-01-01 08:00:00"), 7L, "purchase"),
+      (4L, ts("2024-01-01 07:00:00"), 8L, "view"),
+      (4L, ts("2024-01-01 07:00:00"), 9L, "click"),
+      (4L, ts("2024-01-01 07:01:00"), 10L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Sessionize.touchAttribution(df, "user_id", "ts", "event_id",
+        "event_type", "purchase")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // first: u1 view, u2 click, u4 view(id 8) -> view 2, click 1
+    // last:  u1 click, u2 click, u4 click(id 9) -> click 3
+    assert(rows.toSeq == Seq(("click", 1L, 3L), ("view", 2L, 0L)))
+  }
 }
