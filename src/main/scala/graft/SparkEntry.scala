@@ -5151,7 +5151,8 @@ object SparkEntry {
         |        * ((CAST(t.n * (t.n - 1) AS DOUBLE)
         |          - CAST(ty2 AS DOUBLE)) / 2.0)), 6)
         |  END AS tau_b
-        |FROM t CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty""".stripMargin,
+        |FROM t CROSS JOIN pairs CROSS JOIN tx CROSS JOIN ty
+        |ORDER BY 1""".stripMargin,
 
     // ln/exp cumulative product over the distinct-duration frame, the
     // e = r step pinned to -infinity — TimeSeries.kaplanMeier's sequence.
@@ -5206,7 +5207,8 @@ object SparkEntry {
         |  round(pe, 6) AS p_e,
         |  CASE WHEN pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 6)
         |  END AS kappa
-        |FROM k""".stripMargin,
+        |FROM k
+        |ORDER BY 1""".stripMargin,
 
     // Generated: 8 quantized dim sums + 36 HUGEINT cross-product sums,
     // numerator n*Sij - Si*Sj exact — Similarity.embeddingCovariance.
@@ -5432,7 +5434,8 @@ object SparkEntry {
         |  round(avg((p - y) * (p - y)), 6) AS brier,
         |  round(avg(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc))), 6)
         |    AS log_loss
-        |FROM c""".stripMargin,
+        |FROM c
+        |ORDER BY 1""".stripMargin,
 
     // Feature/value/label contingency per feature; probabilities are
     // exact count ratios, each MI term one IEEE sequence (q182's NMI
@@ -5712,7 +5715,8 @@ object SparkEntry {
         |        CAST(n_a + n_b AS DOUBLE)) *
         |      (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6)
         |    AS z
-        |FROM arms""".stripMargin,
+        |FROM arms
+        |ORDER BY 1""".stripMargin,
 
     // First conversion by (ts, event_id); priors strictly before in the
     // same order; both row_numbers share one window sort.
@@ -5775,7 +5779,8 @@ object SparkEntry {
         |        ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE) +
         |          CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE)) / 2.0)) / 2.0
         |      ELSE 0.0 END), 6) AS js
-        |FROM m, t GROUP BY n_a, n_b, n_bins""".stripMargin,
+        |FROM m, t GROUP BY n_a, n_b, n_bins
+        |ORDER BY 1""".stripMargin,
 
     // Exact ceil((n+1)(1-alpha)) order statistic; (1.0 - 0.1) spelled
     // as the subtraction for the identical IEEE value on both engines.
@@ -5819,7 +5824,8 @@ object SparkEntry {
         |      (abs(CAST(a_only AS DOUBLE) - CAST(b_only AS DOUBLE)) - 1.0)
         |      / (CAST(a_only AS DOUBLE) + CAST(b_only AS DOUBLE)), 6)
         |    END AS statistic
-        |FROM cells""".stripMargin,
+        |FROM cells
+        |ORDER BY 1""".stripMargin,
 
     "q153_mlm_mask" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
