@@ -2123,6 +2123,24 @@ object SparkEntry {
         (col("event_type") === "purchase").cast("int"))
     }),
 
+    // Difference-in-differences: user-parity treatment x mid-January
+    // period split over event values — one 8-sum aggregation pass.
+    "q208_did" -> ((s, d) => {
+      val e = load(s, d, "events")
+      graft.operators.Evaluation.diffInDiff(e,
+        pmod(col("user_id"), lit(2L)).cast("int"),
+        (col("ts") >= lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00")))
+          .cast("int"),
+        col("value"))
+    }),
+
+    // Seasonally-contextualized anomalies: top-10 (dow, hour) buckets
+    // whose mean deviates beyond the pooled-noise envelope.
+    "q209_seasonal_anomaly" -> ((s, d) => {
+      TimeSeries.seasonalAnomalies(load(s, d, "events"), col("ts"),
+        col("value"), k = 10)
+    }),
+
     // First-touch vs last-touch credit for the events preceding each
     // user's first purchase — one window pass over prior events.
     "q205_attribution" -> ((s, d) => {
@@ -5717,6 +5735,64 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // Exact DECIMAL(18,6) cell sums; DiD one IEEE chain from integer
+    // sums, first index = treated, second = post.
+    "q208_did" ->
+      """WITH b AS (SELECT CAST(user_id % 2 AS BIGINT) AS t,
+        |    CAST(ts >= TIMESTAMP '2024-01-16 00:00:00' AS BIGINT) AS p,
+        |    CAST(value AS DECIMAL(18,6)) AS q
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |a AS (SELECT
+        |    CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_00,
+        |    CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_01,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_10,
+        |    CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_11,
+        |    CAST(CAST(sum(CASE WHEN t = 0 AND p = 0 THEN q ELSE 0 END)
+        |      * 1000000 AS HUGEINT) AS DOUBLE) AS s00,
+        |    CAST(CAST(sum(CASE WHEN t = 0 AND p = 1 THEN q ELSE 0 END)
+        |      * 1000000 AS HUGEINT) AS DOUBLE) AS s01,
+        |    CAST(CAST(sum(CASE WHEN t = 1 AND p = 0 THEN q ELSE 0 END)
+        |      * 1000000 AS HUGEINT) AS DOUBLE) AS s10,
+        |    CAST(CAST(sum(CASE WHEN t = 1 AND p = 1 THEN q ELSE 0 END)
+        |      * 1000000 AS HUGEINT) AS DOUBLE) AS s11
+        |  FROM b)
+        |SELECT n_00, n_01, n_10, n_11,
+        |  round(s00 / 1000000.0 / n_00, 6) AS mean_00,
+        |  round(s01 / 1000000.0 / n_01, 6) AS mean_01,
+        |  round(s10 / 1000000.0 / n_10, 6) AS mean_10,
+        |  round(s11 / 1000000.0 / n_11, 6) AS mean_11,
+        |  round((s11 / 1000000.0 / n_11 - s10 / 1000000.0 / n_10) -
+        |    (s01 / 1000000.0 / n_01 - s00 / 1000000.0 / n_00), 6) AS did
+        |FROM a ORDER BY 1""".stripMargin,
+
+    // Population variance from exact integer sums; top-10 by |z| with
+    // (dow, hour) tiebreak.
+    "q209_seasonal_anomaly" ->
+      """WITH b AS (SELECT CAST(dayofweek(ts) AS INT) AS dow,
+        |    CAST(extract(hour FROM ts) AS INT) AS hour,
+        |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS HUGEINT) AS q
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT count(*) AS gn, sum(q) AS gs, sum(q * q) AS gsq
+        |  FROM b),
+        |k AS (SELECT dow, hour, count(*) AS n, sum(q) AS s
+        |  FROM b GROUP BY dow, hour),
+        |z AS (SELECT dow, hour, n,
+        |    round((CAST(s AS DOUBLE) / 1000000.0) / n, 6) AS mean_value,
+        |    round(((CAST(s AS DOUBLE) / 1000000.0) / n -
+        |      (CAST(gs AS DOUBLE) / 1000000.0) / CAST(gn AS DOUBLE)) /
+        |      sqrt((CAST(CAST(gn AS HUGEINT) * gsq - gs * gs AS DOUBLE) /
+        |        (CAST(gn AS DOUBLE) * CAST(gn AS DOUBLE) *
+        |          1000000.0 * 1000000.0)) / n), 6) AS z
+        |  FROM k, g)
+        |SELECT dow, hour, n, mean_value, z FROM z
+        |ORDER BY abs(z) DESC, dow, hour LIMIT 10""".stripMargin,
 
     // First conversion by (ts, event_id); priors strictly before in the
     // same order; both row_numbers share one window sort.

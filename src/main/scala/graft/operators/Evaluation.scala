@@ -645,6 +645,61 @@ object Evaluation {
         round((pb - pa) / se, 6)).as("z"))
   }
 
+  /** Difference-in-differences estimate over a 2×2 (treatment × period)
+    * panel — the quasi-experimental readout when assignment wasn't
+    * randomized: `DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre)`, the treatment effect net of the
+    * shared time trend a naive post-vs-pre comparison conflates.
+    *
+    * Values quantize at `scale` ([[graft.functions.Decimals]]); each
+    * cell's sum is an exact integer and each mean one IEEE sequence.
+    * Returns one row `(n_00, n_01, n_10, n_11, mean_00, mean_01,
+    * mean_10, mean_11, did)` — first index = treated, second = post;
+    * did NULL when any cell is empty. Indicators outside {0,1,NULL}
+    * fail fast ([[fleissKappa]]'s contract); NULL indicator or value
+    * rows are excluded.
+    *
+    * Scale shape: ONE map-side-combined 1-row aggregation (eight
+    * conditional sums) — no join, no window. */
+  def diffInDiff(df: DataFrame, treatCol: Column, postCol: Column,
+      valueCol: Column, scale: Int = 6): DataFrame = {
+    val t = treatCol.cast("long")
+    val p = postCol.cast("long")
+    val inDomain = Seq(t, p).map(c => c.isNull || c === 0L || c === 1L)
+      .reduce(_ && _)
+    val q = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val pow = math.pow(10, scale)
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .where(OpsUtil.orRaise(inDomain,
+        lit("diffInDiff: treat/post indicator outside {0, 1, NULL}")))
+      .select(t.as("__t"), p.as("__p"), q.as("__q"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__q").isNotNull)
+    def cell(ti: Int, pi: Int) = col("__t") === ti && col("__p") === pi
+    val agg = base.agg(
+      sum(cell(0, 0).cast("long")).as("n_00"),
+      sum(cell(0, 1).cast("long")).as("n_01"),
+      sum(cell(1, 0).cast("long")).as("n_10"),
+      sum(cell(1, 1).cast("long")).as("n_11"),
+      sum(when(cell(0, 0), col("__q")).otherwise(0L)).cast(dec38).as("__s00"),
+      sum(when(cell(0, 1), col("__q")).otherwise(0L)).cast(dec38).as("__s01"),
+      sum(when(cell(1, 0), col("__q")).otherwise(0L)).cast(dec38).as("__s10"),
+      sum(when(cell(1, 1), col("__q")).otherwise(0L)).cast(dec38).as("__s11"))
+    def mean(i: String) = (col(s"__s$i").cast("double") / lit(pow)) /
+      col(s"n_$i").cast("double")
+    val allCells = Seq("00", "01", "10", "11")
+      .map(i => col(s"n_$i") > 0).reduce(_ && _)
+    val outCols =
+      Seq("00", "01", "10", "11").map(i => col(s"n_$i")) ++
+      Seq("00", "01", "10", "11").map(i =>
+        when(col(s"n_$i") > 0, round(mean(i), 6)).as(s"mean_$i")) :+
+      when(allCells,
+        round((mean("11") - mean("10")) - (mean("01") - mean("00")), 6))
+        .as("did")
+    agg.select(outCols: _*)
+  }
+
   /** Split-conformal prediction threshold: the `ceil((n+1)(1−alpha))`-th
     * smallest calibration nonconformity score — the distribution-free
     * cutoff guaranteeing ≥ 1−alpha coverage on exchangeable future rows

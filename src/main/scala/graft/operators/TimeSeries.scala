@@ -377,6 +377,55 @@ object TimeSeries {
           mean(col("__gs"), col("__gn")), 6).as("mean_gap"))
   }
 
+  /** Seasonally-contextualized bucket anomalies — the triage step on
+    * top of [[seasonalProfile]]: which (dow, hour) buckets' mean value
+    * deviates from the global mean by more than the pooled noise
+    * explains? `z_b = (mean_b − ȳ) / √(σ²/n_b)` with σ² the POPULATION
+    * variance from exact integer sums — the same envelope a per-bucket
+    * control chart draws. Returns the top-`k` buckets by |z|
+    * (tie-broken by (dow, hour)): `(dow, hour, n, mean_value, z)`;
+    * z NULL when the corpus is constant (σ² = 0).
+    *
+    * Exactness: the [[graft.operators.Similarity.embeddingCovariance]]
+    * convention — values quantize at `scale`, `n·Σq² − (Σq)²` is an
+    * exact DECIMAL(38,0) integer, one IEEE chain to z.
+    *
+    * Scale shape: ONE hash aggregation to ≤ 168 buckets (carrying the
+    * global sums via a 1-row broadcast), TakeOrderedAndProject for the
+    * top-k. */
+  def seasonalAnomalies(events: DataFrame, tsCol: Column, valueCol: Column,
+      k: Int, scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val pow = math.pow(10, scale)
+    val base = events
+      .filter(tsCol.isNotNull && valueCol.isNotNull)
+      .select((dayofweek(tsCol) - 1).as("dow"), hour(tsCol).as("hour"),
+        q.as("__q"))
+    val buckets = base.groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"), sum(col("__q")).cast(dec38).as("__s"))
+    val global = base.agg(count(lit(1)).as("__gn"),
+      sum(col("__q")).cast(dec38).as("__gs"),
+      sum(col("__q").cast(dec38) * col("__q").cast(dec38)).as("__gsq"))
+    val gn = col("__gn").cast("double")
+    val gmean = (col("__gs").cast("double") / lit(pow)) / gn
+    val gvar = (col("__gn").cast(dec38) * col("__gsq") -
+      col("__gs") * col("__gs")).cast("double") /
+      (gn * gn * lit(pow) * lit(pow))
+    val bmean = (col("__s").cast("double") / lit(pow)) /
+      col("n").cast("double")
+    buckets.crossJoin(broadcast(global))
+      .select(col("dow"), col("hour"), col("n"),
+        round(bmean, 6).as("mean_value"),
+        when(gvar > 0,
+          round((bmean - gmean) /
+            sqrt(gvar / col("n").cast("double")), 6)).as("z"))
+      .orderBy(abs(col("z")).desc_nulls_last, col("dow").asc,
+        col("hour").asc)
+      .limit(k)
+  }
+
   /** Kaplan–Meier survival curve over right-censored durations — the
     * retention/lifetime estimator that, unlike a raw survival fraction,
     * is unbiased under censoring (entities still alive at observation

@@ -307,6 +307,32 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("diffInDiff: hand-computed 2x2, empty cell NULL, guards") {
+    import spark.implicits._
+    // ctrl pre mean 1, ctrl post 2 (trend +1); treat pre 3, treat post 6
+    // → DiD = (6−3) − (2−1) = 2
+    val df = Seq((0, 0, 1.0), (0, 0, 1.0), (0, 1, 2.0),
+      (1, 0, 3.0), (1, 1, 6.0)).toDF("t", "p", "v")
+    val r = Evaluation.diffInDiff(df, col("t"), col("p"), col("v"))
+      .collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1 && r.getLong(2) == 1 &&
+      r.getLong(3) == 1)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 2.0)
+    assert(r.getDouble(6) == 3.0 && r.getDouble(7) == 6.0)
+    assert(r.getDouble(8) == 2.0)
+    // an empty cell → NULL did (its mean NULL too), not a crash
+    val sparse = Seq((0, 0, 1.0), (1, 1, 5.0)).toDF("t", "p", "v")
+    val s = Evaluation.diffInDiff(sparse, col("t"), col("p"), col("v"))
+      .collect().head
+    assert(s.isNullAt(5) && s.isNullAt(8))
+    val ex = intercept[Exception] {
+      Evaluation.diffInDiff(Seq((2, 0, 1.0)).toDF("t", "p", "v"),
+        col("t"), col("p"), col("v")).collect()
+    }
+    assert(ex.getMessage.contains("diffInDiff") ||
+      Option(ex.getCause).exists(_.getMessage.contains("diffInDiff")))
+  }
+
   test("abTest: entity-level collapse, pooled z, guards") {
     import spark.implicits._
     // a: u0 converts (2 events!), u2 doesn't; b: u1, u3 convert, u5 not

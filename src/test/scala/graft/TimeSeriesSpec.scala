@@ -189,6 +189,34 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1, 13, 1L, 4.0, 1.333333)))
   }
 
+  test("seasonalAnomalies: pooled-variance z, top-k order, constant NULL") {
+    import org.apache.spark.sql.functions.col
+    // bucket A (Sun 05): values 1,3 → mean 2; bucket B (Mon 13): 8
+    // global: n=3, mean=4, pop var = ((1-4)²+(3-4)²+(8-4)²)/3 = 26/3
+    val events = Seq(
+      (ts("2024-01-07 05:10:00"), 1.0),
+      (ts("2024-01-07 05:50:00"), 3.0),
+      (ts("2024-01-08 13:00:00"), 8.0)
+    ).toDF("ts", "value")
+    val rows = TimeSeries.seasonalAnomalies(events, col("ts"), col("value"),
+        k = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val v = 26.0 / 3.0 // (n·Σq²−(Σq)²)/n² = (3·74−144)/9 = 78/9
+    def z(mean: Double, n: Long) = BigDecimal((mean - 4.0) /
+      math.sqrt(v / n)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    // |z_B| = 4/√(26/3) > |z_A| = 2/√(26/6) → B first
+    assert(rows(0)._1 == 1 && rows(0)._2 == 13 && rows(0)._3 == 1L)
+    assert(rows(0)._5 == z(8.0, 1))
+    assert(rows(1)._1 == 0 && rows(1)._2 == 5 && rows(1)._5 == z(2.0, 2))
+    // constant corpus → zero variance → NULL z, no crash
+    val const = Seq((ts("2024-01-07 05:00:00"), 2.0),
+      (ts("2024-01-08 06:00:00"), 2.0)).toDF("ts", "value")
+    assert(TimeSeries.seasonalAnomalies(const, col("ts"), col("value"), 2)
+      .collect().forall(_.isNullAt(4)))
+  }
+
   test("kaplanMeier: textbook survival walk with censoring") {
     import org.apache.spark.sql.functions.col
     // durations (1,evt) (2,cens) (3,evt) (3,evt) (4,cens):
