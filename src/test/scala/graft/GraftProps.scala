@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 import graft.operators.{Dedup, Merge, Relational, TextDedup}
 
@@ -423,6 +423,92 @@ object GraftProps extends Properties("graft") {
           u -> rs.maxBy(_._2.getTime)
         }
         lastPerKey.forall { case (u, (_, _, n, s)) => (n, s) == totals(u) }
+      }
+    }
+
+  private val genScores: Gen[List[(Double, Int)]] =
+    Gen.listOfN(14, for {
+      sc <- Gen.choose(0, 20).map(_ / 10.0) // coarse grid -> constant ties
+      y <- Gen.choose(0, 1)
+    } yield (sc, y))
+
+  property("kendallTau: |tau_b| <= 1 and sign flips under y negation") =
+    forAll(genScores) { rows =>
+      import spark.implicits._
+      val d = rows.toDF("x", "y")
+      val r = graft.operators.Evaluation.kendallTau(d, col("x"), col("y"))
+        .collect().head
+      val tauOk = r.isNullAt(4) || math.abs(r.getDouble(4)) <= 1.0 + 1e-9
+      val neg = graft.operators.Evaluation.kendallTau(
+        d.withColumn("y", -col("y")), col("x"), col("y")).collect().head
+      val signOk = (r.isNullAt(4) && neg.isNullAt(4)) ||
+        (!r.isNullAt(4) && !neg.isNullAt(4) &&
+          math.abs(r.getDouble(4) + neg.getDouble(4)) < 1e-9)
+      tauOk && signOk
+    }
+
+  property("jsDivergence: symmetric, zero on self, bounded by ln 2") =
+    forAll(genScores, genScores) { (a0, b0) =>
+      import spark.implicits._
+      val a = a0.toDF("b", "y").select(col("b"))
+      val b = b0.toDF("b", "y").select(col("b"))
+      val ab = graft.operators.Evaluation.jsDivergence(a, b, col("b"))
+        .collect().head
+      val ba = graft.operators.Evaluation.jsDivergence(b, a, col("b"))
+        .collect().head
+      val self = graft.operators.Evaluation.jsDivergence(a, a, col("b"))
+        .collect().head
+      val v = if (ab.isNullAt(3)) Double.NaN else ab.getDouble(3)
+      val sym = (ab.isNullAt(3) && ba.isNullAt(3)) ||
+        math.abs(v - ba.getDouble(3)) < 1e-9
+      val bounded = ab.isNullAt(3) || (v >= -1e-9 && v <= math.log(2.0) + 1e-9)
+      val zero = self.isNullAt(3) || self.getDouble(3) == 0.0
+      sym && bounded && zero
+    }
+
+  property("winsorizedStats: means inside [fence_low, fence_high] fences") =
+    forAll(Gen.listOfN(12, Gen.choose(-50, 50))) { vs0 =>
+      vs0.nonEmpty ==> {
+        import spark.implicits._
+        val d = vs0.map(v => ("g", v.toDouble)).toDF("g", "v")
+        val r = graft.operators.Profiling
+          .winsorizedStats(d, "g", col("v"), alpha = 0.2).collect().head
+        val lo = r.getDouble(3); val hi = r.getDouble(4)
+        val tm = r.getDouble(5); val wm = r.getDouble(6)
+        lo <= hi && tm >= lo - 1e-6 && tm <= hi + 1e-6 &&
+          wm >= lo - 1e-6 && wm <= hi + 1e-6
+      }
+    }
+
+  property("rankBiasedOverlap in [0, 1]; 1 iff compared with itself at full depth") =
+    forAll(Gen.listOfN(8, Gen.choose(0, 100))) { ids0 =>
+      val ids = ids0.distinct
+      (ids.size >= 2) ==> {
+        import spark.implicits._
+        val a = ids.zipWithIndex.map { case (id, i) =>
+          (id.toLong, (100 - i).toDouble) }.toDF("id", "s")
+        val b = ids.reverse.zipWithIndex.map { case (id, i) =>
+          (id.toLong, (100 - i).toDouble) }.toDF("id", "s")
+        val r = graft.operators.Evaluation.rankBiasedOverlap(
+          a, b, col("id"), col("s"), k = ids.size, p = 0.5)
+          .collect().head.getDouble(3)
+        val self = graft.operators.Evaluation.rankBiasedOverlap(
+          a, a, col("id"), col("s"), k = ids.size, p = 0.5)
+          .collect().head.getDouble(3)
+        r >= 0.0 && r <= 1.0 &&
+          self == BigDecimal(1.0 - math.pow(0.5, ids.size))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+
+  property("fleissKappa: unanimous panels score 1 when both categories occur") =
+    forAll(Gen.listOfN(8, Gen.choose(0, 1))) { bits =>
+      (bits.distinct.size == 2) ==> {
+        import spark.implicits._
+        val d = bits.map(b => (b, b, b)).toDF("r1", "r2", "r3")
+        graft.operators.Evaluation.fleissKappa(d,
+          Seq(col("r1"), col("r2"), col("r3")))
+          .collect().head.getDouble(4) == 1.0
       }
     }
 }
