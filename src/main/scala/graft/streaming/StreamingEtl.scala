@@ -277,6 +277,9 @@ object StreamingEtl {
     * running (count, sum) per key, the minimal shape of a custom state
     * machine (session builders, CDC reconcilers, …). */
   final case class KeyedTotals(key: Long, n: Long, total: Double)
+  final case class EwmaState(key: Long, n: Long, mean: Double, variance: Double)
+  final case class EwmaAlert(key: Long, n: Long, value: Double,
+      mean: Double, variance: Double, anomaly: Boolean)
   /** Bounded per-key state: the k smallest distinct md5 hex digests. */
   final case class KeyedSketch(key: Long, n: Long, mins: Seq[String])
   final case class KeyedDistinct(key: Long, n: Long, estDistinct: Double)
@@ -337,6 +340,54 @@ object StreamingEtl {
                 .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
             }
           KeyedDistinct(key, n, est)
+      }
+  }
+
+  /** Per-key streaming EWMA control chart — the stateful anomaly
+    * detector a rate/latency monitor runs on an unbounded stream with
+    * O(1) state per key (two doubles), where the batch siblings
+    * ([[graft.operators.TimeSeries.cusumShift]], `rateAnomaly`) need
+    * the whole history. Each arriving value is FIRST tested against the
+    * current envelope `mean ± threshold·√variance` (detection precedes
+    * absorption — an outlier must not get to vote on the envelope that
+    * judges it), then folded in:
+    * `mean' = (1−α)·mean + α·v`,
+    * `var'  = (1−α)·(var + α·(v − mean)²)` (West 1979). The first
+    * `warmup` values per key are never flagged (the envelope isn't
+    * meaningful until seeded). Emits one [[EwmaAlert]] per value — the
+    * per-batch output is the LAST row per key in the batch fold; all
+    * flagged values surface via the `anomaly` field on their own row.
+    *
+    * Scale posture: state per key is (n, mean, variance) — three
+    * numbers regardless of stream length; keys distribute across the
+    * state store like every mapGroupsWithState op here. Fold order
+    * within a micro-batch is input order (deterministic under the
+    * single-partition test harness; production cross-partition order is
+    * the documented streaming caveat shared with [[runningTotals]]). */
+  def ewmaAnomalies(events: Dataset[(Long, Double)], alpha: Double,
+      threshold: Double, warmup: Int = 5): Dataset[EwmaAlert] = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    require(threshold > 0 && warmup >= 1, "threshold > 0, warmup >= 1")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(key, 0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaAlert]
+          rows.foreach { case (_, v) =>
+            val flagged = st.n >= warmup && st.variance > 0 &&
+              math.abs(v - st.mean) > threshold * math.sqrt(st.variance)
+            val m = if (st.n == 0) v else (1 - alpha) * st.mean + alpha * v
+            val d = v - st.mean
+            val vr = if (st.n == 0) 0.0
+              else (1 - alpha) * (st.variance + alpha * d * d)
+            st = EwmaState(key, st.n + 1, m, vr)
+            out += EwmaAlert(key, st.n, v, m, vr, flagged)
+          }
+          state.update(st)
+          out.iterator
       }
   }
 }

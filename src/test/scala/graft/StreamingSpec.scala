@@ -355,4 +355,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/index").count() == 30)
     assert(postings(spark.read.parquet(s"$dir/index")) == batch)
   }
+
+  test("ewmaAnomalies: spike flagged against pre-spike envelope, then absorbed") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val out = StreamingEtl.ewmaAnomalies(in.toDS(), alpha = 0.3,
+      threshold = 3.0, warmup = 5)
+    val q = out.writeStream.format("memory").queryName("ewma_a")
+      .outputMode(OutputMode.Append()).start()
+    // steady 10 +/- 1 for 8 values, then a 100 spike, then steady again
+    in.addData((1 to 8).map(i => (1L, 10.0 + (i % 2))): _*)
+    q.processAllAvailable()
+    in.addData((1L, 100.0))
+    q.processAllAvailable()
+    in.addData((1L, 10.0), (1L, 11.0))
+    q.processAllAvailable()
+    val rows = spark.table("ewma_a").as[StreamingEtl.EwmaAlert].collect()
+      .sortBy(_.n)
+    q.stop()
+    assert(rows.length == 11)
+    // warmup rows never flag, even the early mean shifts
+    assert(rows.take(8).forall(!_.anomaly))
+    // the spike is judged by the envelope BUILT BEFORE it arrived
+    assert(rows(8).value == 100.0 && rows(8).anomaly)
+    // replicate the fold to confirm the state math (West update)
+    var (n, m, v) = (0L, 0.0, 0.0)
+    val vals = (1 to 8).map(i => 10.0 + (i % 2)).map(_.toDouble) ++
+      Seq(100.0, 10.0, 11.0)
+    vals.foreach { x =>
+      val d = x - m
+      m = if (n == 0) x else 0.7 * m + 0.3 * x
+      v = if (n == 0) 0.0 else 0.7 * (v + 0.3 * d * d)
+      n += 1
+    }
+    assert(math.abs(rows.last.mean - m) < 1e-12 &&
+      math.abs(rows.last.variance - v) < 1e-12)
+    // post-spike values: the spike inflated the envelope, so they pass
+    assert(!rows(9).anomaly && !rows(10).anomaly)
+  }
 }
