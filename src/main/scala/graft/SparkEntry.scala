@@ -2123,6 +2123,27 @@ object SparkEntry {
         (col("event_type") === "purchase").cast("int"))
     }),
 
+    // Deterministic half-subsample envelope for the mean order value:
+    // one 34-buffer aggregation pass, membership = md5 hex-digit
+    // parity, never materialized.
+    "q210_subsample_ci" -> ((s, d) => {
+      Profiling.subsampleCI(load(s, d, "orders"), col("o_orderkey"),
+        col("o_totalprice"), nResamples = 16, scale = 2)
+    }),
+
+    // BBSE label-shift correction: confusion on the vec_id%7 holdout,
+    // predicted marginal on the rest, closed-form 2x2 solve.
+    "q211_label_shift" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val pred = (element_at(graft.functions.VectorFunctions
+        .asDouble(col("embedding")), 1) >= 0).cast("int")
+      val lab = (col("label") >= 5).cast("int")
+      graft.operators.Evaluation.labelShiftBinary(
+        emb.filter(pmod(col("vec_id"), lit(7L)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(7L)) =!= 0),
+        pred, lab)
+    }),
+
     // Difference-in-differences: user-parity treatment x mid-January
     // period split over event values — one 8-sum aggregation pass.
     "q208_did" -> ((s, d) => {
@@ -5735,6 +5756,72 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // Membership = hex digit of md5(key) is even, spelled as an IN
+    // list; 16 conditional HUGEINT sums in one pass, least/greatest
+    // over the 16 means.
+    "q210_subsample_ci" -> {
+      val b = 16
+      def mem(i: Int) =
+        s"substr(md5(CAST(o_orderkey AS VARCHAR)), ${i + 1}, 1) IN " +
+          "('0','2','4','6','8','a','c','e')"
+      val sums = (0 until b).flatMap(i => Seq(
+        s"CAST(sum(CASE WHEN ${mem(i)} THEN 1 ELSE 0 END) AS BIGINT) AS c$i",
+        s"CAST(CAST(sum(CASE WHEN ${mem(i)} THEN q ELSE 0 END) * 100 " +
+          s"AS HUGEINT) AS DOUBLE) AS s$i"))
+      val means = (0 until b).map(i =>
+        s"(s$i / 100.0) / CAST(c$i AS DOUBLE)")
+      s"""WITH base AS (SELECT o_orderkey,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS q
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |a AS (SELECT count(*) AS n,
+         |    CAST(CAST(sum(q) * 100 AS HUGEINT) AS DOUBLE) AS s,
+         |    ${sums.mkString(", ")}
+         |  FROM base)
+         |SELECT CAST($b AS INT) AS n_resamples, n,
+         |  round((s / 100.0) / CAST(n AS DOUBLE), 6) AS mean_full,
+         |  round(least(${means.mkString(", ")}), 6) AS ci_low,
+         |  round(greatest(${means.mkString(", ")}), 6) AS ci_high
+         |FROM a ORDER BY 1""".stripMargin
+    },
+
+    // C from the holdout, mu from the target, pi = C^-1 mu in the
+    // identical closed-form IEEE order (c11 = 1 - c01, mu1 = 1 - mu0).
+    "q211_label_shift" ->
+      """WITH e AS (SELECT vec_id,
+        |    CAST(CAST(embedding AS DOUBLE[])[1] >= 0 AS BIGINT) AS f,
+        |    CAST(label >= 5 AS BIGINT) AS y
+        |  FROM embeddings),
+        |h AS (SELECT count(*) AS n_holdout,
+        |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ny0,
+        |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ny1,
+        |    CAST(sum(CASE WHEN f = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h00,
+        |    CAST(sum(CASE WHEN f = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h01,
+        |    CAST(sum(CASE WHEN f = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h10
+        |  FROM e WHERE vec_id % 7 = 0),
+        |t AS (SELECT count(*) AS n_target,
+        |    CAST(sum(CASE WHEN f = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t0
+        |  FROM e WHERE vec_id % 7 <> 0),
+        |m AS (SELECT n_holdout, n_target,
+        |    CAST(h00 AS DOUBLE) / CAST(ny0 AS DOUBLE) AS c00,
+        |    CAST(h01 AS DOUBLE) / CAST(ny1 AS DOUBLE) AS c01,
+        |    CAST(h10 AS DOUBLE) / CAST(ny0 AS DOUBLE) AS c10,
+        |    CAST(t0 AS DOUBLE) / CAST(n_target AS DOUBLE) AS mu0
+        |  FROM h, t)
+        |SELECT n_holdout, n_target,
+        |  round(c00 * (1.0 - c01) - c01 * c10, 6) AS det,
+        |  round(mu0, 6) AS naive_0,
+        |  round(1.0 - mu0, 6) AS naive_1,
+        |  round(((1.0 - c01) * mu0 - c01 * (1.0 - mu0)) /
+        |    (c00 * (1.0 - c01) - c01 * c10), 6) AS pi_0,
+        |  round((c00 * (1.0 - mu0) - c10 * mu0) /
+        |    (c00 * (1.0 - c01) - c01 * c10), 6) AS pi_1
+        |FROM m ORDER BY 1""".stripMargin,
 
     // Exact DECIMAL(18,6) cell sums; DiD one IEEE chain from integer
     // sums, first index = treated, second = post.

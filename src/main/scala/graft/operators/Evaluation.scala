@@ -645,6 +645,65 @@ object Evaluation {
         round((pb - pa) / se, 6)).as("z"))
   }
 
+  /** Binary label-shift estimation (BBSE, Lipton et al. 2018): under
+    * covariate-stable label shift, the target's class prior solves
+    * `C·π = μ` where `C_ij = P(f=i | y=j)` comes from a labeled holdout
+    * and `μ_i = P(f=i)` from the UNLABELED target — the drift monitor
+    * that works when the new data has no labels yet. For two classes
+    * the solve is closed-form (2×2 inverse), so both engines run the
+    * identical IEEE chain from exact counts.
+    *
+    * Returns one row `(n_holdout, n_target, det, naive_0, naive_1,
+    * pi_0, pi_1)`: `naive` is the raw predicted distribution on the
+    * target (what you'd report without the correction), `pi` the
+    * corrected prior. π is NULL when the confusion matrix is singular
+    * (a useless classifier — no correction exists) or a holdout class
+    * is absent; estimates may leave [0,1] when assumptions fail —
+    * reported raw, clamping is the caller's decision. Out-of-domain
+    * indicators fail fast ([[fleissKappa]]'s contract).
+    *
+    * Scale shape: one 1-row aggregation per frame (six conditional
+    * counts + two), joined by a broadcast cross join. */
+  def labelShiftBinary(holdout: DataFrame, target: DataFrame,
+      predCol: Column, labelCol: Column): DataFrame = {
+    val f = predCol.cast("long")
+    val y = labelCol.cast("long")
+    def guard(df: DataFrame, cols: Seq[Column], what: String): DataFrame =
+      df.where(OpsUtil.orRaise(
+        cols.map(c => c.isNull || c === 0L || c === 1L).reduce(_ && _),
+        lit(s"labelShiftBinary: $what outside {0, 1, NULL}")))
+    val hold = guard(holdout, Seq(f, y), "holdout pred/label")
+      .select(f.as("__f"), y.as("__y"))
+      .filter(col("__f").isNotNull && col("__y").isNotNull)
+      .agg(count(lit(1)).as("n_holdout"),
+        sum((col("__y") === 0).cast("long")).as("__ny0"),
+        sum((col("__y") === 1).cast("long")).as("__ny1"),
+        sum((col("__f") === 0 && col("__y") === 0).cast("long")).as("__h00"),
+        sum((col("__f") === 0 && col("__y") === 1).cast("long")).as("__h01"),
+        sum((col("__f") === 1 && col("__y") === 0).cast("long")).as("__h10"))
+    val targ = guard(target, Seq(f), "target pred")
+      .select(f.as("__f")).filter(col("__f").isNotNull)
+      .agg(count(lit(1)).as("n_target"),
+        sum((col("__f") === 0).cast("long")).as("__t0"))
+    val j = hold.crossJoin(broadcast(targ))
+    def r(n: Column, d: Column): Column = n.cast("double") / d.cast("double")
+    val c00 = r(col("__h00"), col("__ny0"))
+    val c01 = r(col("__h01"), col("__ny1"))
+    val c10 = r(col("__h10"), col("__ny0"))
+    val c11 = lit(1.0) - c01
+    val mu0 = r(col("__t0"), col("n_target"))
+    val mu1 = lit(1.0) - mu0
+    val det = c00 * c11 - c01 * c10
+    val ok = col("__ny0") > 0 && col("__ny1") > 0 && col("n_target") > 0 &&
+      det =!= 0.0
+    j.select(col("n_holdout"), col("n_target"),
+      when(col("__ny0") > 0 && col("__ny1") > 0, round(det, 6)).as("det"),
+      when(col("n_target") > 0, round(mu0, 6)).as("naive_0"),
+      when(col("n_target") > 0, round(mu1, 6)).as("naive_1"),
+      when(ok, round((c11 * mu0 - c01 * mu1) / det, 6)).as("pi_0"),
+      when(ok, round((c00 * mu1 - c10 * mu0) / det, 6)).as("pi_1"))
+  }
+
   /** Difference-in-differences estimate over a 2×2 (treatment × period)
     * panel — the quasi-experimental readout when assignment wasn't
     * randomized: `DiD = (ȳ_treat,post − ȳ_treat,pre) −

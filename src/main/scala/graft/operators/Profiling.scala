@@ -526,4 +526,52 @@ object Profiling {
         round(col("__n").cast("double") * (share - benford) *
           (share - benford) / benford, 6).as("chi2_term"))
   }
+
+  /** Deterministic half-subsample confidence envelope for the mean —
+    * the "how stable is this corpus statistic?" answer a pipeline wants
+    * WITHOUT nondeterministic RNG: resample `b` is the rows whose md5
+    * hex digit `b` is even, giving `nResamples` overlapping ~half
+    * samples whose means' spread brackets the sampling noise
+    * (subsampling a la Politis–Romano, replication-exact on both
+    * engines because membership is a pure hash predicate).
+    *
+    * Returns one row `(n_resamples, n, mean_full, ci_low, ci_high)` —
+    * the envelope is the min/max of the resample means; NULL bounds if
+    * any resample is empty (tiny inputs). Values quantize at `scale`;
+    * every sum is exact and each mean one IEEE sequence.
+    *
+    * Scale shape: ONE map-side-combined 1-row aggregation carrying
+    * 2·nResamples+2 buffers — membership never materializes, nothing
+    * explodes, no second scan. */
+  def subsampleCI(df: DataFrame, idCol: Column, valueCol: Column,
+      nResamples: Int = 32, scale: Int = 6): DataFrame = {
+    require(nResamples >= 2 && nResamples <= 32,
+      s"nResamples must be in [2,32] (md5 has 32 hex digits): $nResamples")
+    val dec38 = DecimalType(38, 0)
+    val pow = math.pow(10, scale)
+    val q = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val h = md5(idCol.cast("string"))
+    val base = df.select(h.as("__h"), q.as("__q"))
+      .filter(col("__q").isNotNull)
+    def member(i: Int): Column =
+      conv(substring(col("__h"), i + 1, 1), 16, 10).cast("long") % 2 === 0
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(col("__q")).cast(dec38).as("__s")) ++
+      (0 until nResamples).flatMap(i => Seq(
+        sum(member(i).cast("long")).as(s"__c$i"),
+        sum(when(member(i), col("__q")).otherwise(0L)).cast(dec38)
+          .as(s"__s$i")))
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    def mean(sc: Column, cn: Column): Column =
+      (sc.cast("double") / lit(pow)) / cn.cast("double")
+    val means = (0 until nResamples).map(i =>
+      mean(col(s"__s$i"), col(s"__c$i")))
+    val allNonEmpty = (0 until nResamples)
+      .map(i => col(s"__c$i") > 0).reduce(_ && _)
+    agg.select(lit(nResamples).as("n_resamples"), col("n"),
+      when(col("n") > 0, round(mean(col("__s"), col("n")), 6))
+        .as("mean_full"),
+      when(allNonEmpty, round(least(means: _*), 6)).as("ci_low"),
+      when(allNonEmpty, round(greatest(means: _*), 6)).as("ci_high"))
+  }
 }

@@ -333,6 +333,32 @@ class EvaluationSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("diffInDiff")))
   }
 
+  test("labelShiftBinary: hand-computed 2x2 solve, singular NULL, guards") {
+    import spark.implicits._
+    // C = [[0.75, 0.25], [0.25, 0.75]], mu0 = 0.6 → det 0.5,
+    // pi = (0.7, 0.3)
+    val hold = Seq((0, 0), (0, 0), (0, 0), (1, 0),
+      (0, 1), (1, 1), (1, 1), (1, 1)).toDF("f", "y")
+    val targ = (Seq.fill(6)(0) ++ Seq.fill(4)(1)).toDF("f")
+    val r = Evaluation.labelShiftBinary(hold, targ, col("f"), col("y"))
+      .collect().head
+    assert(r.getLong(0) == 8 && r.getLong(1) == 10)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.6 && r.getDouble(4) == 0.4)
+    assert(r.getDouble(5) == 0.7 && r.getDouble(6) == 0.3)
+    // useless classifier (identical columns) → singular → NULL pi
+    val flat = Seq((0, 0), (1, 0), (0, 1), (1, 1)).toDF("f", "y")
+    val sNull = Evaluation.labelShiftBinary(flat, targ, col("f"), col("y"))
+      .collect().head
+    assert(sNull.getDouble(2) == 0.0 && sNull.isNullAt(5) && sNull.isNullAt(6))
+    val ex = intercept[Exception] {
+      Evaluation.labelShiftBinary(Seq((2, 0)).toDF("f", "y"), targ,
+        col("f"), col("y")).collect()
+    }
+    assert(ex.getMessage.contains("labelShiftBinary") ||
+      Option(ex.getCause).exists(_.getMessage.contains("labelShiftBinary")))
+  }
+
   test("abTest: entity-level collapse, pooled z, guards") {
     import spark.implicits._
     // a: u0 converts (2 events!), u2 doesn't; b: u1, u3 convert, u5 not

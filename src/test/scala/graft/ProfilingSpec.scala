@@ -325,4 +325,25 @@ class ProfilingSpec extends AnyFunSuite {
     assert(b1 == BigDecimal(math.log(2.0) / math.log(10.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("subsampleCI: envelope brackets the mean, deterministic, tiny-input NULL") {
+    val df = (1L to 200L).map(i => (i, (i % 17).toDouble)).toDF("id", "v")
+    val r = Profiling.subsampleCI(df, col("id"), col("v"), nResamples = 8)
+      .collect().head
+    assert(r.getInt(0) == 8 && r.getLong(1) == 200)
+    val (full, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= full && full <= hi)
+    // pure hash membership → byte-identical on re-run
+    val r2 = Profiling.subsampleCI(df, col("id"), col("v"), nResamples = 8)
+      .collect().head
+    assert(r == r2)
+    // single row: some hex digit is odd → an empty resample → NULL bounds
+    val one = Seq((1L, 5.0)).toDF("id", "v")
+    val t = Profiling.subsampleCI(one, col("id"), col("v"),
+      nResamples = 32).collect().head
+    assert(t.getDouble(2) == 5.0 && t.isNullAt(3) && t.isNullAt(4))
+    intercept[IllegalArgumentException] {
+      Profiling.subsampleCI(df, col("id"), col("v"), nResamples = 33)
+    }
+  }
 }
