@@ -831,42 +831,58 @@ object CorpusStats {
     * `(group, n_docs, n_bigrams, avg_nll)` in nats, rounded 6.
     *
     * Scale shape: bigrams build per-row (slice + zip + explode — no
-    * positional self-join); training counts are two hash aggregations on
-    * bounded type domains; scoring is one equi-join of held-out bigram
-    * TYPES (aggregated first, so the join carries distinct bigrams ×
-    * their count, not occurrences) against the trained counts; V rides a
-    * 1-row broadcast. The final fold is one group aggregation. */
+    * positional self-join) and feed ONE (held, group, w1, w2) type
+    * collapse, so the corpus's bigram stream is exploded and shuffled
+    * exactly once; train counts, context marginals, and the held-out
+    * scoring frame all derive from that bounded type table. Scoring is
+    * one equi-join of held-out bigram TYPES (the join carries distinct
+    * bigrams × their count, not occurrences) against the trained
+    * counts; V rides a 1-row broadcast; the held-doc count comes from a
+    * narrow `size(tokens) ≥ 2` scan with no explode. (The earlier form
+    * re-exploded the corpus for each of three consumers —
+    * PlanShapeSpec pins the single-Generate bigram path.) */
   def bigramNll(docs: DataFrame, textCol: String, idCol: String,
       groupCol: String, holdoutMod: Int = 10, k: Double = 1.0): DataFrame = {
     require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
     require(k > 0, s"add-k smoothing needs k > 0: $k")
     val toks = TextFunctions.tokens(col(textCol))
-    val bigrams = docs
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    // one explode → one type collapse: every downstream frame is a
+    // re-aggregation of this bounded (held, group, bigram) table.
+    // PERSISTED, not merely shared: the three consumers push different
+    // isnotnull join filters below the aggregation, so their exchange
+    // subtrees canonicalize differently and ReuseExchange does NOT fire
+    // (verified on the executed plan — three separate corpus explodes
+    // without the persist); the cached frame is bounded by the bigram
+    // TYPE domain, the one thing Zipf keeps small. Local cost of the
+    // materialization at sf0.1: ~0.2 s (Prof 1.51 s unpersisted vs
+    // 1.68 s persisted, within host swing) — accepted, because the
+    // unpersisted shape's three full corpus explodes are the 100 TB
+    // killer the local numbers can't see
+    val typeTable = docs
       .filter(col(textCol).isNotNull)
-      .select(col(idCol).as("__id"), col(groupCol).as("__g"),
+      .select(col(groupCol).as("__g"), held.as("__held"),
         explode(arrays_zip(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
-      .select(col("__id"), col("__g"),
-        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"),
-        (pmod(col("__id"), lit(holdoutMod.toLong)) === 0).as("__held"))
-    val train = bigrams.filter(!col("__held"))
-    val cb = train.groupBy(col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__cb"))
+      .groupBy(col("__held"), col("__g"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    val cb = typeTable.filter(!col("__held"))
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__n")).as("__cb"))
     val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
     val vocab = docs
-      .filter(col(textCol).isNotNull &&
-        pmod(col(idCol), lit(holdoutMod.toLong)) =!= 0)
+      .filter(col(textCol).isNotNull && !held)
       .select(explode(toks).as("__w"))
       .agg(count_distinct(col("__w")).as("__v"))
-    // aggregate held-out occurrences to bigram types per group FIRST so
-    // the scoring join moves |types| rows, then weight by occurrence
-    val heldTypes = bigrams.filter(col("__held"))
-      .groupBy(col("__g"), col("__w1"), col("__w2"))
-      .agg(count(lit(1)).as("__n"),
-        count_distinct(col("__id")).as("__ndoc"))
-    val nDocs = bigrams.filter(col("__held"))
-      .groupBy(col("__g")).agg(count_distinct(col("__id")).as("n_docs"))
+    val heldTypes = typeTable.filter(col("__held"))
+      .select(col("__g"), col("__w1"), col("__w2"), col("__n"))
+    val nDocs = docs
+      .filter(col(textCol).isNotNull && held && size(toks) >= 2)
+      .groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("n_docs"))
     val scored = heldTypes
       .join(cb, Seq("__w1", "__w2"), "left")
       .join(cu, Seq("__w1"), "left")

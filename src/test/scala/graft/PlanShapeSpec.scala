@@ -342,4 +342,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(agg.contains("sum"), "ADC total must aggregate components")
     assert(joins(plan) <= 3, s"ADC search grew unexpected joins:\n$agg")
   }
+
+  test("bigramNll: the bigram explode lives in ONE persisted stage") {
+    // consumers push different isnotnull filters below the type
+    // collapse, so without the persist the three references each
+    // re-explode the corpus (ReuseExchange cannot fire on the
+    // differently-canonicalized subtrees — verified on the executed
+    // plan). With it, the only Generate left in the consumer plan is
+    // the vocabulary pass; the bigram Generate sits inside the cached
+    // stage, built once.
+    val plan = CorpusStats.bigramNll(docs, "text", "doc_id", "source",
+      holdoutMod = 2)
+    assert(generates(plan) == 1)
+  }
+
+  test("seasonalAnomalies: no window, no join — one agg + broadcast total") {
+    val ev = Seq((java.sql.Timestamp.valueOf("2024-01-07 05:00:00"), 1.0))
+      .toDF("ts", "value")
+    val plan = TimeSeries.seasonalAnomalies(ev,
+      org.apache.spark.sql.functions.col("ts"),
+      org.apache.spark.sql.functions.col("value"), k = 5)
+    assert(windows(plan) == 0 && generates(plan) == 0)
+  }
+
+  test("winsorizedStats: the rank walk is ONE window over the histogram") {
+    val d = Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v")
+    val plan = graft.operators.Profiling.winsorizedStats(d, "g",
+      org.apache.spark.sql.functions.col("v"), alpha = 0.1)
+    // cum walk + group total share one partitionBy(g) — two logical
+    // Window nodes would mean a second sort/exchange of the histogram
+    assert(windows(plan) <= 2 && generates(plan) == 0 && joins(plan) == 0)
+  }
+
+  test("subsampleCI: membership never explodes — zero Generate, zero join") {
+    val d = Seq((1L, 1.0)).toDF("id", "v")
+    val plan = graft.operators.Profiling.subsampleCI(d,
+      org.apache.spark.sql.functions.col("id"),
+      org.apache.spark.sql.functions.col("v"), nResamples = 8)
+    assert(generates(plan) == 0 && joins(plan) == 0 && windows(plan) == 0)
+  }
 }
