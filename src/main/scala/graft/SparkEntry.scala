@@ -2123,6 +2123,41 @@ object SparkEntry {
         (col("event_type") === "purchase").cast("int"))
     }),
 
+    // Covariate balance of the vec_id-parity split: per-covariate
+    // standardized mean difference from exact integer sums.
+    "q212_covariate_balance" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      def dim(i: Int) = element_at(graft.functions.VectorFunctions
+        .asDouble(col("embedding")), i)
+      graft.operators.Evaluation.covariateBalance(emb,
+          pmod(col("vec_id"), lit(2L)).cast("int"),
+          Seq("dim1" -> dim(1), "dim2" -> dim(2),
+            "label" -> col("label").cast("double")))
+        .transform(ordered1(_, col("covariate")))
+    }),
+
+    // Q-Q drift table: decile cuts of pre- vs post-1997 order values
+    // ($10-quantized histogram), exact ceil(n*k/10) rank picks.
+    "q213_qq_table" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val v = round(col("o_totalprice"), -1)
+      Profiling.qqTable(
+          o.filter(col("o_orderdate") <
+            lit(java.sql.Date.valueOf("1997-01-01"))).select(v.as("v")),
+          o.filter(col("o_orderdate") >=
+            lit(java.sql.Date.valueOf("1997-01-01"))).select(v.as("v")),
+          col("v"), quantiles = 10)
+        .transform(ordered1(_, col("quantile")))
+    }),
+
+    // Next-event predictability: conditional entropy per prev type
+    // from one lead-window pass over the per-user order.
+    "q214_transition_entropy" -> ((s, d) => {
+      Sessionize.transitionEntropy(load(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .transform(ordered1(_, col("event_type")))
+    }),
+
     // Deterministic half-subsample envelope for the mean order value:
     // one 34-buffer aggregation pass, membership = md5 hex-digit
     // parity, never materialized.
@@ -5756,6 +5791,102 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // Unpivot -> (covariate, group) exact sums; SMD one IEEE chain
+    // (population variances, pooled by simple average).
+    "q212_covariate_balance" ->
+      """WITH s AS (
+        |  SELECT vec_id % 2 AS t, 'dim1' AS c,
+        |    CAST(CAST(CAST(embedding AS DOUBLE[])[1] AS DECIMAL(18,6))
+        |      * 1000000 AS HUGEINT) AS q FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id % 2, 'dim2',
+        |    CAST(CAST(CAST(embedding AS DOUBLE[])[2] AS DECIMAL(18,6))
+        |      * 1000000 AS HUGEINT) FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id % 2, 'label',
+        |    CAST(CAST(CAST(label AS DOUBLE) AS DECIMAL(18,6))
+        |      * 1000000 AS HUGEINT) FROM embeddings),
+        |cells AS (SELECT c, t, count(*) AS n, sum(q) AS sq,
+        |    sum(q * q) AS sqq
+        |  FROM s GROUP BY c, t),
+        |j AS (SELECT tr.c AS covariate,
+        |    CAST(tr.n AS BIGINT) AS n_treat, CAST(ct.n AS BIGINT) AS n_ctrl,
+        |    (CAST(tr.sq AS DOUBLE) / 1000000.0) / CAST(tr.n AS DOUBLE)
+        |      AS mt,
+        |    (CAST(ct.sq AS DOUBLE) / 1000000.0) / CAST(ct.n AS DOUBLE)
+        |      AS mc,
+        |    CAST(CAST(tr.n AS HUGEINT) * tr.sqq - tr.sq * tr.sq AS DOUBLE)
+        |      / (CAST(tr.n AS DOUBLE) * CAST(tr.n AS DOUBLE)
+        |        * 1000000.0 * 1000000.0) AS vt,
+        |    CAST(CAST(ct.n AS HUGEINT) * ct.sqq - ct.sq * ct.sq AS DOUBLE)
+        |      / (CAST(ct.n AS DOUBLE) * CAST(ct.n AS DOUBLE)
+        |        * 1000000.0 * 1000000.0) AS vc
+        |  FROM (SELECT * FROM cells WHERE t = 1) tr
+        |  JOIN (SELECT * FROM cells WHERE t = 0) ct ON ct.c = tr.c)
+        |SELECT covariate, n_treat, n_ctrl,
+        |  round(mt, 6) AS mean_treat, round(mc, 6) AS mean_ctrl,
+        |  CASE WHEN vt + vc > 0 THEN
+        |    round((mt - mc) / sqrt((vt + vc) / 2.0), 6) END AS smd
+        |FROM j ORDER BY covariate""".stripMargin,
+
+    // Exact decile rank picks ceil(n*k/10) on both sides' histograms.
+    "q213_qq_table" ->
+      """WITH av AS (SELECT round(o_totalprice, -1) AS v FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |bv AS (SELECT round(o_totalprice, -1) AS v FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+        |    AND o_totalprice IS NOT NULL),
+        |ah AS (SELECT v, count(*) AS c FROM av GROUP BY v),
+        |ar AS (SELECT v,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum FROM ah),
+        |an AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM ah),
+        |bh AS (SELECT v, count(*) AS c FROM bv GROUP BY v),
+        |br AS (SELECT v,
+        |    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum FROM bh),
+        |bn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bh),
+        |sp AS (SELECT CAST(u.k AS INT) AS quantile
+        |  FROM unnest(range(1, 10)) AS u(k)),
+        |ark AS (SELECT sp.quantile,
+        |    CAST(ceil(CAST(an.n AS DOUBLE) *
+        |      CAST(sp.quantile AS DOUBLE) / 10.0) AS BIGINT) AS rk
+        |  FROM sp, an),
+        |brk AS (SELECT sp.quantile,
+        |    CAST(ceil(CAST(bn.n AS DOUBLE) *
+        |      CAST(sp.quantile AS DOUBLE) / 10.0) AS BIGINT) AS rk
+        |  FROM sp, bn),
+        |ac AS (SELECT ark.quantile, min(ar.v) AS value_a
+        |  FROM ark LEFT JOIN ar ON ar.cum >= ark.rk
+        |  GROUP BY ark.quantile),
+        |bc AS (SELECT brk.quantile, min(br.v) AS value_b
+        |  FROM brk LEFT JOIN br ON br.cum >= brk.rk
+        |  GROUP BY brk.quantile)
+        |SELECT ac.quantile, value_a, value_b,
+        |  round(value_b - value_a, 6) AS gap
+        |FROM ac JOIN bc ON bc.quantile = ac.quantile
+        |ORDER BY ac.quantile""".stripMargin,
+
+    // One lead window builds the pairs; entropy over the bounded
+    // (prev, next) type matrix.
+    "q214_transition_entropy" ->
+      """WITH p AS (SELECT event_type AS prev,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next
+        |  FROM events),
+        |c AS (SELECT prev, next, count(*) AS c FROM p
+        |  WHERE next IS NOT NULL GROUP BY prev, next),
+        |m AS (SELECT prev, CAST(sum(c) AS BIGINT) AS n_out,
+        |    count(*) AS n_next_types FROM c GROUP BY prev)
+        |SELECT c.prev AS event_type, m.n_out, m.n_next_types,
+        |  round(sum(-(CAST(c.c AS DOUBLE) / CAST(m.n_out AS DOUBLE)) *
+        |    ln(CAST(c.c AS DOUBLE) / CAST(m.n_out AS DOUBLE))), 6)
+        |    AS entropy
+        |FROM c JOIN m ON m.prev = c.prev
+        |GROUP BY c.prev, m.n_out, m.n_next_types
+        |ORDER BY event_type""".stripMargin,
 
     // Membership = hex digit of md5(key) is even, spelled as an IN
     // list; 16 conditional HUGEINT sums in one pass, least/greatest

@@ -645,6 +645,72 @@ object Evaluation {
         round((pb - pa) / se, 6)).as("z"))
   }
 
+  /** Covariate-balance audit for a two-group comparison — the table
+    * every observational study (and every A/B sanity check) prints
+    * first: per covariate, the standardized mean difference
+    * `SMD = (x̄_t − x̄_c) / √((s²_t + s²_c)/2)` with POPULATION
+    * variances from exact integer sums. |SMD| ≳ 0.1 is the
+    * conventional imbalance flag; a randomized split failing it on many
+    * covariates means the bucketing hash is broken.
+    *
+    * Returns one row per covariate: `(covariate, n_treat, n_ctrl,
+    * mean_treat, mean_ctrl, smd)`; smd NULL when a group is empty or
+    * both variances are 0. Treat indicator outside {0,1,NULL} fails
+    * fast; NULL indicator or value rows are excluded per covariate.
+    *
+    * Scale shape: covariates UNPIVOT (bounded ×|C| multiplier, the
+    * [[Features.miRanking]] precedent) into ONE (covariate, group)
+    * aggregation carrying exact decimal sums — no join, no window
+    * beyond the bounded 2|C|-row frame. */
+  def covariateBalance(df: DataFrame, treatCol: Column,
+      covariates: Seq[(String, Column)], scale: Int = 6): DataFrame = {
+    require(covariates.nonEmpty, "covariateBalance needs covariates")
+    require(covariates.map(_._1).distinct.size == covariates.size,
+      "covariate names must be unique")
+    val t = treatCol.cast("long")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pow = math.pow(10, scale)
+    val stacked = df
+      .where(OpsUtil.orRaise(t.isNull || t === 0L || t === 1L,
+        lit("covariateBalance: treat indicator outside {0, 1, NULL}")))
+      .filter(t.isNotNull)
+      .select(t.as("__t"),
+        array(covariates.map { case (n, c) =>
+          struct(lit(n).as("c"),
+            graft.functions.Decimals.unscaledLong(c, scale).as("q"))
+        }: _*).as("__cs"))
+      .select(col("__t"), explode(col("__cs")).as("__cv"))
+      .select(col("__t"), col("__cv.c").as("__c"), col("__cv.q").as("__q"))
+      .filter(col("__q").isNotNull)
+    val cells = stacked.groupBy(col("__c"), col("__t"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).cast(dec38).as("__s"),
+        sum(col("__q").cast(dec38) * col("__q").cast(dec38)).as("__sq"))
+    def side(i: Int, out: String): DataFrame = cells
+      .filter(col("__t") === i)
+      .select(col("__c"), col("__n").as(s"n_$out"),
+        col("__s").as(s"__s_$out"), col("__sq").as(s"__sq_$out"))
+    def mean(o: String): Column =
+      (col(s"__s_$o").cast("double") / lit(pow)) /
+        col(s"n_$o").cast("double")
+    def variance(o: String): Column = {
+      val n = col(s"n_$o").cast("double")
+      (col(s"n_$o").cast(dec38) * col(s"__sq_$o") -
+        col(s"__s_$o") * col(s"__s_$o")).cast("double") /
+        (n * n * lit(pow) * lit(pow))
+    }
+    val ok = col("n_treat") > 0 && col("n_ctrl") > 0 &&
+      (variance("treat") + variance("ctrl")) > 0
+    side(1, "treat").join(side(0, "ctrl"), Seq("__c"), "full_outer")
+      .select(col("__c").as("covariate"),
+        coalesce(col("n_treat"), lit(0L)).as("n_treat"),
+        coalesce(col("n_ctrl"), lit(0L)).as("n_ctrl"),
+        when(col("n_treat") > 0, round(mean("treat"), 6)).as("mean_treat"),
+        when(col("n_ctrl") > 0, round(mean("ctrl"), 6)).as("mean_ctrl"),
+        when(ok, round((mean("treat") - mean("ctrl")) /
+          sqrt((variance("treat") + variance("ctrl")) / lit(2.0)), 6))
+          .as("smd"))
+  }
+
   /** Binary label-shift estimation (BBSE, Lipton et al. 2018): under
     * covariate-stable label shift, the target's class prior solves
     * `C·π = μ` where `C_ij = P(f=i | y=j)` comes from a labeled holdout

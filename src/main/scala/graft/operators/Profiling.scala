@@ -574,4 +574,46 @@ object Profiling {
       when(allNonEmpty, round(least(means: _*), 6)).as("ci_low"),
       when(allNonEmpty, round(greatest(means: _*), 6)).as("ci_high"))
   }
+
+  /** Side-by-side quantile table for two snapshots — the Q-Q read that
+    * says WHERE a distribution moved, where [[driftPsi]]/`jsDivergence`
+    * say only how much and [[Evaluation.ksTwoSample]] only the largest
+    * gap. For k = 1..quantiles−1 the k-th cut is the exact order
+    * statistic at rank `ceil(n·k/quantiles)` on each side (any SQL
+    * oracle selects the same values). Returns
+    * `(quantile, value_a, value_b, gap)`; a side's cut is NULL when
+    * that side is empty. NULL values are excluded.
+    *
+    * Scale shape: each side collapses to its value histogram (bounded
+    * — callers quantize, the [[Evaluation.aucBinary]] convention); ONE
+    * cumulative window per side; the quantile spine is a bounded
+    * cross join; rank picks are per-quantile min-folds over the
+    * bounded frame. */
+  def qqTable(a: DataFrame, b: DataFrame, valueCol: Column,
+      quantiles: Int = 10): DataFrame = {
+    require(quantiles >= 2, s"quantiles must be >= 2: $quantiles")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def cuts(df: DataFrame, out: String): DataFrame = {
+      val hist = df.select(valueCol.cast("double").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+      val tot = hist.agg(sum(col("__c")).as("__n"))
+      val spine = df.sparkSession.range(1, quantiles).toDF("quantile")
+        .select(col("quantile").cast("int").as("quantile"))
+      spine.crossJoin(broadcast(tot))
+        .select(col("quantile"),
+          ceil(col("__n").cast("double") * col("quantile").cast("double") /
+            lit(quantiles.toDouble)).cast("long").as("__rk"))
+        .join(cum, col("__cum") >= col("__rk"), "left")
+        .groupBy(col("quantile"))
+        .agg(min(col("__v")).as(out))
+    }
+    cuts(a, "value_a").join(cuts(b, "value_b"), Seq("quantile"),
+        "full_outer")
+      .select(col("quantile"), col("value_a"), col("value_b"),
+        round(col("value_b") - col("value_a"), 6).as("gap"))
+  }
 }

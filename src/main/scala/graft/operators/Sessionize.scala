@@ -440,4 +440,38 @@ object Sessionize {
         coalesce(col("first_touch"), lit(0L)).as("first_touch"),
         coalesce(col("last_touch"), lit(0L)).as("last_touch"))
   }
+
+  /** Conditional next-event entropy per event type — "after a `click`,
+    * how predictable is what happens next?" For each prev type:
+    * `H(next | prev) = −Σ_next P(next|prev)·ln P(next|prev)` (nats)
+    * over consecutive same-key event pairs in `(ts, id)` order, plus
+    * the type's share of all transitions. Low entropy = a funnel edge;
+    * high = a browse hub. The one-number-per-state compression of the
+    * [[q116-style]] transition matrix.
+    *
+    * Returns one row per prev type:
+    * `(event_type, n_out, n_next_types, entropy)`.
+    *
+    * Scale shape: ONE window pass (lead over the per-key order) builds
+    * the pairs; a hash aggregation collapses to the bounded
+    * (prev, next) type matrix; the entropy fold and marginals run on
+    * that bounded frame. */
+  def transitionEntropy(events: DataFrame, key: String, ts: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col(idCol).asc)
+    val pairs = events
+      .select(col(key), col(ts), col(idCol), col(typeCol).as("__prev"))
+      .withColumn("__next", lead(col("__prev"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("__prev"), col("__next"))
+      .agg(count(lit(1)).as("__c"))
+    val marg = pairs.groupBy(col("__prev"))
+      .agg(sum(col("__c")).as("n_out"), count(lit(1)).as("n_next_types"))
+    val p = col("__c").cast("double") / col("n_out").cast("double")
+    pairs.join(marg, Seq("__prev"))
+      .groupBy(col("__prev").as("event_type"), col("n_out"),
+        col("n_next_types"))
+      .agg(round(sum(-p * log(p)), 6).as("entropy"))
+  }
 }

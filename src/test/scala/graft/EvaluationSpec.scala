@@ -359,6 +359,35 @@ class EvaluationSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("labelShiftBinary")))
   }
 
+  test("covariateBalance: SMD 1 on unit shift, 0 on identical, NULL on constant") {
+    import spark.implicits._
+    // shifted: t={1,3} (mean 2, var 1), c={0,2} (mean 1, var 1) → SMD 1
+    // same: identical sets both sides → SMD 0
+    // const: variance 0 both sides → NULL
+    val df = Seq(
+      (1, 1.0, 5.0, 7.0), (1, 3.0, 6.0, 7.0),
+      (0, 0.0, 5.0, 7.0), (0, 2.0, 6.0, 7.0)
+    ).toDF("t", "shifted", "same", "const")
+    val rows = Evaluation.covariateBalance(df, col("t"), Seq(
+        "shifted" -> col("shifted"), "same" -> col("same"),
+        "const" -> col("const")))
+      .orderBy("covariate").collect()
+    val byName = rows.map(r => r.getString(0) -> r).toMap
+    assert(byName("shifted").getLong(1) == 2 &&
+      byName("shifted").getLong(2) == 2)
+    assert(byName("shifted").getDouble(3) == 2.0 &&
+      byName("shifted").getDouble(4) == 1.0)
+    assert(byName("shifted").getDouble(5) == 1.0)
+    assert(byName("same").getDouble(5) == 0.0)
+    assert(byName("const").isNullAt(5))
+    val ex = intercept[Exception] {
+      Evaluation.covariateBalance(Seq((2, 1.0)).toDF("t", "x"),
+        col("t"), Seq("x" -> col("x"))).collect()
+    }
+    assert(ex.getMessage.contains("covariateBalance") ||
+      Option(ex.getCause).exists(_.getMessage.contains("covariateBalance")))
+  }
+
   test("abTest: entity-level collapse, pooled z, guards") {
     import spark.implicits._
     // a: u0 converts (2 events!), u2 doesn't; b: u1, u3 convert, u5 not

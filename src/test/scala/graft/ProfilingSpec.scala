@@ -346,4 +346,24 @@ class ProfilingSpec extends AnyFunSuite {
       Profiling.subsampleCI(df, col("id"), col("v"), nResamples = 33)
     }
   }
+
+  test("qqTable: exact rank cuts, constant gap on a shifted copy, empty side") {
+    val a = (1 to 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val b = (11 to 20).map(i => Tuple1(i.toDouble)).toDF("v")
+    val rows = Profiling.qqTable(a, b, col("v"), quantiles = 4)
+      .orderBy("quantile").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    // ranks ceil(10k/4) = 3, 5, 8
+    assert(rows.toSeq == Seq((1, 3.0, 13.0, 10.0), (2, 5.0, 15.0, 10.0),
+      (3, 8.0, 18.0, 10.0)))
+    // empty side: cuts NULL, join still yields the spine
+    val empty = Seq.empty[Tuple1[Double]].toDF("v")
+    val e = Profiling.qqTable(a, empty, col("v"), quantiles = 4)
+      .orderBy("quantile").collect()
+    assert(e.length == 3 && e.forall(r => r.isNullAt(2) && r.isNullAt(3)))
+    intercept[IllegalArgumentException] {
+      Profiling.qqTable(a, b, col("v"), quantiles = 1)
+    }
+  }
 }

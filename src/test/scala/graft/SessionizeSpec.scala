@@ -321,4 +321,28 @@ class SessionizeSpec extends AnyFunSuite {
     // last:  u1 click, u2 click, u4 click(id 9) -> click 3
     assert(rows.toSeq == Seq(("click", 1L, 3L), ("view", 2L, 0L)))
   }
+
+  test("transitionEntropy: hand contingency, zero-entropy funnel edge") {
+    import spark.implicits._
+    // u1: a->b->a->c; u2: a->b. pairs: (a,b)x2 (b,a) (a,c)
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "a"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "c"),
+      (2L, ts("2024-01-01 09:00:00"), 5L, "a"),
+      (2L, ts("2024-01-01 09:01:00"), 6L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val rows = Sessionize.transitionEntropy(df, "user_id", "ts",
+        "event_id", "event_type")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val ha = -(2.0 / 3.0) * math.log(2.0 / 3.0) -
+      (1.0 / 3.0) * math.log(1.0 / 3.0)
+    assert(rows.length == 2) // 'c' is never a prev
+    assert(rows(0)._1 == "a" && rows(0)._2 == 3 && rows(0)._3 == 2)
+    assert(math.abs(rows(0)._4 - ha) < 2e-6)
+    assert(rows(1) == (("b", 1L, 1L, 0.0))) // deterministic funnel edge
+  }
 }
