@@ -2123,6 +2123,44 @@ object SparkEntry {
         (col("event_type") === "purchase").cast("int"))
     }),
 
+    // Hierarchical share-of-parent rollup: nation order value as a
+    // share of its region and of the total. Exact unscaled-long
+    // partials ride BOTH windows on one exchange (long addition is
+    // associative, so the window re-sums are exact).
+    "q215_share_of_parent" -> ((s, d) => {
+      val base = load(s, d, "orders")
+        .join(load(s, d, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(load(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(load(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+      val agg = base.groupBy(col("r_name"), col("n_name"))
+        .agg(dsumPartial(col("o_totalprice"), 2).as("__p"))
+      import org.apache.spark.sql.expressions.{Window => W}
+      agg
+        .withColumn("__pr", sum(col("__p")).over(
+          W.partitionBy(col("r_name"))))
+        .withColumn("__pt", sum(col("__p")).over(W.partitionBy()))
+        .select(col("r_name"), col("n_name"),
+          graft.functions.Decimals.fromUnscaled(col("__p"), 2)
+            .as("nation_rev"),
+          round(col("__p").cast("double") / col("__pr").cast("double"), 6)
+            .as("share_of_region"),
+          round(col("__p").cast("double") / col("__pt").cast("double"), 6)
+            .as("share_of_total"))
+        .transform(ordered1(_, col("r_name"), col("n_name")))
+    }),
+
+    // Burrows' Delta stylometry: per-source z-profiles over the top-50
+    // corpus tokens, mean |z| distance per source pair — the
+    // authorship-attribution read on "which sources write alike".
+    "q216_stylometry" -> ((s, d) => {
+      CorpusStats.burrowsDelta(parallel(load(s, d, "documents")), "text",
+          "source", topK = 50)
+        .transform(ordered1(_, col("source_a"), col("source_b")))
+    }),
+
     // Covariate balance of the vec_id-parity split: per-covariate
     // standardized mean difference from exact integer sums.
     "q212_covariate_balance" -> ((s, d) => {
@@ -5791,6 +5829,58 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // Exact cent partials; window re-sums stay integral; shares and the
+    // rev division are single correctly-rounded IEEE ops on both sides.
+    "q215_share_of_parent" ->
+      """WITH t AS (SELECT r_name, n_name,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS p
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |w AS (SELECT r_name, n_name, p,
+        |    CAST(sum(p) OVER (PARTITION BY r_name) AS HUGEINT) AS pr,
+        |    CAST(sum(p) OVER () AS HUGEINT) AS pt FROM t)
+        |SELECT r_name, n_name,
+        |  CAST(p AS DOUBLE) / 100.0 AS nation_rev,
+        |  round(CAST(p AS DOUBLE) / CAST(pr AS DOUBLE), 6)
+        |    AS share_of_region,
+        |  round(CAST(p AS DOUBLE) / CAST(pt AS DOUBLE), 6)
+        |    AS share_of_total
+        |FROM w ORDER BY r_name, n_name""".stripMargin,
+
+    // Zero-filled (source, top-token) z profiles; zero-variance tokens
+    // contribute 0; mean |z gap| per unordered pair.
+    "q216_stylometry" ->
+      """WITH st AS (SELECT source AS s, w, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY s, w),
+        |top AS (SELECT w FROM (SELECT w, sum(c) AS cw FROM st GROUP BY w)
+        |  ORDER BY cw DESC, w ASC LIMIT 50),
+        |tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY s),
+        |spine AS (SELECT tot.s, tot.n, top.w FROM tot CROSS JOIN top),
+        |freq AS (SELECT spine.s, spine.w,
+        |    CAST(coalesce(st.c, 0) AS DOUBLE) / CAST(spine.n AS DOUBLE)
+        |      AS f
+        |  FROM spine LEFT JOIN st ON st.s = spine.s AND st.w = spine.w),
+        |z AS (SELECT s, w,
+        |    CASE WHEN sd > 0 THEN (f - mu) / sd ELSE 0.0 END AS z
+        |  FROM (SELECT s, w, f,
+        |      avg(f) OVER (PARTITION BY w) AS mu,
+        |      sqrt(avg(f * f) OVER (PARTITION BY w) -
+        |        avg(f) OVER (PARTITION BY w) *
+        |        avg(f) OVER (PARTITION BY w)) AS sd
+        |    FROM freq))
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  count(*) AS n_tokens,
+        |  round(sum(abs(a.z - b.z)) / CAST(count(*) AS DOUBLE), 6)
+        |    AS delta
+        |FROM z a JOIN z b ON a.w = b.w AND a.s < b.s
+        |GROUP BY a.s, b.s ORDER BY source_a, source_b""".stripMargin,
 
     // Unpivot -> (covariate, group) exact sums; SMD one IEEE chain
     // (population variances, pooled by simple average).

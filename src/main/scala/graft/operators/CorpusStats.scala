@@ -976,4 +976,69 @@ object CorpusStats {
         when(col("__lsum") > 0,
           round(col("__m").cast("double") / col("__lsum"), 6)).as("alpha"))
   }
+
+  /** Burrows\' Delta stylometric distance between sources — the
+    * authorship-attribution classic (Burrows 2002): each source gets a
+    * z-score profile over the corpus\'s `topK` most frequent tokens
+    * (relative frequency, standardized ACROSS sources per token), and
+    * the distance between two sources is the MEAN |z difference| over
+    * those tokens. Near-zero Delta between two "different" sources is
+    * the tell that they share a generator (template spam, a mirrored
+    * crawl) even when no document is a duplicate — the style-level
+    * complement of the content-hash dedup family.
+    *
+    * Returns one row per unordered source pair `(source_a, source_b,
+    * n_tokens, delta)` with source_a < source_b; the z denominators use
+    * POPULATION std across sources, tokens with zero cross-source
+    * variance contribute 0 (every source identical there — no signal,
+    * not a division blowup).
+    *
+    * Scale shape: one Zipf-collapsed (source, token) count aggregation
+    * carries everything; the top-k cut is TakeOrderedAndProject on the
+    * token marginal (re-aggregated from the same frame); the z frame is
+    * |sources|×topK (bounded, zero-filled via a broadcast spine) and
+    * the pair walk is a self-join over that bounded frame. The corpus
+    * is tokenized ONCE. */
+  def burrowsDelta(docs: DataFrame, textCol: String, sourceCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val st = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(sourceCol).as("__s"),
+        explode(TextFunctions.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .persist()
+    val top = st.groupBy(col("__w")).agg(sum(col("__c")).as("__cw"))
+      .orderBy(col("__cw").desc, col("__w").asc)
+      .limit(topK)
+      .select(col("__w"))
+    val totals = st.groupBy(col("__s")).agg(sum(col("__c")).as("__n"))
+    val spine = totals.select(col("__s"), col("__n"))
+      .crossJoin(broadcast(top))
+    val freq = spine
+      .join(st, Seq("__s", "__w"), "left")
+      .select(col("__s"), col("__w"),
+        (coalesce(col("__c"), lit(0L)).cast("double") /
+          col("__n").cast("double")).as("__f"))
+    val wTok = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__w"))
+    val z = freq
+      .withColumn("__mu", avg(col("__f")).over(wTok))
+      .withColumn("__sd", sqrt(avg(col("__f") * col("__f")).over(wTok) -
+        avg(col("__f")).over(wTok) * avg(col("__f")).over(wTok)))
+      .select(col("__s"), col("__w"),
+        when(col("__sd") > 0, (col("__f") - col("__mu")) / col("__sd"))
+          .otherwise(lit(0.0)).as("__z"))
+    val a = z.select(col("__s").as("source_a"), col("__w"),
+      col("__z").as("__za"))
+    val b = z.select(col("__s").as("source_b"), col("__w"),
+      col("__z").as("__zb"))
+    a.join(b, Seq("__w"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(abs(col("__za") - col("__zb"))) /
+          count(lit(1)).cast("double"), 6).as("delta"))
+  }
 }

@@ -438,4 +438,29 @@ class TextQualitySpec extends AnyFunSuite {
       CorpusStats.tailIndex(docs, "text", k = 1)
     }
   }
+
+  test("burrowsDelta: hand z-profiles, identical sources at 0, symmetry") {
+    import spark.implicits._
+    // counts: s1 a2 b1, s2 a1 b2, s3 a1 b1 → z(a) = ±√54/6, 0
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "a b b"),
+      (3L, "s3", "a b")).toDF("doc_id", "source", "text")
+    val rows = CorpusStats.burrowsDelta(docs, "text", "source", topK = 2)
+      .orderBy("source_a", "source_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq ==
+      Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(rows.forall(_._2 == 2))
+    val unit = math.sqrt(54.0) / 6.0
+    assert(math.abs(rows(0)._3 - 2 * unit) < 1e-5) // opposite profiles
+    assert(math.abs(rows(1)._3 - unit) < 1e-5)
+    assert(math.abs(rows(2)._3 - unit) < 1e-5)     // symmetric to s1-s3
+    // a cloned source is at EXACT delta 0 from its twin
+    val cloned = Seq((1L, "x", "p q p"), (2L, "y", "p q p"),
+      (3L, "z", "q q q")).toDF("doc_id", "source", "text")
+    val d0 = CorpusStats.burrowsDelta(cloned, "text", "source", topK = 2)
+      .filter(col("source_a") === "x" && col("source_b") === "y")
+      .collect().head.getDouble(3)
+    assert(d0 == 0.0)
+  }
 }
