@@ -2161,6 +2161,40 @@ object SparkEntry {
         .transform(ordered1(_, col("source_a"), col("source_b")))
     }),
 
+    // Cramér's V association screen across categorical pairs (the
+    // zero-spine mass folded as n - Σ_obs e, no spine join).
+    "q217_cramers_v" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      val lenBucket = least(floor(col("n_chars") / lit(200.0)), lit(4L))
+      Profiling.cramersV(docs, Seq(
+          ("lang_source", col("lang"), col("source")),
+          ("lang_length", col("lang"), lenBucket),
+          ("source_length", col("source"), lenBucket)))
+        .transform(ordered1(_, col("pair")))
+    }),
+
+    // Uncertainty sampling for active labeling: the 3 least-confident
+    // docs per label bucket under the q193 probability squash —
+    // window-group-limit shape, margin ascending.
+    "q218_uncertainty_sample" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      val p = greatest(lit(0.0), least(lit(1.0),
+        round(lit(0.5) + element_at(graft.functions.VectorFunctions
+          .asDouble(col("embedding")), 1) / lit(4.0), 3)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label"))
+        .orderBy(col("margin").asc, col("vec_id").asc)
+      emb.select(col("label"), col("vec_id"), p.as("p"),
+          // p carries 3 decimals, so the margin is already exact —
+          // round(.,6) is the identity, kept for the output convention
+          round(abs(p - lit(0.5)), 6).as("margin"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .drop("__rn")
+        .transform(ordered1(_, col("label"), col("margin"),
+          col("vec_id")))
+    }),
+
     // Covariate balance of the vec_id-parity split: per-covariate
     // standardized mean difference from exact integer sums.
     "q212_covariate_balance" -> ((s, d) => {
@@ -5829,6 +5863,63 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // Per pair: observed-cell chi2 terms + (n - sum_e) absent mass;
+    // V = sqrt(chi2 / (n * (min(r,c) - 1))).
+    "q217_cramers_v" -> {
+      def pairSql(name: String, ea: String, eb: String) =
+        s"""SELECT '$name' AS pair, n, n_a, n_b,
+           |  round(chi2, 6) AS chi2,
+           |  CASE WHEN least(n_a, n_b) > 1 AND n > 0 THEN
+           |    round(sqrt(chi2 / (CAST(n AS DOUBLE) *
+           |      CAST(least(n_a, n_b) - 1 AS DOUBLE))), 6) END AS v
+           |FROM (
+           |  WITH cells AS (SELECT CAST($ea AS VARCHAR) AS a,
+           |      CAST($eb AS VARCHAR) AS b, count(*) AS c
+           |    FROM documents
+           |    WHERE $ea IS NOT NULL AND $eb IS NOT NULL GROUP BY 1, 2),
+           |  ra AS (SELECT a, sum(c) AS ra FROM cells GROUP BY a),
+           |  rb AS (SELECT b, sum(c) AS rb FROM cells GROUP BY b),
+           |  tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+           |  na AS (SELECT count(*) AS n_a FROM ra),
+           |  nb AS (SELECT count(*) AS n_b FROM rb)
+           |  SELECT tot.n, na.n_a, nb.n_b,
+           |    sum((CAST(c AS DOUBLE) -
+           |        CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) /
+           |          CAST(tot.n AS DOUBLE)) *
+           |      (CAST(c AS DOUBLE) -
+           |        CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) /
+           |          CAST(tot.n AS DOUBLE)) /
+           |      (CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) /
+           |        CAST(tot.n AS DOUBLE))) +
+           |    (CAST(tot.n AS DOUBLE) -
+           |      sum(CAST(ra.ra AS DOUBLE) * CAST(rb.rb AS DOUBLE) /
+           |        CAST(tot.n AS DOUBLE))) AS chi2
+           |  FROM cells JOIN ra ON ra.a = cells.a
+           |  JOIN rb ON rb.b = cells.b, tot, na, nb
+           |  GROUP BY tot.n, na.n_a, nb.n_b)""".stripMargin
+      val lb = "least(CAST(floor(n_chars / 200.0) AS BIGINT), 4)"
+      s"""${pairSql("lang_source", "lang", "source")}
+         |UNION ALL
+         |${pairSql("lang_length", "lang", lb)}
+         |UNION ALL
+         |${pairSql("source_length", "source", lb)}
+         |ORDER BY pair""".stripMargin
+    },
+
+    // Window-group-limit: 3 smallest margins per label, (margin, id)
+    // tiebreak.
+    "q218_uncertainty_sample" ->
+      """WITH s AS (SELECT label, vec_id,
+        |    greatest(0.0, least(1.0,
+        |      round(0.5 + CAST(embedding AS DOUBLE[])[1] / 4.0, 3))) AS p
+        |  FROM embeddings),
+        |r AS (SELECT label, vec_id, p, abs(p - 0.5) AS m,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY abs(p - 0.5), vec_id) AS rn
+        |  FROM s)
+        |SELECT label, vec_id, p, round(m, 6) AS margin FROM r
+        |WHERE rn <= 3 ORDER BY label, margin, vec_id""".stripMargin,
 
     // Exact cent partials; window re-sums stay integral; shares and the
     // rev division are single correctly-rounded IEEE ops on both sides.

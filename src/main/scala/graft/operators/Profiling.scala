@@ -575,6 +575,63 @@ object Profiling {
       when(allNonEmpty, round(greatest(means: _*), 6)).as("ci_high"))
   }
 
+  /** Cramér's V association panel over categorical column pairs — the
+    * normalized-to-[0,1] strength read on top of
+    * [[contingencyChi2]]'s per-cell terms: for each pair,
+    * `V = √(χ² / (n·(min(r,c) − 1)))`. The schema-wide "which
+    * categoricals are redundant / entangled" screen a feature audit
+    * runs before encoding.
+    *
+    * Returns one row per ordered input pair `(col_a, col_b, n, n_a,
+    * n_b, chi2, v)`; V NULL when either column is constant (min−1 = 0
+    * — association undefined). NULL category values are excluded per
+    * pair.
+    *
+    * Scale shape: per pair, one bounded (a, b) contingency aggregation
+    * with marginals derived from it — the chi2 fold never touches row
+    * count after the first collapse; the pair list is caller-bounded. */
+  def cramersV(df: DataFrame, pairs: Seq[(String, Column, Column)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "cramersV needs at least one pair")
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      "pair names must be unique")
+    val results = pairs.map { case (name, ca, cb) =>
+      val cells = df
+        .select(ca.cast("string").as("__a"), cb.cast("string").as("__b"))
+        .filter(col("__a").isNotNull && col("__b").isNotNull)
+        .groupBy(col("__a"), col("__b"))
+        .agg(count(lit(1)).as("__c"))
+      val ra = cells.groupBy(col("__a")).agg(sum(col("__c")).as("__ra"))
+      val rb = cells.groupBy(col("__b")).agg(sum(col("__c")).as("__rb"))
+      val tot = cells.agg(sum(col("__c")).as("n"))
+      val na = ra.agg(count(lit(1)).as("n_a"))
+      val nb = rb.agg(count(lit(1)).as("n_b"))
+      val e = col("__ra").cast("double") * col("__rb").cast("double") /
+        col("n").cast("double")
+      val o = col("__c").cast("double")
+      // observed cells contribute (o−e)²/e; EVERY ABSENT cell of the
+      // full r×c spine contributes e, and Σ_all e = n, so the absent
+      // mass is n − Σ_obs e — no spine materialization needed
+      val chi2 = cells
+        .join(broadcast(ra), Seq("__a"))
+        .join(broadcast(rb), Seq("__b"))
+        .crossJoin(broadcast(tot))
+        .agg(sum((o - e) * (o - e) / e).as("__terms"),
+          sum(e).as("__esum"), max(col("n")).as("n"))
+        .select(col("n"),
+          (col("__terms") + (col("n").cast("double") - col("__esum")))
+            .as("__chi2"))
+      chi2.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .select(lit(name).as("pair"), col("n"), col("n_a"), col("n_b"),
+          round(col("__chi2"), 6).as("chi2"),
+          when(least(col("n_a"), col("n_b")) > 1 && col("n") > 0,
+            round(sqrt(col("__chi2") / (col("n").cast("double") *
+              (least(col("n_a"), col("n_b")) - 1).cast("double"))), 6))
+            .as("v"))
+    }
+    results.reduce(_.unionByName(_))
+  }
+
   /** Side-by-side quantile table for two snapshots — the Q-Q read that
     * says WHERE a distribution moved, where [[driftPsi]]/`jsDivergence`
     * say only how much and [[Evaluation.ksTwoSample]] only the largest

@@ -366,4 +366,27 @@ class ProfilingSpec extends AnyFunSuite {
       Profiling.qqTable(a, b, col("v"), quantiles = 1)
     }
   }
+
+  test("cramersV: perfect association 1, independence ~0, constant NULL") {
+    // perfect: b = a; independent: b uniform within each a
+    val df = Seq(
+      ("x", "x", "p", "k"), ("x", "x", "q", "k"),
+      ("y", "y", "p", "k"), ("y", "y", "q", "k")
+    ).toDF("a", "dup", "ind", "const")
+    val rows = Profiling.cramersV(df, Seq(
+        ("perfect", col("a"), col("dup")),
+        ("independent", col("a"), col("ind")),
+        ("constant", col("a"), col("const"))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("perfect").getDouble(5) == 1.0)
+    assert(rows("independent").getDouble(5) == 0.0)
+    assert(rows("independent").getDouble(4) == 0.0) // chi2 exactly 0
+    assert(rows("constant").isNullAt(5)) // min(r,c) = 1 → undefined
+    // chi2 includes the ABSENT-cell mass: a diagonal-only 2x2 has
+    // chi2 = n (observed terms n/2·2... spine mass counted)
+    assert(rows("perfect").getDouble(4) == 4.0)
+    intercept[IllegalArgumentException] {
+      Profiling.cramersV(df, Seq.empty)
+    }
+  }
 }
