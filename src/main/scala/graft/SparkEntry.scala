@@ -2161,6 +2161,69 @@ object SparkEntry {
         .transform(ordered1(_, col("source_a"), col("source_b")))
     }),
 
+    // Gains/lift decile table for the first-dim score vs label>=5 —
+    // bounded histogram walk, whole score runs per bucket.
+    "q219_gains_table" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+      graft.operators.Evaluation.gainsTable(emb,
+          round(element_at(graft.functions.VectorFunctions
+            .asDouble(col("embedding")), 1), 2),
+          (col("label") >= 5).cast("int"), buckets = 10)
+        .transform(ordered1(_, col("bucket")))
+    }),
+
+    // Unigram entropy rate per source (bits/token): the compression /
+    // diversity read — one Zipf-collapsed aggregation + per-source fold.
+    "q220_entropy_rate" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val counts = docs.filter(col("text").isNotNull)
+        .select(col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("__c"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+      val p = col("__c").cast("double") / col("__n").cast("double")
+      counts.withColumn("__n", sum(col("__c")).over(ws))
+        .groupBy(col("source"))
+        .agg(max(col("__n")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(sum(-p * log(p)) / lit(math.log(2.0)), 6)
+            .as("bits_per_token"))
+        .transform(ordered1(_, col("source")))
+    }),
+
+    // ABC / Pareto customer segmentation on exact integer cumulative
+    // shares (cum*5 <= tot*4 for A, cum*20 <= tot*19 for B) — no float
+    // boundary.
+    "q221_abc_segments" -> ((s, d) => {
+      val spend = load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsumPartial(col("o_totalprice"), 2).as("__p"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__p").desc, col("o_custkey").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cls = spend
+        .withColumn("__cum", sum(col("__p")).over(wc))
+        .crossJoin(broadcast(spend.agg(sum(col("__p")).as("__tot"))))
+        .withColumn("abc_class",
+          when(col("__cum").cast(dec38) * 5 <=
+            col("__tot").cast(dec38) * 4, "A")
+            .when(col("__cum").cast(dec38) * 20 <=
+              col("__tot").cast(dec38) * 19, "B")
+            .otherwise("C"))
+      cls.groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_customers"),
+          graft.functions.Decimals.fromUnscaled(sum(col("__p")), 2)
+            .as("revenue"),
+          round(sum(col("__p")).cast("double") /
+            max(col("__tot")).cast("double"), 6).as("rev_share"))
+        .transform(ordered1(_, col("abc_class")))
+    }),
+
     // Cramér's V association screen across categorical pairs (the
     // zero-spine mass folded as n - Σ_obs e, no spine join).
     "q217_cramers_v" -> ((s, d) => {
@@ -5863,6 +5926,78 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
+    // score run lands whole in its last rank's bucket.
+    "q219_gains_table" ->
+      """WITH h AS (SELECT round(CAST(embedding AS DOUBLE[])[1], 2) AS s,
+        |    count(*) AS c,
+        |    CAST(sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS p
+        |  FROM embeddings GROUP BY 1),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS np FROM h),
+        |wk AS (SELECT s, c, p,
+        |    CAST(sum(c) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum FROM h),
+        |b AS (SELECT CAST(ceil(CAST(cum AS DOUBLE) * 10.0 /
+        |      CAST(t.n AS DOUBLE)) AS INT) AS bucket,
+        |    CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+        |    max(t.n) AS tn, max(t.np) AS tnp
+        |  FROM wk, t GROUP BY 1),
+        |cb AS (SELECT bucket, n, n_pos, tn, tnp,
+        |    CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum_n,
+        |    CAST(sum(n_pos) OVER (ORDER BY bucket
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos
+        |  FROM b)
+        |SELECT bucket, n, n_pos,
+        |  round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+        |  cum_n, cum_pos,
+        |  CASE WHEN tnp > 0 THEN
+        |    round(CAST(cum_pos AS DOUBLE) / CAST(tnp AS DOUBLE), 6)
+        |    END AS capture,
+        |  CASE WHEN tnp > 0 THEN
+        |    round((CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE)) /
+        |      (CAST(tnp AS DOUBLE) / CAST(tn AS DOUBLE)), 6)
+        |    END AS cum_lift
+        |FROM cb ORDER BY bucket""".stripMargin,
+
+    "q220_entropy_rate" ->
+      """WITH c AS (SELECT source, w, count(*) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS w
+        |     FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, w),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c
+        |  GROUP BY source)
+        |SELECT c.source, max(n.n) AS n_tokens, count(*) AS n_types,
+        |  round(sum(-(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+        |      ln(CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE))) /
+        |    ln(2.0), 6) AS bits_per_token
+        |FROM c JOIN n ON n.source = c.source
+        |GROUP BY c.source ORDER BY c.source""".stripMargin,
+
+    // Integer-exact Pareto boundaries: cum*5 <= tot*4 (A),
+    // cum*20 <= tot*19 (B).
+    "q221_abc_segments" ->
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS p
+        |  FROM orders GROUP BY o_custkey),
+        |t AS (SELECT CAST(sum(p) AS HUGEINT) AS tot FROM sp),
+        |w AS (SELECT p,
+        |    CAST(sum(p) OVER (ORDER BY p DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum FROM sp),
+        |cl AS (SELECT p,
+        |    CASE WHEN cum * 5 <= t.tot * 4 THEN 'A'
+        |         WHEN cum * 20 <= t.tot * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class, t.tot
+        |  FROM w, t)
+        |SELECT abc_class, count(*) AS n_customers,
+        |  CAST(CAST(sum(p) AS HUGEINT) AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(CAST(sum(p) AS HUGEINT) AS DOUBLE) /
+        |    CAST(max(tot) AS DOUBLE), 6) AS rev_share
+        |FROM cl GROUP BY abc_class ORDER BY abc_class""".stripMargin,
 
     // Per pair: observed-cell chi2 terms + (n - sum_e) absent mass;
     // V = sqrt(chi2 / (n * (min(r,c) - 1))).

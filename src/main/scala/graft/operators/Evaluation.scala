@@ -645,6 +645,71 @@ object Evaluation {
         round((pb - pa) / se, 6)).as("z"))
   }
 
+  /** Gains / lift decile table — the model-deployment readout ("call
+    * the top decile and you reach 4.2× the base response rate"): rows
+    * rank by score DESC (id ASC tiebreak), split into `buckets` equal
+    * rank slices via `ceil(rank·buckets/n)`, and each bucket reports
+    * its response rate plus CUMULATIVE capture and lift against the
+    * base rate.
+    *
+    * Returns one row per non-empty bucket: `(bucket, n, n_pos, rate,
+    * cum_n, cum_pos, capture, cum_lift)`; capture = share of ALL
+    * positives reached by this depth, cum_lift = cumulative rate /
+    * base rate (NULL when there are no positives). Labels outside
+    * {0,1,NULL} fail fast; NULL score/label rows are excluded.
+    *
+    * Scale shape: scores collapse to a (score, label) histogram
+    * (bounded — callers quantize, the [[aucBinary]] convention), ONE
+    * cumulative window walks it in rank order computing bucket
+    * boundaries from exact cumulative counts, and the bucket fold +
+    * totals run on the bounded frame. Row count never enters a window.
+    *
+    * Bucket convention: a bucket is the rows whose ceil-rank slice
+    * lands on it; score ties are NOT split across ranks here — the
+    * histogram walk assigns each distinct score's whole run to the
+    * bucket of its LAST rank (deterministic, and the one convention a
+    * grouped oracle reproduces without per-row numbering). */
+  def gainsTable(df: DataFrame, scoreCol: Column, labelCol: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val y = labelCol.cast("long")
+    val hist = df
+      .where(OpsUtil.orRaise(y.isNull || y === 0L || y === 1L,
+        lit("gainsTable: label outside {0, 1, NULL}")))
+      .select(scoreCol.cast("double").as("__s"), y.as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+    val w = Window.orderBy(col("__s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("__c")).as("__n"), sum(col("__p")).as("__np"))
+    val walked = hist
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        ceil(col("__cum").cast("double") * lit(buckets.toDouble) /
+          col("__n").cast("double")).cast("int"))
+    val byBucket = walked.groupBy(col("bucket"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__np")).as("__np"))
+    val wb = Window.orderBy(col("bucket").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      .withColumn("cum_n", sum(col("n")).over(wb))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wb))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("rate"),
+        col("cum_n"), col("cum_pos"),
+        when(col("__np") > 0,
+          round(col("cum_pos").cast("double") / col("__np").cast("double"),
+            6)).as("capture"),
+        when(col("__np") > 0,
+          round((col("cum_pos").cast("double") / col("cum_n").cast("double"))
+            / (col("__np").cast("double") / col("__n").cast("double")), 6))
+          .as("cum_lift"))
+  }
+
   /** Covariate-balance audit for a two-group comparison — the table
     * every observational study (and every A/B sanity check) prints
     * first: per covariate, the standardized mean difference

@@ -359,6 +359,34 @@ class EvaluationSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("labelShiftBinary")))
   }
 
+  test("gainsTable: hand-computed buckets, run-keeps-together, lift math") {
+    import spark.implicits._
+    // 4 distinct scores, buckets=2: ranks 1..4 → ceil(cum*2/4):
+    // 0.9 (cum1→1), 0.8 (cum2→1), 0.7 (cum3→2), 0.6 (cum4→2)
+    val df = Seq((0.9, 1), (0.8, 1), (0.7, 0), (0.6, 0)).toDF("s", "y")
+    val rows = Evaluation.gainsTable(df, col("s"), col("y"), buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows(0) == ((1, 2L, 2L, 1.0, 2L, 2L, 1.0, 2.0)))
+    assert(rows(1) == ((2, 2L, 0L, 0.0, 4L, 2L, 1.0, 1.0)))
+    // a tied score RUN lands whole in its last rank's bucket
+    val tied = Seq((0.9, 1), (0.5, 0), (0.5, 0), (0.5, 1)).toDF("s", "y")
+    val tr = Evaluation.gainsTable(tied, col("s"), col("y"), buckets = 2)
+      .orderBy("bucket").collect()
+    assert(tr.length == 2 && tr(0).getLong(1) == 1 && tr(1).getLong(1) == 3)
+    // all-negative labels → capture/lift NULL, rates still real
+    val neg = Seq((0.9, 0), (0.8, 0)).toDF("s", "y")
+    assert(Evaluation.gainsTable(neg, col("s"), col("y"), buckets = 2)
+      .collect().forall(r => r.isNullAt(6) && r.isNullAt(7)))
+    val ex = intercept[Exception] {
+      Evaluation.gainsTable(Seq((0.9, 2)).toDF("s", "y"),
+        col("s"), col("y")).collect()
+    }
+    assert(ex.getMessage.contains("gainsTable") ||
+      Option(ex.getCause).exists(_.getMessage.contains("gainsTable")))
+  }
+
   test("covariateBalance: SMD 1 on unit shift, 0 on identical, NULL on constant") {
     import spark.implicits._
     // shifted: t={1,3} (mean 2, var 1), c={0,2} (mean 1, var 1) → SMD 1
