@@ -278,6 +278,10 @@ object StreamingEtl {
     * machine (session builders, CDC reconcilers, …). */
   final case class KeyedTotals(key: Long, n: Long, total: Double)
   final case class EwmaState(key: Long, n: Long, mean: Double, variance: Double)
+  final case class HhState(key: Long, n: Long,
+      counters: Map[String, Long])
+  final case class HhCandidates(key: Long, n: Long,
+      candidates: Seq[String])
   final case class EwmaAlert(key: Long, n: Long, value: Double,
       mean: Double, variance: Double, anomaly: Boolean)
   /** Bounded per-key state: the k smallest distinct md5 hex digests. */
@@ -388,6 +392,56 @@ object StreamingEtl {
           }
           state.update(st)
           out.iterator
+      }
+  }
+
+  /** Per-key streaming heavy hitters — Misra–Gries summaries maintained
+    * in mapGroupsWithState, the streaming twin of
+    * [[graft.operators.Profiling.heavyHitters]]'s batch candidate pass:
+    * at most `k` counters per key no matter how many distinct values
+    * stream through, with the classic guarantee intact across
+    * micro-batches (any value with frequency > n/(k+1) of the WHOLE
+    * history is among the candidates — the decrement step transfers
+    * unchanged to the incremental setting because the summary after
+    * each batch equals running MG over the concatenated history in
+    * arrival order). Emits the current candidate set (sorted for
+    * determinism) per key per batch; exact counts for the survivors
+    * are the batch side's verification join, same as the batch op.
+    *
+    * Scale posture: state is ≤ k (string, long) pairs per key. */
+  def runningHeavyHitters(events: Dataset[(Long, String)],
+      k: Int): Dataset[HhCandidates] = {
+    require(k >= 1, "k must be >= 1")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[HhState, HhCandidates](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, String)],
+            state: GroupState[HhState]) =>
+          val counters = scala.collection.mutable.Map.empty[String, Long]
+          var n = 0L
+          state.getOption.foreach { st =>
+            counters ++= st.counters; n = st.n
+          }
+          rows.foreach { case (_, v) =>
+            if (v != null) {
+              n += 1
+              if (counters.contains(v)) counters(v) += 1
+              else if (counters.size < k) counters(v) = 1
+              else {
+                // decrement all; drop zeros (the MG step)
+                val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+                counters.keysIterator.foreach { w =>
+                  val c = counters(w) - 1
+                  if (c == 0) dead += w else counters(w) = c
+                }
+                dead.foreach(counters.remove)
+              }
+            }
+          }
+          val st = HhState(key, n, counters.toMap)
+          state.update(st)
+          HhCandidates(key, n, counters.keys.toSeq.sorted)
       }
   }
 }

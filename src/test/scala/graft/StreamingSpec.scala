@@ -393,4 +393,38 @@ class StreamingSpec extends AnyFunSuite {
     // post-spike values: the spike inflated the envelope, so they pass
     assert(!rows(9).anomaly && !rows(10).anomaly)
   }
+
+  test("runningHeavyHitters: bounded state, exact under k, survivor guarantee") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingEtl.runningHeavyHitters(in.toDS(), k = 3)
+    val q = out.writeStream.format("memory").queryName("hh_s")
+      .outputMode(OutputMode.Update()).start()
+    // batch 1: 3 distinct values -> exact (all retained)
+    in.addData((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"))
+    q.processAllAvailable()
+    // batch 2: flood with a majority value + noise across many distinct
+    val noise = (0 until 30).map(i => (1L, s"z$i"))
+    in.addData((0 until 40).map(_ => (1L, "a")) ++ noise: _*)
+    q.processAllAvailable()
+    val rows = spark.table("hh_s").as[StreamingEtl.HhCandidates]
+      .collect().sortBy(_.n)
+    q.stop()
+    assert(rows.head.candidates.toSet == Set("a", "b", "c")) // exact at n=4
+    val last = rows.last
+    assert(last.n == 74)
+    // state stayed bounded and the >n/(k+1) majority value survived
+    assert(last.candidates.size <= 3 && last.candidates.contains("a"))
+    // replicate the MG fold over the concatenated history in order
+    val history = Seq("a", "a", "b", "c") ++
+      Seq.fill(40)("a") ++ (0 until 30).map(i => s"z$i")
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    history.foreach { v =>
+      if (m.contains(v)) m(v) += 1
+      else if (m.size < 3) m(v) = 1
+      else m.keys.toList.foreach { w =>
+        if (m(w) == 1) m.remove(w) else m(w) -= 1 }
+    }
+    assert(last.candidates == m.keys.toSeq.sorted)
+  }
 }
