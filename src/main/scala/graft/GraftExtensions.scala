@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Accelerate the naive HOF dot-product spelling to the native
     // expression (see DotProductRewrite's contract notes).
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    // Whole-operator extension: the native as-of join's planner
+    // strategy (logical AsofJoinNode -> AsofJoinExec merge pass).
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

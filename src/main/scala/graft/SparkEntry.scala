@@ -2161,6 +2161,23 @@ object SparkEntry {
         .transform(ordered1(_, col("source_a"), col("source_b")))
     }),
 
+    // Native as-of join (custom LogicalPlan -> Strategy -> merge-pass
+    // SparkPlan): every click annotated with the user's latest
+    // at-or-before purchase value. The right side pre-collapses to one
+    // row per (user, ts) so exact-tie winners are deterministic.
+    "q222_asof_native" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+        .withColumnRenamed("ts", "pts")
+      Relational.asofJoinNative(clicks, purchases, "user_id", "ts", "pts",
+          Seq("purchase_value"))
+        .transform(ordered1(_, col("user_id"), col("ts"), col("event_id")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -5926,6 +5943,19 @@ object SparkEntry {
         |    AS z
         |FROM arms
         |ORDER BY 1""".stripMargin,
+
+    // DuckDB's own ASOF LEFT JOIN is the oracle — the semantics the
+    // custom operator must reproduce exactly.
+    "q222_asof_native" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, max(value) AS purchase_value
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY user_id, ts)
+        |SELECT c.user_id, c.ts, c.event_id, p.purchase_value
+        |FROM clicks c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND p.pts <= c.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -423,4 +423,44 @@ object Relational {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Native as-of join — same result contract as [[asofJoin]] (latest
+    * right row with `rightTime ≤ leftTime` per key, NULLs when none),
+    * executed by the custom [[graft.plans.AsofJoinExec]] merge operator
+    * instead of the union + per-column window composition: each side
+    * shuffles once on its own key and a single forward pass emits the
+    * matches (see the operator scaladoc for the cost comparison). The
+    * session must carry [[graft.GraftExtensions]] (the repo-wide
+    * default) so the planner strategy is registered.
+    *
+    * The right side is re-projected through fresh aliases so self-join
+    * shapes (left and right derived from the same frame) cannot collide
+    * on attribute ids. `rightCols` must not collide with left column
+    * names. */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String]): DataFrame = {
+    require(rightCols.nonEmpty, "asofJoinNative needs carried right cols")
+    require(!rightCols.exists(left.columns.contains),
+      s"carried right columns collide with left: " +
+        rightCols.filter(left.columns.contains).mkString(", "))
+    val spark = left.sparkSession
+    // fresh exprIds for every right attribute (Alias always re-ids)
+    val rPrep = right.select(
+      (Seq(key, rightTime) ++ rightCols).distinct.map(c =>
+        col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rPrep.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n"))
+    val rVals = rightCols.map(attr(rPlan, _))
+    val outRight = rVals.map(a =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        a.name, a.dataType, nullable = true)())
+    org.apache.spark.sql.graft.ColumnBridge.ofRows(spark,
+      graft.plans.AsofJoinNode(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, leftTime), attr(rPlan, rightTime), rVals, outRight))
+  }
 }

@@ -226,4 +226,56 @@ class RelationalSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toList == List(("g", 3L, 4L, 0.166667), ("h", 2L, 4L, 0.0)))
   }
+
+  test("asofJoinNative equals the composed asofJoin and plans AsofJoinExec") {
+    import java.sql.Timestamp
+    def ts(x: String) = Timestamp.valueOf(x)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "l1"),
+      (1L, ts("2024-01-01 11:00:00"), "l2"),
+      (2L, ts("2024-01-01 09:00:00"), "l3"), // before any right row
+      (3L, ts("2024-01-01 12:00:00"), "l4")  // key with no right rows
+    ).toDF("k", "lt", "payload")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), 10.0),
+      (1L, ts("2024-01-01 10:30:00"), 20.0),
+      (1L, ts("2024-01-01 11:00:00"), 30.0), // exact tie: matches l2
+      (2L, ts("2024-01-01 09:30:00"), 40.0)
+    ).toDF("k", "rt", "price")
+    val native = Relational.asofJoinNative(left, right, "k", "lt", "rt",
+      Seq("price"))
+    val got = native.orderBy("k", "lt").collect()
+      .map(r => (r.getLong(0), r.getString(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, "l1", 10.0), (1L, "l2", 30.0),
+      (2L, "l3", -1.0), (3L, "l4", -1.0)))
+    // the custom physical operator actually planned
+    assert(native.queryExecution.executedPlan.toString
+      .contains("AsofJoin"))
+    // equivalence with the composed union+window form
+    val composed = Relational.asofJoin(left, right, "k", "lt", "rt",
+      Seq("price"))
+    val a = native.select("k", "lt", "payload", "price").collect()
+      .map(_.toString).sorted
+    val b = composed.select("k", "lt", "payload", "price").collect()
+      .map(_.toString).sorted
+    assert(a.toSeq == b.toSeq)
+    // self-join shape: both sides derived from one frame (fresh ids)
+    val ev = Seq((1L, ts("2024-01-01 10:00:00"), "click", 1.0),
+      (1L, ts("2024-01-01 09:00:00"), "buy", 9.0))
+      .toDF("k", "t", "typ", "v")
+    val selfj = Relational.asofJoinNative(
+      ev.filter(col("typ") === "click").select("k", "t"),
+      ev.filter(col("typ") === "buy")
+        .select(col("k"), col("t").as("rt"), col("v").as("buy_v")),
+      "k", "t", "rt", Seq("buy_v"))
+    assert(selfj.collect().head.getDouble(2) == 9.0)
+    // NULL left key emits the padded row, never a match
+    val lNull = Seq((Option.empty[java.lang.Long],
+      ts("2024-01-01 10:00:00"))).toDF("k", "lt")
+    val nn = Relational.asofJoinNative(
+      lNull.select(col("k").cast("long").as("k"), col("lt")),
+      right, "k", "lt", "rt", Seq("price")).collect()
+    assert(nn.length == 1 && nn.head.isNullAt(2))
+  }
 }
