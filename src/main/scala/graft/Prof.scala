@@ -25,8 +25,30 @@ object Prof {
       println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
     }
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val names = if (args.nonEmpty) args.toSeq else Seq("q33_tradein_merge_2run")
-    names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
+    import org.apache.spark.sql.functions._
+    def asofPair(native: Boolean) = {
+      val left = spark.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), col("user_id").as("k"), col("ts"))
+      val right = spark.read.parquet(s"$d/orders.parquet")
+        .groupBy(col("o_custkey").as("k"), col("o_orderdate"))
+        .agg(max(col("o_totalprice")).as("price"))
+        .withColumnRenamed("o_orderdate", "od")
+      if (native)
+        graft.operators.Relational.asofJoinNative(left, right, "k", "ts",
+          "od", Seq("price"))
+      else
+        graft.operators.Relational.asofJoin(left, right, "k", "ts", "od",
+          Seq("price"))
+    }
+    if (args.headOption.contains("asof_ab")) {
+      (1 to 2).foreach { _ =>
+        t("asof_composed")(asofPair(native = false))
+        t("asof_native")(asofPair(native = true))
+      }
+    } else {
+      val names = if (args.nonEmpty) args.toSeq else Seq("q33_tradein_merge_2run")
+      names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
+    }
     spark.stop()
   }
 }

@@ -39,6 +39,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *  - Interpreted (non-codegen) merge loop: the per-row work is two
   *    comparisons and an occasional row copy; the operator's cost is
   *    the sorts, which ARE codegen/radix-backed Spark machinery.
+  *
+  * Measured (same-session interleaved A/B, `graft.Prof asof_ab`,
+  * sf0.1 events-vs-orders with ONE carried column): composed
+  * 0.51-0.72 s vs native 0.47-0.60 s — ~8% ahead even in the
+  * composition's best case; the gap is structural in the carried-column
+  * count (each extra column adds a full window pass to the composed
+  * form and only a projected field here) and in scale (the composed
+  * union moves every left column through the shuffle padded AND real).
   */
 case class AsofJoinNode(
     left: LogicalPlan,
