@@ -2178,6 +2178,36 @@ object SparkEntry {
         .transform(ordered1(_, col("user_id"), col("ts"), col("event_id")))
     }),
 
+    // Mann–Whitney U location-shift gate between click and view value
+    // distributions (floor-quantized to a bounded domain): rank-based
+    // complement of q183's KS — same bounded-histogram merge shape.
+    "q223_mann_whitney" -> ((s, d) => {
+      val e = parallel(load(s, d, "events"))
+      val v = floor(col("value") * 10)
+      graft.operators.Evaluation.mannWhitney(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "view"), v)
+        .transform(ordered1(_, col("n_a")))
+    }),
+
+    // One-way ANOVA F across sources on document length: exact
+    // decimal moment sums per source, one group agg + one fold.
+    "q224_anova" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      graft.operators.Evaluation.anovaF(docs, col("source"),
+          col("n_chars").cast("double"), scale = 0)
+        .transform(ordered1(_, col("n")))
+    }),
+
+    // Wilson 95% lower-bound ranking of per-event-type "high value"
+    // rates — small-sample-safe rate ordering, closed-form per group.
+    "q225_wilson_ranking" -> ((s, d) => {
+      val e = load(s, d, "events")
+      graft.operators.Evaluation.wilsonRanking(e, col("event_type"),
+          (col("value") >= 100.0).cast("int"))
+        .transform(ordered1(_, col("wilson_low").desc, col("group")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -5956,6 +5986,104 @@ object SparkEntry {
         |FROM clicks c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND p.pts <= c.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+
+    // Doubled-midrank integer walk mirrors Evaluation.mannWhitney:
+    // 2·R_a and the tie term stay HUGEINT; only z/cles divide in IEEE.
+    "q223_mann_whitney" ->
+      """WITH av AS (SELECT floor(value * 10) AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL),
+        |bv AS (SELECT floor(value * 10) AS v FROM events
+        |  WHERE event_type = 'view' AND value IS NOT NULL),
+        |ga AS (SELECT v, count(*) AS ca FROM av GROUP BY v),
+        |gb AS (SELECT v, count(*) AS cb FROM bv GROUP BY v),
+        |m AS (SELECT COALESCE(ga.v, gb.v) AS v, COALESCE(ca, 0) AS ca,
+        |    COALESCE(cb, 0) AS cb FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+        |c AS (SELECT v, ca, cb, ca + cb AS t,
+        |    COALESCE(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM m),
+        |s AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        |    CAST(sum(cb) AS HUGEINT) AS nb, count(*) AS nv,
+        |    CAST(sum(CAST(ca AS HUGEINT) *
+        |      (2 * CAST(bef AS HUGEINT) + CAST(t AS HUGEINT) + 1))
+        |      AS HUGEINT) AS r2a,
+        |    CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+        |      CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS HUGEINT) AS ties
+        |  FROM c)
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  nv AS n_values,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 END AS u_a,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0) /
+        |      (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) END AS cles,
+        |  CASE WHEN na > 0 AND nb > 0 AND
+        |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |        ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) -
+        |          CAST(ties AS DOUBLE) /
+        |          ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) *
+        |            (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0))) > 0
+        |    THEN round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2.0 -
+        |      CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) /
+        |      sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 *
+        |        ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) -
+        |          CAST(ties AS DOUBLE) /
+        |          ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) *
+        |            (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1.0)))), 6)
+        |    END AS z
+        |FROM s ORDER BY 1""".stripMargin,
+
+    // Exact HUGEINT moment sums per source; dimensionless η²/F outputs
+    // mirror Evaluation.anovaF (raw SS magnitudes would expose fold
+    // noise past round(,6)).
+    "q224_anova" ->
+      """WITH g AS (SELECT source AS grp,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |      AS HUGEINT) AS q
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY source),
+        |f AS (SELECT CAST(sum(n) AS HUGEINT) AS nt, count(*) AS k,
+        |    CAST(sum(s) AS HUGEINT) AS st,
+        |    sum(CAST(n * q - s * s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1.0)) AS ssw,
+        |    sum(CAST(s * s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 1.0)) AS sgn
+        |  FROM g)
+        |SELECT CAST(nt AS BIGINT) AS n, k,
+        |  round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS grand_mean,
+        |  CASE WHEN (sgn - CAST(st * st AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * 1.0)) + ssw > 0 THEN
+        |    round((sgn - CAST(st * st AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * 1.0)) /
+        |      ((sgn - CAST(st * st AS DOUBLE) /
+        |        (CAST(nt AS DOUBLE) * 1.0)) + ssw), 6) END AS eta_sq,
+        |  CASE WHEN k >= 2 AND CAST(nt AS BIGINT) > k AND ssw > 0 THEN
+        |    round(((sgn - CAST(st * st AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * 1.0)) / (CAST(k AS DOUBLE) - 1.0)) /
+        |      (ssw / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    END AS f_stat
+        |FROM f ORDER BY 1""".stripMargin,
+
+    // Closed-form Wilson 95% lower bound per group; constants enter as
+    // CAST(1.96 AS DOUBLE) products so both engines square in IEEE.
+    "q225_wilson_ranking" ->
+      """WITH g AS (SELECT event_type AS "group",
+        |    count(*) AS trials,
+        |    CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS successes
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |w AS (SELECT "group", trials, successes,
+        |    CAST(successes AS DOUBLE) / CAST(trials AS DOUBLE) AS p,
+        |    CAST(trials AS DOUBLE) AS n,
+        |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+        |  FROM g)
+        |SELECT "group", trials, successes, round(p, 6) AS rate,
+        |  round(greatest((p + z2 / (2.0 * n) -
+        |    CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / n +
+        |      z2 / (4.0 * n * n))) / (1.0 + z2 / n), 0.0), 6) AS wilson_low
+        |FROM w ORDER BY wilson_low DESC, "group"""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -1132,4 +1132,172 @@ object Evaluation {
       round(pBar, 6).as("p_bar"), round(pe, 6).as("p_e"),
       when(pe < 1.0, round((pBar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
+
+  /** Mann–Whitney U rank-sum test between the `valueCol` distributions
+    * of two frames — the RANK-based complement of [[ksTwoSample]]: KS
+    * reads the largest ECDF gap, U reads the probability that a random
+    * A-draw exceeds a random B-draw (the common-language effect size,
+    * numerically the same statistic as [[aucBinary]] over group
+    * membership). The nonparametric location-shift gate a pipeline runs
+    * when a metric's distribution is too heavy-tailed for a t/z test.
+    *
+    * Exactness: on the merged distinct-value histogram with per-value
+    * counts `(ca, cb)` and `t = ca + cb`, the doubled midrank at value v
+    * is the INTEGER `2·cumBefore + t + 1`, so `2·R_a = Σ ca·(2·cumBefore
+    * + t + 1)` and `2·U_a = 2·R_a − na·(na+1)` stay exact in
+    * DECIMAL(38,0); the tie term `Σ(t³−t)` likewise. Only the final
+    * z/effect-size divisions are IEEE.
+    *
+    * Returns one row `(n_a, n_b, n_values, u_a, cles, z)`; `z` uses the
+    * tie-corrected normal approximation `σ² = na·nb/12·((n+1) −
+    * Σ(t³−t)/(n(n−1)))` and is NULL when σ = 0 (all values tied) or
+    * either side is empty.
+    *
+    * Scale shape: identical to [[ksTwoSample]] — each side
+    * hash-collapses to its distinct-value domain, a full-outer
+    * equi-join merges the bounded frames, ONE cumulative window walks
+    * the merged histogram, totals fold to one row. No row-level
+    * shuffle. */
+  def mannWhitney(a: DataFrame, b: DataFrame, valueCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def side(df: DataFrame, cnt: String): DataFrame = df
+      .select(valueCol.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as(cnt))
+    val merged = side(a, "__ca").join(side(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__t", col("__ca") + col("__cb"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = merged.withColumn("__before",
+      coalesce(sum(col("__t")).over(w), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("__ca")).cast(dec38).as("__na"),
+      sum(col("__cb")).cast(dec38).as("__nb"),
+      count(lit(1)).as("n_values"),
+      sum(col("__ca").cast(dec38) *
+        (lit(2).cast(dec38) * col("__before").cast(dec38) +
+          col("__t").cast(dec38) + lit(1).cast(dec38))).as("__r2a"),
+      sum(col("__t").cast(dec38) * col("__t").cast(dec38) *
+        col("__t").cast(dec38) - col("__t").cast(dec38)).as("__ties"))
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val n = na + nb
+    // 2·U_a exact; halve in double (exact: integer/2)
+    val u2 = col("__r2a") - col("__na") * (col("__na") + lit(1).cast(dec38))
+    val uA = u2.cast("double") / lit(2.0)
+    val sigma2 = na * nb / lit(12.0) *
+      ((n + lit(1.0)) - col("__ties").cast("double") / (n * (n - lit(1.0))))
+    val nonEmpty = col("__na") > 0 && col("__nb") > 0
+    agg.select(
+      col("__na").cast("bigint").as("n_a"),
+      col("__nb").cast("bigint").as("n_b"),
+      col("n_values"),
+      when(nonEmpty, uA).as("u_a"),
+      when(nonEmpty, round(uA / (na * nb), 6)).as("cles"),
+      when(nonEmpty && sigma2 > 0.0,
+        round((uA - na * nb / lit(2.0)) / sqrt(sigma2), 6)).as("z"))
+  }
+
+  /** One-way ANOVA F-test across groups of a quantized measure — the
+    * PARAMETRIC mean-separation gate ([[mannWhitney]] is its two-group
+    * rank-based sibling): does the between-group mean spread exceed the
+    * within-group noise? Run per data source / shard over a quality
+    * signal before mixing sources into a training blend.
+    *
+    * Exactness: `valueCol` is quantized to an unscaled BIGINT at
+    * `scale` decimals (the [[graft.functions.Decimals]] convention), so
+    * per-group `n_g, S_g, Q_g = Σv²` are exact DECIMAL(38,0); each
+    * group's within-term numerator `n_g·Q_g − S_g²` is exact, and only
+    * the per-group division by `n_g` plus the final ratios run IEEE.
+    * The OUTPUTS are deliberately dimensionless (η², F) or exactly
+    * divided (grand mean): raw sums-of-squares can sit at 1e11+
+    * magnitudes where cross-engine fold-order noise (~ulps of the SUM)
+    * exceeds the round(,6) absorber, while the ratios carry only
+    * ~1e-15 RELATIVE noise and round cleanly.
+    *
+    * Returns one row `(n, k, grand_mean, eta_sq, f_stat)`; F is NULL
+    * when k < 2, any within-df is absent (n ≤ k), or SSW = 0; η² is
+    * NULL when total SS = 0.
+    *
+    * Scale shape: ONE hash aggregation to the group frame (bounded:
+    * grouping keys are low-cardinality by contract), one 1-row fold.
+    * No window, no join, no row-level shuffle beyond the group agg. */
+  def anovaF(df: DataFrame, groupCol: Column, valueCol: Column,
+      scale: Int = 4): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = graft.functions.Decimals.unscaledLong(valueCol, scale).cast(dec38)
+    val perGroup = df
+      .select(groupCol.as("__g"), v.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast(dec38).as("__n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+    // descale: v was ×10^scale, so S carries 10^scale and Q/S² carry 10^2scale
+    val down = math.pow(10.0, 2.0 * scale)
+    val withinG = (col("__n") * col("__q") - col("__s") * col("__s"))
+      .cast("double") / (col("__n").cast("double") * lit(down))
+    val folded = perGroup.agg(
+      sum(col("__n")).cast(dec38).as("__nt"),
+      count(lit(1)).as("k"),
+      sum(col("__s")).as("__st"),
+      sum(withinG).as("__ssw"),
+      sum((col("__s") * col("__s")).cast("double") /
+        (col("__n").cast("double") * lit(down))).as("__sgn"))
+    val nT = col("__nt").cast("double")
+    val kD = col("k").cast("double")
+    // SSB = Σ S_g²/n_g − S²/n (all in descaled units)
+    val ssb = col("__sgn") -
+      (col("__st") * col("__st")).cast("double") / (nT * lit(down))
+    val sst = ssb + col("__ssw")
+    val f = (ssb / (kD - lit(1.0))) /
+      (col("__ssw") / (nT - kD))
+    // grand mean: exact decimal division, one final cast
+    val mean = graft.functions.Decimals.fromUnscaled(
+      col("__st").cast("decimal(38,0)"), scale).cast("double") / nT
+    folded.select(
+      col("__nt").cast("bigint").as("n"), col("k"),
+      round(mean, 6).as("grand_mean"),
+      when(sst > 0.0, round(ssb / sst, 6)).as("eta_sq"),
+      when(col("k") >= 2 && col("__nt").cast("bigint") > col("k") &&
+        col("__ssw") > 0.0, round(f, 6)).as("f_stat"))
+  }
+
+  /** Wilson score lower-bound ranking of per-group binomial rates —
+    * "sort by the rate you can DEFEND, not the observed one": a group
+    * with 2/2 successes ranks below one with 80/100 because its
+    * interval is wide. The standard fix for small-sample rate ranking
+    * (Wilson 1927) a curation pipeline applies when ordering sources /
+    * shards by acceptance rate.
+    *
+    * `successCol` must be 0/1 (guarded — out-of-domain raises rather
+    * than corrupting the interval). `z` defaults to 1.96 (95%).
+    * Returns per group `(group, trials, successes, rate, wilson_low)`
+    * with both rates rounded 6.
+    *
+    * Scale shape: one hash aggregation to the group frame; the interval
+    * is a closed-form per-group expression — no window, no join. */
+  def wilsonRanking(df: DataFrame, groupCol: Column, successCol: Column,
+      z: Double = 1.96): DataFrame = {
+    val y = successCol.cast("long")
+    val guarded = df
+      .where(OpsUtil.orRaise(y.isNull || y === 0L || y === 1L,
+        lit("wilsonRanking: successCol outside {0, 1, NULL}")))
+      .select(groupCol.as("group"), y.as("__y"))
+      .filter(col("__y").isNotNull)
+    val agg = guarded.groupBy(col("group"))
+      .agg(count(lit(1)).as("trials"), sum(col("__y")).as("successes"))
+    val n = col("trials").cast("double")
+    val p = col("successes").cast("double") / n
+    val z2 = lit(z * z)
+    val low = (p + z2 / (lit(2.0) * n) -
+      lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    agg.select(col("group"), col("trials"), col("successes"),
+      round(p, 6).as("rate"),
+      round(greatest(low, lit(0.0)), 6).as("wilson_low"))
+  }
 }
