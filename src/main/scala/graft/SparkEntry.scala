@@ -2208,6 +2208,36 @@ object SparkEntry {
         .transform(ordered1(_, col("wilson_low").desc, col("group")))
     }),
 
+    // RFM customer-value grid: facts collapse to the customer dim
+    // first, three deterministic NTILE axes, ≤125-cell output with
+    // exact decimal revenue.
+    "q226_rfm_segments" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      Sessionize.rfmSegments(o, col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .transform(ordered1(_, col("r_score"), col("f_score"),
+          col("m_score")))
+    }),
+
+    // 7-day trailing rolling median of daily event counts per type —
+    // the robust smoother; bounded collect_list window, exact halves.
+    "q227_rolling_median" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val daily = e.filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.rollingMedian(daily, "event_type", "day", "n", 7)
+        .transform(ordered1(_, col("event_type"), col("day")))
+    }),
+
+    // Simpson diversity panel per source: coincidence probability,
+    // effective vocabulary, heaviest-type share — all-integer folds.
+    "q228_simpson_diversity" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      CorpusStats.simpsonDiversity(docs, col("source"), col("text"))
+        .transform(ordered1(_, col("group")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6084,6 +6114,66 @@ object SparkEntry {
         |    CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / n +
         |      z2 / (4.0 * n * n))) / (1.0 + z2 / n), 0.0), 6) AS wilson_low
         |FROM w ORDER BY wilson_low DESC, "group"""".stripMargin,
+
+    // NTILE axes mirror Sessionize.rfmSegments (1 = best, custkey
+    // tie-break); revenue is the exact DECIMAL(18,2) sum cast once.
+    "q226_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey AS c,
+        |    max(CAST(o_orderdate AS DATE)) AS lastd, count(*) AS f,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS mon
+        |  FROM orders
+        |  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1),
+        |a AS (SELECT max(lastd) AS anchor FROM per),
+        |t AS (SELECT c, mon,
+        |    CAST(ntile(5) OVER (ORDER BY date_diff('day', lastd, anchor)
+        |      ASC, c ASC) AS INT) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f DESC, c ASC) AS INT) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY mon DESC, c ASC) AS INT)
+        |      AS m_score
+        |  FROM per CROSS JOIN a)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  CAST(sum(mon) AS DOUBLE) AS revenue
+        |FROM t GROUP BY 1, 2, 3
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
+
+    // Bounded list() window + list_sort mirrors TimeSeries.rollingMedian
+    // exactly (native median()'s even-count semantics stay out of the
+    // contract).
+    "q227_rolling_median" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, n,
+        |    list_sort(list(CAST(n AS DOUBLE)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS l
+        |  FROM d)
+        |SELECT event_type, day, n,
+        |  (l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 2.0
+        |    AS rolling_median
+        |FROM w ORDER BY event_type, day""".stripMargin,
+
+    // Integer count folds mirror CorpusStats.simpsonDiversity; the
+    // three ratios divide once in IEEE.
+    "q228_simpson_diversity" ->
+      """WITH c AS (SELECT source AS grp, w, count(*) AS c FROM
+        |    (SELECT source, unnest(string_split(text, ' ')) AS w
+        |     FROM documents WHERE text IS NOT NULL)
+        |  GROUP BY source, w),
+        |g AS (SELECT grp, CAST(sum(c) AS HUGEINT) AS n,
+        |    count(*) AS n_types,
+        |    CAST(sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+        |      AS c2,
+        |    max(c) AS mx
+        |  FROM c GROUP BY grp)
+        |SELECT grp AS "group", CAST(n AS BIGINT) AS n_tokens, n_types,
+        |  round(CAST(c2 AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS simpson,
+        |  round(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    CAST(c2 AS DOUBLE), 6) AS inv_simpson,
+        |  round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS berger_parker
+        |FROM g ORDER BY "group"""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

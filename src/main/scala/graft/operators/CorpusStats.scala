@@ -1041,4 +1041,45 @@ object CorpusStats {
         round(sum(abs(col("__za") - col("__zb"))) /
           count(lit(1)).cast("double"), 6).as("delta"))
   }
+
+  /** Simpson diversity panel per group — the CONCENTRATION read of a
+    * token distribution (the entropy-rate query reads its information
+    * content): `simpson = Σp²` is the probability two random tokens
+    * coincide, `inv_simpson = 1/Σp²` the effective vocabulary size
+    * (types weighted by evenness), `berger_parker = max p` the
+    * single-heaviest-type share. A corpus blend whose inv_simpson
+    * collapses is dominated by boilerplate even when raw type counts
+    * look healthy.
+    *
+    * Exactness: per-(group, token) counts fold to `n`, `Σc²`, and
+    * `max c` in DECIMAL(38,0)/BIGINT — all exact — and only the three
+    * final ratios divide in IEEE (rounded 6).
+    *
+    * Scale shape: the canonical explode → two-level hash aggregation
+    * (map-side partials collapse each partition's token counts before
+    * the shuffle); the second agg runs over the bounded (group, type)
+    * frame. No window, no join. */
+  def simpsonDiversity(docs: DataFrame, groupCol: Column,
+      textCol: Column): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val counts = docs.filter(textCol.isNotNull)
+      .select(groupCol.as("group"),
+        explode(TextFunctions.tokens(textCol)).as("__t"))
+      .groupBy(col("group"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    counts.groupBy(col("group"))
+      .agg(sum(col("__c")).cast(dec38).as("__n"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c").cast(dec38) * col("__c").cast(dec38)).as("__c2"),
+        max(col("__c")).as("__mx"))
+      .select(col("group"), col("__n").cast("bigint").as("n_tokens"),
+        col("n_types"),
+        round(col("__c2").cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double")), 6)
+          .as("simpson"),
+        round(col("__n").cast("double") * col("__n").cast("double") /
+          col("__c2").cast("double"), 6).as("inv_simpson"),
+        round(col("__mx").cast("double") / col("__n").cast("double"), 6)
+          .as("berger_parker"))
+  }
 }

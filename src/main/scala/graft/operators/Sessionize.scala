@@ -474,4 +474,48 @@ object Sessionize {
         col("n_next_types"))
       .agg(round(sum(-p * log(p)), 6).as("entropy"))
   }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value grid ([[cohortRetention]] reads WHEN users return,
+    * RFM reads HOW MUCH they are worth): each entity scored 1..`buckets`
+    * on each axis by NTILE (1 = best: most recent, most frequent,
+    * highest spend), then collapsed to per-(r,f,m)-cell counts and
+    * revenue. Ties break by entity id so scores are deterministic;
+    * `amountCol` is quantized at `scale` decimals and summed exactly
+    * ([[graft.functions.Decimals]] convention). The recency anchor is
+    * the data's own max date (injectable clocks stay out of the oracle
+    * surface).
+    *
+    * Scale shape: facts collapse FIRST to one row per entity (hash
+    * agg); the three NTILE windows then run over the entity DIMENSION,
+    * which is orders of magnitude smaller than the fact table (the
+    * global window is the documented q221 shape — a dimension-scale
+    * blowup would swap in [[Relational.groupedRowNumber]]'s
+    * range-partitioned rank plus the closed-form NTILE split); the
+    * final cell grid is ≤ buckets³ rows. */
+  def rfmSegments(orders: DataFrame, custCol: Column, dateCol: Column,
+      amountCol: Column, buckets: Int = 5, scale: Int = 2): DataFrame = {
+    require(buckets >= 2, "rfmSegments needs at least 2 buckets")
+    val per = orders
+      .select(custCol.as("__c"), dateCol.cast("date").as("__d"),
+        graft.functions.Decimals.unscaledLong(amountCol, scale).as("__m"))
+      .filter(col("__c").isNotNull && col("__d").isNotNull)
+      .groupBy(col("__c"))
+      .agg(max(col("__d")).as("__last"), count(lit(1)).as("__f"),
+        sum(col("__m")).as("__mon"))
+    val anchor = per.agg(max(col("__last")).as("__anchor"))
+    val scored = per.crossJoin(broadcast(anchor))
+      .withColumn("__rd", datediff(col("__anchor"), col("__last")))
+    val wr = Window.orderBy(col("__rd").asc, col("__c").asc)
+    val wf = Window.orderBy(col("__f").desc, col("__c").asc)
+    val wm = Window.orderBy(col("__mon").desc, col("__c").asc)
+    scored
+      .withColumn("r_score", ntile(buckets).over(wr))
+      .withColumn("f_score", ntile(buckets).over(wf))
+      .withColumn("m_score", ntile(buckets).over(wm))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        graft.functions.Decimals.fromUnscaled(sum(col("__mon")), scale)
+          .as("revenue"))
+  }
 }

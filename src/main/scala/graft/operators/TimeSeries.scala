@@ -587,4 +587,35 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_events"),
         graft.functions.Decimals.dsum(col("__decayed"), 6).as("decayed_sum"))
   }
+
+  /** Trailing rolling MEDIAN over an already-regular series — the
+    * robust smoother the rolling-mean family ([[rollingStats]]) can't
+    * provide: one outlier day saturates a mean window but leaves the
+    * median untouched. Input must be one row per (key, bucket) (the
+    * shape [[gapFill]] emits); the window is the trailing `window` rows
+    * INCLUDING the current one, partial at the series head like SQL's
+    * `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`.
+    *
+    * Exactness: both engines sort the same ≤`window`-element array and
+    * average the two middle values — halves are exact in IEEE, so no
+    * rounding is needed.
+    *
+    * Scale shape: one hash shuffle on `keyCol`, one per-partition sort,
+    * one Window operator whose per-row state is the bounded
+    * `window`-element buffer — O(window) memory per key, no quadratic
+    * term, no driver materialization. Spark has no native window-median;
+    * the bounded collect_list + sort_array IS the right shape because
+    * the frame is rows-bounded (an unbounded frame would need a
+    * treap/quantile-sketch custom aggregate instead). */
+  def rollingMedian(series: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, "rollingMedian window must be >= 1")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(window - 1).toLong, Window.currentRow)
+    val arr = sort_array(collect_list(col(valueCol).cast("double")).over(w))
+    val sz = size(arr)
+    val lo = element_at(arr, floor((sz + lit(1)) / lit(2)).cast("int"))
+    val hi = element_at(arr, floor(sz / lit(2)).cast("int") + lit(1))
+    series.withColumn("rolling_median", (lo + hi) / lit(2.0))
+  }
 }
