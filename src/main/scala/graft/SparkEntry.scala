@@ -2238,6 +2238,51 @@ object SparkEntry {
         .transform(ordered1(_, col("group")))
     }),
 
+    // HHI + CR4 customer-spend concentration per market segment —
+    // exact cent sums, one window on the entity dimension.
+    "q229_concentration" -> ((s, d) => {
+      val o = load(s, d, "orders")
+      val c = load(s, d, "customer")
+      Profiling.concentration(
+          o.join(c, col("o_custkey") === col("c_custkey")),
+          col("c_mktsegment"), col("o_custkey"), col("o_totalprice"))
+        .transform(ordered1(_, col("group")))
+    }),
+
+    // Order-3 permutation entropy of the value series per event type:
+    // ordinal-pattern complexity, stable tie convention.
+    "q230_perm_entropy" -> ((s, d) => {
+      val e = load(s, d, "events")
+      TimeSeries.permutationEntropy(
+          e.filter(col("ts").isNotNull), "event_type", "ts", "event_id",
+          col("value"))
+        .transform(ordered1(_, col("key")))
+    }),
+
+    // Propensity-score nearest-neighbor matching within a 0.02 caliper
+    // (with replacement): bucketed candidate generation, never
+    // treated × control; deterministic (|gap|, id) winner.
+    "q231_psm_match" -> ((s, d) => {
+      val emb = parallel(load(s, d, "embeddings"))
+      val p = greatest(lit(0.0), least(lit(1.0),
+        round(lit(0.5) + element_at(graft.functions.VectorFunctions
+          .asDouble(col("embedding")), 1) / lit(4.0), 3)))
+      val scored = emb.select(col("vec_id"), p.as("p"),
+        (col("label") >= 5).as("__t"))
+      EntityResolution.nearestScoreMatch(
+          scored.filter(col("__t")), scored.filter(!col("__t")),
+          "vec_id", col("p"), caliper = 0.02)
+        .transform(ordered1(_, col("treated_id")))
+    }),
+
+    // Simplified silhouette per label cluster: centroid-based a/b —
+    // the scale-shippable O(n·k) variant, exact-decimal centroids.
+    "q232_silhouette" -> ((s, d) => {
+      Similarity.simplifiedSilhouette(parallel(load(s, d, "embeddings")),
+          "embedding", "vec_id", "label", dim = 64)
+        .transform(ordered1(_, col("cluster")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6174,6 +6219,120 @@ object SparkEntry {
         |  round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6)
         |    AS berger_parker
         |FROM g ORDER BY "group"""".stripMargin,
+
+    // Exact cent sums per (segment, customer); HUGEINT Σs²/top-4 folds
+    // mirror Profiling.concentration; two IEEE ratios.
+    "q229_concentration" ->
+      """WITH per AS (SELECT c_mktsegment AS grp, o_custkey AS e,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+        |      AS HUGEINT) AS s
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |r AS (SELECT grp, s, row_number() OVER (PARTITION BY grp
+        |    ORDER BY s DESC, e ASC) AS rn FROM per),
+        |g AS (SELECT grp, count(*) AS n_entities,
+        |    CAST(sum(s) AS HUGEINT) AS t,
+        |    CAST(sum(s * s) AS HUGEINT) AS c2,
+        |    CAST(sum(CASE WHEN rn <= 4 THEN s ELSE 0 END) AS HUGEINT)
+        |      AS tp
+        |  FROM r GROUP BY grp)
+        |SELECT grp AS "group", n_entities,
+        |  round(CAST(c2 AS DOUBLE) /
+        |    (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) * 10000.0, 6) AS hhi,
+        |  round(CAST(tp AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cr4
+        |FROM g ORDER BY "group"""".stripMargin,
+
+    // The 6-way stable-ordinal CASE mirrors TimeSeries
+    // .permutationEntropy; entropy folds over <= 6 patterns per key.
+    "q230_perm_entropy" ->
+      """WITH s AS (SELECT event_type AS k, ts, event_id,
+        |    CAST(value AS DOUBLE) AS v1
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |l AS (SELECT k, v1,
+        |    lead(v1, 1) OVER (PARTITION BY k ORDER BY ts, event_id) AS v2,
+        |    lead(v1, 2) OVER (PARTITION BY k ORDER BY ts, event_id) AS v3
+        |  FROM s),
+        |p AS (SELECT k, CASE
+        |    WHEN v1 <= v2 AND v2 <= v3 THEN '123'
+        |    WHEN v1 <= v2 AND NOT v2 <= v3 AND v1 <= v3 THEN '132'
+        |    WHEN v1 <= v2 AND NOT v2 <= v3 AND NOT v1 <= v3 THEN '312'
+        |    WHEN NOT v1 <= v2 AND v1 <= v3 THEN '213'
+        |    WHEN NOT v1 <= v2 AND NOT v1 <= v3 AND v2 <= v3 THEN '231'
+        |    ELSE '321' END AS pat
+        |  FROM l WHERE v2 IS NOT NULL AND v3 IS NOT NULL),
+        |c AS (SELECT k, pat, count(*) AS c FROM p GROUP BY 1, 2),
+        |t AS (SELECT k, CAST(sum(c) AS BIGINT) AS n_triples,
+        |    count(*) AS n_patterns FROM c GROUP BY k)
+        |SELECT c.k AS key, t.n_triples, t.n_patterns,
+        |  round(sum(-(CAST(c.c AS DOUBLE) / CAST(t.n_triples AS DOUBLE)) *
+        |    ln(CAST(c.c AS DOUBLE) / CAST(t.n_triples AS DOUBLE))) /
+        |    ln(2), 6) AS perm_entropy,
+        |  round(round(sum(-(CAST(c.c AS DOUBLE) /
+        |      CAST(t.n_triples AS DOUBLE)) *
+        |    ln(CAST(c.c AS DOUBLE) / CAST(t.n_triples AS DOUBLE))) /
+        |    ln(2), 6) / (ln(6) / ln(2)), 6) AS normalized
+        |FROM c JOIN t ON c.k = t.k
+        |GROUP BY c.k, t.n_triples, t.n_patterns
+        |ORDER BY key""".stripMargin,
+
+    // q218's squash; bucketed candidates (b±1 covers the closed
+    // caliper interval), (|gap|, control_id) winner per treated.
+    "q231_psm_match" ->
+      """WITH s AS (SELECT vec_id, label,
+        |    greatest(0.0, least(1.0,
+        |      round(0.5 + CAST(embedding AS DOUBLE[])[1] / 4.0, 3))) AS p
+        |  FROM embeddings),
+        |tr AS (SELECT vec_id AS treated_id, p AS t_score,
+        |    CAST(floor(p / 0.02) AS BIGINT) AS b FROM s WHERE label >= 5),
+        |ct AS (SELECT vec_id AS control_id, p AS c_score,
+        |    CAST(floor(p / 0.02) AS BIGINT) AS b
+        |  FROM s WHERE NOT label >= 5),
+        |cand AS (SELECT treated_id, control_id, t_score, c_score,
+        |    abs(t_score - c_score) AS ad
+        |  FROM tr JOIN ct ON ct.b BETWEEN tr.b - 1 AND tr.b + 1
+        |  WHERE abs(t_score - c_score) <= 0.02),
+        |r AS (SELECT treated_id, control_id, t_score, c_score, ad,
+        |    row_number() OVER (PARTITION BY treated_id
+        |      ORDER BY ad, control_id) AS rn
+        |  FROM cand)
+        |SELECT treated_id, control_id, t_score, c_score,
+        |  round(ad, 6) AS abs_diff
+        |FROM r WHERE rn = 1 ORDER BY treated_id""".stripMargin,
+
+    // Per-label scale-6 centroid sums (q176's convention, GROUP BY
+    // label); a = own-centroid distance, b = min other; one LEFT JOIN.
+    "q232_silhouette" -> {
+      val sums = (0 until 64).map(i =>
+        s"SUM(CAST(CAST(cv[${i + 1}] AS DECIMAL(18,6)) * 1000000 AS HUGEINT)) AS s$i")
+        .mkString(", ")
+      val means = (0 until 64).map(i =>
+        s"CAST(s$i AS DOUBLE)/1000000.0/CAST(n AS DOUBLE)").mkString(", ")
+      s"""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |st AS (SELECT label AS cl, count(*) AS n, $sums
+         |  FROM c GROUP BY label),
+         |m AS (SELECT cl, [$means] AS mv FROM st),
+         |own AS (SELECT vec_id, label,
+         |    sqrt(list_dot_product(dv, dv)) AS a FROM (
+         |  SELECT vec_id, label,
+         |      [cv[i] - mv[i] FOR i IN generate_series(1, 64)] AS dv
+         |    FROM c JOIN m ON label = cl)),
+         |oth AS (SELECT vec_id, min(sqrt(list_dot_product(dv, dv))) AS b
+         |  FROM (
+         |  SELECT c.vec_id,
+         |      [cv[i] - mv[i] FOR i IN generate_series(1, 64)] AS dv
+         |    FROM c JOIN m ON label <> cl) GROUP BY vec_id)
+         |SELECT label AS cluster, count(*) AS n,
+         |  round(avg(CASE WHEN b IS NULL THEN NULL
+         |    WHEN greatest(a, b) = 0 THEN 0.0
+         |    ELSE (b - a) / greatest(a, b) END), 6) AS mean_silhouette,
+         |  round(avg(a), 6) AS mean_dist_own,
+         |  round(avg(b), 6) AS mean_dist_other
+         |FROM own LEFT JOIN oth USING (vec_id)
+         |GROUP BY label ORDER BY cluster""".stripMargin
+    },
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -81,4 +81,57 @@ object EntityResolution {
           .as("precision"),
         round(col("n_correct").cast("double") / col("n_true").cast("double"), 6)
           .as("recall"))
+
+  /** Nearest-neighbor score matching within a caliper — propensity-score
+    * matching WITH replacement (Rosenbaum & Rubin 1983's NN variant):
+    * every treated unit pairs to the control whose score is closest,
+    * provided the gap is within `caliper`; unmatched treated units drop
+    * (the standard caliper discipline — a forced distant match biases
+    * the effect estimate more than the dropped unit does).
+    *
+    * This is the blocking idiom applied to a CONTINUOUS key: scores
+    * bucket at `caliper` width, treated rows probe their own bucket ±1
+    * (any control within the caliper lives there by construction), and
+    * the winner per treated unit is the (|gap|, control-id)-minimum —
+    * deterministic under score ties. Returns the match frame
+    * `(treated_id, control_id, t_score, c_score, abs_diff)`; callers
+    * aggregate balance/effect on top.
+    *
+    * Scale shape: candidates come ONLY from the 3-bucket equi-join —
+    * never treated × control — so cost is O(Σ|bucket|²) like every
+    * candidate generator here; `maxBucket` fail-fasts a degenerate
+    * score distribution (all mass in one bucket ⇒ quadratic blowup)
+    * before the shuffle explodes. Winner-per-treated is the
+    * window-group-limit shape. */
+  def nearestScoreMatch(treated: DataFrame, control: DataFrame,
+      idCol: String, scoreCol: Column, caliper: Double,
+      maxBucket: Long = 100000L): DataFrame = {
+    require(caliper > 0, "caliper must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def side(df: DataFrame, id: String, sc: String): DataFrame = df
+      .select(col(idCol).as(id), scoreCol.cast("double").as(sc))
+      .filter(col(id).isNotNull && col(sc).isNotNull)
+      .withColumn("__b", floor(col(sc) / lit(caliper)).cast("long"))
+    val c = side(control, "control_id", "c_score")
+    val sizes = c.groupBy(col("__b")).agg(count(lit(1)).as("__bn"))
+    val guarded = c.join(broadcast(sizes), Seq("__b"))
+      .where(OpsUtil.orRaise(col("__bn") <= maxBucket,
+        lit("nearestScoreMatch: control score bucket "), col("__b"),
+        lit(s" holds more than maxBucket=$maxBucket rows; shrink the " +
+          "caliper or raise maxBucket")))
+      .select(col("__b"), col("control_id"), col("c_score"))
+    val t = side(treated, "treated_id", "t_score")
+      .withColumn("__off", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__b", col("__b") + col("__off"))
+      .select(col("__b"), col("treated_id"), col("t_score"))
+    val w = Window.partitionBy(col("treated_id"))
+      .orderBy(col("abs_diff").asc, col("control_id").asc)
+    t.join(guarded, Seq("__b"))
+      .withColumn("abs_diff", abs(col("t_score") - col("c_score")))
+      .filter(col("abs_diff") <= caliper)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("treated_id"), col("control_id"), col("t_score"),
+        col("c_score"), round(col("abs_diff"), 6).as("abs_diff"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -672,5 +673,51 @@ object Profiling {
         "full_outer")
       .select(col("quantile"), col("value_a"), col("value_b"),
         round(col("value_b") - col("value_a"), 6).as("gap"))
+  }
+
+  /** Market-concentration panel per group — Herfindahl–Hirschman index
+    * (Σ share², ×10000 on the antitrust scale) plus the top-`topN`
+    * concentration ratio. The "is this source mix dominated by a few
+    * entities" read that complements the entropy/Gini family: HHI is
+    * the square-weighted view (a 10 000 HHI is a monopoly), CR_n the
+    * head-mass view.
+    *
+    * Exactness: `valueCol` quantizes to an unscaled BIGINT at `scale`
+    * ([[graft.functions.Decimals]]); per-entity sums, Σs², and the
+    * top-N sum all fold in DECIMAL(38,0) — only the two final ratios
+    * divide in IEEE (rounded 6).
+    *
+    * Scale shape: one hash agg to the (group, entity) frame, one
+    * per-group window for the top-N rank (rows already collapsed to
+    * the entity DIMENSION), one per-group fold. The window carries the
+    * full entity frame per group — at a 100 TB fact scale that frame
+    * is still dimension-sized; a billion-entity group would swap the
+    * rank for [[Relational.groupedRowNumber]]. */
+  def concentration(df: DataFrame, groupCol: Column, entityCol: Column,
+      valueCol: Column, topN: Int = 4, scale: Int = 2): DataFrame = {
+    require(topN >= 1, "concentration topN must be >= 1")
+    val dec38 = DecimalType(38, 0)
+    val per = df
+      .select(groupCol.as("group"), entityCol.as("__e"),
+        graft.functions.Decimals.unscaledLong(valueCol, scale).as("__v"))
+      .filter(col("group").isNotNull && col("__e").isNotNull &&
+        col("__v").isNotNull)
+      .groupBy(col("group"), col("__e"))
+      .agg(sum(col("__v")).cast(dec38).as("__s"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("__s").desc, col("__e").asc)
+    per.withColumn("__rn", row_number().over(w))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("__s")).as("__t"),
+        sum(col("__s") * col("__s")).as("__c2"),
+        sum(when(col("__rn") <= topN, col("__s"))
+          .otherwise(lit(0).cast(dec38))).as("__top"))
+      .select(col("group"), col("n_entities"),
+        round(col("__c2").cast("double") /
+          (col("__t").cast("double") * col("__t").cast("double")) *
+          lit(10000.0), 6).as("hhi"),
+        round(col("__top").cast("double") / col("__t").cast("double"), 6)
+          .as(s"cr$topN"))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -867,5 +867,75 @@ object Similarity {
     val lits = array(component.map(lit(_)): _*)
     embeds.select(col(idCol),
       round(dot(asDouble(col(vecCol)), lits), 6).as("score"))
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * clustering-quality read that complements purity/NMI (which need
+    * ground-truth labels): `s = (b − a) / max(a, b)` with `a` the
+    * distance to the OWN cluster centroid and `b` the distance to the
+    * nearest OTHER centroid (Hruschka's simplified variant — the exact
+    * silhouette's all-pairs a/b is the O(n²) formulation that cannot
+    * ship at corpus scale). Mean s per cluster; a cluster whose mean
+    * drops toward 0 is overlapping its neighbor.
+    *
+    * Exactness: centroids come from per-dimension decimal-quantized
+    * sums per cluster (the [[centroidOutliers]] convention — scale-6
+    * unscaled longs, exact integer folds, one rounding per mean);
+    * distances are the codegen'd strict-index-order [[VectorFunctions
+    * .dot]] fold; `b` is an exact min; the final mean's cross-engine
+    * fold noise (~1e-12 at these magnitudes) sits far below round(,6).
+    *
+    * Scale shape: one map-side-combined hash agg to the cluster frame
+    * (k rows × dim buffers), the k-row centroid frame re-enters twice
+    * as a broadcast (own-centroid equi-join + k-way nested-loop for
+    * the min-other pass), one hash agg back to k rows. Row count never
+    * multiplies beyond ×k with k bounded by `maxClusters`. */
+  def simplifiedSilhouette(embeds: DataFrame, vecCol: String,
+      idCol: String, labelCol: String, dim: Int,
+      maxClusters: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1: $dim")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v = asDouble(col(vecCol))
+    val sums = (0 until dim).map(i => sum(graft.functions.Decimals
+      .unscaledLong(element_at(v, i + 1), 6)).as(s"__s$i"))
+    val cents = embeds
+      .filter(col(labelCol).isNotNull)
+      .groupBy(col(labelCol).as("__cl"))
+      .agg(count(lit(1)).as("__n"), sums: _*)
+    val guarded = cents.crossJoin(
+        broadcast(cents.agg(count(lit(1)).as("__k"))))
+      .where(OpsUtil.orRaise(col("__k") <= maxClusters,
+        lit("simplifiedSilhouette: "), col("__k"),
+        lit(s" clusters (> maxClusters=$maxClusters); the k-way " +
+          "centroid pass is quadratic in k")))
+    val meanArr = array((0 until dim).map(i =>
+      (col(s"__s$i").cast(dec38) / lit(1000000L)).cast("double") /
+        col("__n").cast("double")): _*)
+    val centroids = guarded.select(col("__cl"), meanArr.as("__cv"))
+    def dist(a: Column, b: Column): Column = {
+      val d = zip_with(a, b, (x, y) => x - y)
+      sqrt(dot(d, d))
+    }
+    val rows = embeds
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("__l"), v.as("__v"),
+        col(idCol).as("__rid"))
+    val own = rows.join(broadcast(centroids), col("__l") === col("__cl"))
+      .select(col("__rid"), col("__l"), col("__v"),
+        dist(col("__v"), col("__cv")).as("__a"))
+    val other = rows.join(broadcast(centroids), col("__l") =!= col("__cl"))
+      .groupBy(col("__rid"))
+      .agg(min(dist(col("__v"), col("__cv"))).as("__b"))
+    own.join(other, Seq("__rid"), "left")
+      .withColumn("__s",
+        when(col("__b").isNull, lit(null).cast("double"))
+          .when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+          .otherwise((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b"))))
+      .groupBy(col("__l").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__s")), 6).as("mean_silhouette"),
+        round(avg(col("__a")), 6).as("mean_dist_own"),
+        round(avg(col("__b")), 6).as("mean_dist_other"))
   }
 }

@@ -618,4 +618,60 @@ object TimeSeries {
     val hi = element_at(arr, floor(sz / lit(2)).cast("int") + lit(1))
     series.withColumn("rolling_median", (lo + hi) / lit(2.0))
   }
+
+  /** Order-3 permutation entropy per key (Bandt & Pompe 2002): the
+    * complexity read of a series from its ordinal TRIPLE patterns alone
+    * — a flat-or-trending series uses 1–2 of the 6 patterns (entropy
+    * → 0), white noise uses all 6 uniformly (entropy → log₂6). Value
+    * magnitudes never enter, so the statistic is robust to scale/drift
+    * where autocorrelation is not.
+    *
+    * Ties take the STABLE ordinal convention (earlier position ranks
+    * first: position i precedes j iff v_i < v_j ∨ (v_i = v_j ∧ i < j)),
+    * so the pattern of every triple is deterministic and the 6-way CASE
+    * below is reproducible in any engine. `idCol` breaks timestamp ties
+    * in the sequence order itself.
+    *
+    * Returns per key `(key, n_triples, n_patterns, perm_entropy,
+    * normalized)` with entropy in bits and `normalized = H/log₂6`.
+    *
+    * Scale shape: one hash shuffle on the key, one per-partition sort,
+    * a single Window operator carrying two bounded lead() buffers, then
+    * a hash agg to the ≤6-patterns-per-key frame — per-key state is
+    * O(1), no driver materialization. */
+  def permutationEntropy(events: DataFrame, key: String, ts: String,
+      idCol: String, valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col(ts).asc, col(idCol).asc)
+    val v1 = col("__v1"); val v2 = col("__v2"); val v3 = col("__v3")
+    // stable order: i before j iff v_i < v_j or (equal and i < j)
+    val p12 = v1 <= v2          // 1 before 2 (tie keeps position order)
+    val p13 = v1 <= v3
+    val p23 = v2 <= v3
+    val pattern = when(p12 && p23, "123")
+      .when(p12 && !p23 && p13, "132")
+      .when(p12 && !p23 && !p13, "312")
+      .when(!p12 && p13, "213")
+      .when(!p12 && !p13 && p23, "231")
+      .otherwise("321")
+    val triples = events
+      .select(col(key).as("__k"), col(ts), col(idCol),
+        valueCol.cast("double").as("__v1"))
+      .filter(col("__v1").isNotNull)
+      .withColumn("__v2", lead(col("__v1"), 1).over(w))
+      .withColumn("__v3", lead(col("__v1"), 2).over(w))
+      .filter(col("__v2").isNotNull && col("__v3").isNotNull)
+      .select(col("__k"), pattern.as("__p"))
+      .groupBy(col("__k"), col("__p"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = triples.groupBy(col("__k"))
+      .agg(sum(col("__c")).as("n_triples"), count(lit(1)).as("n_patterns"))
+    val p = col("__c").cast("double") / col("n_triples").cast("double")
+    triples.join(totals, Seq("__k"))
+      .groupBy(col("__k").as("key"), col("n_triples"), col("n_patterns"))
+      .agg(round(sum(-p * log(p)) / lit(math.log(2.0)), 6)
+        .as("perm_entropy"))
+      .withColumn("normalized",
+        round(col("perm_entropy") / lit(math.log(6.0) / math.log(2.0)), 6))
+  }
 }
