@@ -44,4 +44,33 @@ class EntityResolutionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxBlock") ||
       Option(ex.getCause).exists(_.getMessage.contains("maxBlock")))
   }
+
+  test("nearestScoreMatch: caliper, nearest winner, id tie-break, guard") {
+    import spark.implicits._
+    val treated = Seq((1L, 0.10), (2L, 0.50), (3L, 0.90)).toDF("id", "p")
+    val control = Seq((11L, 0.09), (12L, 0.115), (13L, 0.515), (14L, 0.30))
+      .toDF("id", "p")
+    val out = EntityResolution.nearestScoreMatch(treated, control,
+        "id", col("p"), caliper = 0.02)
+      .orderBy("treated_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // t1: c11 gap .01 beats c12 gap .015; t2: c13 gap .015; t3: no match
+    assert(out.toList == List((1L, 11L), (2L, 13L)))
+    // equidistant controls -> smaller control id wins
+    val tie = EntityResolution.nearestScoreMatch(
+        Seq((1L, 0.5)).toDF("id", "p"),
+        Seq((21L, 0.4921875), (22L, 0.5078125)).toDF("id", "p"),
+        "id", col("p"), caliper = 0.02)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tie.toList == List((1L, 21L)))
+    // degenerate bucket fails fast
+    val ex = intercept[Exception] {
+      EntityResolution.nearestScoreMatch(
+        Seq((1L, 0.5)).toDF("id", "p"),
+        (1 to 30).map(i => (100L + i, 0.5)).toDF("id", "p"),
+        "id", col("p"), caliper = 0.02, maxBucket = 10L).collect()
+    }
+    assert(ex.getMessage.contains("maxBucket") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxBucket")))
+  }
 }

@@ -566,4 +566,66 @@ class EvaluationSpec extends AnyFunSuite {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("mannWhitney: hand-computed U with ties; empty side NULL") {
+    import spark.implicits._
+    // A = {1, 2}, B = {2, 3}: midranks 1, 2.5, 2.5, 4
+    // R_a = 1 + 2.5 = 3.5; U_a = 3.5 - 3 = 0.5; cles = 0.125
+    // ties: one t=2 run -> 6; sigma2 = (4/12)*((5) - 6/12) = 1.5
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(2.0, 3.0).toDF("v")
+    val r = Evaluation.mannWhitney(a, b, col("v")).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2 && r.getLong(2) == 3)
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.125)
+    assert(r.getDouble(5) == round6((0.5 - 2.0) / math.sqrt(1.5)))
+    // empty side -> NULL statistics
+    val e = Evaluation.mannWhitney(a, Seq.empty[Double].toDF("v"), col("v"))
+      .collect().head
+    assert(e.isNullAt(3) && e.isNullAt(4) && e.isNullAt(5))
+    // all values tied -> sigma = 0 -> z NULL, u defined
+    val t = Evaluation.mannWhitney(Seq(5.0).toDF("v"),
+      Seq(5.0, 5.0).toDF("v"), col("v")).collect().head
+    assert(!t.isNullAt(3) && t.isNullAt(5))
+  }
+
+  test("anovaF: two separated groups; degenerate NULLs") {
+    import spark.implicits._
+    // a={1,2} b={5,6}: SSB=16, SSW=1, F=(16/1)/(1/2)=32, eta=16/17
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0))
+      .toDF("g", "v")
+    val r = Evaluation.anovaF(df, col("g"), col("v"), scale = 4)
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 3.5)           // grand mean
+    assert(r.getDouble(3) == round6(16.0 / 17.0))
+    assert(r.getDouble(4) == 32.0)
+    // constant within groups -> SSW=0 -> F NULL (eta = 1)
+    val c = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)).toDF("g", "v")
+    val rc = Evaluation.anovaF(c, col("g"), col("v")).collect().head
+    assert(rc.getDouble(3) == 1.0 && rc.isNullAt(4))
+    // globally constant -> SST=0 -> eta NULL too
+    val k = Seq(("a", 3.0), ("b", 3.0)).toDF("g", "v")
+    val rk = Evaluation.anovaF(k, col("g"), col("v")).collect().head
+    assert(rk.isNullAt(3) && rk.isNullAt(4))
+  }
+
+  test("wilsonRanking: closed form at 8/10; domain guard") {
+    import spark.implicits._
+    val df = (Seq.fill(8)(("a", 1)) ++ Seq.fill(2)(("a", 0))).toDF("g", "y")
+    val r = Evaluation.wilsonRanking(df, col("g"), col("y")).collect().head
+    val (p, n, z) = (0.8, 10.0, 1.96)
+    val z2 = z * z
+    val expected = (p + z2 / (2.0 * n) -
+      z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))) / (1.0 + z2 / n)
+    assert(r.getLong(1) == 10 && r.getLong(2) == 8)
+    assert(r.getDouble(3) == 0.8)
+    assert(r.getDouble(4) == round6(expected))
+    val ex = intercept[Exception] {
+      Evaluation.wilsonRanking(Seq(("a", 2)).toDF("g", "y"),
+        col("g"), col("y")).collect()
+    }
+    assert(ex.getMessage.contains("wilsonRanking") ||
+      Option(ex.getCause).exists(_.getMessage.contains("wilsonRanking")))
+  }
 }

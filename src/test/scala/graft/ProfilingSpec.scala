@@ -389,4 +389,20 @@ class ProfilingSpec extends AnyFunSuite {
       Profiling.cramersV(df, Seq.empty)
     }
   }
+
+  test("concentration: HHI and CR on a hand grid") {
+    import spark.implicits._
+    val df = Seq(("g", "a", 50.0), ("g", "b", 30.0), ("g", "c", 20.0))
+      .toDF("grp", "e", "v")
+    val r = Profiling.concentration(df, col("grp"), col("e"), col("v"),
+      topN = 1).collect().head
+    // shares 0.5/0.3/0.2 -> HHI = 3800; CR1 = 0.5
+    assert(r.getLong(1) == 3)
+    assert(r.getDouble(2) == 3800.0)
+    assert(r.getDouble(3) == 0.5)
+    // monopoly -> HHI 10000
+    val m = Profiling.concentration(Seq(("g", "a", 9.0)).toDF("grp", "e", "v"),
+      col("grp"), col("e"), col("v")).collect().head
+    assert(m.getDouble(2) == 10000.0 && m.getDouble(3) == 1.0)
+  }
 }

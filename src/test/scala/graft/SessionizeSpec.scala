@@ -345,4 +345,27 @@ class SessionizeSpec extends AnyFunSuite {
     assert(math.abs(rows(0)._4 - ha) < 2e-6)
     assert(rows(1) == (("b", 1L, 1L, 0.0))) // deterministic funnel edge
   }
+
+  test("rfmSegments: hand-scored 2-bucket grid, deterministic ties") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "2024-01-10", 100.0),
+      (2L, "2024-01-09", 50.0), (2L, "2024-01-10", 10.0),
+      (3L, "2024-01-01", 300.0),
+      (4L, "2024-01-05", 20.0)
+    ).toDF("c", "d", "amt").withColumn("d", col("d").cast("date"))
+    val out = Sessionize.rfmSegments(orders, col("c"), col("d"),
+        col("amt"), buckets = 2)
+      .orderBy("r_score", "f_score", "m_score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4)))
+    // anchor 2024-01-10; recency c1=0,c2=0,c4=5,c3=9 -> r: 1,1,2,2
+    // freq desc: c2(2),c1,c3,c4 -> f: c2=1,c1=1,c3=2,c4=2
+    // monetary desc: c3(300),c1(100),c2(60),c4(20) -> m: 1,1,2,2
+    assert(out.toList == List(
+      (1, 1, 1, 1L, 100.0),   // c1
+      (1, 1, 2, 1L, 60.0),    // c2
+      (2, 2, 1, 1L, 300.0),   // c3
+      (2, 2, 2, 1L, 20.0)))   // c4
+  }
 }

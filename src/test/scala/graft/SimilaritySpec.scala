@@ -366,4 +366,40 @@ class SimilaritySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == Seq((0L, 1.0), (1L, 2.5)))
   }
+
+  test("simplifiedSilhouette: two tight clusters, degenerate single cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.0f, 2.0f), 0),
+      (3L, Seq(10.0f, 0.0f), 1), (4L, Seq(10.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.simplifiedSilhouette(df, "embedding", "vec_id",
+        "label", dim = 2)
+      .orderBy("cluster").collect()
+    // centroids (0,1) and (10,1): a = 1, b = sqrt(101) for every row
+    val a = 1.0
+    val b = math.sqrt(101.0)
+    val s = BigDecimal((b - a) / b)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2)
+      assert(r.getDouble(2) == s)
+      assert(r.getDouble(3) == 1.0)
+    }
+    // one cluster: no "other" centroid -> NULL silhouette
+    val one = Similarity.simplifiedSilhouette(
+      df.filter(col("label") === 0), "embedding", "vec_id", "label",
+      dim = 2).collect().head
+    assert(one.isNullAt(2))
+    // maxClusters guard
+    val many = (0 until 12).map(i => (i.toLong, Seq(i.toFloat), i))
+      .toDF("vec_id", "embedding", "label")
+    val ex = intercept[Exception] {
+      Similarity.simplifiedSilhouette(many, "embedding", "vec_id",
+        "label", dim = 1, maxClusters = 8).collect()
+    }
+    assert(ex.getMessage.contains("maxClusters") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxClusters")))
+  }
 }

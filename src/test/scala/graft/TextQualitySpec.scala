@@ -463,4 +463,16 @@ class TextQualitySpec extends AnyFunSuite {
       .collect().head.getDouble(3)
     assert(d0 == 0.0)
   }
+
+  test("simpsonDiversity: hand counts") {
+    import spark.implicits._
+    val docs = Seq(("g1", "a a b"), ("g2", "x y z")).toDF("src", "text")
+    val rows = graft.operators.CorpusStats.simpsonDiversity(docs,
+        col("src"), col("text"))
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows(0) == (("g1", 3L, 2L, 0.555556, 1.8, 0.666667)))
+    assert(rows(1) == (("g2", 3L, 3L, 0.333333, 3.0, 0.333333)))
+  }
 }

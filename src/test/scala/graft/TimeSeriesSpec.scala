@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TimeSeries
@@ -272,5 +273,33 @@ class TimeSeriesSpec extends AnyFunSuite {
         anchor = "2024-02-01 00:00:00", halfLifeSeconds = 3600L)
       .collect().map(r => r.getDouble(2))
     assert(out.toList == List(0.0)) // decayed below any 6-decimal quantum
+  }
+
+  test("rollingMedian: trailing window, partial head, exact halves") {
+    import spark.implicits._
+    val s = Seq(("k", 1, 5.0), ("k", 2, 1.0), ("k", 3, 4.0),
+      ("k", 4, 2.0), ("k", 5, 3.0)).toDF("key", "t", "v")
+    val out = TimeSeries.rollingMedian(s, "key", "t", "v", window = 3)
+      .orderBy("t").collect().map(_.getDouble(3))
+    assert(out.toList == List(5.0, 3.0, 4.0, 2.0, 3.0))
+  }
+
+  test("permutationEntropy: ordinal patterns with stable ties") {
+    import spark.implicits._
+    val e = Seq(("k", 1L, 1L, 1.0), ("k", 2L, 2L, 2.0), ("k", 3L, 3L, 3.0),
+      ("k", 4L, 4L, 2.0), ("k", 5L, 5L, 1.0)).toDF("key", "ts", "id", "v")
+    val r = TimeSeries.permutationEntropy(e, "key", "ts", "id", col("v"))
+      .collect().head
+    // triples: (1,2,3)->123, (2,3,2)->132 (tie keeps position), (3,2,1)->321
+    assert(r.getLong(1) == 3 && r.getLong(2) == 3)
+    val h = math.log(3.0) / math.log(2.0)
+    assert(r.getDouble(3) ==
+      BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // constant series: stable ties -> single "123" pattern, entropy 0
+    val c = Seq(("k", 1L, 1L, 7.0), ("k", 2L, 2L, 7.0), ("k", 3L, 3L, 7.0))
+      .toDF("key", "ts", "id", "v")
+    val rc = TimeSeries.permutationEntropy(c, "key", "ts", "id", col("v"))
+      .collect().head
+    assert(rc.getLong(2) == 1 && rc.getDouble(3) == 0.0)
   }
 }
