@@ -2283,6 +2283,23 @@ object SparkEntry {
         .transform(ordered1(_, col("cluster")))
     }),
 
+    // Fuzzy name matching: the codegen'd Jaro-Winkler comparator over
+    // nation-blocked customer pairs (never the cross product), global
+    // top-50 via TakeOrderedAndProject.
+    "q233_jaro_names" -> ((s, d) => {
+      val c = load(s, d, "customer")
+      val a = c.select(col("c_nationkey").as("nk"),
+        col("c_custkey").as("id_a"), col("c_name").as("name_a"))
+      val b = c.select(col("c_nationkey").as("nk"),
+        col("c_custkey").as("id_b"), col("c_name").as("name_b"))
+      a.join(b, Seq("nk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 6)
+            .as("jw"))
+        .orderBy(col("jw").desc, col("id_a").asc, col("id_b").asc)
+        .limit(50)
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6333,6 +6350,19 @@ object SparkEntry {
          |FROM own LEFT JOIN oth USING (vec_id)
          |GROUP BY label ORDER BY cluster""".stripMargin
     },
+
+    // DuckDB's own jaro_winkler_similarity is the oracle — the exact
+    // semantics (0.7 boost gate, prefix cap 4, empty -> 0) the codegen'd
+    // expression reproduces.
+    "q233_jaro_names" ->
+      """WITH a AS (SELECT c_nationkey AS nk, c_custkey AS id_a,
+        |    c_name AS name_a FROM customer),
+        |b AS (SELECT c_nationkey AS nk, c_custkey AS id_b,
+        |    c_name AS name_b FROM customer)
+        |SELECT id_a, id_b,
+        |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+        |FROM a JOIN b USING (nk) WHERE id_a < id_b
+        |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -101,6 +101,25 @@ object TextFunctions {
       ColumnBridge.expression(text), window, maskHexZeros))
   }
 
+  /** Jaro–Winkler similarity ([[graft.expressions.JaroWinkler]]): the
+    * transposition-tolerant name comparator with the standard 0.7-gated
+    * prefix boost — run it on BLOCKED pairs only (the
+    * [[graft.operators.EntityResolution]] discipline), never a cross
+    * product. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Plain Jaro similarity (no Winkler prefix boost). */
+  def jaro(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.JaroWinkler(
+      ColumnBridge.expression(a), ColumnBridge.expression(b),
+      winkler = false))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def exactFingerprint(text: Column): Column = md5(text)
 

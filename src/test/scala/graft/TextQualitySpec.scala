@@ -475,4 +475,28 @@ class TextQualitySpec extends AnyFunSuite {
     assert(rows(0) == (("g1", 3L, 2L, 0.555556, 1.8, 0.666667)))
     assert(rows(1) == (("g2", 3L, 3L, 0.333333, 3.0, 0.333333)))
   }
+
+  test("jaroWinkler: textbook cases, boost gate, empties") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("CRATE", "TRACE"),
+      ("JELLYFISH", "SMELLYFISH"), ("abc", "abc"), ("", "abc"), ("", ""),
+      ("a", "b"), ("prefixaaaa", "prefizzzzzzzzzz")
+    ).toDF("a", "b")
+    val out = pairs.select(
+        graft.functions.TextFunctions.jaroWinkler(col("a"), col("b"))
+          .as("jw"),
+        graft.functions.TextFunctions.jaro(col("a"), col("b")).as("j"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r6(out(0)._1) == 0.961111 && r6(out(0)._2) == 0.944444)
+    assert(r6(out(1)._1) == 0.813333 && r6(out(1)._2) == 0.766667)
+    assert(out(2)._1 == out(2)._2)                 // prefix 0 -> no boost
+    assert(out(3)._1 == out(3)._2)                 // same
+    assert(out(4)._1 == 1.0)
+    assert(out(5)._1 == 0.0 && out(6)._1 == 0.0)   // DuckDB empty rule
+    assert(out(7)._1 == 0.0)
+    assert(out(8)._1 == out(8)._2)                 // jaro <= 0.7: no boost
+  }
 }
