@@ -2300,6 +2300,21 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // Isotonic calibration of the q218 squash against label>=5 via the
+    // declarative minimax-PAV identity — everything quadratic runs on
+    // the bounded score-bin histogram.
+    "q234_isotonic" -> ((s, d) => {
+      val emb = parallel(load(s, d, "embeddings"))
+      val p = greatest(lit(0.0), least(lit(1.0),
+        round(lit(0.5) + element_at(graft.functions.VectorFunctions
+          .asDouble(col("embedding")), 1) / lit(4.0), 3)))
+      graft.operators.Evaluation.isotonicFit(
+          emb.filter(col("label").isNotNull)
+            .select(p.as("p"), (col("label") >= 5).cast("int").as("y")),
+          col("p"), col("y"))
+        .transform(ordered1(_, col("score")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6363,6 +6378,36 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
         |FROM a JOIN b USING (nk) WHERE id_a < id_b
         |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // The minimax identity fit_i = max_{j<=i} min_{k>=i} wavg[j..k]
+    // mirrors Evaluation.isotonicFit: exact prefix differences, one
+    // IEEE division per grid cell, min/max never round.
+    "q234_isotonic" ->
+      """WITH s AS (SELECT greatest(0.0, least(1.0,
+        |      round(0.5 + CAST(embedding AS DOUBLE[])[1] / 4.0, 3)))
+        |      AS score,
+        |    CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |bins AS (SELECT score, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |  FROM s GROUP BY score),
+        |pre AS (SELECT score, n, sy,
+        |    row_number() OVER (ORDER BY score) AS i,
+        |    CAST(sum(n) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cn,
+        |    CAST(sum(sy) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cs
+        |  FROM bins),
+        |grid AS (SELECT a.i AS j, b.i AS k,
+        |    CAST(b.cs - (a.cs - a.sy) AS DOUBLE) /
+        |      CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS avgv
+        |  FROM pre a JOIN pre b ON a.i <= b.i),
+        |mm AS (SELECT j, k, min(avgv) OVER (PARTITION BY j ORDER BY k DESC
+        |    ROWS UNBOUNDED PRECEDING) AS m FROM grid),
+        |fit AS (SELECT k AS i, max(m) AS f FROM mm GROUP BY k)
+        |SELECT p.score, p.n,
+        |  round(CAST(p.sy AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS y_rate,
+        |  round(f.f, 6) AS iso_fit
+        |FROM pre p JOIN fit f ON p.i = f.i ORDER BY p.score""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -1266,6 +1266,75 @@ object Evaluation {
         col("__ssw") > 0.0, round(f, 6)).as("f_stat"))
   }
 
+  /** Isotonic (monotone) calibration fit over the score histogram — the
+    * non-parametric alternative to Platt scaling: the fitted curve is
+    * the L2-optimal NON-DECREASING map from score to empirical positive
+    * rate (pool-adjacent-violators solution). Computed by the minimax
+    * identity `fit_i = max_{j≤i} min_{k≥i} wavg(y[j..k])` rather than
+    * the sequential PAV merge loop, so the whole fit stays declarative:
+    * scores collapse to their bounded distinct-bin histogram (callers
+    * pre-round scores, the [[aucBinary]] convention; `maxBins`
+    * fail-fasts otherwise), prefix sums index the bins, ONE self-join
+    * builds the O(bins²) interval-average grid, a per-j reversed
+    * cumulative-min window and a per-bin max fold finish the fit.
+    *
+    * Exactness: interval averages are single IEEE divisions of exact
+    * integer (count, positive) prefix differences — identical in any
+    * engine — and min/max never round; only the two output rates round
+    * at 6.
+    *
+    * Returns per bin `(score, n, y_rate, iso_fit)` with `iso_fit`
+    * non-decreasing in score.
+    *
+    * Scale shape: rows collapse to the bin histogram FIRST (hash agg);
+    * everything quadratic runs on the ≤`maxBins` frame. The bin-index
+    * window is global but bounded by the same guard. */
+  def isotonicFit(df: DataFrame, scoreCol: Column, labelCol: Column,
+      maxBins: Long = 2000L): DataFrame = {
+    require(maxBins > 0, "maxBins must be positive")
+    val y = labelCol.cast("long")
+    val bins = df
+      .select(scoreCol.cast("double").as("score"), y.as("__y"))
+      .where(OpsUtil.orRaise(col("__y").isNull || col("__y") === 0L ||
+        col("__y") === 1L,
+        lit("isotonicFit: labelCol outside {0, 1, NULL}")))
+      .filter(col("score").isNotNull && col("__y").isNotNull)
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__s"))
+    val guarded = bins.crossJoin(broadcast(bins.agg(count(lit(1)).as("__k"))))
+      .where(OpsUtil.orRaise(col("__k") <= maxBins,
+        lit("isotonicFit: "), col("__k"),
+        lit(s" score bins (> maxBins=$maxBins); round scores more " +
+          "coarsely or raise maxBins")))
+      .select(col("score"), col("__n"), col("__s"))
+    val wIdx = Window.orderBy(col("score"))
+    val pre = guarded
+      .withColumn("__i", row_number().over(wIdx))
+      .withColumn("__cn", sum(col("__n")).over(
+        wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__cs", sum(col("__s")).over(
+        wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val a = pre.select(col("__i").as("__j"),
+      (col("__cn") - col("__n")).as("__nj0"),
+      (col("__cs") - col("__s")).as("__sj0"))
+    val b = pre.select(col("__i").as("__k2"), col("__cn").as("__nk"),
+      col("__cs").as("__sk"))
+    val grid = a.join(b, col("__j") <= col("__k2"))
+      .select(col("__j"), col("__k2"),
+        ((col("__sk") - col("__sj0")).cast("double") /
+          (col("__nk") - col("__nj0")).cast("double")).as("__avg"))
+    val wMin = Window.partitionBy(col("__j")).orderBy(col("__k2").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = grid.withColumn("__m", min(col("__avg")).over(wMin))
+      .groupBy(col("__k2").as("__i"))
+      .agg(max(col("__m")).as("__fit"))
+    pre.join(fit, Seq("__i"))
+      .select(col("score"), col("__n").as("n"),
+        round(col("__s").cast("double") / col("__n").cast("double"), 6)
+          .as("y_rate"),
+        round(col("__fit"), 6).as("iso_fit"))
+  }
+
   /** Wilson score lower-bound ranking of per-group binomial rates —
     * "sort by the rate you can DEFEND, not the observed one": a group
     * with 2/2 successes ranks below one with 80/100 because its

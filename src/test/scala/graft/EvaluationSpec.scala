@@ -628,4 +628,39 @@ class EvaluationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("wilsonRanking") ||
       Option(ex.getCause).exists(_.getMessage.contains("wilsonRanking")))
   }
+
+  test("isotonicFit: PAV pooling, monotone output, weighted bins, guards") {
+    import spark.implicits._
+    // rates [1, 0, 1] -> PAV pools the first two bins to 0.5
+    val df = Seq((0.1, 1), (0.2, 0), (0.3, 1)).toDF("s", "y")
+    val out = Evaluation.isotonicFit(df, col("s"), col("y"))
+      .orderBy("score").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toList == List(
+      (0.1, 1L, 1.0, 0.5), (0.2, 1L, 0.0, 0.5), (0.3, 1L, 1.0, 1.0)))
+    // weighted: duplicate rows act as bin weights
+    val wdf = Seq((0.1, 1), (0.1, 1), (0.1, 1), (0.2, 0)).toDF("s", "y")
+    val wout = Evaluation.isotonicFit(wdf, col("s"), col("y"))
+      .orderBy("score").collect().map(_.getDouble(3))
+    assert(wout.toList == List(0.75, 0.75)) // pooled weighted mean 3/4
+    // already monotone input -> fit equals the empirical rates
+    val mono = Seq((0.1, 0), (0.2, 1), (0.3, 1)).toDF("s", "y")
+    val mout = Evaluation.isotonicFit(mono, col("s"), col("y"))
+      .orderBy("score").collect().map(_.getDouble(3))
+    assert(mout.toList == List(0.0, 1.0, 1.0))
+    // guards: out-of-domain label, too many bins
+    val exDomain = intercept[Exception] {
+      Evaluation.isotonicFit(Seq((0.1, 2)).toDF("s", "y"),
+        col("s"), col("y")).collect()
+    }
+    assert(exDomain.getMessage.contains("isotonicFit") ||
+      Option(exDomain.getCause).exists(_.getMessage.contains("isotonicFit")))
+    val exBins = intercept[Exception] {
+      Evaluation.isotonicFit(
+        (1 to 20).map(i => (i * 0.01, i % 2)).toDF("s", "y"),
+        col("s"), col("y"), maxBins = 10L).collect()
+    }
+    assert(exBins.getMessage.contains("maxBins") ||
+      Option(exBins.getCause).exists(_.getMessage.contains("maxBins")))
+  }
 }
