@@ -2315,6 +2315,20 @@ object SparkEntry {
         .transform(ordered1(_, col("score")))
     }),
 
+    // Lead/lag cross-correlation of daily click vs purchase counts at
+    // lags -3..3 — exact integer moment folds, one shifted equi-join.
+    "q235_xcorr" -> ((s, d) => {
+      val e = load(s, d, "events")
+      def daily(t: String) = e
+        .filter(col("event_type") === t && col("ts").isNotNull)
+        .groupBy(datediff(to_date(col("ts")),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      TimeSeries.crossCorrelation(daily("click"), daily("purchase"),
+          "day", "n", maxLag = 3)
+        .transform(ordered1(_, col("lag")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6408,6 +6422,33 @@ object SparkEntry {
         |  round(CAST(p.sy AS DOUBLE) / CAST(p.n AS DOUBLE), 6) AS y_rate,
         |  round(f.f, 6) AS iso_fit
         |FROM pre p JOIN fit f ON p.i = f.i ORDER BY p.score""".stripMargin,
+
+    // Shifted equi-join per lag; HUGEINT moment folds and the spearman
+    // -style one-step Pearson ratio mirror TimeSeries.crossCorrelation.
+    "q235_xcorr" ->
+      """WITH x AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS t, CAST(count(*) AS HUGEINT) AS x
+        |  FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |y0 AS (SELECT date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS tb, CAST(count(*) AS HUGEINT) AS y
+        |  FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        |  GROUP BY 1),
+        |l AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+        |y AS (SELECT y0.tb - l.lag AS t, l.lag, y0.y
+        |  FROM y0 CROSS JOIN l),
+        |m AS (SELECT lag, count(*) AS n,
+        |    sum(x.x) AS sx, sum(y.y) AS sy, sum(x.x * x.x) AS sxx,
+        |    sum(y.y * y.y) AS syy, sum(x.x * y.y) AS sxy
+        |  FROM x JOIN y ON x.t = y.t GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - sx * sx > 0
+        |        AND CAST(n AS HUGEINT) * syy - sy * sy > 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+        |      sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+        |        CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
+        |    END AS corr
+        |FROM m ORDER BY lag""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

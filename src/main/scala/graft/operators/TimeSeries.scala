@@ -619,6 +619,56 @@ object TimeSeries {
     series.withColumn("rolling_median", (lo + hi) / lit(2.0))
   }
 
+  /** Lagged cross-correlation between two bucketed series — the
+    * lead/lag read ("do clicks PRECEDE purchases, and by how many
+    * days?") that a single same-bucket correlation cannot give. For
+    * each lag ℓ in [−maxLag, maxLag], Pearson correlation of
+    * `(x_t, y_{t+ℓ})` over the overlapping buckets; the argmax lag is
+    * the estimated lead time.
+    *
+    * Inputs are one row per bucket `(bucketCol: LONG ordinal, valueCol)`
+    * — the [[gapFill]]-style regular-series contract; integer bucket
+    * arithmetic keeps the shifted join an equi-join. Values quantize to
+    * unscaled longs at `scale` so all five moment sums fold exactly in
+    * DECIMAL(38,0); the Pearson ratio is the one IEEE step (the
+    * [[graft.operators.Evaluation]] spearman convention) and the scale
+    * factor cancels exactly in the ratio.
+    *
+    * Scale shape: the small lag fan-out (×(2·maxLag+1)) rides the
+    * second series; one equi-join on the shifted bucket; one hash agg
+    * to the (2·maxLag+1)-row moment frame. No window, no driver
+    * materialization. */
+  def crossCorrelation(a: DataFrame, b: DataFrame, bucketCol: String,
+      valueCol: String, maxLag: Int, scale: Int = 0): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val dec38 = DecimalType(38, 0)
+    def q(c: Column) =
+      graft.functions.Decimals.unscaledLong(c.cast("double"), scale)
+    val x = a.select(col(bucketCol).cast("long").as("__t"),
+      q(col(valueCol)).cast(dec38).as("__x"))
+    val lags = (-maxLag to maxLag).map(l => lit(l.toLong))
+    val y = b.select(col(bucketCol).cast("long").as("__tb"),
+        q(col(valueCol)).cast(dec38).as("__y"))
+      .withColumn("__lag", explode(array(lags: _*)))
+      // pair (x_t, y_{t+lag}): y at bucket tb joins x at t = tb - lag
+      .withColumn("__t", col("__tb") - col("__lag"))
+    val m = x.join(y, Seq("__t"))
+      .groupBy(col("__lag").as("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+    val nD = col("n").cast(dec38)
+    val vx = nD * col("__sxx") - col("__sx") * col("__sx")
+    val vy = nD * col("__syy") - col("__sy") * col("__sy")
+    val cov = nD * col("__sxy") - col("__sx") * col("__sy")
+    m.select(col("lag"), col("n"),
+      when(vx > 0 && vy > 0,
+        round(cov.cast("double") /
+          sqrt(vx.cast("double") * vy.cast("double")), 6)).as("corr"))
+  }
+
   /** Order-3 permutation entropy per key (Bandt & Pompe 2002): the
     * complexity read of a series from its ordinal TRIPLE patterns alone
     * — a flat-or-trending series uses 1–2 of the 6 patterns (entropy

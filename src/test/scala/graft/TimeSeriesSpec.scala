@@ -302,4 +302,25 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().head
     assert(rc.getLong(2) == 1 && rc.getDouble(3) == 0.0)
   }
+
+  test("crossCorrelation: perfect lead/lag correlation, overlap windows") {
+    import spark.implicits._
+    val a = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("day", "n")
+    val b = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("day", "n")
+    val out = TimeSeries.crossCorrelation(a, b, "day", "n", maxLag = 3)
+      .orderBy("lag").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // lags beyond overlap vanish (inner join); +-2 leave one pair (var 0)
+    assert(out.map(_._1).toList == List(-2L, -1L, 0L, 1L, 2L))
+    assert(out.find(_._1 == 0L).get == ((0L, 3L, Some(1.0))))
+    assert(out.find(_._1 == 1L).get == ((1L, 2L, Some(1.0))))
+    assert(out.find(_._1 == -1L).get == ((-1L, 2L, Some(1.0))))
+    assert(out.find(_._1 == 2L).get._3.isEmpty)  // single pair: no variance
+    // anti-correlated at lag 0
+    val c = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("day", "n")
+    val anti = TimeSeries.crossCorrelation(a, c, "day", "n", maxLag = 0)
+      .collect().head
+    assert(anti.getDouble(2) == -1.0)
+  }
 }
