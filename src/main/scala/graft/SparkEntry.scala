@@ -2329,6 +2329,71 @@ object SparkEntry {
         .transform(ordered1(_, col("lag")))
     }),
 
+    // CUPED variance-reduced A/B readout: units = users, arms by
+    // user-id parity, pre/post split at mid-month — one unit hash agg,
+    // one 9-moment fold, exact decimal moments.
+    "q236_cuped" -> ((s, d) => {
+      val e = load(s, d, "events")
+      graft.operators.Evaluation.cuped(
+          e.filter(col("ts").isNotNull),
+          col("user_id"), pmod(col("user_id"), lit(2L)) === 0L,
+          col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
+          col("value"), scale = 2)
+        .transform(ordered1(_, col("n_units")))
+    }),
+
+    // Per-type OLS daily trend + Durbin-Watson residual audit: exact
+    // decimal moments per group, one lag window over the bounded
+    // daily frame only.
+    "q237_ols_trend" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val daily = e
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("g"),
+          datediff(to_date(col("ts")),
+            lit("1970-01-01").cast("date")).cast("long").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      TimeSeries.olsTrend(daily, "g", "day", "n_events")
+        .transform(ordered1(_, col("group")))
+    }),
+
+    // Empirical-Bayes shrinkage of per-brand mean retail price toward
+    // the grand mean — one group agg, one 1-row broadcast panel.
+    "q238_eb_shrinkage" -> ((s, d) => {
+      graft.operators.Profiling.ebShrinkMeans(load(s, d, "part"),
+          col("p_brand"), col("p_retailprice"), scale = 2)
+        .transform(ordered1(_, col("group")))
+    }),
+
+    // Kruskal-Wallis H across languages on doc length — the k-group
+    // rank test; exact doubled rank sums on the value histogram.
+    "q239_kruskal_wallis" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      graft.operators.Evaluation.kruskalWallis(docs, col("lang"),
+          col("n_chars"))
+        .transform(ordered1(_, col("n")))
+    }),
+
+    // Wald-Wolfowitz runs test on the daily event-count series:
+    // above/below-median sign sequence, exact run counts.
+    "q240_runs_test" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val daily = e.filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.runsTest(daily, "day", "n")
+        .transform(ordered1(_, col("runs")))
+    }),
+
+    // Directed association rules over per-user event-type baskets:
+    // support/confidence/lift/conviction, top-20 by lift.
+    "q241_assoc_rules" -> ((s, d) => {
+      Itemsets.associationRules(load(s, d, "events"), "user_id",
+          "event_type", minCount = 5L, topK = 20)
+        .transform(ordered1(_, col("lift").desc, col("antecedent"),
+          col("consequent")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6449,6 +6514,250 @@ object SparkEntry {
         |        CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE)), 6)
         |    END AS corr
         |FROM m ORDER BY lag""".stripMargin,
+
+    // Mirrors Evaluation.cuped: DECIMAL(18,2)*100 HUGEINT per-unit
+    // sums ≡ unscaledLong(scale=2); θ, ρ², and the arm means all read
+    // off the same nine exact moments; only the final ratios are IEEE.
+    "q236_cuped" ->
+      """WITH u AS (SELECT user_id AS u,
+        |    CAST(user_id % 2 = 0 AS INT) AS t,
+        |    CAST(COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) END),
+        |      0) AS HUGEINT) AS x,
+        |    CAST(COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) END),
+        |      0) AS HUGEINT) AS y
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY user_id),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(t) AS HUGEINT) AS nt,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CASE WHEN t = 1 THEN x ELSE 0 END) AS HUGEINT) AS sxt,
+        |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS HUGEINT) AS syt
+        |  FROM u),
+        |d AS (SELECT n, nt, sx, sy, sxt, syt,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS varxn,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS varyn,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+        |    CAST(nt AS DOUBLE) AS ntd, CAST(n - nt AS DOUBLE) AS ncd
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n_units, CAST(nt AS BIGINT) AS n_t,
+        |  CAST(n - nt AS BIGINT) AS n_c,
+        |  CASE WHEN varxn > 0 THEN round(covn / varxn, 6) END AS theta,
+        |  CASE WHEN n > 0 THEN round(CAST(sx AS DOUBLE) /
+        |    (CAST(n AS DOUBLE) * 100.0), 6) END AS mean_pre,
+        |  CASE WHEN nt > 0 AND n > nt THEN
+        |    round((CAST(syt AS DOUBLE) / ntd -
+        |      CAST(sy - syt AS DOUBLE) / ncd) / 100.0, 6) END AS diff_raw,
+        |  CASE WHEN nt > 0 AND n > nt AND varxn > 0 THEN
+        |    round((CAST(syt AS DOUBLE) / ntd -
+        |        CAST(sy - syt AS DOUBLE) / ncd) / 100.0 -
+        |      (covn / varxn) *
+        |        ((CAST(sxt AS DOUBLE) / ntd -
+        |          CAST(sx - sxt AS DOUBLE) / ncd) / 100.0), 6)
+        |    END AS diff_cuped,
+        |  CASE WHEN varxn > 0 AND varyn > 0 THEN
+        |    round(covn * covn / (varxn * varyn), 6) END AS var_reduction
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // Mirrors TimeSeries.olsTrend: HUGEINT moments, slope/intercept as
+    // the identical fixed IEEE op sequence, residual lag window over
+    // the bounded daily frame.
+    "q237_ols_trend" ->
+      """WITH dly AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+        |      AS sxx,
+        |    CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+        |      AS sxy,
+        |    CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+        |      AS syy
+        |  FROM dly GROUP BY g),
+        |s AS (SELECT g, n,
+        |    CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        CAST(n * sxx - sx * sx AS DOUBLE) END AS b,
+        |    (CAST(sy AS DOUBLE) -
+        |      (CASE WHEN n * sxx - sx * sx > 0 THEN
+        |        CAST(n * sxy - sx * sy AS DOUBLE) /
+        |          CAST(n * sxx - sx * sx AS DOUBLE) END) *
+        |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a,
+        |    CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |      CAST(n * sxy - sx * sy AS DOUBLE) *
+        |        CAST(n * sxy - sx * sy AS DOUBLE) /
+        |        (CAST(n * sxx - sx * sx AS DOUBLE) *
+        |          CAST(n * syy - sy * sy AS DOUBLE)) END AS r2
+        |  FROM m),
+        |r AS (SELECT dly.g, dly.x,
+        |    CAST(dly.y AS DOUBLE) - (s.a + s.b * CAST(dly.x AS DOUBLE)) AS e
+        |  FROM dly JOIN s ON dly.g = s.g),
+        |rl AS (SELECT g, e,
+        |    lag(e) OVER (PARTITION BY g ORDER BY x) AS ep FROM r),
+        |d AS (SELECT g, sum(e * e) AS den,
+        |    sum(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep) END)
+        |      AS num
+        |  FROM rl GROUP BY g)
+        |SELECT s.g AS "group", CAST(s.n AS BIGINT) AS n,
+        |  round(s.b, 6) AS slope, round(s.a, 6) AS intercept,
+        |  round(s.r2, 6) AS r2,
+        |  CASE WHEN s.n >= 2 AND d.den > 0 THEN round(d.num / d.den, 6)
+        |    END AS dw
+        |FROM s JOIN d ON s.g = d.g ORDER BY 1""".stripMargin,
+
+    // Mirrors Profiling.ebShrinkMeans: DECIMAL(18,2)*100 quantization,
+    // HUGEINT group moments, identical IEEE sequence for sigma2/tau2/B.
+    "q238_eb_shrinkage" ->
+      """WITH g AS (SELECT p_brand AS grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+        |      AS HUGEINT)) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+        |        AS HUGEINT) *
+        |      CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+        |        AS HUGEINT)) AS HUGEINT) AS q
+        |  FROM part WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL
+        |  GROUP BY p_brand),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS nd,
+        |    CAST(count(*) AS DOUBLE) AS kd,
+        |    CAST(sum(s) AS DOUBLE) AS sd,
+        |    sum(CAST(q AS DOUBLE) -
+        |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS ssw,
+        |    sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        |      AS ssb2,
+        |    sum(CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS n2,
+        |    CAST(sum(n) AS BIGINT) AS nn, count(*) AS kk FROM g),
+        |p AS (SELECT CASE WHEN kk >= 2 AND nn > kk THEN sd / nd END
+        |      AS grand,
+        |    CASE WHEN kk >= 2 AND nn > kk THEN ssw / (nd - kd) END AS s2w,
+        |    CASE WHEN kk >= 2 AND nn > kk THEN
+        |      greatest(0.0, ((ssb2 - sd * sd / nd) / (kd - 1.0) -
+        |        ssw / (nd - kd)) / ((nd - n2 / nd) / (kd - 1.0)))
+        |      END AS tau2
+        |  FROM t),
+        |o AS (SELECT g.grp, g.n,
+        |    CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS meanu,
+        |    p.grand, p.s2w, p.tau2,
+        |    CASE WHEN p.tau2 + p.s2w / CAST(g.n AS DOUBLE) > 0 THEN
+        |        p.tau2 / (p.tau2 + p.s2w / CAST(g.n AS DOUBLE))
+        |      WHEN p.tau2 IS NOT NULL THEN 0.0 END AS b
+        |  FROM g CROSS JOIN p)
+        |SELECT grp AS "group", n, round(meanu / 100.0, 6) AS mean,
+        |  round((grand + b * (meanu - grand)) / 100.0, 6) AS shrunk,
+        |  round(b, 6) AS shrink_b
+        |FROM o ORDER BY 1""".stripMargin,
+
+    // Mirrors Evaluation.kruskalWallis: exact HUGEINT doubled rank
+    // sums on the merged value histogram, IEEE only in H and the tie
+    // correction.
+    "q239_kruskal_wallis" ->
+      """WITH gv AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+        |    count(*) AS c
+        |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM gv GROUP BY v),
+        |vr AS (SELECT v, t, COALESCE(sum(t) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+        |  FROM vt),
+        |g AS (SELECT gv.g, CAST(sum(gv.c) AS HUGEINT) AS n,
+        |    CAST(sum(CAST(gv.c AS HUGEINT) *
+        |      (2 * CAST(vr.bef AS HUGEINT) + CAST(vr.t AS HUGEINT) + 1))
+        |      AS HUGEINT) AS r2
+        |  FROM gv JOIN vr ON gv.v = vr.v GROUP BY gv.g),
+        |ti AS (SELECT CAST(sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT) *
+        |      CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS HUGEINT) AS ties,
+        |    count(*) AS nv FROM vr),
+        |tt AS (SELECT CAST(sum(n) AS HUGEINT) AS nn, count(*) AS k,
+        |    sum(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) /
+        |      (4.0 * CAST(n AS DOUBLE))) AS sr
+        |  FROM g)
+        |SELECT CAST(nn AS BIGINT) AS n, k AS n_groups, ti.nv AS n_values,
+        |  CASE WHEN k >= 2 AND nn >= 2 THEN
+        |    round(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) *
+        |      sr - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 6) END AS h,
+        |  CASE WHEN k >= 2 AND nn >= 2 AND
+        |      1.0 - CAST(ti.ties AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+        |          CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE)) > 0 THEN
+        |    round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)) *
+        |        sr - 3.0 * (CAST(nn AS DOUBLE) + 1.0)) /
+        |      (1.0 - CAST(ti.ties AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) *
+        |          CAST(nn AS DOUBLE) - CAST(nn AS DOUBLE))), 6)
+        |    END AS h_corrected
+        |FROM tt CROSS JOIN ti ORDER BY 1""".stripMargin,
+
+    // Mirrors TimeSeries.runsTest: quantile_cont median (same (n-1)p
+    // convention as Spark's percentile), exact sign/run counts.
+    "q240_runs_test" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+        |md AS (SELECT quantile_cont(CAST(n AS DOUBLE), 0.5) AS med
+        |  FROM dly),
+        |sg AS (SELECT day, CAST(CAST(n AS DOUBLE) > med AS INT) AS s
+        |  FROM dly, md WHERE CAST(n AS DOUBLE) <> med),
+        |rl AS (SELECT s, lag(s) OVER (ORDER BY day) AS p FROM sg),
+        |ag AS (SELECT CAST(sum(s) AS BIGINT) AS n_above,
+        |    CAST(sum(1 - s) AS BIGINT) AS n_below,
+        |    CAST(sum(CASE WHEN p IS NULL OR p <> s THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS runs
+        |  FROM rl),
+        |d AS (SELECT n_above, n_below, runs,
+        |    CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n0
+        |  FROM ag)
+        |SELECT n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 THEN
+        |    round(2.0 * n1 * n0 / (n1 + n0) + 1.0, 6) END AS mu_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND
+        |      (2.0 * n1 * n0 / (n1 + n0) + 1.0 - 1.0) *
+        |      (2.0 * n1 * n0 / (n1 + n0) + 1.0 - 2.0) / (n1 + n0 - 1.0) > 0
+        |    THEN round((CAST(runs AS DOUBLE) -
+        |        (2.0 * n1 * n0 / (n1 + n0) + 1.0)) /
+        |      sqrt((2.0 * n1 * n0 / (n1 + n0) + 1.0 - 1.0) *
+        |        (2.0 * n1 * n0 / (n1 + n0) + 1.0 - 2.0) /
+        |        (n1 + n0 - 1.0)), 6) END AS z
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // Mirrors Itemsets.associationRules: exact basket/item/pair
+    // counts, top-20 cut on the UNROUNDED lift (deterministic double)
+    // with (antecedent, consequent) tiebreak, rounded output order.
+    "q241_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT user_id AS g, event_type AS i
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS nn FROM it),
+        |c AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM it GROUP BY i),
+        |p AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS cab
+        |  FROM it a JOIN it b ON a.g = b.g AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |d AS (SELECT ia AS ant, ib AS con, cab FROM p
+        |  UNION ALL SELECT ib, ia, cab FROM p),
+        |j AS (SELECT d.ant, d.con, d.cab, ca.ci AS ca, cb.ci AS cb, nb.nn
+        |  FROM d JOIN c ca ON d.ant = ca.i JOIN c cb ON d.con = cb.i
+        |  CROSS JOIN nb),
+        |k AS (SELECT ant, con, cab, ca, cb, nn,
+        |    CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) AS conf,
+        |    CAST(cab AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |      (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)) AS lift
+        |  FROM j),
+        |t AS (SELECT * FROM k ORDER BY lift DESC, ant, con LIMIT 20)
+        |SELECT ant AS antecedent, con AS consequent, cab AS n_both,
+        |  round(CAST(cab AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS support,
+        |  round(conf, 6) AS confidence,
+        |  round(lift, 6) AS lift,
+        |  CASE WHEN conf < 1.0 THEN
+        |    round((1.0 - CAST(cb AS DOUBLE) / CAST(nn AS DOUBLE)) /
+        |      (1.0 - conf), 6) END AS conviction
+        |FROM t ORDER BY round(lift, 6) DESC, antecedent, consequent"""
+        .stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -645,6 +645,99 @@ object Evaluation {
         round((pb - pa) / se, 6)).as("z"))
   }
 
+  /** CUPED variance-reduced treatment-effect estimate (Deng, Xu, Kohavi
+    * & Walker, "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data", WSDM 2013): adjust
+    * each unit's experiment-period metric by its own PRE-period metric,
+    * `ŷ_i = y_i − θ·(x_i − x̄)` with `θ = cov(x,y)/var(x)` pooled across
+    * arms, which shrinks the difference-in-means standard error by the
+    * factor `1 − ρ²` without biasing the effect (x predates assignment,
+    * so E[x|T] = E[x|C]). The estimator every experimentation platform
+    * runs once a metric has week-over-week autocorrelation worth
+    * harvesting.
+    *
+    * Unit semantics match [[abTest]]: rows collapse to one row per
+    * `unitCol` first (pre sum, post sum, arm), so heavy users cannot
+    * double-count; a unit observed under BOTH arms fails fast (a
+    * corrupted assignment, not an analysis input). Units with no
+    * pre-period (or no post-period) activity contribute an exact 0 —
+    * dropping them would bias both arms toward active users.
+    *
+    * Exactness: `valueCol` quantizes to an unscaled LONG at `scale`
+    * (the [[graft.functions.Decimals]] convention), so per-unit sums
+    * and all moment sums `Σx, Σy, Σx², Σxy, Σy²` (DECIMAL(38,0) — the
+    * cross products overflow a LONG at realistic magnitudes) are exact;
+    * θ and ρ² are dimensionless ratios of exact integers, and only the
+    * final divisions run IEEE.
+    *
+    * Returns one row `(n_units, n_t, n_c, theta, mean_pre, diff_raw,
+    * diff_cuped, var_reduction)`: `diff_raw` = post-mean(T) −
+    * post-mean(C); `diff_cuped` = diff_raw − θ·(pre-mean(T) −
+    * pre-mean(C)) (the x̄ centering cancels in the difference);
+    * `var_reduction` = ρ² = cov²/(var_x·var_y), the fraction of metric
+    * variance CUPED removes. θ/ρ² are NULL when var(x) (resp. var(y))
+    * is 0; the diffs are NULL when either arm is empty.
+    *
+    * Scale shape: ONE (unit) hash aggregation — map-side combined on
+    * the unit key — then a 1-row moment fold. No window, no join, no
+    * second pass over rows: θ, both arm means, and the variance ratio
+    * all come out of the same nine moment sums. */
+  def cuped(df: DataFrame, unitCol: Column, treatedCol: Column,
+      isPostCol: Column, valueCol: Column, scale: Int = 2): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val units = df
+      .select(unitCol.as("__u"), treatedCol.cast("int").as("__t"),
+        isPostCol.cast("boolean").as("__p"), coalesce(q, lit(0L)).as("__q"))
+      .filter(col("__u").isNotNull && col("__t").isNotNull &&
+        col("__p").isNotNull)
+      .groupBy(col("__u"))
+      .agg(max(col("__t")).as("__tmax"), min(col("__t")).as("__tmin"),
+        coalesce(sum(when(!col("__p"), col("__q"))), lit(0L)).as("__x"),
+        coalesce(sum(when(col("__p"), col("__q"))), lit(0L)).as("__y"))
+      .where(OpsUtil.orRaise(col("__tmax") === col("__tmin"),
+        lit("cuped: unit observed under both arms — assignment is not " +
+          "unit-constant")))
+    val x = col("__x").cast(dec38)
+    val y = col("__y").cast(dec38)
+    val t = col("__tmax") === 1
+    val agg = units.agg(
+      count(lit(1)).as("n_units"),
+      sum(when(t, 1L).otherwise(0L)).as("n_t"),
+      sum(x).as("__sx"), sum(y).as("__sy"),
+      sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+      sum(y * y).as("__syy"),
+      sum(when(t, x).otherwise(lit(0).cast(dec38))).as("__sxt"),
+      sum(when(t, y).otherwise(lit(0).cast(dec38))).as("__syt"))
+    val pow = lit(math.pow(10, scale))
+    val n = col("n_units").cast(dec38)
+    // n²·var and n²·cov stay in exact decimal; double only at the ratio
+    val varxN = (n * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    val varyN = (n * col("__syy") - col("__sy") * col("__sy")).cast("double")
+    val covN = (n * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val theta = when(varxN > 0.0, covN / varxN)
+    val nt = col("n_t").cast("double")
+    val nc = (col("n_units") - col("n_t")).cast("double")
+    val bothArms = col("n_t") > 0 && col("n_units") > col("n_t")
+    def armDiff(st: Column, s: Column): Column =
+      (st.cast("double") / nt -
+        (s - st).cast("double") / nc) / pow
+    val diffRaw = armDiff(col("__syt"), col("__sy"))
+    val diffPre = armDiff(col("__sxt"), col("__sx"))
+    agg.select(
+      col("n_units"), col("n_t"),
+      (col("n_units") - col("n_t")).as("n_c"),
+      round(theta, 6).as("theta"),
+      when(col("n_units") > 0,
+        round(col("__sx").cast("double") / (n.cast("double") * pow), 6))
+        .as("mean_pre"),
+      when(bothArms, round(diffRaw, 6)).as("diff_raw"),
+      when(bothArms && theta.isNotNull,
+        round(diffRaw - theta * diffPre, 6)).as("diff_cuped"),
+      when(varxN > 0.0 && varyN > 0.0,
+        round(covN * covN / (varxN * varyN), 6)).as("var_reduction"))
+  }
+
   /** Gains / lift decile table — the model-deployment readout ("call
     * the top decile and you reach 4.2× the base response rate"): rows
     * rank by score DESC (id ASC tiebreak), split into `buckets` equal
@@ -1368,5 +1461,72 @@ object Evaluation {
     agg.select(col("group"), col("trials"), col("successes"),
       round(p, 6).as("rate"),
       round(greatest(low, lit(0.0)), 6).as("wilson_low"))
+  }
+
+  /** Kruskal–Wallis H test — the k-group generalization of
+    * [[mannWhitney]] (and the rank-based sibling of [[anovaF]]): do the
+    * k value distributions share a location, judged on ranks alone?
+    * The multi-source gate when a quality metric is too heavy-tailed
+    * for ANOVA's normality assumption.
+    *
+    * Exactness follows the [[mannWhitney]] construction: on the merged
+    * distinct-value histogram, the DOUBLED per-group rank sum
+    * `2·R_g = Σ_v c_gv·(2·cumBefore_v + t_v + 1)` is an exact
+    * DECIMAL(38,0) integer (t_v = total count at v across groups), as
+    * is the tie sum `Σ(t³−t)`; `H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1)`
+    * and the tie correction `C = 1 − Σ(t³−t)/(N³−N)` run IEEE on those
+    * exact integers in a fixed op sequence any engine reproduces.
+    *
+    * Returns one row `(n, n_groups, n_values, h, h_corrected)`; h is
+    * NULL when k < 2 or N < 2, `h_corrected = H/C` additionally NULL
+    * when C = 0 (every observation tied at one value — no rank
+    * information at all).
+    *
+    * Scale shape: one (group, value) hash collapse, one value-level
+    * re-aggregation for the tie histogram, ONE cumulative window over
+    * the bounded distinct-value frame, a bounded equi-join back on the
+    * value key, then per-group and 1-row folds. Rows never enter a
+    * window; `valueCol` should be quantized by the caller when its
+    * domain is continuous (the [[aucBinary]] convention). */
+  def kruskalWallis(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val gv = df.select(groupCol.as("__g"), valueCol.cast("double").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val vtot = gv.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vrank = vtot.withColumn("__bef",
+      coalesce(sum(col("__t")).over(w), lit(0L)))
+    val grp = gv.join(vrank, Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).cast(dec38).as("__n"),
+        sum(col("__c").cast(dec38) *
+          (lit(2).cast(dec38) * col("__bef").cast(dec38) +
+            col("__t").cast(dec38) + lit(1).cast(dec38))).as("__r2"))
+    val ties = vrank.agg(
+      sum(col("__t").cast(dec38) * col("__t").cast(dec38) *
+        col("__t").cast(dec38) - col("__t").cast(dec38)).as("__ties"),
+      count(lit(1)).as("n_values"))
+    // Σ R_g²/n_g = Σ (2R)²/(4n) — (2R)² in double is deterministic
+    // (the square of one exact-integer double, same rounding anywhere)
+    val tot = grp.agg(
+      sum(col("__n")).as("__N"), count(lit(1)).as("__k"),
+      sum(col("__r2").cast("double") * col("__r2").cast("double") /
+        (lit(4.0) * col("__n").cast("double"))).as("__sr"))
+    val nD = col("__N").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * col("__sr") -
+      lit(3.0) * (nD + lit(1.0))
+    val c = lit(1.0) - col("__ties").cast("double") /
+      (nD * nD * nD - nD)
+    tot.crossJoin(broadcast(ties)).select(
+      col("__N").cast("bigint").as("n"),
+      col("__k").as("n_groups"),
+      col("n_values"),
+      when(col("__k") >= 2 && col("__N") >= 2, round(h, 6)).as("h"),
+      when(col("__k") >= 2 && col("__N") >= 2 && c > 0.0,
+        round(h / c, 6)).as("h_corrected"))
   }
 }

@@ -45,4 +45,66 @@ object Itemsets {
       .orderBy(col("n_groups").desc, col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Directed association rules a→b with the full interestingness
+    * panel — support, confidence, lift, conviction (Agrawal & Srikant
+    * '94; conviction from Brin et al. '97 "Dynamic Itemset Counting"):
+    * [[coOccurrencePairs]] says WHICH items travel together, this says
+    * in which DIRECTION the implication carries information. Lift > 1
+    * = positive association; conviction → ∞ as the rule approaches
+    * exceptionlessness (NULL at confidence = 1).
+    *
+    * Exactness: every count (c_a, c_b, c_ab, N distinct baskets) is an
+    * exact integer; the four metrics are fixed IEEE ratio sequences on
+    * them. The (lift DESC, antecedent, consequent) output order is
+    * computed on the UNROUNDED lift — a deterministic double since
+    * both factors are integer-exact — so the top-k cut is
+    * engine-reproducible; ties break on the rule key.
+    *
+    * Scale shape: identical to [[coOccurrencePairs]] up to the pair
+    * frame (one distinct collapse, exchange-reused self-join, pair
+    * hash agg); `minCount` prunes the pair frame BEFORE it doubles
+    * into directed rules, item supports join on the bounded item
+    * domain, N is a 1-row broadcast, and the final cut is
+    * TakeOrderedAndProject. */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive: $topK")
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val items = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull)
+      .distinct()
+    val nGroups = items.agg(countDistinct(col("__g")).as("__n"))
+    val counts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    val a = items.alias("a")
+    val b = items.alias("b")
+    val pairs = a.join(b, col("a.__g") === col("b.__g") &&
+        col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("__ia"), col("b.__i").as("__ib"))
+      .agg(count(lit(1)).as("__cab"))
+      .filter(col("__cab") >= minCount)
+    val directed = pairs
+      .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
+        col("__cab"))
+      .union(pairs.select(col("__ib").as("antecedent"),
+        col("__ia").as("consequent"), col("__cab")))
+    val ca = counts.select(col("__i").as("antecedent"), col("__c").as("__ca"))
+    val cb = counts.select(col("__i").as("consequent"), col("__c").as("__cb"))
+    val nD = col("__n").cast("double")
+    val conf = col("__cab").cast("double") / col("__ca").cast("double")
+    val lift = col("__cab").cast("double") * nD /
+      (col("__ca").cast("double") * col("__cb").cast("double"))
+    val conviction = when(conf < 1.0,
+      (lit(1.0) - col("__cb").cast("double") / nD) / (lit(1.0) - conf))
+    directed.join(ca, Seq("antecedent")).join(cb, Seq("consequent"))
+      .crossJoin(broadcast(nGroups))
+      .orderBy(lift.desc, col("antecedent"), col("consequent"))
+      .limit(topK)
+      .select(col("antecedent"), col("consequent"),
+        col("__cab").as("n_both"),
+        round(col("__cab").cast("double") / nD, 6).as("support"),
+        round(conf, 6).as("confidence"),
+        round(lift, 6).as("lift"),
+        round(conviction, 6).as("conviction"))
+  }
 }

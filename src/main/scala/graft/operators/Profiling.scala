@@ -720,4 +720,81 @@ object Profiling {
         round(col("__top").cast("double") / col("__t").cast("double"), 6)
           .as(s"cr$topN"))
   }
+
+  /** Empirical-Bayes (James–Stein-style) shrinkage of per-group means
+    * toward the grand mean, method-of-moments one-way random-effects
+    * (Efron & Morris 1975's batting-average construction, the
+    * multi-group generalization every ratings/CTR pipeline runs):
+    * small groups are noisy, so each group mean is pulled toward the
+    * grand mean by `B_g = τ̂²/(τ̂² + σ̂²/n_g)` — a 3-observation group
+    * gets mostly prior, a 30k-observation group keeps its own mean.
+    *
+    * Estimators: `σ̂² = SSW/(N−k)` (pooled within-group),
+    * `τ̂² = max(0, (SSB/(k−1) − σ̂²)/n₀)` with
+    * `n₀ = (N − Σn_g²/N)/(k−1)` (the unbalanced-design effective
+    * group size); `shrunk_g = x̄ + B_g·(x̄_g − x̄)`.
+    *
+    * Exactness: values quantize to unscaled LONGs at `scale`, so
+    * `n_g, S_g, Q_g = Σv²` are exact DECIMAL(38,0); SSW/SSB involve
+    * `S_g²/n_g` and so run IEEE, but each is the identical fixed op
+    * sequence on exact integers in any engine, and the bounded-group
+    * fold noise (~1e-15 relative) dies in round(,6).
+    *
+    * Returns per group `(group, n, mean, shrunk, shrink_b)`; shrunk /
+    * shrink_b NULL when k < 2 or N = k (no within-group replication —
+    * σ̂² undefined); when τ̂² = 0 the estimator collapses every group
+    * to the grand mean (B = 0), which is the correct MoM answer, not a
+    * degenerate case.
+    *
+    * Scale shape: ONE (group) hash aggregation — map-side combined —
+    * then a 1-row totals fold cross-joined back as a broadcast panel
+    * (the [[concentration]] pattern). Group cardinality is bounded by
+    * contract (brands, sources, cohorts); rows never enter a window. */
+  def ebShrinkMeans(df: DataFrame, groupCol: Column, valueCol: Column,
+      scale: Int = 2): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val pow = lit(math.pow(10, scale))
+    val q = graft.functions.Decimals.unscaledLong(valueCol, scale)
+    val g = df.select(groupCol.as("group"), q.cast(dec38).as("__v"))
+      .filter(col("group").isNotNull && col("__v").isNotNull)
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+    val ngD = col("n").cast("double")
+    // within-group SS contribution, IEEE on exact integers
+    val sswG = col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double") / ngD
+    val ssbG = col("__s").cast("double") * col("__s").cast("double") / ngD
+    val totals = g.agg(
+      sum(col("n")).as("__N"),
+      count(lit(1)).as("__k"),
+      sum(col("__s")).as("__S"),
+      sum(sswG).as("__ssw"),
+      sum(ssbG).as("__ssb2"),
+      sum(col("n").cast("double") * col("n").cast("double")).as("__n2"))
+    val nD = col("__N").cast("double")
+    val kD = col("__k").cast("double")
+    val grandU = col("__S").cast("double") / nD
+    val ssb = col("__ssb2") - col("__S").cast("double") *
+      col("__S").cast("double") / nD
+    val s2w = col("__ssw") / (nD - kD)
+    val n0 = (nD - col("__n2") / nD) / (kD - lit(1.0))
+    val tau2 = greatest(lit(0.0), (ssb / (kD - lit(1.0)) - s2w) / n0)
+    val panel = g.crossJoin(broadcast(totals.select(
+      when(col("__k") >= 2 && col("__N") > col("__k"), grandU)
+        .as("__grand"),
+      when(col("__k") >= 2 && col("__N") > col("__k"), s2w).as("__s2w"),
+      when(col("__k") >= 2 && col("__N") > col("__k"), tau2).as("__tau2"))))
+    val meanU = col("__s").cast("double") / ngD
+    // all-constant data: tau2 = s2w = 0 -> B = 0 (grand mean), not 0/0
+    val b = when(col("__tau2") + col("__s2w") / ngD > 0.0,
+      col("__tau2") / (col("__tau2") + col("__s2w") / ngD))
+      .otherwise(when(col("__tau2").isNotNull, lit(0.0)))
+    panel.select(col("group"), col("n"),
+      round(meanU / pow, 6).as("mean"),
+      round((col("__grand") + b * (meanU - col("__grand"))) / pow, 6)
+        .as("shrunk"),
+      round(b, 6).as("shrink_b"))
+  }
 }

@@ -724,4 +724,132 @@ object TimeSeries {
       .withColumn("normalized",
         round(col("perm_entropy") / lit(math.log(6.0) / math.log(2.0)), 6))
   }
+
+  /** Per-group OLS trend with a Durbin–Watson residual-autocorrelation
+    * audit — the "is this metric really trending, and can I trust the
+    * fit" panel: slope/intercept/R² give the linear trend, and DW =
+    * Σ(eₜ−eₜ₋₁)²/Σeₜ² reads whether the residuals are serially
+    * correlated (DW ≈ 2 independent, → 0 positively autocorrelated —
+    * the classic sign that a linear fit under-models a drifting
+    * series and its confidence intervals are fiction).
+    *
+    * Input contract matches [[crossCorrelation]]: `df` is an already
+    * BUCKETED frame (one row per (group, x)), x and y integral LONGs.
+    * The closed forms run on exact DECIMAL(38,0) moment sums `n, Σx,
+    * Σy, Σx², Σxy, Σy²`; slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and the
+    * residuals eₜ = yₜ − (a + b·xₜ) are the only IEEE steps, each a
+    * fixed op sequence on exact integers so any engine reproduces them
+    * bit-for-bit; the final DW fold carries ~1e-15 relative noise that
+    * round(,6) absorbs.
+    *
+    * Returns per group `(group, n, slope, intercept, r2, dw)`; slope /
+    * intercept NULL when var(x) = 0 (single bucket or constant x), r2
+    * NULL when either variance is 0, dw NULL when n < 2 or the fit is
+    * exact (Σe² = 0).
+    *
+    * Scale shape: one hash agg collapses the bucketed frame to
+    * per-group moments; the residual pass joins those BOUNDED group
+    * stats back (broadcast-sized by construction) and runs ONE lag
+    * window over the bucketed frame — rows never enter a window, and
+    * nothing beyond the bucket frame shuffles twice. */
+  def olsTrend(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val dec38 = DecimalType(38, 0)
+    val base = df.select(col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__xl"),
+        col(yCol).cast("long").as("__yl"))
+      .filter(col("__xl").isNotNull && col("__yl").isNotNull)
+    val x = col("__xl").cast(dec38)
+    val y = col("__yl").cast(dec38)
+    val m = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),
+        sum(y * y).as("__syy"))
+    val nD = col("n").cast(dec38)
+    val varxN = nD * col("__sxx") - col("__sx") * col("__sx")
+    val varyN = nD * col("__syy") - col("__sy") * col("__sy")
+    val covN = nD * col("__sxy") - col("__sx") * col("__sy")
+    val slope = when(varxN > 0,
+      covN.cast("double") / varxN.cast("double"))
+    val icept = (col("__sy").cast("double") -
+      slope * col("__sx").cast("double")) / col("n").cast("double")
+    val stats = m.select(col("__g"), col("n"),
+      slope.as("__b"), icept.as("__a"),
+      when(varxN > 0 && varyN > 0,
+        covN.cast("double") * covN.cast("double") /
+          (varxN.cast("double") * varyN.cast("double"))).as("__r2"))
+    val e = col("__yl").cast("double") -
+      (col("__a") + col("__b") * col("__xl").cast("double"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__xl"))
+    val resid = base.join(stats, Seq("__g"))
+      .withColumn("__e", e)
+      .withColumn("__ep", lag(col("__e"), 1).over(w))
+    val dw = resid.groupBy(col("__g"))
+      .agg(sum(col("__e") * col("__e")).as("__den"),
+        sum(when(col("__ep").isNotNull,
+          (col("__e") - col("__ep")) * (col("__e") - col("__ep"))))
+          .as("__num"))
+    stats.join(dw, Seq("__g"))
+      .select(col("__g").as("group"), col("n"),
+        round(col("__b"), 6).as("slope"),
+        round(col("__a"), 6).as("intercept"),
+        round(col("__r2"), 6).as("r2"),
+        when(col("n") >= 2 && col("__den") > 0.0,
+          round(col("__num") / col("__den"), 6)).as("dw"))
+  }
+
+  /** Wald–Wolfowitz runs test on a bucketed series — is the sequence of
+    * above/below-median excursions RANDOM, or does the metric wander in
+    * long runs (regime persistence) / flip-flop faster than chance
+    * (overcorrection)? The distribution-free cousin of [[olsTrend]]'s
+    * Durbin–Watson: DW needs a fitted model, the runs test needs only a
+    * median.
+    *
+    * Convention: values EQUAL to the median are dropped (the standard
+    * two-category reduction), signs are above(1)/below(0), and a run is
+    * a maximal same-sign stretch in `orderCol` order. Under H₀ the run
+    * count is `μ = 2n₁n₀/(n₁+n₀) + 1` with
+    * `σ² = (μ−1)(μ−2)/(n₁+n₀−1)`; z = (R−μ)/σ.
+    *
+    * Exactness: the median of the integral `valueCol` is
+    * `percentile(v, 0.5)` — linear interpolation at the (n−1)/2 index,
+    * exact halves on LONG inputs, the same convention DuckDB's
+    * quantile_cont uses; run/side counts are exact integers, and only
+    * μ/σ/z run IEEE (fixed op sequence, round(,6) output).
+    *
+    * Returns one row `(n_above, n_below, runs, mu_runs, z)`; z NULL
+    * when either side is empty (one run by construction, σ = 0).
+    *
+    * Scale shape: the input is an already-BUCKETED frame (the
+    * [[crossCorrelation]] contract), so the single-partition
+    * median+lag windows run over a bounded series, never over raw
+    * rows; the sign sequence folds to one row. */
+  def runsTest(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    val med = df.agg(
+      expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val signed = df.select(col(orderCol).as("__o"),
+        col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(med))
+      .filter(col("__v") =!= col("__med"))
+      .select(col("__o"), (col("__v") > col("__med")).cast("int").as("__s"))
+    val w = Window.orderBy(col("__o"))
+    val runs = signed
+      .withColumn("__prev", lag(col("__s"), 1).over(w))
+      .agg(
+        sum(col("__s")).as("n_above"),
+        sum(lit(1) - col("__s")).as("n_below"),
+        (sum(when(col("__prev").isNull ||
+          col("__prev") =!= col("__s"), 1L).otherwise(0L))).as("runs"))
+    val n1 = col("n_above").cast("double")
+    val n0 = col("n_below").cast("double")
+    val mu = lit(2.0) * n1 * n0 / (n1 + n0) + lit(1.0)
+    val sigma2 = (mu - lit(1.0)) * (mu - lit(2.0)) / (n1 + n0 - lit(1.0))
+    val ok = col("n_above") > 0 && col("n_below") > 0
+    runs.select(col("n_above"), col("n_below"), col("runs"),
+      when(ok, round(mu, 6)).as("mu_runs"),
+      when(ok && sigma2 > 0.0,
+        round((col("runs").cast("double") - mu) / sqrt(sigma2), 6)).as("z"))
+  }
 }

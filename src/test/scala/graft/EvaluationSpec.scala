@@ -663,4 +663,72 @@ class EvaluationSpec extends AnyFunSuite {
     assert(exBins.getMessage.contains("maxBins") ||
       Option(exBins.getCause).exists(_.getMessage.contains("maxBins")))
   }
+
+  test("cuped: hand-computed theta/diffs; mixed-arm unit fails fast") {
+    import spark.implicits._
+    // units (t, pre, post): T:(1,10),(2,20)  C:(1,12),(3,30)
+    // x = [1,2,1,3] y = [10,20,12,30]; theta = cov/var
+    val df = Seq(
+      (1L, true, false, 1.0), (1L, true, true, 10.0),
+      (2L, true, false, 2.0), (2L, true, true, 20.0),
+      (3L, false, false, 1.0), (3L, false, true, 12.0),
+      (4L, false, false, 3.0), (4L, false, true, 30.0))
+      .toDF("u", "t", "p", "v")
+    val r = Evaluation.cuped(df, col("u"), col("t"), col("p"), col("v"))
+      .collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2 && r.getLong(2) == 2)
+    // exact moments at scale 2: x=[100,200,100,300], y=[1000,2000,1200,3000]
+    val x = Seq(100.0, 200.0, 100.0, 300.0)
+    val y = Seq(1000.0, 2000.0, 1200.0, 3000.0)
+    val n = 4.0
+    val covN = n * x.zip(y).map { case (a, b) => a * b }.sum - x.sum * y.sum
+    val varxN = n * x.map(a => a * a).sum - x.sum * x.sum
+    val varyN = n * y.map(a => a * a).sum - y.sum * y.sum
+    val theta = covN / varxN
+    assert(r.getDouble(3) == round6(theta))
+    assert(r.getDouble(4) == round6(x.sum / n / 100.0))
+    val diffRaw = (3000.0 / 2 - 4200.0 / 2) / 100.0
+    val diffPre = (300.0 / 2 - 400.0 / 2) / 100.0
+    assert(r.getDouble(5) == round6(diffRaw))
+    assert(r.getDouble(6) == round6(diffRaw - theta * diffPre))
+    assert(r.getDouble(7) == round6(covN * covN / (varxN * varyN)))
+    // one arm empty -> diffs NULL, theta still defined
+    val oneArm = Evaluation.cuped(df.filter(col("t")), col("u"), col("t"),
+      col("p"), col("v")).collect().head
+    assert(oneArm.isNullAt(5) && oneArm.isNullAt(6) && !oneArm.isNullAt(3))
+    // a unit seen under both arms is a corrupted assignment
+    val bad = df.union(Seq((1L, false, true, 5.0)).toDF("u", "t", "p", "v"))
+    val ex = intercept[Exception] {
+      Evaluation.cuped(bad, col("u"), col("t"), col("p"), col("v")).collect()
+    }
+    assert(ex.getMessage.contains("cuped") ||
+      Option(ex.getCause).exists(_.getMessage.contains("cuped")))
+  }
+
+  test("kruskalWallis: two-group case reduces to Mann-Whitney z²; guards") {
+    import spark.implicits._
+    // untied 3-group case: groups {1,2},{3,4},{5,6}; ranks 1..6
+    // R = (3, 7, 11); H = 12/(6*7) * (9/2 + 49/2 + 121/2) - 3*7
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 3.0), ("b", 4.0),
+      ("c", 5.0), ("c", 6.0)).toDF("g", "v")
+    val r = Evaluation.kruskalWallis(df, col("g"), col("v")).collect().head
+    val h = 12.0 / 42.0 * ((9.0 + 49.0 + 121.0) / 2.0) - 21.0
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(2) == 6)
+    assert(r.getDouble(3) == round6(h))
+    assert(r.getDouble(4) == round6(h)) // no ties -> correction = 1
+    // ties: correction < 1 -> h_corrected > h
+    val t = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val rt = Evaluation.kruskalWallis(t, col("g"), col("v")).collect().head
+    assert(rt.getDouble(4) > rt.getDouble(3))
+    // all values identical -> C = 0 -> h_corrected NULL, h = 0ish
+    val k = Seq(("a", 5.0), ("b", 5.0), ("c", 5.0)).toDF("g", "v")
+    val rk = Evaluation.kruskalWallis(k, col("g"), col("v")).collect().head
+    assert(!rk.isNullAt(3) && rk.isNullAt(4))
+    // single group -> h NULL
+    val one = Evaluation.kruskalWallis(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v"), col("g"), col("v"))
+      .collect().head
+    assert(one.isNullAt(3) && one.isNullAt(4))
+  }
 }

@@ -29,4 +29,34 @@ class ItemsetsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(out.toList == List(("x", "y", 2L), ("x", "z", 1L)))
   }
+
+  test("associationRules: hand metrics, direction asymmetry, minCount") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // N = 4 baskets: {a,b} x3, {a} x1 -> c_a = 4, c_b = 3, c_ab = 3
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (3L, "b"),
+      (4L, "a")).toDF("g", "i")
+    val out = Itemsets.associationRules(rows, "g", "i",
+        minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(1), r.getString(0), r))
+    val ab = out.collectFirst { case ("b", "a", r) => r }.get  // a -> b
+    val ba = out.collectFirst { case ("a", "b", r) => r }.get  // b -> a
+    // a -> b: conf 3/4, lift 3*4/(4*3) = 1, conviction (1-3/4)/(1-3/4)=1
+    assert(ab.getLong(2) == 3 && ab.getDouble(4) == 0.75)
+    assert(ab.getDouble(5) == 1.0 && ab.getDouble(6) == 1.0)
+    // b -> a: conf 1 -> conviction NULL; support 3/4 both directions
+    assert(ba.getDouble(4) == 1.0 && ba.isNullAt(6))
+    assert(ba.getDouble(3) == 0.75 && ab.getDouble(3) == 0.75)
+    // minCount prunes the pair before doubling
+    val pruned = Itemsets.associationRules(rows, "g", "i",
+      minCount = 4L, topK = 10).collect()
+    assert(pruned.isEmpty)
+    // lift > 1 for positively associated pair
+    val pos = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"), (3L, "z"))
+      .toDF("g", "i")
+    val rp = Itemsets.associationRules(pos, "g", "i", 1L, 10)
+      .collect().head
+    assert(rp.getDouble(5) == r6(2.0 * 3 / (2.0 * 2)))
+  }
 }

@@ -405,4 +405,48 @@ class ProfilingSpec extends AnyFunSuite {
       col("grp"), col("e"), col("v")).collect().head
     assert(m.getDouble(2) == 10000.0 && m.getDouble(3) == 1.0)
   }
+
+  test("ebShrinkMeans: small group shrinks harder; degenerate guards") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // big group around 10 (n=4), small group around 20 (n=2)
+    val df = Seq(("big", 9.0), ("big", 11.0), ("big", 9.0), ("big", 11.0),
+      ("small", 19.0), ("small", 21.0)).toDF("g", "v")
+    val out = Profiling.ebShrinkMeans(df, col("g"), col("v"))
+      .orderBy("group").collect()
+    val big = out(0); val small = out(1)
+    assert(big.getLong(1) == 4 && small.getLong(1) == 2)
+    assert(big.getDouble(2) == 10.0 && small.getDouble(2) == 20.0)
+    // hand MoM (unscaled x100): N=6, k=2, ssw = 4+2=... compute directly
+    val xs = Seq(900.0, 1100.0, 900.0, 1100.0)
+    val ys = Seq(1900.0, 2100.0)
+    val (nN, kk) = (6.0, 2.0)
+    val s2w = (xs.map(v => v * v).sum - math.pow(xs.sum, 2) / 4 +
+      ys.map(v => v * v).sum - math.pow(ys.sum, 2) / 2) / (nN - kk)
+    val grand = (xs.sum + ys.sum) / nN
+    val ssb = math.pow(xs.sum, 2) / 4 + math.pow(ys.sum, 2) / 2 -
+      math.pow(xs.sum + ys.sum, 2) / nN
+    val n0 = (nN - (16.0 + 4.0) / nN) / (kk - 1.0)
+    val tau2 = math.max(0.0, (ssb / (kk - 1.0) - s2w) / n0)
+    def bOf(n: Double) = tau2 / (tau2 + s2w / n)
+    assert(big.getDouble(4) == r6(bOf(4.0)))
+    assert(small.getDouble(4) == r6(bOf(2.0)))
+    assert(small.getDouble(3) ==
+      r6((grand + bOf(2.0) * (ys.sum / 2 - grand)) / 100.0))
+    // the bigger group keeps more of its own mean
+    assert(big.getDouble(4) > small.getDouble(4))
+    // shrunk means stay between own mean and grand mean
+    assert(small.getDouble(3) < 20.0 && small.getDouble(3) > grand / 100.0)
+    // single group -> k < 2 -> shrunk/b NULL, mean kept
+    val kOne = Profiling.ebShrinkMeans(
+      Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v"), col("g"), col("v"))
+      .collect().head
+    assert(kOne.getDouble(2) == 1.5 && kOne.isNullAt(3) && kOne.isNullAt(4))
+    // all-constant data -> tau2 = s2w = 0 -> B = 0, shrunk = grand
+    val const = Profiling.ebShrinkMeans(
+      Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v"),
+      col("g"), col("v")).orderBy("group").collect()
+    assert(const.forall(r => r.getDouble(3) == 5.0 && r.getDouble(4) == 0.0))
+  }
 }

@@ -323,4 +323,61 @@ class TimeSeriesSpec extends AnyFunSuite {
       .collect().head
     assert(anti.getDouble(2) == -1.0)
   }
+
+  test("olsTrend: exact fit, hand DW, degenerate guards") {
+    import spark.implicits._
+    // perfect line y = 2x + 1: slope 2, r2 1, residuals 0 -> dw NULL
+    val line = Seq(("a", 1L, 3L), ("a", 2L, 5L), ("a", 3L, 7L))
+      .toDF("g", "x", "y")
+    val r = TimeSeries.olsTrend(line, "g", "x", "y").collect().head
+    assert(r.getLong(1) == 3 && r.getDouble(2) == 2.0 &&
+      r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 && r.isNullAt(5))
+    // y = [0, 1, 0, 1] on x = 1..4: slope from moments, residuals
+    // alternate -> strong negative autocorrelation (dw > 2)
+    val alt = Seq(("b", 1L, 0L), ("b", 2L, 1L), ("b", 3L, 0L),
+      ("b", 4L, 1L)).toDF("g", "x", "y")
+    val ra = TimeSeries.olsTrend(alt, "g", "x", "y").collect().head
+    val b = (4.0 * 6 - 10 * 2) / (4.0 * 30 - 100)
+    val a0 = (2.0 - b * 10.0) / 4.0
+    val e = Seq(1, 2, 3, 4).map(x => ((x + 1) % 2).toDouble - (a0 + b * x))
+    val dw = e.sliding(2).map { case Seq(p, c) => (c - p) * (c - p) }.sum /
+      e.map(v => v * v).sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ra.getDouble(2) == r6(b) && ra.getDouble(5) == r6(dw))
+    assert(ra.getDouble(5) > 2.0)
+    // single bucket: var(x) = 0 -> everything but n NULL
+    val one = Seq(("c", 5L, 9L)).toDF("g", "x", "y")
+    val ro = TimeSeries.olsTrend(one, "g", "x", "y").collect().head
+    assert(ro.getLong(1) == 1 && ro.isNullAt(2) && ro.isNullAt(3) &&
+      ro.isNullAt(4) && ro.isNullAt(5))
+  }
+
+  test("runsTest: alternating vs blocked sequences; median drops") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // values 1,9,1,9,1,9 -> median 5, signs 0,1,0,1,0,1 -> 6 runs
+    val alt = Seq((1L, 1L), (2L, 9L), (3L, 1L), (4L, 9L), (5L, 1L),
+      (6L, 9L)).toDF("o", "v")
+    val r = TimeSeries.runsTest(alt, "o", "v").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3 && r.getLong(2) == 6)
+    val mu = 2.0 * 3 * 3 / 6.0 + 1.0
+    val s2 = (mu - 1.0) * (mu - 2.0) / 5.0
+    assert(r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == r6((6.0 - mu) / math.sqrt(s2)))
+    // blocked 1,1,1,9,9,9 -> 2 runs, z negative
+    val blk = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 9L), (5L, 9L),
+      (6L, 9L)).toDF("o", "v")
+    val rb = TimeSeries.runsTest(blk, "o", "v").collect().head
+    assert(rb.getLong(2) == 2 && rb.getDouble(4) < 0.0)
+    // median values drop: 1,5,9 -> median 5 dropped, one above one below
+    val med = Seq((1L, 1L), (2L, 5L), (3L, 9L)).toDF("o", "v")
+    val rm = TimeSeries.runsTest(med, "o", "v").collect().head
+    assert(rm.getLong(0) == 1 && rm.getLong(1) == 1 && rm.getLong(2) == 2)
+    // one-sided series (all above-median dropped to empty side) -> z NULL
+    val const = Seq((1L, 7L), (2L, 7L)).toDF("o", "v")
+    val rc = TimeSeries.runsTest(const, "o", "v").collect().head
+    assert(rc.isNullAt(3) && rc.isNullAt(4))
+  }
 }
