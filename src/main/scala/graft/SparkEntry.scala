@@ -2394,6 +2394,42 @@ object SparkEntry {
           col("consequent")))
     }),
 
+    // Incremental agg-over-join view refresh: revenue-per-nation view
+    // built from 3/4 of orders, delta batch (1/4) joined + merged —
+    // must equal the full recompute the oracle runs. Exact unscaled
+    // sums so the identity is bitwise.
+    "q242_view_refresh" -> ((s, d) => {
+      val orders = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unscaledLong(col("o_totalprice"), 2).as("price_u"))
+      val cust = load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val base = orders.filter(pmod(col("o_orderkey"), lit(4L)) =!= 0L)
+      val delta = orders.filter(pmod(col("o_orderkey"), lit(4L)) === 0L)
+      val view = IncrementalAgg.partial(
+        base.join(cust, col("o_custkey") === col("c_custkey")),
+        Seq("c_nationkey"), "price_u")
+      IncrementalAgg.refreshJoinView(view, delta, cust,
+          "o_custkey", "c_custkey", "c_nationkey", "price_u")
+        .select(col("c_nationkey").as("nation"), col("n").as("n_orders"),
+          graft.functions.Decimals.fromUnscaled(col("sum_m"), 2)
+            .as("revenue"),
+          (col("min_m").cast("double") / lit(100.0)).as("min_price"),
+          (col("max_m").cast("double") / lit(100.0)).as("max_price"))
+        .transform(ordered1(_, col("nation")))
+    }),
+
+    // Bland-Altman agreement between the recorded n_chars and a
+    // recomputed length(text) — bias, 1.96-SD limits, outside share,
+    // all over the bounded diff histogram.
+    "q243_bland_altman" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      graft.operators.Evaluation.blandAltman(docs, col("n_chars"),
+          length(col("text")), scale = 0)
+        .transform(ordered1(_, col("n")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6758,6 +6794,54 @@ object SparkEntry {
         |      (1.0 - conf), 6) END AS conviction
         |FROM t ORDER BY round(lift, 6) DESC, antecedent, consequent"""
         .stripMargin,
+
+    // The oracle recomputes the view FROM SCRATCH — the delta-refresh
+    // identity gamma(base) merge gamma(delta join dim) = gamma(all) is
+    // exactly what the hash gate certifies (bitwise, because the
+    // measure is an unscaled-long sum).
+    "q242_view_refresh" ->
+      """SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS min_price,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Evaluation.blandAltman: exact HUGEINT diff moments over
+    // the diff histogram, IEEE bias/SD/limits, integer outside count.
+    "q243_bland_altman" ->
+      """WITH h AS (SELECT CAST(n_chars AS BIGINT) -
+        |      CAST(length(text) AS BIGINT) AS d, count(*) AS c
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(d AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+        |      AS s,
+        |    CAST(sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT) *
+        |      CAST(c AS HUGEINT)) AS HUGEINT) AS q
+        |  FROM h),
+        |l AS (SELECT n, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+        |    CASE WHEN n >= 2 THEN
+        |      sqrt((CAST(n AS DOUBLE) * CAST(q AS DOUBLE) -
+        |        CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) /
+        |        (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) END AS sd
+        |  FROM m),
+        |l2 AS (SELECT n, bias, sd, bias - 1.96 * sd AS lo,
+        |    bias + 1.96 * sd AS hi FROM l),
+        |o AS (SELECT sum(CASE WHEN CAST(h.d AS DOUBLE) < l2.lo OR
+        |      CAST(h.d AS DOUBLE) > l2.hi THEN h.c ELSE 0 END) AS outn
+        |  FROM h CROSS JOIN l2)
+        |SELECT n, round(bias, 6) AS bias, round(sd, 6) AS sd_diff,
+        |  round(lo, 6) AS lo_limit, round(hi, 6) AS hi_limit,
+        |  CASE WHEN sd IS NOT NULL THEN CAST(outn AS BIGINT) END
+        |    AS n_outside,
+        |  CASE WHEN sd IS NOT NULL THEN
+        |    round(CAST(outn AS DOUBLE) / CAST(n AS DOUBLE), 6) END
+        |    AS pct_outside
+        |FROM l2 CROSS JOIN o ORDER BY 1""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

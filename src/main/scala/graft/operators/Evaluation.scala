@@ -1529,4 +1529,71 @@ object Evaluation {
       when(col("__k") >= 2 && col("__N") >= 2 && c > 0.0,
         round(h / c, 6)).as("h_corrected"))
   }
+
+  /** Bland–Altman agreement analysis between two measurements of the
+    * same quantity (Bland & Altman, Lancet 1986): bias = mean
+    * difference, 95% limits of agreement = bias ± 1.96·SD(diff), and
+    * the share of observations falling OUTSIDE those limits. The
+    * data-quality read when two pipelines (a recorded column vs a
+    * recomputed one, two extraction versions) should agree: a nonzero
+    * bias is systematic drift, fat limits are noise, and rows outside
+    * the limits are the audit queue.
+    *
+    * Exactness: both measurements quantize to unscaled LONGs at
+    * `scale`, so per-row differences and the moment sums `n, Σd, Σd²`
+    * are exact DECIMAL(38,0); bias/SD/limits are fixed IEEE sequences
+    * on those integers, and the outside test compares each exact
+    * integer difference against the two limit doubles — deterministic
+    * in any engine.
+    *
+    * Returns one row `(n, bias, sd_diff, lo_limit, hi_limit,
+    * n_outside, pct_outside)`; SD and the limits are NULL when n < 2,
+    * `sd_diff` uses the sample (n−1) denominator.
+    *
+    * Scale shape: differences collapse to their DISTINCT-VALUE
+    * histogram first (near-agreeing measurements have a tiny diff
+    * domain by construction), so the moment fold and the outside
+    * count both run over the bounded histogram — the raw frame is
+    * scanned exactly once. */
+  def blandAltman(df: DataFrame, aCol: Column, bCol: Column,
+      scale: Int = 0): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qa = graft.functions.Decimals.unscaledLong(aCol.cast("double"), scale)
+    val qb = graft.functions.Decimals.unscaledLong(bCol.cast("double"), scale)
+    val hist = df.select((qa - qb).as("__d"))
+      .filter(col("__d").isNotNull)
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val m = hist.agg(
+      sum(col("__c")).as("__n"),
+      sum(col("__d").cast(dec38) * col("__c").cast(dec38)).as("__s"),
+      sum(col("__d").cast(dec38) * col("__d").cast(dec38) *
+        col("__c").cast(dec38)).as("__q"))
+    val pow = lit(math.pow(10, scale))
+    val nD = col("__n").cast("double")
+    val bias = col("__s").cast("double") / nD
+    val sd = sqrt((nD * col("__q").cast("double") -
+      col("__s").cast("double") * col("__s").cast("double")) /
+      (nD * (nD - lit(1.0))))
+    val lo = bias - lit(1.96) * sd
+    val hi = bias + lit(1.96) * sd
+    val limits = m.select(col("__n"), bias.as("__bias"),
+      when(col("__n") >= 2, sd).as("__sd"),
+      when(col("__n") >= 2, lo).as("__lo"),
+      when(col("__n") >= 2, hi).as("__hi"))
+    val outside = hist.crossJoin(broadcast(limits))
+      .agg(sum(when(col("__d").cast("double") < col("__lo") ||
+        col("__d").cast("double") > col("__hi"), col("__c"))
+        .otherwise(0L)).as("__out"))
+    limits.crossJoin(broadcast(outside)).select(
+      col("__n").as("n"),
+      round(col("__bias") / pow, 6).as("bias"),
+      round(col("__sd") / pow, 6).as("sd_diff"),
+      round(col("__lo") / pow, 6).as("lo_limit"),
+      round(col("__hi") / pow, 6).as("hi_limit"),
+      when(col("__sd").isNotNull, col("__out")).as("n_outside"),
+      when(col("__sd").isNotNull,
+        round(col("__out").cast("double") / col("__n").cast("double"), 6))
+        .as("pct_outside"))
+  }
 }

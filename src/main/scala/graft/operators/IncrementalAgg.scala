@@ -70,4 +70,34 @@ object IncrementalAgg {
   def estimateDistinct(merged: DataFrame, k: Int): DataFrame =
     merged.withColumn("est_distinct",
       Profiling.kmvEstimate(col("kmin_d"), k))
+
+  /** Incremental maintenance of an AGGREGATE-OVER-JOIN materialized
+    * view (the classic delta rule for append-only facts: ΔV = γ(Δfact
+    * ⋈ dim), V' = V ⊕ ΔV): only the delta batch is joined and
+    * re-aggregated — the stored view is a bounded per-group partial,
+    * so refresh cost is |Δfact| + |groups|, independent of fact
+    * history. The join-view sibling of [[partial]]/[[mergePartials]];
+    * correct for additive measures under APPEND-ONLY deltas and an
+    * immutable dimension (updates/deletes need the signed-delta
+    * generalization, and a dim change invalidates the view by
+    * definition).
+    *
+    * `measure` must already be EXACT-SUMMABLE (a LONG — callers
+    * quantize doubles via [[graft.functions.Decimals.unscaledLong]]):
+    * a stored double partial would accumulate fold-order drift against
+    * a from-scratch recompute, which is precisely the equivalence this
+    * operator promises.
+    *
+    * Scale shape: the delta joins the dimension on its key (broadcast
+    * when the dim is small, shuffle otherwise — Catalyst/AQE's call),
+    * aggregates map-side to the bounded group frame, and the merge
+    * unions two bounded partials. The fact table itself is never
+    * rescanned. */
+  def refreshJoinView(view: DataFrame, deltaFact: DataFrame,
+      dim: DataFrame, factKey: String, dimKey: String,
+      groupCol: String, measure: String): DataFrame = {
+    val joined = deltaFact.join(dim, col(factKey) === col(dimKey))
+    val deltaPartial = partial(joined, Seq(groupCol), measure)
+    mergePartials(Seq(view, deltaPartial), Seq(groupCol))
+  }
 }

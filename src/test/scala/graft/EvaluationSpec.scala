@@ -731,4 +731,30 @@ class EvaluationSpec extends AnyFunSuite {
       .collect().head
     assert(one.isNullAt(3) && one.isNullAt(4))
   }
+
+  test("blandAltman: hand bias/limits; outside count; n<2 guard") {
+    import spark.implicits._
+    // diffs: 0, 0, 2, -2, 10 -> bias 2, sd = sqrt((5*108-100)/20)
+    val df = Seq((5.0, 5.0), (7.0, 7.0), (4.0, 2.0), (1.0, 3.0),
+      (12.0, 2.0)).toDF("a", "b")
+    val r = Evaluation.blandAltman(df, col("a"), col("b")).collect().head
+    val bias = 10.0 / 5.0
+    val sd = math.sqrt((5.0 * 108.0 - 100.0) / (5.0 * 4.0))
+    assert(r.getLong(0) == 5)
+    assert(r.getDouble(1) == bias)
+    assert(r.getDouble(2) == round6(sd))
+    assert(r.getDouble(3) == round6(bias - 1.96 * sd))
+    assert(r.getDouble(4) == round6(bias + 1.96 * sd))
+    // only d=10 falls outside bias +- 1.96*sd (~[-6.9, 10.9])? no:
+    // hi = 2 + 1.96*4.9 = 11.6 -> 10 inside; lo = -7.6 -> -2 inside
+    assert(r.getLong(5) == 0 && r.getDouble(6) == 0.0)
+    // a tight cluster plus one far outlier lands outside the limits
+    val o = (Seq.fill(20)((1.0, 1.0)) :+ (1000.0, 1.0)).toDF("a", "b")
+    val ro = Evaluation.blandAltman(o, col("a"), col("b")).collect().head
+    assert(ro.getLong(5) == 1)
+    // single row -> sd/limits/outside NULL, bias kept
+    val s1 = Evaluation.blandAltman(Seq((3.0, 1.0)).toDF("a", "b"),
+      col("a"), col("b")).collect().head
+    assert(s1.getDouble(1) == 2.0 && s1.isNullAt(2) && s1.isNullAt(5))
+  }
 }

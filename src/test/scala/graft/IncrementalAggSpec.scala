@@ -60,4 +60,32 @@ class IncrementalAggSpec extends AnyFunSuite {
       .orderBy("k").collect().map(_.toString)
     assert(left.toSeq == right.toSeq)
   }
+
+  test("refreshJoinView: delta refresh equals full recompute") {
+    import spark.implicits._
+    val dim = Seq((1L, "r1"), (2L, "r2"), (3L, "r1")).toDF("dk", "grp")
+    val fact = (1 to 40)
+      .map(i => (i.toLong, (i % 3 + 1).toLong, (i * 10).toLong))
+      .toDF("fk", "dref", "m")
+    val base = fact.filter(col("fk") % 4 =!= 0)
+    val delta = fact.filter(col("fk") % 4 === 0)
+    val view = IncrementalAgg.partial(
+      base.join(dim, col("dref") === col("dk")), Seq("grp"), "m")
+    val refreshed = IncrementalAgg.refreshJoinView(view, delta, dim,
+      "dref", "dk", "grp", "m").orderBy("grp").collect().map(_.toString)
+    val full = IncrementalAgg.partial(
+      fact.join(dim, col("dref") === col("dk")), Seq("grp"), "m")
+      .orderBy("grp").collect().map(_.toString)
+    assert(refreshed.toSeq == full.toSeq)
+    // a delta touching only one group leaves the others' rows unchanged
+    val oneGroup = delta.filter(col("dref") === 1L)
+    val part = IncrementalAgg.refreshJoinView(view, oneGroup, dim,
+      "dref", "dk", "grp", "m").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val before = view.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dk=2 -> grp r2 is untouched by a dref=1 delta
+    assert(part("r2") == before("r2"))
+    assert(part("r1") > before("r1"))
+  }
 }
