@@ -2430,6 +2430,46 @@ object SparkEntry {
         .transform(ordered1(_, col("n")))
     }),
 
+    // Closest part-name pairs by TRUE Damerau-Levenshtein within
+    // (brand, size) blocks — codegen'd Lowrance-Wagner kernel on a
+    // blocked candidate frame, top-50 on the integer distance.
+    "q244_damerau_names" -> ((s, d) => {
+      val p = load(s, d, "part")
+      val a = p.select(col("p_brand").as("bk"), col("p_size").as("sk"),
+        col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand").as("bk"), col("p_size").as("sk"),
+        col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+      a.join(b, Seq("bk", "sk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          TextFunctions.damerauLevenshtein(col("name_a"), col("name_b"))
+            .as("dl"))
+        .orderBy(col("dl").asc, col("id_a").asc, col("id_b").asc)
+        .limit(50)
+    }),
+
+    // Mann-Kendall monotonic-trend test on daily purchase counts —
+    // the quadratic step runs on the bounded daily frame only.
+    "q245_mann_kendall" -> ((s, d) => {
+      val e = load(s, d, "events")
+      val daily = e
+        .filter(col("ts").isNotNull && col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      TimeSeries.mannKendall(daily, "day", "n")
+        .transform(ordered1(_, col("n")))
+    }),
+
+    // Cochran's Q across three embedding-dim sign "raters" — one
+    // aggregation pass, exact integer totals.
+    "q246_cochran_q" -> ((s, d) => {
+      val emb = load(s, d, "embeddings")
+        .filter(col("embedding").isNotNull)
+      val v = graft.functions.VectorFunctions.asDouble(col("embedding"))
+      graft.operators.Evaluation.cochranQ(emb,
+          (1 to 3).map(j => (element_at(v, j) > 0).cast("int")))
+        .transform(ordered1(_, col("n_items")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6842,6 +6882,73 @@ object SparkEntry {
         |    round(CAST(outn AS DOUBLE) / CAST(n AS DOUBLE), 6) END
         |    AS pct_outside
         |FROM l2 CROSS JOIN o ORDER BY 1""".stripMargin,
+
+    // DuckDB's damerau_levenshtein IS the unrestricted variant the
+    // expression implements (probed: CA/ABC=2, ab/ba=1) — integer
+    // distances make the top-50 cut engine-exact.
+    "q244_damerau_names" ->
+      """WITH a AS (SELECT p_brand AS bk, p_size AS sk,
+        |    p_partkey AS id_a, p_name AS name_a FROM part),
+        |b AS (SELECT p_brand AS bk, p_size AS sk,
+        |    p_partkey AS id_b, p_name AS name_b FROM part)
+        |SELECT id_a, id_b,
+        |  CAST(damerau_levenshtein(name_a, name_b) AS INT) AS dl
+        |FROM a JOIN b USING (bk, sk)
+        |WHERE id_a < id_b
+        |ORDER BY dl ASC, id_a ASC, id_b ASC
+        |LIMIT 50""".stripMargin,
+
+    // Mirrors TimeSeries.mannKendall: integer S from the bounded
+    // self-join, tie-corrected variance, continuity-corrected z.
+    "q245_mann_kendall" ->
+      """WITH dly AS (SELECT CAST(ts AS DATE) AS o,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND event_type = 'purchase'
+        |  GROUP BY 1),
+        |p AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(COALESCE(sum(CAST(sign(CAST(b.v - a.v AS DOUBLE))
+        |      AS BIGINT)), 0) AS BIGINT) AS s
+        |  FROM dly a JOIN dly b ON a.o < b.o),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dly),
+        |t AS (SELECT COALESCE(sum(CAST(cnt AS DOUBLE) *
+        |      (CAST(cnt AS DOUBLE) - 1.0) *
+        |      (2.0 * CAST(cnt AS DOUBLE) + 5.0)), 0.0) AS tsum
+        |  FROM (SELECT v, count(*) AS cnt FROM dly GROUP BY v)),
+        |f AS (SELECT n, n_pairs, s,
+        |    (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) *
+        |      (2.0 * CAST(n AS DOUBLE) + 5.0) - tsum) / 18.0 AS vars
+        |  FROM c CROSS JOIN p CROSS JOIN t)
+        |SELECT n, n_pairs, s,
+        |  CASE WHEN n >= 2 AND vars > 0 THEN
+        |    round(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) /
+        |        sqrt(vars)
+        |      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(vars)
+        |      ELSE 0.0 END, 6) END AS z
+        |FROM f ORDER BY 1""".stripMargin,
+
+    // Mirrors Evaluation.cochranQ: exact HUGEINT column/row totals,
+    // one IEEE ratio.
+    "q246_cochran_q" ->
+      """WITH r AS (SELECT
+        |    CAST(CAST(embedding AS DOUBLE[])[1] > 0 AS INT) AS r1,
+        |    CAST(CAST(embedding AS DOUBLE[])[2] > 0 AS INT) AS r2,
+        |    CAST(CAST(embedding AS DOUBLE[])[3] > 0 AS INT) AS r3
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(r1) AS HUGEINT) AS t1,
+        |    CAST(sum(r2) AS HUGEINT) AS t2,
+        |    CAST(sum(r3) AS HUGEINT) AS t3,
+        |    CAST(sum(r1 + r2 + r3) AS HUGEINT) AS sr,
+        |    CAST(sum(CAST(r1 + r2 + r3 AS HUGEINT) *
+        |      CAST(r1 + r2 + r3 AS HUGEINT)) AS HUGEINT) AS sr2
+        |  FROM r WHERE r1 IS NOT NULL AND r2 IS NOT NULL
+        |    AND r3 IS NOT NULL)
+        |SELECT n_items, 3 AS n_raters,
+        |  CASE WHEN CAST(3 * sr - sr2 AS DOUBLE) > 0 THEN
+        |    round(2.0 * CAST(3 * (t1 * t1 + t2 * t2 + t3 * t3) -
+        |        (t1 + t2 + t3) * (t1 + t2 + t3) AS DOUBLE) /
+        |      CAST(3 * sr - sr2 AS DOUBLE), 6) END AS q_stat
+        |FROM a ORDER BY 1""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -120,6 +120,16 @@ object TextFunctions {
       winkler = false))
   }
 
+  /** True Damerau–Levenshtein distance
+    * ([[graft.expressions.DamerauLevenshtein]]): Levenshtein plus
+    * adjacent-transposition as one edit, unrestricted variant. Blocked
+    * pairs only, like [[jaroWinkler]]. */
+  def damerauLevenshtein(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.expressions.DamerauLevenshtein(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
   /** Exact content fingerprint: md5 of the raw text. */
   def exactFingerprint(text: Column): Column = md5(text)
 

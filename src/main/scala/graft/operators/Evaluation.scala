@@ -1530,6 +1530,63 @@ object Evaluation {
         round(h / c, 6)).as("h_corrected"))
   }
 
+  /** Cochran's Q test over k matched binary raters/classifiers — the
+    * k-rater generalization of [[mcnemar]] (and the significance-test
+    * companion to [[fleissKappa]]'s agreement measure): do the k
+    * binary columns share one marginal positive rate, or does at
+    * least one rater/model systematically fire more often? The gate
+    * before declaring k model versions interchangeable on the same
+    * eval set.
+    *
+    * `Q = (k−1)·(k·ΣC_j² − (ΣC_j)²) / (k·ΣR_i − ΣR_i²)` with C_j the
+    * per-rater positive totals and R_i the per-item row totals —
+    * every term an exact integer (DECIMAL(38,0) for the squares), one
+    * final IEEE division. Follows [[fleissKappa]]'s input discipline:
+    * ratings outside {0,1,NULL} fail fast, items with an incomplete
+    * panel (any NULL) are dropped.
+    *
+    * Returns one row `(n_items, n_raters, q_stat)`; Q is NULL when
+    * the denominator is 0 (every item unanimous — no discordance to
+    * test) or k < 2.
+    *
+    * Scale shape: ONE aggregation pass computing the k column totals
+    * and both row-total moments together; no join, no window, k-wide
+    * state only. */
+  def cochranQ(df: DataFrame, raterCols: Seq[Column]): DataFrame = {
+    require(raterCols.size >= 2, "cochranQ needs at least 2 raters")
+    val k = raterCols.size
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val casted = raterCols.map(_.cast("long"))
+    val inDomain = casted
+      .map(c => c.isNull || c === 0L || c === 1L)
+      .reduce(_ && _)
+    val r = casted.reduce(_ + _)
+    val items = df
+      .where(OpsUtil.orRaise(inDomain,
+        lit("cochranQ: rating outside {0, 1, NULL}; raterCols must be " +
+          "binary 0/1 assignments")))
+      .select((casted :+ r.as("__r")).zipWithIndex.map {
+        case (c, i) => c.as(s"__c$i")
+      }: _*)
+      .filter(col(s"__c$k").isNotNull)   // __r landed as __c{k}
+    val colTotals = (0 until k).map(i =>
+      sum(col(s"__c$i")).cast(dec38).as(s"__t$i"))
+    val agg = items.agg(count(lit(1)).as("n_items"),
+      (colTotals :+
+        sum(col(s"__c$k")).cast(dec38).as("__sr") :+
+        sum(col(s"__c$k").cast(dec38) * col(s"__c$k").cast(dec38))
+          .as("__sr2")): _*)
+    val sumC = (0 until k).map(i => col(s"__t$i")).reduce(_ + _)
+    val sumC2 = (0 until k).map(i => col(s"__t$i") * col(s"__t$i"))
+      .reduce(_ + _)
+    val kDec = lit(k).cast(dec38)
+    val num = (kDec * sumC2 - sumC * sumC).cast("double")
+    val den = (kDec * col("__sr") - col("__sr2")).cast("double")
+    agg.select(col("n_items"), lit(k).as("n_raters"),
+      when(den > 0.0, round(lit((k - 1).toDouble) * num / den, 6))
+        .as("q_stat"))
+  }
+
   /** Bland–Altman agreement analysis between two measurements of the
     * same quantity (Bland & Altman, Lancet 1986): bias = mean
     * difference, 95% limits of agreement = bias ± 1.96·SD(diff), and

@@ -852,4 +852,53 @@ object TimeSeries {
       when(ok && sigma2 > 0.0,
         round((col("runs").cast("double") - mu) / sqrt(sigma2), 6)).as("z"))
   }
+
+  /** Mann–Kendall trend test on a bucketed series — is there a
+    * MONOTONIC trend, judged purely on pairwise orderings? The
+    * nonparametric companion to [[olsTrend]] (no linearity assumption)
+    * and the significance test [[graft.operators
+    * .Evaluation]]-style pipelines pair with the Theil–Sen slope: S
+    * counts concordant-minus-discordant pairs, and the tie-corrected
+    * normal approximation `Var(S) = [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18`
+    * with the ±1 continuity correction gives z.
+    *
+    * Exactness: S is an exact integer sum of pairwise signs; n and the
+    * tie histogram are exact; only Var(S) and z run IEEE (fixed op
+    * sequence). Returns one row `(n, n_pairs, s, z)`; z NULL when
+    * n < 2 or Var(S) ≤ 0 (all values tied).
+    *
+    * Scale shape: the pairwise comparison is a self-join on the
+    * already-BUCKETED frame (the [[crossCorrelation]] contract — e.g.
+    * 365 daily points = 66k comparisons, constant in row count); the
+    * tie histogram is a hash agg of the same bounded frame, and the
+    * three 1-row panels combine by broadcast. Raw rows never enter
+    * the quadratic step. */
+  def mannKendall(df: DataFrame, orderCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.select(col(orderCol).as("__o"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__o").isNotNull && col("__v").isNotNull)
+    val a = base.select(col("__o").as("__oa"), col("__v").as("__va"))
+    val b = base.select(col("__o").as("__ob"), col("__v").as("__vb"))
+    val pairs = a.join(b, col("__oa") < col("__ob"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(signum(
+          (col("__vb") - col("__va")).cast("double")).cast("long")),
+          lit(0L)).as("s"))
+    val counts = base.agg(count(lit(1)).as("n"))
+    val t = col("count").cast("double")
+    val ties = base.groupBy(col("__v")).agg(count(lit(1)).as("count"))
+      .agg(coalesce(sum(t * (t - lit(1.0)) * (lit(2.0) * t + lit(5.0))),
+        lit(0.0)).as("__tsum"))
+    val nD = col("n").cast("double")
+    val varS = (nD * (nD - lit(1.0)) * (lit(2.0) * nD + lit(5.0)) -
+      col("__tsum")) / lit(18.0)
+    val sD = col("s").cast("double")
+    val z = when(col("s") > 0, (sD - lit(1.0)) / sqrt(varS))
+      .when(col("s") < 0, (sD + lit(1.0)) / sqrt(varS))
+      .otherwise(lit(0.0))
+    counts.crossJoin(broadcast(pairs)).crossJoin(broadcast(ties))
+      .select(col("n"), col("n_pairs"), col("s"),
+        when(col("n") >= 2 && varS > 0.0, round(z, 6)).as("z"))
+  }
 }

@@ -757,4 +757,34 @@ class EvaluationSpec extends AnyFunSuite {
       col("a"), col("b")).collect().head
     assert(s1.getDouble(1) == 2.0 && s1.isNullAt(2) && s1.isNullAt(5))
   }
+
+  test("cochranQ: textbook 3-rater grid; unanimous NULL; domain guard") {
+    import spark.implicits._
+    // 4 items x 3 raters: rows (1,1,0),(1,0,0),(0,1,1),(1,1,1)
+    // C = (3,3,2), R = (2,1,2,3); Q = 2*(3*22 - 64)/(3*8 - 18) = 2/3
+    val df = Seq((1, 1, 0), (1, 0, 0), (0, 1, 1), (1, 1, 1))
+      .toDF("r1", "r2", "r3")
+    val r = Evaluation.cochranQ(df,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    assert(r.getLong(0) == 4 && r.getInt(1) == 3)
+    assert(r.getDouble(2) == round6(2.0 * (3.0 * 22 - 64) / (3.0 * 8 - 18)))
+    // incomplete panel rows drop
+    val withNull = df.union(
+      Seq((1, 1, 1)).toDF("r1", "r2", "r3")
+        .select(lit(null).cast("int").as("r1"), col("r2"), col("r3")))
+    val rn = Evaluation.cochranQ(withNull,
+      Seq(col("r1"), col("r2"), col("r3"))).collect().head
+    assert(rn.getLong(0) == 4 && rn.getDouble(2) == r.getDouble(2))
+    // every item unanimous -> denominator 0 -> Q NULL
+    val u = Seq((1, 1, 1), (0, 0, 0)).toDF("r1", "r2", "r3")
+    assert(Evaluation.cochranQ(u, Seq(col("r1"), col("r2"), col("r3")))
+      .collect().head.isNullAt(2))
+    // out-of-domain rating fails fast
+    val ex = intercept[Exception] {
+      Evaluation.cochranQ(Seq((2, 1, 0)).toDF("r1", "r2", "r3"),
+        Seq(col("r1"), col("r2"), col("r3"))).collect()
+    }
+    assert(ex.getMessage.contains("cochranQ") ||
+      Option(ex.getCause).exists(_.getMessage.contains("cochranQ")))
+  }
 }

@@ -499,4 +499,20 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out(7)._1 == 0.0)
     assert(out(8)._1 == out(8)._2)                 // jaro <= 0.7: no boost
   }
+
+  test("damerauLevenshtein: unrestricted variant, swaps, degenerate") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("CA", "ABC"),            // the OSA discriminator: true DL = 2
+      ("ab", "ba"),             // adjacent swap = 1 edit
+      ("MARTHA", "MARHTA"),     // one transposition
+      ("kitten", "sitting"),    // pure Levenshtein fallback = 3
+      ("abc", "abc"), ("", "abc"), ("abc", ""), ("", ""),
+      ("a cat", "an abct")      // true DL = 3 (matches DuckDB, probed)
+    ).toDF("a", "b")
+    val out = pairs.select(graft.functions.TextFunctions
+        .damerauLevenshtein(col("a"), col("b")).as("d"))
+      .collect().map(_.getInt(0))
+    assert(out.toList == List(2, 1, 1, 3, 0, 3, 3, 0, 3))
+  }
 }

@@ -380,4 +380,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     val rc = TimeSeries.runsTest(const, "o", "v").collect().head
     assert(rc.isNullAt(3) && rc.isNullAt(4))
   }
+
+  test("mannKendall: monotone series, ties, constant series") {
+    import spark.implicits._
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // strictly increasing: S = n(n-1)/2 = 10, no ties
+    val up = (1 to 5).map(i => (i.toLong, i.toLong * 10)).toDF("o", "v")
+    val r = TimeSeries.mannKendall(up, "o", "v").collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 10 && r.getLong(2) == 10)
+    val varS = 5.0 * 4.0 * 15.0 / 18.0
+    assert(r.getDouble(3) == r6((10.0 - 1.0) / math.sqrt(varS)))
+    // decreasing -> S negative, z symmetric
+    val dn = (1 to 5).map(i => (i.toLong, 100L - i * 10)).toDF("o", "v")
+    val rd = TimeSeries.mannKendall(dn, "o", "v").collect().head
+    assert(rd.getLong(2) == -10 && rd.getDouble(3) == -r.getDouble(3))
+    // ties reduce the variance: [1, 2, 2, 3] has one t=2 run
+    val t = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 3L)).toDF("o", "v")
+    val rt = TimeSeries.mannKendall(t, "o", "v").collect().head
+    // S = 5 (all up pairs except the tie); var = (4*3*13 - 2*1*9)/18
+    assert(rt.getLong(2) == 5)
+    assert(rt.getDouble(3) == r6(4.0 / math.sqrt((156.0 - 18.0) / 18.0)))
+    // constant series: varS = 0 -> z NULL
+    val c = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("o", "v")
+    assert(TimeSeries.mannKendall(c, "o", "v").collect().head.isNullAt(3))
+  }
 }
