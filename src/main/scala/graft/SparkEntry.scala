@@ -2470,6 +2470,76 @@ object SparkEntry {
         .transform(ordered1(_, col("n_items")))
     }),
 
+    // IPF raking of the post-period (event_type x user-parity) grid
+    // to pre-period margins — two fixed iterations of bounded-frame
+    // scalings; the post-stratification reweighting read.
+    "q247_rake_weights" -> ((s, d) => {
+      val e = load(s, d, "events")
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isNotNull)
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val post = e.filter(col("ts") >= cut)
+      val pre = e.filter(col("ts") < cut)
+      val cells = post
+        .groupBy(col("event_type").as("row_key"),
+          pmod(col("user_id"), lit(2L)).as("col_key"))
+        .agg(count(lit(1)).as("n"))
+      val totals = broadcast(pre.agg(count(lit(1)).as("__pre"))
+        .crossJoin(post.agg(count(lit(1)).as("__post"))))
+      def scaled(margins: DataFrame, key: String) = margins
+        .crossJoin(totals)
+        .select(col(key),
+          (col("__c").cast("double") * col("__post").cast("double") /
+            col("__pre").cast("double")).as("target"))
+      val rowT = scaled(pre.groupBy(col("event_type").as("row_key"))
+        .agg(count(lit(1)).as("__c")), "row_key")
+      val colT = scaled(pre.groupBy(pmod(col("user_id"), lit(2L))
+        .as("col_key")).agg(count(lit(1)).as("__c")), "col_key")
+      Curation.rakeWeights(cells, rowT, colT, iterations = 2)
+        .transform(ordered1(_, col("row_key"), col("col_key")))
+    }),
+
+    // CDC-signed view maintenance: deletes (keys %10=0) and updates
+    // (+5.00 on keys %7=0) applied as retract/insert pairs — must
+    // equal the oracle's from-scratch recompute of the final state.
+    "q248_signed_view" -> ((s, d) => {
+      val orders = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unscaledLong(col("o_totalprice"), 2).as("price_u"))
+      val cust = load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val view = IncrementalAgg.signedPartial(
+        orders.withColumn("sign", lit(1L))
+          .join(cust, col("o_custkey") === col("c_custkey")),
+        Seq("c_nationkey"), "price_u", col("sign"))
+      val deletes = orders.filter(pmod(col("o_orderkey"), lit(10L)) === 0L)
+        .withColumn("sign", lit(-1L))
+      val upOld = orders
+        .filter(pmod(col("o_orderkey"), lit(7L)) === 0L &&
+          pmod(col("o_orderkey"), lit(10L)) =!= 0L)
+        .withColumn("sign", lit(-1L))
+      val upNew = upOld
+        .withColumn("price_u", col("price_u") + lit(500L))
+        .withColumn("sign", lit(1L))
+      val delta = deletes.unionByName(upOld).unionByName(upNew)
+      IncrementalAgg.refreshSignedJoinView(view, delta, cust,
+          "o_custkey", "c_custkey", "c_nationkey", "price_u", col("sign"))
+        .select(col("c_nationkey").as("nation"), col("n").as("n_orders"),
+          graft.functions.Decimals.fromUnscaled(col("sum_m"), 2)
+            .as("revenue"))
+        .transform(ordered1(_, col("nation")))
+    }),
+
+    // Brown-Forsythe variance-homogeneity test of doc length across
+    // sources: exact scale-1 moments on |x - group median|.
+    "q249_brown_forsythe" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+        .filter(col("source").isNotNull)
+      graft.operators.Evaluation.brownForsythe(docs, col("source"),
+          col("n_chars"))
+        .transform(ordered1(_, col("n")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -6949,6 +7019,106 @@ object SparkEntry {
         |        (t1 + t2 + t3) * (t1 + t2 + t3) AS DOUBLE) /
         |      CAST(3 * sr - sr2 AS DOUBLE), 6) END AS q_stat
         |FROM a ORDER BY 1""".stripMargin,
+
+    // Mirrors Curation.rakeWeights: 2 IPF iterations = 4 margin
+    // scalings; margin sums are 2-5 doubles so only sub-round(,6)
+    // fold noise exists.
+    "q247_rake_weights" ->
+      """WITH e AS (SELECT event_type, user_id % 2 AS par, ts FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |post AS (SELECT * FROM e
+        |  WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        |pre AS (SELECT * FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pre) AS pr,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM post) AS po),
+        |cells AS (SELECT event_type AS row_key, par AS col_key,
+        |    CAST(count(*) AS BIGINT) AS n FROM post GROUP BY 1, 2),
+        |rt AS (SELECT row_key, CAST(c AS DOUBLE) * CAST(po AS DOUBLE) /
+        |      CAST(pr AS DOUBLE) AS tr
+        |  FROM (SELECT event_type AS row_key, CAST(count(*) AS BIGINT) AS c
+        |    FROM pre GROUP BY 1) CROSS JOIN tot),
+        |ct AS (SELECT col_key, CAST(c AS DOUBLE) * CAST(po AS DOUBLE) /
+        |      CAST(pr AS DOUBLE) AS tc
+        |  FROM (SELECT par AS col_key, CAST(count(*) AS BIGINT) AS c
+        |    FROM pre GROUP BY 1) CROSS JOIN tot),
+        |m0 AS (SELECT c.row_key, c.col_key, c.n, CAST(c.n AS DOUBLE) AS m,
+        |    rt.tr, ct.tc
+        |  FROM cells c JOIN rt USING (row_key) JOIN ct USING (col_key)),
+        |r1 AS (SELECT row_key, col_key, n, tr, tc,
+        |    CASE WHEN sum(m) OVER (PARTITION BY row_key) > 0 THEN
+        |      m * (tr / sum(m) OVER (PARTITION BY row_key)) END AS m
+        |  FROM m0),
+        |c1 AS (SELECT row_key, col_key, n, tr, tc,
+        |    CASE WHEN sum(m) OVER (PARTITION BY col_key) > 0 THEN
+        |      m * (tc / sum(m) OVER (PARTITION BY col_key)) END AS m
+        |  FROM r1),
+        |r2 AS (SELECT row_key, col_key, n, tr, tc,
+        |    CASE WHEN sum(m) OVER (PARTITION BY row_key) > 0 THEN
+        |      m * (tr / sum(m) OVER (PARTITION BY row_key)) END AS m
+        |  FROM c1),
+        |c2 AS (SELECT row_key, col_key, n, tr, tc,
+        |    CASE WHEN sum(m) OVER (PARTITION BY col_key) > 0 THEN
+        |      m * (tc / sum(m) OVER (PARTITION BY col_key)) END AS m
+        |  FROM r2)
+        |SELECT row_key, col_key, n,
+        |  round(CASE WHEN n > 0 THEN m / CAST(n AS DOUBLE) END, 6)
+        |    AS weight,
+        |  round(m, 6) AS mass
+        |FROM c2 ORDER BY row_key, col_key""".stripMargin,
+
+    // The oracle recomputes the FINAL state from scratch (deletes
+    // gone, updates applied) — certifying the signed-delta identity;
+    // NULL order keys are untouched on both sides.
+    "q248_signed_view" ->
+      """SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) +
+        |    CASE WHEN o_orderkey % 7 = 0 THEN CAST(5.00 AS DECIMAL(18,2))
+        |      ELSE CAST(0.00 AS DECIMAL(18,2)) END) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 10 <> 0 OR o_orderkey IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Mirrors Evaluation.brownForsythe: quantile_cont group medians,
+    // exact scale-1 HUGEINT moments on |x - med| (halves at scale 1),
+    // anovaF's formula shape with the 10^2-scale descale factor.
+    "q249_brown_forsythe" ->
+      """WITH md AS (SELECT source AS grp,
+        |    quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS med
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |z AS (SELECT d.source AS grp,
+        |    CAST(CAST(abs(CAST(d.n_chars AS DOUBLE) - md.med)
+        |      AS DECIMAL(18,1)) * 10 AS HUGEINT) AS v
+        |  FROM documents d JOIN md ON d.source = md.grp
+        |  WHERE d.n_chars IS NOT NULL),
+        |g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(v) AS HUGEINT) AS s,
+        |    CAST(sum(v * v) AS HUGEINT) AS q
+        |  FROM z GROUP BY grp),
+        |f AS (SELECT CAST(sum(n) AS HUGEINT) AS nt, count(*) AS k,
+        |    CAST(sum(s) AS HUGEINT) AS st,
+        |    sum(CAST(n * q - s * s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 100.0)) AS ssw,
+        |    sum(CAST(s * s AS DOUBLE) /
+        |      (CAST(n AS DOUBLE) * 100.0)) AS sgn
+        |  FROM g)
+        |SELECT CAST(nt AS BIGINT) AS n, k,
+        |  round(CAST(st AS DOUBLE) / 10.0 / CAST(nt AS DOUBLE), 6)
+        |    AS mean_absdev,
+        |  CASE WHEN (sgn - CAST(st * st AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * 100.0)) + ssw > 0 THEN
+        |    round((sgn - CAST(st * st AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * 100.0)) /
+        |      ((sgn - CAST(st * st AS DOUBLE) /
+        |        (CAST(nt AS DOUBLE) * 100.0)) + ssw), 6) END AS eta_sq,
+        |  CASE WHEN k >= 2 AND CAST(nt AS BIGINT) > k AND ssw > 0 THEN
+        |    round(((sgn - CAST(st * st AS DOUBLE) /
+        |      (CAST(nt AS DOUBLE) * 100.0)) / (CAST(k AS DOUBLE) - 1.0)) /
+        |      (ssw / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |    END AS f_stat
+        |FROM f ORDER BY 1""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

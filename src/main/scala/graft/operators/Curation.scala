@@ -360,4 +360,66 @@ object Curation {
       .select(col("split"), col("n_events"), col("n_entities"),
         col("first_ts"), col("last_ts"), col("n_cold_entities"))
   }
+
+  /** Iterative-proportional-fitting (raking) weights over a two-way
+    * contingency grid (Deming & Stephan 1940): rescale the cell
+    * masses so BOTH margins match their targets, alternating row- and
+    * column-normalization for `iterations` rounds. The
+    * post-stratification correction a pipeline applies when the
+    * sampled composition drifted from a reference composition —
+    * reweight, don't resample.
+    *
+    * Input: `cells` is an already-AGGREGATED (rowKey, colKey, n)
+    * frame; `rowTargets`/`colTargets` carry one `target` per margin
+    * key (same mass scale as Σn — callers scale a reference period's
+    * margins to the observed total). Cells whose margin lacks a
+    * target row are dropped (an unmatchable stratum is a data bug to
+    * surface upstream, not a weight of 1).
+    *
+    * Determinism: masses start at the exact integer counts; each
+    * scaling multiplies by `target/marginSum` — a fixed IEEE op
+    * sequence on values any engine derives identically, so unrounded
+    * intermediates agree bitwise and round(,6) output is stable. A
+    * zero margin sum nulls that margin's cells (no mass to move).
+    *
+    * Returns per cell `(row_key, col_key, n, weight, mass)` with
+    * `mass` = the raked cell mass and `weight` = mass/n.
+    *
+    * Scale shape: every step is a hash agg + equi-join on the BOUNDED
+    * cell/margin frames (the grid is |rows|×|cols| by construction);
+    * `iterations` is a compile-time-small constant, so the plan is a
+    * fixed pipeline of bounded joins — raw rows never re-enter. */
+  def rakeWeights(cells: DataFrame, rowTargets: DataFrame,
+      colTargets: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1 && iterations <= 8,
+      s"iterations must be in [1, 8]: $iterations")
+    val base = cells
+      .select(col("row_key"), col("col_key"),
+        col("n").cast("long").as("n"))
+      .filter(col("row_key").isNotNull && col("col_key").isNotNull &&
+        col("n").isNotNull)
+      .join(rowTargets.select(col("row_key"),
+        col("target").cast("double").as("__tr")), Seq("row_key"))
+      .join(colTargets.select(col("col_key"),
+        col("target").cast("double").as("__tc")), Seq("col_key"))
+      .withColumn("__m", col("n").cast("double"))
+    val raked = (1 to iterations).foldLeft(base) { (df, _) =>
+      val rowSums = df.groupBy(col("row_key"))
+        .agg(sum(col("__m")).as("__sr"))
+      val afterRow = df.join(rowSums, Seq("row_key"))
+        .withColumn("__m",
+          when(col("__sr") > 0.0, col("__m") * (col("__tr") / col("__sr"))))
+        .drop("__sr")
+      val colSums = afterRow.groupBy(col("col_key"))
+        .agg(sum(col("__m")).as("__sc"))
+      afterRow.join(colSums, Seq("col_key"))
+        .withColumn("__m",
+          when(col("__sc") > 0.0, col("__m") * (col("__tc") / col("__sc"))))
+        .drop("__sc")
+    }
+    raked.select(col("row_key"), col("col_key"), col("n"),
+      round(when(col("n") > 0, col("__m") / col("n").cast("double")), 6)
+        .as("weight"),
+      round(col("__m"), 6).as("mass"))
+  }
 }

@@ -1530,6 +1530,41 @@ object Evaluation {
         round(h / c, 6)).as("h_corrected"))
   }
 
+  /** Brown–Forsythe test (the robust Levene variant, 1974) for
+    * VARIANCE homogeneity across groups: one-way ANOVA on the
+    * absolute deviations from each group's MEDIAN, `z_ig = |x_ig −
+    * med_g|`. The gate [[anovaF]] itself assumes away — unequal
+    * spreads invalidate the pooled-variance F — and the robust choice
+    * of median (vs Levene's mean) keeps the test honest under heavy
+    * tails.
+    *
+    * Contract: `valueCol` INTEGRAL (counts, lengths — the usual graft
+    * quantization discipline), so the per-group medians are exact
+    * halves (percentile at (n−1)/2, the quantile_cont convention) and
+    * every |x − med| is an exact multiple of 0.5 — the scale-1
+    * unscaled-long moments in the delegated [[anovaF]] fold are then
+    * EXACT, and the statistic inherits anovaF's determinism story.
+    *
+    * Returns one row `(n, k, mean_absdev, eta_sq, f_stat)` (anovaF's
+    * panel over z; `f_stat` IS the Brown–Forsythe W).
+    *
+    * Scale shape: one per-group percentile aggregation (state bounded
+    * by the distinct-value domain, not rows), a join back on the
+    * bounded group key, then anovaF's single moment pass. */
+  def brownForsythe(df: DataFrame, groupCol: Column,
+      valueCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("__g"),
+        valueCol.cast("double").as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+    val med = base.groupBy(col("__g"))
+      .agg(expr("percentile(__x, 0.5)").as("__med"))
+    val z = base.join(med, Seq("__g"))
+      .select(col("__g"), abs(col("__x") - col("__med")).as("__z"))
+    anovaF(z, col("__g"), col("__z"), scale = 1)
+      .select(col("n"), col("k"),
+        col("grand_mean").as("mean_absdev"), col("eta_sq"), col("f_stat"))
+  }
+
   /** Cochran's Q test over k matched binary raters/classifiers — the
     * k-rater generalization of [[mcnemar]] (and the significance-test
     * companion to [[fleissKappa]]'s agreement measure): do the k

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance (T2-adjacent): keep a rolled-up
@@ -99,5 +99,51 @@ object IncrementalAgg {
     val joined = deltaFact.join(dim, col(factKey) === col(dimKey))
     val deltaPartial = partial(joined, Seq(groupCol), measure)
     mergePartials(Seq(view, deltaPartial), Seq(groupCol))
+  }
+
+  /** SIGNED partial for CDC-style deltas: each row carries `sign` ∈
+    * {+1, −1} (insert / retract), so a DELETE is a −1 row and an
+    * UPDATE is a retract+insert pair — the signed-delta
+    * generalization [[refreshJoinView]]'s scaladoc points to. Only
+    * the self-inverse measures survive retraction (count as Σsign,
+    * sum as Σ sign·m); MIN/MAX are fundamentally non-retractable
+    * without re-scanning the group, so this partial deliberately
+    * does not carry them. */
+  def signedPartial(batch: DataFrame, keys: Seq[String], measure: String,
+      signCol: Column): DataFrame = {
+    val s = signCol.cast("long")
+    batch
+      .where(OpsUtil.orRaise(s.isNull || s === 1L || s === -1L,
+        lit("signedPartial: sign must be +1 or -1")))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(s).as("n"),
+        sum(s * col(measure)).as("sum_m"))
+  }
+
+  /** Merge signed partials; groups whose live count reaches 0 DROP
+    * (a fully-retracted group must vanish exactly as a from-scratch
+    * recompute would omit it, not linger as a zero row). A group at
+    * n = 0 with residual sum is a corrupted delta stream and fails
+    * fast. */
+  def mergeSignedPartials(parts: Seq[DataFrame],
+      keys: Seq[String]): DataFrame =
+    parts.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_m")).as("sum_m"))
+      .where(OpsUtil.orRaise(col("n") =!= 0 || col("sum_m") === 0,
+        lit("mergeSignedPartials: group retracted to n=0 with nonzero " +
+          "sum — unbalanced delta stream")))
+      .filter(col("n") =!= 0)
+
+  /** [[refreshJoinView]] under a signed (insert/retract) delta: the
+    * delta joins the dimension, folds to a signed partial, and merges
+    * into the stored view — deletes and updates maintained without a
+    * fact rescan, same cost envelope as the append-only path. */
+  def refreshSignedJoinView(view: DataFrame, signedDelta: DataFrame,
+      dim: DataFrame, factKey: String, dimKey: String, groupCol: String,
+      measure: String, signCol: Column): DataFrame = {
+    val joined = signedDelta.join(dim, col(factKey) === col(dimKey))
+    val deltaPartial = signedPartial(joined, Seq(groupCol), measure, signCol)
+    mergeSignedPartials(Seq(view, deltaPartial), Seq(groupCol))
   }
 }

@@ -204,4 +204,32 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.negativeSample(pos, "user_id", "item", items, k = 6)
     assert(out.count() == 0)
   }
+
+  test("rakeWeights: margins converge toward targets; balanced grid is 1") {
+    import spark.implicits._
+    // already-balanced grid with matching targets -> every weight 1
+    val cells = Seq(("a", 0L, 10L), ("a", 1L, 10L), ("b", 0L, 10L),
+      ("b", 1L, 10L)).toDF("row_key", "col_key", "n")
+    val rt = Seq(("a", 20.0), ("b", 20.0)).toDF("row_key", "target")
+    val ct = Seq((0L, 20.0), (1L, 20.0)).toDF("col_key", "target")
+    val bal = Curation.rakeWeights(cells, rt, ct).collect()
+    assert(bal.forall(r => r.getDouble(3) == 1.0))
+    // skewed targets: raked row masses hit the row targets after the
+    // final row scaling is followed by one col scaling -> close, and
+    // total mass equals the shared total
+    val rt2 = Seq(("a", 30.0), ("b", 10.0)).toDF("row_key", "target")
+    val out = Curation.rakeWeights(cells, rt2, ct, iterations = 4)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        r.getDouble(4))).toMap
+    val rowA = out(("a", 0L)) + out(("a", 1L))
+    val rowB = out(("b", 0L)) + out(("b", 1L))
+    assert(math.abs(rowA - 30.0) < 0.01 && math.abs(rowB - 10.0) < 0.01)
+    val colSum0 = out(("a", 0L)) + out(("b", 0L))
+    assert(math.abs(colSum0 - 20.0) < 1e-6) // col scaling ran last
+    // a cell whose margin lacks a target drops
+    val missing = Curation.rakeWeights(
+      cells.union(Seq(("c", 0L, 5L)).toDF("row_key", "col_key", "n")),
+      rt, ct)
+    assert(missing.filter(col("row_key") === "c").count() == 0)
+  }
 }

@@ -787,4 +787,27 @@ class EvaluationSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("cochranQ") ||
       Option(ex.getCause).exists(_.getMessage.contains("cochranQ")))
   }
+
+  test("brownForsythe: unequal spreads detected, equal spreads W~0") {
+    import spark.implicits._
+    // a tight around 10, b wide around 10: |z| differs -> W large
+    val df = Seq(("a", 9.0), ("a", 10.0), ("a", 11.0), ("a", 10.0),
+      ("b", 2.0), ("b", 10.0), ("b", 18.0), ("b", 10.0)).toDF("g", "v")
+    val r = Evaluation.brownForsythe(df, col("g"), col("v")).collect().head
+    assert(r.getLong(0) == 8 && r.getLong(1) == 2)
+    // hand: med_a = 10 -> z_a = [1,0,1,0]; med_b = 10 -> z_b = [8,0,8,0]
+    // mean_absdev = (2 + 16)/8 = 2.25
+    assert(r.getDouble(2) == 2.25)
+    assert(r.getDouble(4) > 1.0)
+    // identical spreads -> SSB = 0 -> W = 0 (z has within variation)
+    val eq = Seq(("a", 1.0), ("a", 3.0), ("a", 5.0),
+      ("b", 11.0), ("b", 13.0), ("b", 15.0)).toDF("g", "v")
+    val re = Evaluation.brownForsythe(eq, col("g"), col("v")).collect().head
+    assert(re.getDouble(4) == 0.0)
+    // all-z-identical (no within variation) -> SSW = 0 -> W NULL
+    val flat = Seq(("a", 1.0), ("a", 3.0), ("b", 11.0), ("b", 13.0))
+      .toDF("g", "v")
+    assert(Evaluation.brownForsythe(flat, col("g"), col("v"))
+      .collect().head.isNullAt(4))
+  }
 }

@@ -88,4 +88,50 @@ class IncrementalAggSpec extends AnyFunSuite {
     assert(part("r2") == before("r2"))
     assert(part("r1") > before("r1"))
   }
+
+  test("signed view: delete + update deltas equal final-state recompute") {
+    import spark.implicits._
+    val dim = Seq((1L, "g1"), (2L, "g2")).toDF("dk", "grp")
+    val fact = (1 to 20)
+      .map(i => (i.toLong, (i % 2 + 1).toLong, i.toLong * 100))
+      .toDF("fk", "dref", "m")
+    val view = IncrementalAgg.signedPartial(
+      fact.withColumn("sign", lit(1L))
+        .join(dim, col("dref") === col("dk")), Seq("grp"), "m", col("sign"))
+    // delete fk%5==0; update fk==1 to m+7 (retract+insert)
+    val del = fact.filter(col("fk") % 5 === 0).withColumn("sign", lit(-1L))
+    val upOld = fact.filter(col("fk") === 1).withColumn("sign", lit(-1L))
+    val upNew = upOld.withColumn("m", col("m") + 7L)
+      .withColumn("sign", lit(1L))
+    val delta = del.unionByName(upOld).unionByName(upNew)
+    val refreshed = IncrementalAgg.refreshSignedJoinView(view, delta, dim,
+      "dref", "dk", "grp", "m", col("sign"))
+      .orderBy("grp").collect().map(_.toString)
+    val finalFact = fact.filter(col("fk") % 5 =!= 0)
+      .withColumn("m", when(col("fk") === 1, col("m") + 7L)
+        .otherwise(col("m")))
+    val full = IncrementalAgg.signedPartial(
+      finalFact.withColumn("sign", lit(1L))
+        .join(dim, col("dref") === col("dk")), Seq("grp"), "m", col("sign"))
+      .orderBy("grp").collect().map(_.toString)
+    assert(refreshed.toSeq == full.toSeq)
+    // retracting an entire group removes its row
+    val small = Seq((1L, 1L, 10L)).toDF("fk", "dref", "m")
+    val v = IncrementalAgg.signedPartial(
+      small.withColumn("sign", lit(1L))
+        .join(dim, col("dref") === col("dk")), Seq("grp"), "m", col("sign"))
+    val gone = IncrementalAgg.refreshSignedJoinView(v,
+      small.withColumn("sign", lit(-1L)), dim,
+      "dref", "dk", "grp", "m", col("sign"))
+    assert(gone.count() == 0)
+    // an unbalanced stream (n=0, sum!=0) fails fast
+    val bad = small.withColumn("m", col("m") + 1L)
+      .withColumn("sign", lit(-1L))
+    val ex = intercept[Exception] {
+      IncrementalAgg.refreshSignedJoinView(v, bad, dim,
+        "dref", "dk", "grp", "m", col("sign")).collect()
+    }
+    assert(ex.getMessage.contains("unbalanced") ||
+      Option(ex.getCause).exists(_.getMessage.contains("unbalanced")))
+  }
 }
