@@ -444,4 +444,51 @@ object StreamingEtl {
           HhCandidates(key, n, counters.keys.toSeq.sorted)
       }
   }
+
+  /** Per-key streaming uniform sample with BOUNDED state and NO
+    * randomness: keep the k values whose md5 digests are smallest —
+    * bottom-k-by-hash, the deterministic reservoir (the sample is a
+    * pure function of the value SET, so replays, late arrivals, and
+    * batch boundaries cannot change a converged sample, exactly the
+    * [[runningDistinct]] KMV argument with payloads kept). A classic
+    * Algorithm-R reservoir would be smaller per item but
+    * nondeterministic under retry — the wrong trade for an
+    * exactly-once-auditable pipeline. Duplicate values collapse (the
+    * sample is over the distinct-value domain, matching the batch
+    * hash-sample discipline of q49).
+    *
+    * Emits per key per batch: the current sample (hash-sorted), n
+    * processed, and n distinct admitted-or-rejected is implicit in
+    * the sketch. Scale posture: state ≤ k (32-char digest, value)
+    * pairs per key. */
+  final case class KeyedSampleState(key: Long, n: Long,
+      mins: Map[String, String])
+  final case class KeyedSample(key: Long, n: Long, sample: Seq[String])
+  def runningSample(events: Dataset[(Long, String)],
+      k: Int): Dataset[KeyedSample] = {
+    require(k > 0, "k must be positive")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[KeyedSampleState, KeyedSample](
+        GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, String)],
+            state: GroupState[KeyedSampleState]) =>
+          val mins = scala.collection.mutable.TreeMap.empty[String, String]
+          var n = 0L
+          state.getOption.foreach { st => mins ++= st.mins; n = st.n }
+          rows.foreach { case (_, v) =>
+            n += 1
+            if (v != null) {
+              val h = org.apache.commons.codec.digest.DigestUtils.md5Hex(v)
+              if (!mins.contains(h)) {
+                if (mins.size < k) mins += (h -> v)
+                else if (h < mins.lastKey) { mins -= mins.lastKey
+                  mins += (h -> v) }
+              }
+            }
+          }
+          state.update(KeyedSampleState(key, n, mins.toMap))
+          KeyedSample(key, n, mins.values.toSeq)
+      }
+  }
 }

@@ -207,6 +207,37 @@ class StreamingSpec extends AnyFunSuite {
       s"stream ${last.estDistinct} != batch $batchEst")
   }
 
+  test("runningSample: bounded deterministic sample equals batch bottom-k") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingEtl.runningSample(in.toDS(), k = 8)
+    val q = out.writeStream.format("memory").queryName("state_s")
+      .outputMode(OutputMode.Update()).start()
+    val batch1 = (0 until 30).map(i => (1L, s"v${i % 20}"))
+    val batch2 = (0 until 30).map(i => (1L, s"v${i % 20 + 10}"))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    // late replay of batch1: a converged deterministic sample must
+    // not move (the value SET is unchanged)
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    import spark.implicits._
+    val rows = spark.table("state_s").as[StreamingEtl.KeyedSample]
+      .collect().filter(_.key == 1L)
+    q.stop()
+    val at60 = rows.find(_.n == 60L).get
+    val last = rows.maxBy(_.n)
+    assert(last.n == 90L && last.sample.size == 8)
+    // the batch bottom-8-by-md5 over the distinct history is identical
+    val expected = (batch1 ++ batch2).map(_._2).distinct
+      .map(v => org.apache.commons.codec.digest.DigestUtils.md5Hex(v) -> v)
+      .sortBy(_._1).take(8).map(_._2)
+    assert(last.sample.toList == expected.toList)
+    assert(at60.sample.toList == expected.toList)
+  }
+
   test("dedupIngest drops near-dups of earlier micro-batches via the durable band index") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dedup_ingest").toString
