@@ -615,11 +615,16 @@ object Evaluation {
   def abTest(df: DataFrame, variantCol: Column, entityCol: Column,
       convertedCol: Column): DataFrame = {
     val v = variantCol.cast("string")
+    val cRaw = convertedCol.cast("long")
     val entities = df
       .where(OpsUtil.orRaise(v.isNull || v.isin("a", "b"),
         lit("abTest: variant must be 'a' or 'b', got "), v))
-      .select(v.as("__v"), entityCol.as("__e"),
-        convertedCol.cast("long").as("__c"))
+      // {0,1,NULL} contract, same as mcnemar/cochranQ/fleissKappa: a
+      // converted value of e.g. 5 would flow through max() into the
+      // conv sums and silently yield rates > 1 and a bogus z
+      .where(OpsUtil.orRaise(cRaw.isNull || cRaw === 0L || cRaw === 1L,
+        lit("abTest: converted must be 0/1/NULL, got "), cRaw))
+      .select(v.as("__v"), entityCol.as("__e"), cRaw.as("__c"))
       .filter(col("__v").isNotNull && col("__e").isNotNull)
       .groupBy(col("__v"), col("__e"))
       .agg(max(coalesce(col("__c"), lit(0L))).as("__conv"))

@@ -245,7 +245,15 @@ object Relational {
     * `rightCols` are the right-side payload columns to carry (must not
     * collide with left column names). `tieBreak` orders right rows
     * sharing (key, time) — the LAST row in that order wins (pass the
-    * right id ascending so the max id is deterministic). */
+    * right id ascending so the max id is deterministic).
+    *
+    * NULL contract (shared with [[asofJoinNative]], pinned in
+    * RelationalSpec): NULL keys never match on either side; right rows
+    * with a NULL `rightTime` never match (they are filtered here —
+    * without the filter a NULLS-FIRST null-time row heads its key group
+    * and `last(ignoreNulls)` would carry its PAYLOAD to every left
+    * row); left rows with a NULL `leftTime` emit the NULL-padded row
+    * (they sort NULLS FIRST, before any right row of their key). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
       rightCols: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame = {
@@ -253,8 +261,10 @@ object Relational {
       .withColumn("__t", col(leftTime))
       .withColumns(rightCols.map(c => c -> lit(null).cast(
         right.schema(c).dataType)).toMap)
-    val rTagged = right.select(
-      (col(key) +: rightCols.map(col)) :+ col(rightTime).as("__t"): _*)
+    val rTagged = right
+      .filter(col(key).isNotNull && col(rightTime).isNotNull)
+      .select(
+        (col(key) +: rightCols.map(col)) :+ col(rightTime).as("__t"): _*)
       .withColumn("__side", lit(0))
     val unioned = lTagged.select(
       (Seq(col(key), col("__t"), col("__side")) ++
@@ -444,6 +454,18 @@ object Relational {
     require(!rightCols.exists(left.columns.contains),
       s"carried right columns collide with left: " +
         rightCols.filter(left.columns.contains).mkString(", "))
+    // the physical merge builds its orderings from the LEFT types only;
+    // a date-vs-timestamp or int-vs-long pair would plan fine and fail
+    // mid-job (ClassCastException in the interpreted ordering) or
+    // miscompare — reject at construction instead
+    require(left.schema(key).dataType == right.schema(key).dataType,
+      s"asofJoinNative: key type mismatch — left $key: " +
+        s"${left.schema(key).dataType} vs right $key: " +
+        s"${right.schema(key).dataType}")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"asofJoinNative: time type mismatch — left $leftTime: " +
+        s"${left.schema(leftTime).dataType} vs right $rightTime: " +
+        s"${right.schema(rightTime).dataType}")
     val spark = left.sparkSession
     // fresh exprIds for every right attribute (Alias always re-ids)
     val rPrep = right.select(

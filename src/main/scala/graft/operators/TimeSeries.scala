@@ -872,12 +872,23 @@ object TimeSeries {
     * 365 daily points = 66k comparisons, constant in row count); the
     * tie histogram is a hash agg of the same bounded frame, and the
     * three 1-row panels combine by broadcast. Raw rows never enter
-    * the quadratic step. */
+    * the quadratic step — and unlike the documented-only contracts
+    * elsewhere, `maxPoints` ENFORCES it (isotonicFit's maxBins
+    * discipline): a caller passing raw rows fails fast instead of
+    * getting a silent n² plan. */
   def mannKendall(df: DataFrame, orderCol: String,
-      valueCol: String): DataFrame = {
-    val base = df.select(col(orderCol).as("__o"),
+      valueCol: String, maxPoints: Long = 10000L): DataFrame = {
+    require(maxPoints > 0, "maxPoints must be positive")
+    val raw = df.select(col(orderCol).as("__o"),
         col(valueCol).cast("long").as("__v"))
       .filter(col("__o").isNotNull && col("__v").isNotNull)
+    val base = raw
+      .crossJoin(broadcast(raw.agg(count(lit(1)).as("__k"))))
+      .where(OpsUtil.orRaise(col("__k") <= maxPoints,
+        lit("mannKendall: "), col("__k"),
+        lit(s" points (> maxPoints=$maxPoints); bucket the series " +
+          "first or raise maxPoints")))
+      .select(col("__o"), col("__v"))
     val a = base.select(col("__o").as("__oa"), col("__v").as("__va"))
     val b = base.select(col("__o").as("__ob"), col("__v").as("__vb"))
     val pairs = a.join(b, col("__oa") < col("__ob"))

@@ -28,9 +28,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * seen for the current key). No column rides a shuffle it doesn't
   * need; adding a tenth carried right column adds no window pass.
   *
-  * Contract notes:
+  * Contract notes (the shared NULL contract, pinned against the
+  * composed form in RelationalSpec's null-semantics case):
   *  - NULL keys never match (SQL join semantics); NULL left keys emit
   *    the NULL-padded row.
+  *  - NULL right timestamps never match (rt <= lt is unknowable) and
+  *    are consumed, not stalled on — sorted NULLS FIRST they head the
+  *    key group, and stopping there would mask every valid match.
+  *  - NULL left timestamps emit the NULL-padded row.
   *  - Ties `rightTime == leftTime` DO match (at-or-before), and among
   *    equal (key, time) right rows the LAST in sort order wins —
   *    callers wanting a deterministic winner under exact-tie timestamps
@@ -153,7 +158,14 @@ case class AsofJoinExec(
             go = rHead != null
           } else if (cmp == 0) {
             val rt = rTimeRef.eval(rHead)
-            if (rt != null && lt != null && timeOrd.compare(rt, lt) <= 0) {
+            if (rt == null) {
+              // a NULL right timestamp can never satisfy rt <= lt, and
+              // sorted NULLS FIRST it HEADS its key group — it must be
+              // consumed and skipped, or the merge stalls on it and every
+              // valid match behind it is silently lost (NULL-padded)
+              rHead = if (rIter.hasNext) rIter.next() else null
+              go = rHead != null
+            } else if (lt != null && timeOrd.compare(rt, lt) <= 0) {
               lastMatch = rHead.copy()
               lastMatchKey = rk
               rHead = if (rIter.hasNext) rIter.next() else null
@@ -169,10 +181,15 @@ case class AsofJoinExec(
           outRow.update(i, lRow.get(i, outTypes(i)))
           i += 1
         }
+        val lt = lTimeRef.eval(lRow)
         val matched =
-          if (lk == null) null
+          // NULL left key or NULL left time: rt <= lt is unknowable, so
+          // no right row matches (SQL comparison semantics; same result
+          // as the composed form, where a NULLS-FIRST left time precedes
+          // every right row in its key group)
+          if (lk == null || lt == null) null
           else {
-            advanceRight(lk, lTimeRef.eval(lRow))
+            advanceRight(lk, lt)
             if (lastMatch != null && lastMatchKey != null &&
               keyOrd.compare(lastMatchKey, lk) == 0) lastMatch else null
           }

@@ -441,6 +441,15 @@ class EvaluationSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("abTest") ||
       Option(ex.getCause).exists(_.getMessage.contains("abTest")))
+    // {0,1,NULL} converted contract (the mcnemar discipline): a 5 must
+    // fail fast, not inflate conv sums into rates > 1
+    val exC = intercept[Exception] {
+      Evaluation.abTest(Seq(("a", 1L, 5), ("b", 2L, 1)).toDF("v", "u", "c"),
+        col("v"), col("u"), col("c")).collect()
+    }
+    assert(exC.getMessage.contains("converted must be 0/1/NULL") ||
+      Option(exC.getCause).exists(
+        _.getMessage.contains("converted must be 0/1/NULL")))
   }
 
   test("jsDivergence: identical zero, disjoint ln2, hand case, empty side") {

@@ -278,4 +278,58 @@ class RelationalSpec extends AnyFunSuite {
       right, "k", "lt", "rt", Seq("price")).collect()
     assert(nn.length == 1 && nn.head.isNullAt(2))
   }
+
+  test("asofJoin NULL contract: native and composed agree on null " +
+    "keys and timestamps") {
+    import java.sql.Timestamp
+    def ts(x: String): Timestamp = Timestamp.valueOf(x)
+    def tsOpt(x: String): Option[Timestamp] = Some(Timestamp.valueOf(x))
+    // left: a normal row, a NULL-time row, a NULL-key row
+    val left = Seq(
+      (Option(1L), tsOpt("2024-01-01 10:00:00"), "ok"),
+      (Option(1L), Option.empty[Timestamp], "null_lt"),
+      (Option.empty[Long], tsOpt("2024-01-01 10:00:00"), "null_lk"))
+      .toDF("k", "lt", "tag")
+    // right: a NULL-time row HEADS key 1's sort group (NULLS FIRST) —
+    // the regression shape: pre-fix the native merge stalled on it and
+    // NULL-padded every valid match behind it; pre-fix the composed
+    // form carried its PAYLOAD (99.0) forward instead. Plus a NULL-key
+    // right row that must never match anything.
+    val right = Seq(
+      (Option(1L), Option.empty[Timestamp], 99.0),
+      (Option(1L), tsOpt("2024-01-01 09:00:00"), 10.0),
+      (Option.empty[Long], tsOpt("2024-01-01 09:00:00"), 50.0))
+      .toDF("k", "rt", "price")
+    val expect = Map("ok" -> 10.0, "null_lt" -> -1.0, "null_lk" -> -1.0)
+    for ((name, df) <- Seq(
+      "native" -> Relational.asofJoinNative(left, right, "k", "lt", "rt",
+        Seq("price")),
+      "composed" -> Relational.asofJoin(left, right, "k", "lt", "rt",
+        Seq("price")))) {
+      val got = df.select("tag", "price").collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toMap
+      assert(got == expect, s"$name diverges from the shared NULL contract")
+    }
+  }
+
+  test("asofJoinNative rejects mismatched key/time types at construction") {
+    import java.sql.Timestamp
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "lt")
+    val rightIntKey = Seq((1, Timestamp.valueOf("2024-01-01 09:00:00"), 1.0))
+      .toDF("k", "rt", "price")
+    val e1 = intercept[IllegalArgumentException] {
+      Relational.asofJoinNative(left, rightIntKey, "k", "lt", "rt",
+        Seq("price"))
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    val rightDateTime = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1.0))
+      .toDF("k", "rt", "price")
+    val e2 = intercept[IllegalArgumentException] {
+      Relational.asofJoinNative(left, rightDateTime, "k", "lt", "rt",
+        Seq("price"))
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
 }

@@ -404,5 +404,13 @@ class TimeSeriesSpec extends AnyFunSuite {
     // constant series: varS = 0 -> z NULL
     val c = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("o", "v")
     assert(TimeSeries.mannKendall(c, "o", "v").collect().head.isNullAt(3))
+    // maxPoints fail-fast: the bucketed-frame contract is ENFORCED —
+    // raw rows past the cap must raise, not run a silent n² self-join
+    val big = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("o", "v")
+    val ex = intercept[Exception] {
+      TimeSeries.mannKendall(big, "o", "v", maxPoints = 10L).collect()
+    }
+    assert(ex.getMessage.contains("mannKendall") ||
+      Option(ex.getCause).exists(_.getMessage.contains("mannKendall")))
   }
 }
