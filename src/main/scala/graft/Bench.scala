@@ -39,8 +39,22 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // Round-11 constant attack (measured, graft.Prof conf_sweep, sf0.1,
+      // interleaved cells, min-of-3): the suite is driver-latency-bound,
+      // not data-bound, at bench scale — 34 sampled queries ran 41.1 s
+      // under the old (AQE on, partitions=cpus) config vs 31.0 s at
+      // (AQE off, partitions=8): fewer reduce tasks per stage and no
+      // per-stage AQE replan/job split. Scan parallelism is unaffected
+      // (file splits), map-side combine is unaffected, and
+      // singlePartitionFinals already bounds the finals. This is a
+      // BENCH-HARNESS constant, not production guidance: on a real
+      // cluster at 100 TB you run AQE on with partitions sized to the
+      // data (the operators' plans don't change shape either way). Env
+      // overrides keep the A/B reproducible.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "8"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Static conf, must precede session creation: the default generated-
       // class cache holds 100 entries; 45+ queries × several codegen stages

@@ -45,6 +45,39 @@ object Prof {
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
       }
+    } else if (args.headOption.contains("conf_sweep")) {
+      // Per-query fixed-cost experiment: the same query set under
+      // (AQE on/off) × (shuffle partitions) in ONE JVM, interleaved so
+      // host weather hits all cells. Floor-class stats queries pay
+      // multiple AQE stage-jobs against sub-second data; this measures
+      // whether the scheduling constant or the coalescing win dominates.
+      val names = args.drop(1).toSeq
+      val cells = Seq(("aqe32", "true", "32"), ("noaqe32", "false", "32"),
+        ("aqe8", "true", "8"), ("noaqe8", "false", "8"),
+        ("noaqe4", "false", "4"))
+      val acc = scala.collection.mutable.Map.empty[(String, String), Double]
+        .withDefaultValue(Double.MaxValue)
+      (1 to 3).foreach { _ =>
+        for ((cell, aqe, parts) <- cells) {
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          for (n <- names) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            val el = (System.nanoTime() - t0) / 1e9
+            acc((n, cell)) = math.min(acc((n, cell)), el)
+          }
+        }
+      }
+      println(f"${"query"}%-28s ${cells.map(_._1).map(c => f"$c%9s").mkString}")
+      for (n <- names) println(
+        f"$n%-28s ${cells.map(c => f"${acc((n, c._1))}%9.3f").mkString}")
+      for ((cell, _, _) <- cells) {
+        val tot = names.map(n => acc((n, cell))).sum
+        println(f"TOTAL $cell%-10s $tot%9.3f")
+      }
     } else {
       val names = if (args.nonEmpty) args.toSeq else Seq("q33_tradein_merge_2run")
       names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))

@@ -2284,18 +2284,25 @@ object SparkEntry {
     }),
 
     // Fuzzy name matching: the codegen'd Jaro-Winkler comparator over
-    // nation-blocked customer pairs (never the cross product), global
-    // top-50 via TakeOrderedAndProject.
+    // PREFIX-blocked customer pairs (the EntityResolution discipline —
+    // TextFunctions.jaroWinkler's own contract says "BLOCKED pairs
+    // only"), global top-50 via TakeOrderedAndProject. The block key is
+    // the name minus its last two characters: block SIZE is bounded by
+    // the alphabet (≤100 digit tails here) no matter the corpus, so the
+    // candidate-pair count grows LINEARLY in n — unlike the previous
+    // c_nationkey block (25 fixed values → O(n²/25) pairs, ~45 B at
+    // sf10). EntityResolution.link supplies the degenerate-block
+    // fail-fast: any block whose pair product exceeds maxBlock raises
+    // with the offending key instead of running a quadratic plan.
     "q233_jaro_names" -> ((s, d) => {
-      val c = load(s, d, "customer")
-      val a = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("id_a"), col("c_name").as("name_a"))
-      val b = c.select(col("c_nationkey").as("nk"),
-        col("c_custkey").as("id_b"), col("c_name").as("name_b"))
-      a.join(b, Seq("nk")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(TextFunctions.jaroWinkler(col("name_a"), col("name_b")), 6)
-            .as("jw"))
+      val base = load(s, d, "customer").select(
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk"),
+        col("c_custkey").as("id"), col("c_name").as("name"))
+      EntityResolution.link(base, base, Seq("blk"),
+          Seq(TextFunctions.jaroWinkler(col("name_a"), col("name_b"))),
+          threshold = 0.0, maxBlock = 65536L)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("score"), 6).as("jw"))
         .orderBy(col("jw").desc, col("id_a").asc, col("id_b").asc)
         .limit(50)
     }),
@@ -6595,13 +6602,11 @@ object SparkEntry {
     // semantics (0.7 boost gate, prefix cap 4, empty -> 0) the codegen'd
     // expression reproduces.
     "q233_jaro_names" ->
-      """WITH a AS (SELECT c_nationkey AS nk, c_custkey AS id_a,
-        |    c_name AS name_a FROM customer),
-        |b AS (SELECT c_nationkey AS nk, c_custkey AS id_b,
-        |    c_name AS name_b FROM customer)
-        |SELECT id_a, id_b,
-        |  round(jaro_winkler_similarity(name_a, name_b), 6) AS jw
-        |FROM a JOIN b USING (nk) WHERE id_a < id_b
+      """WITH base AS (SELECT substring(c_name, 1, length(c_name) - 2)
+        |    AS blk, c_custkey AS id, c_name AS name FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+        |FROM base a JOIN base b USING (blk) WHERE a.id < b.id
         |ORDER BY jw DESC, id_a, id_b LIMIT 50""".stripMargin,
 
     // The minimax identity fit_i = max_{j<=i} min_{k>=i} wavg[j..k]

@@ -174,8 +174,14 @@ object TradeInPipeline {
     Retention.retain(staging,
       Timestamps.parseTimestamp(col("TradeInDate")).cast("date") === now.cast("date"))
 
-  /** ETL outcome (the reference returns {"inserted": …, "updated": …}). */
-  final case class EtlResult(inserted: Long, updated: Long)
+  /** ETL outcome (the reference returns {"inserted": …, "updated": …}).
+    * `metrics` is the run's observability artifact — the App Insights
+    * analogue (host.json:4-11): per-stage wall latencies (`*_ms`) plus
+    * row counts collected by `Dataset.observe` DURING the runs' own
+    * write passes (`staged_rows`, `retained_rows`) — zero extra scans
+    * at any scale. Defaulted so stage-level callers are unaffected. */
+  final case class EtlResult(inserted: Long, updated: Long,
+      metrics: Map[String, Long] = Map.empty)
 
   /** Catalog names mirroring the reference's `api.*` tables, with the
     * legacy staging name handled by rename migration. */
@@ -199,7 +205,14 @@ final class TradeInPipeline(
     // rewrites only the TradeInDay partitions present in the batch.
     // `false` falls back to the flat full-snapshot layout — only for
     // small targets where a whole-table rewrite is acceptable.
-    partitionedTarget: Boolean = true) {
+    partitionedTarget: Boolean = true,
+    // Run-level deadline — the reference caps a whole run at 90 minutes
+    // (host.json:3, functionTimeout 01:30:00). Checked at every stage
+    // boundary (the driver-side analogue of the platform kill: a Spark
+    // job already in flight finishes its stage; the run refuses to
+    // START the next one past the deadline). The per-REQUEST 120 s
+    // timeout lives in ApiSource; this is the envelope above it.
+    runTimeoutMillis: Long = 90L * 60L * 1000L) {
 
   import TradeInPipeline._
   import TradeInSchema._
@@ -227,40 +240,75 @@ final class TradeInPipeline(
   }
 
   /** One daily run: fetch → stage/append → merge → counts → retention.
-    * Returns the reference's inserted/updated counts. */
+    * Returns the reference's inserted/updated counts plus the run's
+    * metrics map (per-stage latency, observed row counts — see
+    * [[TradeInPipeline.EtlResult]]). Refuses to start a stage past the
+    * `runTimeoutMillis` deadline. */
   def run(spark: SparkSession, params: Map[String, String]): EtlResult = {
     val nowCol = now()
-
-    // 1-2. connect + DDL (catalog lifecycle, incl. legacy-name migration).
-    if (registerCatalog) {
-      CatalogDdl.migrateRename(spark, names.legacyStaging, names.staging)
-      CatalogDdl.ensureTable(spark, names.staging, stagingSchema, Some(stagingPath))
-      CatalogDdl.ensureTable(spark, names.target, targetSchema, Some(targetPath))
+    val runStart = System.nanoTime()
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def timed[A](stageName: String)(body: => A): A = {
+      val elapsedMs = (System.nanoTime() - runStart) / 1000000L
+      if (elapsedMs > runTimeoutMillis)
+        throw new java.util.concurrent.TimeoutException(
+          s"TradeInPipeline.run exceeded runTimeoutMillis=$runTimeoutMillis " +
+            s"(${elapsedMs} ms elapsed) before stage '$stageName'")
+      val t0 = System.nanoTime()
+      val out = body
+      metrics(s"${stageName}_ms") = (System.nanoTime() - t0) / 1000000L
+      out
     }
 
-    // 3. fetch (source impls own retry/backoff).
-    val raw = source.fetch(spark, params)
+    // 1-2. connect + DDL (catalog lifecycle, incl. legacy-name migration).
+    timed("ddl") {
+      if (registerCatalog) {
+        CatalogDdl.migrateRename(spark, names.legacyStaging, names.staging)
+        CatalogDdl.ensureTable(spark, names.staging, stagingSchema, Some(stagingPath))
+        CatalogDdl.ensureTable(spark, names.target, targetSchema, Some(targetPath))
+      }
+    }
+
+    // 3. fetch (source impls own retry/backoff + per-request timeout).
+    val raw = timed("fetch")(source.fetch(spark, params))
 
     // 4. load staging: append this batch to what retention left behind.
-    val staged = stage(raw, nowCol)
-    val stagingAll = readOrEmpty(spark, stagingPath, stagingSchema).unionByName(staged)
-    Merge.writeSnapshot(stagingAll, stagingPath)
+    // `staged_rows` rides the write via observe — no extra scan.
+    timed("load_staging") {
+      val staged = stage(raw, nowCol)
+      val stagingAll =
+        readOrEmpty(spark, stagingPath, stagingSchema).unionByName(staged)
+      val obs = org.apache.spark.sql.Observation()
+      Merge.writeSnapshot(
+        stagingAll.observe(obs, count(lit(1)).as("staged_rows")), stagingPath)
+      metrics("staged_rows") = obs.get("staged_rows").asInstanceOf[Long]
+    }
 
     // 5. merge into target — partition-scoped by default: only the
     // TradeInDay partitions present in this batch are read and
     // rewritten (plus any moved-key partitions the probe finds).
     val staging = spark.read.schema(stagingSchema).parquet(stagingPath)
-    if (partitionedTarget)
-      mergeIntoTargetPartitioned(spark, targetPath, staging, nowCol)
-    else
-      Merge.writeSnapshot(
-        mergeIntoTarget(readOrEmpty(spark, targetPath, targetSchema), staging, nowCol),
-        targetPath)
+    timed("merge") {
+      if (partitionedTarget)
+        mergeIntoTargetPartitioned(spark, targetPath, staging, nowCol)
+      else
+        Merge.writeSnapshot(
+          mergeIntoTarget(readOrEmpty(spark, targetPath, targetSchema), staging, nowCol),
+          targetPath)
+    }
 
-    // 6. counts + staging retention.
-    val newTarget = readTarget(spark)
-    val (ins, upd) = todayCounts(newTarget, nowCol)
-    Merge.writeSnapshot(retainToday(staging, nowCol), stagingPath)
-    EtlResult(ins, upd)
+    // 6. counts + staging retention (`retained_rows` observed in-pass).
+    val (ins, upd) = timed("counts") {
+      todayCounts(readTarget(spark), nowCol)
+    }
+    timed("retention") {
+      val obs = org.apache.spark.sql.Observation()
+      Merge.writeSnapshot(
+        retainToday(staging, nowCol)
+          .observe(obs, count(lit(1)).as("retained_rows")), stagingPath)
+      metrics("retained_rows") = obs.get("retained_rows").asInstanceOf[Long]
+    }
+    metrics("run_ms") = (System.nanoTime() - runStart) / 1000000L
+    EtlResult(ins, upd, metrics.toMap)
   }
 }

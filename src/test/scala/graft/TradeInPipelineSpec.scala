@@ -42,7 +42,7 @@ class TradeInPipelineSpec extends AnyFunSuite {
       ("1", s"${d1}T01:00:00Z", "10.00"),
       ("2", s"${d1}T02:00:00Z", "20.00"),
       ("3", s"${d1}T03:00:00Z", "30.00")))).run(spark, Map())
-    assert(r1 == TradeInPipeline.EtlResult(inserted = 3, updated = 0))
+    assert((r1.inserted, r1.updated) == ((3L, 0L)))
 
     // Day 2 re-delivers key 2 (new amount) and adds key 4; key 2 also has
     // an intra-batch duplicate resolved by the dedup window (later wins).
@@ -53,7 +53,17 @@ class TradeInPipelineSpec extends AnyFunSuite {
     // Day-1 retention kept rows dated day 1, so keys 1 and 3 linger in
     // staging and re-merge on day 2 as updates alongside key 2 — faithful
     // to the reference's merge-then-retain ordering.
-    assert(r2 == TradeInPipeline.EtlResult(inserted = 1, updated = 3))
+    assert((r2.inserted, r2.updated) == ((1L, 3L)))
+    // Observability artifact: per-stage latencies plus row counts
+    // observed during the run's own write passes (no extra scans).
+    // staged_rows = 3 retained day-1 rows + 3 day-2 batch rows;
+    // retained_rows = the 3 day-2-dated rows left after retention.
+    for (k <- Seq("ddl_ms", "fetch_ms", "load_staging_ms", "merge_ms",
+        "counts_ms", "retention_ms", "run_ms"))
+      assert(r2.metrics.contains(k) && r2.metrics(k) >= 0L, s"missing $k")
+    assert(r2.metrics("staged_rows") == 6L, r2.metrics.toString)
+    assert(r2.metrics("retained_rows") == 3L, r2.metrics.toString)
+    assert(r2.metrics("run_ms") >= r2.metrics("merge_ms"))
 
     val target = spark.read.parquet(s"$work/target")
     assert(target.count() == 4)
@@ -91,7 +101,7 @@ class TradeInPipelineSpec extends AnyFunSuite {
       registerCatalog = false,
       now = () => lit("2024-06-04 06:00:00").cast("timestamp"))
     val r = pipeline.run(spark, Map())
-    assert(r == TradeInPipeline.EtlResult(inserted = 8, updated = 0))
+    assert((r.inserted, r.updated) == ((8L, 0L)))
     val target = spark.read.parquet(s"$work/target")
     assert(target.count() == 8)
     // all four windows landed, fetched on four distinct tasks
@@ -113,7 +123,7 @@ class TradeInPipelineSpec extends AnyFunSuite {
       ("1", s"${d1}T01:00:00Z", "10.00"),
       ("2", s"${d1}T02:00:00Z", "20.00"),
       ("5", s"${d0}T09:00:00Z", "50.00")))).run(spark, Map())
-    assert(r1 == TradeInPipeline.EtlResult(inserted = 3, updated = 0))
+    assert((r1.inserted, r1.updated) == ((3L, 0L)))
     val d0dir = new java.io.File(s"$work/target/TradeInDay=$d0")
     assert(d0dir.exists(), "target must be laid out by TradeInDay")
     val before = d0dir.listFiles().filter(_.getName.endsWith(".parquet"))
@@ -122,7 +132,7 @@ class TradeInPipelineSpec extends AnyFunSuite {
     // Day 2 touches d1 (retained staging rows re-merge) and d2 — not d0.
     val r2 = pipelineAt(work, d2, rawBatch(Seq(
       ("4", s"${d2}T02:00:00Z", "40.00")))).run(spark, Map())
-    assert(r2 == TradeInPipeline.EtlResult(inserted = 1, updated = 2))
+    assert((r2.inserted, r2.updated) == ((1L, 2L)))
     val after = d0dir.listFiles().filter(_.getName.endsWith(".parquet"))
       .map(f => f.getName -> f.lastModified).toMap
     assert(after == before, "untouched day partition must not be rewritten")
