@@ -7,8 +7,11 @@ object Prof {
     SparkEntry.singlePartitionFinals = true // harness JVM: bench-scale finals
     val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      // same knobs as graft.Bench so A/Bs here transfer to the bench
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "8"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -44,6 +47,59 @@ object Prof {
       (1 to 2).foreach { _ =>
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
+      }
+    } else if (args.headOption.contains("sim_ab")) {
+      // q159 internal-parallelism A/B: stock similarityJoin vs the same
+      // pipeline with the verify-side joins forced to defaultParallelism.
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      def stock() = graft.operators.TextDedup.similarityJoin(
+        docs, "text", "doc_id", tau = 0.5, shingleSize = 3)
+      (1 to 3).foreach { _ =>
+        t("sim_stock")(stock())
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        t("sim_parts32")(stock())
+        spark.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "8"))
+      }
+    } else if (args.headOption.contains("neg_ab")) {
+      // q163 positives-subplan A/B: default plan vs explicit broadcast
+      // of the orders side of the positives join (the round-11 check
+      // the round-10 verdict asked for).
+      def posPlan(hint: Boolean) = {
+        val o = spark.read.parquet(s"$d/orders.parquet")
+          .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+        val l = spark.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_partkey").as("item"))
+        val oSide = if (hint) broadcast(o) else o
+        oSide.join(l, "o_orderkey")
+          .select(col("user_id"), col("item")).distinct()
+      }
+      def full(hint: Boolean) = graft.operators.Curation.negativeSample(
+        posPlan(hint), "user_id", "item",
+        spark.read.parquet(s"$d/part.parquet")
+          .select(col("p_partkey").as("item")), k = 8)
+      (1 to 3).foreach { _ =>
+        t("pos_default")(posPlan(false))
+        t("pos_bcast")(posPlan(true))
+        t("full_default")(full(false))
+        t("full_bcast")(full(true))
+      }
+    } else if (args.headOption.contains("sort_ab")) {
+      // q161 final-sort shape A/B: single-task repartition(1) sort vs
+      // parallel range sort, interleaved in one JVM.
+      val base = graft.operators.Features.standardize(
+        graft.sources.Tables.parallel(
+          spark.read.parquet(s"$d/lineitem.parquet")),
+        Seq("l_orderkey", "l_linenumber"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 2)
+      val keys = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice_z"), col("l_quantity_z"), col("l_discount_z"),
+        col("l_extendedprice_mm"), col("l_quantity_mm"), col("l_discount_mm"))
+      (1 to 3).foreach { _ =>
+        t("single_task")(base.repartition(1).sortWithinPartitions(keys: _*))
+        t("range_sort")(base.orderBy(keys: _*))
       }
     } else if (args.headOption.contains("conf_sweep")) {
       // Per-query fixed-cost experiment: the same query set under

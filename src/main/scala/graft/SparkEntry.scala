@@ -52,6 +52,16 @@ object SparkEntry {
     if (singlePartitionFinals) df.repartition(1).sortWithinPartitions(keys: _*)
     else df.orderBy(keys: _*)
 
+  /** [[ordered1]] for WIDE finals: above ~500k emitted rows × ~10
+    * columns the single-partition sort's one task serializes the whole
+    * materialization and LOSES to the parallel range sort even with its
+    * extra sampling job (q161 A/B, round 11: 1.86 s single-task vs
+    * 1.36 s range-sorted at 8 shuffle partitions — the only registry
+    * query above that threshold). Same output order, different exchange
+    * shape; non-harness callers get the identical parallel sort. */
+  private[graft] def orderedWide(df: DataFrame, keys: Column*): DataFrame =
+    df.orderBy(keys: _*)
+
   /** Harness flag gating [[ordered1]]'s single-partition final sort.
     * Defaults to the `SPARK_GRAFT_BENCH=1` env (manual runs); the
     * Bench/Prof/Verify mains set it true for their own JVM. @volatile:
@@ -1602,7 +1612,8 @@ object SparkEntry {
     // filter; verification touches candidate pairs alone.
     "q159_similarity_join" -> ((s, d) => {
       TextDedup.similarityJoin(parallel(load(s, d, "documents")),
-          "text", "doc_id", tau = 0.5, shingleSize = 3)
+          "text", "doc_id", tau = 0.5, shingleSize = 3,
+          numPartitions = Some(s.sparkContext.defaultParallelism))
         .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
     }),
 
@@ -1629,7 +1640,7 @@ object SparkEntry {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
         // the sort must be total over the emitted columns or ties land in
         // engine-dependent order.
-        .transform(ordered1(_, col("l_orderkey"), col("l_linenumber"),
+        .transform(orderedWide(_, col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice_z"), col("l_quantity_z"), col("l_discount_z"),
           col("l_extendedprice_mm"), col("l_quantity_mm"), col("l_discount_mm")))
     }),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -682,18 +682,30 @@ object TextDedup {
     * it, which is the direction that would break exactness. */
   def similarityJoin(docs: DataFrame, textCol: String, idCol: String,
       tau: Double, shingleSize: Int = 3,
-      persistSets: Boolean = true): DataFrame = {
+      persistSets: Boolean = true,
+      // Width of the operator's OWN exchanges. Its shuffled stages are
+      // CPU-bound (shingle-df join, per-doc set collection, the exact
+      // array_intersect verify) — their parallelism should track the
+      // CLUSTER's cores, not the session's reduce sizing tuned for
+      // ordinary aggregations: at 8 session partitions on 32 cores the
+      // whole pipeline measured 2.2 s vs 1.65 s at 32 (same-JVM
+      // interleaved A/B, sf0.1). Default keeps the session conf.
+      numPartitions: Option[Int] = None): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1: $tau")
-    val shingled = docs
+    def widen(df: DataFrame, key: Column): DataFrame =
+      numPartitions.map(n => df.repartition(n, key)).getOrElse(df)
+    val shingled0 = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(idCol), explode(array_distinct(transform(
         sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
         i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
+    // one explicit hash exchange on the shingle key feeds BOTH the df
+    // aggregation and the df-join probe side co-partitioned
+    val shingled = widen(shingled0, col("__g"))
     val df = shingled.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
     // Per-document shingle set, sorted rare-first under the global
     // (df, shingle) order; struct sort gives that order for free.
-    val sets0 = shingled
-      .join(df, "__g")
+    val sets0 = widen(shingled.join(df, "__g"), col(idCol))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__s"))
       .select(col(idCol),
