@@ -911,22 +911,32 @@ object Similarity {
     val meanArr = array((0 until dim).map(i =>
       (col(s"__s$i").cast(dec38) / lit(1000000L)).cast("double") /
         col("__n").cast("double")): _*)
-    val centroids = guarded.select(col("__cl"), meanArr.as("__cv"))
-    def dist(a: Column, b: Column): Column = {
-      val d = zip_with(a, b, (x, y) => x - y)
-      sqrt(dot(d, d))
-    }
+    val centroids = guarded.select(col("__cl"), meanArr.as("__cv"),
+      dot(meanArr, meanArr).as("__cc"))
     val rows = embeds
       .filter(col(labelCol).isNotNull)
       .select(col(labelCol).as("__l"), v.as("__v"),
         col(idCol).as("__rid"))
-    val own = rows.join(broadcast(centroids), col("__l") === col("__cl"))
-      .select(col("__rid"), col("__l"), col("__v"),
-        dist(col("__v"), col("__cv")).as("__a"))
-    val other = rows.join(broadcast(centroids), col("__l") =!= col("__cl"))
-      .groupBy(col("__rid"))
-      .agg(min(dist(col("__v"), col("__cv"))).as("__b"))
-    own.join(other, Seq("__rid"), "left")
+      .withColumn("__vv", dot(col("__v"), col("__v")))
+    // ONE pass over rows × the ≤maxClusters broadcast centroid frame
+    // (bounded fan-out, not a cartesian risk): a and min-other-b fall
+    // out of the same conditional aggregation, replacing the previous
+    // own-join + other-join + rid-rejoin three-pass shape. Distance via
+    // the norm identity ‖v−c‖² = v·v − 2 v·c + c·c with both norms
+    // hoisted (once per row / per centroid), so the per-pair work is a
+    // single codegen'd DotProduct — no per-pair zip_with allocation
+    // (the bruteForceL2TopK construction; the max(,0) clamp guards the
+    // sqrt against negative ulp residue; round(,6) on the outputs
+    // absorbs the fold-order drift per repo convention).
+    val perRow = rows.crossJoin(broadcast(centroids))
+      .select(col("__rid"), col("__l"),
+        (col("__l") === col("__cl")).as("__own"),
+        sqrt(greatest(col("__vv") - dot(col("__v"), col("__cv")) * 2 +
+          col("__cc"), lit(0.0))).as("__d"))
+      .groupBy(col("__rid"), col("__l"))
+      .agg(min(when(col("__own"), col("__d"))).as("__a"),
+        min(when(!col("__own"), col("__d"))).as("__b"))
+    perRow
       .withColumn("__s",
         when(col("__b").isNull, lit(null).cast("double"))
           .when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
