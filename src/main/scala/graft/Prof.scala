@@ -48,6 +48,36 @@ object Prof {
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
       }
+    } else if (args.headOption.contains("q91_sub")) {
+      // q91 floor decomposition: the exploded-lines frequency pass alone
+      // (posexplode -> md5 -> dense_rank/max windows -> filter), the
+      // strict subset every correct line-dedup must run, vs the full
+      // query (which adds per-doc reassembly + the n_lines join).
+      import org.apache.spark.sql.expressions.Window
+      val q91 = SparkEntry.queries("q91_line_dedup")
+      def subset() = {
+        val toks = split(col("text"), " ", -1)
+        val lined = graft.sources.Tables.parallel(
+          spark.read.parquet(s"$d/documents.parquet")).withColumn("__lined",
+          concat(concat_ws("\n",
+            array_join(slice(toks, 1, 10), " "),
+            array_join(slice(toks, 11, 1000000), " ")),
+            when(col("doc_id") % 4 === 0,
+              lit("\n<<boiler>>")).otherwise(lit(""))))
+        val lines = lined
+          .select(col("doc_id"), posexplode(split(col("__lined"), "\n", -1)))
+          .select(col("doc_id"), col("pos"), col("col").as("__line"),
+            md5(col("col")).as("__h"))
+        val byHash = Window.partitionBy(col("__h"))
+        lines
+          .withColumn("__dr", dense_rank().over(byHash.orderBy(col("doc_id"))))
+          .withColumn("__docs", max(col("__dr")).over(byHash))
+          .filter(col("__docs") <= 5L)
+      }
+      (1 to 3).foreach { _ =>
+        t("q91_subset")(subset())
+        t("q91_full")(q91(spark, d))
+      }
     } else if (args.headOption.contains("sim_ab")) {
       // q159 internal-parallelism A/B: stock similarityJoin vs the same
       // pipeline with the verify-side joins forced to defaultParallelism.
