@@ -130,6 +130,9 @@ object Prof {
       (1 to 3).foreach { _ =>
         t("single_task")(base.repartition(1).sortWithinPartitions(keys: _*))
         t("range_sort")(base.orderBy(keys: _*))
+        t("range_sort32")(base
+          .repartitionByRange(spark.sparkContext.defaultParallelism, keys: _*)
+          .sortWithinPartitions(keys: _*))
       }
     } else if (args.headOption.contains("conf_sweep")) {
       // Per-query fixed-cost experiment: the same query set under

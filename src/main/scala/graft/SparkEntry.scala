@@ -3017,10 +3017,16 @@ object SparkEntry {
             .otherwise(col("c_acctbal")))
         .filter(col("c_custkey") % 11 =!= 4)
       def norm(c: Column) = lower(regexp_replace(c, "#", " "))
-      val links = EntityResolution.link(a, b,
+      // normalize ONCE per row before blocking, not per candidate pair:
+      // the field comparator runs |block|² times, so an in-comparator
+      // regexp_replace costs ~1.8M regex evaluations at sf0.1 where the
+      // per-side precompute costs 2×15k (measured 1.66 -> 1.10 s)
+      val aN = a.withColumn("__nname", norm(col("c_name")))
+      val bN = b.withColumn("__nname", norm(col("c_name")))
+      val links = EntityResolution.link(aN, bN,
         Seq("c_nationkey", "c_mktsegment"),
         Seq(
-          when(norm(col("c_name_a")) === norm(col("c_name_b")), 4.0)
+          when(col("__nname_a") === col("__nname_b"), 4.0)
             .otherwise(-1.5),
           when(abs(col("c_acctbal_a") - col("c_acctbal_b")) <= 0.02, 2.0)
             .otherwise(-0.5)),
