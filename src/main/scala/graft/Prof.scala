@@ -48,6 +48,47 @@ object Prof {
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
       }
+    } else if (args.headOption.contains("q167_sub")) {
+      // q167 floor decomposition under the round-11 harness: the
+      // per-group exact-rank pass alone (groupedRowNumber + group-size
+      // join — the strict subset of any correct quantile normalization)
+      // vs the full operator.
+      val v = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+        .withColumn("tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("double"))
+        .select(col("doc_id"), col("source"), col("tokens"))
+        .filter(col("tokens").isNotNull)
+      def subset() = graft.operators.Relational.groupedRowNumber(
+          v, Seq("source"), Seq(col("tokens").asc, col("doc_id").asc), "__rn")
+        .join(broadcast(v.groupBy(col("source"))
+          .agg(count(lit(1)).as("__ng"))), "source")
+      def full() = graft.operators.Curation.quantileNormalize(
+        v, "doc_id", "source", "tokens")
+      (1 to 3).foreach { _ =>
+        t("q167_subset")(subset())
+        t("q167_full")(full())
+      }
+    } else if (args.headOption.contains("q156_sub")) {
+      // q156 floor decomposition under the round-11 harness: the
+      // edge-build subplan alone (distinct pairs -> per-order self-join
+      // -> pair counts -> n >= 2) vs the full triangle query.
+      def edges() = {
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.alias("x").join(li.alias("y"),
+            col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        e
+      }
+      val q156 = SparkEntry.queries("q156_triangles")
+      (1 to 3).foreach { _ =>
+        t("q156_edges")(edges())
+        t("q156_full")(q156(spark, d))
+      }
     } else if (args.headOption.contains("q91_sub")) {
       // q91 floor decomposition: the exploded-lines frequency pass alone
       // (posexplode -> md5 -> dense_rank/max windows -> filter), the
