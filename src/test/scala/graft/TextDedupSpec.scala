@@ -100,6 +100,13 @@ class TextDedupSpec extends AnyFunSuite {
       assert(math.abs(got(k) - j) < 1e-6, s"$k: got ${got(k)}, expected $j") }
     // boundary pairs at exactly tau=0.6 ARE present (inclusive threshold)
     assert(got.contains((1L, 3L)) && got.contains((4L, 5L)))
+    // the numPartitions knob (round 11: widens the CPU-bound pre-persist
+    // exchanges) is a pure plan-shape choice — values identical
+    val widened = TextDedup.similarityJoin(docs, "text", "doc_id",
+        tau = 0.6, shingleSize = 1, numPartitions = Some(5))
+      .orderBy("doc_id_a", "doc_id_b")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(widened == got, "numPartitions changed similarityJoin values")
   }
 
   test("similarityJoin: shingle mode finds planted near-dup, not unrelated docs") {
