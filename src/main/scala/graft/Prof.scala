@@ -48,6 +48,26 @@ object Prof {
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
       }
+    } else if (args.headOption.contains("pwrite_ab")) {
+      // Partitioned-write width A/B: 8 vs 32 shuffle tasks feeding a
+      // month-partitioned 44-col parquet write (the q129 write shape).
+      val src = spark.read.parquet(s"$d/orders.parquet")
+        .select((0 until 40).map(i =>
+          concat_ws("-", col("o_orderpriority"), lit(i.toString)).as(s"c$i")) ++
+          Seq(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("pmonth")): _*)
+        .persist()
+      src.count()
+      def wr(n: Int): Unit = {
+        val dir = java.nio.file.Files.createTempDirectory("pwab").toString
+        val t0 = System.nanoTime()
+        src.repartition(n, col("pmonth"))
+          .write.mode("overwrite").partitionBy("pmonth").parquet(dir)
+        println(f"write_$n%d: ${(System.nanoTime() - t0) / 1e9}%.2f")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      }
+      (1 to 3).foreach { _ => wr(8); wr(32) }
+      src.unpersist()
     } else if (args.headOption.contains("q167_sub")) {
       // q167 floor decomposition under the round-11 harness: the
       // per-group exact-rank pass alone (groupedRowNumber + group-size

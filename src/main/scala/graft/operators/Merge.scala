@@ -220,7 +220,15 @@ object Merge {
     // of every output partition, so a P-partition write emits up to
     // tasks×P files (measured 3200 for a 100-month target at 32 tasks —
     // the file-count explosion IS the slow path, locally and at scale).
-    try merged.repartition(col(partitionCol))
+    // Explicit width = cluster parallelism: each output partition still
+    // lands in exactly one task (one file per partition dir), but the
+    // file WRITES spread over the cluster's cores instead of the
+    // session's reduce sizing — a session tuned to few shuffle
+    // partitions would otherwise serialize an 84-dir write onto that
+    // few tasks.
+    val writeWidth = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    try merged.repartition(writeWidth, col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(targetPath)
     finally prev match {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
