@@ -55,6 +55,15 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "8"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // Same constant-attack family (graft.Prof conf_ab, 12-query
+      // interleaved A/B): constraint propagation is an O(tree²)
+      // optimizer pass whose inferred IsNotNull pushdowns matter on
+      // real scans, not on a warm 12k-row bench corpus — off saved 6%
+      // total with zero per-query regressions (q04 −35%). Correctness
+      // is unaffected by construction (it only ADDS derived filters);
+      // Verify keeps Spark defaults.
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "false"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Static conf, must precede session creation: the default generated-
       // class cache holds 100 entries; 45+ queries × several codegen stages

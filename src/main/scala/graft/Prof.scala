@@ -12,6 +12,8 @@ object Prof {
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", "8"))
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.constraintPropagation.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "false"))
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -47,6 +49,51 @@ object Prof {
       (1 to 2).foreach { _ =>
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
+      }
+    } else if (args.headOption.contains("conf_ab")) {
+      // Generic single-conf A/B: args = conf_ab <key> <offValue> q.. q..
+      // Interleaves baseline vs the overridden value, min-of-3 each.
+      val key = args(1); val v = args(2)
+      val names = args.drop(3).toSeq
+      val base = spark.conf.get(key)
+      val acc = scala.collection.mutable.Map.empty[(String, String), Double]
+        .withDefaultValue(Double.MaxValue)
+      (1 to 3).foreach { _ =>
+        for ((cell, cv) <- Seq("base" -> base, "alt" -> v)) {
+          spark.conf.set(key, cv)
+          for (n <- names) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+            spark.catalog.clearCache()
+            acc((n, cell)) = math.min(acc((n, cell)),
+              (System.nanoTime() - t0) / 1e9)
+          }
+        }
+      }
+      spark.conf.set(key, base)
+      for (n <- names) println(
+        f"$n%-28s base=${acc((n, "base"))}%.3f alt=${acc((n, "alt"))}%.3f")
+      println(f"TOTAL base=${names.map(n => acc((n, "base"))).sum}%.2f " +
+        f"alt=${names.map(n => acc((n, "alt"))).sum}%.2f")
+    } else if (args.headOption.contains("plan_share")) {
+      // Per-query fixed-cost split: DataFrame build + analysis + physical
+      // planning (driver CPU) vs execution (noop write) for the named
+      // queries. Run each 3x; planning re-happens each time, as in Bench.
+      val names = args.drop(1).toSeq
+      for (n <- names) {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          val df = SparkEntry.queries(n)(spark, d)
+          df.queryExecution.executedPlan // force analysis+optimization+planning
+          val t1 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val t2 = System.nanoTime()
+          spark.catalog.clearCache()
+          ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        }
+        val p = ts.map(_._1).min; val e = ts.map(_._2).min
+        println(f"$n%-28s plan=$p%.3f exec=$e%.3f")
       }
     } else if (args.headOption.contains("pwrite_ab")) {
       // Partitioned-write width A/B: 8 vs 32 shuffle tasks feeding a
