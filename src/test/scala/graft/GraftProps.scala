@@ -511,4 +511,50 @@ object GraftProps extends Properties("graft") {
           .collect().head.getDouble(4) == 1.0
       }
     }
+
+  // NULL-bearing as-of equivalence: the native merge-pass operator and
+  // the composed union+window form implement ONE contract, including
+  // NULL keys (never match), NULL right times (never match, never
+  // stall the merge), and NULL left times (NULL-padded row). Random
+  // tables with ~25% NULLs in every role keep all three branches hot —
+  // the round-10 ADVICE stall was exactly a case a fixed fixture
+  // missed.
+  private val genAsofRow: Gen[(Option[Int], Option[Int], Int)] = for {
+    k <- Gen.option(Gen.choose(0, 3))
+    t <- Gen.option(Gen.choose(0, 5))
+    v <- Gen.choose(0, 100)
+  } yield (k, t, v)
+
+  property("asofJoinNative equals composed asofJoin under random NULLs") =
+    forAll(Gen.listOfN(10, genAsofRow), Gen.listOfN(10, genAsofRow)) {
+      (l0, r0) =>
+        import spark.implicits._
+        def ts(o: Option[Int]) =
+          o.map(t => Timestamp.valueOf(f"2024-01-01 0$t%d:00:00")).orNull
+        val left = l0.zipWithIndex.map { case ((k, t, v), i) =>
+          (k.map(_.toLong), ts(t), i.toLong) }
+          .toDF("k", "lt", "lid")
+          .select(col("k").cast("long").as("k"), col("lt"), col("lid"))
+        // one right row per (k, rt) so exact-tie winners are
+        // deterministic in BOTH forms (the q222 fixture discipline)
+        val right = r0.map { case (k, t, v) =>
+          (k.map(_.toLong), ts(t), v.toDouble) }
+          .toDF("k", "rt", "price")
+          .select(col("k").cast("long").as("k"), col("rt"), col("price"))
+          .groupBy("k", "rt").agg(max(col("price")).as("price"))
+        val native = Relational.asofJoinNative(
+            left, right, "k", "lt", "rt", Seq("price"))
+          .select("lid", "price").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+        val composed = Relational.asofJoin(
+            left, right, "k", "lt", "rt", Seq("price"))
+          .select("lid", "price").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+        (native.keySet == composed.keySet) && native.keySet.forall { id =>
+          val (a, b) = (native(id), composed(id))
+          (a.isNaN && b.isNaN) || a == b
+        }
+    }
 }
