@@ -2558,6 +2558,16 @@ object SparkEntry {
         .transform(ordered1(_, col("n")))
     }),
 
+    // Exact-substring (Lee et al.) duplicated-span extraction: maximal
+    // runs of corpus-duplicated 8-token grams per document — the
+    // memorization-risk segments. One gram-hash shuffle + per-doc
+    // gap-and-island windows; see TextDedup.duplicatedSpans.
+    "q250_dup_spans" -> ((s, d) => {
+      TextDedup.duplicatedSpans(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 8, minDocs = 2)
+        .transform(ordered1(_, col("doc_id"), col("span_start")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -7141,6 +7151,27 @@ object SparkEntry {
         |      (ssw / (CAST(nt AS DOUBLE) - CAST(k AS DOUBLE))), 6)
         |    END AS f_stat
         |FROM f ORDER BY 1""".stripMargin,
+
+    // Mirrors TextDedup.duplicatedSpans: per-position 8-gram hashes,
+    // distinct-carrier count per gram, gap-and-island merge of
+    // consecutive duplicated positions. Integer-exact throughout.
+    "q250_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 1))) AS p, t
+        |  FROM d),
+        |g2 AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p:p+7], ' ')) AS h FROM g),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |dup AS (SELECT doc_id, p FROM g2 JOIN f USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM dup)
+        |SELECT doc_id, min(p) AS span_start,
+        |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

@@ -593,6 +593,59 @@ object TextDedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Maximal duplicated token-span extraction (Lee, Ippolito et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022 — the EXACT-SUBSTRING pass, re-expressed at token granularity
+    * as a relational program instead of their suffix array): every
+    * position whose `k`-token gram occurs in ≥ `minDocs` DISTINCT
+    * documents is "duplicated", and runs of CONSECUTIVE duplicated
+    * positions merge into maximal spans — the memorization-risk
+    * segments a curation pipeline masks or cuts (as opposed to
+    * [[spanDedup]]'s fixed non-overlapping grid, which misses
+    * duplicates that straddle grid lines). Documents shorter than `k`
+    * contribute their full text as one gram.
+    *
+    * Returns one row per maximal span: `(idCol, span_start, span_end,
+    * n_grams)` — 1-based token indices, `span_end` = last gram start
+    * + k − 1, `n_grams` = duplicated positions merged into the span.
+    *
+    * Scale shape: gram hashes materialize once per row (a `transform`
+    * over the doc's own token array; md5 keeps the shuffle key fixed-
+    * width however long the gram). Corpus frequency is ONE hash
+    * shuffle on the gram hash, counting distinct carriers with the
+    * [[lineDedup]] dense_rank/max window pair (never a `collect_set`
+    * of carrier ids). Island merging is the classic gap-and-island
+    * construction (`pos − row_number()`) inside a per-document window
+    * over that document's own duplicated positions — bounded by doc
+    * length, no cross-document state. Nothing quadratic, nothing
+    * driver-side; at 100 TB every step is a map pass or a keyed
+    * exchange. */
+  def duplicatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val toks = tokens(col(textCol))
+    val grams = docs
+      .withColumn("__toks", toks)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))))
+      .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__h"))
+    val byHash = Window.partitionBy(col("__h"))
+    val dup = grams
+      .withColumn("__dr", dense_rank().over(byHash.orderBy(col(idCol))))
+      .withColumn("__docs", max(col("__dr")).over(byHash))
+      .filter(col("__docs") >= minDocs)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    dup
+      .withColumn("__island", col("__p") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD '03 — the MOSS algorithm): hash every token `k`-gram, slide a
     * `w`-gram window over the hash sequence, and keep each window's

@@ -367,6 +367,40 @@ class TextDedupSpec extends AnyFunSuite {
       (3L, 1L, 0L, "")))
   }
 
+  test("duplicatedSpans: maximal islands, distinct-carrier threshold, " +
+    "short docs") {
+    import spark.implicits._
+    // k=2 grams. Docs 1 and 2 share the run "a b c" (positions 1-2 of
+    // each: grams [a b][b c]) — consecutive duplicated positions must
+    // merge into ONE maximal span, not two. Doc 1 repeats "x y" inside
+    // ITSELF only (positions 5 and 7) — a within-doc repeat is ONE
+    // carrier, below minDocs=2, so it must NOT count. Doc 3 is shorter
+    // than k and shares nothing.
+    val docs = Seq(
+      (1L, "a b c q x y q x y"),
+      (2L, "z a b c z"),
+      (3L, "w")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.duplicatedSpans(docs, "text", "doc_id",
+        k = 2, minDocs = 2)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: grams at p=1 [a b], p=2 [b c] duplicated (also in doc 2 at
+    // p=2,3) -> one island p=1..2, span_end = 2+1 = 3.
+    // doc 2: island p=2..3, span_end 4. No other rows.
+    assert(out.toList == List((1L, 1L, 3L, 2L), (2L, 2L, 4L, 2L)))
+    // within-doc repeats only: nothing crosses the distinct-doc bar
+    val solo = Seq((1L, "u v u v")).toDF("doc_id", "text")
+    assert(TextDedup.duplicatedSpans(solo, "text", "doc_id", 2).count() == 0)
+    // contract guards
+    intercept[IllegalArgumentException] {
+      TextDedup.duplicatedSpans(docs, "text", "doc_id", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextDedup.duplicatedSpans(docs, "text", "doc_id", k = 2, minDocs = 1)
+    }
+  }
+
   test("spanDedup keeps surviving spans in document order") {
     import spark.implicits._
     // doc 2's middle span is the duplicate; its flanks must rejoin in order
