@@ -2568,6 +2568,18 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id"), col("span_start")))
     }),
 
+    // MinHash estimator calibration over the q26 candidate machinery:
+    // sketch-estimated vs exact Jaccard per candidate pair, with the
+    // absolute error — the sketch audit run before trusting banding
+    // thresholds.
+    "q251_minhash_calibration" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.minhashCalibration(pairs, sigs, docs, "text", "doc_id")
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
     // Gains/lift decile table for the first-dim score vs label>=5 —
     // bounded histogram walk, whole score runs per bucket.
     "q219_gains_table" -> ((s, d) => {
@@ -7172,6 +7184,37 @@ object SparkEntry {
         |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors TextDedup.minhashCalibration over the q26 machinery:
+    // component-agreement estimate vs exact token-set Jaccard.
+    "q251_minhash_calibration" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt
+         |  FROM documents),
+         |j AS (SELECT p.doc_id_a, p.doc_id_b,
+         |    CAST(len(list_intersect(da.dt, db.dt)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(da.dt, db.dt))) AS DOUBLE) AS jacc
+         |  FROM pairs p
+         |  JOIN dtoks da ON da.doc_id = p.doc_id_a
+         |  JOIN dtoks db ON db.doc_id = p.doc_id_b),
+         |e AS (SELECT j.doc_id_a, j.doc_id_b, j.jacc,
+         |    ((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END) +
+         |     (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END) +
+         |     (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END) +
+         |     (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)) / 4.0 AS est
+         |  FROM j
+         |  JOIN sig sa ON sa.doc_id = j.doc_id_a
+         |  JOIN sig sb ON sb.doc_id = j.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, round(est, 6) AS est_jaccard,
+         |  round(jacc, 6) AS jaccard, round(abs(est - jacc), 6) AS abs_err
+         |FROM e ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     // Histogram walk in score-desc order; bucket = ceil(cum*10/n) so a
     // score run lands whole in its last rank's bucket.

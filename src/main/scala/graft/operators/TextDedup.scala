@@ -302,6 +302,42 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** MinHash estimator calibration on candidate pairs — the sketch
+    * AUDIT every production dedup pipeline should run before trusting
+    * its thresholds: for each LSH candidate pair, the SKETCH's Jaccard
+    * estimate (the fraction of agreeing signature components — an
+    * unbiased estimator with sd √(J(1−J)/k), so k=4 is deliberately
+    * coarse and visibly noisy) next to the EXACT token-set Jaccard,
+    * with the absolute estimation error. Systematic error here means
+    * the banding threshold is lying about what survives dedup.
+    *
+    * `sigs` is a [[minhashSignatures]] frame; its sig_* column count
+    * sets k. Returns `(idCol_a, idCol_b, est_jaccard, jaccard,
+    * abs_err)`, rounded at 6.
+    *
+    * Scale shape: two broadcast-or-hash joins of the narrow signature
+    * frame onto the pair list (fixed-width sig columns), plus
+    * [[jaccardOnPairs]]'s set verify — the same join discipline as the
+    * candidate machinery itself; nothing rescans the corpus per pair. */
+  def minhashCalibration(pairs: DataFrame, sigs: DataFrame,
+      docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sigCols = sigs.columns.filter(_.startsWith("sig_")).toSeq
+    require(sigCols.nonEmpty, "sigs must carry sig_* columns")
+    val sa = sigs.select(col(idCol).as(s"${idCol}_a") +:
+      sigCols.map(c => col(c).as(s"${c}_a")): _*)
+    val sb = sigs.select(col(idCol).as(s"${idCol}_b") +:
+      sigCols.map(c => col(c).as(s"${c}_b")): _*)
+    val est = sigCols.map(c =>
+        when(col(s"${c}_a") === col(s"${c}_b"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / sigCols.length
+    jaccardOnPairs(pairs, docs, textCol, idCol)
+      .join(sa, s"${idCol}_a").join(sb, s"${idCol}_b")
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"),
+        round(est, 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"),
+        round(abs(est - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** Character n-gram Jaccard for candidate pairs: joins each side's
     * DISTINCT char `n`-gram set back in and computes |A∩B| / |A∪B| — the
     * tokenization-robust verification step behind MinHash/LSH candidates

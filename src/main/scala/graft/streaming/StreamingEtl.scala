@@ -80,6 +80,38 @@ object StreamingEtl {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], TradeInSchema.targetSchema)
   }
 
+  /** Stream-STREAM interval join — the streaming form of
+    * [[graft.operators.Relational.intervalJoin]]'s enrichment shape:
+    * every left event joined to the same key's right events with
+    * `rightTime ∈ [leftTime − lookbackSeconds, leftTime]`, both sides
+    * unbounded streams. Both inputs carry the SAME watermark delay and
+    * the join condition bounds both event times, which is exactly what
+    * lets Spark age out buffered state on BOTH sides: a right row can
+    * be dropped once the left watermark passes `rightTime +
+    * lookback`, a left row once its own match window closes — state is
+    * O(events per watermark+lookback horizon), not O(history).
+    * `joinType` "inner" emits matches as they meet; "left_outer" also
+    * emits the NULL-padded left row, but only after the watermark
+    * proves no match can still arrive (append-mode final, no
+    * retractions). Output: every left column plus the right side's
+    * non-key columns. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, delay: String,
+      lookbackSeconds: Long, joinType: String = "inner"): DataFrame = {
+    require(lookbackSeconds >= 0, s"lookbackSeconds < 0: $lookbackSeconds")
+    require(Seq("inner", "left_outer").contains(joinType),
+      s"unsupported joinType for stream-stream interval join: $joinType")
+    val l = left.withWatermark(leftTime, delay).alias("l")
+    val r = right.withWatermark(rightTime, delay).alias("r")
+    val cond = col(s"l.$key") === col(s"r.$key") &&
+      col(s"r.$rightTime") >=
+        col(s"l.$leftTime") - expr(s"INTERVAL $lookbackSeconds SECONDS") &&
+      col(s"r.$rightTime") <= col(s"l.$leftTime")
+    val out = left.columns.map(c => col(s"l.$c").as(c)) ++
+      right.columns.filterNot(_ == key).map(c => col(s"r.$c").as(c))
+    l.join(r, cond, joinType).select(out.toSeq: _*)
+  }
+
   /** W1 streaming analogue: exactly-once-per-key dedup with bounded state
     * — the watermark ages out keys older than `delay`, so state is
     * O(keys per delay window), not O(all history). */

@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("stream-stream interval join: in-window matches, out-of-window " +
+    "misses, left_outer NULL-pads after the watermark") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingEtl.intervalJoinStream(
+      clicks.toDF().toDF("user_id", "cts", "page"),
+      buys.toDF().toDF("user_id", "bts", "amount"),
+      "user_id", "cts", "bts", delay = "1 minute",
+      lookbackSeconds = 600L, joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: buy 5 min before the click (in window); user 2: buy 20 min
+    // before (outside); user 3: no buy at all.
+    clicks.addData((1L, ts("2024-01-01 00:10:00"), "p1"),
+      (2L, ts("2024-01-01 00:10:00"), "p2"),
+      (3L, ts("2024-01-01 00:10:00"), "p3"))
+    buys.addData((1L, ts("2024-01-01 00:05:00"), 9.0),
+      (2L, ts("2023-12-31 23:50:00"), 7.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past every click's match horizon so
+    // the unmatched left rows are provably final and emit NULL-padded
+    clicks.addData((9L, ts("2024-01-01 02:00:00"), "px"))
+    buys.addData((9L, ts("2024-01-01 02:00:00"), 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("ssj_t")
+      .filter(col("user_id") < 9)
+      .select(col("user_id"), col("page"),
+        coalesce(col("amount"), lit(-1.0)))
+      .as[(Long, String, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, "p1", 9.0), (2L, "p2", -1.0), (3L, "p3", -1.0)))
+  }
+
   test("stream-static enrichment join broadcasts the dimension per micro-batch") {
     implicit val ctx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
