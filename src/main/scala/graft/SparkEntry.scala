@@ -2568,6 +2568,16 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id"), col("span_start")))
     }),
 
+    // Token-level exact-substring dedup impact per source: duplicated
+    // spans merged into disjoint token intervals (running-max sweep),
+    // then token shares — the dataset-card accounting doc-level
+    // scorecards (q112) hide.
+    "q252_dup_token_impact" -> ((s, d) => {
+      TextDedup.duplicatedTokenImpact(parallel(load(s, d, "documents")),
+          "text", "doc_id", "source", k = 8, minDocs = 2)
+        .transform(ordered1(_, col("source")))
+    }),
+
     // MinHash estimator calibration over the q26 candidate machinery:
     // sketch-estimated vs exact Jaccard per candidate pair, with the
     // absolute error — the sketch audit run before trusting banding
@@ -7184,6 +7194,49 @@ object SparkEntry {
         |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors TextDedup.duplicatedTokenImpact: q250's span CTE chain,
+    // running-max interval merge, per-source token accounting.
+    "q252_dup_token_impact" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 1))) AS p, t
+        |  FROM d),
+        |g2 AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p:p+7], ' ')) AS h FROM g),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |dup AS (SELECT doc_id, p FROM g2 JOIN f USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM dup),
+        |spans AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |swept AS (SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NULL OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS newgrp
+        |  FROM spans),
+        |grps AS (SELECT doc_id, s, e,
+        |    sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM swept),
+        |ivals AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM grps GROUP BY doc_id, grp),
+        |perdoc AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT)
+        |    AS dup_toks FROM ivals GROUP BY doc_id),
+        |base AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(dup_toks), 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(sum(dup_toks), 0) AS DOUBLE)
+        |    / CAST(sum(n_toks) AS DOUBLE), 6) AS dup_token_share
+        |FROM base LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     // Mirrors TextDedup.minhashCalibration over the q26 machinery:
     // component-agreement estimate vs exact token-set Jaccard.

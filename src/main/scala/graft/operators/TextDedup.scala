@@ -302,6 +302,56 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Per-source token accounting for exact-substring dedup — what a
+    * dataset card reports after the [[duplicatedSpans]] pass: how many
+    * TOKENS of each source sit inside corpus-duplicated spans, and the
+    * share that span-cutting would remove. Doc-level scorecards
+    * (q112's dedup impact) hide partial duplication; this is the
+    * token-level truth.
+    *
+    * Adjacent maximal gram islands closer than `k` positions OVERLAP
+    * as token intervals (island i ends at `p_max + k − 1`, island i+1
+    * can start at `p_max + 2`), so summing raw span lengths
+    * double-counts: the spans are first merged into disjoint token
+    * intervals with the running-max sweep (`span_start >
+    * max(prev span_end)` opens a new interval) before length summing.
+    *
+    * Returns per source `(source, n_docs, total_tokens, dup_tokens,
+    * dup_token_share)` rounded at 6.
+    *
+    * Scale shape: [[duplicatedSpans]]'s cost plus one per-document
+    * window over that doc's own spans (bounded) and a per-source hash
+    * aggregation. */
+  def duplicatedTokenImpact(docs: DataFrame, textCol: String,
+      idCol: String, sourceCol: String, k: Int,
+      minDocs: Int = 2): DataFrame = {
+    val spans = duplicatedSpans(docs, textCol, idCol, k, minDocs)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("span_start"))
+    val prevMax = max(col("span_end"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .withColumn("__new", when(prevMax.isNull ||
+        col("span_start") > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("span_start")).as("__s"), max(col("span_end")).as("__e"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__e") - col("__s") + 1L).as("__dup_toks"))
+    docs
+      .select(col(idCol), col(sourceCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("__n_toks"))
+      .join(merged, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n_toks")).as("total_tokens"),
+        coalesce(sum(col("__dup_toks")), lit(0L)).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("dup_tokens"),
+        round(col("dup_tokens").cast("double") /
+          col("total_tokens").cast("double"), 6).as("dup_token_share"))
+  }
+
   /** MinHash estimator calibration on candidate pairs — the sketch
     * AUDIT every production dedup pipeline should run before trusting
     * its thresholds: for each LSH candidate pair, the SKETCH's Jaccard

@@ -401,6 +401,28 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedTokenImpact merges overlapping islands before counting") {
+    import spark.implicits._
+    // k=2. Docs 1 and 2 share "a b" and "c d" but NOT the bridge "b q"
+    // / "q c": doc 1's grams at p=1 [a b] and p=4 [c d] are duplicated,
+    // p=2 [b q], p=3 [q c] are not -> two islands p=1 and p=4, token
+    // intervals [1,2] and [4,5] — disjoint here, 4 dup tokens. Doc 3
+    // shares a 3-token run "x y z" with doc 4: islands p=1..2 -> ONE
+    // interval [1,3] = 3 tokens, where raw span-length summing of the
+    // two overlapping 2-gram spans [1,2],[2,3] would count 4.
+    val docs = Seq(
+      (1L, "a b q c d", "s1"), (2L, "a b w c d", "s1"),
+      (3L, "x y z", "s2"), (4L, "x y z", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.duplicatedTokenImpact(docs, "text", "doc_id",
+        "source", k = 2).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toList == List(
+      ("s1", 2L, 10L, 8L, 0.8),
+      ("s2", 2L, 6L, 6L, 1.0)))
+  }
+
   test("spanDedup keeps surviving spans in document order") {
     import spark.implicits._
     // doc 2's middle span is the duplicate; its flanks must rejoin in order
