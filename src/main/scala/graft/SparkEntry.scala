@@ -2568,6 +2568,16 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id"), col("span_start")))
     }),
 
+    // MOSS pair detection: document pairs sharing >= 3 winnowing
+    // fingerprints (q96's k=3, w=4 selection), with the exact Jaccard
+    // verify attached; fingerprint equi-join with the mega-carrier
+    // fail-fast, never all-pairs.
+    "q253_winnow_pairs" -> ((s, d) => {
+      TextDedup.winnowPairs(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 3, w = 4, minShared = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
     // Token-level exact-substring dedup impact per source: duplicated
     // spans merged into disjoint token intervals (running-max sweep),
     // then token shares — the dataset-card accounting doc-level
@@ -7194,6 +7204,32 @@ object SparkEntry {
         |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors TextDedup.winnowPairs over q96's winnowing selection:
+    // distinct fingerprint co-carriers, n_shared >= 3, token Jaccard.
+    "q253_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d),
+        |fp AS (SELECT DISTINCT doc_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS f
+        |  FROM g),
+        |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt
+        |  FROM documents)
+        |SELECT p.doc_id_a, p.doc_id_b, p.n_shared,
+        |  round(CAST(len(list_intersect(da.dt, db.dt)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(da.dt, db.dt))) AS DOUBLE),
+        |    6) AS jaccard
+        |FROM pairs p
+        |JOIN dtoks da ON da.doc_id = p.doc_id_a
+        |JOIN dtoks db ON db.doc_id = p.doc_id_b
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     // Mirrors TextDedup.duplicatedTokenImpact: q250's span CTE chain,
     // running-max interval merge, per-source token accounting.

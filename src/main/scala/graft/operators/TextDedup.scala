@@ -302,6 +302,48 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Winnowing pair detection — the second half of MOSS (Schleimer et
+    * al., SIGMOD '03): document pairs sharing at least `minShared`
+    * [[winnow]] fingerprints, with the share count and the exact
+    * token-set Jaccard attached. Fingerprint co-occurrence is the
+    * position-robust candidate signal (any shared run of ≥ w+k−1
+    * tokens guarantees a shared fingerprint); the Jaccard column is
+    * the verify every candidate detector pairs with its signal.
+    *
+    * Scale shape: the pair join is an equi-join on the fingerprint
+    * hash — never all-pairs — and `maxCarriers` fail-fasts the
+    * boilerplate blow-up (one fingerprint carried by c documents fans
+    * to c²/2 join rows; a corpus with a shared footer would otherwise
+    * quietly go quadratic — the [[lshCandidatePairs]] mega-bucket
+    * lesson, enforced here with the orRaise discipline because pair
+    * COUNTS are the output and a star degrade would change them).
+    * Returns `(idCol_a, idCol_b, n_shared, jaccard)`. */
+  def winnowPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int, minShared: Int = 2,
+      maxCarriers: Long = 1024L): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxCarriers >= 2, s"maxCarriers must be >= 2: $maxCarriers")
+    val fps = winnow(docs, textCol, idCol, k, w)
+    val counts = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("__c"))
+    val guarded = fps.join(
+      counts.where(OpsUtil.orRaise(col("__c") <= maxCarriers,
+        lit("winnowPairs: a fingerprint is carried by "), col("__c"),
+        lit(s" documents (> maxCarriers=$maxCarriers); run exact dedup " +
+          "first or raise the cap"))), "fingerprint")
+    val a = guarded.select(col("fingerprint"), col(idCol).as(s"${idCol}_a"))
+    val b = guarded.select(col("fingerprint"), col(idCol).as(s"${idCol}_b"))
+    val pairs = a.join(b, Seq("fingerprint"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .groupBy(col(s"${idCol}_a"), col(s"${idCol}_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    jaccardOnPairs(pairs, docs, textCol, idCol)
+      .join(pairs, Seq(s"${idCol}_a", s"${idCol}_b"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("n_shared"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Per-source token accounting for exact-substring dedup — what a
     * dataset card reports after the [[duplicatedSpans]] pass: how many
     * TOKENS of each source sit inside corpus-duplicated spans, and the

@@ -401,6 +401,30 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowPairs: shared-fingerprint pairs with verify, mega-carrier " +
+    "fail-fast") {
+    import spark.implicits._
+    // k=2, w=2, minShared=2: docs 1 and 2 share the long run
+    // "a b c d e" (>= w+k-1 = 3 tokens, so winnowing GUARANTEES shared
+    // fingerprints); doc 3 is unrelated.
+    val docs = Seq(
+      (1L, "a b c d e zz"), (2L, "a b c d e yy"), (3L, "m n o p q r")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.winnowPairs(docs, "text", "doc_id",
+        k = 2, w = 2, minShared = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toList == List((1L, 2L)))
+    // a fingerprint carried by more docs than maxCarriers must raise
+    val boiler = (1L to 5L).map(i => (i, "same same same same"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextDedup.winnowPairs(boiler, "text", "doc_id",
+        k = 2, w = 2, maxCarriers = 3L).collect()
+    }
+    assert(ex.getMessage.contains("winnowPairs") ||
+      Option(ex.getCause).exists(_.getMessage.contains("winnowPairs")))
+  }
+
   test("duplicatedTokenImpact merges overlapping islands before counting") {
     import spark.implicits._
     // k=2. Docs 1 and 2 share "a b" and "c d" but NOT the bridge "b q"
