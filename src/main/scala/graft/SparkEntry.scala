@@ -2568,6 +2568,18 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id"), col("span_start")))
     }),
 
+    // Near-dup pair EVIDENCE: for each LSH candidate pair, the longest
+    // shared contiguous token run (diagonal-run construction over
+    // matching 8-gram positions) and the shared-occurrence count —
+    // the span a reviewer reads before trusting a dedup verdict.
+    "q254_shared_spans" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.sharedSpanOnPairs(pairs, docs, "text", "doc_id", k = 8)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
     // MOSS pair detection: document pairs sharing >= 3 winnowing
     // fingerprints (q96's k=3, w=4 selection), with the exact Jaccard
     // verify attached; fingerprint equi-join with the mega-carrier
@@ -7204,6 +7216,45 @@ object SparkEntry {
         |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors TextDedup.sharedSpanOnPairs over the q26 banding: matching
+    // 8-gram positions on one diagonal form runs; longest + 7 tokens.
+    "q254_shared_spans" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |d8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |gp AS (SELECT doc_id,
+         |    unnest(generate_series(1, greatest(len(t) - 7, 1))) AS p, t
+         |  FROM d8),
+         |g8 AS (SELECT doc_id, p,
+         |    md5(array_to_string(t[p:p+7], ' ')) AS h FROM gp),
+         |m AS (SELECT pr.doc_id_a, pr.doc_id_b, ga.p AS pa, gb.p AS pb,
+         |    ga.p - gb.p AS diag
+         |  FROM pairs pr
+         |  JOIN g8 ga ON ga.doc_id = pr.doc_id_a
+         |  JOIN g8 gb ON gb.doc_id = pr.doc_id_b AND gb.h = ga.h),
+         |isl AS (SELECT doc_id_a, doc_id_b, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_id_a, doc_id_b, diag
+         |      ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (SELECT doc_id_a, doc_id_b, diag, grp,
+         |    count(*) AS run FROM isl GROUP BY 1, 2, 3, 4),
+         |agg AS (SELECT doc_id_a, doc_id_b,
+         |    CAST(sum(run) AS BIGINT) AS n_shared_grams,
+         |    CAST(max(run) + 7 AS BIGINT) AS longest_run_tokens
+         |  FROM runs GROUP BY 1, 2)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(coalesce(a.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+         |  CAST(coalesce(a.longest_run_tokens, 0) AS BIGINT)
+         |    AS longest_run_tokens
+         |FROM pairs p LEFT JOIN agg a USING (doc_id_a, doc_id_b)
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
 
     // Mirrors TextDedup.winnowPairs over q96's winnowing selection:
     // distinct fingerprint co-carriers, n_shared >= 3, token Jaccard.

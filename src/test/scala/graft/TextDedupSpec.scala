@@ -401,6 +401,26 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sharedSpanOnPairs: diagonal runs find the longest shared token " +
+    "run; pairs without evidence keep a 0/0 row") {
+    import spark.implicits._
+    // k=2. Docs 1/2 share the run "a b c d" (3 consecutive 2-grams on
+    // one diagonal -> longest = 3 + 1 = 4 tokens) AND the separate
+    // 2-gram "x y" on a DIFFERENT diagonal (run 1 -> 3 tokens... no:
+    // 1 + 1 = 2 tokens). Doc 3 shares nothing with doc 1.
+    val docs = Seq(
+      (1L, "a b c d q x y"), (2L, "z a b c d z z x y"), (3L, "m n o p")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_id_a", "doc_id_b")
+    val out = TextDedup.sharedSpanOnPairs(pairs, docs, "text", "doc_id",
+        k = 2).orderBy("doc_id_a", "doc_id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // (1,2): grams [a b][b c][c d] match on diag -1 (run 3) and [x y]
+    // on diag -2 (run 1) -> 4 shared gram occurrences, longest 4 tokens.
+    // (1,3): no shared grams -> explicit 0/0 evidence row.
+    assert(out.toList == List((1L, 2L, 4L, 4L), (1L, 3L, 0L, 0L)))
+  }
+
   test("winnowPairs: shared-fingerprint pairs with verify, mega-carrier " +
     "fail-fast") {
     import spark.implicits._
