@@ -2568,6 +2568,18 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id"), col("span_start")))
     }),
 
+    // Surgical decontamination: WHERE each training doc overlaps the
+    // q73 eval split (maximal contaminated 5-gram spans), not just
+    // whether — the span a pipeline cuts instead of dropping the doc.
+    "q255_contaminated_spans" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.contaminatedSpans(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", k = 5)
+        .transform(ordered1(_, col("doc_id"), col("span_start")))
+    }),
+
     // Near-dup pair EVIDENCE: for each LSH candidate pair, the longest
     // shared contiguous token run (diagonal-run construction over
     // matching 8-gram positions) and the shared-occurrence count —
@@ -7214,6 +7226,30 @@ object SparkEntry {
         |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM dup)
         |SELECT doc_id, min(p) AS span_start,
         |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors TextDedup.contaminatedSpans: train 5-gram positions whose
+    // hash appears in the eval split's distinct gram set, island-merged.
+    "q255_contaminated_spans" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 <> 7),
+        |ev AS (SELECT string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 = 7),
+        |gtr0 AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 1))) AS p, t
+        |  FROM tr),
+        |gtr AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p:p+4], ' ')) AS h FROM gtr0),
+        |gev0 AS (SELECT unnest(generate_series(1,
+        |    greatest(len(t) - 4, 1))) AS p, t FROM ev),
+        |gev AS (SELECT DISTINCT md5(array_to_string(t[p:p+4], ' ')) AS h
+        |  FROM gev0),
+        |hits AS (SELECT doc_id, p FROM gtr JOIN gev USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM hits)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
 

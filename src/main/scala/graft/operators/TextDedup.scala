@@ -302,6 +302,50 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Surgical span-level decontamination — WHERE a training document is
+    * contaminated, not just whether ([[contaminatedIds]]'s answer):
+    * every training-doc position whose `k`-token gram appears anywhere
+    * in the eval set is contaminated, and consecutive contaminated
+    * positions merge into the maximal spans a pipeline cuts (dropping
+    * the whole document — the id-level answer — throws away the clean
+    * majority of a mostly-clean document). The span form of the Lee
+    * et al. decontamination pass.
+    *
+    * Returns `(idCol, span_start, span_end, n_grams)` — the same span
+    * contract as [[duplicatedSpans]], against an eval corpus instead
+    * of the training corpus itself.
+    *
+    * Scale shape: the eval side collapses to its DISTINCT gram-hash
+    * set (fixed-width md5) and joins the training grams on the hash —
+    * broadcast when it fits ([[contaminatedIds]]' regime note; at
+    * eval-set scales beyond broadcast, swap in the Bloom pre-filter
+    * exactly as [[contaminatedIdsBloom]] does). Island merging is the
+    * [[duplicatedSpans]] per-document window. */
+  def contaminatedSpans(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def grams(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val toks = tokens(col(textCol))
+      df.withColumn("__toks", toks)
+        .select(cols :+ posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))): _*)
+    }
+    val evalGrams = grams(evalSet, Seq.empty)
+      .select(col("col").as("__h")).distinct()
+    val hits = grams(train, Seq(col(idCol)))
+      .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__h"))
+      .join(broadcast(evalGrams), "__h")
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    hits
+      .withColumn("__island", col("__p") - row_number().over(byDoc))
+      .groupBy(col(idCol), col("__island"))
+      .agg(min(col("__p")).cast("long").as("span_start"),
+        (max(col("__p")) + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("__island")
+  }
+
   /** Shared-span explanation for candidate pairs — the EVIDENCE a
     * curation reviewer wants next to a near-dup verdict: for each
     * (a, b) pair, the longest contiguous token run the two documents

@@ -401,6 +401,23 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contaminatedSpans: eval-overlapping positions island-merge; " +
+    "clean docs emit nothing") {
+    import spark.implicits._
+    // k=2. Train doc 1 embeds the eval phrase "secret eval answer"
+    // (grams [secret eval][eval answer] at p=3,4 -> one span [3,5]);
+    // train doc 2 is clean.
+    val train = Seq(
+      (1L, "intro text secret eval answer outro"),
+      (2L, "totally unrelated content here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "secret eval answer")).toDF("doc_id", "text")
+    val out = TextDedup.contaminatedSpans(train, eval_, "text", "doc_id",
+        k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toList == List((1L, 3L, 5L, 2L)))
+  }
+
   test("sharedSpanOnPairs: diagonal runs find the longest shared token " +
     "run; pairs without evidence keep a 0/0 row") {
     import spark.implicits._
