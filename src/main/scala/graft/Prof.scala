@@ -50,6 +50,42 @@ object Prof {
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
       }
+    } else if (args.headOption.contains("q167_ab")) {
+      // q167 structural A/B: per-group rank via the range-partitioned
+      // order-statistics machinery vs a plain window partitioned by
+      // source (groups are SOURCES — thousands at corpus scale, so the
+      // window's parallelism floor is |sources|, not 3).
+      import org.apache.spark.sql.expressions.Window
+      val v = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+        .withColumn("tokens",
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("double"))
+        .select(col("doc_id"), col("source"), col("tokens"))
+        .filter(col("tokens").isNotNull)
+      def viaMachinery() = graft.operators.Curation.quantileNormalize(
+        v, "doc_id", "source", "tokens")
+      def viaWindow() = {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("tokens").asc, col("doc_id").asc)
+        val ranked = v.withColumn("__rn", row_number().over(w))
+          .withColumn("__ng", count(lit(1)).over(
+            Window.partitionBy(col("source"))))
+        val pooled = graft.operators.Relational.groupedRowNumber(
+            v.withColumn("__g", lit(0)), Seq("__g"),
+            Seq(col("tokens").asc, col("doc_id").asc), "__grn")
+          .select(col("__grn"), col("tokens").as("norm_val"))
+        val total = v.agg(count(lit(1)).as("__n"))
+        ranked.crossJoin(broadcast(total))
+          .withColumn("__tr", ceil(
+            (lit(2) * col("__rn") - lit(1)).cast("double") /
+              (lit(2.0) * col("__ng")) * col("__n")).cast("long"))
+          .join(pooled, col("__tr") === col("__grn"))
+          .select(col("doc_id"), col("source"), col("tokens"), col("norm_val"))
+      }
+      (1 to 3).foreach { _ =>
+        t("q167_machinery")(viaMachinery())
+        t("q167_window")(viaWindow())
+      }
     } else if (args.headOption.contains("conf_ab")) {
       // Generic single-conf A/B: args = conf_ab <key> <offValue> q.. q..
       // Interleaves baseline vs the overridden value, min-of-3 each.

@@ -283,20 +283,31 @@ object Curation {
     *
     * Output: `(idCol, groupCol, valueCol, norm_val)`.
     *
-    * Scale shape: both rank passes are [[Relational.groupedRowNumber]]
-    * range-partitioned order statistics (no single-task window); the
-    * percentile lookup is an equi-join on the computed pooled rank —
-    * one hash shuffle against the N-row sorted-value frame, never a
-    * range join. */
+    * Scale shape: the WITHIN-group rank is an ordinary window — its
+    * parallelism floor is |groups|, and quantile normalization's
+    * groups are the normalization strata (sources / domains /
+    * scorers: thousands at corpus scale, never 3), so the window
+    * parallelizes naturally AND computes the group size in the same
+    * pass (round-11 A/B vs the range-partitioned machinery: 0.75 s vs
+    * 1.2 s at sf0.1 — the machinery's extra range-sample + count-
+    * collect rounds buy nothing when |groups| ≥ cores). The POOLED
+    * rank is one group by construction, exactly the case that needs
+    * [[Relational.groupedRowNumber]]'s range-partitioned order
+    * statistics (a single-partition window would serialize the
+    * corpus). The percentile lookup is an equi-join on the computed
+    * pooled rank — one hash shuffle against the N-row sorted-value
+    * frame, never a range join. */
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val v = df.select(col(idCol), col(groupCol),
         col(valueCol).cast("double").as(valueCol))
       .filter(col(valueCol).isNotNull)
-    val ranked = Relational.groupedRowNumber(v, Seq(groupCol),
-        Seq(col(valueCol).asc, col(idCol).asc), "__rn")
-      .join(broadcast(v.groupBy(col(groupCol))
-        .agg(count(lit(1)).as("__ng"))), groupCol)
+    val wg = Window.partitionBy(col(groupCol))
+    val ranked = v
+      .withColumn("__rn", row_number().over(
+        wg.orderBy(col(valueCol).asc, col(idCol).asc)))
+      .withColumn("__ng", count(lit(1)).over(wg))
     val pooled = Relational.groupedRowNumber(
         v.withColumn("__g", lit(0)), Seq("__g"),
         Seq(col(valueCol).asc, col(idCol).asc), "__grn")
