@@ -50,6 +50,18 @@ object Prof {
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))
       }
+    } else if (args.headOption.contains("q160_ab")) {
+      // q160 final-sort shape A/B at its 150k-row output size.
+      val base = graft.operators.Features.looTargetEncode(
+        graft.sources.Tables.parallel(
+          spark.read.parquet(s"$d/orders.parquet")),
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        scale = 2, smoothing = 10.0)
+      (1 to 3).foreach { _ =>
+        t("q160_single")(base.repartition(1)
+          .sortWithinPartitions(col("o_orderkey")))
+        t("q160_range")(base.orderBy(col("o_orderkey")))
+      }
     } else if (args.headOption.contains("q167_ab")) {
       // q167 structural A/B: per-group rank via the range-partitioned
       // order-statistics machinery vs a plain window partitioned by
