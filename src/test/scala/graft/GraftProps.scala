@@ -512,6 +512,42 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("duplicatedSpans equals an independent driver-side replay") =
+    forAll(Gen.listOfN(5, Gen.listOfN(7, Gen.oneOf("aa", "bb", "cc", "dd")))) {
+      docs0 =>
+        import spark.implicits._
+        val k = 2
+        val docs = docs0.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        val got = TextDedup.duplicatedSpans(
+            docs.toDF("doc_id", "text"), "text", "doc_id", k = k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        // independent replay: grams -> distinct-carrier counts ->
+        // duplicated positions -> maximal islands
+        val grams = docs.map { case (id, text) =>
+          val t = text.split(" ", -1)
+          id -> (1 to math.max(t.length - k + 1, 1))
+            .map(p => p -> t.slice(p - 1, p - 1 + k).mkString(" ")).toList
+        }
+        val carriers = grams.flatMap { case (id, gs) =>
+          gs.map(g => g._2 -> id) }.groupBy(_._1)
+          .view.mapValues(_.map(_._2).distinct.size).toMap
+        val expect = grams.flatMap { case (id, gs) =>
+          val dupPos = gs.collect {
+            case (p, g) if carriers(g) >= 2 => p }
+          // island split on non-consecutive positions
+          dupPos.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }.map(run => (id, run.min.toLong, (run.max + k - 1).toLong,
+            run.size.toLong))
+        }.toSet
+        got == expect
+    }
+
   // NULL-bearing as-of equivalence: the native merge-pass operator and
   // the composed union+window form implement ONE contract, including
   // NULL keys (never match), NULL right times (never match, never
