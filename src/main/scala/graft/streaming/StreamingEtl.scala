@@ -120,6 +120,21 @@ object StreamingEtl {
     stream.withWatermark(eventTimeCol, delay)
       .dropDuplicates(keys :+ eventTimeCol)
 
+  /** [[dedupStream]]'s within-watermark form — the at-least-once
+    * ingest contract: `dropDuplicates(keys :+ eventTime)` treats a
+    * RETRIED record that arrives with a fresh timestamp as a new row,
+    * while this dedups on the business key alone within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`): the first arrival
+    * wins, every redelivery inside `delay` is dropped regardless of
+    * its timestamp, and state for a key is evicted once the watermark
+    * passes its event time — so the SAME key seen again far later is
+    * a new record (correct for "retries within minutes", not a
+    * global-history guarantee, which is [[dedupIngest]]'s job). */
+  def dedupStreamWithinWatermark(stream: DataFrame, eventTimeCol: String,
+      delay: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** A1/T2 streaming analogue: event-time tumbling counts with a
     * watermark bounding late data (the batch q15/q38 plan under
     * readStream — same groupBy(window(...)) expression). */

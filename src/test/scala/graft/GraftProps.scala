@@ -512,6 +512,25 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("winnowPairs detects every planted shared run of >= w+k-1 tokens") =
+    forAll(Gen.listOfN(4, Gen.oneOf("p", "q", "r", "s")),
+      Gen.listOfN(6, Gen.oneOf("t", "u", "v", "w"))) { (shared0, noise) =>
+      import spark.implicits._
+      val (k, w) = (2, 3)
+      // a shared run of exactly w + k - 1 = 4 distinct-ish tokens,
+      // embedded at different offsets in two docs of otherwise
+      // disjoint vocabulary — the MOSS guarantee says the pair MUST
+      // surface with >= 1 shared fingerprint
+      val shared = shared0.zipWithIndex.map { case (t, i) => s"$t$i" }
+      val d1 = (noise.take(3).map(_ + "1") ++ shared).mkString(" ")
+      val d2 = (shared ++ noise.drop(3).map(_ + "2")).mkString(" ")
+      val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      val out = TextDedup.winnowPairs(docs, "text", "doc_id",
+        k = k, w = w, minShared = 1).collect()
+      out.length == 1 && out.head.getLong(0) == 1L &&
+        out.head.getLong(1) == 2L
+    }
+
   property("duplicatedSpans equals an independent driver-side replay") =
     forAll(Gen.listOfN(5, Gen.listOfN(7, Gen.oneOf("aa", "bb", "cc", "dd")))) {
       docs0 =>

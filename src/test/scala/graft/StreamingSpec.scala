@@ -123,6 +123,33 @@ class StreamingSpec extends AnyFunSuite {
       ("2024-01-01 00:00:00", "a", 2L), ("2024-01-01 00:00:00", "b", 1L)))
   }
 
+  test("dedupStreamWithinWatermark: retried keys with fresh timestamps " +
+    "drop inside the horizon; state evicts past it") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val out = StreamingEtl.dedupStreamWithinWatermark(
+      in.toDF().toDF("k", "ts"), "ts", "5 minutes", Seq("k"))
+    val q = out.writeStream.format("memory").queryName("wwd_t")
+      .outputMode(OutputMode.Append()).start()
+    // key 1 delivered, then RETRIED 2 min later with a fresh timestamp:
+    // plain dropDuplicates(k, ts) would keep both; within-watermark
+    // dedup must keep only the first arrival
+    in.addData((1L, ts("2024-01-01 00:00:00")),
+      (1L, ts("2024-01-01 00:02:00")),
+      (2L, ts("2024-01-01 00:01:00")))
+    q.processAllAvailable()
+    assert(spark.table("wwd_t").count() == 2)
+    // advance the watermark far past key 1's horizon, then redeliver:
+    // its state is evicted, so the late same-key record is NEW
+    in.addData((9L, ts("2024-01-01 01:00:00")))
+    q.processAllAvailable()
+    in.addData((1L, ts("2024-01-01 00:58:00")))
+    q.processAllAvailable()
+    val k1 = spark.table("wwd_t").filter(col("k") === 1L).count()
+    q.stop()
+    assert(k1 == 2, "evicted key must be re-emittable past the horizon")
+  }
+
   test("stream-stream interval join: in-window matches, out-of-window " +
     "misses, left_outer NULL-pads after the watermark") {
     implicit val ctx = spark.sqlContext
