@@ -2568,6 +2568,19 @@ object SparkEntry {
         .transform(ordered1(_, col("doc_id"), col("span_start")))
     }),
 
+    // Rarity-weighted contamination: the share of each training doc's
+    // rarity-weighted 5-gram mass that overlaps the q73 eval split —
+    // integer-exact floor(1e6/df) weights so cross-engine sums agree
+    // bitwise; boilerplate overlap scores low, eval-unique overlap high.
+    "q256_weighted_contamination" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.weightedContamination(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", k = 5)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
     // Surgical decontamination: WHERE each training doc overlaps the
     // q73 eval split (maximal contaminated 5-gram spans), not just
     // whether — the span a pipeline cuts instead of dropping the doc.
@@ -7228,6 +7241,39 @@ object SparkEntry {
         |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // Mirrors TextDedup.weightedContamination: distinct (doc, 5-gram)
+    // frame, integer floor(1e6/df) rarity weights, eval-flagged sums.
+    "q256_weighted_contamination" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 <> 7),
+        |ev AS (SELECT string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 = 7),
+        |tg AS (SELECT DISTINCT doc_id, md5(g) AS h FROM (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ')
+        |      FOR i IN generate_series(1, greatest(len(t) - 4, 1))])) AS g
+        |  FROM tr)),
+        |dfc AS (SELECT h, count(*) AS dfn FROM tg GROUP BY h),
+        |eg AS (SELECT DISTINCT md5(g) AS h FROM (
+        |  SELECT unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ')
+        |      FOR i IN generate_series(1, greatest(len(t) - 4, 1))])) AS g
+        |  FROM ev)),
+        |sc AS (SELECT tg.doc_id,
+        |    count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN eg.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_overlap,
+        |    sum(CAST(1000000 // dfn AS BIGINT)) AS tw,
+        |    sum(CASE WHEN eg.h IS NOT NULL
+        |      THEN CAST(1000000 // dfn AS BIGINT) ELSE 0 END) AS ow
+        |  FROM tg JOIN dfc ON tg.h = dfc.h
+        |  LEFT JOIN eg ON tg.h = eg.h
+        |  GROUP BY tg.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_overlap,
+        |  round(CAST(ow AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+        |    AS weighted_share
+        |FROM sc WHERE n_overlap >= 1 ORDER BY doc_id""".stripMargin,
 
     // Mirrors TextDedup.contaminatedSpans: train 5-gram positions whose
     // hash appears in the eval split's distinct gram set, island-merged.

@@ -302,6 +302,56 @@ object TextDedup {
       .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("jaccard"))
   }
 
+  /** Rarity-weighted contamination score — [[contaminatedIds]] counts
+    * overlapping grams, but a doc sharing 40 boilerplate grams
+    * ("click here to subscribe…") is cleaner than one sharing 3 grams
+    * unique to an eval answer: weight each gram by its corpus rarity
+    * and score a doc by the WEIGHTED share of its gram mass that
+    * overlaps the eval set. The weight is the integer
+    * `floor(10^6 / df)` (df = distinct train docs carrying the gram) —
+    * deliberately a RATIONAL rarity surrogate rather than `ln(N/df)`:
+    * monotone in rarity like idf, but integer-exact, so per-doc weight
+    * sums are order-independent and bit-identical in any engine (a
+    * float `ln` sum would drift across engines and summation orders;
+    * only the final share runs IEEE and rounds at 6).
+    *
+    * Returns docs with ≥1 overlapping gram: `(idCol, n_grams,
+    * n_overlap, weighted_share)` — `weighted_share` near 1 means the
+    * doc's RARE mass is eval material even if the raw overlap count
+    * is small.
+    *
+    * Scale shape: distinct (doc, gram) frame → one gram-keyed df
+    * aggregation (fixed-width md5 key) → broadcast eval gram set flag
+    * → one per-doc aggregation. No pairs, nothing quadratic. */
+  def weightedContamination(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    def gramSet(df: DataFrame, cols: Seq[Column]): DataFrame = {
+      val toks = tokens(col(textCol))
+      val grams = explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))).as("__h")
+      df.withColumn("__toks", toks).select(cols :+ grams: _*)
+    }
+    val tg = gramSet(train, Seq(col(idCol))).distinct()
+    val dfCounts = tg.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val evalGrams = gramSet(evalSet, Seq.empty)
+      .select(col("__h")).distinct().withColumn("__in_eval", lit(1L))
+    tg.join(dfCounts, "__h")
+      .withColumn("__w", floor(lit(1000000L) / col("__df")).cast("long"))
+      .join(broadcast(evalGrams), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__in_eval")), lit(0L)).as("n_overlap"),
+        sum(col("__w")).as("__tw"),
+        coalesce(sum(when(col("__in_eval") === 1L, col("__w"))), lit(0L))
+          .as("__ow"))
+      .filter(col("n_overlap") >= 1L)
+      .select(col(idCol), col("n_grams"), col("n_overlap"),
+        round(col("__ow").cast("double") / col("__tw").cast("double"), 6)
+          .as("weighted_share"))
+  }
+
   /** Surgical span-level decontamination — WHERE a training document is
     * contaminated, not just whether ([[contaminatedIds]]'s answer):
     * every training-doc position whose `k`-token gram appears anywhere

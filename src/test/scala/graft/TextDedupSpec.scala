@@ -401,6 +401,34 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedContamination: rare overlap outweighs boilerplate overlap") {
+    import spark.implicits._
+    // k=2. "the boiler plate" grams appear in BOTH train docs (df=2,
+    // weight 500000); the eval phrase "rare eval gram" appears only in
+    // doc 1 (df=1, weight 1000000). Doc 1 shares the RARE grams with
+    // eval; doc 2 shares only the boilerplate (also present in eval).
+    val train = Seq(
+      (1L, "the boiler plate rare eval gram"),
+      (2L, "the boiler plate own words here")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "rare eval gram xx the boiler plate"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.weightedContamination(train, eval_, "text",
+        "doc_id", k = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(out.length == 2)
+    val (d1, d2) = (out(0), out(1))
+    // both docs overlap the eval set, but doc 1's weighted share must
+    // exceed doc 2's: its overlap carries the df=1 grams
+    assert(d1._2 >= d2._2 && d1._3 > d2._3,
+      s"rarity weighting inverted: $d1 vs $d2")
+    // exactness of the integer weights: doc 2's overlap = the two df=2
+    // boilerplate grams (2x500000) over its 5 grams
+    // (2x500000 + 3x1000000)
+    assert(d2._3 == BigDecimal(1000000.0 / 4000000.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("contaminatedSpans: eval-overlapping positions island-merge; " +
     "clean docs emit nothing") {
     import spark.implicits._
