@@ -512,6 +512,41 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("contaminatedSpans equals an independent driver-side replay") =
+    forAll(Gen.listOfN(4, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc"))),
+      Gen.listOfN(2, Gen.listOfN(4, Gen.oneOf("aa", "bb", "dd")))) {
+      (train0, eval0) =>
+        import spark.implicits._
+        val k = 2
+        val train = train0.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        val evalDocs = eval0.zipWithIndex
+          .map { case (ts, i) => (100L + i, ts.mkString(" ")) }
+        val got = TextDedup.contaminatedSpans(
+            train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+            "text", "doc_id", k = k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        def grams(text: String): List[(Int, String)] = {
+          val t = text.split(" ", -1)
+          (1 to math.max(t.length - k + 1, 1))
+            .map(p => p -> t.slice(p - 1, p - 1 + k).mkString(" ")).toList
+        }
+        val evalSet = evalDocs.flatMap(d => grams(d._2).map(_._2)).toSet
+        val expect = train.flatMap { case (id, text) =>
+          val hitPos = grams(text).collect {
+            case (p, g) if evalSet(g) => p }
+          hitPos.foldLeft(List.empty[List[Int]]) {
+            case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+              (p :: acc.head) :: acc.tail
+            case (acc, p) => List(p) :: acc
+          }.map(run => (id, run.min.toLong, (run.max + k - 1).toLong,
+            run.size.toLong))
+        }.toSet
+        got == expect
+    }
+
   property("winnowPairs detects every planted shared run of >= w+k-1 tokens") =
     forAll(Gen.listOfN(4, Gen.oneOf("p", "q", "r", "s")),
       Gen.listOfN(6, Gen.oneOf("t", "u", "v", "w"))) { (shared0, noise) =>
