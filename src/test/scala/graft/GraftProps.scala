@@ -512,6 +512,51 @@ object GraftProps extends Properties("graft") {
       }
     }
 
+  property("sharedSpanOnPairs: longest run equals a driver-side LCS-at-k replay") =
+    forAll(Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc")),
+      Gen.listOfN(8, Gen.oneOf("aa", "bb", "cc"))) { (t1, t2) =>
+      import spark.implicits._
+      val k = 2
+      val docs = Seq((1L, t1.mkString(" ")), (2L, t2.mkString(" ")))
+        .toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+      val row = TextDedup.sharedSpanOnPairs(pairs, docs, "text", "doc_id",
+        k = k).collect().head
+      val (nShared, longest) = (row.getLong(2), row.getLong(3))
+      def grams(ts: List[String]) =
+        (0 to ts.length - k).map(i => ts.slice(i, i + k).mkString(" "))
+      val (g1, g2) = (grams(t1), grams(t2))
+      // driver replay: matching position pairs, runs along diagonals
+      val matches = for {
+        (ga, pa) <- g1.zipWithIndex; (gb, pb) <- g2.zipWithIndex
+        if ga == gb } yield (pa, pb)
+      val expectShared = matches.size.toLong
+      val byDiag = matches.groupBy { case (pa, pb) => pa - pb }
+      val expectLongest =
+        if (matches.isEmpty) 0L
+        else byDiag.values.map { ps =>
+          val sorted = ps.map(_._1).sorted
+          sorted.foldLeft((0, 0, -99)) { case ((best, cur, prev), p) =>
+            val c = if (p == prev + 1) cur + 1 else 1
+            (math.max(best, c), c, p)
+          }._1
+        }.max.toLong + (k - 1)
+      nShared == expectShared && longest == expectLongest
+    }
+
+  property("minhashCalibration: estimate quantized to k-ths, 1.0 on clones") =
+    forAll(Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc", "dd"))) { ts =>
+      import spark.implicits._
+      val text = ts.mkString(" ")
+      val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 2)
+      val pairs = Seq((1L, 2L)).toDF("doc_id_a", "doc_id_b")
+      val r = TextDedup.minhashCalibration(pairs, sigs, docs, "text",
+        "doc_id").collect().head
+      // identical docs: every signature component agrees, exact j = 1
+      r.getDouble(2) == 1.0 && r.getDouble(3) == 1.0 && r.getDouble(4) == 0.0
+    }
+
   property("contaminatedSpans equals an independent driver-side replay") =
     forAll(Gen.listOfN(4, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc"))),
       Gen.listOfN(2, Gen.listOfN(4, Gen.oneOf("aa", "bb", "dd")))) {
