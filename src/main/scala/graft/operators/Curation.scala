@@ -296,15 +296,31 @@ object Curation {
     * statistics (a single-partition window would serialize the
     * corpus). The percentile lookup is an equi-join on the computed
     * pooled rank — one hash shuffle against the N-row sorted-value
-    * frame, never a range join. */
+    * frame, never a range join. The many-groups assumption is
+    * ENFORCED, not assumed: `maxGroupRows` fail-fasts (via a cheap
+    * hash-agg pre-count) when any single group exceeds it, because one
+    * oversized group serializes its whole row set into a single window
+    * task — the caller should pre-bucket or raise the cap knowingly.
+    * (Behavior note: the guard was added in round 12; callers with a
+    * legitimately huge group must now pass `maxGroupRows` explicitly.) */
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
-      valueCol: String): DataFrame = {
+      valueCol: String, maxGroupRows: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxGroupRows > 0, "maxGroupRows must be positive")
     val v = df.select(col(idCol), col(groupCol),
         col(valueCol).cast("double").as(valueCol))
       .filter(col(valueCol).isNotNull)
+    val biggest = v.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+      .agg(coalesce(max(col("__gn")), lit(0L)).as("__mx"))
     val wg = Window.partitionBy(col(groupCol))
     val ranked = v
+      .crossJoin(broadcast(biggest))
+      .where(OpsUtil.orRaise(col("__mx") <= maxGroupRows,
+        lit("quantileNormalize: largest group has "), col("__mx"),
+        lit(s" rows (> maxGroupRows=$maxGroupRows); one group would " +
+          "serialize into a single window task — pre-bucket the group " +
+          "or raise maxGroupRows")))
+      .drop("__mx")
       .withColumn("__rn", row_number().over(
         wg.orderBy(col(valueCol).asc, col(idCol).asc)))
       .withColumn("__ng", count(lit(1)).over(wg))

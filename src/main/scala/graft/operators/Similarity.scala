@@ -925,14 +925,24 @@ object Similarity {
     // the norm identity ‖v−c‖² = v·v − 2 v·c + c·c with both norms
     // hoisted (once per row / per centroid), so the per-pair work is a
     // single codegen'd DotProduct — no per-pair zip_with allocation
-    // (the bruteForceL2TopK construction; the max(,0) clamp guards the
-    // sqrt against negative ulp residue; round(,6) on the outputs
-    // absorbs the fold-order drift per repo convention).
+    // (the bruteForceL2TopK construction). The identity cancels
+    // catastrophically when v ≈ c (the own-centroid case): the residue
+    // is ~(v·v + c·c)·ulp and its sqrt (~1e-5) is NOT absorbed by
+    // round(,6), so computed d² at or below (v·v + c·c)·1e-12 is
+    // zeroed BEFORE the sqrt — a true distance that small is
+    // ~1e-6·‖v‖, indistinguishable from 0 at the rounded output
+    // precision, and zeroing keeps the max(a,b)==0 branch exact for
+    // points sitting on their centroid. round(,6) on the outputs
+    // absorbs the remaining fold-order drift per repo convention.
     val perRow = rows.crossJoin(broadcast(centroids))
       .select(col("__rid"), col("__l"),
         (col("__l") === col("__cl")).as("__own"),
-        sqrt(greatest(col("__vv") - dot(col("__v"), col("__cv")) * 2 +
-          col("__cc"), lit(0.0))).as("__d"))
+        (col("__vv") - dot(col("__v"), col("__cv")) * 2 + col("__cc"))
+          .as("__d2"),
+        ((col("__vv") + col("__cc")) * lit(1e-12)).as("__eps"))
+      .select(col("__rid"), col("__l"), col("__own"),
+        sqrt(when(col("__d2") <= col("__eps"), lit(0.0))
+          .otherwise(col("__d2"))).as("__d"))
       .groupBy(col("__rid"), col("__l"))
       .agg(min(when(col("__own"), col("__d"))).as("__a"),
         min(when(!col("__own"), col("__d"))).as("__b"))

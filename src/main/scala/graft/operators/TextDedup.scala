@@ -205,10 +205,38 @@ object TextDedup {
       sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
       i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"): _*)
 
+  /** Counted fail-fast on an eval-side distinct gram set BEFORE it
+    * enters a `broadcast()`: the decontamination family's premise is
+    * "benchmarks are MBs while corpora are TBs", but nothing used to
+    * enforce it — an oversized eval set OOMed the driver mid-broadcast
+    * instead of failing fast. The guard is the repo's orRaise
+    * discipline: a cheap count aggregate of the gram frame (no
+    * broadcast, executes before any row of the big collect
+    * materializes) gates the first evaluated row, so the job dies with
+    * a named limit + the Bloom-path pointer rather than a driver OOM.
+    * Cost when the guard passes: one extra aggregate over the
+    * MBs-sized eval grams — noise. */
+  private def guardEvalBroadcast(evalGrams: DataFrame, gramCol: String,
+      maxEvalGrams: Long, op: String): DataFrame = {
+    require(maxEvalGrams > 0, "maxEvalGrams must be positive")
+    evalGrams
+      .crossJoin(broadcast(evalGrams
+        .agg(count(lit(1)).as("__ne"))))
+      .where(OpsUtil.orRaise(col("__ne") <= maxEvalGrams,
+        lit(s"$op: eval set has "), col("__ne"),
+        lit(s" distinct grams (> maxEvalGrams=$maxEvalGrams); " +
+          "broadcasting it would overwhelm the driver — use the Bloom " +
+          "pre-filter regime (contaminatedIdsBloom) or raise " +
+          "maxEvalGrams")))
+      .select(col(gramCol))
+  }
+
   def contaminatedIds(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, shingleSize: Int,
-      minOverlap: Long = 1L): DataFrame = {
-    val evalShingles = tokenShingled(evalSet, textCol, Seq.empty, shingleSize).distinct()
+      minOverlap: Long = 1L, maxEvalGrams: Long = 10000000L): DataFrame = {
+    val evalShingles = guardEvalBroadcast(
+      tokenShingled(evalSet, textCol, Seq.empty, shingleSize).distinct(),
+      "__g", maxEvalGrams, "contaminatedIds")
     tokenShingled(train, textCol, Seq(col(idCol)), shingleSize)
       .join(broadcast(evalShingles), "__g")
       .groupBy(col(idCol))
@@ -324,7 +352,8 @@ object TextDedup {
     * aggregation (fixed-width md5 key) → broadcast eval gram set flag
     * → one per-doc aggregation. No pairs, nothing quadratic. */
   def weightedContamination(train: DataFrame, evalSet: DataFrame,
-      textCol: String, idCol: String, k: Int): DataFrame = {
+      textCol: String, idCol: String, k: Int,
+      maxEvalGrams: Long = 10000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     def gramSet(df: DataFrame, cols: Seq[Column]): DataFrame = {
       val toks = tokens(col(textCol))
@@ -335,8 +364,10 @@ object TextDedup {
     }
     val tg = gramSet(train, Seq(col(idCol))).distinct()
     val dfCounts = tg.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
-    val evalGrams = gramSet(evalSet, Seq.empty)
-      .select(col("__h")).distinct().withColumn("__in_eval", lit(1L))
+    val evalGrams = guardEvalBroadcast(
+        gramSet(evalSet, Seq.empty).select(col("__h")).distinct(),
+        "__h", maxEvalGrams, "weightedContamination")
+      .withColumn("__in_eval", lit(1L))
     tg.join(dfCounts, "__h")
       .withColumn("__w", floor(lit(1000000L) / col("__df")).cast("long"))
       .join(broadcast(evalGrams), Seq("__h"), "left")
@@ -367,12 +398,14 @@ object TextDedup {
     *
     * Scale shape: the eval side collapses to its DISTINCT gram-hash
     * set (fixed-width md5) and joins the training grams on the hash —
-    * broadcast when it fits ([[contaminatedIds]]' regime note; at
-    * eval-set scales beyond broadcast, swap in the Bloom pre-filter
-    * exactly as [[contaminatedIdsBloom]] does). Island merging is the
-    * [[duplicatedSpans]] per-document window. */
+    * broadcast when it fits, and `maxEvalGrams` ENFORCES the fit
+    * (fail-fast, not driver OOM); at eval-set scales beyond broadcast,
+    * swap in the Bloom pre-filter exactly as [[contaminatedIdsBloom]]
+    * does. Island merging is the [[duplicatedSpans]] per-document
+    * window. */
   def contaminatedSpans(train: DataFrame, evalSet: DataFrame,
-      textCol: String, idCol: String, k: Int): DataFrame = {
+      textCol: String, idCol: String, k: Int,
+      maxEvalGrams: Long = 10000000L): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame = {
       val toks = tokens(col(textCol))
@@ -381,8 +414,9 @@ object TextDedup {
           sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
           i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))): _*)
     }
-    val evalGrams = grams(evalSet, Seq.empty)
-      .select(col("col").as("__h")).distinct()
+    val evalGrams = guardEvalBroadcast(
+      grams(evalSet, Seq.empty).select(col("col").as("__h")).distinct(),
+      "__h", maxEvalGrams, "contaminatedSpans")
     val hits = grams(train, Seq(col(idCol)))
       .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__h"))
       .join(broadcast(evalGrams), "__h")

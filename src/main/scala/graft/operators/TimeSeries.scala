@@ -875,9 +875,18 @@ object TimeSeries {
     * the quadratic step — and unlike the documented-only contracts
     * elsewhere, `maxPoints` ENFORCES it (isotonicFit's maxBins
     * discipline): a caller passing raw rows fails fast instead of
-    * getting a silent n² plan. */
+    * getting a silent n² plan.
+    *
+    * Behavior change (round 11→12): the guard was introduced in round
+    * 11 with a 10k default, which could reject previously-valid
+    * bucketed callers (e.g. a decade of hourly buckets = 87.6k
+    * points). The default is now 100000 — far above any plausible
+    * bucketed series (100k points = 5·10⁹ comparisons, still tractable
+    * as a bounded self-join) while still fail-fasting the raw-row
+    * misuse the guard targets; callers that bucketed coarser lose
+    * nothing. */
   def mannKendall(df: DataFrame, orderCol: String,
-      valueCol: String, maxPoints: Long = 10000L): DataFrame = {
+      valueCol: String, maxPoints: Long = 100000L): DataFrame = {
     require(maxPoints > 0, "maxPoints must be positive")
     val raw = df.select(col(orderCol).as("__o"),
         col(valueCol).cast("long").as("__v"))

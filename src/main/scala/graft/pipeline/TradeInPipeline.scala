@@ -270,6 +270,12 @@ final class TradeInPipeline(
     }
 
     // 3. fetch (source impls own retry/backoff + per-request timeout).
+    // Metric caveat: for LAZY DataFrame sources, fetch_ms measures only
+    // driver-side plan construction — the actual read executes inside
+    // the staging write, so its cost lands in load_staging_ms. Eager
+    // sources (HttpJsonSource materializes on the driver) attribute
+    // fully here. Interpret (fetch_ms + load_staging_ms) as the
+    // end-to-end ingest cost regardless of source laziness.
     val raw = timed("fetch")(source.fetch(spark, params))
 
     // 4. load staging: append this batch to what retention left behind.

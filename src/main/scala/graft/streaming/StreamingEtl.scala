@@ -101,6 +101,17 @@ object StreamingEtl {
     require(lookbackSeconds >= 0, s"lookbackSeconds < 0: $lookbackSeconds")
     require(Seq("inner", "left_outer").contains(joinType),
       s"unsupported joinType for stream-stream interval join: $joinType")
+    // Mirror asofJoin's collision discipline: the output keeps right
+    // non-key columns by bare name, so a shared name (rightTime ==
+    // leftTime is the common trap) would silently duplicate a column;
+    // dotted names would also break the string-based l./r. references.
+    val collisions = right.columns.filterNot(_ == key)
+      .filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"intervalJoinStream: right columns collide with left: " +
+        s"${collisions.mkString(", ")} — rename the right side first")
+    require((left.columns ++ right.columns).forall(!_.contains(".")),
+      "intervalJoinStream: dotted column names are not supported")
     val l = left.withWatermark(leftTime, delay).alias("l")
     val r = right.withWatermark(rightTime, delay).alias("r")
     val cond = col(s"l.$key") === col(s"r.$key") &&

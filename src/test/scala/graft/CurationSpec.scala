@@ -174,6 +174,15 @@ class CurationSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (1L, 1.0), (2L, 3.0), (3L, 20.0),
       (4L, 1.0), (5L, 3.0), (6L, 20.0)))
+    // the many-groups assumption is enforced: one group bigger than
+    // maxGroupRows fails fast instead of serializing into one window task
+    val ex = intercept[Exception] {
+      Curation.quantileNormalize(df, "id", "src", "v",
+        maxGroupRows = 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxGroupRows")))
   }
 
   test("temporalSplit: exact-rank cutoff, ties land in train, cold entities counted") {

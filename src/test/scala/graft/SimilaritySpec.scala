@@ -402,4 +402,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxClusters") ||
       Option(ex.getCause).exists(_.getMessage.contains("maxClusters")))
   }
+
+  test("simplifiedSilhouette: points ON their centroid at large norm " +
+    "report exactly 0 own-distance (no catastrophic-cancellation sqrt)") {
+    import spark.implicits._
+    // Each cluster is two IDENTICAL large-norm points, so every point
+    // sits on its centroid: the expanded identity v·v − 2v·c + c·c
+    // cancels catastrophically here (residue ~‖v‖²·ulp, sqrt ~1e-5 —
+    // NOT absorbed by round(,6)); the epsilon-zeroing must make the
+    // own distance exactly 0.0 and the silhouette exactly 1.0.
+    val df = Seq(
+      (1L, Seq(1000.1f, 2000.2f), 0), (2L, Seq(1000.1f, 2000.2f), 0),
+      (3L, Seq(5000.5f, 6000.6f), 1), (4L, Seq(5000.5f, 6000.6f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.simplifiedSilhouette(df, "embedding", "vec_id",
+        "label", dim = 2)
+      .orderBy("cluster").collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 0.0, s"mean_dist_own must be exactly 0: $r")
+      assert(r.getDouble(2) == 1.0, s"silhouette must be exactly 1: $r")
+    }
+  }
 }

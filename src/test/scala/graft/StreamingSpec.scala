@@ -184,6 +184,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((1L, "p1", 9.0), (2L, "p2", -1.0), (3L, "p3", -1.0)))
   }
 
+  test("stream-stream interval join rejects right columns that collide " +
+    "with left (the silent-duplicate trap) and dotted names") {
+    implicit val ctx = spark.sqlContext
+    val l = MemoryStream[(Long, Timestamp, String)].toDF()
+      .toDF("user_id", "ts", "page")
+    val rCollide = MemoryStream[(Long, Timestamp, Double)].toDF()
+      .toDF("user_id", "ts", "amount") // "ts" collides with left
+    val ex = intercept[IllegalArgumentException] {
+      StreamingEtl.intervalJoinStream(l, rCollide, "user_id", "ts", "ts",
+        delay = "1 minute", lookbackSeconds = 60L)
+    }
+    assert(ex.getMessage.contains("collide"))
+    val rDotted = MemoryStream[(Long, Timestamp, Double)].toDF()
+      .toDF("user_id", "bts", "amount.usd")
+    val ex2 = intercept[IllegalArgumentException] {
+      StreamingEtl.intervalJoinStream(l, rDotted, "user_id", "ts", "bts",
+        delay = "1 minute", lookbackSeconds = 60L)
+    }
+    assert(ex2.getMessage.contains("dotted"))
+  }
+
   test("stream-static enrichment join broadcasts the dimension per micro-batch") {
     implicit val ctx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")

@@ -267,6 +267,33 @@ class TextDedupSpec extends AnyFunSuite {
     assert(strict.toList == List(1L))
   }
 
+  test("decontamination broadcast regime is ENFORCED: an eval set over " +
+    "maxEvalGrams fails fast with the Bloom pointer instead of OOMing") {
+    import spark.implicits._
+    val train = Seq((1L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    // 4 tokens -> 2 distinct 3-shingles / 3 distinct 2-grams: over a
+    // maxEvalGrams=1 cap, under the default
+    val evalSet = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    for ((name, thunk) <- Seq[(String, () => Array[_])](
+        ("contaminatedIds", () => TextDedup.contaminatedIds(
+          train, evalSet, "text", "doc_id", 3, maxEvalGrams = 1L).collect()),
+        ("contaminatedSpans", () => TextDedup.contaminatedSpans(
+          train, evalSet, "text", "doc_id", 3, maxEvalGrams = 1L).collect()),
+        ("weightedContamination", () => TextDedup.weightedContamination(
+          train, evalSet, "text", "doc_id", 2, maxEvalGrams = 2L).collect()))) {
+      val ex = intercept[Exception] { thunk() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(m => m.contains(name) && m.contains("Bloom")),
+        s"$name guard message missing: ${msgs(ex)}")
+    }
+    // and the guarded operators still compute the same answer under the cap
+    val hits = TextDedup.contaminatedIds(train, evalSet, "text", "doc_id", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L))
+  }
+
   test("ngram jaccard is tokenization-robust where token jaccard is not") {
     import spark.implicits._
     // Same characters, words glued differently: token sets are disjoint,
