@@ -34,7 +34,7 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    SparkEntry.singlePartitionFinals = true // harness JVM: bench-scale finals
+    QuerySupport.singlePartitionFinals = true // harness JVM: bench-scale finals
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -71,7 +71,7 @@ object MediaQueries {
           BinaryFunctions.byteSize(col("bin")).cast("long").as("n_bytes"),
           BinaryFunctions.fingerprint(col("bin")).as("fp"),
           BinaryFunctions.chunkCount(col("bin"), 64).cast("long").as("n_chunks"))
-        .transform(SparkEntry.ordered1(_, col("doc_id")))
+        .transform(QuerySupport.ordered1(_, col("doc_id")))
     }),
 
     // The decode stage: typed mapPartitions batch loop with the stub
@@ -83,7 +83,7 @@ object MediaQueries {
           col("byte_size").cast("long").as("byte_size"),
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"), col("aspect"))
-        .transform(SparkEntry.ordered1(_, col("doc_id")))
+        .transform(QuerySupport.ordered1(_, col("doc_id")))
     }),
 
     // Language-ID heuristic: marker hit counts per language + fixed-
@@ -92,7 +92,7 @@ object MediaQueries {
       val scored = langScored(parallel(load(s, d, "documents")))
       scored.select(col("doc_id") +: idLangs.map(l => col(s"s_$l")) :+
           col("__pred").as("lang"): _*)
-        .transform(SparkEntry.ordered1(_, col("doc_id")))
+        .transform(QuerySupport.ordered1(_, col("doc_id")))
     }),
 
     // Recorded-label vs heuristic-prediction confusion matrix over the
@@ -111,7 +111,7 @@ object MediaQueries {
         .withColumn("share", round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(Window.partitionBy(col("lang")))
             .cast("double"), 6))
-        .transform(SparkEntry.ordered1(_, col("lang"), col("pred_lang")))
+        .transform(QuerySupport.ordered1(_, col("lang"), col("pred_lang")))
     }),
 
     // Frame sampling: every 2nd 64-byte chunk per payload, one row per
@@ -122,7 +122,7 @@ object MediaQueries {
         .toDF()
         .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
           col("frame_hex"))
-        .transform(SparkEntry.ordered1(_, col("doc_id"), col("frame_idx")))
+        .transform(QuerySupport.ordered1(_, col("doc_id"), col("frame_idx")))
     }),
 
     // Feature extraction: printable-class histogram of the payload body
@@ -136,7 +136,7 @@ object MediaQueries {
           col("n_upper").cast("long").as("n_upper"),
           col("n_digit").cast("long").as("n_digit"),
           col("n_other").cast("long").as("n_other"))
-        .transform(SparkEntry.ordered1(_, col("doc_id")))
+        .transform(QuerySupport.ordered1(_, col("doc_id")))
     }),
 
     // BPE-ish subword counting (tokenizer-cost signal).
@@ -144,7 +144,7 @@ object MediaQueries {
       parallel(load(s, d, "documents"))
         .select(col("doc_id"),
           TextFunctions.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"))
-        .transform(SparkEntry.ordered1(_, col("doc_id")))
+        .transform(QuerySupport.ordered1(_, col("doc_id")))
     }))
 
   def oracleSql: Map[String, String] = {

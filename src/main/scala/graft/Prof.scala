@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 /** Scratch profiling main (not part of the driver contract). */
 object Prof {
   def main(args: Array[String]): Unit = {
-    SparkEntry.singlePartitionFinals = true // harness JVM: bench-scale finals
+    QuerySupport.singlePartitionFinals = true // harness JVM: bench-scale finals
     val d = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       // same knobs as graft.Bench so A/Bs here transfer to the bench

@@ -290,7 +290,7 @@ object TradeInQueries {
           col("TradeInAmount").cast("double").as("TradeInAmount"),
           col("TradeInDate"), col("TradeInDateEST"),
           col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"), col("action"))
-        .transform(SparkEntry.ordered1(_, col("SaleInvoiceID")))
+        .transform(QuerySupport.ordered1(_, col("SaleInvoiceID")))
     }),
 
     // M1 partition-scoped (SURVEY.md §4.3): the same two-day merge as

@@ -7,7 +7,7 @@ import java.nio.file.{Files, Paths}
   * local single-query iteration loop; the driver passes exactly two. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    SparkEntry.singlePartitionFinals = true // harness JVM: bench-scale finals
+    QuerySupport.singlePartitionFinals = true // harness JVM: bench-scale finals
     val (sfDir, outDir) = (args(0), args(1))
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -1,0 +1,945 @@
+package graft.queries
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QuerySupport._
+import graft.sources.Tables.{load, parallel}
+import graft.functions.Timestamps
+import graft.functions.TextFunctions
+import graft.operators.{CorpusStats, Curation, DataQuality, Dedup, EntityResolution, Graph, IncrementalAgg, Itemsets, Maintenance, Merge, Profiling, Quantization, Relational, Retention, Sessionize, Similarity, TextDedup, TimeSeries}
+/** Deduplication and decontamination: exact/minhash/simhash/winnowing,
+  * span and line dedup, contamination, dup clusters, impact audits.
+  *
+  * One registry entry per operator with its DuckDB oracle SQL
+  * (driver contract, SURVEY.md §7); aggregated by
+  * [[graft.SparkEntry]]. Bodies moved verbatim from SparkEntry
+  * in the round-12 registry split — entry names, plans and
+  * oracles are unchanged. */
+private[graft] object DedupQueries {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- north-star: dedup family ---------------------------------------
+    "q24_dedup_exact" -> ((s, d) => {
+      TextDedup.exact(load(s, d, "documents"), "text", "doc_id")
+        .select("doc_id", "n_copies", "text")
+        .orderBy("doc_id")
+    }),
+
+
+    "q25_minhash_sig" -> ((s, d) => {
+      TextDedup.minhashSignatures(parallel(load(s, d, "documents")), "text", "doc_id",
+          numHashes = 4, shingleSize = 3)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    "q26_neardup_jaccard" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.jaccardOnPairs(pairs, docs, "text", "doc_id")
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // The mega-bucket guard's exact semantics, oracle-gated: buckets at
+    // or under the cap emit all pairs, wider buckets emit the min-anchored
+    // star (see TextDedup.lshCandidatePairs). cap=2 exercises BOTH
+    // branches on the real corpus (bucket widths reach 3 at sf0.01, 8 at
+    // sf0.1).
+    "q67_lsh_guarded" -> ((s, d) => {
+      val sigs = TextDedup.minhashSignatures(
+        parallel(load(s, d, "documents")), "text", "doc_id", 4, 3)
+      TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2, maxBucket = 2)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // No parallel(): simhash hash-repartitions by doc_id itself.
+    "q27_simhash" -> ((s, d) => {
+      TextDedup.simhash(load(s, d, "documents"), "text", "doc_id", 16)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    "q28_fingerprint" -> ((s, d) => {
+      parallel(load(s, d, "documents"))
+        .select(col("doc_id"),
+          TextFunctions.exactFingerprint(col("text")).as("fp_exact"),
+          TextFunctions.winnowFingerprint(col("text")).as("fp_winnow"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // End-to-end dedup: MinHash → LSH candidates → connected components →
+    // keep each component's min id — the full removal pass a training
+    // corpus actually runs, as ONE oracle-gated query.
+    "q69_dedup_corpus" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      val losers = TextDedup.dupClusters(pairs, "doc_id")
+        .filter(col("doc_id") =!= col("cluster"))
+        .select("doc_id")
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // Incremental ingest dedup: the daily batch (doc_id % 10 = 0) is
+    // signatured and probed against the standing corpus's prebuilt band
+    // index — the corpus is never re-signatured; candidates are the
+    // batch docs colliding with any corpus doc on an LSH band.
+    "q77_incremental_dedup" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val index = TextDedup.buildBandIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", numHashes = 4, shingleSize = 3, rowsPerBand = 2)
+      TextDedup.incrementalCandidates(docs.filter(col("doc_id") % 10 === 0),
+          index, "text", "doc_id", numHashes = 4, shingleSize = 3, rowsPerBand = 2)
+        .transform(ordered1(_, col("doc_id_new"), col("doc_id_corpus")))
+    }),
+
+
+    // Eval-set decontamination: documents sharing any token 3-gram with
+    // the held-out eval slice (doc_id % 20 = 7) are flagged with their
+    // distinct-shingle overlap count — the benchmark-overlap gate a
+    // training corpus runs before release.
+    "q73_decontaminate" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.contaminatedIds(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", shingleSize = 3)
+        .orderBy("doc_id")
+    }),
+
+
+    // SimHash Hamming-distance candidate pairs: 32-bit fingerprints cut
+    // into 4 8-bit slices (pigeonhole: Hamming < 4 ⇒ some slice agrees,
+    // so ≤3 is the complete radius), pairs sharing a slice verified by
+    // exact popcount — the fingerprint-space companion to q26's
+    // MinHash/LSH banding. 8-bit slices keep slice buckets ~n/256.
+    "q80_simhash_pairs" -> ((s, d) => {
+      TextDedup.simhashCandidatePairs(
+          TextDedup.simhash(parallel(load(s, d, "documents")), "text", "doc_id", 32),
+          "doc_id", bits = 32, chunks = 4, maxHamming = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // Normalization-keyed exact dedup over a deterministically
+    // case/punctuation-perturbed fixture (the corpus is already clean,
+    // so even docs are uppercased and %3 docs get a punctuation tail —
+    // normalizeText must fold both back before grouping). Group size and
+    // keeper come from ONE window over md5(norm) — a fixed-width shuffle
+    // key, as q78 — instead of an aggregate + rejoin whose second branch
+    // re-ran the normalize/md5 scan (partial-agg exchanges are not
+    // join-reusable; the q81/q68 lesson).
+    "q83_normalize_dedup" -> ((s, d) => {
+      val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
+        concat(
+          when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
+          when(col("doc_id") % 3 === 0, lit(" ... !!!")).otherwise(lit(""))))
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+      noisy.select(col("doc_id"),
+          md5(TextFunctions.normalizeText(col("__noisy"))).as("__h"))
+        .withColumn("n_copies", count(lit(1)).over(wh))
+        .withColumn("__keeper", min(col("doc_id")).over(wh))
+        .select(col("doc_id"), col("n_copies"),
+          (col("doc_id") === col("__keeper")).cast("int").as("is_keeper"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // C4-style span-level dedup over a boilerplate-injected fixture: every
+    // %3 doc gets the same 12-token cookie-notice prefix (the corpus has
+    // no natural repeated spans), which span dedup must strip from every
+    // carrier but the first while leaving original spans untouched.
+    "q84_span_dedup" -> ((s, d) => {
+      val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
+        when(col("doc_id") % 3 === 0,
+          concat(lit(SpanBoiler + " "), col("text"))).otherwise(col("text")))
+      TextDedup.spanDedup(noisy, "__noisy", "doc_id", spanTokens = 12)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // CCNet-style line-level dedup over a line-structured fixture: each
+    // doc splits into a 10-token head line + tail line, and every %4 doc
+    // carries a shared boilerplate line that line dedup must strip
+    // (corpus-frequent) while body lines survive (doc-frequency <= 5
+    // tolerates the corpus's natural exact-dup families).
+    "q91_line_dedup" -> ((s, d) => {
+      val toks = split(col("text"), " ", -1)
+      val lined = parallel(load(s, d, "documents")).withColumn("__lined",
+        concat(
+          concat_ws("\n",
+            array_join(slice(toks, 1, 10), " "),
+            array_join(slice(toks, 11, 1000000), " ")),
+          when(col("doc_id") % 4 === 0, lit("\n" + LineBoiler)).otherwise(lit(""))))
+      TextDedup.lineDedup(lined, "__lined", "doc_id", "\n", maxDocs = 5L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // Winnowing (MOSS) fingerprints: 3-gram hashes, window-4 minima.
+    "q96_winnowing" -> ((s, d) => {
+      TextDedup.winnow(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 3, w = 4)
+        .transform(ordered1(_, col("doc_id"), col("fingerprint")))
+    }),
+
+
+    // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
+    // answer — the sketch (built and probed with Spark's own
+    // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
+    // only pre-filters the train shingles before the exact-verify join,
+    // so correctness is pinned to the exact oracle while the plan is the
+    // one that survives an eval set too big to broadcast.
+    "q101_decontaminate_bloom" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.contaminatedIdsBloom(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", shingleSize = 3, expectedEvalShingles = 100000L)
+        .orderBy("doc_id")
+    }),
+
+
+    // Token-shingle containment over the q26 LSH candidate pairs — the
+    // subset-duplicate detector (short doc embedded in a long one scores
+    // low Jaccard but containment ≈ 1 on the short side).
+    "q109_containment" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.containmentOnPairs(pairs, docs, "text", "doc_id", n = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // Cross-split near-dup leakage: LSH candidate pairs whose endpoints
+    // land in different q107 splits (near-dup test/train leakage — the
+    // reason dedup must run before, or be aware of, the split). Each
+    // endpoint's split is computed IN PLACE from the id arithmetic
+    // (Curation.splitFor) — no join against an assignment table.
+    "q111_split_leakage" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      val sa = Curation.splitFor(col("doc_id_a"))
+      val sb = Curation.splitFor(col("doc_id_b"))
+      pairs
+        .groupBy(least(sa, sb).as("split_lo"), greatest(sa, sb).as("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", col("split_lo") =!= col("split_hi"))
+        .transform(ordered1(_, col("split_lo"), col("split_hi")))
+    }),
+
+
+    // Near-dup removal impact per source: documents losing the q54
+    // cluster election (cluster keeper = min id), with doc and token
+    // removal rates — the dedup scorecard a release card quotes.
+    "q112_dedup_impact" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      // losers: bounded by the candidate-pair population (tiny vs the
+      // corpus), so AQE broadcasts the join side at every scale where
+      // near-dups are rare; no forced broadcast (a 50%-duplicate crawl
+      // would overflow it).
+      val losers = TextDedup.dupClusters(pairs, "doc_id")
+        .filter(col("doc_id") =!= col("cluster"))
+        .select(col("doc_id"), lit(1L).as("__dup"))
+      docs
+        .select(col("source"), col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("__nt"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("n_tokens"),
+          sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("__dup").isNotNull, col("__nt")).otherwise(0L))
+            .as("tokens_removed"),
+          round(sum(when(col("__dup").isNotNull, 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"), 6)
+            .as("removal_rate"))
+        .transform(ordered1(_, col("source")))
+    }),
+
+
+    // Levenshtein verification over the q26 LSH candidate pairs: the
+    // tokenization-free near-dup check (first-200-chars prefix cap — the
+    // per-pair O(prefix²) scale contract documented on the operator).
+    "q102_edit_verify" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.editDistanceOnPairs(pairs, docs, "text", "doc_id", prefixChars = 200)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // Dup-cluster assignment: connected components over LSH candidate
+    // pairs — transitive chains collapse to one keeper (min id).
+    "q54_dup_clusters" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.dupClusters(pairs, "doc_id")
+        .withColumn("is_keeper", col("doc_id") === col("cluster"))
+        .orderBy("doc_id")
+    }),
+
+
+    // Exact-substring (Lee et al.) duplicated-span extraction: maximal
+    // runs of corpus-duplicated 8-token grams per document — the
+    // memorization-risk segments. One gram-hash shuffle + per-doc
+    // gap-and-island windows; see TextDedup.duplicatedSpans.
+    "q250_dup_spans" -> ((s, d) => {
+      TextDedup.duplicatedSpans(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 8, minDocs = 2)
+        .transform(ordered1(_, col("doc_id"), col("span_start")))
+    }),
+
+
+    // Rarity-weighted contamination: the share of each training doc's
+    // rarity-weighted 5-gram mass that overlaps the q73 eval split —
+    // integer-exact floor(1e6/df) weights so cross-engine sums agree
+    // bitwise; boilerplate overlap scores low, eval-unique overlap high.
+    "q256_weighted_contamination" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.weightedContamination(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", k = 5)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // Surgical decontamination: WHERE each training doc overlaps the
+    // q73 eval split (maximal contaminated 5-gram spans), not just
+    // whether — the span a pipeline cuts instead of dropping the doc.
+    "q255_contaminated_spans" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.contaminatedSpans(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", k = 5)
+        .transform(ordered1(_, col("doc_id"), col("span_start")))
+    }),
+
+
+    // Near-dup pair EVIDENCE: for each LSH candidate pair, the longest
+    // shared contiguous token run (diagonal-run construction over
+    // matching 8-gram positions) and the shared-occurrence count —
+    // the span a reviewer reads before trusting a dedup verdict.
+    "q254_shared_spans" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.sharedSpanOnPairs(pairs, docs, "text", "doc_id", k = 8)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // MOSS pair detection: document pairs sharing >= 3 winnowing
+    // fingerprints (q96's k=3, w=4 selection), with the exact Jaccard
+    // verify attached; fingerprint equi-join with the mega-carrier
+    // fail-fast, never all-pairs.
+    "q253_winnow_pairs" -> ((s, d) => {
+      TextDedup.winnowPairs(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 3, w = 4, minShared = 3)
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // Token-level exact-substring dedup impact per source: duplicated
+    // spans merged into disjoint token intervals (running-max sweep),
+    // then token shares — the dataset-card accounting doc-level
+    // scorecards (q112) hide.
+    "q252_dup_token_impact" -> ((s, d) => {
+      TextDedup.duplicatedTokenImpact(parallel(load(s, d, "documents")),
+          "text", "doc_id", "source", k = 8, minDocs = 2)
+        .transform(ordered1(_, col("source")))
+    }),
+
+
+    // MinHash estimator calibration over the q26 candidate machinery:
+    // sketch-estimated vs exact Jaccard per candidate pair, with the
+    // absolute error — the sketch audit run before trusting banding
+    // thresholds.
+    "q251_minhash_calibration" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+      TextDedup.minhashCalibration(pairs, sigs, docs, "text", "doc_id")
+        .transform(ordered1(_, col("doc_id_a"), col("doc_id_b")))
+    }),
+
+
+    // Content-defined chunking dedup audit: variable-size chunks split
+    // at rolling-hash content boundaries (edit-resilient, unlike fixed
+    // windows), then per-source chunk-level duplication ratio.
+    "q137_cdc_dedup" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      docs.select(col("source"),
+          explode(TextFunctions.cdcChunks(col("text"), 8, 1)).as("chunk"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("chunk")).as("n_distinct"),
+          round(lit(1.0) - countDistinct(col("chunk")).cast("double")
+            / count(lit(1)).cast("double"), 6).as("dup_ratio"),
+          round(sum(length(col("chunk"))).cast("double")
+            / count(lit(1)).cast("double"), 6).as("avg_len"))
+        .transform(ordered1(_, col("source")))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies, text
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+
+    "q25_minhash_sig" ->
+      s"""WITH $shinglesCte
+         |SELECT doc_id, sig_0, sig_1, sig_2, sig_3 FROM sig ORDER BY doc_id""".stripMargin,
+
+
+    "q26_neardup_jaccard" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt FROM documents)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(da.dt, db.dt)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(da.dt, db.dt))) AS DOUBLE) AS jaccard
+         |FROM pairs p
+         |JOIN dtoks da ON da.doc_id = p.doc_id_a
+         |JOIN dtoks db ON db.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    "q67_lsh_guarded" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |sized AS (SELECT doc_id, band,
+         |  COUNT(*) OVER (PARTITION BY band) AS w,
+         |  MIN(doc_id) OVER (PARTITION BY band) AS anchor
+         |  FROM banded)
+         |SELECT DISTINCT doc_id_a, doc_id_b FROM (
+         |  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM sized a JOIN sized b ON a.band = b.band AND a.doc_id < b.doc_id
+         |  WHERE a.w <= 2
+         |  UNION ALL
+         |  SELECT anchor, doc_id FROM sized WHERE w > 2 AND doc_id <> anchor)
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    "q27_simhash" ->
+      s"""SELECT doc_id, CAST(${simhashBitsSql(16)} AS BIGINT) AS simhash
+         |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+
+    "q28_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_exact,
+        | list_min([md5(substring(text, i, 16))
+        |   FOR i IN generate_series(1, greatest(length(text) - 15, 1))]) AS fp_winnow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+
+    "q69_dedup_corpus" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) < id)
+         |SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
+
+
+    "q77_incremental_dedup" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_id_new, b.doc_id AS doc_id_corpus
+         |FROM banded a JOIN banded b ON a.band = b.band
+         |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+         |ORDER BY doc_id_new, doc_id_corpus""".stripMargin,
+
+
+    "q73_decontaminate" -> DecontaminateOracle,
+
+
+    // Bit-identical oracle to q73: the Bloom sketch is a pre-filter, not
+    // an approximation, so the exact decontamination SQL IS the contract.
+    "q101_decontaminate_bloom" -> DecontaminateOracle,
+
+
+    "q80_simhash_pairs" ->
+      s"""WITH f AS (SELECT doc_id, CAST(${simhashBitsSql(32)} AS BIGINT) AS simhash
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+         |ch AS (SELECT doc_id, simhash, i AS ci, (simhash >> (i*8)) & 255 AS cv
+         |  FROM f, generate_series(0, 3) g(i)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, hamming FROM cand
+         |WHERE hamming <= 3 ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    "q83_normalize_dedup" ->
+      """WITH noisy AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN ' ... !!!' ELSE '' END) AS noisy FROM documents),
+        |norm AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+        |    lower(noisy), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h FROM noisy),
+        |g AS (SELECT h, count(*) AS n_copies, min(doc_id) AS keeper FROM norm GROUP BY h)
+        |SELECT doc_id, n_copies, CAST(doc_id = keeper AS INT) AS is_keeper
+        |FROM norm JOIN g USING (h) ORDER BY doc_id""".stripMargin,
+
+
+    "q84_span_dedup" ->
+      s"""WITH noisy AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN '$SpanBoiler ' || text ELSE text END AS text
+         |  FROM documents),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS t,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM noisy),
+         |c AS (SELECT doc_id, t, n, unnest(generate_series(0,
+         |    CAST(floor((greatest(n - 12, 0) + 11) / 12.0) AS BIGINT))) AS chunk_id
+         |  FROM d),
+         |spans AS (SELECT doc_id, chunk_id,
+         |  array_to_string(t[(chunk_id * 12 + 1):(chunk_id * 12 + 12)], ' ') AS span
+         |  FROM c),
+         |k AS (SELECT span, min(doc_id * 1048576 + chunk_id) AS keep
+         |  FROM spans GROUP BY span),
+         |kept AS (SELECT s.doc_id, s.chunk_id, s.span FROM spans s JOIN k
+         |  ON s.span = k.span AND s.doc_id * 1048576 + s.chunk_id = k.keep),
+         |per AS (SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY doc_id),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(span, ' ' ORDER BY chunk_id) AS clean_text FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_spans, coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ka.clean_text, '') AS clean_text
+         |FROM per p LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+
+    "q91_line_dedup" ->
+      s"""WITH lined AS (SELECT doc_id,
+         |  array_to_string(string_split(text, ' ')[1:10], ' ') || chr(10) ||
+         |  coalesce(array_to_string(string_split(text, ' ')[11:], ' '), '') ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '$LineBoiler' ELSE '' END)
+         |  AS text FROM documents),
+         |lines AS (SELECT doc_id,
+         |    unnest(string_split(text, chr(10))) AS line,
+         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+         |  FROM lined),
+         |freq AS (SELECT line, count(DISTINCT doc_id) AS docs
+         |  FROM lines GROUP BY line),
+         |kept AS (SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  JOIN freq f ON l.line = f.line WHERE f.docs <= 5),
+         |per AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+         |ka AS (SELECT doc_id, count(*) AS n_kept,
+         |  string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_lines, coalesce(ka.n_kept, 0) AS n_kept,
+         |  coalesce(ka.clean_text, '') AS clean_text
+         |FROM per p LEFT JOIN ka USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+
+    "q96_winnowing" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d)
+        |SELECT DISTINCT doc_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS fingerprint
+        |FROM g ORDER BY doc_id, fingerprint""".stripMargin,
+
+
+    "q109_containment" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |grams AS (SELECT doc_id,
+         |  list_distinct([array_to_string(t[i:i+2], ' ')
+         |    FOR i IN generate_series(1, greatest(len(t) - 2, 1))]) AS g
+         |  FROM toks)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |    / CAST(len(ga.g) AS DOUBLE) AS containment_a,
+         |  CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |    / CAST(len(gb.g) AS DOUBLE) AS containment_b,
+         |  greatest(
+         |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |      / CAST(len(ga.g) AS DOUBLE),
+         |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+         |      / CAST(len(gb.g) AS DOUBLE)) AS max_containment
+         |FROM pairs p
+         |JOIN grams ga ON ga.doc_id = p.doc_id_a
+         |JOIN grams gb ON gb.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    "q111_split_leakage" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |sp AS (SELECT doc_id_a, doc_id_b,
+         |  CASE WHEN (doc_id_a * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+         |       WHEN (doc_id_a * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS sa,
+         |  CASE WHEN (doc_id_b * 2654435761) % 4294967296 % 100 < 90 THEN 'train'
+         |       WHEN (doc_id_b * 2654435761) % 4294967296 % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS sb
+         |  FROM pairs)
+         |SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+         |  count(*) AS n_pairs, least(sa, sb) <> greatest(sa, sb) AS is_leak
+         |FROM sp GROUP BY 1, 2 ORDER BY split_lo, split_hi""".stripMargin,
+
+
+    "q112_dedup_impact" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst),
+         |losers AS (SELECT id FROM reach GROUP BY id HAVING min(r) <> id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN l.id IS NOT NULL
+         |    THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+         |    AS tokens_removed,
+         |  round(CAST(sum(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS removal_rate
+         |FROM documents d LEFT JOIN losers l ON l.id = d.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+
+    "q102_edit_verify" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |dt AS (SELECT doc_id, substring(text, 1, 200) AS t FROM documents)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  levenshtein(da.t, db.t) AS edit_distance,
+         |  round(1 - CAST(levenshtein(da.t, db.t) AS DOUBLE)
+         |    / greatest(len(da.t), len(db.t), 1), 6) AS edit_sim
+         |FROM pairs p
+         |JOIN dt da ON da.doc_id = p.doc_id_a
+         |JOIN dt db ON db.doc_id = p.doc_id_b
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    "q54_dup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst FROM pairs
+         |      UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM e
+         |  UNION
+         |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS is_keeper
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors TextDedup.duplicatedSpans: per-position 8-gram hashes,
+    // distinct-carrier count per gram, gap-and-island merge of
+    // consecutive duplicated positions. Integer-exact throughout.
+    "q250_dup_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 1))) AS p, t
+        |  FROM d),
+        |g2 AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p:p+7], ' ')) AS h FROM g),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |dup AS (SELECT doc_id, p FROM g2 JOIN f USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM dup)
+        |SELECT doc_id, min(p) AS span_start,
+        |  max(p) + 7 AS span_end, CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+
+    // Mirrors TextDedup.weightedContamination: distinct (doc, 5-gram)
+    // frame, integer floor(1e6/df) rarity weights, eval-flagged sums.
+    "q256_weighted_contamination" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 <> 7),
+        |ev AS (SELECT string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 = 7),
+        |tg AS (SELECT DISTINCT doc_id, md5(g) AS h FROM (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ')
+        |      FOR i IN generate_series(1, greatest(len(t) - 4, 1))])) AS g
+        |  FROM tr)),
+        |dfc AS (SELECT h, count(*) AS dfn FROM tg GROUP BY h),
+        |eg AS (SELECT DISTINCT md5(g) AS h FROM (
+        |  SELECT unnest(list_distinct(
+        |    [array_to_string(t[i:i+4], ' ')
+        |      FOR i IN generate_series(1, greatest(len(t) - 4, 1))])) AS g
+        |  FROM ev)),
+        |sc AS (SELECT tg.doc_id,
+        |    count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN eg.h IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_overlap,
+        |    sum(CAST(1000000 // dfn AS BIGINT)) AS tw,
+        |    sum(CASE WHEN eg.h IS NOT NULL
+        |      THEN CAST(1000000 // dfn AS BIGINT) ELSE 0 END) AS ow
+        |  FROM tg JOIN dfc ON tg.h = dfc.h
+        |  LEFT JOIN eg ON tg.h = eg.h
+        |  GROUP BY tg.doc_id)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, n_overlap,
+        |  round(CAST(ow AS DOUBLE) / CAST(tw AS DOUBLE), 6)
+        |    AS weighted_share
+        |FROM sc WHERE n_overlap >= 1 ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors TextDedup.contaminatedSpans: train 5-gram positions whose
+    // hash appears in the eval split's distinct gram set, island-merged.
+    "q255_contaminated_spans" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 <> 7),
+        |ev AS (SELECT string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 20 = 7),
+        |gtr0 AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 4, 1))) AS p, t
+        |  FROM tr),
+        |gtr AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p:p+4], ' ')) AS h FROM gtr0),
+        |gev0 AS (SELECT unnest(generate_series(1,
+        |    greatest(len(t) - 4, 1))) AS p, t FROM ev),
+        |gev AS (SELECT DISTINCT md5(array_to_string(t[p:p+4], ' ')) AS h
+        |  FROM gev0),
+        |hits AS (SELECT doc_id, p FROM gtr JOIN gev USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM hits)
+        |SELECT doc_id, min(p) AS span_start, max(p) + 4 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+
+    // Mirrors TextDedup.sharedSpanOnPairs over the q26 banding: matching
+    // 8-gram positions on one diagonal form runs; longest + 7 tokens.
+    "q254_shared_spans" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |d8 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |gp AS (SELECT doc_id,
+         |    unnest(generate_series(1, greatest(len(t) - 7, 1))) AS p, t
+         |  FROM d8),
+         |g8 AS (SELECT doc_id, p,
+         |    md5(array_to_string(t[p:p+7], ' ')) AS h FROM gp),
+         |m AS (SELECT pr.doc_id_a, pr.doc_id_b, ga.p AS pa, gb.p AS pb,
+         |    ga.p - gb.p AS diag
+         |  FROM pairs pr
+         |  JOIN g8 ga ON ga.doc_id = pr.doc_id_a
+         |  JOIN g8 gb ON gb.doc_id = pr.doc_id_b AND gb.h = ga.h),
+         |isl AS (SELECT doc_id_a, doc_id_b, diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_id_a, doc_id_b, diag
+         |      ORDER BY pa) AS grp
+         |  FROM m),
+         |runs AS (SELECT doc_id_a, doc_id_b, diag, grp,
+         |    count(*) AS run FROM isl GROUP BY 1, 2, 3, 4),
+         |agg AS (SELECT doc_id_a, doc_id_b,
+         |    CAST(sum(run) AS BIGINT) AS n_shared_grams,
+         |    CAST(max(run) + 7 AS BIGINT) AS longest_run_tokens
+         |  FROM runs GROUP BY 1, 2)
+         |SELECT p.doc_id_a, p.doc_id_b,
+         |  CAST(coalesce(a.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+         |  CAST(coalesce(a.longest_run_tokens, 0) AS BIGINT)
+         |    AS longest_run_tokens
+         |FROM pairs p LEFT JOIN agg a USING (doc_id_a, doc_id_b)
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    // Mirrors TextDedup.winnowPairs over q96's winnowing selection:
+    // distinct fingerprint co-carriers, n_shared >= 3, token Jaccard.
+    "q253_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d),
+        |fp AS (SELECT DISTINCT doc_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS f
+        |  FROM g),
+        |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt
+        |  FROM documents)
+        |SELECT p.doc_id_a, p.doc_id_b, p.n_shared,
+        |  round(CAST(len(list_intersect(da.dt, db.dt)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(da.dt, db.dt))) AS DOUBLE),
+        |    6) AS jaccard
+        |FROM pairs p
+        |JOIN dtoks da ON da.doc_id = p.doc_id_a
+        |JOIN dtoks db ON db.doc_id = p.doc_id_b
+        |ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    // Mirrors TextDedup.duplicatedTokenImpact: q250's span CTE chain,
+    // running-max interval merge, per-source token accounting.
+    "q252_dup_token_impact" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(generate_series(1, greatest(len(t) - 7, 1))) AS p, t
+        |  FROM d),
+        |g2 AS (SELECT doc_id, p,
+        |    md5(array_to_string(t[p:p+7], ' ')) AS h FROM g),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |dup AS (SELECT doc_id, p FROM g2 JOIN f USING (h)),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island FROM dup),
+        |spans AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |swept AS (SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      IS NULL OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS newgrp
+        |  FROM spans),
+        |grps AS (SELECT doc_id, s, e,
+        |    sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM swept),
+        |ivals AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM grps GROUP BY doc_id, grp),
+        |perdoc AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT)
+        |    AS dup_toks FROM ivals GROUP BY doc_id),
+        |base AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  CAST(coalesce(sum(dup_toks), 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(sum(dup_toks), 0) AS DOUBLE)
+        |    / CAST(sum(n_toks) AS DOUBLE), 6) AS dup_token_share
+        |FROM base LEFT JOIN perdoc USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // Mirrors TextDedup.minhashCalibration over the q26 machinery:
+    // component-agreement estimate vs exact token-set Jaccard.
+    "q251_minhash_calibration" ->
+      s"""WITH $shinglesCte,
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |dtoks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dt
+         |  FROM documents),
+         |j AS (SELECT p.doc_id_a, p.doc_id_b,
+         |    CAST(len(list_intersect(da.dt, db.dt)) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(da.dt, db.dt))) AS DOUBLE) AS jacc
+         |  FROM pairs p
+         |  JOIN dtoks da ON da.doc_id = p.doc_id_a
+         |  JOIN dtoks db ON db.doc_id = p.doc_id_b),
+         |e AS (SELECT j.doc_id_a, j.doc_id_b, j.jacc,
+         |    ((CASE WHEN sa.sig_0 = sb.sig_0 THEN 1 ELSE 0 END) +
+         |     (CASE WHEN sa.sig_1 = sb.sig_1 THEN 1 ELSE 0 END) +
+         |     (CASE WHEN sa.sig_2 = sb.sig_2 THEN 1 ELSE 0 END) +
+         |     (CASE WHEN sa.sig_3 = sb.sig_3 THEN 1 ELSE 0 END)) / 4.0 AS est
+         |  FROM j
+         |  JOIN sig sa ON sa.doc_id = j.doc_id_a
+         |  JOIN sig sb ON sb.doc_id = j.doc_id_b)
+         |SELECT doc_id_a, doc_id_b, round(est, 6) AS est_jaccard,
+         |  round(jacc, 6) AS jaccard, round(abs(est - jacc), 6) AS abs_err
+         |FROM e ORDER BY doc_id_a, doc_id_b""".stripMargin,
+
+
+    "q137_cdc_dedup" ->
+      """WITH b AS (SELECT source, text,
+        |  [0] || [i FOR i IN generate_series(8, len(text))
+        |          IF substring(md5(substring(text, i - 7, 8)), 1, 1) = '0']
+        |      || [len(text)] AS bnds
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT source,
+        |  unnest([substring(text, bnds[i] + 1, bnds[i + 1] - bnds[i])
+        |          FOR i IN generate_series(1, len(bnds) - 1)
+        |          IF bnds[i + 1] > bnds[i]]) AS chunk
+        |  FROM b)
+        |SELECT source, count(*) AS n_chunks,
+        |  CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct,
+        |  round(1.0 - CAST(count(DISTINCT chunk) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS dup_ratio,
+        |  round(CAST(sum(length(chunk)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS avg_len
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

@@ -223,7 +223,7 @@ class PlanShapeSpec extends AnyFunSuite {
       df.queryExecution.optimizedPlan.collect {
         case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
       }.size
-    assert(!SparkEntry.singlePartitionFinals,
+    assert(!QuerySupport.singlePartitionFinals,
       "test JVM must not run with SPARK_GRAFT_BENCH=1")
     for (n <- names) {
       val plan = SparkEntry.queries(n)(spark, d)
@@ -231,11 +231,11 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$n plans a single-partition Exchange with the harness flag OFF")
       assert(globalSorts(plan) >= 1, s"$n must still pin a total order")
     }
-    SparkEntry.singlePartitionFinals = true
+    QuerySupport.singlePartitionFinals = true
     try for (n <- names) {
       assert(singleReps(SparkEntry.queries(n)(spark, d)) == 1,
         s"$n: harness flag must take the measured single-partition form")
-    } finally SparkEntry.singlePartitionFinals = false
+    } finally QuerySupport.singlePartitionFinals = false
   }
 
   test("profile: ONE aggregation pass, no Expand, one scan — the claim vs count(distinct)") {
