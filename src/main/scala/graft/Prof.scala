@@ -290,6 +290,67 @@ object Prof {
           .repartitionByRange(spark.sparkContext.defaultParallelism, keys: _*)
           .sortWithinPartitions(keys: _*))
       }
+    } else if (args.headOption.contains("q156_ab")) {
+      // Round-12 structural A/B on the triangle query. Cells:
+      //   cur      — the shipped shape (distinct -> self-join -> pair agg)
+      //   setpairs — ONE-shuffle edge build: per-order sorted part set,
+      //              codegen'd pair explosion, then the pair agg (drops
+      //              the distinct shuffle AND the self-join)
+      //   bcast    — setpairs edge build + persisted edges with
+      //              broadcast wedge joins in the triangle stage
+      val li = () => spark.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      def edgesSetPairs() = {
+        val sets = li().groupBy(col("o"))
+          .agg(sort_array(collect_set(col("p"))).as("ps"))
+          .filter(size(col("ps")) >= 2)
+        sets.select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + lit(2),
+              size(col("ps")) - i - 1), y => struct(x.as("x"), y.as("y"))))))
+          .as("pr"))
+          .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      }
+      def triBcast(e0: org.apache.spark.sql.DataFrame) = {
+        val e = e0.select(col("x").as("a"), col("y").as("b")).persist()
+        val deg = e.select(col("a").as("node"))
+          .union(e.select(col("b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        val tri = e.alias("e1")
+          .join(broadcast(e.alias("e2")), col("e1.b") === col("e2.a"))
+          .join(broadcast(e.alias("e3")),
+            col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+          .select(col("e1.a").as("na"), col("e1.b").as("nb"),
+            col("e2.b").as("nc"))
+        val perNode = tri
+          .select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        deg.join(perNode, Seq("node"), "left")
+          .select(col("node"), col("degree"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            when(col("degree") >= 2, round(
+              (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+                (col("degree") * (col("degree") - 1)).cast("double"), 6))
+              .as("clustering"))
+          .repartition(1).sortWithinPartitions(col("node"))
+      }
+      def oldShape() = {
+        val it = spark.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = it.alias("a").join(it.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        graft.operators.Graph.triangleStats(edges, "x", "y")
+          .repartition(1).sortWithinPartitions(col("node"))
+      }
+      val q156 = SparkEntry.queries("q156_triangles")
+      (1 to 4).foreach { _ =>
+        t("old")(oldShape())
+        t("cur")(q156(spark, d))
+        t("bcast")(triBcast(edgesSetPairs()))
+      }
     } else if (args.headOption.contains("conf_sweep")) {
       // Per-query fixed-cost experiment: the same query set under
       // (AQE on/off) × (shuffle partitions) in ONE JVM, interleaved so

@@ -31,28 +31,54 @@ object Graph {
     * (the maxCell/maxBlock idiom): the job dies naming the offending
     * degree instead of materializing a hub's wedge explosion.
     * Output: `(node, degree, n_triangles, clustering)` for every node,
-    * clustering = 2T/(d(d−1)) rounded to 6 (NULL for degree < 2). */
+    * clustering = 2T/(d(d−1)) rounded to 6 (NULL for degree < 2).
+    *
+    * `broadcastWedges` opts into the SMALL-GRAPH regime (the caller
+    * asserts the gated edge list fits broadcast range — e.g. a
+    * thresholded co-occurrence graph): the gated edges persist once
+    * and the e2/e3 legs broadcast, replacing two shuffle joins with
+    * map-side hash probes (round-12 A/B at sf0.1: 1.00 s → 0.84 s for
+    * the q156 shape; without the persist each broadcast leg would
+    * re-execute the whole edge-build lineage, since broadcast
+    * exchanges cannot reuse a shuffle exchange). Caller contract as
+    * [[graft.operators.TextDedup.contaminatedIdsBloom]]: clearCache
+    * between unrelated runs. Default (false) keeps the pure shuffle
+    * plan — at 100 TB an un-thresholded edge list does NOT fit
+    * broadcast range and the default is the only safe shape. */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String,
-      maxDegree: Int = 10000): DataFrame = {
+      maxDegree: Int = 10000, broadcastWedges: Boolean = false): DataFrame = {
     require(maxDegree >= 1, s"maxDegree must be positive: $maxDegree")
-    val e = edges.select(
+    val e0 = edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // both the canonical edge frame and the gated frame persist in the
+    // small-graph regime: deg and the gate re-enter e, and the three
+    // wedge legs re-enter eg — without the caches each broadcast leg
+    // replays the upstream edge-build lineage
+    val e = if (broadcastWedges) e0.persist() else e0
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     // every edge passes the degree gate BEFORE entering the wedge join
-    // (the shared orRaise fail-fast idiom)
-    val eg = e.join(deg.where(OpsUtil.orRaise(col("degree") <= maxDegree,
+    // (the shared orRaise fail-fast idiom). The gate vehicle is a 1-row
+    // MAX-degree broadcast, not a join on the node key: every `a` node
+    // exists in deg by construction, so the old equi-join kept all rows
+    // and existed purely to evaluate the guard — a full shuffle join
+    // paid for a boolean (round-12: replacing it with the crossJoin
+    // removed one exchange from every caller, big-graph path included).
+    val eg0 = e.crossJoin(broadcast(
+        deg.agg(max(col("degree")).as("__mxd"))))
+      .where(OpsUtil.orRaise(col("__mxd") <= maxDegree,
         lit(s"triangleStats: node degree exceeds maxDegree=$maxDegree (degree="),
-        col("degree").cast("string"),
+        col("__mxd").cast("string"),
         lit("); wedge cost is quadratic in degree — raise maxDegree or prune hubs")))
-        .select(col("node")),
-      col("a") === col("node")).select(col("a"), col("b"))
+      .select(col("a"), col("b"))
+    val eg = if (broadcastWedges) eg0.persist() else eg0
+    val side = (df: DataFrame) => if (broadcastWedges) broadcast(df) else df
     val tri = eg.alias("e1")
-      .join(eg.alias("e2"), col("e1.b") === col("e2.a"))
-      .join(eg.alias("e3"),
+      .join(side(eg.alias("e2")), col("e1.b") === col("e2.a"))
+      .join(side(eg.alias("e3")),
         col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
       .select(col("e1.a").as("na"), col("e1.b").as("nb"), col("e2.b").as("nc"))
     val perNode = tri

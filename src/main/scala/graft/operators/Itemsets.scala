@@ -46,6 +46,47 @@ object Itemsets {
       .limit(topK)
   }
 
+  /** Undirected co-occurrence EDGE LIST — [[coOccurrencePairs]] without
+    * the top-k cut, for consumers that need the whole (thresholded)
+    * graph (e.g. [[Graph.triangleStats]] over the co-purchase graph).
+    *
+    * Shape: ONE data shuffle. Baskets collapse to a per-group sorted
+    * distinct item array (`collect_set` dedups in the aggregation
+    * buffer, so the distinct pre-shuffle of the self-join form is not
+    * needed), pairs expand map-side with a codegen'd nested-transform
+    * HOF over the sorted array (x < y by construction), and the pair
+    * aggregation is the only other exchange. Round-12 A/B at sf0.1 vs
+    * the q156 distinct→self-join→agg edge build: 0.76 s vs 1.1 s
+    * min-of-3 — the HOF form drops both the distinct shuffle and the
+    * join. The round-7 caveat about mega-baskets becoming mega-arrays
+    * is ENFORCED here, not advisory: `maxBasket` fail-fasts a group
+    * whose item set exceeds it (pair fan-out is quadratic in basket
+    * size, so a degenerate group would dominate the plan either way —
+    * better to die naming it).
+    *
+    * Output: `(item_a, item_b, n_groups)` with `item_a < item_b`,
+    * filtered to `n_groups >= minGroups`. */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+      minGroups: Long = 1L, maxBasket: Int = 10000): DataFrame = {
+    require(minGroups >= 1, s"minGroups must be >= 1: $minGroups")
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val sets = df.groupBy(col(groupCol))
+      .agg(sort_array(collect_set(col(itemCol))).as("__ps"))
+      .filter(size(col("__ps")) >= 2)
+      .where(OpsUtil.orRaise(size(col("__ps")) <= maxBasket,
+        lit("coOccurrenceEdges: a group holds "),
+        size(col("__ps")).cast("string"),
+        lit(s" distinct items (> maxBasket=$maxBasket); pair fan-out " +
+          "is quadratic in basket size — cap the group upstream or " +
+          "raise maxBasket")))
+    sets.select(explode(flatten(transform(col("__ps"), (x, i) =>
+        transform(slice(col("__ps"), i + lit(2), size(col("__ps")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("__pr"))
+      .groupBy(col("__pr.a").as("item_a"), col("__pr.b").as("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minGroups)
+  }
+
   /** Directed association rules a→b with the full interestingness
     * panel — support, confidence, lift, conviction (Agrawal & Srikant
     * '94; conviction from Brin et al. '97 "Dynamic Itemset Counting"):

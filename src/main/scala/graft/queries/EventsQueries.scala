@@ -326,16 +326,18 @@ private[graft] object EventsQueries {
 
     // Triangle counts + clustering coefficients over the co-purchase
     // graph (part pairs sharing >= 2 orders): once-only path-join
-    // enumeration behind the maxDegree wedge-bomb guard.
+    // enumeration behind the maxDegree wedge-bomb guard. Round-12
+    // structural rework (the round-11 verdict's q156 swing): the edge
+    // list builds via Itemsets.coOccurrenceEdges' one-shuffle sorted-set
+    // pair expansion (vs distinct -> self-join -> agg), and the
+    // n>=2-thresholded graph is small by construction, so the wedge
+    // legs take triangleStats' broadcast regime. A/B at sf0.1:
+    // 1.16 s -> 0.84 s min-of-3 (Prof q156_ab).
     "q156_triangles" -> ((s, d) => {
-      val it = load(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val edges = it.alias("a").join(it.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("x"), col("b.l_partkey").as("y"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      Graph.triangleStats(edges, "x", "y")
+      val edges = Itemsets.coOccurrenceEdges(load(s, d, "lineitem"),
+        "l_orderkey", "l_partkey", minGroups = 2L)
+      Graph.triangleStats(edges, "item_a", "item_b",
+          broadcastWedges = true)
         .transform(ordered1(_, col("node")))
     }),
   )

@@ -21,6 +21,31 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(out.toList == List(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
   }
 
+  test("coOccurrenceEdges matches the pair semantics without the cut, " +
+    "honors minGroups, fail-fasts a mega-basket") {
+    val rows = Seq(
+      (100L, "a"), (100L, "b"), (100L, "c"),
+      (200L, "a"), (200L, "b"), (200L, "b"),
+      (300L, "b"), (300L, "a"),
+      (400L, "c")
+    ).toDF("order_id", "item")
+    val out = Itemsets.coOccurrenceEdges(rows, "order_id", "item")
+      .orderBy("item_a", "item_b")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toList == List(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
+    val thresholded = Itemsets.coOccurrenceEdges(rows, "order_id", "item",
+        minGroups = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(thresholded.toList == List(("a", "b", 3L)))
+    val ex = intercept[Exception] {
+      Itemsets.coOccurrenceEdges(rows, "order_id", "item",
+        maxBasket = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxBasket")))
+  }
+
   test("coOccurrencePairs topK cuts on the (count desc, a, b) total order") {
     val rows = Seq(
       (1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"))
