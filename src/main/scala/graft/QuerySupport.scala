@@ -139,6 +139,19 @@ private[graft] object QuerySupport {
     s"CASE WHEN 2 * len(list_filter(t, x -> substring(md5(x), ${j + 1}, 1) >= '8')) > len(t) THEN ${1L << j} ELSE 0 END"
   }.mkString(" + ")
 
+  /** Exact integer value of the first `digits` hex chars of VARCHAR
+    * expression `x` (e.g. an md5 digest), rendered as a digit-sum of
+    * exact-in-double integer literals (the [[kmvEstimateSql]]
+    * construction — every partial sum is an exact integer < 2^52, so
+    * the result is EXACT regardless of association, matching Spark's
+    * `conv(substring(x,1,digits),16,10)`). */
+  def hexValSql(x: String, digits: Int): String = {
+    require(digits >= 1 && digits <= 13, s"digits out of range: $digits")
+    (1 to digits).map { i =>
+      s"CAST(strpos('0123456789abcdef', substring($x, $i, 1)) - 1 AS DOUBLE) * ${math.pow(16, digits - i).toLong}.0"
+    }.mkString("(", " + ", ")")
+  }
+
   /** The KMV estimate over a sorted min-hash list column `arr` (matching
     * [[graft.operators.Profiling.kmvEstimate]]): the k-th hash's first 13
     * hex digits as a fraction of 16^13 = 2^52. Rendered as a digit-sum of

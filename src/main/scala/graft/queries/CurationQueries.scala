@@ -347,6 +347,19 @@ private[graft] object CurationQueries {
           "text", "doc_id")
         .transform(ordered1(_, col("doc_id")))
     }),
+
+    // DSIR importance resampling (Xie et al. 2023): the eval-like split
+    // (doc_id % 20 = 3) is the TARGET distribution; the rest of the
+    // corpus is the pool; Gumbel top-200 on hashed-bigram importance
+    // weights. Round-12 registry policy: substantive oracle (two full
+    // gram explodes + per-doc re-aggregation in DuckDB).
+    "q257_dsir_resample" -> ((s, d) => {
+      val docs = load(s, d, "documents")
+      Curation.dsirResample(
+        parallel(docs.filter(pmod(col("doc_id"), lit(20L)) =!= 3L)),
+        parallel(docs.filter(pmod(col("doc_id"), lit(20L)) === 3L)),
+        "text", "doc_id", k = 200, numBuckets = 512)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -873,5 +886,36 @@ private[graft] object CurationQueries {
         |  CAST(len(list_filter(idx, i -> ((doc_id * 2654435761 + i) % 20) < 3
         |    AND ((doc_id * 40503 + i) % 10) = 9)) AS BIGINT) AS n_kept
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q257_dsir_resample" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |g AS (SELECT doc_id, unnest(list_concat(t,
+         |    [array_to_string(t[i:i+1], ' ')
+         |     FOR i IN generate_series(1, greatest(len(t) - 1, 1))])) AS gr
+         |  FROM toks),
+         |bk AS (SELECT doc_id,
+         |    CAST(${hexValSql("md5(gr)", 8)} AS BIGINT) % 512 AS b FROM g),
+         |csrc AS (SELECT b, CAST(count(*) AS BIGINT) AS nsb FROM bk
+         |  WHERE doc_id % 20 <> 3 GROUP BY b),
+         |ctgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ntb FROM bk
+         |  WHERE doc_id % 20 = 3 GROUP BY b),
+         |st AS (SELECT COALESCE(csrc.b, ctgt.b) AS b,
+         |    COALESCE(nsb, 0) AS nsb, COALESCE(ntb, 0) AS ntb
+         |  FROM csrc FULL OUTER JOIN ctgt ON csrc.b = ctgt.b),
+         |tot AS (SELECT CAST(SUM(nsb) AS DOUBLE) AS ns,
+         |    CAST(SUM(ntb) AS DOUBLE) AS nt FROM st),
+         |lr AS (SELECT b,
+         |    ln((CAST(ntb AS DOUBLE) + 1.0) / (nt + 512.0))
+         |      - ln((CAST(nsb AS DOUBLE) + 1.0) / (ns + 512.0)) AS lrv
+         |  FROM st, tot),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    SUM(lrv) AS lw
+         |  FROM bk JOIN lr USING (b) WHERE doc_id % 20 <> 3
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_grams, round(lw, 6) AS log_weight,
+         |  round(lw - ln(-ln(
+         |    (${hexValSql("md5(CAST(doc_id AS VARCHAR))", 13)} + 0.5)
+         |      / 4503599627370496.0)), 6) AS select_key
+         |FROM pd ORDER BY select_key DESC, doc_id LIMIT 200""".stripMargin,
   )
 }

@@ -185,6 +185,72 @@ class CurationSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("maxGroupRows")))
   }
 
+  test("dsirResample matches an independent driver-side replay of the " +
+    "hashed-bigram importance model and Gumbel top-k") {
+    import spark.implicits._
+    val pool = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "stock market prices rose sharply today"),
+      (3L, "the dog sat on the rug"),
+      (4L, "quarterly earnings beat market expectations"),
+      (5L, "x"), // 1-token doc: short-doc convention (token in both families)
+      (6L, "cats and dogs sat together on mats")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "the cat sat on a mat"),
+      (101L, "a dog sat near the mat")
+    ).toDF("doc_id", "text")
+    val B = 16
+    val got = Curation.dsirResample(pool, target, "text", "doc_id",
+        k = 6, numBuckets = B)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    // ---- independent replay (MessageDigest, plain Scala collections)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gramsOf(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      val bi = (1 to math.max(t.size - 1, 1)).map(i =>
+        t.slice(i - 1, i + 1).mkString(" "))
+      t ++ bi
+    }
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).take(8), 16) % B
+    val poolDocs = Map(1L -> "the cat sat on the mat",
+      2L -> "stock market prices rose sharply today",
+      3L -> "the dog sat on the rug",
+      4L -> "quarterly earnings beat market expectations",
+      5L -> "x", 6L -> "cats and dogs sat together on mats")
+    val tgtGrams = Seq("the cat sat on a mat", "a dog sat near the mat")
+      .flatMap(gramsOf).map(bucket)
+    val poolGrams = poolDocs.toSeq.flatMap { case (id, tx) =>
+      gramsOf(tx).map(g => (id, bucket(g))) }
+    val cs = poolGrams.groupBy(_._2).map { case (b, g) => b -> g.size.toLong }
+    val ct = tgtGrams.groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val (ns, nt) = (poolGrams.size.toDouble, tgtGrams.size.toDouble)
+    def lr(b: Long): Double =
+      math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + B)) -
+        math.log((cs.getOrElse(b, 0L) + 1.0) / (ns + B))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = poolDocs.keys.toSeq.map { id =>
+      val bs = poolGrams.filter(_._1 == id).map(_._2)
+      val lw = bs.map(lr).sum
+      val h13 = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+      val u = (h13 + 0.5) / 4503599627370496.0
+      val key = lw - math.log(-math.log(u))
+      (id, bs.size.toLong, r6(lw), r6(key))
+    }.sortBy(e => (-e._4, e._1))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq}\nexpected $expected")
+    // target-like pool docs must outrank the off-distribution ones on
+    // raw weight (sanity on the model, not just the arithmetic)
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) > byId(2L) && byId(3L) > byId(4L))
+  }
+
   test("temporalSplit: exact-rank cutoff, ties land in train, cold entities counted") {
     import spark.implicits._
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
