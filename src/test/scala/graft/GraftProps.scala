@@ -647,6 +647,94 @@ object GraftProps extends Properties("graft") {
         got == expect
     }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  property("duplicatedTokenImpact equals an independent interval-merge replay") =
+    forAll(Gen.listOfN(5, Gen.zip(Gen.oneOf("s1", "s2"),
+      Gen.listOfN(7, Gen.oneOf("aa", "bb", "cc"))))) { docs0 =>
+      import spark.implicits._
+      val k = 2
+      val docs = docs0.zipWithIndex
+        .map { case ((src, ts), i) => (i.toLong, src, ts.mkString(" ")) }
+      val got = graft.operators.TextDedup.duplicatedTokenImpact(
+          docs.toDF("doc_id", "source", "text"), "text", "doc_id",
+          "source", k = k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4)))
+        .toSet
+      // replay: duplicated positions -> maximal gram islands -> token
+      // intervals [min, max+k-1] -> overlap-merge sweep -> per-source
+      def gramsOf(text: String): List[(Int, String)] = {
+        val t = text.split(" ", -1)
+        (1 to math.max(t.length - k + 1, 1))
+          .map(p => p -> t.slice(p - 1, p - 1 + k).mkString(" ")).toList
+      }
+      val carriers = docs.flatMap { case (id, _, tx) =>
+        gramsOf(tx).map(g => g._2 -> id) }.groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct.size).toMap
+      def dupTokens(text: String): Long = {
+        val dupPos = gramsOf(text).collect {
+          case (p, g) if carriers(g) >= 2 => p }
+        val islands = dupPos.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && acc.head.head == p - 1 =>
+            (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }.map(run => (run.min.toLong, (run.max + k - 1).toLong)).reverse
+        // overlap/touch merge (island i+1 can start inside interval i)
+        val merged = islands.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, (s2, e2)) if s2 <= e => (s, math.max(e, e2)) :: rest
+          case (acc, iv) => iv :: acc
+        }
+        merged.map { case (s, e) => e - s + 1L }.sum
+      }
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val expect = docs.groupBy(_._2).map { case (src, ds) =>
+        val tot = ds.map(_._3.split(" ", -1).length.toLong).sum
+        val dup = ds.map(d => dupTokens(d._3)).sum
+        (src, ds.size.toLong, tot, dup, r6(dup.toDouble / tot.toDouble))
+      }.toSet
+      got == expect
+    }
+
+  property("winnowPairs equals a full driver-side winnowing + Jaccard replay") =
+    forAll(Gen.listOfN(4, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc")))) {
+      docs0 =>
+        import spark.implicits._
+        val (k, w) = (2, 2)
+        val docs = docs0.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        val got = graft.operators.TextDedup.winnowPairs(
+            docs.toDF("doc_id", "text"), "text", "doc_id",
+            k = k, w = w, minShared = 1)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+          .toSet
+        def fingerprints(text: String): Set[String] = {
+          val t = text.split(" ", -1)
+          val gh = (1 to math.max(t.length - k + 1, 1))
+            .map(p => md5hex(t.slice(p - 1, p - 1 + k).mkString(" ")))
+          (1 to math.max(gh.length - w + 1, 1))
+            .map(i => gh.slice(i - 1, i - 1 + w).min).toSet
+        }
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val fps = docs.map { case (id, tx) => id -> fingerprints(tx) }.toMap
+        val toks = docs.map { case (id, tx) =>
+          id -> tx.split(" ", -1).toSet }.toMap
+        val expect = (for {
+          (a, _) <- docs; (b, _) <- docs if a < b
+          shared = (fps(a) intersect fps(b)).size if shared >= 1
+        } yield (a, b, shared.toLong,
+          r6((toks(a) intersect toks(b)).size.toDouble /
+            (toks(a) union toks(b)).size.toDouble))).toSet
+        got == expect
+    }
+
   // NULL-bearing as-of equivalence: the native merge-pass operator and
   // the composed union+window form implement ONE contract, including
   // NULL keys (never match), NULL right times (never match, never
