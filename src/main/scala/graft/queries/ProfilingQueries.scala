@@ -64,7 +64,9 @@ private[graft] object ProfilingQueries {
     // a single aggregation with bounded per-column sketch state (no
     // Expand, no per-column passes).
     "q131_profile" -> ((s, d) => {
-      Profiling.profile(load(s, d, "orders"),
+      // parallel(): per-column KMV sketches hash every cell (md5) in the
+      // partial pass — CPU-bound, spread before the 1-row agg
+      Profiling.profile(parallel(load(s, d, "orders")),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"), k = 256)
         .transform(ordered1(_, col("column")))
@@ -114,7 +116,11 @@ private[graft] object ProfilingQueries {
     // The even/odd orders split with a %7 price bump and %11 nulled
     // priority plants drift in exactly two columns.
     "q144_profile_diff" -> ((s, d) => {
-      val o = load(s, d, "orders")
+      // parallel(): two full md5-sketch profile passes over the scan —
+      // CPU-bound partials, spread before the 1-row aggs (round-12 A/B:
+      // 0.92 s -> 0.66 s at sf0.1; q141's documents scan was a wash and
+      // stays unwrapped)
+      val o = parallel(load(s, d, "orders"))
       Profiling.profileDiff(
           o.filter(col("o_orderkey") % 2 === 0),
           o.filter(col("o_orderkey") % 2 === 1)

@@ -295,8 +295,11 @@ private[graft] object StatsQueries {
     // one 34-buffer aggregation pass, membership = md5 hex-digit
     // parity, never materialized.
     "q210_subsample_ci" -> ((s, d) => {
-      Profiling.subsampleCI(load(s, d, "orders"), col("o_orderkey"),
-        col("o_totalprice"), nResamples = 16, scale = 2)
+      // parallel(): the 1-row aggregation's partial pass is md5+16-conv
+      // CPU per row, and the parquet scan yields too few partitions to
+      // spread it (round-12 A/B at sf0.1: see BASELINE.md)
+      Profiling.subsampleCI(parallel(load(s, d, "orders")),
+        col("o_orderkey"), col("o_totalprice"), nResamples = 16, scale = 2)
     }),
 
 
