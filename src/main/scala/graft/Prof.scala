@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 object Prof {
   def main(args: Array[String]): Unit = {
     QuerySupport.singlePartitionFinals = true // harness JVM: bench-scale finals
-    val d = "/root/testdata/sf0.1"
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       // same knobs as graft.Bench so A/Bs here transfer to the bench
       .config("spark.sql.shuffle.partitions",
@@ -351,6 +351,55 @@ object Prof {
         t("cur")(q156(spark, d))
         t("bcast")(triBcast(edgesSetPairs()))
       }
+    } else if (args.headOption.contains("gen_scale")) {
+      // Synthesize a larger corpus for scale-shape validation (round-12
+      // verdict item): `gen_scale <mult> <outDir>` writes <mult> key-
+      // offset copies of every sf0.1 table to <outDir>. Copy i > 0
+      // appends a distinct tail token to each document text and nudges
+      // embedding[0] by 0.001*i, so copies are NEAR-replicas (realistic
+      // duplicate mass for the dedup family) rather than exact clones
+      // (which would inflate pair counts quadratically). Dims
+      // region/nation copy as-is. NOT test data for the oracle gate —
+      // timing only.
+      val mult = args(1).toInt
+      val out = args(2)
+      val off = 100000000L
+      def copies(t: String, f: (org.apache.spark.sql.DataFrame, Int) =>
+          org.apache.spark.sql.DataFrame): Unit = {
+        val base = spark.read.parquet(s"$d/$t.parquet")
+        (0 until mult).map(i => f(base, i)).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"wrote $t x$mult")
+      }
+      def shift(c: String, i: Int): org.apache.spark.sql.Column =
+        col(c) + lit(i * off)
+      copies("region", (b, _) => b)
+      copies("nation", (b, _) => b)
+      copies("customer", (b, i) => b.withColumn("c_custkey", shift("c_custkey", i)))
+      copies("supplier", (b, i) => b.withColumn("s_suppkey", shift("s_suppkey", i)))
+      copies("part", (b, i) => b.withColumn("p_partkey", shift("p_partkey", i)))
+      copies("orders", (b, i) => b
+        .withColumn("o_orderkey", shift("o_orderkey", i))
+        .withColumn("o_custkey", shift("o_custkey", i)))
+      copies("lineitem", (b, i) => b
+        .withColumn("l_orderkey", shift("l_orderkey", i))
+        .withColumn("l_partkey", shift("l_partkey", i))
+        .withColumn("l_suppkey", shift("l_suppkey", i)))
+      copies("events", (b, i) => b
+        .withColumn("event_id", shift("event_id", i))
+        .withColumn("user_id", shift("user_id", i)))
+      copies("documents", (b, i) => {
+        val t = if (i == 0) col("text")
+          else concat(col("text"), lit(s" zcopytok$i"))
+        b.withColumn("doc_id", shift("doc_id", i))
+          .withColumn("text", t)
+          .withColumn("n_chars", length(t).cast("long"))
+      })
+      copies("embeddings", (b, i) => b
+        .withColumn("vec_id", shift("vec_id", i))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            when(j === 0, x + lit(0.001f * i)).otherwise(x))))
     } else if (args.headOption.contains("conf_sweep")) {
       // Per-query fixed-cost experiment: the same query set under
       // (AQE on/off) × (shuffle partitions) in ONE JVM, interleaved so

@@ -900,6 +900,68 @@ object CorpusStats {
         col("avg_nll"))
   }
 
+  /** Per-DOCUMENT held-out bigram NLL — [[bigramNll]] re-keyed to the
+    * document: the CCNet perplexity-filter signal (Wenzek et al. 2020
+    * score with a corpus-internal LM instead of an external KenLM): a
+    * document whose bigrams are cheap under the rest of the corpus's
+    * add-k bigram model is ordinary prose; an expensive one is
+    * gibberish, boilerplate-mangled, or off-distribution — exactly the
+    * tails a quality threshold cuts. The LM trains on the
+    * `idCol % holdoutMod != 0` split and scores the held-out docs, so
+    * no document is scored by a model that saw it.
+    *
+    * Returns one row per held-out doc with ≥ 1 bigram: `(idCol,
+    * n_bigrams, avg_nll)` (rounded at 6; per-doc type-sum fold noise is
+    * well under the rounding).
+    *
+    * Scale shape: the [[bigramNll]] discipline — ONE bigram explode
+    * collapses immediately to a (held, doc-or-corpus, w1, w2) TYPE
+    * table (persisted: the train and held consumers push different
+    * filters, so their exchanges don't canonicalize equal), the model
+    * counts are re-aggregations of that bounded table, the vocab size
+    * is a 1-row broadcast, and the scoring join is per held TYPE, never
+    * per occurrence. Caller contract as [[Curation.curate]]:
+    * clearCache between unrelated runs. */
+  def docNll(docs: DataFrame, textCol: String, idCol: String,
+      holdoutMod: Int = 10, k: Double = 1.0): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(k > 0, s"add-k smoothing needs k > 0: $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    val typeTable = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), held.as("__held"),
+        explode(arrays_zip(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+      .groupBy(col("__held"),
+        when(col("__held"), col("__id")).as("__id"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    val cb = typeTable.filter(!col("__held"))
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__n")).as("__cb"))
+    val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+    val vocab = docs
+      .filter(col(textCol).isNotNull && !held)
+      .select(explode(toks).as("__w"))
+      .agg(count_distinct(col("__w")).as("__v"))
+    typeTable.filter(col("__held"))
+      .join(cb, Seq("__w1", "__w2"), "left")
+      .join(cu, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), col("__n"),
+        (-log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(k)) /
+          (coalesce(col("__cu"), lit(0L)).cast("double") +
+            lit(k) * col("__v").cast("double")))).as("__nll"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        round(sum(col("__nll") * col("__n").cast("double")) /
+          sum(col("__n")).cast("double"), 6).as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
+  }
+
   /** Corpus-level Flesch reading-ease panel from EXACT integer totals —
     * readability as a curation signal ("is this source academic prose or
     * listicles?"). Heuristics are deliberately simple and
