@@ -402,6 +402,32 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("docNll: per-held-doc scores match the hand-computed add-1 model; " +
+    "the LM never sees the doc it scores") {
+    import spark.implicits._
+    // train (odd ids): "a b a" -> (a,b)(b,a); "a b" -> (a,b); V={a,b}
+    // held doc 2 "a b c": (a,b) -ln((2+1)/(2+2)); (b,c) -ln((0+1)/(1+2))
+    // held doc 4 "b a":   (b,a) -ln((1+1)/(1+2))
+    // held doc 6 "x": single token, no bigram -> absent from output
+    val docs = Seq(
+      (1L, "a b a"), (3L, "a b"),
+      (2L, "a b c"), (4L, "b a"), (6L, "x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docNll(docs, "text", "doc_id", holdoutMod = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(2L, 4L))
+    val d2 = (-math.log(3.0 / 4.0) + math.log(3.0)) / 2.0
+    val d4 = -math.log(2.0 / 3.0)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - d2) < 2e-6)
+    assert(out(4L)._1 == 1 && math.abs(out(4L)._2 - d4) < 2e-6)
+    // the doc's own bigrams never train the model: doc 2's (b,c) is
+    // priced as unseen even though doc 2 itself carries it
+    intercept[IllegalArgumentException] {
+      CorpusStats.docNll(docs, "text", "doc_id", holdoutMod = 1)
+    }
+  }
+
   test("readability: exact totals, floor-1 sentences and syllables") {
     import spark.implicits._
     // "Hello world. Bye." : words 3, sentence runs 2, vowel runs 4
