@@ -528,6 +528,37 @@ object TextDedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Per-document duplication-risk triage from winnowing fingerprint
+    * carrier counts — the audit a pipeline runs BEFORE any pair join:
+    * a document whose [[winnow]] fingerprints are mostly carried by
+    * other documents is near-dup/boilerplate material (and tells you
+    * how big [[winnowPairs]]' join would get), while the triage itself
+    * never forms a pair. Returns per doc `(idCol, n_fps, n_shared_fps,
+    * max_carriers, risk_share)` — `max_carriers` is the doc's worst
+    * boilerplate fingerprint (the [[winnowPairs]] maxCarriers knob is
+    * set from exactly this distribution).
+    *
+    * Scale shape: [[winnow]]'s per-document work + one DISTINCT, then
+    * a fingerprint-keyed carrier aggregation and a fingerprint-keyed
+    * join of two frames sharing the same child subtree (one exchange,
+    * reused), and a per-doc aggregation. NO pair generation anywhere —
+    * this is the linear-cost question, the quadratic one is
+    * winnowPairs'. */
+  def winnowRisk(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, w: Int): DataFrame = {
+    val fps = winnow(docs, textCol, idCol, k, w)
+    val carriers = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("__c"))
+    fps.join(carriers, "fingerprint")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("__c") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+        max(col("__c")).as("max_carriers"))
+      .withColumn("risk_share",
+        round(col("n_shared_fps").cast("double") /
+          col("n_fps").cast("double"), 6))
+  }
+
   /** Per-source token accounting for exact-substring dedup — what a
     * dataset card reports after the [[duplicatedSpans]] pass: how many
     * TOKENS of each source sit inside corpus-duplicated spans, and the

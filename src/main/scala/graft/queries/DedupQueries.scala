@@ -192,6 +192,18 @@ private[graft] object DedupQueries {
     }),
 
 
+    // Pair-free duplication triage: per-doc share of winnowing
+    // fingerprints carried by >= 2 docs + the worst carrier count (the
+    // distribution winnowPairs' maxCarriers is set from). Round-12
+    // addition under the substantive-oracle policy (the oracle replays
+    // the full md5 winnow + carrier join).
+    "q258_winnow_risk" -> ((s, d) => {
+      TextDedup.winnowRisk(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 3, w = 4)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
     // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
     // answer — the sketch (built and probed with Spark's own
     // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
@@ -580,6 +592,26 @@ private[graft] object DedupQueries {
         |  unnest([list_min(gh[i:i+3])
         |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS fingerprint
         |FROM g ORDER BY doc_id, fingerprint""".stripMargin,
+
+
+    "q258_winnow_risk" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d),
+        |fp AS (SELECT DISTINCT doc_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS fingerprint
+        |  FROM g),
+        |c AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS c FROM fp
+        |  GROUP BY fingerprint)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared_fps,
+        |  max(c) AS max_carriers,
+        |  round(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS risk_share
+        |FROM fp JOIN c USING (fingerprint)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
     "q109_containment" ->

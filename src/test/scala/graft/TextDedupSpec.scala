@@ -517,6 +517,25 @@ class TextDedupSpec extends AnyFunSuite {
       Option(ex.getCause).exists(_.getMessage.contains("winnowPairs")))
   }
 
+  test("winnowRisk: shared fingerprints counted per doc, no pairs formed") {
+    import spark.implicits._
+    // docs 1-3 are clones (every fingerprint carried by 3), doc 4 is
+    // disjoint vocabulary (all fingerprints unique to it)
+    val clone = "a1 b2 c3 d4 e5 f6"
+    val docs = Seq((1L, clone), (2L, clone), (3L, clone),
+      (4L, "z1 y2 x3 w4 v5 u6")).toDF("doc_id", "text")
+    val out = TextDedup.winnowRisk(docs, "text", "doc_id", k = 2, w = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    for (id <- 1L to 3L) {
+      val (n, shared, mx, share) = out(id)
+      assert(n >= 1 && shared == n && mx == 3L && share == 1.0,
+        s"clone doc $id: ${out(id)}")
+    }
+    val (n4, s4, m4, sh4) = out(4L)
+    assert(n4 >= 1 && s4 == 0L && m4 == 1L && sh4 == 0.0)
+  }
+
   test("duplicatedTokenImpact merges overlapping islands before counting") {
     import spark.implicits._
     // k=2. Docs 1 and 2 share "a b" and "c d" but NOT the bridge "b q"
