@@ -355,9 +355,19 @@ object Relational {
     * unbounded parallelism. Use the plain window below ~1 partition-worth
     * of rows per group; use this when groups are few and huge.
     * `sortCols` must totally order rows within a group (add a unique
-    * tie-break) or ranks are nondeterministic. */
+    * tie-break) or ranks are nondeterministic.
+    *
+    * The low-cardinality contract is ENFORCED, not advisory (round-12;
+    * previously a comment): the counting pass's driver collect is
+    * O(partitions × groups), so each counting task fail-fasts once it
+    * has seen more than `maxGroups` distinct group runs — the job dies
+    * in the executor naming the cap instead of shipping an unbounded
+    * count array to the driver. High-cardinality ranking belongs to
+    * the plain window (whose parallelism = |groups| is then fine). */
   def groupedRowNumber(df: DataFrame, groupCols: Seq[String],
-      sortCols: Seq[Column], rankCol: String): DataFrame = {
+      sortCols: Seq[Column], rankCol: String,
+      maxGroups: Int = 10000): DataFrame = {
+    require(maxGroups >= 1, s"maxGroups must be positive: $maxGroups")
     val spark = df.sparkSession
     // Group keys are compared with JVM equality (Seq[Any].==): binary and
     // nested types compare by reference there and would silently produce
@@ -391,7 +401,16 @@ object Relational {
       it.foreach { r =>
         val k = gKey(r)
         if (k == cur) c += 1
-        else { if (cur != null) out += ((pid, cur, c)); cur = k; c = 1L }
+        else {
+          if (cur != null) out += ((pid, cur, c))
+          if (out.size > maxGroups) throw new IllegalArgumentException(
+            s"groupedRowNumber: partition $pid saw > maxGroups=$maxGroups " +
+              "distinct groups; this operator is for LOW-cardinality " +
+              "groups (the counting collect is O(partitions x groups)) — " +
+              "use a plain window for high-cardinality ranking or raise " +
+              "maxGroups")
+          cur = k; c = 1L
+        }
       }
       if (cur != null) out += ((pid, cur, c))
       out.iterator

@@ -149,6 +149,16 @@ class RelationalSpec extends AnyFunSuite {
     val gotD = Relational.groupedRowNumber(df, Seq("g"),
       Seq(col("v").desc, col("id")), "rn")
     assert(gotD.except(expectedD).isEmpty && expectedD.except(gotD).isEmpty)
+    // the low-cardinality contract is enforced: a high-cardinality group
+    // key fail-fasts in the counting pass instead of collecting
+    // O(partitions x groups) to the driver
+    val ex = intercept[Exception] {
+      Relational.groupedRowNumber(df, Seq("id"), Seq(col("v")), "rn",
+        maxGroups = 100).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("maxGroups")))
   }
 
   test("weightedSample keeps per-group fractions deterministically") {
