@@ -559,6 +559,39 @@ object TextDedup {
           col("n_fps").cast("double"), 6))
   }
 
+  /** Fingerprint-level decontamination triage — [[contaminatedIds]]'
+    * question asked of the [[winnow]] sketch instead of every gram:
+    * per train document, the share of its winnowing fingerprints that
+    * appear anywhere in the eval corpus. The winnowing guarantee makes
+    * this the cheap FIRST pass of a decontamination pipeline: any
+    * shared run of ≥ w+k−1 tokens is certain to share a fingerprint,
+    * so hit_share = 0 clears a document with ~2/(w+1) of the gram-level
+    * work, and only the hits proceed to [[contaminatedSpans]]' exact
+    * surgery. Returns `(idCol, n_fps, n_hit, hit_share)` per train doc.
+    *
+    * Scale shape: per-document winnow work on both sides; the eval
+    * fingerprint set collapses to a DISTINCT fixed-width-hash frame and
+    * broadcasts behind the same counted `maxEvalGrams` fail-fast as the
+    * gram-level family (fingerprints are a strict subset of grams, so
+    * the broadcast premise is weaker than [[contaminatedIds]]'); one
+    * per-doc aggregation. Never a pair join. */
+  def winnowContainment(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, k: Int, w: Int,
+      maxEvalGrams: Long = 10000000L): DataFrame = {
+    val evalFps = guardEvalBroadcast(
+        winnow(evalSet, textCol, idCol, k, w)
+          .select(col("fingerprint")).distinct(),
+        "fingerprint", maxEvalGrams, "winnowContainment")
+      .withColumn("__hit", lit(1L))
+    winnow(train, textCol, idCol, k, w)
+      .join(broadcast(evalFps), Seq("fingerprint"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fps"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("hit_share",
+        round(col("n_hit").cast("double") / col("n_fps").cast("double"), 6))
+  }
+
   /** Per-source token accounting for exact-substring dedup — what a
     * dataset card reports after the [[duplicatedSpans]] pass: how many
     * TOKENS of each source sit inside corpus-duplicated spans, and the

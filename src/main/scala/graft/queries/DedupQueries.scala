@@ -204,6 +204,20 @@ private[graft] object DedupQueries {
     }),
 
 
+    // Fingerprint-level decontamination triage on the q73 fixture: the
+    // winnowing guarantee (any shared run >= w+k-1 tokens shares a
+    // fingerprint) makes hit_share = 0 a cheap certificate of
+    // gram-level cleanliness before contaminatedSpans' exact surgery.
+    "q259_winnow_containment" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      TextDedup.winnowContainment(
+          docs.filter(col("doc_id") % 20 =!= 7),
+          docs.filter(col("doc_id") % 20 === 7),
+          "text", "doc_id", k = 3, w = 4)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
     // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
     // answer — the sketch (built and probed with Spark's own
     // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
@@ -612,6 +626,26 @@ private[graft] object DedupQueries {
         |    / CAST(count(*) AS DOUBLE), 6) AS risk_share
         |FROM fp JOIN c USING (fingerprint)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+
+    "q259_winnow_containment" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d),
+        |fp AS (SELECT DISTINCT doc_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS fingerprint
+        |  FROM g),
+        |ev AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 20 = 7),
+        |tr AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 20 <> 7)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |  CAST(sum(CASE WHEN ev.fingerprint IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hit,
+        |  round(CAST(sum(CASE WHEN ev.fingerprint IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hit_share
+        |FROM tr LEFT JOIN ev ON tr.fingerprint = ev.fingerprint
+        |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
 
 
     "q109_containment" ->

@@ -536,6 +536,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(n4 >= 1 && s4 == 0L && m4 == 1L && sh4 == 0.0)
   }
 
+  test("winnowContainment: the winnow guarantee certifies hits and " +
+    "clears disjoint docs; the eval broadcast guard fires") {
+    import spark.implicits._
+    val (k, w) = (2, 3)
+    // shared run of w + k - 1 = 4 tokens -> doc 1 MUST hit; doc 2 is
+    // disjoint vocabulary -> 0 hits, hit_share 0
+    val shared = "s1 s2 s3 s4"
+    val train = Seq(
+      (1L, s"n1 n2 $shared n3"),
+      (2L, "z1 z2 z3 z4 z5 z6 z7")).toDF("doc_id", "text")
+    val evalSet = Seq((100L, s"e1 $shared e2")).toDF("doc_id", "text")
+    val out = TextDedup.winnowContainment(train, evalSet, "text",
+        "doc_id", k = k, w = w)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._2 >= 1L, s"guaranteed hit missing: ${out(1L)}")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    val ex = intercept[Exception] {
+      TextDedup.winnowContainment(train, evalSet, "text", "doc_id",
+        k = k, w = w, maxEvalGrams = 1L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("winnowContainment")))
+  }
+
   test("duplicatedTokenImpact merges overlapping islands before counting") {
     import spark.implicits._
     // k=2. Docs 1 and 2 share "a b" and "c d" but NOT the bridge "b q"
