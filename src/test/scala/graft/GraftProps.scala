@@ -700,6 +700,91 @@ object GraftProps extends Properties("graft") {
       got == expect
     }
 
+  property("weightedContamination equals an integer-exact driver replay") =
+    forAll(Gen.listOfN(4, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc"))),
+      Gen.listOfN(2, Gen.listOfN(4, Gen.oneOf("aa", "bb", "dd")))) {
+      (train0, eval0) =>
+        import spark.implicits._
+        val k = 2
+        val train = train0.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        val evalDocs = eval0.zipWithIndex
+          .map { case (ts, i) => (100L + i, ts.mkString(" ")) }
+        val got = graft.operators.TextDedup.weightedContamination(
+            train.toDF("doc_id", "text"), evalDocs.toDF("doc_id", "text"),
+            "text", "doc_id", k = k)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+          .toSet
+        // replay: DISTINCT grams per doc; df = distinct train carriers;
+        // weight = floor(1e6 / df); share = overlap weight / total weight
+        def gramsOf(text: String): Set[String] = {
+          val t = text.split(" ", -1)
+          (1 to math.max(t.length - k + 1, 1))
+            .map(p => t.slice(p - 1, p - 1 + k).mkString(" ")).toSet
+        }
+        val tg = train.map { case (id, tx) => id -> gramsOf(tx) }
+        val dfc = tg.flatMap { case (id, gs) => gs.map(_ -> id) }
+          .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+        val evalSet = evalDocs.flatMap(d => gramsOf(d._2)).toSet
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expect = tg.flatMap { case (id, gs) =>
+          val w = gs.toSeq.map(g => g -> (1000000L / dfc(g)))
+          val ow = w.collect { case (g, x) if evalSet(g) => x }.sum
+          val nOv = gs.count(evalSet)
+          if (nOv >= 1)
+            Some((id, gs.size.toLong, nOv.toLong,
+              r6(ow.toDouble / w.map(_._2).sum.toDouble)))
+          else None
+        }.toSet
+        got == expect
+    }
+
+  property("dsirResample equals the driver replay on random corpora") =
+    forAll(Gen.listOfN(5, Gen.listOfN(5, Gen.oneOf("aa", "bb", "cc"))),
+      Gen.listOfN(2, Gen.listOfN(4, Gen.oneOf("aa", "bb", "dd")))) {
+      (pool0, tgt0) =>
+        import spark.implicits._
+        val B = 8
+        val pool = pool0.zipWithIndex
+          .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        val target = tgt0.zipWithIndex
+          .map { case (ts, i) => (100L + i, ts.mkString(" ")) }
+        val got = graft.operators.Curation.dsirResample(
+            pool.toDF("doc_id", "text"), target.toDF("doc_id", "text"),
+            "text", "doc_id", k = pool.size, numBuckets = B)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+            r.getDouble(3)))
+        def gramsOf(text: String): Seq[Long] = {
+          val t = text.split(" ", -1).toSeq
+          val bi = (1 to math.max(t.size - 1, 1)).map(i =>
+            t.slice(i - 1, i + 1).mkString(" "))
+          (t ++ bi).map(g =>
+            java.lang.Long.parseLong(md5hex(g).take(8), 16) % B)
+        }
+        val pg = pool.map { case (id, tx) => id -> gramsOf(tx) }
+        val tg = target.flatMap(d => gramsOf(d._2))
+        val cs = pg.flatMap(_._2).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val ct = tg.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val (ns, nt) = (pg.map(_._2.size).sum.toDouble, tg.size.toDouble)
+        def lr(b: Long) =
+          math.log((ct.getOrElse(b, 0L) + 1.0) / (nt + B)) -
+            math.log((cs.getOrElse(b, 0L) + 1.0) / (ns + B))
+        def r6(x: Double) =
+          BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val expect = pg.map { case (id, bs) =>
+          val lw = bs.map(lr).sum
+          val h13 = java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+          val u = (h13 + 0.5) / 4503599627370496.0
+          (id, bs.size.toLong, r6(lw), r6(lw - math.log(-math.log(u))))
+        }.sortBy(e => (-e._4, e._1))
+        got.toSeq == expect
+    }
+
   property("winnowPairs equals a full driver-side winnowing + Jaccard replay") =
     forAll(Gen.listOfN(4, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc")))) {
       docs0 =>
