@@ -64,6 +64,15 @@ object Bench {
       // Verify keeps Spark defaults.
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "false"))
+      // local[N] shuffles never cross a network and mostly hit the page
+      // cache, so block compression is pure CPU cost — A/B knob (core
+      // conf: must be set before the context starts, hence env-only)
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
+      .config("spark.broadcast.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       // Static conf, must precede session creation: the default generated-
       // class cache holds 100 entries; 45+ queries × several codegen stages
