@@ -36,7 +36,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     QuerySupport.singlePartitionFinals = true // harness JVM: bench-scale finals
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default = the machine's cores, NOT a fixed small number: the
+    // round-1 default of 4 silently measured five round-12 windows on
+    // 4 of 32 cores against a 32-thread DuckDB oracle (the driver
+    // passes 32 explicitly, so this default only guards manual runs).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // Round-11 constant attack (measured, graft.Prof conf_sweep, sf0.1,
