@@ -216,9 +216,15 @@ object TextDedup {
     * a named limit + the Bloom-path pointer rather than a driver OOM.
     * Cost when the guard passes: one extra aggregate over the
     * MBs-sized eval grams — noise. */
-  private def guardEvalBroadcast(evalGrams: DataFrame, gramCol: String,
+  private def guardEvalBroadcast(evalGrams0: DataFrame, gramCol: String,
       maxEvalGrams: Long, op: String): DataFrame = {
     require(maxEvalGrams > 0, "maxEvalGrams must be positive")
+    // persist: the gram frame feeds both the count and the broadcast
+    // build — without the cache the guard re-tokenizes the eval corpus
+    // (small by contract, but the extra explode showed up as ~0.15 s on
+    // q256). Caller contract as [[contaminatedIdsBloom]]: clearCache
+    // between unrelated runs.
+    val evalGrams = evalGrams0.persist()
     evalGrams
       .crossJoin(broadcast(evalGrams
         .agg(count(lit(1)).as("__ne"))))
