@@ -700,6 +700,21 @@ object GraftProps extends Properties("graft") {
       got == expect
     }
 
+  property("coOccurrenceEdges(minGroups=1) equals coOccurrencePairs sans cut") =
+    forAll(Gen.listOfN(12, Gen.zip(Gen.choose(1L, 4L),
+      Gen.oneOf("a", "b", "c", "d")))) { rows0 =>
+      import spark.implicits._
+      val df = rows0.toDF("g", "i")
+      val edges = graft.operators.Itemsets.coOccurrenceEdges(df, "g", "i")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val pairs = graft.operators.Itemsets.coOccurrencePairs(df, "g", "i",
+          topK = 1000)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSet
+      edges == pairs
+    }
+
   property("weightedContamination equals an integer-exact driver replay") =
     forAll(Gen.listOfN(4, Gen.listOfN(6, Gen.oneOf("aa", "bb", "cc"))),
       Gen.listOfN(2, Gen.listOfN(4, Gen.oneOf("aa", "bb", "dd")))) {
