@@ -538,18 +538,25 @@ object Curation {
         "defined over bounded marginal strata; aggregate the grid " +
         "coarser or raise maxCells")
     // driver-local IPF, replicating the distributed form's semantics:
-    // sum skips NULLs; when(sum > 0, m * (t / sum)) else NULL
-    final case class C(rk: Any, ck: Any, n: Long, tr: Double, tc: Double,
-      m: Option[Double])
+    // sum skips NULLs; when(sum > 0, m * (t / sum)) else NULL. A NULL
+    // target (possible — targets are only cast, not null-filtered)
+    // propagates NULL into the cell mass, exactly as the distributed
+    // form's `m * (NULL / s)` did, instead of NPE-ing on getDouble.
+    final case class C(rk: Any, ck: Any, n: Long, tr: Option[Double],
+      tc: Option[Double], m: Option[Double])
+    def optD(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     var cs = grid.toSeq.map(r =>
-      C(r.get(0), r.get(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+      C(r.get(0), r.get(1), r.getLong(2), optD(r, 3), optD(r, 4),
         Some(r.getLong(2).toDouble)))
-    def pass(key: C => Any, t: C => Double): Unit = {
+    def pass(key: C => Any, t: C => Option[Double]): Unit = {
       val sums = cs.groupBy(key).map { case (g, xs) =>
         g -> xs.flatMap(_.m).foldLeft(0.0)(_ + _) }
       cs = cs.map { c =>
         val s = sums(key(c))
-        c.copy(m = if (s > 0.0) c.m.map(_ * (t(c) / s)) else None)
+        c.copy(m =
+          if (s > 0.0) for (mv <- c.m; tv <- t(c)) yield mv * (tv / s)
+          else None)
       }
     }
     (1 to iterations).foreach { _ => pass(_.rk, _.tr); pass(_.ck, _.tc) }

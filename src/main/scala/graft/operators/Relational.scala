@@ -396,23 +396,29 @@ object Relational {
     // this is a streaming count over group changes, not a hash map
     val counts = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Any], Long)]
+      // every append goes through this guard, including the final
+      // group flushed after the loop — a partition can never emit
+      // more than maxGroups group runs without raising
+      def appendGuarded(g: Seq[Any], n: Long): Unit = {
+        out += ((pid, g, n))
+        if (out.size > maxGroups) throw new IllegalArgumentException(
+          s"groupedRowNumber: partition $pid saw > maxGroups=$maxGroups " +
+            "distinct groups; this operator is for LOW-cardinality " +
+            "groups (the counting collect is O(partitions x groups)) — " +
+            "use a plain window for high-cardinality ranking or raise " +
+            "maxGroups")
+      }
       var cur: Seq[Any] = null
       var c = 0L
       it.foreach { r =>
         val k = gKey(r)
         if (k == cur) c += 1
         else {
-          if (cur != null) out += ((pid, cur, c))
-          if (out.size > maxGroups) throw new IllegalArgumentException(
-            s"groupedRowNumber: partition $pid saw > maxGroups=$maxGroups " +
-              "distinct groups; this operator is for LOW-cardinality " +
-              "groups (the counting collect is O(partitions x groups)) — " +
-              "use a plain window for high-cardinality ranking or raise " +
-              "maxGroups")
+          if (cur != null) appendGuarded(cur, c)
           cur = k; c = 1L
         }
       }
-      if (cur != null) out += ((pid, cur, c))
+      if (cur != null) appendGuarded(cur, c)
       out.iterator
     }.collect()
     // per-group prefix sums over partitions in range order

@@ -312,4 +312,20 @@ class CurationSpec extends AnyFunSuite {
       rt, ct)
     assert(missing.filter(col("row_key") === "c").count() == 0)
   }
+
+  test("rakeWeights: NULL target propagates NULL mass/weight, no NPE") {
+    import spark.implicits._
+    val cells = Seq(("a", 0L, 10L), ("a", 1L, 10L), ("b", 0L, 10L),
+      ("b", 1L, 10L)).toDF("row_key", "col_key", "n")
+    // row b's target is NULL: joins (NULL is a value here, not a key),
+    // and the distributed form computed m * (NULL / s) = NULL — the
+    // driver-local IPF must do the same instead of NPE-ing on getDouble
+    val rt = Seq(("a", Some(20.0)), ("b", None))
+      .toDF("row_key", "target")
+    val ct = Seq((0L, 20.0), (1L, 20.0)).toDF("col_key", "target")
+    val out = Curation.rakeWeights(cells, rt, ct).collect()
+      .map(r => (r.getString(0), (r.isNullAt(3), r.isNullAt(4)))).toMap
+    assert(out("b") == ((true, true)), "NULL-target row -> NULL mass")
+    assert(out("a") == ((false, false)), "targeted row still raked")
+  }
 }

@@ -159,6 +159,16 @@ class RelationalSpec extends AnyFunSuite {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("maxGroups")))
+    // the guard also covers the FINAL group run flushed after the
+    // loop: with 2 groups and maxGroups=1, the boundary partition
+    // holding g1's tail and g2's head emits its 2nd run post-loop —
+    // that append must raise too (it was unchecked before round 13)
+    val two = (1 to 5000).map(i => (i % 2, i)).toDF("g", "id")
+    val exTail = intercept[Exception] {
+      Relational.groupedRowNumber(two, Seq("g"), Seq(col("id")), "rn",
+        maxGroups = 1).count()
+    }
+    assert(msgs(exTail).exists(_.contains("maxGroups")))
   }
 
   test("weightedSample keeps per-group fractions deterministically") {
