@@ -188,7 +188,19 @@ object Bench {
           // 0.15 s oracle; a persist lost both round-9 A/B orderings and
           // the round-11 broadcast-hint A/B was a warm-state wash
           // (0.82/0.82, 1.11/1.12 full). Stage-constant, not plan waste.
-          "q163_negative_sampling")
+          "q163_negative_sampling",
+          // floor-decomposition class, retired round 13 after four
+          // rounds on the letter: strict subsets in ONE Prof JVM
+          // (q160_fit_ab, 2026-08-15) — bare scan+project 0.21 s, bare
+          // scan+total-order-sort 0.32 s, whole query 0.67-0.70 s vs a
+          // ~0.18 s oracle; the fit itself is NOT the cost (old 3-scan
+          // broadcast-leg fit vs round-13 localized single-pass fit was
+          // a wash, 0.69/0.69), and the round-11 sort-shape A/B
+          // (repartition(1) vs range) was also a wash. Two inherently
+          // serial passes (fit, then probe+sort) × the per-job stage
+          // constant IS the remaining wall. Stage-constant, not plan
+          // waste.
+          "q160_target_encode")
         val w = results.collect { case (k, v)
           if v > 0 && !scopeExcluded(k) &&
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>

@@ -409,6 +409,75 @@ object Prof {
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
             when(j === 0, x + lit(0.001f * i)).otherwise(x))))
+    } else if (args.headOption.contains("q160_fit_ab")) {
+      // Old 3-scan broadcast-leg fit vs the round-13 localized fit,
+      // interleaved in ONE JVM.
+      val orders = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/orders.parquet"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def oldShape() = {
+        val pow = 100L
+        val q = graft.functions.Decimals.unscaledLong(col("o_totalprice"), 2)
+        val quantized = orders.select(col("o_orderkey"),
+          col("o_orderpriority"), q.as("__q"))
+        val perCat = quantized.groupBy(col("o_orderpriority"))
+          .agg(sum(col("__q")).as("__s"), count(col("__q")).as("__n"))
+        val total = quantized.agg(sum(col("__q")).cast(dec38).as("__ts"),
+          count(col("__q")).as("__tn"))
+        val gm = (col("__ts") / lit(pow)).cast("double") /
+          col("__tn").cast("double")
+        val looSum = ((col("__s").cast(dec38) - col("__q")) / lit(pow))
+          .cast("double")
+        quantized.join(broadcast(perCat), Seq("o_orderpriority"), "left")
+          .crossJoin(broadcast(total))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("__n").as("n_cat"),
+            round((looSum + lit(10.0) * gm) /
+              (col("__n").cast("double") - lit(1.0) + lit(10.0)), 6)
+              .as("loo_enc"))
+          .orderBy(col("o_orderkey"))
+      }
+      def newShape() = graft.operators.Features.looTargetEncode(orders,
+          "o_orderkey", "o_orderpriority", "o_totalprice",
+          scale = 2, smoothing = 10.0)
+        .orderBy(col("o_orderkey"))
+      // strict-subset floors: the probe scan+project alone, and the
+      // scan+total-order sort alone — if the sort floor ≈ the whole
+      // query, the residual operator cost is the constant, not the fit
+      def floorScan() = orders.select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      def floorSort() = floorScan().orderBy(col("o_orderkey"))
+      (1 to 3).foreach { _ =>
+        t("q160_floor_scan")(floorScan())
+        t("q160_floor_sort")(floorSort())
+        t("q160_old3scan")(oldShape())
+        t("q160_localfit")(newShape())
+      }
+    } else if (args.headOption.contains("q232_sub")) {
+      // Where does silhouette's constant go? Time strict subsets:
+      // the 64-dim decimal centroid agg alone, the rows+dot scan
+      // alone, then the full query — difference is the cross-join +
+      // final aggs + their plan-compile mass.
+      val emb = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/embeddings.parquet"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def asD = col("embedding").cast("array<double>")
+      def cents() = {
+        val sums = (0 until 64).map(i => sum(graft.functions.Decimals
+          .unscaledLong(element_at(asD, i + 1), 6)).as(s"__s$i"))
+        emb.filter(col("label").isNotNull)
+          .groupBy(col("label").as("__cl"))
+          .agg(count(lit(1)).as("__n"), sums: _*)
+      }
+      def rowsOnly() = emb.filter(col("label").isNotNull)
+        .select(col("label"), col("vec_id"),
+          graft.functions.VectorFunctions.dot(asD, asD).as("__vv"))
+      val q232 = SparkEntry.queries("q232_silhouette")
+      (1 to 3).foreach { _ =>
+        t("q232_cents")(cents())
+        t("q232_rows")(rowsOnly())
+        t("q232_full")(q232(spark, d))
+      }
     } else if (args.headOption.contains("conf_sweep")) {
       // Per-query fixed-cost experiment: the same query set under
       // (AQE on/off) × (shuffle partitions) in ONE JVM, interleaved so

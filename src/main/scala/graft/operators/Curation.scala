@@ -351,38 +351,64 @@ object Curation {
     * test, the cold-start population whose metrics a temporal evaluation
     * must report separately.
     *
-    * Scale shape: the rank is [[Relational.groupedRowNumber]]'s
-    * range-partitioned order statistic (no single-task global window),
-    * the cutoff re-enters as a 1-row broadcast, and the audit is two
-    * bounded aggregations plus one anti-join on entity id. */
+    * Scale shape (round-13 rework): the cutoff is
+    * [[Relational.valueAtRank]]'s two-job exact order statistic — the
+    * previous shape materialized a rank COLUMN over every row
+    * ([[Relational.groupedRowNumber]]) and then re-played the whole
+    * range shuffle once more inside the cutoff aggregation's broadcast
+    * leg; extracting the one row the cutoff needs deletes both. The
+    * cutoff then enters the per-row pass as a LITERAL (driver value, 1
+    * row — bounded metadata), and the audit is ONE entity-keyed
+    * aggregation carrying train/test presence flags (per-split entity
+    * counts and the cold-start count fall out of the same pass) plus
+    * one split-keyed event aggregation — replacing two distincts and an
+    * anti-join with a single shuffle on the entity key. */
   def temporalSplit(events: DataFrame, entityCol: String, tsCol: String,
       trainFrac: Double): DataFrame = {
     require(trainFrac > 0.0 && trainFrac < 1.0,
       s"need 0 < trainFrac < 1: $trainFrac")
     val e = events.select(col(entityCol).as("__u"), col(tsCol).as("__ts"))
-      .filter(col("__ts").isNotNull).withColumn("__g", lit(0))
-    val ranked = Relational.groupedRowNumber(e, Seq("__g"),
-        Seq(col("__ts").asc), "__rn")
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("__n"))))
-    val cutoff = ranked.groupBy(col("__g"))
-      .agg(max(when(col("__rn") === ceil(col("__n") * lit(trainFrac)),
-        col("__ts"))).as("__cut"))
-      .drop("__g")
-    val assigned = e.crossJoin(broadcast(cutoff))
-      .withColumn("split",
-        when(col("__ts") <= col("__cut"), lit("train")).otherwise(lit("test")))
+      .filter(col("__ts").isNotNull)
+    val n = e.count()
+    val k = math.ceil(n * trainFrac).toLong
+    // rank-k timestamp: ties at the cutoff VALUE all land in train via
+    // `<=`, exactly as before (the tie order inside equal timestamps
+    // cannot change the value at sorted position k)
+    val cut: Column =
+      if (n == 0L) lit(null).cast(e.schema("__ts").dataType)
+      else lit(Relational.valueAtRank(e.select(col("__ts")),
+        Seq(col("__ts").asc), k).get.get(0))
+    val assigned = e.withColumn("split",
+      when(col("__ts") <= cut, lit("train")).otherwise(lit("test")))
     val perSplit = assigned.groupBy(col("split"))
       .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("__u")).as("n_entities"),
         min(col("__ts")).as("first_ts"), max(col("__ts")).as("last_ts"))
-    val trainEntities = assigned.filter(col("split") === "train")
-      .select(col("__u")).distinct()
-    val cold = assigned.filter(col("split") === "test")
-      .select(col("__u")).distinct()
-      .join(trainEntities, Seq("__u"), "left_anti")
-      .agg(count(lit(1)).as("n_cold_entities"))
-      .withColumn("split", lit("test"))
-    perSplit.join(broadcast(cold), Seq("split"), "left")
+    // one pass over entities: presence flags give per-split entity
+    // counts AND the cold-start population (test-only entities)
+    val entFlags = assigned.groupBy(col("__u"))
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("__ht"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("__hs"))
+    // NULL-entity parity with the previous distinct/anti-join shape:
+    // countDistinct skipped NULL entities (so they count toward NO
+    // split's n_entities), while the anti-join never matched a NULL
+    // key (so a NULL entity seen in test was ALWAYS cold, train
+    // presence or not)
+    val inCount = (flag: Column) =>
+      when(col("__u").isNotNull, flag).otherwise(lit(0L))
+    val entStats = entFlags.select(
+      explode(array(
+        struct(lit("train").as("split"), inCount(col("__ht")).as("__in"),
+          lit(0L).as("__cold")),
+        struct(lit("test").as("split"), inCount(col("__hs")).as("__in"),
+          when(col("__hs") === 1L &&
+              (col("__ht") === 0L || col("__u").isNull), 1L)
+            .otherwise(0L).as("__cold")))).as("__x"))
+      .groupBy(col("__x.split").as("split"))
+      .agg(sum(col("__x.__in")).as("n_entities"),
+        sum(col("__x.__cold")).as("__nc"))
+      .withColumn("n_cold_entities",
+        when(col("split") === "test", col("__nc")).otherwise(lit(0L)))
+    perSplit.join(broadcast(entStats), Seq("split"), "left")
       .na.fill(0L, Seq("n_cold_entities"))
       .select(col("split"), col("n_events"), col("n_entities"),
         col("first_ts"), col("last_ts"), col("n_cold_entities"))

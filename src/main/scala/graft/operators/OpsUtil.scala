@@ -25,4 +25,29 @@ private[graft] object OpsUtil {
     * [[EntityResolution.link]] and [[Similarity.semanticDedup]]. */
   def orRaise(cond: Column, message: Column*): Column =
     when(cond, lit(true)).otherwise(raise_error(concat(message: _*)))
+
+  /** Re-materialize a CONTRACTUALLY-BOUNDED frame as a local relation:
+    * a counted collect (fail-fast past `maxRows`, naming `context`)
+    * followed by `createDataFrame` on the same schema. The bounded-
+    * metadata idiom (the d×d covariance / IPF-grid / BPE-election
+    * precedent): a k-row frame that re-enters the plan as a broadcast
+    * leg otherwise REPLAYS its whole upstream lineage once per leg —
+    * broadcast exchanges cannot reuse shuffle exchanges — and drags
+    * its expression trees into every downstream optimizer pass. After
+    * localization the downstream plan sees a LocalRelation of plain
+    * values: nothing to re-run, nothing to re-optimize. Only for
+    * frames whose row count is bounded by CONSTRUCTION (cluster
+    * count, quantile grid, calendar boundaries) — never for data. */
+  def localized(df: DataFrame, maxRows: Int, context: String): DataFrame = {
+    require(maxRows >= 1, s"maxRows must be positive: $maxRows")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"$context: bounded frame exceeded maxRows=$maxRows — this " +
+        "collect is for contract-bounded metadata frames only; " +
+        "aggregate coarser or raise the bound")
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      df.schema)
+  }
 }

@@ -446,6 +446,55 @@ object Relational {
       org.apache.spark.sql.types.LongType, nullable = false))
   }
 
+  /** The row at 1-based global rank `rank` under `sortCols` — an exact
+    * distributed order statistic (quantile cutoffs, exact percentile
+    * boundaries). Same range-shuffle machinery as [[groupedRowNumber]]
+    * but extracts ONE row instead of materializing a rank column: a
+    * per-partition count pass locates the owning partition, then a
+    * second pass walks that partition's already-sorted iterator to the
+    * local offset (every other partition returns instantly). Both
+    * passes act on the SAME shuffled RDD, so the range exchange runs
+    * once and the second job reuses its shuffle files. `None` when
+    * `rank` exceeds the row count. Driver traffic is one count per
+    * partition plus the single result row — never data.
+    *
+    * `sortCols` need not be a total order when only an ORDER-DETERMINED
+    * column of the result is consumed (the value at sorted position k
+    * is identical under any tie order of equal sort keys); consume a
+    * non-sort column only with a total order. */
+  def valueAtRank(df: DataFrame, sortCols: Seq[Column],
+      rank: Long): Option[org.apache.spark.sql.Row] = {
+    require(rank >= 1, s"rank must be >= 1: $rank")
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = ranged.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1)
+    var remaining = rank - 1
+    var owner = -1
+    var i = 0
+    while (owner < 0 && i < counts.length) {
+      if (remaining < counts(i)._2) owner = counts(i)._1
+      else { remaining -= counts(i)._2; i += 1 }
+    }
+    if (owner < 0) None
+    else {
+      require(remaining <= Int.MaxValue,
+        s"valueAtRank: local offset $remaining exceeds a single " +
+          "partition's addressable range — raise parallelism")
+      val off = remaining.toInt
+      val p = owner
+      // collect, not take(1): take scans partitions 0..p in escalating
+      // extra jobs; collect is ONE job and every non-owner partition
+      // returns an empty iterator immediately
+      rdd.mapPartitionsWithIndex((pid, it) =>
+        if (pid == p) it.slice(off, off + 1) else Iterator.empty
+      ).collect().headOption
+    }
+  }
+
   /** Bucketed co-located table pair: writing both sides bucketed and
     * sorted by the join key lets every future equi-join on that key run
     * shuffle-free (bucket pruning + sort-merge without exchange) — the

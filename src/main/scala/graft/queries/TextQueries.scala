@@ -300,7 +300,11 @@ private[graft] object TextQueries {
     // fail-fast: any block whose pair product exceeds maxBlock raises
     // with the offending key instead of running a quadratic plan.
     "q233_jaro_names" -> ((s, d) => {
-      val base = load(s, d, "customer").select(
+      // parallel(): the pair join broadcasts the right side, so the JW
+      // kernel runs on the STREAMED side's partitioning — a single-file
+      // scan gives 1-2 partitions and the ~1.5M JW evals run on 1-2 of
+      // 32 cores (the q210/q131 lesson, round 13 A/B: 1.17 s → 0.47 s).
+      val base = parallel(load(s, d, "customer")).select(
         expr("substring(c_name, 1, length(c_name) - 2)").as("blk"),
         col("c_custkey").as("id"), col("c_name").as("name"))
       EntityResolution.link(base, base, Seq("blk"),
