@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.expressions.{CdcChunks, CountInSet, DotProduct, KMinDistinct, KMinDistinctMerge, MinGramMd5, MisraGries, NfcNormalize, TokenTf}
+import graft.expressions.{CdcChunks, CountInSet, DotProduct, KMinDistinct, KMinDistinctMerge, MinGramMd5, MisraGries, NfcNormalize, TokenTf, VectorUnscaledSum}
 
 /** Session extension wiring: exposes graft's native Catalyst expressions
   * as SQL functions, so `spark.sql("SELECT graft_dot(a, b)")` works
@@ -123,6 +123,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "graft_kmv_merge(mins, k)")
         KMinDistinctMerge(children.head, intLit(children(1), "k"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vector_unscaled_sum"),
+      new ExpressionInfo(classOf[VectorUnscaledSum].getName,
+        "graft_vector_unscaled_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "graft_vector_unscaled_sum(vec, dim, scale)")
+        VectorUnscaledSum(children.head, intLit(children(1), "dim"),
+          intLit(children(2), "scale"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),

@@ -1,0 +1,141 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Per-dimension exact decimal-quantized sums over an `array<double>`
+  * column, as ONE aggregate returning `array<long>` — the vector-sum
+  * core of exact centroid computation ([[graft.operators.Similarity]]'s
+  * centroid/silhouette family).
+  *
+  * Why not `dim` separate `sum(unscaledLong(element_at(v, i)))`
+  * columns (the shape this replaces): each per-dimension sum is ~15
+  * expression nodes, so a 64-dim centroid aggregation enters the
+  * analyzer/optimizer as a ~1000-node tree and every downstream pass
+  * re-walks it — measured ~0.4 s of pure plan constant at sf0.1
+  * (round 13), against microseconds of actual arithmetic on the data.
+  * This buffer is one `Array[Long]`, the plan carries ONE aggregate
+  * expression, and the update loop is a tight per-element pass.
+  *
+  * Exactness contract: element quantization replicates
+  * [[graft.functions.Decimals.unscaledLong]] decision-for-decision —
+  * the `floor(x·10^s + 0.5)` fast path when the scaled value sits
+  * more than 1e-3 from a .5 boundary and below 1e12 in magnitude,
+  * otherwise the exact `BigDecimal.valueOf(x).setScale(s, HALF_UP)`
+  * path (the same string-derived BigDecimal Spark's double→decimal
+  * cast builds) — so a consumer can swap the per-column form for this
+  * aggregate with bit-identical sums. Sums accumulate with
+  * `Math.addExact`: a quantized-total overflow raises loudly (the
+  * ANSI discipline) instead of wrapping.
+  *
+  * Null contract: a NULL array contributes nothing; a NULL element
+  * skips its dimension only; an array shorter than `dim` contributes
+  * its prefix (matching `element_at`'s out-of-range NULL). A dimension
+  * that never saw a value yields NULL in the result — exactly `sum`'s
+  * empty-input semantics — via a per-dimension seen count carried in
+  * the same buffer.
+  *
+  * Scale shape: the buffer is `2·dim` longs regardless of group size,
+  * it partial-aggregates map-side like any sum, and two buffers merge
+  * element-wise — the properties that let a 1000-executor centroid
+  * pass finish in one narrow exchange of `dim`-long rows per group. */
+case class VectorUnscaledSum(
+    child: Expression,
+    dim: Int,
+    scale: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(dim >= 1, s"dim must be >= 1: $dim")
+  require(scale >= 0 && scale <= 9, s"scale must be in [0, 9]: $scale")
+
+  private val pow = math.pow(10, scale)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_vector_unscaled_sum"
+
+  // layout: [0, dim) sums, [dim, 2*dim) per-dimension seen counts
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](2 * dim)
+
+  private def quantize(v: Double): Long = {
+    val scaled = v * pow
+    val fl = math.floor(scaled)
+    if (math.abs(scaled - fl - 0.5) > 1e-3 && math.abs(scaled) < 1e12)
+      math.floor(scaled + 0.5).toLong
+    else
+      java.math.BigDecimal.valueOf(v)
+        .setScale(scale, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+  }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val a = child.eval(input)
+    if (a != null) {
+      val arr = a.asInstanceOf[ArrayData]
+      val n = math.min(dim, arr.numElements())
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          buf(i) = Math.addExact(buf(i), quantize(arr.getDouble(i)))
+          buf(dim + i) += 1L
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < dim) {
+      buf(i) = Math.addExact(buf(i), other(i))
+      buf(dim + i) += other(dim + i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = if (buf(dim + i) > 0L) java.lang.Long.valueOf(buf(i)) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(16 * dim)
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < 2 * dim) { out.writeLong(buf(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new Array[Long](2 * dim)
+    var i = 0
+    while (i < 2 * dim) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VectorUnscaledSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VectorUnscaledSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VectorUnscaledSum =
+    copy(child = newChild)
+}

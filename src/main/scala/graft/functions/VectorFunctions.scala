@@ -29,6 +29,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** One-aggregate exact per-dimension decimal-quantized vector sum
+    * (`array<long>`, NULL for never-seen dimensions) — replaces `dim`
+    * separate `sum(unscaledLong(element_at(...)))` columns whose
+    * ~1000-node plan tree costs more to optimize than the data costs
+    * to sum (see [[graft.expressions.VectorUnscaledSum]]). */
+  def vectorUnscaledSum(vec: Column, dim: Int, scale: Int): Column =
+    ColumnBridge.column(graft.expressions.VectorUnscaledSum(
+      ColumnBridge.expression(asDouble(vec)), dim, scale)
+      .toAggregateExpression())
+
   /** Per-pair cosine. Callers joining queries × corpus should instead
     * precompute each side's norm *before* the join and divide the
     * per-pair [[dot]] by the product — recomputing a norm per pair is

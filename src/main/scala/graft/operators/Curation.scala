@@ -302,7 +302,11 @@ object Curation {
     * oversized group serializes its whole row set into a single window
     * task — the caller should pre-bucket or raise the cap knowingly.
     * (Behavior note: the guard was added in round 12; callers with a
-    * legitimately huge group must now pass `maxGroupRows` explicitly.) */
+    * legitimately huge group must now pass `maxGroupRows` explicitly.
+    * Round 13: the pre-count became a 2-value driver read — max group
+    * size for the guard, total N for the midpoint-rank scale — so the
+    * previous TWO crossJoin(broadcast(...)) legs, each replaying the
+    * full value computation, are gone from the plan.) */
   def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, maxGroupRows: Long = 10000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -310,17 +314,24 @@ object Curation {
     val v = df.select(col(idCol), col(groupCol),
         col(valueCol).cast("double").as(valueCol))
       .filter(col(valueCol).isNotNull)
-    val biggest = v.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
-      .agg(coalesce(max(col("__gn")), lit(0L)).as("__mx"))
+    // the guard stays a TRUE pre-check (it must fire before the window
+    // job buffers a mega-group into one task), but as a 1-row driver
+    // value instead of the previous crossJoin(broadcast(max)) leg —
+    // that leg replayed the whole value computation (e.g. tokenCount
+    // over every doc) a second time inside the plan; the pre-count job
+    // runs the same cheap hash agg once and collects bounded metadata
+    val pre = v.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+      .agg(coalesce(max(col("__gn")), lit(0L)).as("__mx"),
+        coalesce(sum(col("__gn")), lit(0L)).as("__n"))
+      .collect()(0)
+    val mx = pre.getLong(0)
+    val nTotal = pre.getLong(1)
+    require(mx <= maxGroupRows,
+      s"quantileNormalize: largest group has $mx rows (> maxGroupRows=" +
+        s"$maxGroupRows); one group would serialize into a single " +
+        "window task — pre-bucket the group or raise maxGroupRows")
     val wg = Window.partitionBy(col(groupCol))
     val ranked = v
-      .crossJoin(broadcast(biggest))
-      .where(OpsUtil.orRaise(col("__mx") <= maxGroupRows,
-        lit("quantileNormalize: largest group has "), col("__mx"),
-        lit(s" rows (> maxGroupRows=$maxGroupRows); one group would " +
-          "serialize into a single window task — pre-bucket the group " +
-          "or raise maxGroupRows")))
-      .drop("__mx")
       .withColumn("__rn", row_number().over(
         wg.orderBy(col(valueCol).asc, col(idCol).asc)))
       .withColumn("__ng", count(lit(1)).over(wg))
@@ -328,11 +339,10 @@ object Curation {
         v.withColumn("__g", lit(0)), Seq("__g"),
         Seq(col(valueCol).asc, col(idCol).asc), "__grn")
       .select(col("__grn"), col(valueCol).as("norm_val"))
-    val total = v.agg(count(lit(1)).as("__n"))
-    ranked.crossJoin(broadcast(total))
+    ranked
       .withColumn("__tr", ceil(
         (lit(2) * col("__rn") - lit(1)).cast("double") /
-          (lit(2.0) * col("__ng")) * col("__n")).cast("long"))
+          (lit(2.0) * col("__ng")) * lit(nTotal)).cast("long"))
       .join(pooled, col("__tr") === col("__grn"))
       .select(col(idCol), col(groupCol), col(valueCol), col("norm_val"))
   }

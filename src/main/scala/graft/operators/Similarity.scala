@@ -736,27 +736,40 @@ object Similarity {
     * per-dimension mean vector.
     *
     * Exactness: the centroid comes from per-dimension decimal-quantized
-    * sums ([[graft.functions.Decimals.unscaledLong]] at scale 6 — `dim`
-    * exact integer columns in ONE 1-row aggregation), and the distance
-    * is the codegen'd strict-index-order [[VectorFunctions.dot]] fold of
-    * the per-row difference vector — every double is one fixed IEEE op
-    * sequence from exact sums, oracle-reproducible.
+    * sums ([[graft.expressions.VectorUnscaledSum]] at scale 6 — ONE
+    * aggregate carrying exact integer folds, bit-identical to the
+    * per-column `sum(unscaledLong(element_at(...)))` form it replaced),
+    * and the distance is the codegen'd strict-index-order
+    * [[VectorFunctions.dot]] fold of the per-row difference vector —
+    * every double is one fixed IEEE op sequence from exact sums,
+    * oracle-reproducible.
     *
-    * Scale shape: one map-side-combined 1-row aggregation (dim buffers),
-    * the centroid re-enters as a broadcast cross-join, the per-row
-    * distance never shuffles, and top-k is TakeOrderedAndProject. */
+    * Scale shape: one map-side-combined 1-row aggregation (a 2·dim-long
+    * buffer), whose single row is bounded metadata — read on the driver
+    * and re-entered as a LITERAL mean vector (the previous broadcast
+    * cross-join re-evaluated the 64-wide mean array expression per row
+    * and dragged the agg lineage into the probe plan) — then a
+    * shuffle-free per-row distance pass and a TakeOrderedAndProject
+    * top-k. */
   def centroidOutliers(embeds: DataFrame, vecCol: String, idCol: String,
       dim: Int, k: Int): DataFrame = {
     require(dim >= 1 && k >= 1, s"need dim >= 1 and k >= 1: dim=$dim k=$k")
     val v = asDouble(col(vecCol))
-    val sums = (0 until dim).map(i => sum(graft.functions.Decimals
-      .unscaledLong(element_at(v, i + 1), 6)).as(s"__s$i"))
-    val stats = embeds.agg(count(lit(1)).as("__n"), sums: _*)
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val meanArr = array((0 until dim).map(i =>
-      (col(s"__s$i").cast(dec38) / lit(1000000L)).cast("double") /
-        col("__n").cast("double")): _*)
-    embeds.crossJoin(broadcast(stats))
+    val stats = embeds.agg(count(lit(1)).as("__n"),
+      graft.functions.VectorFunctions.vectorUnscaledSum(v, dim, 6)
+        .as("__sv")).collect()(0)
+    // driver fold of the mean, replicating the old expression exactly:
+    // exact decimal·10^-6 → nearest double → one IEEE division by n
+    val n = stats.getLong(0).toDouble
+    val sv = stats.getSeq[Any](1)
+    val meanArr = array((0 until dim).map { i =>
+      sv(i) match {
+        case null => lit(null).cast("double")
+        case s: java.lang.Long => lit(java.math.BigDecimal
+          .valueOf(s.longValue()).movePointLeft(6).doubleValue() / n)
+      }
+    }: _*)
+    embeds
       .select(col(idCol), meanArr.as("__mv"), v.as("__v"))
       .withColumn("__d", zip_with(col("__v"), col("__mv"), (a, b) => a - b))
       .select(col(idCol), round(sqrt(dot(col("__d"), col("__d"))), 6).as("dist"))
@@ -896,14 +909,13 @@ object Similarity {
       idCol: String, labelCol: String, dim: Int,
       maxClusters: Int = 64): DataFrame = {
     require(dim >= 1, s"dim must be >= 1: $dim")
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val v = asDouble(col(vecCol))
-    val sums = (0 until dim).map(i => sum(graft.functions.Decimals
-      .unscaledLong(element_at(v, i + 1), 6)).as(s"__s$i"))
     val cents = embeds
       .filter(col(labelCol).isNotNull)
       .groupBy(col(labelCol).as("__cl"))
-      .agg(count(lit(1)).as("__n"), sums: _*)
+      .agg(count(lit(1)).as("__n"),
+        graft.functions.VectorFunctions.vectorUnscaledSum(v, dim, 6)
+          .as("__sv"))
     // The centroid frame is ≤ maxClusters rows BY CONTRACT — localize
     // it (counted collect, the bounded-metadata idiom) and fold the
     // means driver-side. The previous distributed form re-entered the
@@ -920,11 +932,14 @@ object Similarity {
         s"$maxClusters); the k-way centroid pass is quadratic in k")
     val centroidRows = crows.toSeq.map { r =>
       val n = r.getLong(1).toDouble
+      val sv = r.getSeq[Any](2)
       val cv: Array[Any] = Array.tabulate(dim) { i =>
-        if (r.isNullAt(2 + i)) null
-        else java.lang.Double.valueOf(
-          java.math.BigDecimal.valueOf(r.getLong(2 + i))
-            .movePointLeft(6).doubleValue() / n)
+        sv(i) match {
+          case null => null
+          case s: java.lang.Long => java.lang.Double.valueOf(
+            java.math.BigDecimal.valueOf(s.longValue())
+              .movePointLeft(6).doubleValue() / n)
+        }
       }
       val cc: Any =
         if (cv.contains(null)) null

@@ -367,6 +367,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 1.0), (1L, 2.5)))
   }
 
+  test("VectorUnscaledSum: bit-identical to per-column sum(unscaledLong), " +
+    "null/short-array/boundary contracts") {
+    import spark.implicits._
+    // values chosen to hit BOTH quantization paths: plain values (fast
+    // floor path) and exact-.5 boundaries at scale 6 (decimal path)
+    val rows = Seq(
+      (1L, Seq(0.1234565, -2.5e-7, 1.0)),   // .5 boundaries (scale 6)
+      (2L, Seq(3.14159, 2.718281, -0.5)),
+      (3L, Seq(1e-7, -1e-7, 0.0))
+    ).toDF("id", "vec")
+    val dim = 3
+    val v = col("vec").cast("array<double>")
+    val perCol = rows.agg(
+      (0 until dim).map(i => sum(graft.functions.Decimals
+        .unscaledLong(element_at(v, i + 1), 6)).as(s"s$i")).head,
+      (0 until dim).map(i => sum(graft.functions.Decimals
+        .unscaledLong(element_at(v, i + 1), 6)).as(s"s$i")).tail: _*)
+      .collect()(0)
+    val agg = rows.agg(graft.functions.VectorFunctions
+      .vectorUnscaledSum(col("vec"), dim, 6).as("sv")).collect()(0)
+      .getSeq[Any](0)
+    (0 until dim).foreach { i =>
+      assert(agg(i) == perCol.getLong(i),
+        s"dim $i: ${agg(i)} != ${perCol.getLong(i)}")
+    }
+    // short array: missing dims contribute nothing; a dim NEVER seen is
+    // NULL (sum-over-empty semantics); null array skips entirely
+    val sparse = Seq(
+      (1L, Some(Seq(1.5))), (2L, None: Option[Seq[Double]])
+    ).toDF("id", "vec")
+    val sv = sparse.agg(graft.functions.VectorFunctions
+      .vectorUnscaledSum(col("vec"), 3, 6).as("sv")).collect()(0)
+      .getSeq[Any](0)
+    assert(sv(0) == 1500000L && sv(1) == null && sv(2) == null)
+    // map-side partials merge: many partitions, one exact total
+    val big = spark.range(0, 1000, 1, 16)
+      .select(array(col("id").cast("double") * lit(0.001)).as("vec"))
+    val tot = big.agg(graft.functions.VectorFunctions
+      .vectorUnscaledSum(col("vec"), 1, 6).as("sv")).collect()(0)
+      .getSeq[Any](0)
+    // sum of i*0.001 for i<1000 = 499.5 exactly at scale 6 → 499500000
+    assert(tot(0) == 499500000L, s"got ${tot(0)}")
+  }
+
   test("simplifiedSilhouette: two tight clusters, degenerate single cluster") {
     import spark.implicits._
     val df = Seq(
