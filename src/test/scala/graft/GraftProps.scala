@@ -611,6 +611,57 @@ object GraftProps extends Properties("graft") {
         out.head.getLong(1) == 2L
     }
 
+  property("winnowContainment: planted shared run of >= w+k-1 tokens " +
+    "always hits; disjoint vocab never does") =
+    forAll(Gen.listOfN(4, Gen.oneOf("p", "q", "r", "s")),
+      Gen.listOfN(9, Gen.oneOf("t", "u", "v", "w")),
+      Gen.choose(0, 3)) { (shared0, noise, off) =>
+      import spark.implicits._
+      val (k, w) = (2, 3)
+      // the winnowing guarantee: a shared run of w + k - 1 = 4 tokens
+      // MUST share at least one fingerprint, wherever it sits in the
+      // train doc — so hit_share > 0 for the contaminated doc. The
+      // clean doc's vocabulary is disjoint from eval ("<tok>c" suffix)
+      // so its hit_share must be exactly 0.
+      val shared = shared0.zipWithIndex.map { case (t, i) => s"$t$i" }
+      val train1 = (noise.take(off).map(_ + "1") ++ shared ++
+        noise.slice(off, 6).map(_ + "1")).mkString(" ")
+      val clean = noise.map(_ + "c").mkString(" ")
+      val evalDoc = (noise.drop(6).map(_ + "e") ++ shared).mkString(" ")
+      val train = Seq((1L, train1), (2L, clean)).toDF("doc_id", "text")
+      val ev = Seq((100L, evalDoc)).toDF("doc_id", "text")
+      val got = TextDedup.winnowContainment(train, ev, "text", "doc_id",
+          k = k, w = w)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      got(1L) > 0.0 && got(2L) == 0.0
+    }
+
+  property("coOccurrenceEdges maxBasket boundary: exactly-at-cap passes " +
+    "(multiplicity collapsed first), cap+1 raises naming the operator") =
+    forAll(Gen.choose(2, 5), Gen.choose(1, 3)) { (cap, dup) =>
+      import spark.implicits._
+      // one group holding exactly `cap` DISTINCT items, each row
+      // repeated `dup` times: collect_set dedups in the buffer, so the
+      // guard must see `cap`, not cap*dup — at-cap passes with the full
+      // C(cap,2) pair set
+      val atCap = (0 until cap).flatMap(i =>
+        Seq.fill(dup)((1L, s"i$i"))).toDF("g", "i")
+      val edges = graft.operators.Itemsets
+        .coOccurrenceEdges(atCap, "g", "i", maxBasket = cap).collect()
+      val okAt = edges.length == cap * (cap - 1) / 2 &&
+        edges.forall(_.getLong(2) == 1L)
+      // one more distinct item tips the same group over the cap
+      val over = atCap.union(Seq((1L, s"i$cap")).toDF("g", "i"))
+      val ex = scala.util.Try(graft.operators.Itemsets
+        .coOccurrenceEdges(over, "g", "i", maxBasket = cap).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      val okOver = ex.isFailure &&
+        msgs(ex.failed.get).exists(_.contains("coOccurrenceEdges"))
+      okAt && okOver
+    }
+
   property("duplicatedSpans equals an independent driver-side replay") =
     forAll(Gen.listOfN(5, Gen.listOfN(7, Gen.oneOf("aa", "bb", "cc", "dd")))) {
       docs0 =>
