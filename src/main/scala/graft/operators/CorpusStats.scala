@@ -962,6 +962,200 @@ object CorpusStats {
       .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Per-document TRIGRAM Stupid-Backoff NLL — [[docNll]]'s bigram
+    * add-k model upgraded to the KenLM-style backoff family (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * score function big web-scale LMs actually shipped): a held-out
+    * trigram scores `c3/c2prefix` when the train corpus saw it,
+    * backs off to `α·cb/cu` on the bigram when it didn't, and to
+    * `α²·(c1+k)/(N+kV)` (add-k unigram — the only smoothed level, so
+    * unseen tokens stay finite) at the bottom. Lower avg_nll = more
+    * ordinary prose; the `backoff_share` column says how much of the
+    * score came from fallback levels — a high share means the model,
+    * not the document, is the outlier.
+    *
+    * The LM trains on the `idCol % holdoutMod != 0` split and scores
+    * held-out docs with ≥ 1 trigram. Returns `(idCol, n_trigrams,
+    * n_backoff, avg_nll, backoff_share)` — counts exact, the two
+    * ratios rounded at 6.
+    *
+    * Registry policy note: like [[docNll]], this stays a spec-held
+    * library operator WITHOUT an oracle row — its minimal DuckDB
+    * program measures ~0.17 s at sf0.1 (round-13, plain
+    * string_split+joins on 5k docs), squarely in the letter-eligible
+    * band no Spark plan with 3+ jobs can clear; the documented
+    * substantive-oracle bar keeps it out of the bench registry.
+    *
+    * Scale shape: the [[bigramNll]] discipline — each n-gram order
+    * explodes ONCE and collapses immediately to a persisted TYPE table
+    * keyed (held, doc-or-corpus, grams); model counts are
+    * re-aggregations of bounded type tables; the scoring pass is a
+    * chain of hash joins per held TYPE, never per occurrence; V and N
+    * are a 1-row broadcast. Caller contract as [[Curation.curate]]:
+    * clearCache between unrelated runs. */
+  def docNllBackoff(docs: DataFrame, textCol: String, idCol: String,
+      holdoutMod: Int = 10, alpha: Double = 0.4,
+      k: Double = 1.0): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(alpha > 0 && alpha <= 1, s"need 0 < alpha <= 1: $alpha")
+    require(k > 0, s"add-k smoothing needs k > 0: $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    def grams(n: Int) = arrays_zip(
+      (0 until n).map(i => slice(toks, lit(1 + i),
+        greatest(size(toks) - (n - 1), lit(0)))): _*)
+    val triTypes = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), held.as("__held"),
+        explode(grams(3)).as("__g"))
+      .groupBy(col("__held"),
+        when(col("__held"), col("__id")).as("__id"),
+        col("__g.0").as("__w1"), col("__g.1").as("__w2"),
+        col("__g.2").as("__w3"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    val c3 = triTypes.filter(!col("__held"))
+      .groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(sum(col("__n")).as("__c3"))
+    val c2p = c3.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__c3")).as("__c2p"))
+    // bigram/unigram model tables come from their own single explode
+    // (a trigram-derived bigram table would drop each doc's final
+    // bigram and skew the backoff level)
+    val biTypes = docs.filter(col(textCol).isNotNull && !held)
+      .select(explode(grams(2)).as("__g"))
+      .groupBy(col("__g.0").as("__w1"), col("__g.1").as("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+      .persist()
+    val cu = biTypes.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+    val uni = docs.filter(col(textCol).isNotNull && !held)
+      .select(explode(toks).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+      .persist()
+    val tot = uni.agg(sum(col("__c1")).cast("double").as("__tn"),
+      count(lit(1)).cast("double").as("__tv"))
+    val nll =
+      when(col("__c3").isNotNull,
+        -log(col("__c3").cast("double") / col("__c2p").cast("double")))
+      .when(col("__cb").isNotNull,
+        -log(lit(alpha) * col("__cb").cast("double") /
+          col("__cu").cast("double")))
+      .otherwise(
+        -log(lit(alpha * alpha) *
+          (coalesce(col("__c1"), lit(0L)).cast("double") + lit(k)) /
+          (col("__tn") + lit(k) * col("__tv"))))
+    triTypes.filter(col("__held"))
+      .join(c3, Seq("__w1", "__w2", "__w3"), "left")
+      .join(c2p, Seq("__w1", "__w2"), "left")
+      .join(biTypes.withColumnRenamed("__w1", "__bw1")
+          .withColumnRenamed("__w2", "__bw2"),
+        col("__w2") === col("__bw1") && col("__w3") === col("__bw2"),
+        "left")
+      .join(cu.withColumnRenamed("__w1", "__uw1"),
+        col("__w2") === col("__uw1"), "left")
+      .join(uni.withColumnRenamed("__w", "__w3u"),
+        col("__w3") === col("__w3u"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), col("__n"),
+        when(col("__c3").isNull, col("__n")).otherwise(lit(0L)).as("__bo"),
+        (nll * col("__n").cast("double")).as("__nllw"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        sum(col("__bo")).as("n_backoff"),
+        round(sum(col("__nllw")) / sum(col("__n")).cast("double"), 6)
+          .as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_trigrams"), col("n_backoff"),
+        col("avg_nll"),
+        round(col("n_backoff").cast("double") /
+          col("n_trigrams").cast("double"), 6).as("backoff_share"))
+  }
+
+  /** Closed-vocabulary tokenizer audit — fertility, OOV share, and
+    * compression at several candidate vocabulary sizes in ONE pass: for
+    * each `V` in `vocabSizes`, the vocabulary is the top-`V` corpus
+    * tokens by frequency (count desc, token asc — a total order, so the
+    * cut is engine-reproducible), an in-vocabulary word costs 1 unit,
+    * and an OOV word falls back to character shatter
+    * (`max(length, 1)` units — the byte-fallback every production
+    * tokenizer ends in). Fertility = units/word, compression =
+    * chars/unit: the two curves a tokenizer team reads off before
+    * committing to a vocab size, per corpus `groupCol` so a size that
+    * serves one source and starves another is visible.
+    *
+    * Output: one row per (vocab_size, group) — `(vocab_size, groupCol,
+    * n_words, n_oov_words, n_units, n_chars, fertility, oov_share,
+    * compression)`, ratios rounded at 6 from exact integer totals.
+    *
+    * Scale shape: ONE token explode collapses map-side into the
+    * PERSISTED (group, token) type table (the bigramNll discipline —
+    * its two consumers push different aggregations, so the exchange
+    * would not canonicalize-reuse); every downstream step is
+    * types-sized, never occurrences-sized: the vocabulary election
+    * re-aggregates types to token counts with a TakeOrderedAndProject
+    * top-max(V) — k·32-byte rows of driver metadata, bounded by the
+    * caller's own knob — which re-enters as a broadcast LocalRelation
+    * carrying each token's RANK, and the per-size stats are
+    * `__c`-weighted conditional aggregates (rank ≤ V) over the type
+    * table, NOT per-occurrence or per-size re-explodes; the
+    * per-(group, V) grid unpivots via inline at the very end. Caller
+    * contract as [[Curation.curate]]: clearCache between unrelated
+    * runs. */
+  def vocabFertility(docs: DataFrame, textCol: String, groupCol: String,
+      vocabSizes: Seq[Int]): DataFrame = {
+    require(vocabSizes.nonEmpty, "vocabSizes must be non-empty")
+    require(vocabSizes.forall(_ >= 1), s"vocab sizes must be >= 1: $vocabSizes")
+    val maxV = vocabSizes.max
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"), explode(toks).as("__w"))
+      .groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+      .persist()
+    val top = base.groupBy(col("__w")).agg(sum(col("__c")).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxV)
+      .collect()
+    val spark = docs.sparkSession
+    val vocabRows = top.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getString(0), (i + 1).toLong)
+    }
+    val vocab = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(vocabRows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__w",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("__r",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val shatter = greatest(length(col("__w")), lit(1)).cast("long")
+    val perV = vocabSizes.flatMap { v =>
+      val inV = col("__r").isNotNull && col("__r") <= v
+      Seq(
+        sum(when(inV, lit(0L)).otherwise(col("__c"))).as(s"__oov_$v"),
+        sum(when(inV, col("__c")).otherwise(shatter * col("__c")))
+          .as(s"__units_$v"))
+    }
+    val aggs: Seq[Column] = Seq(sum(col("__c")).as("__nw"),
+      sum(length(col("__w")).cast("long") * col("__c")).as("__nc")) ++ perV
+    val aggd = base
+      .join(broadcast(vocab), Seq("__w"), "left")
+      .groupBy(col("__g"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = vocabSizes.map { v =>
+      struct(lit(v).cast("long").as("vocab_size"),
+        col("__nw").as("n_words"), col(s"__oov_$v").as("n_oov_words"),
+        col(s"__units_$v").as("n_units"), col("__nc").as("n_chars"),
+        round(col(s"__units_$v").cast("double") /
+          col("__nw").cast("double"), 6).as("fertility"),
+        round(col(s"__oov_$v").cast("double") /
+          col("__nw").cast("double"), 6).as("oov_share"),
+        round(col("__nc").cast("double") /
+          col(s"__units_$v").cast("double"), 6).as("compression"))
+    }
+    aggd.select(col("__g").as(groupCol), inline(array(rows: _*)))
+      .select(col("vocab_size"), col(groupCol), col("n_words"),
+        col("n_oov_words"), col("n_units"), col("n_chars"),
+        col("fertility"), col("oov_share"), col("compression"))
+  }
+
   /** Corpus-level Flesch reading-ease panel from EXACT integer totals —
     * readability as a curation signal ("is this source academic prose or
     * listicles?"). Heuristics are deliberately simple and

@@ -1059,6 +1059,98 @@ object TextDedup {
       .distinct()
   }
 
+  /** RAG-chunk provenance audit — [[winnow]] fingerprints computed per
+    * RETRIEVAL CHUNK ([[Packing.chunkDocuments]]' fixed-window/stride
+    * splits) and checked for cross-DOCUMENT carriers: a chunk whose
+    * fingerprints also appear in another document is serving duplicated
+    * content (boilerplate, licence blocks, syndicated passages), which
+    * inflates retrieval scores and leaks eval material through the RAG
+    * index even when doc-level dedup passed. Per chunk: the fingerprint
+    * count, how many fingerprints are carried by ≥ 2 distinct docs, the
+    * worst carrier count, and the foreign share.
+    *
+    * Output: `(idCol, chunk_id, n_fps, n_foreign, max_docs,
+    * foreign_share)`.
+    *
+    * Scale shape: chunking is a pure per-row explode (output rows ≈
+    * tokens/stride); gram hashing and the rolling-window minimum run
+    * inside per-chunk arrays (the [[winnow]] shape — no window
+    * function, no shuffle); the DISTINCT (doc, chunk, fingerprint)
+    * frame persists once for its two consumers (doc-level carrier
+    * counts and the per-chunk roll-up), and both joins are
+    * fingerprint-keyed hash joins — linear, never a pair join. Caller
+    * contract as [[Curation.curate]]: clearCache between unrelated
+    * runs. */
+  def chunkProvenance(docs: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
+    val chunks = Packing.chunkDocuments(docs, textCol, idCol, window, stride)
+    val fps = chunks
+      .withColumn("__toks", tokens(col("chunk_text")))
+      .withColumn("__gh", transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
+      .select(col(idCol), col("chunk_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("__gh")) - (w - 1), lit(1))),
+        i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"))
+      .distinct()
+      .persist()
+    val carriers = fps.select(col("fingerprint"), col(idCol)).distinct()
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("__nd"))
+    fps.join(carriers, Seq("fingerprint"))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("__nd") >= 2, 1L).otherwise(0L)).as("n_foreign"),
+        max(col("__nd")).as("max_docs"))
+      .withColumn("foreign_share",
+        round(col("n_foreign").cast("double") /
+          col("n_fps").cast("double"), 6))
+  }
+
+  /** Fingerprint stability under edits — the [[winnow]] sketch's
+    * edit-locality claim ("edits only perturb nearby fingerprints")
+    * measured as a per-source survival audit between two corpus
+    * versions: the share of each document's BEFORE fingerprints that
+    * survive into its AFTER version. A near-1 survival on lightly
+    * edited corpora is what makes incremental re-fingerprinting cheap
+    * (only perturbed windows re-enter the dedup index); a collapse
+    * says the sketch parameters are too brittle for the edit pattern.
+    *
+    * Per source: `(sourceCol, n_docs, n_fps_before, n_fps_after,
+    * n_common, retained_share, jaccard)` — survival = common/before,
+    * jaccard = common/union, both from exact integer totals.
+    *
+    * Scale shape: two [[winnow]] passes (per-doc work + one DISTINCT
+    * exchange each), ONE full-outer hash join on (id, fingerprint) —
+    * linear in fingerprint count, never a pair join — and two bounded
+    * aggregations. Document ids must appear in `before` (it is the
+    * baseline the survival is measured against). */
+  def winnowStability(before: DataFrame, after: DataFrame,
+      textCol: String, idCol: String, sourceCol: String,
+      k: Int, w: Int): DataFrame = {
+    val bf = winnow(before, textCol, idCol, k, w).withColumn("__b", lit(1L))
+    val af = winnow(after, textCol, idCol, k, w).withColumn("__a", lit(1L))
+    val joined = bf.join(af, Seq(idCol, "fingerprint"), "full_outer")
+    val perDoc = joined.groupBy(col(idCol))
+      .agg(coalesce(sum(col("__b")), lit(0L)).as("__nb"),
+        coalesce(sum(col("__a")), lit(0L)).as("__na"),
+        coalesce(sum(col("__b") * col("__a")), lit(0L)).as("__nc"))
+    perDoc
+      .join(before.select(col(idCol), col(sourceCol)).distinct(), Seq(idCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nb")).as("n_fps_before"),
+        sum(col("__na")).as("n_fps_after"),
+        sum(col("__nc")).as("n_common"))
+      .select(col(sourceCol), col("n_docs"), col("n_fps_before"),
+        col("n_fps_after"), col("n_common"),
+        round(col("n_common").cast("double") /
+          col("n_fps_before").cast("double"), 6).as("retained_share"),
+        round(col("n_common").cast("double") /
+          (col("n_fps_before") + col("n_fps_after") - col("n_common"))
+            .cast("double"), 6).as("jaccard"))
+  }
+
   /** LSH parameter planner: the banding S-curve table that picks
     * (bands b, rows-per-band r) for [[lshCandidatePairs]] given a target
     * similarity threshold. For every (r, b) with r·b = `numHashes` and

@@ -218,6 +218,39 @@ private[graft] object DedupQueries {
     }),
 
 
+    // RAG-chunk provenance: winnow fingerprints per 40-token/32-stride
+    // retrieval chunk, flagged when carried by >= 2 distinct docs — the
+    // duplicated-content leak a doc-level dedup pass can't see from
+    // inside the RAG index. Round-13 addition under the substantive-
+    // oracle policy (the oracle replays per-chunk md5 winnowing over
+    // ~1.25M grams plus the carrier join).
+    "q261_chunk_provenance" -> ((s, d) => {
+      TextDedup.chunkProvenance(parallel(load(s, d, "documents")),
+          "text", "doc_id", window = 40, stride = 32, k = 3, w = 4)
+        .transform(ordered1(_, col("doc_id"), col("chunk_id")))
+    }),
+
+
+    // Winnow edit-locality audit: per-source fingerprint survival
+    // between the corpus and an edited version (every 10th doc has
+    // token 10 replaced) — the property that makes incremental
+    // re-fingerprinting cheap, measured instead of assumed. Round-13
+    // addition under the substantive-oracle policy (the oracle runs
+    // the full md5 winnow TWICE plus the survival join).
+    "q262_winnow_stability" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val edited = docs.withColumn("text",
+        when(col("doc_id") % 10 === 0 && size(toks) >= 10,
+          array_join(concat(slice(toks, 1, 9), array(lit("EDITv2")),
+            slice(toks, lit(11), greatest(size(toks) - 10, lit(0)))), " "))
+          .otherwise(col("text")))
+      TextDedup.winnowStability(docs, edited, "text", "doc_id",
+          "source", k = 3, w = 4)
+        .transform(ordered1(_, col("source")))
+    }),
+
+
     // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
     // answer — the sketch (built and probed with Spark's own
     // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
@@ -646,6 +679,79 @@ private[graft] object DedupQueries {
         |    / CAST(count(*) AS DOUBLE), 6) AS hit_share
         |FROM tr LEFT JOIN ev ON tr.fingerprint = ev.fingerprint
         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+
+    "q261_chunk_provenance" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT doc_id, c.cid AS chunk_id, c.ct AS ct FROM (
+        |  SELECT doc_id, unnest([{'cid': i, 'ct': t[i*32+1 : i*32+40]}
+        |    FOR i IN generate_series(0,
+        |      CAST(floor((greatest(len(t) - 40, 0) + 31) / 32) AS BIGINT))])
+        |    AS c
+        |  FROM d)),
+        |g AS (SELECT doc_id, chunk_id,
+        |  [md5(array_to_string(ct[i:i+2], ' '))
+        |    FOR i IN generate_series(1, greatest(len(ct) - 2, 1))] AS gh
+        |  FROM ch),
+        |fp AS (SELECT DISTINCT doc_id, chunk_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))])
+        |    AS fingerprint
+        |  FROM g),
+        |ca AS (SELECT fingerprint, CAST(count(*) AS BIGINT) AS nd
+        |  FROM (SELECT DISTINCT fingerprint, doc_id FROM fp)
+        |  GROUP BY fingerprint)
+        |SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_foreign,
+        |  max(nd) AS max_docs,
+        |  round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS foreign_share
+        |FROM fp JOIN ca USING (fingerprint)
+        |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    "q262_winnow_stability" ->
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |da AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 AND len(t) >= 10
+        |    THEN list_concat(list_concat(t[1:9], ['EDITv2']), t[11:len(t)])
+        |    ELSE t END AS t
+        |  FROM d0),
+        |gb AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh
+        |  FROM d0),
+        |ga AS (SELECT doc_id, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh
+        |  FROM da),
+        |fb AS (SELECT DISTINCT doc_id, unnest([list_min(gh[i:i+3])
+        |  FOR i IN generate_series(1, greatest(len(gh) - 3, 1))])
+        |  AS fingerprint FROM gb),
+        |fa AS (SELECT DISTINCT doc_id, unnest([list_min(gh[i:i+3])
+        |  FOR i IN generate_series(1, greatest(len(gh) - 3, 1))])
+        |  AS fingerprint FROM ga),
+        |pd AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |    CAST(count(b.fingerprint) AS BIGINT) AS nb,
+        |    CAST(count(a.fingerprint) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN b.fingerprint IS NOT NULL
+        |      AND a.fingerprint IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nc
+        |  FROM fb b FULL JOIN fa a
+        |    ON b.doc_id = a.doc_id AND b.fingerprint = a.fingerprint
+        |  GROUP BY 1),
+        |s AS (SELECT DISTINCT doc_id, source FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_fps_before,
+        |  CAST(sum(na) AS BIGINT) AS n_fps_after,
+        |  CAST(sum(nc) AS BIGINT) AS n_common,
+        |  round(CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE), 6)
+        |    AS retained_share,
+        |  round(CAST(sum(nc) AS DOUBLE)
+        |    / CAST(sum(nb) + sum(na) - sum(nc) AS DOUBLE), 6) AS jaccard
+        |FROM pd JOIN s USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
 
     "q109_containment" ->

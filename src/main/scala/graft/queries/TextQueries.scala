@@ -355,9 +355,53 @@ private[graft] object TextQueries {
             .as("bits_per_token"))
         .transform(ordered1(_, col("source")))
     }),
+
+
+    // Closed-vocab tokenizer audit: fertility / OOV / compression per
+    // source at three candidate vocabulary sizes (top-V tokens, OOV
+    // falls back to character shatter) — the curves a tokenizer team
+    // reads before committing a vocab size. Round-13 addition under the
+    // substantive-oracle policy: the oracle replays the full 1M-token
+    // explode twice plus a ranked-vocab join.
+    "q260_vocab_fertility" -> ((s, d) => {
+      CorpusStats.vocabFertility(parallel(load(s, d, "documents")),
+          "text", "source", vocabSizes = Seq(100, 1000, 5000))
+        .transform(ordered1(_, col("vocab_size"), col("source")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q260_vocab_fertility" ->
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |ty AS (SELECT source, w, count(*) AS c FROM w GROUP BY source, w),
+        |c AS (SELECT w, sum(c) AS c FROM ty GROUP BY w),
+        |v AS (SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS r
+        |  FROM c QUALIFY r <= 5000),
+        |j AS (SELECT source, ty.w AS w, ty.c AS c, v.r AS r,
+        |    CAST(greatest(length(ty.w), 1) AS BIGINT) AS sh,
+        |    CAST(length(ty.w) AS BIGINT) AS l
+        |  FROM ty LEFT JOIN v ON ty.w = v.w),
+        |sizes AS (SELECT unnest([100, 1000, 5000]) AS vs)
+        |SELECT CAST(vs AS BIGINT) AS vocab_size, source,
+        |  CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(sum(CASE WHEN r IS NOT NULL AND r <= vs THEN 0 ELSE c END)
+        |    AS BIGINT) AS n_oov_words,
+        |  CAST(sum(CASE WHEN r IS NOT NULL AND r <= vs THEN c ELSE sh * c
+        |    END) AS BIGINT) AS n_units,
+        |  CAST(sum(l * c) AS BIGINT) AS n_chars,
+        |  round(CAST(sum(CASE WHEN r IS NOT NULL AND r <= vs
+        |        THEN c ELSE sh * c END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS fertility,
+        |  round(CAST(sum(CASE WHEN r IS NOT NULL AND r <= vs
+        |        THEN 0 ELSE c END) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE), 6) AS oov_share,
+        |  round(CAST(sum(l * c) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN r IS NOT NULL AND r <= vs
+        |        THEN c ELSE sh * c END) AS DOUBLE), 6) AS compression
+        |FROM j CROSS JOIN sizes
+        |GROUP BY vs, source ORDER BY vocab_size, source""".stripMargin,
+
 
     "q22_text_stats" ->
       """SELECT doc_id, n_chars,

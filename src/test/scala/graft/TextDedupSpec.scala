@@ -536,6 +536,61 @@ class TextDedupSpec extends AnyFunSuite {
     assert(n4 >= 1 && s4 == 0L && m4 == 1L && sh4 == 0.0)
   }
 
+  test("chunkProvenance: cloned docs' chunks are fully foreign, unique " +
+    "doc's chunks are clean; chunk grid matches chunkDocuments") {
+    import spark.implicits._
+    // docs 1 and 2 are clones -> every fingerprint of every chunk is
+    // carried by both docs (max_docs 2, foreign_share 1); doc 3 is
+    // disjoint vocabulary -> all clean
+    val clone = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, clone), (2L, clone),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextDedup.chunkProvenance(docs, "text", "doc_id",
+        window = 4, stride = 3, k = 2, w = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // 10 tokens, window 4, stride 3 -> chunk ids 0..2 per doc
+    assert(out.keySet == (for (d <- 1L to 3L; c <- 0L to 2L) yield (d, c)).toSet)
+    for (d <- 1L to 2L; c <- 0L to 2L) {
+      val (n, f, mx, share) = out((d, c))
+      assert(n >= 1 && f == n && mx == 2L && share == 1.0,
+        s"clone chunk ($d,$c): ${out((d, c))}")
+    }
+    for (c <- 0L to 2L) {
+      val (n, f, mx, share) = out((3L, c))
+      assert(n >= 1 && f == 0L && mx == 1L && share == 0.0)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("winnowStability: identical corpora survive at 1.0; a rewritten " +
+    "doc drags its source below 1; untouched source stays exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sa", (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, "sa", (1 to 12).map(i => s"b$i").mkString(" ")),
+      (3L, "sb", (1 to 12).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val same = TextDedup.winnowStability(docs, docs, "text", "doc_id",
+        "source", k = 2, w = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    assert(same("sa") == ((1.0, 1.0)) && same("sb") == ((1.0, 1.0)))
+    // rewrite doc 1 entirely: source sa loses doc 1's fingerprints,
+    // doc 2 keeps its own -> 0 < retained(sa) < 1; sb untouched
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 1L,
+        lit((1 to 12).map(i => s"x$i").mkString(" ")))
+        .otherwise(col("text")))
+    val out = TextDedup.winnowStability(docs, edited, "text", "doc_id",
+        "source", k = 2, w = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out("sa")._1 == 2L)
+    assert(out("sa")._2 > 0.0 && out("sa")._2 < 1.0)
+    assert(out("sb") == ((1L, 1.0, 1.0)))
+  }
+
   test("winnowContainment: the winnow guarantee certifies hits and " +
     "clears disjoint docs; the eval broadcast guard fires") {
     import spark.implicits._

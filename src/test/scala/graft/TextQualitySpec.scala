@@ -428,6 +428,59 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("docNllBackoff: each backoff level hand-computed; holdout " +
+    "discipline enforced") {
+    import spark.implicits._
+    // train (ids 1,3): "a b c a b c" -> trigrams (a,b,c)x2 (b,c,a)
+    //   (c,a,b); bigrams (a,b)x2 (b,c)x2 (c,a); unigrams a:2 b:2 c:2
+    //   (doc 3 "z" adds unigram z -> N=7, V=4, bigrams/trigrams none)
+    // held 10 "a b c": trigram hit        -> -ln(2/2) = 0
+    // held 20 "c c a": trigram miss, bigram (c,a) hit -> -ln(.4*1/1)
+    // held 30 "a b x": both miss, x unseen -> -ln(.16*(0+1)/(7+4))
+    val docs = Seq(
+      (1L, "a b c a b c"), (3L, "z"),
+      (10L, "a b c"), (20L, "c c a"), (30L, "a b x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docNllBackoff(docs, "text", "doc_id",
+        holdoutMod = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(10L, 20L, 30L))
+    assert(out(10L) == ((1L, 0L, 0.0, 0.0)))
+    val l2 = -math.log(0.4 * 1.0 / 1.0)
+    assert(out(20L)._1 == 1 && out(20L)._2 == 1 &&
+      math.abs(out(20L)._3 - l2) < 2e-6 && out(20L)._4 == 1.0)
+    val l3 = -math.log(0.16 * (0.0 + 1.0) / (7.0 + 4.0))
+    assert(out(30L)._1 == 1 && out(30L)._2 == 1 &&
+      math.abs(out(30L)._3 - l3) < 2e-6 && out(30L)._4 == 1.0)
+  }
+
+  test("vocabFertility: hand-computed fertility/OOV/compression per " +
+    "vocab size; OOV shatters to characters") {
+    import spark.implicits._
+    // counts: aa:2 bb:1 cc:1 -> ranks aa=1, bb=2, cc=3 (count desc,
+    // token asc). V=1: g1 "aa bb aa" -> units 1+2+1=4 (bb shatters to
+    // len 2), oov 1; g2 "cc" -> units 2, oov 1. V=3: everything in.
+    val docs = Seq((1L, "g1", "aa bb aa"), (2L, "g2", "cc"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusStats.vocabFertility(docs, "text", "source",
+        vocabSizes = Seq(1, 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+      .toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out((1L, "g1")) ==
+      ((3L, 1L, 4L, 6L, r6(4.0 / 3.0), r6(1.0 / 3.0), r6(6.0 / 4.0))))
+    assert(out((1L, "g2"))._2 == 1L && out((1L, "g2"))._3 == 2L)
+    assert(out((3L, "g1")) == ((3L, 0L, 3L, 6L, 1.0, 0.0, 2.0)))
+    assert(out((3L, "g2")) == ((1L, 0L, 1L, 2L, 1.0, 0.0, 2.0)))
+  }
+
   test("readability: exact totals, floor-1 sentences and syllables") {
     import spark.implicits._
     // "Hello world. Bye." : words 3, sentence runs 2, vowel runs 4
