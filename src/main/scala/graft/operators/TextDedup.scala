@@ -1279,35 +1279,41 @@ object TextDedup {
     * syndication matrix a corpus card reports (high overlap between two
     * "independent" crawls means one republishes the other).
     *
-    * Scale shape: each source collapses to its DISTINCT shingle set first
-    * (one hash aggregation; the md5 shingle key is fixed-width), the
-    * self-join is an equi-join on the shingle hash — bucket sizes are
-    * bounded by |sources|, so the worst case is |shingles| × |sources|²
-    * only for shingles ALL sources share, and the pair matrix itself is
-    * |sources|²/2 rows: tiny at any corpus size (domains are thousands,
-    * not billions). Per-source set sizes arrive via a broadcast join.
-    * All three consumers of the distinct (source, hash) frame — sizes
-    * and both self-join aliases — sit directly above the SAME distinct
-    * aggregation, so ReuseExchange runs the tokenize/shingle/md5 scan
-    * once; persisting here was measured net-negative (it swaps the
-    * reused exchange for a memory-store round trip of every shingle
-    * row). */
+    * Scale shape (round-13 rework — the [[Itemsets.coOccurrenceEdges]]
+    * one-shuffle idiom): ONE hash aggregation collapses the exploded
+    * (shingle, source) stream to a per-shingle sorted DISTINCT source
+    * set (`collect_set` dedups multiplicity inside the aggregation
+    * buffer, so the previous dedicated distinct exchange is gone), and
+    * pairs expand map-side with a codegen'd nested-transform HOF over
+    * the sorted set (a < b by construction) — the basket here is
+    * sources-per-shingle, bounded by |sources| BY CONSTRUCTION, so the
+    * fan-out cap the general edge builder enforces is structural. The
+    * persisted sets frame feeds both the pair aggregation and the
+    * per-source size roll-up; the pair matrix is |sources|²/2 rows.
+    * The previous shape (distinct exchange + exchange-reused self-join
+    * + pair agg) lost the round-13 same-JVM interleaved A/B at sf0.1
+    * (warm rounds, min-of-3: 0.84 vs 0.75 s and 0.76 vs 0.68 s) — the
+    * self-join and one full exchange buy nothing the in-buffer dedup
+    * doesn't already do. Caller contract as [[Curation.curate]]:
+    * clearCache between unrelated runs. */
   def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
       shingleSize: Int): DataFrame = {
-    val shingles = docs
+    val sets = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(sourceCol), explode(array_distinct(transform(
         sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
         i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
       .select(col(sourceCol), md5(col("__g")).as("__h"))
-      .distinct()
-    val sizes = shingles.groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-    val a = shingles.alias("a")
-    val b = shingles.alias("b")
-    a.join(b, col("a.__h") === col("b.__h") &&
-        col(s"a.$sourceCol") < col(s"b.$sourceCol"))
-      .groupBy(col(s"a.$sourceCol").as("source_a"),
-        col(s"b.$sourceCol").as("source_b"))
+      .groupBy(col("__h"))
+      .agg(sort_array(collect_set(col(sourceCol))).as("__ss"))
+      .persist()
+    val sizes = sets.select(explode(col("__ss")).as(sourceCol))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    sets.filter(size(col("__ss")) >= 2)
+      .select(explode(flatten(transform(col("__ss"), (x, i) =>
+        transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+          y => struct(x.as("a"), y.as("b")))))).as("__pr"))
+      .groupBy(col("__pr.a").as("source_a"), col("__pr.b").as("source_b"))
       .agg(count(lit(1)).as("n_shared"))
       .join(broadcast(sizes.select(col(sourceCol).as("source_a"),
         col("__n").as("__na"))), "source_a")
