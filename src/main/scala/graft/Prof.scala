@@ -420,6 +420,52 @@ object Prof {
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
             when(j === 0, x + lit(0.001f * i)).otherwise(x))))
+    } else if (args.headOption.contains("q161_ab")) {
+      // standardize fit: broadcast-leg (old) vs localized LocalRelation
+      // (round 13), same final orderedWide sort, ONE JVM interleaved.
+      QuerySupport.singlePartitionFinals = true
+      val li = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/lineitem.parquet"))
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cols0 = Seq("l_quantity", "l_extendedprice", "l_discount")
+      def oldShape() = {
+        val pow = 100L
+        val aggs = cols0.flatMap { c =>
+          val q = graft.functions.Decimals.unscaledLong(col(c), 2).cast(dec38)
+          Seq(sum(q).as(s"__s_$c"), sum(q * q).as(s"__ss_$c"),
+            count(col(c)).as(s"__n_$c"),
+            min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        }
+        val stats = li.agg(aggs.head, aggs.tail: _*)
+        val scaled = cols0.flatMap { c =>
+          val n = col(s"__n_$c").cast("double")
+          val mean = col(s"__s_$c").cast("double") / n / lit(pow.toDouble)
+          val varNum = (col(s"__n_$c").cast(dec38) * col(s"__ss_$c") -
+            col(s"__s_$c") * col(s"__s_$c")).cast("double")
+          val std = sqrt(varNum / n / n) / lit(pow.toDouble)
+          val range = col(s"__max_$c") - col(s"__min_$c")
+          Seq(
+            when(std > 0, round((col(c) - mean) / std, 6)).as(s"${c}_z"),
+            when(range > 0, round((col(c) - col(s"__min_$c")) / range, 6))
+              .as(s"${c}_mm"))
+        }
+        li.crossJoin(broadcast(stats))
+          .select(Seq(col("l_orderkey"), col("l_linenumber")) ++ scaled: _*)
+          .orderBy(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice_z"), col("l_quantity_z"),
+            col("l_discount_z"), col("l_extendedprice_mm"),
+            col("l_quantity_mm"), col("l_discount_mm"))
+      }
+      def newShape() = graft.operators.Features.standardize(li,
+          Seq("l_orderkey", "l_linenumber"), cols0, scale = 2)
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice_z"), col("l_quantity_z"),
+          col("l_discount_z"), col("l_extendedprice_mm"),
+          col("l_quantity_mm"), col("l_discount_mm"))
+      (1 to 3).foreach { _ =>
+        t("q161_old")(oldShape())
+        t("q161_new")(newShape())
+      }
     } else if (args.headOption.contains("q89_ab")) {
       // sourceOverlap old shape (distinct exchange + exchange-reused
       // self-join) vs round-13 one-shuffle collect_set pair expansion,

@@ -103,9 +103,19 @@ object Features {
     * independent, oracle-reproducible.
     *
     * Scale shape: the fit is a single 1-row aggregation over all
-    * columns (map-side partials, one tiny exchange); the transform
-    * cross-joins that broadcast row — shuffle-free per-row pass, two
-    * scans total, nothing grows with row count. */
+    * columns (map-side partials, one tiny exchange) — LOCALIZED
+    * (round 13): the 1-row stats frame is bounded metadata, and
+    * re-entering it as a LocalRelation instead of a broadcast leg
+    * stops the transform's plan from replaying the whole scan+agg
+    * lineage inside the broadcast build (the centroidOutliers /
+    * looTargetEncode pattern; the per-row expressions are unchanged,
+    * so every output double is bit-identical). At sf0.1 the same-JVM
+    * A/B is a wash (2.30/2.05 vs 2.20/2.03 s warm min-of-3 — the
+    * 600k-row wide total-order sort dominates); the change is kept for
+    * the scan it removes, which IS the cost at corpus scale where the
+    * fit pass rereads the full table. The transform
+    * cross-joins that 1-row local relation — shuffle-free per-row
+    * pass, ONE scan of the data, nothing grows with row count. */
   def standardize(df: DataFrame, keyCols: Seq[String], cols: Seq[String],
       scale: Int): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
@@ -116,7 +126,8 @@ object Features {
         count(col(c)).as(s"__n_$c"),
         min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
     }
-    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val stats = OpsUtil.localized(df.agg(aggs.head, aggs.tail: _*), 1,
+      "standardize")
     val scaled = cols.flatMap { c =>
       val n = col(s"__n_$c").cast("double")
       val mean = col(s"__s_$c").cast("double") / n / lit(pow.toDouble)
