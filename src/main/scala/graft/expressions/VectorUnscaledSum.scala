@@ -35,11 +35,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * ANSI discipline) instead of wrapping.
   *
   * Null contract: a NULL array contributes nothing; a NULL element
-  * skips its dimension only; an array shorter than `dim` contributes
-  * its prefix (matching `element_at`'s out-of-range NULL). A dimension
-  * that never saw a value yields NULL in the result — exactly `sum`'s
-  * empty-input semantics — via a per-dimension seen count carried in
-  * the same buffer.
+  * skips its dimension only. An array SHORTER than `dim` raises naming
+  * the operator, and an exact-path value whose unscaled magnitude
+  * exceeds DECIMAL(18,scale)'s 18 digits raises too — the session runs
+  * ANSI mode, where the per-column form this replaces surfaced both
+  * malformed-row classes as errors (`element_at` out-of-bounds, decimal
+  * overflow); accepting a prefix or a 19-digit quantum here would
+  * silently compute a centroid from partial data. Elements BEYOND
+  * `dim` are ignored, as the per-column form never read them. A
+  * dimension that never saw a value yields NULL in the result —
+  * exactly `sum`'s empty-input semantics — via a per-dimension seen
+  * count carried in the same buffer.
   *
   * Scale shape: the buffer is `2·dim` longs regardless of group size,
   * it partial-aggregates map-side like any sum, and two buffers merge
@@ -72,19 +78,31 @@ case class VectorUnscaledSum(
     val fl = math.floor(scaled)
     if (math.abs(scaled - fl - 0.5) > 1e-3 && math.abs(scaled) < 1e12)
       math.floor(scaled + 0.5).toLong
-    else
-      java.math.BigDecimal.valueOf(v)
+    else {
+      val q = java.math.BigDecimal.valueOf(v)
         .setScale(scale, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
+      // DECIMAL(18,scale) bound of the per-column form: under ANSI a
+      // 19-digit unscaled quantum overflowed the cast and raised —
+      // silently summing it here would diverge from that contract
+      if (q > 999999999999999999L || q < -999999999999999999L)
+        throw new ArithmeticException(
+          s"graft_vector_unscaled_sum: value $v exceeds DECIMAL(18,$scale)")
+      q
+    }
   }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val a = child.eval(input)
     if (a != null) {
       val arr = a.asInstanceOf[ArrayData]
-      val n = math.min(dim, arr.numElements())
+      if (arr.numElements() < dim)
+        throw new IllegalArgumentException(
+          s"graft_vector_unscaled_sum: vector has ${arr.numElements()} " +
+            s"elements (< dim=$dim) — a short embedding is a malformed " +
+            "row, not a zero contribution; filter or pad upstream")
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         if (!arr.isNullAt(i)) {
           buf(i) = Math.addExact(buf(i), quantize(arr.getDouble(i)))
           buf(dim + i) += 1L

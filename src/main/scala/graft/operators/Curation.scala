@@ -379,15 +379,17 @@ object Curation {
       s"need 0 < trainFrac < 1: $trainFrac")
     val e = events.select(col(entityCol).as("__u"), col(tsCol).as("__ts"))
       .filter(col("__ts").isNotNull)
-    val n = e.count()
-    val k = math.ceil(n * trainFrac).toLong
-    // rank-k timestamp: ties at the cutoff VALUE all land in train via
-    // `<=`, exactly as before (the tie order inside equal timestamps
-    // cannot change the value at sorted position k)
+    // rank-k timestamp at k = ceil(trainFrac·n), with n taken FROM the
+    // order statistic's own counting pass (valueAtRankOf — no dedicated
+    // count scan of the input); ties at the cutoff VALUE all land in
+    // train via `<=` (the tie order inside equal timestamps cannot
+    // change the value at sorted position k)
     val cut: Column =
-      if (n == 0L) lit(null).cast(e.schema("__ts").dataType)
-      else lit(Relational.valueAtRank(e.select(col("__ts")),
-        Seq(col("__ts").asc), k).get.get(0))
+      Relational.valueAtRankOf(e.select(col("__ts")),
+          Seq(col("__ts").asc))(n => math.ceil(n * trainFrac).toLong) match {
+        case Some((row, _)) => lit(row.get(0))
+        case None => lit(null).cast(e.schema("__ts").dataType)
+      }
     val assigned = e.withColumn("split",
       when(col("__ts") <= cut, lit("train")).otherwise(lit("test")))
     val perSplit = assigned.groupBy(col("split"))

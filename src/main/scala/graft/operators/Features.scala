@@ -58,11 +58,11 @@ object Features {
     val quantized = df.select(col(idCol), col(catCol), q.as("__q"))
     val perCat = quantized.groupBy(col(catCol))
       .agg(sum(col("__q")).as("__s"), count(col("__q")).as("__n"))
-    val catRows = perCat.limit(maxCategories + 1).collect()
-    require(catRows.length <= maxCategories,
-      s"looTargetEncode: > maxCategories=$maxCategories categories — " +
-        "the fit frame must fit a broadcast; hash/bucket the category " +
-        "upstream or raise maxCategories")
+    val (catRows, localPerCat) = OpsUtil.localizedWithRows(perCat,
+      maxCategories, _ =>
+        s"looTargetEncode: > maxCategories=$maxCategories categories — " +
+          "the fit frame must fit a broadcast; hash/bucket the category " +
+          "upstream or raise maxCategories")
     // global mean from the per-category sums: exact integer fold
     // (addExact — a quantized-total overflow must raise, not wrap),
     // then the same two IEEE steps as the old expression: exact
@@ -77,9 +77,6 @@ object Features {
       if (tn == 0L) lit(null).cast("double")
       else lit(java.math.BigDecimal.valueOf(ts).movePointLeft(scale)
         .doubleValue() / tn.toDouble)
-    val localPerCat = df.sparkSession.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        java.util.Arrays.asList(catRows: _*)), perCat.schema)
     val looSum = ((col("__s").cast(dec38) - col("__q")) / lit(pow)).cast("double")
     quantized
       .join(broadcast(localPerCat), Seq(catCol), "left")

@@ -38,16 +38,25 @@ private[graft] object OpsUtil {
     * values: nothing to re-run, nothing to re-optimize. Only for
     * frames whose row count is bounded by CONSTRUCTION (cluster
     * count, quantile grid, calendar boundaries) — never for data. */
-  def localized(df: DataFrame, maxRows: Int, context: String): DataFrame = {
-    require(maxRows >= 1, s"maxRows must be positive: $maxRows")
-    val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows,
+  def localized(df: DataFrame, maxRows: Int, context: String): DataFrame =
+    localizedWithRows(df, maxRows, n =>
       s"$context: bounded frame exceeded maxRows=$maxRows — this " +
         "collect is for contract-bounded metadata frames only; " +
-        "aggregate coarser or raise the bound")
-    df.sparkSession.createDataFrame(
+        "aggregate coarser or raise the bound")._2
+
+  /** [[localized]] returning the collected rows alongside the local
+    * relation, with a caller-owned overflow message (operators pin
+    * their own fail-fast wording — maxClusters, maxCategories — in
+    * specs). One implementation for every counted-collect site. */
+  def localizedWithRows(df: DataFrame, maxRows: Int,
+      overflowMsg: Long => String):
+      (Array[org.apache.spark.sql.Row], DataFrame) = {
+    require(maxRows >= 1, s"maxRows must be positive: $maxRows")
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, overflowMsg(rows.length.toLong))
+    (rows, df.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         java.util.Arrays.asList(rows: _*)),
-      df.schema)
+      df.schema))
   }
 }

@@ -465,13 +465,33 @@ object Relational {
   def valueAtRank(df: DataFrame, sortCols: Seq[Column],
       rank: Long): Option[org.apache.spark.sql.Row] = {
     require(rank >= 1, s"rank must be >= 1: $rank")
+    valueAtRankOf(df, sortCols)(_ => rank).map(_._1)
+  }
+
+  /** [[valueAtRank]] with the rank derived FROM the total row count —
+    * `rankOf(n)` receives the exact count the counting pass already
+    * computed (the sum of per-partition counts IS n), so a quantile
+    * cutoff like ceil(frac·n) costs no dedicated count scan of the
+    * input. Returns the row AND the total; `None` row when the derived
+    * rank is out of range (n = 0, or rankOf asks past the end). */
+  def valueAtRankOf(df: DataFrame, sortCols: Seq[Column])(
+      rankOf: Long => Long): Option[(org.apache.spark.sql.Row, Long)] = {
     val n = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val rdd = ranged.rdd
+    // Long fold, not Iterator.size: a >2^31-row partition would wrap
+    // the Int count negative and silently misroute the rank
     val counts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator((pid, c))
+      }
       .collect().sortBy(_._1)
+    val total = counts.map(_._2).sum
+    val rank = rankOf(total)
+    if (rank < 1) return None
     var remaining = rank - 1
     var owner = -1
     var i = 0
@@ -481,7 +501,8 @@ object Relational {
     }
     if (owner < 0) None
     else {
-      require(remaining <= Int.MaxValue,
+      // strict bound: off + 1 must not overflow Int inside slice
+      require(remaining < Int.MaxValue,
         s"valueAtRank: local offset $remaining exceeds a single " +
           "partition's addressable range — raise parallelism")
       val off = remaining.toInt
@@ -491,7 +512,7 @@ object Relational {
       // returns an empty iterator immediately
       rdd.mapPartitionsWithIndex((pid, it) =>
         if (pid == p) it.slice(off, off + 1) else Iterator.empty
-      ).collect().headOption
+      ).collect().headOption.map(r => (r, total))
     }
   }
 

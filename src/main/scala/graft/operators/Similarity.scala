@@ -926,9 +926,8 @@ object Similarity {
     // sum → exact scale-6 decimal (movePointLeft = Decimal÷10^6) →
     // nearest double (doubleValue = Decimal.toDouble) → one IEEE
     // division by n; __cc is DotProduct's strict-index-order fold.
-    val crows = cents.limit(maxClusters + 1).collect()
-    require(crows.length <= maxClusters,
-      s"simplifiedSilhouette: ${crows.length} clusters (> maxClusters=" +
+    val (crows, _) = OpsUtil.localizedWithRows(cents, maxClusters, n =>
+      s"simplifiedSilhouette: $n clusters (> maxClusters=" +
         s"$maxClusters); the k-way centroid pass is quadratic in k")
     val centroidRows = crows.toSeq.map { r =>
       val n = r.getLong(1).toDouble

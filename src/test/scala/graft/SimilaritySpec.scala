@@ -392,15 +392,24 @@ class SimilaritySpec extends AnyFunSuite {
       assert(agg(i) == perCol.getLong(i),
         s"dim $i: ${agg(i)} != ${perCol.getLong(i)}")
     }
-    // short array: missing dims contribute nothing; a dim NEVER seen is
-    // NULL (sum-over-empty semantics); null array skips entirely
-    val sparse = Seq(
-      (1L, Some(Seq(1.5))), (2L, None: Option[Seq[Double]])
-    ).toDF("id", "vec")
-    val sv = sparse.agg(graft.functions.VectorFunctions
-      .vectorUnscaledSum(col("vec"), 3, 6).as("sv")).collect()(0)
+    // a SHORT array is a malformed row and raises naming the operator
+    // (the ANSI parity contract: the per-column form's element_at
+    // raised out-of-bounds); a NULL array still skips entirely, and a
+    // dim never seen (all arrays null) is NULL (sum-over-empty)
+    val short = Seq((1L, Some(Seq(1.5))), (2L, None: Option[Seq[Double]]))
+      .toDF("id", "vec")
+    val exShort = intercept[Exception] {
+      short.agg(graft.functions.VectorFunctions
+        .vectorUnscaledSum(col("vec"), 3, 6).as("sv")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(exShort).exists(_.contains("graft_vector_unscaled_sum")))
+    val allNull = Seq((2L, None: Option[Seq[Double]])).toDF("id", "vec")
+    val svN = allNull.agg(graft.functions.VectorFunctions
+      .vectorUnscaledSum(col("vec"), 2, 6).as("sv")).collect()(0)
       .getSeq[Any](0)
-    assert(sv(0) == 1500000L && sv(1) == null && sv(2) == null)
+    assert(svN(0) == null && svN(1) == null)
     // map-side partials merge: many partitions, one exact total
     val big = spark.range(0, 1000, 1, 16)
       .select(array(col("id").cast("double") * lit(0.001)).as("vec"))
