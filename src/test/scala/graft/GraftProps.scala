@@ -611,6 +611,17 @@ object GraftProps extends Properties("graft") {
         out.head.getLong(1) == 2L
     }
 
+  property("valueAtRankOf equals the driver-sorted order statistic and " +
+    "reports the exact total") =
+    forAll(Gen.listOf(Gen.choose(0, 50)), Gen.choose(1, 60)) { (xs, r) =>
+      import spark.implicits._
+      val df = xs.toDF("v")
+      val got = Relational.valueAtRankOf(df, Seq(col("v").asc))(_ => r.toLong)
+      val expect = xs.sorted.drop(r - 1).headOption
+      got.map(_._1.getInt(0)) == expect &&
+        got.forall(_._2 == xs.length.toLong)
+    }
+
   property("winnowContainment: planted shared run of >= w+k-1 tokens " +
     "always hits; disjoint vocab never does") =
     forAll(Gen.listOfN(4, Gen.oneOf("p", "q", "r", "s")),
