@@ -156,34 +156,43 @@ object Profiling {
     * `epsilon` so an empty bin stays finite). Rule of thumb: total PSI
     * < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
     *
-    * Scale shape: bin edges come from [[Relational.groupedRowNumber]]'s
-    * range-partitioned order statistics (a global `Window.orderBy` would
-    * run ONE task at any cluster size — the same trap that operator
-    * exists to avoid), the bins-1 edge row is broadcast, and each side
-    * pays one scan + one tiny aggregation by bin id. */
+    * Scale shape: bin edges come from [[Relational.valuesAtRanks]]'
+    * range-partitioned bulk order statistics (a global `Window.orderBy`
+    * would run ONE task at any cluster size; the previous shape
+    * materialized a rank COLUMN over every reference row and then
+    * replayed that whole pipeline inside each downstream broadcast
+    * leg — round-13 rework), so the bins−1 edges are extracted with
+    * two jobs over one shuffle and re-enter as a 1-row LocalRelation;
+    * each side then pays one scan + one tiny aggregation by bin id. */
   def driftPsi(reference: DataFrame, current: DataFrame, valueCol: String,
       bins: Int = 10, epsilon: Double = 1e-6): DataFrame = {
     require(bins >= 2, s"bins must be >= 2: $bins")
     require(epsilon > 0, "epsilon must be positive")
     val spark = reference.sparkSession
     val r = reference.select(col(valueCol).cast("double").as("__x"))
-      .filter(col("__x").isNotNull).withColumn("__g", lit(0))
+      .filter(col("__x").isNotNull)
     val cur = current.select(col(valueCol).cast("double").as("__x"))
       .filter(col("__x").isNotNull)
-    val ranked = Relational.groupedRowNumber(r, Seq("__g"),
-        Seq(col("__x").asc), "__rn")
-      // total via 1-row broadcast, NOT count().over(partitionBy(__g)) —
-      // that window's single group would collapse the ranked frame to
-      // one task, the exact trap groupedRowNumber just avoided
-      .crossJoin(broadcast(r.agg(count(lit(1)).as("__n"))))
     // value at rank ceil(n·k/bins) — deterministic under ties because all
-    // tied ranks hold the same value
-    val eCols = (1 until bins).map(k =>
-      max(when(col("__rn") === ceil(col("__n") * k / bins.toDouble), col("__x")))
-        .as(s"__e$k"))
-    val edges = ranked.groupBy(col("__g"))
-      .agg(eCols.head, eCols.tail: _*)
-      .drop("__g")
+    // tied ranks hold the same value. Empty reference ⇒ a 0-row edges
+    // frame, exactly like the previous groupBy-on-empty shape (the
+    // crossJoin below then empties both binned sides).
+    def edgeRank(n: Long, k: Int): Long =
+      math.ceil(n * k / bins.toDouble).toLong
+    val (edgeRows, nRef) = Relational.valuesAtRanks(r,
+      Seq(col("__x").asc))(n => (1 until bins).map(k => edgeRank(n, k)))
+    val edgeSchema = org.apache.spark.sql.types.StructType(
+      (1 until bins).map(k => org.apache.spark.sql.types.StructField(
+        s"__e$k", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val edgeData: Seq[org.apache.spark.sql.Row] =
+      if (edgeRows.isEmpty) Seq.empty
+      else Seq(org.apache.spark.sql.Row.fromSeq((1 until bins).map(k =>
+        java.lang.Double.valueOf(
+          edgeRows(edgeRank(nRef, k)).getDouble(0)))))
+    val edges = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(edgeData).asJava),
+      edgeSchema)
     def binned(df: DataFrame): DataFrame =
       df.crossJoin(broadcast(edges))
         .select((1 until bins).map(k =>

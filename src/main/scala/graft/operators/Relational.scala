@@ -473,15 +473,33 @@ object Relational {
     * computed (the sum of per-partition counts IS n), so a quantile
     * cutoff like ceil(frac·n) costs no dedicated count scan of the
     * input. Returns the row AND the total; `None` row when the derived
-    * rank is out of range (n = 0, or rankOf asks past the end). */
+    * rank is out of range (n = 0, or rankOf asks past the end).
+    * `rankOf` must be pure (it is evaluated once). */
   def valueAtRankOf(df: DataFrame, sortCols: Seq[Column])(
       rankOf: Long => Long): Option[(org.apache.spark.sql.Row, Long)] = {
+    val (rows, total) = valuesAtRanks(df, sortCols)(n => Seq(rankOf(n)))
+    rows.values.headOption.map(r => (r, total))
+  }
+
+  /** The rows at SEVERAL 1-based global ranks in one pair of jobs —
+    * the bulk form of [[valueAtRank]] for quantile EDGE extraction
+    * (histogram bin boundaries, decile cuts): `ranksOf(n)` receives the
+    * exact total and returns the wanted ranks (duplicates fine,
+    * out-of-range ranks dropped). One range shuffle, one per-partition
+    * Long-fold count pass, then ONE extraction pass in which each
+    * partition walks its already-sorted iterator emitting only the
+    * offsets it owns — driver traffic is one count per partition plus
+    * |ranks| result rows, never data, and the shuffle files are reused
+    * across the two jobs (same RDD). Returns (rank → row, total). */
+  def valuesAtRanks(df: DataFrame, sortCols: Seq[Column])(
+      ranksOf: Long => Seq[Long]):
+      (Map[Long, org.apache.spark.sql.Row], Long) = {
     val n = df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
     val rdd = ranged.rdd
     // Long fold, not Iterator.size: a >2^31-row partition would wrap
-    // the Int count negative and silently misroute the rank
+    // the Int count negative and silently misroute the ranks
     val counts = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         var c = 0L
@@ -490,30 +508,40 @@ object Relational {
       }
       .collect().sortBy(_._1)
     val total = counts.map(_._2).sum
-    val rank = rankOf(total)
-    if (rank < 1) return None
-    var remaining = rank - 1
-    var owner = -1
-    var i = 0
-    while (owner < 0 && i < counts.length) {
-      if (remaining < counts(i)._2) owner = counts(i)._1
-      else { remaining -= counts(i)._2; i += 1 }
-    }
-    if (owner < 0) None
-    else {
-      // strict bound: off + 1 must not overflow Int inside slice
-      require(remaining < Int.MaxValue,
-        s"valueAtRank: local offset $remaining exceeds a single " +
+    val ranks = ranksOf(total).distinct.filter(r => r >= 1 && r <= total)
+    if (ranks.isEmpty) return (Map.empty, total)
+    val cum = counts.scanLeft(0L)(_ + _._2)
+    val locs = ranks.map { r =>
+      var i = 0
+      while (r > cum(i + 1)) i += 1
+      val off = r - 1 - cum(i)
+      // strict bound: the walk indexes with an Int position
+      require(off < Int.MaxValue,
+        s"valuesAtRanks: local offset $off exceeds a single " +
           "partition's addressable range — raise parallelism")
-      val off = remaining.toInt
-      val p = owner
-      // collect, not take(1): take scans partitions 0..p in escalating
-      // extra jobs; collect is ONE job and every non-owner partition
-      // returns an empty iterator immediately
-      rdd.mapPartitionsWithIndex((pid, it) =>
-        if (pid == p) it.slice(off, off + 1) else Iterator.empty
-      ).collect().headOption.map(r => (r, total))
+      (r, counts(i)._1, off.toInt)
     }
+    val byPid: Map[Int, Seq[(Long, Int)]] = locs.groupBy(_._2)
+      .map { case (p, xs) =>
+        p -> xs.map { case (r, _, o) => (r, o) }.sortBy(_._2) }
+    val b = df.sparkSession.sparkContext.broadcast(byPid)
+    val got = rdd.mapPartitionsWithIndex { (pid, it) =>
+      b.value.get(pid) match {
+        case None => Iterator.empty
+        case Some(wants) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, org.apache.spark.sql.Row)]
+          var idx = 0
+          var wi = 0
+          while (wi < wants.length && it.hasNext) {
+            val row = it.next()
+            if (idx == wants(wi)._2) { out += ((wants(wi)._1, row)); wi += 1 }
+            idx += 1
+          }
+          out.iterator
+      }
+    }.collect()
+    (got.toMap, total)
   }
 
   /** Bucketed co-located table pair: writing both sides bucketed and
