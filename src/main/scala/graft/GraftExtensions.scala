@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.expressions.{CdcChunks, CountInSet, DotProduct, KMinDistinct, KMinDistinctMerge, MinGramMd5, MisraGries, NfcNormalize, TokenTf, VectorUnscaledSum}
@@ -131,8 +131,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "graft_vector_unscaled_sum(vec, dim, scale)")
-        VectorUnscaledSum(children.head, intLit(children(1), "dim"),
-          intLit(children(2), "scale"))
+        // Cast to array<double> like the Scala API (VectorFunctions
+        // .asDouble): the aggregate reads the buffer via
+        // ArrayData.getDouble, so an uncast array<float>/array<int>
+        // child from SQL would read garbage silently instead of
+        // erroring. An un-castable child fails analysis loudly.
+        VectorUnscaledSum(Cast(children.head, ArrayType(DoubleType)),
+          intLit(children(1), "dim"), intLit(children(2), "scale"))
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_misra_gries"),

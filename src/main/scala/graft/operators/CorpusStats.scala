@@ -1100,10 +1100,20 @@ object CorpusStats {
     * contract as [[Curation.curate]]: clearCache between unrelated
     * runs. */
   def vocabFertility(docs: DataFrame, textCol: String, groupCol: String,
-      vocabSizes: Seq[Int]): DataFrame = {
+      vocabSizes: Seq[Int], maxVocabRows: Int = 4000000): DataFrame = {
     require(vocabSizes.nonEmpty, "vocabSizes must be non-empty")
     require(vocabSizes.forall(_ >= 1), s"vocab sizes must be >= 1: $vocabSizes")
     val maxV = vocabSizes.max
+    // The top-V election collects V (token, rank) rows of driver
+    // metadata. The bound is the caller's own vocabSizes knob, but —
+    // like every sibling contract bound (maxClusters, maxCells,
+    // maxCarriers) — it gets a NAMED fail-fast so vocabSizes =
+    // Seq(50_000_000) raises a contract error instead of a driver OOM.
+    require(maxV <= maxVocabRows,
+      s"vocabFertility: vocabSizes.max=$maxV exceeds maxVocabRows=" +
+        s"$maxVocabRows — the vocabulary election is a driver-side " +
+        "collect of V rank rows; raise maxVocabRows deliberately if " +
+        "the driver can hold it")
     val toks = TextFunctions.tokens(col(textCol))
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(groupCol).as("__g"), explode(toks).as("__w"))

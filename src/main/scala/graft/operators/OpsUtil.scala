@@ -37,7 +37,20 @@ private[graft] object OpsUtil {
     * localization the downstream plan sees a LocalRelation of plain
     * values: nothing to re-run, nothing to re-optimize. Only for
     * frames whose row count is bounded by CONSTRUCTION (cluster
-    * count, quantile grid, calendar boundaries) — never for data. */
+    * count, quantile grid, calendar boundaries) — never for data.
+    *
+    * CALLER-VISIBLE SEMANTICS — eager execution: the collect runs
+    * Spark jobs NOW, at DataFrame-construction time, not when the
+    * returned frame is first consumed. An operator built on this
+    * (quantileNormalize, standardize, looTargetEncode,
+    * simplifiedSilhouette, centroidOutliers, temporalSplit, driftPsi)
+    * therefore (a) raises its guards at CALL time, and (b) freezes the
+    * collected totals/boundaries as literals — if the underlying
+    * source mutates between the call and the returned frame's
+    * execution, the frozen values reflect the call-time snapshot.
+    * That snapshot semantics is the intended contract for fit-style
+    * metadata (a fit is a point-in-time artifact); callers needing
+    * deferred evaluation must defer the operator call itself. */
   def localized(df: DataFrame, maxRows: Int, context: String): DataFrame =
     localizedWithRows(df, maxRows, n =>
       s"$context: bounded frame exceeded maxRows=$maxRows — this " +

@@ -177,8 +177,12 @@ object Profiling {
     // tied ranks hold the same value. Empty reference ⇒ a 0-row edges
     // frame, exactly like the previous groupBy-on-empty shape (the
     // crossJoin below then empties both binned sides).
+    // n.toDouble BEFORE the multiply: n * k in Long overflows (and goes
+    // negative) for n within Long.MaxValue/bins of 2^63 — theoretical at
+    // realistic row counts, free to harden; the double rounding loses
+    // nothing the surrounding ceil-to-rank arithmetic could observe
     def edgeRank(n: Long, k: Int): Long =
-      math.ceil(n * k / bins.toDouble).toLong
+      math.ceil(n.toDouble * k / bins).toLong
     val (edgeRows, nRef) = Relational.valuesAtRanks(r,
       Seq(col("__x").asc))(n => (1 until bins).map(k => edgeRank(n, k)))
     val edgeSchema = org.apache.spark.sql.types.StructType(

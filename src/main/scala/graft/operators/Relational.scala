@@ -525,7 +525,10 @@ object Relational {
       .map { case (p, xs) =>
         p -> xs.map { case (r, _, o) => (r, o) }.sortBy(_._2) }
     val b = df.sparkSession.sparkContext.broadcast(byPid)
-    val got = rdd.mapPartitionsWithIndex { (pid, it) =>
+    // destroyed after the collect below: repeated callers (driftPsi,
+    // temporalSplit) in a long-lived session would otherwise accumulate
+    // one dead broadcast of driver/executor state per invocation
+    val got = try rdd.mapPartitionsWithIndex { (pid, it) =>
       b.value.get(pid) match {
         case None => Iterator.empty
         case Some(wants) =>
@@ -541,6 +544,7 @@ object Relational {
           out.iterator
       }
     }.collect()
+    finally b.destroy()
     (got.toMap, total)
   }
 

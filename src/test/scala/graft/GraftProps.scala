@@ -942,4 +942,52 @@ object GraftProps extends Properties("graft") {
           (a.isNaN && b.isNaN) || a == b
         }
     }
+
+  // vocabFertility vs a driver replay of the whole contract: top-V
+  // election order (count desc, token asc), OOV = rank absent or > V,
+  // units = count in-vocab / count·max(len,1) shattered, HALF_UP at 6.
+  private val genWord: Gen[String] =
+    Gen.oneOf("aa", "b", "ccc", "dd", "e", "ffff")
+  private val genDoc: Gen[(Int, String)] = for {
+    g <- Gen.choose(0, 1)
+    ws <- Gen.listOfN(4, genWord)
+  } yield (g, ws.mkString(" "))
+
+  property("vocabFertility equals a driver replay of election + arithmetic") =
+    forAll(Gen.listOfN(6, genDoc), Gen.choose(1, 4)) { (docs0, v1) =>
+      import spark.implicits._
+      val sizes = Seq(v1, v1 + 2)
+      val docs = docs0.map { case (g, t) => (s"g$g", t) }
+        .toDF("source", "text")
+      val got = graft.operators.CorpusStats
+        .vocabFertility(docs, "text", "source", sizes)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+      spark.catalog.clearCache() // operator contract: persisted type table
+      // driver replay
+      val toks = docs0.flatMap { case (g, t) =>
+        t.split(" ", -1).map(w => (s"g$g", w)) }
+      val perGW = toks.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val global = toks.groupBy(_._2).map { case (w, xs) => w -> xs.size.toLong }
+      val ranked = global.toSeq.sortBy { case (w, c) => (-c, w) }
+        .zipWithIndex.map { case ((w, _), i) => w -> (i + 1) }.toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val groups = docs0.map(d => s"g${d._1}").distinct
+      val expect = (for { g <- groups; v <- sizes } yield {
+        val gw = perGW.collect { case ((gg, w), c) if gg == g => (w, c) }.toSeq
+        val nw = gw.map(_._2).sum
+        val nc = gw.map { case (w, c) => w.length.toLong * c }.sum
+        val oov = gw.collect { case (w, c)
+          if !ranked.get(w).exists(_ <= v) => c }.sum
+        val units = gw.map { case (w, c) =>
+          if (ranked.get(w).exists(_ <= v)) c
+          else math.max(w.length, 1).toLong * c }.sum
+        (v.toLong, g) -> (nw, oov, units, nc,
+          r6(units.toDouble / nw), r6(oov.toDouble / nw),
+          r6(nc.toDouble / units))
+      }).toMap
+      got == expect
+    }
 }
