@@ -596,6 +596,143 @@ object Prof {
         t("q232_rows")(rowsOnly())
         t("q232_full")(q232(spark, d))
       }
+    } else if (args.headOption.contains("q129_sub")) {
+      // q129 strict-subset decomposition in ONE JVM (round-14 verdict
+      // item 1): the disk-merge path's cost split across its stages —
+      // source lineage, first partitioned write, second merge (probe +
+      // slice + full-outer + dynamic overwrite), read-back sort.
+      import graft.pipeline.{TradeInPipeline, TradeInSchema}
+      import org.apache.spark.sql.DataFrame
+      def dec2p(f: String) =
+        s"(CAST(floor(floor(__p * $f) / 100.0) AS BIGINT) || '.' || " +
+          s"lpad(CAST(CAST(floor(__p * $f) AS BIGINT) % 100 AS STRING), 2, '0'))"
+      val now1 = lit("2024-06-01 10:00:00").cast("timestamp")
+      val now2 = lit("2024-06-02 10:00:00").cast("timestamp")
+      val month = date_format(col("TradeInDate"), "yyyy-MM")
+      val base = TradeInQueries.narrowBase(spark, d)
+        .repartition(spark.sparkContext.defaultParallelism, col("k"))
+        .persist()
+      def day1 = TradeInQueries.widen(base.filter(col("k") % 3 =!= 0))
+      def day2 = TradeInQueries.widen(base.filter(col("k") % 2 === 0))
+        .withColumn("__dup", explode(
+          when(col("__k") % 10 === 0, array(lit(false), lit(true)))
+            .otherwise(array(lit(false)))))
+        .withColumn("TradeInAmount",
+          when(col("__dup"), expr(dec2p("130.0")))
+            .otherwise(expr(dec2p("120.0"))))
+        .withColumn("TradeInDate",
+          when(col("__dup"), concat(date_format(col("__ts") + expr("INTERVAL 1 DAY"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
+            .otherwise(col("TradeInDate")))
+      def tmp(): String = {
+        val p = java.nio.file.Files.createTempDirectory("graft_prof_q129")
+        p.toFile.deleteOnExit()
+        p.toString + "/target"
+      }
+      def merge1(w: String): Unit =
+        TradeInPipeline.mergeIntoTargetPartitioned(spark, w,
+          TradeInPipeline.stage(day1, now1), now1, partDay = month): Unit
+      def merge2(w: String): Unit =
+        TradeInPipeline.mergeIntoTargetPartitioned(spark, w,
+          TradeInPipeline.stage(day2, now2), now2, partDay = month): Unit
+      def sub(name: String)(prep: () => String)(body: String => Unit): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val w = prep()
+          val t0 = System.nanoTime(); body(w)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
+      }
+      base.write.format("noop").mode("overwrite").save() // warm the pin
+      // merge source lineage alone (what pinSource materializes per run)
+      t("src_day2_typed")(TradeInSchema.toTyped(
+        TradeInPipeline.dedupSource(TradeInPipeline.stage(day2, now2))))
+      sub("merge1_write")(() => tmp())(w => merge1(w))
+      sub("merge2_full")(() => { val w = tmp(); merge1(w); w })(w => merge2(w))
+      sub("readback_sort")(() => { val w = tmp(); merge1(w); merge2(w); w }) {
+        w => spark.read.parquet(w)
+          .select(col("SaleInvoiceID"),
+            col("TradeInAmount").cast("double").as("TradeInAmount"),
+            col("TradeInDate"), col("TradeInDateEST"),
+            col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"))
+          .orderBy("SaleInvoiceID")
+          .write.format("noop").mode("overwrite").save()
+      }
+      t("q129_full")(SparkEntry.queries("q129_tradein_merge_part")(spark, d))
+      // merge2 internals, step-timed (replicates upsertPartitioned's
+      // stages against a pre-seeded target; numbers are diagnostic)
+      def stepTimed(): Unit = {
+        val w = tmp(); merge1(w)
+        def step(n: String)(body: => Unit): Unit = {
+          val t0 = System.nanoTime(); body
+          println(f"  m2.$n: ${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        val source0 = TradeInSchema.toTyped(
+            TradeInPipeline.dedupSource(TradeInPipeline.stage(day2, now2)))
+          .withColumn(TradeInSchema.updatedCol, lit(null).cast("timestamp"))
+          .withColumn(TradeInPipeline.partitionDayCol, month)
+        val src = source0.persist()
+        step("pin")(src.write.format("noop").mode("overwrite").save())
+        var parts0: Seq[String] = Nil
+        step("discover") {
+          parts0 = src.select(col(TradeInPipeline.partitionDayCol).cast("string"))
+            .distinct().collect().map(_.getString(0)).toSeq
+        }
+        var moved: Seq[String] = Nil
+        step("probe") {
+          moved = spark.read.parquet(w)
+            .filter(!col(TradeInPipeline.partitionDayCol).cast("string").isin(parts0: _*))
+            .select(col("SaleInvoiceID"),
+              col(TradeInPipeline.partitionDayCol).cast("string").as("__part"))
+            .join(src.select(col("SaleInvoiceID")).distinct(), Seq("SaleInvoiceID"), "left_semi")
+            .select(col("__part")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        }
+        println(s"  m2.parts0=${parts0.size} moved=${moved.size}")
+        val parts = (parts0 ++ moved).distinct
+        val slice = spark.read.parquet(w)
+          .filter(col(TradeInPipeline.partitionDayCol).cast("string").isin(parts: _*))
+          .select(src.columns.map(col): _*)
+        val merged = graft.operators.Merge.upsert(slice, src, "SaleInvoiceID",
+          TradeInSchema.columns :+ TradeInPipeline.partitionDayCol,
+          audit = Some((TradeInSchema.insertedCol, TradeInSchema.updatedCol, now2)))
+        // untouched-partition listing: can the probe be skipped for free?
+        step("fs_list") {
+          val fs = new org.apache.hadoop.fs.Path(w)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val onDisk = fs.listStatus(new org.apache.hadoop.fs.Path(w)).toSeq
+            .filter(_.isDirectory).map(_.getPath.getName)
+            .filter(_.startsWith(TradeInPipeline.partitionDayCol + "="))
+            .map(_.stripPrefix(TradeInPipeline.partitionDayCol + "="))
+          println(s"  m2.untouched=${(onDisk.toSet -- parts0).size}")
+        }
+        // separate the join cost from the write cost: materialize the
+        // merged frame first (also makes later writes safe — the write
+        // plan must not lazily re-read the target it is overwriting)
+        val mergedP = merged.persist()
+        step("join")(mergedP.write.format("noop").mode("overwrite").save())
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        step("write_dyn32") {
+          mergedP.repartition(32, col(TradeInPipeline.partitionDayCol))
+            .write.mode("overwrite")
+            .partitionBy(TradeInPipeline.partitionDayCol).parquet(w)
+        }
+        step("write_dyn8") {
+          mergedP.repartition(8, col(TradeInPipeline.partitionDayCol))
+            .write.mode("overwrite")
+            .partitionBy(TradeInPipeline.partitionDayCol).parquet(w)
+        }
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        step("write_fresh32") {
+          mergedP.repartition(32, col(TradeInPipeline.partitionDayCol))
+            .write.mode("overwrite")
+            .partitionBy(TradeInPipeline.partitionDayCol).parquet(tmp())
+        }
+        mergedP.unpersist()
+        src.unpersist()
+      }
+      (1 to 3).foreach(_ => stepTimed())
+      base.unpersist()
     } else if (args.headOption.contains("conf_sweep")) {
       // Per-query fixed-cost experiment: the same query set under
       // (AQE on/off) × (shuffle partitions) in ONE JVM, interleaved so

@@ -334,12 +334,15 @@ object TradeInQueries {
       base.unpersist()
       // Read-back is the query's answer: the product of this operator is
       // the on-disk table. (The temp dir is left for process exit.)
+      // ordered1, not orderBy: a range-sort's sampling pass would read
+      // the 81-dir partitioned target a second time; one-partition sort
+      // of the 37k-row answer reads it once (the q33 discipline).
       s.read.parquet(work)
         .select(col("SaleInvoiceID"),
           col("TradeInAmount").cast("double").as("TradeInAmount"),
           col("TradeInDate"), col("TradeInDateEST"),
           col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"))
-        .orderBy("SaleInvoiceID")
+        .transform(QuerySupport.ordered1(_, col("SaleInvoiceID")))
     }))
 
   // ------------------------------------------------------------- oracles

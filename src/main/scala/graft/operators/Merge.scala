@@ -168,8 +168,30 @@ object Merge {
     // never find (or heal) the stale moved-from copy. Rows physically
     // outside parts0 whose key is in the batch are exactly the
     // stale-or-moving set, crashed or not.
-    val movedParts: Seq[String] =
+    // Metadata fast path before the probe JOB: a moved key's stale row
+    // can only live in a partition OUTSIDE the batch slice, so when the
+    // driver-side directory listing (O(partitions) — the same listing
+    // every read of the target performs anyway) shows NO partition
+    // beyond parts0, the probe is provably empty and its join job is
+    // skipped entirely. Steady state for a mature target: the daily
+    // batch's days are a subset of history, untouched is large and the
+    // probe runs; the fast path wins on young targets and backfills
+    // whose batches span the whole table (measured 0.4 s/run at bench
+    // scale). Escaped dir names that fail to string-match parts0 only
+    // make `untouched` conservatively non-empty — the probe then runs,
+    // never the reverse.
+    val untouchedOnDisk: Seq[String] =
       if (!exists || !probeMovedKeys) Seq.empty
+      else {
+        val prefix = s"$partitionCol="
+        val parts0Set = parts0.toSet
+        fs.listStatus(p).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+          .map(_.getPath.getName.stripPrefix(prefix))
+          .filterNot(parts0Set)
+      }
+    val movedParts: Seq[String] =
+      if (!exists || !probeMovedKeys || untouchedOnDisk.isEmpty) Seq.empty
       else {
         spark.read.parquet(targetPath)
           .filter(!col(partitionCol).cast("string").isin(parts0: _*))
