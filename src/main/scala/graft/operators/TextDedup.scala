@@ -1151,6 +1151,175 @@ object TextDedup {
             .cast("double"), 6).as("jaccard"))
   }
 
+  /** Incremental winnowing re-index — the delta a fingerprint index
+    * needs between two corpus VERSIONS, computed by re-fingerprinting
+    * CHANGED documents only (the payoff [[winnowStability]] measures:
+    * edits perturb few fingerprints, so the index update is tiny; this
+    * operator is the update itself). Changed = text differs (edited),
+    * present only in `before` (deleted), or only in `after` (added) —
+    * detected with one full-outer id join comparing the text columns;
+    * UNCHANGED documents are never tokenized, hashed, or winnowed,
+    * which is what makes a daily re-index over a 100 TB corpus cost
+    * O(changed docs), not O(corpus).
+    *
+    * Per changed document: `(idCol, status, n_del, n_add, n_keep)` —
+    * fingerprints to retire from the index (in before's set only), to
+    * insert (in after's only), and shared survivors. A deleted doc
+    * retires everything (n_add = 0); an added doc inserts everything.
+    * Null-text rows are treated as absent on their side (the corpus
+    * contract shared with [[winnow]]'s callers).
+    *
+    * Scale shape: the change detector is one full-outer hash join on
+    * the id (linear); both [[winnow]] passes run over the CHANGED
+    * subset only (per-doc array work + one DISTINCT each); the delta
+    * roll-up is one full-outer hash join on (id, fingerprint) — never
+    * a pair join. The changed frame persists once for its three
+    * consumers (two winnow legs + the status join). Caller contract as
+    * [[Curation.curate]]: clearCache between unrelated runs. */
+  def winnowDeltaIndex(before: DataFrame, after: DataFrame,
+      textCol: String, idCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
+    val b = before.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__tb"))
+    val a = after.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__ta"))
+    val changed = b.join(a, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__ta").isNull, "deleted")
+          .when(col("__tb").isNull, "added")
+          .when(col("__tb") =!= col("__ta"), "edited"))
+      .filter(col("status").isNotNull)
+      .persist()
+    val fb = winnow(changed.filter(col("__tb").isNotNull)
+        .select(col(idCol), col("__tb").as(textCol)),
+      textCol, idCol, k, w).withColumn("__b", lit(1L))
+    val fa = winnow(changed.filter(col("__ta").isNotNull)
+        .select(col(idCol), col("__ta").as(textCol)),
+      textCol, idCol, k, w).withColumn("__a", lit(1L))
+    val delta = fb.join(fa, Seq(idCol, "fingerprint"), "full_outer")
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__a").isNull, 1L).otherwise(0L)).as("n_del"),
+        sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_add"),
+        sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)).as("n_keep"))
+    changed.select(col(idCol), col("status"))
+      .join(delta, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_del", "n_add", "n_keep"))
+  }
+
+  /** Apply-side of [[duplicatedSpans]] (Lee et al.'s deduplicate-
+    * training-data surgery): REMOVE every token covered by a
+    * corpus-duplicated span from each document and return the pruned
+    * text — the transformation a training pipeline actually ships,
+    * where [[duplicatedSpans]] is its audit. Per document:
+    * `(idCol, n_tokens, n_removed, pruned_text)`; a document with no
+    * duplicated span passes through whole, a document that is all
+    * duplicated material prunes to the empty string (the caller's
+    * length filter then drops it).
+    *
+    * Scale shape: [[duplicatedSpans]]' linear gram pipeline, then the
+    * per-doc span LIST (bounded by doc length / k) collects in one
+    * hash aggregation, joins back id-keyed, and the removal itself is
+    * a higher-order `filter` over each doc's own token array testing
+    * position membership against that doc's spans — per-row work, no
+    * per-position explode, no second shuffle. */
+  def pruneDuplicatedSpans(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, minDocs: Int = 2): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+    val spans = duplicatedSpans(base, textCol, idCol, k, minDocs)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans"))
+    base.join(spans, Seq(idCol), "left")
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(filter(col("__toks"), (x, i) =>
+            !exists(col("__spans"), s =>
+              (i + 1) >= s.getField("span_start") &&
+                (i + 1) <= s.getField("span_end")))))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_removed"),
+        concat_ws(" ", col("__kept")).as("pruned_text"))
+  }
+
+  /** Cross-chunk dedup at RETRIEVAL granularity — the clustering pass
+    * over [[chunkProvenance]]'s duplicated-content signal: RAG chunks
+    * ([[Packing.chunkDocuments]] windows) whose [[winnow]] fingerprint
+    * sets overlap at Jaccard ≥ `minJaccard` collapse into connected
+    * components ([[dupClusters]]' min-label rule), so a retrieval index
+    * keeps ONE copy of a syndicated passage instead of ranking its
+    * clones against each other. Returns one row per chunk that
+    * appears in at least one qualifying pair: `(idCol, chunk_id,
+    * cluster_doc, cluster_chunk, is_keeper)` — keeper = the component's
+    * minimum (doc, chunk).
+    *
+    * Scale shape: chunk fingerprints are per-row array work + one
+    * DISTINCT (the [[chunkProvenance]] frame, persisted for its two
+    * consumers); candidate pairs come from a fingerprint equi-join
+    * guarded by the [[winnowPairs]] mega-carrier fail-fast (a
+    * boilerplate fingerprint carried by c chunks fans to c²/2 rows —
+    * raise loudly, never degrade); the Jaccard filter needs only the
+    * two set SIZES (one bounded aggregation) against the shared count;
+    * clustering is [[dupClusters]]' O(log diameter) label propagation.
+    * The chunk key packs (doc, chunk) into one long — guarded, since a
+    * collision would silently merge distinct chunks. */
+  def chunkClusters(docs: DataFrame, textCol: String, idCol: String,
+      window: Int, stride: Int, k: Int, w: Int,
+      minJaccard: Double, maxCarriers: Long = 1024L): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"need 0 < minJaccard <= 1: $minJaccard")
+    require(maxCarriers >= 2, s"maxCarriers must be >= 2: $maxCarriers")
+    val chunks = Packing.chunkDocuments(docs, textCol, idCol, window, stride)
+    val keyMul = 100000L
+    val fps = chunks
+      .where(OpsUtil.orRaise(col("chunk_id") < keyMul,
+        lit("chunkClusters: chunk_id "), col("chunk_id"),
+        lit(s" overflows the packed (doc, chunk) key (max ${keyMul - 1})")))
+      .withColumn("__toks", tokens(col("chunk_text")))
+      .withColumn("__gh", transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
+      .select((col(idCol) * keyMul + col("chunk_id")).as("__ck"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("__gh")) - (w - 1), lit(1))),
+          i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"))
+      .distinct()
+      .persist()
+    val carriers = fps.groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("__c"))
+    val guarded = fps.join(
+      carriers.where(OpsUtil.orRaise(col("__c") <= maxCarriers,
+        lit("chunkClusters: a fingerprint is carried by "), col("__c"),
+        lit(s" chunks (> maxCarriers=$maxCarriers); run exact chunk " +
+          "dedup first or raise the cap"))), "fingerprint")
+    val sizes = fps.groupBy(col("__ck")).agg(count(lit(1)).as("__n"))
+    val shared = guarded.select(col("fingerprint"), col("__ck").as("__cka"))
+      .join(guarded.select(col("fingerprint"), col("__ck").as("__ckb")),
+        Seq("fingerprint"))
+      .filter(col("__cka") < col("__ckb"))
+      .groupBy(col("__cka"), col("__ckb"))
+      .agg(count(lit(1)).as("__shared"))
+    val pairs = shared
+      .join(sizes.select(col("__ck").as("__cka"), col("__n").as("__na")),
+        Seq("__cka"))
+      .join(sizes.select(col("__ck").as("__ckb"), col("__n").as("__nb")),
+        Seq("__ckb"))
+      .filter(col("__shared").cast("double") /
+        (col("__na") + col("__nb") - col("__shared")).cast("double")
+        >= minJaccard)
+      .select(col("__cka").as("__ck_a"), col("__ckb").as("__ck_b"))
+    dupClusters(pairs, "__ck")
+      .select((col("__ck") / keyMul).cast("long").as(idCol),
+        pmod(col("__ck"), lit(keyMul)).as("chunk_id"),
+        (col("cluster") / keyMul).cast("long").as("cluster_doc"),
+        pmod(col("cluster"), lit(keyMul)).as("cluster_chunk"),
+        (col("__ck") === col("cluster")).as("is_keeper"))
+  }
+
   /** LSH parameter planner: the banding S-curve table that picks
     * (bands b, rows-per-band r) for [[lshCandidatePairs]] given a target
     * similarity threshold. For every (r, b) with r·b = `numHashes` and

@@ -251,6 +251,58 @@ private[graft] object DedupQueries {
     }),
 
 
+    // Incremental winnow re-index delta between two corpus versions:
+    // v2 = v1 with every even doc's token 10 edited, every doc_id%10=3
+    // deleted, and every doc_id%7=0 re-added under a new id with a
+    // NEWDOC prefix — the daily-re-index shape whose cost must track
+    // CHANGED docs, not the corpus. Round-14 addition under the
+    // substantive-oracle policy (oracle re-winnows ~3.7k changed docs
+    // on both sides, 0.80 s measured before building).
+    "q263_winnow_delta" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val edited = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0 && size(toks) >= 10,
+          array_join(concat(slice(toks, 1, 9), array(lit("EDITv2")),
+            slice(toks, lit(11), greatest(size(toks) - 10, lit(0)))), " "))
+          .otherwise(col("text")))
+        .filter(col("doc_id") % 10 =!= 3)
+      val added = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(lit("NEWDOC "), col("text")))
+      TextDedup.winnowDeltaIndex(docs,
+          edited.unionByName(added), "text", "doc_id", k = 3, w = 4)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // Apply-side of q250's exact-substring spans (Lee et al.): the
+    // pruned training text itself — duplicated-span tokens removed per
+    // doc. Round-14 addition under the substantive-oracle policy (the
+    // oracle replays gram hashing + carrier counts + positional
+    // anti-join + text reassembly, 1.03 s measured before building).
+    "q264_span_prune" -> ((s, d) => {
+      TextDedup.pruneDuplicatedSpans(parallel(load(s, d, "documents")),
+          "text", "doc_id", k = 8, minDocs = 2)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // Cross-chunk RAG dedup at retrieval granularity: chunk winnow
+    // fingerprint sets (q261's frame) -> Jaccard >= 0.5 candidate
+    // pairs -> connected components (q54's min-label rule) — one
+    // keeper per syndicated-passage cluster in the retrieval index.
+    // Round-14 addition under the substantive-oracle policy (oracle
+    // replays per-chunk winnowing + the pair join + a recursive-CTE
+    // reachability closure, 3.80 s measured before building).
+    "q265_chunk_clusters" -> ((s, d) => {
+      TextDedup.chunkClusters(parallel(load(s, d, "documents")),
+          "text", "doc_id", window = 40, stride = 32, k = 3, w = 4,
+          minJaccard = 0.5)
+        .transform(ordered1(_, col("doc_id"), col("chunk_id")))
+    }),
+
+
     // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
     // answer — the sketch (built and probed with Spark's own
     // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
@@ -752,6 +804,133 @@ private[graft] object DedupQueries {
         |    / CAST(sum(nb) + sum(na) - sum(nc) AS DOUBLE), 6) AS jaccard
         |FROM pd JOIN s USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // Mirrors TextDedup.winnowDeltaIndex over the q263 fixture: change
+    // detection by full-outer text compare, md5 winnow (k=3, w=4) of
+    // changed docs on both sides, per-doc del/add/keep fingerprint
+    // counts from one full join.
+    "q263_winnow_delta" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |v2e AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 AND len(string_split(text,' ')) >= 10
+        |      THEN array_to_string(list_concat(list_concat(
+        |        string_split(text,' ')[1:9], ['EDITv2']),
+        |        string_split(text,' ')[11:len(string_split(text,' '))]), ' ')
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 3),
+        |v2a AS (SELECT doc_id + 1000000 AS doc_id, 'NEWDOC ' || text AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+        |v2 AS (SELECT * FROM v2e UNION ALL SELECT * FROM v2a),
+        |st AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |    CASE WHEN b.doc_id IS NULL THEN 'deleted'
+        |         WHEN a.doc_id IS NULL THEN 'added'
+        |         ELSE 'edited' END AS status,
+        |    a.text AS t1, b.text AS t2
+        |  FROM v1 a FULL JOIN v2 b ON a.doc_id = b.doc_id
+        |  WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text),
+        |gb AS (SELECT doc_id, [md5(array_to_string(t[i:i+2],' '))
+        |    FOR i IN generate_series(1, greatest(len(t)-2,1))] AS gh
+        |  FROM (SELECT doc_id, string_split(t1,' ') AS t FROM st
+        |        WHERE t1 IS NOT NULL)),
+        |ga AS (SELECT doc_id, [md5(array_to_string(t[i:i+2],' '))
+        |    FOR i IN generate_series(1, greatest(len(t)-2,1))] AS gh
+        |  FROM (SELECT doc_id, string_split(t2,' ') AS t FROM st
+        |        WHERE t2 IS NOT NULL)),
+        |fb AS (SELECT DISTINCT doc_id, unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh)-3,1))]) AS fp
+        |  FROM gb),
+        |fa AS (SELECT DISTINCT doc_id, unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh)-3,1))]) AS fp
+        |  FROM ga),
+        |pd2 AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |    CAST(sum(CASE WHEN a.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_del,
+        |    CAST(sum(CASE WHEN b.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_add,
+        |    CAST(sum(CASE WHEN a.fp IS NOT NULL AND b.fp IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |  FROM fb b FULL JOIN fa a
+        |    ON b.doc_id = a.doc_id AND b.fp = a.fp
+        |  GROUP BY 1)
+        |SELECT st.doc_id, st.status,
+        |  coalesce(pd2.n_del, 0) AS n_del, coalesce(pd2.n_add, 0) AS n_add,
+        |  coalesce(pd2.n_keep, 0) AS n_keep
+        |FROM st LEFT JOIN pd2 ON st.doc_id = pd2.doc_id
+        |ORDER BY st.doc_id""".stripMargin,
+
+
+    // Mirrors TextDedup.pruneDuplicatedSpans: q250's duplicated 8-gram
+    // positions expanded to covered token positions, anti-joined
+    // against the position-exploded tokens, text reassembled in order.
+    "q264_span_prune" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |g2 AS (SELECT doc_id, p, md5(array_to_string(t[p:p+7], ' ')) AS h
+        |  FROM (SELECT doc_id,
+        |      unnest(generate_series(1, greatest(len(t)-7, 1))) AS p, t
+        |    FROM d)),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM
+        |  (SELECT doc_id, unnest(generate_series(p, p + 7)) AS pos
+        |   FROM g2 JOIN f USING (h))),
+        |pos AS (SELECT doc_id, i, t[i] AS w FROM
+        |  (SELECT doc_id, unnest(generate_series(1, len(t))) AS i, t
+        |   FROM d)),
+        |kept AS (SELECT p.doc_id, p.i, p.w FROM pos p
+        |  ANTI JOIN cov c ON p.doc_id = c.doc_id AND p.i = c.pos)
+        |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(d.t) - count(k.i) AS BIGINT) AS n_removed,
+        |  coalesce(array_to_string(list(k.w ORDER BY k.i), ' '), '')
+        |    AS pruned_text
+        |FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id, len(d.t)
+        |ORDER BY d.doc_id""".stripMargin,
+
+
+    // Mirrors TextDedup.chunkClusters: q261's per-chunk md5 winnow
+    // fingerprints, shared-fingerprint pairs at fp-set Jaccard >= 0.5,
+    // reachability closure with min-label clusters (q54's rule) over
+    // the packed (doc*100000 + chunk) key.
+    "q265_chunk_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT doc_id, c.cid AS chunk_id, c.ct AS ct FROM (
+        |  SELECT doc_id, unnest([{'cid': i, 'ct': t[i*32+1 : i*32+40]}
+        |    FOR i IN generate_series(0,
+        |      CAST(floor((greatest(len(t) - 40, 0) + 31) / 32) AS BIGINT))])
+        |    AS c
+        |  FROM d)),
+        |g AS (SELECT doc_id, chunk_id,
+        |  [md5(array_to_string(ct[i:i+2], ' '))
+        |    FOR i IN generate_series(1, greatest(len(ct) - 2, 1))] AS gh
+        |  FROM ch),
+        |fp AS (SELECT DISTINCT doc_id, chunk_id,
+        |  unnest([list_min(gh[i:i+3])
+        |    FOR i IN generate_series(1, greatest(len(gh) - 3, 1))])
+        |    AS fingerprint
+        |  FROM g),
+        |kk AS (SELECT doc_id * 100000 + chunk_id AS ck, fingerprint FROM fp),
+        |sz AS (SELECT ck, CAST(count(*) AS BIGINT) AS n FROM kk GROUP BY ck),
+        |pr AS (SELECT a.ck AS a, b.ck AS b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM kk a JOIN kk b ON a.fingerprint = b.fingerprint AND a.ck < b.ck
+        |  GROUP BY a.ck, b.ck),
+        |pairs AS (SELECT pr.a, pr.b FROM pr
+        |  JOIN sz sa ON pr.a = sa.ck JOIN sz sb ON pr.b = sb.ck
+        |  WHERE CAST(pr.shared AS DOUBLE) / (sa.n + sb.n - pr.shared) >= 0.5),
+        |e AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
+        |SELECT CAST(id // 100000 AS BIGINT) AS doc_id,
+        |  CAST(id % 100000 AS BIGINT) AS chunk_id,
+        |  CAST(min(r) // 100000 AS BIGINT) AS cluster_doc,
+        |  CAST(min(r) % 100000 AS BIGINT) AS cluster_chunk,
+        |  min(r) = id AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id, chunk_id""".stripMargin,
 
 
     "q109_containment" ->

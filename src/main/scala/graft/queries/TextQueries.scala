@@ -368,9 +368,95 @@ private[graft] object TextQueries {
           "text", "source", vocabSizes = Seq(100, 1000, 5000))
         .transform(ordered1(_, col("vocab_size"), col("source")))
     }),
+
+
+    // Trigram Stupid-Backoff NLL (Brants et al. '07) over a 5x
+    // token-distinct replicated corpus — the oracle row docNllBackoff
+    // lacked for two rounds (its plain-corpus DuckDB program measured
+    // ~0.17 s, under the substantive bar; replication with per-replica
+    // token suffixes multiplies genuine model key mass, and the output
+    // stays the ORIGINAL docs' scores). Round-14 addition under the
+    // substantive-oracle policy (1.75 s measured before building).
+    "q266_docnll_backoff" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 4).map { r =>
+        if (r == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      CorpusStats.docNllBackoff(
+          parallel(reps.reduce(_ unionByName _)), "text", "doc_id",
+          holdoutMod = 10, alpha = 0.4, k = 1.0)
+        .filter(col("doc_id") < 1000000L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Mirrors CorpusStats.docNllBackoff over the q266 replicated
+    // corpus: trigram c3/c2p, bigram alpha*cb/cu, add-1 unigram floor
+    // (alpha written 0.4*0.4, the same IEEE product Scala's
+    // alpha*alpha computes — a 0.16 literal is one ulp off).
+    "q266_docnll_backoff" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS r)
+        |  WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, doc_id % 10 = 0 AS held,
+        |    string_split(text, ' ') AS t
+        |  FROM corpus),
+        |tri AS (SELECT held, CASE WHEN held THEN doc_id END AS id,
+        |    g[1] AS w1, g[2] AS w2, g[3] AS w3, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT held, doc_id, unnest([t[i:i+2]
+        |      FOR i IN generate_series(1, greatest(len(t)-2, 1))]) AS g
+        |    FROM toks)
+        |  WHERE len(g) = 3
+        |  GROUP BY ALL),
+        |c3 AS (SELECT w1, w2, w3, sum(n) AS c3 FROM tri WHERE NOT held
+        |  GROUP BY w1, w2, w3),
+        |c2p AS (SELECT w1, w2, sum(c3) AS c2p FROM c3 GROUP BY w1, w2),
+        |bi AS (SELECT g[1] AS w1, g[2] AS w2, CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT unnest([t[i:i+1]
+        |      FOR i IN generate_series(1, greatest(len(t)-1, 1))]) AS g
+        |    FROM toks WHERE NOT held)
+        |  WHERE len(g) = 2
+        |  GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM bi GROUP BY w1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM toks WHERE NOT held) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS tn,
+        |  CAST(count(*) AS DOUBLE) AS tv FROM uni),
+        |sc AS (SELECT tri.id, tri.n,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 0 ELSE 1 END AS bo,
+        |    CASE WHEN c3.c3 IS NOT NULL
+        |        THEN -ln(CAST(c3.c3 AS DOUBLE) / CAST(c2p.c2p AS DOUBLE))
+        |      WHEN bi.cb IS NOT NULL
+        |        THEN -ln(0.4 * CAST(bi.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE))
+        |      ELSE -ln((0.4 * 0.4) * (CAST(coalesce(uni.c1, 0) AS DOUBLE) + 1.0)
+        |        / (tot.tn + 1.0 * tot.tv)) END AS nll
+        |  FROM tri
+        |  LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2 AND tri.w3 = c3.w3
+        |  LEFT JOIN c2p ON tri.w1 = c2p.w1 AND tri.w2 = c2p.w2
+        |  LEFT JOIN bi ON tri.w2 = bi.w1 AND tri.w3 = bi.w2
+        |  LEFT JOIN cu ON tri.w2 = cu.w1
+        |  LEFT JOIN uni ON tri.w3 = uni.w
+        |  CROSS JOIN tot
+        |  WHERE tri.held)
+        |SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(bo * n) AS BIGINT) AS n_backoff,
+        |  round(sum(nll * n) / sum(n), 6) AS avg_nll,
+        |  round(CAST(sum(bo * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS backoff_share
+        |FROM sc WHERE id < 1000000
+        |GROUP BY id ORDER BY id""".stripMargin,
+
+
     "q260_vocab_fertility" ->
       """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
         |  FROM documents WHERE text IS NOT NULL),

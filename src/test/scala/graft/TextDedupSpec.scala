@@ -739,4 +739,91 @@ class TextDedupSpec extends AnyFunSuite {
         r.getDouble(3), r.getDouble(4)))
     assert(out.toList == List((1L, 2L, 1.0, 0.6, 1.0)))
   }
+
+  test("winnowDeltaIndex: unchanged docs emit nothing; deleted retires " +
+    "all, added inserts all, an edit keeps most fingerprints") {
+    import spark.implicits._
+    // doc 2 long enough that a token-5 edit cannot perturb the windows
+    // over tokens 10..40 (winnowing's edit locality needs distance)
+    val before = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 12).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    // doc 1 unchanged, doc 2 token-5 edit, doc 3 deleted, doc 4 added
+    val after = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => if (i == 5) "EDIT" else s"b$i").mkString(" ")),
+      (4L, (1 to 12).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextDedup.winnowDeltaIndex(before, after, "text", "doc_id",
+        k = 2, w = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    assert(out.keySet == Set(2L, 3L, 4L))
+    val fps2 = TextDedup.winnow(before.filter(col("doc_id") === 2L),
+      "text", "doc_id", 2, 3).count()
+    val fps2After = TextDedup.winnow(after.filter(col("doc_id") === 2L),
+      "text", "doc_id", 2, 3).count()
+    val fps3 = TextDedup.winnow(before.filter(col("doc_id") === 3L),
+      "text", "doc_id", 2, 3).count()
+    val fps4 = TextDedup.winnow(after.filter(col("doc_id") === 4L),
+      "text", "doc_id", 2, 3).count()
+    val (st2, del2, add2, keep2) = out(2L)
+    // the two set identities always hold; edit LOCALITY means most
+    // fingerprints survive (an edit can even add none, when its new
+    // gram hashes never win a window minimum)
+    assert(st2 == "edited" && del2 + keep2 == fps2 &&
+      add2 + keep2 == fps2After && keep2 > 0)
+    assert(out(3L) == (("deleted", fps3, 0L, 0L)))
+    assert(out(4L) == (("added", 0L, fps4, 0L)))
+  }
+
+  test("pruneDuplicatedSpans: shared run's tokens removed, unique doc " +
+    "passes through whole") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "u1 u2 d1 d2 d3 d4 u3"),
+      (2L, "v1 d1 d2 d3 d4 v2 v3"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7")).toDF("doc_id", "text")
+    val out = TextDedup.pruneDuplicatedSpans(docs, "text", "doc_id",
+        k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // shared 3-grams "d1 d2 d3"/"d2 d3 d4" cover d1..d4 in both docs
+    assert(out(1L) == ((7L, 4L, "u1 u2 u3")))
+    assert(out(2L) == ((7L, 4L, "v1 v2 v3")))
+    assert(out(3L) == ((7L, 0L, "w1 w2 w3 w4 w5 w6 w7")))
+  }
+
+  test("chunkClusters: clone docs' chunks cluster pairwise with the min " +
+    "(doc, chunk) keeper; unpaired chunks are absent; carrier guard fires") {
+    import spark.implicits._
+    val clone = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, clone), (2L, clone),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextDedup.chunkClusters(docs, "text", "doc_id",
+        window = 4, stride = 3, k = 2, w = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    spark.catalog.clearCache()
+    // chunks overlap by one token only (no shared 2-grams within a doc),
+    // so clusters are exactly {(1,c),(2,c)} per chunk id; doc 3 unpaired
+    assert(out.keySet ==
+      (for (d <- 1L to 2L; c <- 0L to 2L) yield (d, c)).toSet)
+    for (c <- 0L to 2L) {
+      assert(out((1L, c)) == ((1L, c, true)), s"keeper chunk (1,$c)")
+      assert(out((2L, c)) == ((1L, c, false)), s"member chunk (2,$c)")
+    }
+    // three clones -> a fingerprint carried by 3 chunks > maxCarriers=2
+    val three = Seq((1L, clone), (2L, clone), (3L, clone))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      TextDedup.chunkClusters(three, "text", "doc_id",
+        window = 4, stride = 3, k = 2, w = 2, minJaccard = 0.5,
+        maxCarriers = 2L).collect()
+    }
+    spark.catalog.clearCache()
+    assert(ex.getMessage.contains("chunkClusters") ||
+      Option(ex.getCause).exists(_.getMessage.contains("chunkClusters")))
+  }
 }
