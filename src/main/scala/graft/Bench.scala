@@ -171,6 +171,12 @@ object Bench {
         // program than its minimal-answer oracle, so the per-query ratio
         // is excluded from the weak letter. Still fully counted in the
         // total, and listed here so the exclusion is visible.
+        //
+        // FROZEN as of round 14 (9 entries): no additions without a
+        // fresh same-JVM strict-subset decomposition reviewed in the
+        // round's BASELINE.md note, and every member's ratio is
+        // re-measured each round in the pairing table — the letter must
+        // not hollow out through exclusion growth.
         val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom",
           // runs the partition-scoped DISK merge path (two partitioned
           // parquet writes + read-back) against a minimal in-memory

@@ -517,13 +517,25 @@ object Prof {
       // write would hide the row count. Single-run timings (the
       // interesting signal is orders of magnitude of cost-per-row, not
       // ±15% weather).
-      val dirs = args.drop(1)
-      val qs = Seq("q250_dup_spans", "q54_dup_clusters",
-        "q136_semantic_dedup", "q159_similarity_join")
+      // round 14: an optional comma-separated query list as the first
+      // operand widens the sweep to any registry slice
+      val (qs, dirs) =
+        if (args.length > 2 && args(1).contains(","))
+          (args(1).split(",").toSeq, args.drop(2))
+        else (Seq("q250_dup_spans", "q54_dup_clusters",
+          "q136_semantic_dedup", "q159_similarity_join"), args.drop(1))
       for (dir <- dirs; q <- qs) {
+        // Time a NOOP WRITE, not count(): count lets Catalyst prune
+        // payload columns and eliminate left-join legs, so a query
+        // whose cost lives in the payload (q264's pruned text, q266's
+        // scoring joins) times near-zero and flat across scales
+        // (observed round 14). The untimed count supplies output mass.
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(q)(spark, dir).count()
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         val el = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        val n = SparkEntry.queries(q)(spark, dir).count()
         spark.catalog.clearCache()
         println(f"PAIRSCALE $q dir=$dir rows=$n time=$el%.2f")
       }

@@ -97,11 +97,13 @@ private[graft] object RelationalQueries {
 
 
     "q06_anti_join" -> ((s, d) => {
+      // ordered1, not orderBy: a range sort's sampling pass would run
+      // the anti join TWICE; the answer is a few-thousand-row remainder
       Relational.anti(
           load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
           load(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey")),
           Seq("o_orderkey"))
-        .orderBy("o_orderkey")
+        .transform(ordered1(_, col("o_orderkey")))
     }),
 
 
