@@ -509,6 +509,49 @@ object Prof {
         t("q89_new")(newShape())
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("q89_var")) {
+      // round-14 margin hunt: stock sourceOverlap vs (a) sizes collected
+      // to a LocalRelation (kills two broadcast jobs over the persisted
+      // sets frame) and (b) no persist (re-aggregate per consumer).
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      def stock() = graft.operators.TextDedup.sourceOverlap(
+        docs, "text", "source", 3).orderBy("source_a", "source_b")
+      def localSizes() = {
+        val sets = docs
+          .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+          .select(col("source"), explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
+          .select(col("source"), md5(col("__g")).as("__h"))
+          .groupBy(col("__h"))
+          .agg(sort_array(collect_set(col("source"))).as("__ss"))
+          .persist()
+        val sizesLocal = graft.operators.OpsUtil.localized(
+          sets.select(explode(col("__ss")).as("source"))
+            .groupBy(col("source")).agg(count(lit(1)).as("__n")),
+          10000, "q89_var")
+        sets.filter(size(col("__ss")) >= 2)
+          .select(explode(flatten(transform(col("__ss"), (x, i) =>
+            transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+              y => struct(x.as("a"), y.as("b")))))).as("__pr"))
+          .groupBy(col("__pr.a").as("source_a"), col("__pr.b").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizesLocal.select(col("source").as("source_a"),
+            col("__n").as("__na"))), "source_a")
+          .join(broadcast(sizesLocal.select(col("source").as("source_b"),
+            col("__n").as("__nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+          .orderBy("source_a", "source_b")
+      }
+      (1 to 3).foreach { _ =>
+        t("q89_stock")(stock())
+        spark.catalog.clearCache()
+        t("q89_localsizes")(localSizes())
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("pair_scale")) {
       // Round-13 verdict item: pair-mass family at multiple synthesized
       // scales with OUTPUT-ratio normalization — `pair_scale <dir>...`.
@@ -518,12 +561,17 @@ object Prof {
       // interesting signal is orders of magnitude of cost-per-row, not
       // ±15% weather).
       // round 14: an optional comma-separated query list as the first
-      // operand widens the sweep to any registry slice
-      val (qs, dirs) =
-        if (args.length > 2 && args(1).contains(","))
-          (args(1).split(",").toSeq, args.drop(2))
-        else (Seq("q250_dup_spans", "q54_dup_clusters",
-          "q136_semantic_dedup", "q159_similarity_join"), args.drop(1))
+      // operand widens the sweep to any registry slice. Recognized by
+      // membership in the registry (not by containing a comma), so a
+      // SINGLE-query slice works and a typo'd name fails loudly here
+      // instead of being swept as a data directory.
+      val (qs, dirs) = args.lift(1) match {
+        case Some(a) if a.split(",").forall(SparkEntry.queries.contains) =>
+          (a.split(",").toSeq, args.drop(2))
+        case _ =>
+          (Seq("q250_dup_spans", "q54_dup_clusters",
+            "q136_semantic_dedup", "q159_similarity_join"), args.drop(1))
+      }
       for (dir <- dirs; q <- qs) {
         // Time a NOOP WRITE, not count(): count lets Catalyst prune
         // payload columns and eliminate left-join legs, so a query

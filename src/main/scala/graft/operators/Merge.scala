@@ -177,9 +177,12 @@ object Merge {
     // batch's days are a subset of history, untouched is large and the
     // probe runs; the fast path wins on young targets and backfills
     // whose batches span the whole table (measured 0.4 s/run at bench
-    // scale). Escaped dir names that fail to string-match parts0 only
-    // make `untouched` conservatively non-empty — the probe then runs,
-    // never the reverse.
+    // scale). Dir names are UNESCAPED before the comparison: matching
+    // raw escaped names against raw values is conservative in one
+    // direction only — a batch carrying the literal value "x%3Ay"
+    // would string-match the ESCAPED dir of value "x:y" and wrongly
+    // prove the probe empty (round-14 review); unescaping makes both
+    // sides the logical partition value, closing that collision.
     val untouchedOnDisk: Seq[String] =
       if (!exists || !probeMovedKeys) Seq.empty
       else {
@@ -187,7 +190,8 @@ object Merge {
         val parts0Set = parts0.toSet
         fs.listStatus(p).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-          .map(_.getPath.getName.stripPrefix(prefix))
+          .map(st => org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(st.getPath.getName.stripPrefix(prefix)))
           .filterNot(parts0Set)
       }
     val movedParts: Seq[String] =

@@ -1047,17 +1047,26 @@ object TextDedup {
   def winnow(docs: DataFrame, textCol: String, idCol: String,
       k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
-    val toks = tokens(col(textCol))
-    docs
-      .withColumn("__toks", toks)
+    winnowFingerprints(docs, col(textCol), Seq(col(idCol)), k, w)
+  }
+
+  /** The one winnowing pipeline body, over arbitrary key columns: hash
+    * every token `k`-gram of `textC`, keep each `w`-window's minimum
+    * (per-row array work, no shuffle), return the DISTINCT
+    * (keys…, fingerprint) frame. Single implementation for [[winnow]],
+    * [[chunkProvenance]] and [[chunkClusters]] — the gram/window
+    * arithmetic (including the `greatest(…, 1)` short-doc convention
+    * every oracle replays) must never diverge between them. */
+  private def winnowFingerprints(df: DataFrame, textC: Column,
+      keys: Seq[Column], k: Int, w: Int): DataFrame =
+    df.withColumn("__toks", tokens(textC))
       .withColumn("__gh", transform(
         sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
         i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
-      .select(col(idCol), explode(transform(
+      .select(keys :+ explode(transform(
         sequence(lit(1), greatest(size(col("__gh")) - (w - 1), lit(1))),
-        i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"))
+        i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"): _*)
       .distinct()
-  }
 
   /** RAG-chunk provenance audit — [[winnow]] fingerprints computed per
     * RETRIEVAL CHUNK ([[Packing.chunkDocuments]]' fixed-window/stride
@@ -1085,15 +1094,8 @@ object TextDedup {
       window: Int, stride: Int, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
     val chunks = Packing.chunkDocuments(docs, textCol, idCol, window, stride)
-    val fps = chunks
-      .withColumn("__toks", tokens(col("chunk_text")))
-      .withColumn("__gh", transform(
-        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
-        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
-      .select(col(idCol), col("chunk_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("__gh")) - (w - 1), lit(1))),
-        i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"))
-      .distinct()
+    val fps = winnowFingerprints(chunks, col("chunk_text"),
+        Seq(col(idCol), col("chunk_id")), k, w)
       .persist()
     val carriers = fps.select(col("fingerprint"), col(idCol)).distinct()
       .groupBy(col("fingerprint")).agg(count(lit(1)).as("__nd"))
@@ -1275,19 +1277,24 @@ object TextDedup {
     require(maxCarriers >= 2, s"maxCarriers must be >= 2: $maxCarriers")
     val chunks = Packing.chunkDocuments(docs, textCol, idCol, window, stride)
     val keyMul = 100000L
-    val fps = chunks
-      .where(OpsUtil.orRaise(col("chunk_id") < keyMul,
-        lit("chunkClusters: chunk_id "), col("chunk_id"),
-        lit(s" overflows the packed (doc, chunk) key (max ${keyMul - 1})")))
-      .withColumn("__toks", tokens(col("chunk_text")))
-      .withColumn("__gh", transform(
-        sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
-        i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))
+    // both halves of the packed key are guarded: chunk_id must fit its
+    // decimal slot AND doc_id must keep the multiply inside Long (a
+    // silent wrap would collide distinct chunks — the exact merge the
+    // guard exists to prevent); negative ids are refused because the
+    // decode below is non-negative integer arithmetic
+    val maxDoc = (Long.MaxValue - (keyMul - 1)) / keyMul
+    val keyed = chunks
+      .where(OpsUtil.orRaise(
+        col("chunk_id") < keyMul &&
+          col(idCol) >= 0 && col(idCol) <= maxDoc,
+        lit("chunkClusters: (doc, chunk) = ("), col(idCol), lit(", "),
+        col("chunk_id"),
+        lit(s") overflows the packed key (need 0 <= doc <= $maxDoc, " +
+          s"chunk < $keyMul)")))
       .select((col(idCol) * keyMul + col("chunk_id")).as("__ck"),
-        explode(transform(
-          sequence(lit(1), greatest(size(col("__gh")) - (w - 1), lit(1))),
-          i => array_min(slice(col("__gh"), i, lit(w))))).as("fingerprint"))
-      .distinct()
+        col("chunk_text"))
+    val fps = winnowFingerprints(keyed, col("chunk_text"),
+        Seq(col("__ck")), k, w)
       .persist()
     val carriers = fps.groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("__c"))
@@ -1312,10 +1319,13 @@ object TextDedup {
         (col("__na") + col("__nb") - col("__shared")).cast("double")
         >= minJaccard)
       .select(col("__cka").as("__ck_a"), col("__ckb").as("__ck_b"))
+    // integral `div`, not `/`: Divide on longs evaluates in double, and
+    // past 2^53 the rounded quotient decodes a WRONG doc id (the oracle
+    // divides exactly) — round-14 review finding
     dupClusters(pairs, "__ck")
-      .select((col("__ck") / keyMul).cast("long").as(idCol),
+      .select(expr(s"__ck div $keyMul").as(idCol),
         pmod(col("__ck"), lit(keyMul)).as("chunk_id"),
-        (col("cluster") / keyMul).cast("long").as("cluster_doc"),
+        expr(s"cluster div $keyMul").as("cluster_doc"),
         pmod(col("cluster"), lit(keyMul)).as("cluster_chunk"),
         (col("__ck") === col("cluster")).as("is_keeper"))
   }
