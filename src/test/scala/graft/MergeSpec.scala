@@ -140,6 +140,30 @@ class MergeSpec extends AnyFunSuite {
     assert(new java.io.File(s"$dir/day=2024-01-02").exists())
   }
 
+  test("upsertPartitioned moved-key probe: escaped partition dir names " +
+    "cannot fool the listing fast path") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pesc").toString + "/t"
+    // partition value "x:y" is stored as the ESCAPED dir "part=x%3Ay";
+    // the batch carries the LITERAL string value "x%3Ay" as its own
+    // partition — a raw string compare of dir names vs batch values
+    // would equate the two, prove the probe empty, and skip healing
+    // the k=1 row moving out of "x:y" (round-14 review finding)
+    Seq(("x:y", 1, "a0"), ("x:y", 2, "b0"))
+      .toDF("part", "k", "v")
+      .write.partitionBy("part").parquet(dir)
+    val batch = Seq(("x%3Ay", 1, "a1")).toDF("part", "k", "v")
+    Merge.upsertPartitioned(spark, dir, batch, "k", "part",
+      Seq("part", "k", "v"))
+    val now = spark.read.parquet(dir)
+      .select(col("part").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSet
+    assert(now == Set(
+      ("x%3Ay", 1, "a1"), // k=1 lives only in its new (literal) partition
+      ("x:y", 2, "b0")))  // the stale "x:y" copy of k=1 was retired
+  }
+
   test("upsertPartitioned: a partition emptied by its only key moving is deleted") {
     val spark = TestSpark.spark
     import spark.implicits._

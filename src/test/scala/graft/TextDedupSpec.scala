@@ -825,5 +825,16 @@ class TextDedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(ex.getMessage.contains("chunkClusters") ||
       Option(ex.getCause).exists(_.getMessage.contains("chunkClusters")))
+    // a doc_id past the packed-key bound raises the guard instead of
+    // silently wrapping the Long key into another chunk's slot
+    val big = Seq((Long.MaxValue / 100000L + 1L, clone), (2L, clone))
+      .toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      TextDedup.chunkClusters(big, "text", "doc_id",
+        window = 4, stride = 3, k = 2, w = 2, minJaccard = 0.5).collect()
+    }
+    spark.catalog.clearCache()
+    assert(ex2.getMessage.contains("packed key") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("packed key")))
   }
 }
