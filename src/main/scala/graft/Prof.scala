@@ -509,6 +509,84 @@ object Prof {
         t("q89_new")(newShape())
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("q83_par")) {
+      // does parallel()'s spread-exchange pay for itself on the
+      // blink-class normalize+window queries? (borderline-band hunt)
+      import org.apache.spark.sql.expressions.Window
+      def q83(par: Boolean) = {
+        val base = spark.read.parquet(s"$d/documents.parquet")
+        val docs = if (par) graft.sources.Tables.parallel(base) else base
+        val noisy = docs.withColumn("__noisy",
+          concat(
+            when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
+            when(col("doc_id") % 3 === 0, lit(" ... !!!")).otherwise(lit(""))))
+        val wh = Window.partitionBy(col("__h"))
+        noisy.select(col("doc_id"),
+            md5(graft.functions.TextFunctions.normalizeText(col("__noisy"))).as("__h"))
+          .withColumn("n_copies", count(lit(1)).over(wh))
+          .withColumn("__keeper", min(col("doc_id")).over(wh))
+          .select(col("doc_id"), col("n_copies"),
+            (col("doc_id") === col("__keeper")).cast("int").as("is_keeper"))
+          .transform(QuerySupport.ordered1(_, col("doc_id")))
+      }
+      def docsOf(par: Boolean) = {
+        val base = spark.read.parquet(s"$d/documents.parquet")
+        if (par) graft.sources.Tables.parallel(base) else base
+      }
+      def q89(par: Boolean) = graft.operators.TextDedup.sourceOverlap(
+        docsOf(par), "text", "source", 3).orderBy("source_a", "source_b")
+      def q261(par: Boolean) = graft.operators.TextDedup.chunkProvenance(
+          docsOf(par), "text", "doc_id", 40, 32, 3, 4)
+        .transform(QuerySupport.ordered1(_, col("doc_id"), col("chunk_id")))
+      def q84q(par: Boolean) = {
+        val noisy = docsOf(par).withColumn("__noisy",
+          when(col("doc_id") % 3 === 0,
+            concat(lit(QuerySupport.SpanBoiler + " "), col("text")))
+            .otherwise(col("text")))
+        graft.operators.TextDedup.spanDedup(noisy, "__noisy", "doc_id", 12)
+          .transform(QuerySupport.ordered1(_, col("doc_id")))
+      }
+      def q91(par: Boolean) = {
+        val toks = split(col("text"), " ", -1)
+        val lined = docsOf(par).withColumn("__lined",
+          concat(
+            concat_ws("\n",
+              array_join(slice(toks, 1, 10), " "),
+              array_join(slice(toks, 11, 1000000), " ")),
+            when(col("doc_id") % 4 === 0, lit("\n" + QuerySupport.LineBoiler))
+              .otherwise(lit(""))))
+        graft.operators.TextDedup.lineDedup(lined, "__lined", "doc_id", "\n",
+            maxDocs = 5L)
+          .transform(QuerySupport.ordered1(_, col("doc_id")))
+      }
+      def q255(par: Boolean) = {
+        val docs = docsOf(par)
+        graft.operators.TextDedup.contaminatedSpans(
+            docs.filter(col("doc_id") % 20 =!= 7),
+            docs.filter(col("doc_id") % 20 === 7),
+            "text", "doc_id", k = 5)
+          .transform(QuerySupport.ordered1(_, col("doc_id"), col("span_start")))
+      }
+      (1 to 3).foreach { _ =>
+        t("q83_parallel")(q83(par = true))
+        t("q83_noparallel")(q83(par = false))
+        t("q84_parallel")(q84q(par = true))
+        t("q84_noparallel")(q84q(par = false))
+        t("q91_parallel")(q91(par = true))
+        t("q91_noparallel")(q91(par = false))
+        spark.catalog.clearCache()
+        t("q255_parallel")(q255(par = true))
+        spark.catalog.clearCache()
+        t("q255_noparallel")(q255(par = false))
+        spark.catalog.clearCache()
+        t("q89_parallel")(q89(par = true))
+        t("q89_noparallel")(q89(par = false))
+        spark.catalog.clearCache()
+        t("q261_parallel")(q261(par = true))
+        spark.catalog.clearCache()
+        t("q261_noparallel")(q261(par = false))
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("q89_var")) {
       // round-14 margin hunt: stock sourceOverlap vs (a) sizes collected
       // to a LocalRelation (kills two broadcast jobs over the persisted

@@ -137,8 +137,13 @@ private[graft] object DedupQueries {
     // key, as q78 — instead of an aggregate + rejoin whose second branch
     // re-ran the normalize/md5 scan (partial-agg exchanges are not
     // join-reusable; the q81/q68 lesson).
+    // NO parallel(): one regex normalize per row is too light to repay
+    // the spread exchange at bench scale — measured 0.32-0.47 s without
+    // vs 0.50-0.75 s with (Prof q83_par, round 14, three interleaved
+    // rounds); heavy-gram shapes (q89/q261) measured the opposite and
+    // keep it.
     "q83_normalize_dedup" -> ((s, d) => {
-      val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
+      val noisy = load(s, d, "documents").withColumn("__noisy",
         concat(
           when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
           when(col("doc_id") % 3 === 0, lit(" ... !!!")).otherwise(lit(""))))
@@ -157,8 +162,10 @@ private[graft] object DedupQueries {
     // %3 doc gets the same 12-token cookie-notice prefix (the corpus has
     // no natural repeated spans), which span dedup must strip from every
     // carrier but the first while leaving original spans untouched.
+    // NO parallel(): one md5 per 12-token span is light — same A/B as
+    // q83 (0.39-0.59 s without vs 0.58-0.67 s with, Prof q83_par).
     "q84_span_dedup" -> ((s, d) => {
-      val noisy = parallel(load(s, d, "documents")).withColumn("__noisy",
+      val noisy = load(s, d, "documents").withColumn("__noisy",
         when(col("doc_id") % 3 === 0,
           concat(lit(SpanBoiler + " "), col("text"))).otherwise(col("text")))
       TextDedup.spanDedup(noisy, "__noisy", "doc_id", spanTokens = 12)
@@ -171,9 +178,12 @@ private[graft] object DedupQueries {
     // carries a shared boilerplate line that line dedup must strip
     // (corpus-frequent) while body lines survive (doc-frequency <= 5
     // tolerates the corpus's natural exact-dup families).
+    // NO parallel(): one md5 per LINE (~2/doc) is light — same A/B as
+    // q83 (0.39-0.48 s without vs 0.54-0.74 s with, Prof q83_par);
+    // q255's medium gram mass measured the opposite and keeps it.
     "q91_line_dedup" -> ((s, d) => {
       val toks = split(col("text"), " ", -1)
-      val lined = parallel(load(s, d, "documents")).withColumn("__lined",
+      val lined = load(s, d, "documents").withColumn("__lined",
         concat(
           concat_ws("\n",
             array_join(slice(toks, 1, 10), " "),
