@@ -624,10 +624,38 @@ object Prof {
               (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
           .orderBy("source_a", "source_b")
       }
+      def rawKey() = {
+        val sets = docs
+          .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+          .select(col("source"), explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
+          .groupBy(col("__g"))
+          .agg(sort_array(collect_set(col("source"))).as("__ss"))
+          .persist()
+        val sizes = sets.select(explode(col("__ss")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        sets.filter(size(col("__ss")) >= 2)
+          .select(explode(flatten(transform(col("__ss"), (x, i) =>
+            transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+              y => struct(x.as("a"), y.as("b")))))).as("__pr"))
+          .groupBy(col("__pr.a").as("source_a"), col("__pr.b").as("source_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(broadcast(sizes.select(col("source").as("source_a"),
+            col("__n").as("__na"))), "source_a")
+          .join(broadcast(sizes.select(col("source").as("source_b"),
+            col("__n").as("__nb"))), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            round(col("n_shared").cast("double") /
+              (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+          .orderBy("source_a", "source_b")
+      }
       (1 to 3).foreach { _ =>
         t("q89_stock")(stock())
         spark.catalog.clearCache()
         t("q89_localsizes")(localSizes())
+        spark.catalog.clearCache()
+        t("q89_rawkey")(rawKey())
         spark.catalog.clearCache()
       }
     } else if (args.headOption.contains("pair_scale")) {

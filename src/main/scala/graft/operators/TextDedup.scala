@@ -1473,8 +1473,16 @@ object TextDedup {
     * + pair agg) lost the round-13 same-JVM interleaved A/B at sf0.1
     * (warm rounds, min-of-3: 0.84 vs 0.75 s and 0.76 vs 0.68 s) — the
     * self-join and one full exchange buy nothing the in-buffer dedup
-    * doesn't already do. Caller contract as [[Curation.curate]]:
-    * clearCache between unrelated runs. */
+    * doesn't already do. Round 14 dropped the md5 over the shingle —
+    * the hash was ONLY a grouping key (never output), the raw 3-token
+    * string is shorter than the 32-char hex digest for natural-language
+    * tokens, and grouping by the exact string removes both the hash
+    * CPU (one md5 per exploded shingle) and the theoretical
+    * collision-merge; same-JVM warm A/B: 0.62-0.74 s raw vs
+    * 0.69-1.07 s hashed. (A corpus with pathological multi-KB tokens
+    * would reintroduce wide shuffle keys — that corpus needs a
+    * length-cap filter long before this operator.) Caller contract as
+    * [[Curation.curate]]: clearCache between unrelated runs. */
   def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
       shingleSize: Int): DataFrame = {
     val sets = docs
@@ -1482,8 +1490,7 @@ object TextDedup {
       .select(col(sourceCol), explode(array_distinct(transform(
         sequence(lit(1), greatest(size(col("__toks")) - (shingleSize - 1), lit(1))),
         i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
-      .select(col(sourceCol), md5(col("__g")).as("__h"))
-      .groupBy(col("__h"))
+      .groupBy(col("__g"))
       .agg(sort_array(collect_set(col(sourceCol))).as("__ss"))
       .persist()
     val sizes = sets.select(explode(col("__ss")).as(sourceCol))
