@@ -509,6 +509,64 @@ object Prof {
         t("q89_new")(newShape())
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("q198_ab")) {
+      // bigramNll vocab shape A/B: the pre-round-15 second full-corpus
+      // explode for count_distinct(token) vs the padded-zip type table
+      // (vocabulary from the same single explode), interleaved one-JVM.
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      def oldShape() = {
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val held = pmod(col("doc_id"), lit(7L)) === 0
+        val typeTable = docs.filter(col("text").isNotNull)
+          .select(col("source").as("__g"), held.as("__held"),
+            explode(arrays_zip(
+              slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+              slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+          .groupBy(col("__held"), col("__g"),
+            col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+          .agg(count(lit(1)).as("__n"))
+          .persist()
+        val cb = typeTable.filter(!col("__held"))
+          .groupBy(col("__w1"), col("__w2"))
+          .agg(sum(col("__n")).as("__cb"))
+        val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+        val vocab = docs.filter(col("text").isNotNull && !held)
+          .select(explode(toks).as("__w"))
+          .agg(count_distinct(col("__w")).as("__v"))
+        val heldTypes = typeTable.filter(col("__held"))
+          .select(col("__g"), col("__w1"), col("__w2"), col("__n"))
+        val nDocs = docs
+          .filter(col("text").isNotNull && held && size(toks) >= 2)
+          .groupBy(col("source").as("__g"))
+          .agg(count(lit(1)).as("n_docs"))
+        heldTypes
+          .join(cb, Seq("__w1", "__w2"), "left")
+          .join(cu, Seq("__w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("__g"), col("__n"),
+            (-log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(1.0)) /
+              (coalesce(col("__cu"), lit(0L)).cast("double") +
+                lit(1.0) * col("__v").cast("double")))).as("__nll"))
+          .groupBy(col("__g"))
+          .agg(sum(col("__n")).as("n_bigrams"),
+            round(sum(col("__nll") * col("__n").cast("double")) /
+              sum(col("__n")).cast("double"), 6).as("avg_nll"))
+          .join(nDocs, Seq("__g"))
+          .select(col("__g").as("source"), col("n_docs"), col("n_bigrams"),
+            col("avg_nll"))
+          .transform(QuerySupport.ordered1(_, col("source")))
+      }
+      def newShape() =
+        graft.operators.CorpusStats.bigramNll(docs, "text", "doc_id",
+          "source", holdoutMod = 7)
+          .transform(QuerySupport.ordered1(_, col("source")))
+      (1 to 3).foreach { _ =>
+        t("q198_old")(oldShape())
+        spark.catalog.clearCache()
+        t("q198_new")(newShape())
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("q83_par")) {
       // does parallel()'s spread-exchange pay for itself on the
       // blink-class normalize+window queries? (borderline-band hunt)

@@ -837,10 +837,21 @@ object CorpusStats {
     * scoring frame all derive from that bounded type table. Scoring is
     * one equi-join of held-out bigram TYPES (the join carries distinct
     * bigrams × their count, not occurrences) against the trained
-    * counts; V rides a 1-row broadcast; the held-doc count comes from a
-    * narrow `size(tokens) ≥ 2` scan with no explode. (The earlier form
-    * re-exploded the corpus for each of three consumers —
-    * PlanShapeSpec pins the single-Generate bigram path.) */
+    * counts; V rides a 1-row broadcast. The zip pairs the FULL token
+    * array with its shifted tail, so `arrays_zip` null-pads one final
+    * `(w_n, null)` entry per document: bigram types are the
+    * `__w2 IS NOT NULL` rows, and the trained vocabulary is
+    * `count_distinct(__w1)` over the SAME type table (every token
+    * occurrence appears exactly once as `__w1`, including single-token
+    * docs). Held docs with ≥ 1 bigram additionally append one
+    * `(null, null)` sentinel struct (real tokens are never null, so the
+    * key can't collide), and the per-group held-doc count is the
+    * sentinel rows' `__n` — so the ENTIRE operator (model counts,
+    * vocabulary, held types, doc counts) derives from ONE corpus scan,
+    * one explode, one type collapse. (The earlier form re-exploded the
+    * corpus for the vocabulary count and re-tokenized it for the
+    * held-doc count — two extra full scans at 100 TB; PlanShapeSpec
+    * pins the zero-extra-Generate path.) */
   def bigramNll(docs: DataFrame, textCol: String, idCol: String,
       groupCol: String, holdoutMod: Int = 10, k: Double = 1.0): DataFrame = {
     require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
@@ -859,30 +870,35 @@ object CorpusStats {
     // 1.68 s persisted, within host swing) — accepted, because the
     // unpersisted shape's three full corpus explodes are the 100 TB
     // killer the local numbers can't see
+    // full array zipped against its tail: arrays_zip null-pads the
+    // shorter side, so the last entry per doc is (w_n, null) — a
+    // vocabulary carrier, not a bigram
+    val zipped = arrays_zip(toks,
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+    // held docs with >= 1 bigram carry one (null, null) sentinel: its
+    // type row's __n is the per-group held-doc count (no second scan)
+    val sentinel = array(struct(lit(null).cast("string").as("0"),
+      lit(null).cast("string").as("1")))
     val typeTable = docs
       .filter(col(textCol).isNotNull)
       .select(col(groupCol).as("__g"), held.as("__held"),
-        explode(arrays_zip(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+        explode(when(held && size(toks) >= 2, concat(zipped, sentinel))
+          .otherwise(zipped)).as("__bg"))
       .groupBy(col("__held"), col("__g"),
         col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
       .agg(count(lit(1)).as("__n"))
       .persist()
-    val cb = typeTable.filter(!col("__held"))
+    val cb = typeTable.filter(!col("__held") && col("__w2").isNotNull)
       .groupBy(col("__w1"), col("__w2"))
       .agg(sum(col("__n")).as("__cb"))
     val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
-    val vocab = docs
-      .filter(col(textCol).isNotNull && !held)
-      .select(explode(toks).as("__w"))
-      .agg(count_distinct(col("__w")).as("__v"))
-    val heldTypes = typeTable.filter(col("__held"))
+    val vocab = typeTable.filter(!col("__held"))
+      .agg(count_distinct(col("__w1")).as("__v"))
+    val heldTypes = typeTable.filter(col("__held") && col("__w2").isNotNull)
       .select(col("__g"), col("__w1"), col("__w2"), col("__n"))
-    val nDocs = docs
-      .filter(col(textCol).isNotNull && held && size(toks) >= 2)
-      .groupBy(col(groupCol).as("__g"))
-      .agg(count(lit(1)).as("n_docs"))
+    val nDocs = typeTable
+      .filter(col("__held") && col("__w1").isNull)
+      .select(col("__g"), col("__n").as("n_docs"))
     val scored = heldTypes
       .join(cb, Seq("__w1", "__w2"), "left")
       .join(cu, Seq("__w1"), "left")
@@ -931,23 +947,23 @@ object CorpusStats {
     val typeTable = docs
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), held.as("__held"),
-        explode(arrays_zip(
-          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        // bigramNll's padded zip: the per-doc (w_n, null) tail row
+        // carries the final token into the vocabulary without a second
+        // corpus explode
+        explode(arrays_zip(toks,
           slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
       .groupBy(col("__held"),
         when(col("__held"), col("__id")).as("__id"),
         col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
       .agg(count(lit(1)).as("__n"))
       .persist()
-    val cb = typeTable.filter(!col("__held"))
+    val cb = typeTable.filter(!col("__held") && col("__w2").isNotNull)
       .groupBy(col("__w1"), col("__w2"))
       .agg(sum(col("__n")).as("__cb"))
     val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
-    val vocab = docs
-      .filter(col(textCol).isNotNull && !held)
-      .select(explode(toks).as("__w"))
-      .agg(count_distinct(col("__w")).as("__v"))
-    typeTable.filter(col("__held"))
+    val vocab = typeTable.filter(!col("__held"))
+      .agg(count_distinct(col("__w1")).as("__v"))
+    typeTable.filter(col("__held") && col("__w2").isNotNull)
       .join(cb, Seq("__w1", "__w2"), "left")
       .join(cu, Seq("__w1"), "left")
       .crossJoin(broadcast(vocab))
@@ -979,12 +995,13 @@ object CorpusStats {
     * n_backoff, avg_nll, backoff_share)` — counts exact, the two
     * ratios rounded at 6.
     *
-    * Registry policy note: like [[docNll]], this stays a spec-held
-    * library operator WITHOUT an oracle row — its minimal DuckDB
-    * program measures ~0.17 s at sf0.1 (round-13, plain
-    * string_split+joins on 5k docs), squarely in the letter-eligible
-    * band no Spark plan with 3+ jobs can clear; the documented
-    * substantive-oracle bar keeps it out of the bench registry.
+    * Registry status: oracle-gated since round 14 as
+    * `q266_doc_nll_backoff`, over a 5× token-distinct replicated corpus
+    * so the DuckDB oracle clears the 0.8 s substantive-oracle floor
+    * (the plain sf0.1 corpus measured ~0.17 s — too cheap to pair
+    * fairly against a 3+-job Spark plan). [[docNll]] remains the
+    * family's one spec-held member; q266 exercises the harder backoff
+    * scoring path end-to-end.
     *
     * Scale shape: the [[bigramNll]] discipline — each n-gram order
     * explodes ONCE and collapses immediately to a persisted TYPE table

@@ -343,17 +343,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(joins(plan) <= 3, s"ADC search grew unexpected joins:\n$agg")
   }
 
-  test("bigramNll: the bigram explode lives in ONE persisted stage") {
+  test("bigramNll: the corpus explodes ONCE, inside the persisted stage") {
     // consumers push different isnotnull filters below the type
-    // collapse, so without the persist the three references each
-    // re-explode the corpus (ReuseExchange cannot fire on the
-    // differently-canonicalized subtrees — verified on the executed
-    // plan). With it, the only Generate left in the consumer plan is
-    // the vocabulary pass; the bigram Generate sits inside the cached
-    // stage, built once.
+    // collapse, so without the persist the references each re-explode
+    // the corpus (ReuseExchange cannot fire on the differently-
+    // canonicalized subtrees — verified on the executed plan). The
+    // round-15 padded zip moved the vocabulary count into the SAME
+    // type table (the (w_n, null) tail rows), so the consumer plan now
+    // holds ZERO Generates — the one bigram Generate sits inside the
+    // cached stage. A Generate here means the vocab (or any other)
+    // branch re-explodes the corpus.
     val plan = CorpusStats.bigramNll(docs, "text", "doc_id", "source",
       holdoutMod = 2)
-    assert(generates(plan) == 1)
+    assert(generates(plan) == 0)
+  }
+
+  test("docNll: zero Generates outside the persisted type table") {
+    val plan = CorpusStats.docNll(docs, "text", "doc_id", holdoutMod = 2)
+    assert(generates(plan) == 0)
   }
 
   test("seasonalAnomalies: no window, no join — one agg + broadcast total") {
