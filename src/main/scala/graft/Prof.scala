@@ -467,27 +467,28 @@ object Prof {
         t("q161_new")(newShape())
       }
     } else if (args.headOption.contains("q89_ab")) {
-      // sourceOverlap old shape (distinct exchange + exchange-reused
-      // self-join) vs round-13 one-shuffle collect_set pair expansion,
-      // interleaved in ONE JVM.
+      // sourceOverlap round-14 shape (persisted sets frame + separate
+      // size roll-up, broadcast twice) vs the round-15 fused singleton
+      // shape (sizes ride the pair aggregation), interleaved one-JVM.
       val docs = graft.sources.Tables.parallel(
         spark.read.parquet(s"$d/documents.parquet"))
       def oldShape() = {
-        val shingles = docs
+        val sets = docs
           .withColumn("__toks",
             graft.functions.TextFunctions.tokens(col("text")))
           .select(col("source"), explode(array_distinct(transform(
             sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
             i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
-          .select(col("source"), md5(col("__g")).as("__h"))
-          .distinct()
-        val sizes = shingles.groupBy(col("source")).agg(count(lit(1)).as("__n"))
-        val a = shingles.alias("a")
-        val b = shingles.alias("b")
-        a.join(b, col("a.__h") === col("b.__h") &&
-            col("a.source") < col("b.source"))
-          .groupBy(col("a.source").as("source_a"),
-            col("b.source").as("source_b"))
+          .groupBy(col("__g"))
+          .agg(sort_array(collect_set(col("source"))).as("__ss"))
+          .persist()
+        val sizes = sets.select(explode(col("__ss")).as("source"))
+          .groupBy(col("source")).agg(count(lit(1)).as("__n"))
+        sets.filter(size(col("__ss")) >= 2)
+          .select(explode(flatten(transform(col("__ss"), (x, i) =>
+            transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+              y => struct(x.as("a"), y.as("b")))))).as("__pr"))
+          .groupBy(col("__pr.a").as("source_a"), col("__pr.b").as("source_b"))
           .agg(count(lit(1)).as("n_shared"))
           .join(broadcast(sizes.select(col("source").as("source_a"),
             col("__n").as("__na"))), "source_a")
@@ -503,10 +504,47 @@ object Prof {
           "source", shingleSize = 3).orderBy(col("source_a"), col("source_b"))
         r
       }
+      // fused singleton shape, but the sizes attach via ONE 1-row
+      // map_from_entries broadcast + element_at lookups instead of two
+      // broadcast hash joins
+      def mapShape() = {
+        val sets = docs
+          .withColumn("__toks",
+            graft.functions.TextFunctions.tokens(col("text")))
+          .select(col("source"), explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
+          .groupBy(col("__g"))
+          .agg(sort_array(collect_set(col("source"))).as("__ss"))
+        val agged = sets
+          .select(explode(concat(
+            flatten(transform(col("__ss"), (x, i) =>
+              transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+                y => struct(x.as("a"), y.as("b"))))),
+            transform(col("__ss"),
+              x => struct(x.as("a"), lit(null).cast("string").as("b"))))).as("__pr"))
+          .groupBy(col("__pr.a").as("__a"), col("__pr.b").as("__b"))
+          .agg(count(lit(1)).as("__n"))
+          .persist()
+        val sizeMap = agged.filter(col("__b").isNull)
+          .agg(map_from_entries(collect_list(struct(col("__a"), col("__n"))))
+            .as("__m"))
+        agged.filter(col("__b").isNotNull)
+          .crossJoin(broadcast(sizeMap))
+          .select(col("__a").as("source_a"), col("__b").as("source_b"),
+            col("__n").as("n_shared"),
+            round(col("__n").cast("double") /
+              (element_at(col("__m"), col("__a")) +
+                element_at(col("__m"), col("__b")) - col("__n")), 6)
+              .as("jaccard"))
+          .orderBy(col("source_a"), col("source_b"))
+      }
       (1 to 3).foreach { _ =>
         t("q89_old")(oldShape())
         spark.catalog.clearCache()
         t("q89_new")(newShape())
+        spark.catalog.clearCache()
+        t("q89_map")(mapShape())
         spark.catalog.clearCache()
       }
     } else if (args.headOption.contains("q198_ab")) {

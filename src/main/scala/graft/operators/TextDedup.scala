@@ -1466,9 +1466,18 @@ object TextDedup {
     * pairs expand map-side with a codegen'd nested-transform HOF over
     * the sorted set (a < b by construction) — the basket here is
     * sources-per-shingle, bounded by |sources| BY CONSTRUCTION, so the
-    * fan-out cap the general edge builder enforces is structural. The
-    * persisted sets frame feeds both the pair aggregation and the
-    * per-source size roll-up; the pair matrix is |sources|²/2 rows.
+    * fan-out cap the general edge builder enforces is structural.
+    * Round 15 fused the per-source size roll-up into the pair
+    * expansion: each set also emits one `(source, null)` singleton
+    * struct, so ONE (a, b) aggregation yields pair counts AND sizes —
+    * the heavy sets frame has a single consumer (its round-13/14
+    * persist is gone, along with the two size passes that re-walked
+    * it), only the tiny aggregated matrix (|sources|²/2 + |sources|
+    * rows) persists, and the sizes attach as a 1-row
+    * `map_from_entries` broadcast probed with `element_at` instead of
+    * two broadcast hash joins (same-JVM interleaved A/B, warm
+    * min-of-3: 0.67/0.68 s round-14 shape → 0.64/0.66 s fused-join →
+    * 0.59/0.61 s fused-map).
     * The previous shape (distinct exchange + exchange-reused self-join
     * + pair agg) lost the round-13 same-JVM interleaved A/B at sf0.1
     * (warm rounds, min-of-3: 0.84 vs 0.75 s and 0.76 vs 0.68 s) — the
@@ -1485,6 +1494,7 @@ object TextDedup {
     * [[Curation.curate]]: clearCache between unrelated runs. */
   def sourceOverlap(docs: DataFrame, textCol: String, sourceCol: String,
       shingleSize: Int): DataFrame = {
+    val srcType = docs.schema(sourceCol).dataType
     val sets = docs
       .withColumn("__toks", tokens(col(textCol)))
       .select(col(sourceCol), explode(array_distinct(transform(
@@ -1492,21 +1502,34 @@ object TextDedup {
         i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
       .groupBy(col("__g"))
       .agg(sort_array(collect_set(col(sourceCol))).as("__ss"))
+    // each per-shingle sorted set emits its a<b pairs AND one
+    // (source, null) singleton per member in the SAME explode, so one
+    // aggregation yields both the shared counts and the per-source
+    // distinct-shingle sizes — the sets frame has a single consumer
+    // (no persist) and the sizes roll-up no longer re-walks it
+    val agged = sets
+      .select(explode(concat(
+        flatten(transform(col("__ss"), (x, i) =>
+          transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+            y => struct(x.as("a"), y.as("b"))))),
+        transform(col("__ss"),
+          x => struct(x.as("a"), lit(null).cast(srcType).as("b"))))).as("__pr"))
+      .groupBy(col("__pr.a").as("__a"), col("__pr.b").as("__b"))
+      .agg(count(lit(1)).as("__n"))
       .persist()
-    val sizes = sets.select(explode(col("__ss")).as(sourceCol))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
-    sets.filter(size(col("__ss")) >= 2)
-      .select(explode(flatten(transform(col("__ss"), (x, i) =>
-        transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
-          y => struct(x.as("a"), y.as("b")))))).as("__pr"))
-      .groupBy(col("__pr.a").as("source_a"), col("__pr.b").as("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.select(col(sourceCol).as("source_a"),
-        col("__n").as("__na"))), "source_a")
-      .join(broadcast(sizes.select(col(sourceCol).as("source_b"),
-        col("__n").as("__nb"))), "source_b")
-      .select(col("source_a"), col("source_b"), col("n_shared"),
-        round(col("n_shared").cast("double") /
-          (col("__na") + col("__nb") - col("n_shared")), 6).as("jaccard"))
+    // the sizes attach via ONE 1-row map broadcast + element_at lookups
+    // (every pair member appeared as a singleton, so the keys always
+    // exist) — two broadcast hash joins collapse to map probes
+    val sizeMap = agged.filter(col("__b").isNull)
+      .agg(map_from_entries(collect_list(struct(col("__a"), col("__n"))))
+        .as("__m"))
+    agged.filter(col("__b").isNotNull)
+      .crossJoin(broadcast(sizeMap))
+      .select(col("__a").as("source_a"), col("__b").as("source_b"),
+        col("__n").as("n_shared"),
+        round(col("__n").cast("double") /
+          (element_at(col("__m"), col("__a")) +
+            element_at(col("__m"), col("__b")) - col("__n")), 6)
+          .as("jaccard"))
   }
 }
