@@ -763,13 +763,21 @@ object Prof {
       // interesting signal is orders of magnitude of cost-per-row, not
       // ±15% weather).
       // round 14: an optional comma-separated query list as the first
-      // operand widens the sweep to any registry slice. Recognized by
-      // membership in the registry (not by containing a comma), so a
-      // SINGLE-query slice works and a typo'd name fails loudly here
-      // instead of being swept as a data directory.
+      // operand widens the sweep to any registry slice. A candidate is
+      // treated as a query list when it contains a comma OR any member
+      // resolves in the registry; a list with an unknown member then
+      // RAISES naming it (round-15 ADVICE fix: previously one typo'd
+      // member silently reclassified the whole list as a data
+      // directory, surfacing later as a misleading parquet-path error).
       val (qs, dirs) = args.lift(1) match {
-        case Some(a) if a.split(",").forall(SparkEntry.queries.contains) =>
-          (a.split(",").toSeq, args.drop(2))
+        case Some(a) if a.contains(",") ||
+            a.split(",").exists(SparkEntry.queries.contains) =>
+          val members = a.split(",").toSeq
+          val unknown = members.filterNot(SparkEntry.queries.contains)
+          require(unknown.isEmpty,
+            s"pair_scale: unknown quer${if (unknown.size == 1) "y" else "ies"} " +
+              s"${unknown.mkString(", ")} (known: see SparkEntry.queries)")
+          (members, args.drop(2))
         case _ =>
           (Seq("q250_dup_spans", "q54_dup_clusters",
             "q136_semantic_dedup", "q159_similarity_join"), args.drop(1))
@@ -787,6 +795,14 @@ object Prof {
         spark.catalog.clearCache()
         val n = SparkEntry.queries(q)(spark, dir).count()
         spark.catalog.clearCache()
+        // measurement-integrity invariant (round-15 verdict item): a
+        // zero-row result at any scale means the corpus or the query
+        // slice is broken and the timing above measured nothing —
+        // self-report instead of emitting a too-good-to-be-true row
+        require(n > 0,
+          s"pair_scale: $q produced 0 rows on $dir — the timed noop " +
+            "write exercised no output mass; fix the corpus/query " +
+            "before trusting this sweep")
         println(f"PAIRSCALE $q dir=$dir rows=$n time=$el%.2f")
       }
     } else if (args.headOption.contains("q160_fit_ab")) {

@@ -183,6 +183,22 @@ object Merge {
     // would string-match the ESCAPED dir of value "x:y" and wrongly
     // prove the probe empty (round-14 review); unescaping makes both
     // sides the logical partition value, closing that collision.
+    // Round-15 ADVICE hardening: every read of the target pins the
+    // partition column to the SOURCE's type via an explicit schema —
+    // partition TYPE INFERENCE would otherwise normalize dir names on
+    // read-back (dir part=01 inferred as int 1 casts to "1"), which (a)
+    // let a dir string-match a parts0 value while the probe's
+    // cast-based filter placed its rows OUTSIDE parts0 (wrongly
+    // skipping the probe), and (b) corrupted the merge itself: ANSI
+    // CASE WHEN coercion of a string batch value against an
+    // int-inferred target column routes through LONG, so the merged
+    // "01" row wrote to dir part=1 and the real part=01 dir was never
+    // overwritten (silent data loss — MergeSpec pins the scenario).
+    // With the pinned schema, partition values are the raw dir strings
+    // cast to the source type, so parts0 (source values cast to
+    // string) and unescaped dir names live in the same domain and the
+    // raw-string fast-path compare below is exact.
+    def targetRead = spark.read.schema(source.schema).parquet(targetPath)
     val untouchedOnDisk: Seq[String] =
       if (!exists || !probeMovedKeys) Seq.empty
       else {
@@ -197,7 +213,7 @@ object Merge {
     val movedParts: Seq[String] =
       if (!exists || !probeMovedKeys || untouchedOnDisk.isEmpty) Seq.empty
       else {
-        spark.read.parquet(targetPath)
+        targetRead
           .filter(!col(partitionCol).cast("string").isin(parts0: _*))
           .select(col(key), col(partitionCol).cast("string").as("__part"))
           // NO forced broadcast: on an insert-heavy day the batch key
@@ -212,7 +228,7 @@ object Merge {
 
     val targetSlice0 =
       if (exists)
-        spark.read.parquet(targetPath)
+        targetRead
           .filter(col(partitionCol).cast("string").isin(parts: _*))
           .select(source.columns.map(col): _*)
       else spark.createDataFrame(

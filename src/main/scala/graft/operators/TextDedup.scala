@@ -1176,7 +1176,12 @@ object TextDedup {
     * subset only (per-doc array work + one DISTINCT each); the delta
     * roll-up is one full-outer hash join on (id, fingerprint) — never
     * a pair join. The changed frame persists once for its three
-    * consumers (two winnow legs + the status join). Caller contract as
+    * consumers (two winnow legs + the status roll-up). CONTRACT: ids
+    * must be UNIQUE within each corpus version — a duplicated id fans
+    * out both id joins and would silently inflate the delta counts, so
+    * the status roll-up carries an [[OpsUtil.orRaise]] fail-fast
+    * (checked over the changed subset only: duplicates can corrupt the
+    * output only through rows that landed there). Caller contract as
     * [[Curation.curate]]: clearCache between unrelated runs. */
   def winnowDeltaIndex(before: DataFrame, after: DataFrame,
       textCol: String, idCol: String, k: Int, w: Int): DataFrame = {
@@ -1204,8 +1209,18 @@ object TextDedup {
         sum(when(col("__b").isNull, 1L).otherwise(0L)).as("n_add"),
         sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
           .otherwise(0L)).as("n_keep"))
-    changed.select(col(idCol), col("status"))
-      .join(delta, Seq(idCol), "left")
+    // UNIQUE-id contract guard (sibling convention: maxCarriers, the
+    // chunkClusters packed-key guard): a duplicated id fans out the
+    // full-outer id join and silently inflates n_del/n_add/n_keep.
+    // Duplicates can only corrupt the output through rows that landed
+    // in `changed`, so the check is O(changed docs), not O(corpus).
+    val status = changed.groupBy(col(idCol))
+      .agg(first(col("status")).as("status"), count(lit(1)).as("__dup"))
+      .where(OpsUtil.orRaise(col("__dup") === 1,
+        lit(s"winnowDeltaIndex: duplicate $idCol in changed set "),
+        lit("(ids must be unique per corpus version): "), col(idCol)))
+      .select(col(idCol), col("status"))
+    status.join(delta, Seq(idCol), "left")
       .na.fill(0L, Seq("n_del", "n_add", "n_keep"))
   }
 

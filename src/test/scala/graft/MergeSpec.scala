@@ -164,6 +164,34 @@ class MergeSpec extends AnyFunSuite {
       ("x:y", 2, "b0")))  // the stale "x:y" copy of k=1 was retired
   }
 
+  test("upsertPartitioned: partition type inference cannot corrupt the " +
+    "merge (day=01 target, string batch)") {
+    // Without the pinned-schema target read, inference turns day=01
+    // into int 1: the slice filter excludes the dir's rows from the
+    // merge, ANSI CASE WHEN coercion routes the string batch value
+    // through LONG so the merged "01" row writes to day=1, the real
+    // day=01 dir is never overwritten (stale k=1 copy survives), and
+    // the innocent k=9 row is dropped from the logical table. The
+    // explicit source-typed schema keeps every partition value in the
+    // raw-string domain end to end.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pinfer").toString + "/t"
+    Seq(("01", 1, "a0"), ("01", 9, "z0")).toDF("day", "k", "v")
+      .write.partitionBy("day").parquet(dir)
+    val batch = Seq(("01", 1, "a1")).toDF("day", "k", "v")
+    Merge.upsertPartitioned(spark, dir, batch, "k", "day",
+      Seq("day", "k", "v"))
+    val now = spark.read.parquet(dir)
+      .select(col("day").cast("string"), col("k"), col("v"))
+      .as[(String, Int, String)].collect().toSet
+    assert(now.exists(r => r._2 == 9 && r._3 == "z0"),
+      s"innocent k=9 row lost through the skipped probe: $now")
+    assert(now.count(_._2 == 1) == 1 &&
+      now.exists(r => r._2 == 1 && r._3 == "a1"),
+      s"k=1 not upserted exactly once: $now")
+  }
+
   test("upsertPartitioned: a partition emptied by its only key moving is deleted") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -778,6 +778,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(4L) == (("added", 0L, fps4, 0L)))
   }
 
+  test("winnowDeltaIndex: a duplicated id in the changed set fails fast " +
+    "instead of silently inflating the delta") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" "))).toDF("doc_id", "text")
+    // id 1 appears TWICE in after, both edited — a contract violation
+    // that fans out both id joins and lands twice in the changed set
+    val after = Seq(
+      (1L, (1 to 12).map(i => s"y$i").mkString(" ")),
+      (1L, (1 to 12).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextDedup.winnowDeltaIndex(before, after, "text", "doc_id",
+        k = 2, w = 3).collect()
+    }
+    spark.catalog.clearCache()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate doc_id")),
+      s"guard message missing: ${msgs(e)}")
+  }
+
   test("pruneDuplicatedSpans: shared run's tokens removed, unique doc " +
     "passes through whole") {
     import spark.implicits._
