@@ -1237,9 +1237,14 @@ object TextDedup {
     * Scale shape: [[duplicatedSpans]]' linear gram pipeline, then the
     * per-doc span LIST (bounded by doc length / k) collects in one
     * hash aggregation, joins back id-keyed, and the removal itself is
-    * a higher-order `filter` over each doc's own token array testing
-    * position membership against that doc's spans — per-row work, no
-    * per-position explode, no second shuffle. */
+    * a single `aggregate` HOF walking the SORTED span list over the
+    * doc's token array — each gap between spans is one `slice`, so the
+    * per-document cost is O(tokens + spans), not the O(tokens × spans)
+    * membership test of the round-14 form (a boilerplate-heavy doc
+    * with many small spans paid quadratically). Correct because
+    * [[duplicatedSpans]]' islands are maximal runs of consecutive
+    * positions — disjoint and non-adjacent by construction. Per-row
+    * work, no per-position explode, no second shuffle. */
   def pruneDuplicatedSpans(docs: DataFrame, textCol: String,
       idCol: String, k: Int, minDocs: Int = 2): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
@@ -1247,14 +1252,29 @@ object TextDedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
+    // linear interval walk: spans are disjoint, non-adjacent maximal
+    // islands (duplicatedSpans' pos − row_number construction), so
+    // sorting them and slicing each inter-span gap emits every kept
+    // token exactly once — O(tokens + spans) per doc. The cursor and
+    // the slice bounds are 1-based like the spans themselves.
+    val keptWalk = aggregate(
+      sort_array(col("__spans")),
+      struct(lit(1L).as("cur"),
+        array().cast("array<string>").as("acc")),
+      (st, s) => struct(
+        (s.getField("span_end") + lit(1L)).as("cur"),
+        concat(st.getField("acc"),
+          slice(col("__toks"), st.getField("cur").cast("int"),
+            greatest(s.getField("span_start") - st.getField("cur"), lit(0L))
+              .cast("int"))).as("acc")),
+      st => concat(st.getField("acc"),
+        slice(col("__toks"), st.getField("cur").cast("int"),
+          greatest(size(col("__toks")).cast("long") - st.getField("cur")
+            + lit(1L), lit(0L)).cast("int"))))
     base.join(spans, Seq(idCol), "left")
       .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__kept",
-        when(col("__spans").isNull, col("__toks"))
-          .otherwise(filter(col("__toks"), (x, i) =>
-            !exists(col("__spans"), s =>
-              (i + 1) >= s.getField("span_start") &&
-                (i + 1) <= s.getField("span_end")))))
+        when(col("__spans").isNull, col("__toks")).otherwise(keptWalk))
       .select(col(idCol),
         size(col("__toks")).cast("long").as("n_tokens"),
         (size(col("__toks")) - size(col("__kept"))).cast("long")

@@ -816,6 +816,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out(3L) == ((7L, 0L, "w1 w2 w3 w4 w5 w6 w7")))
   }
 
+  test("pruneDuplicatedSpans: many disjoint spans walk linearly — " +
+    "alternating islands, span at position 1, span at the end") {
+    import spark.implicits._
+    // docs 1 and 2 share m-many separated 2-gram runs, so each doc
+    // carries MANY disjoint spans (the interval-walk shape the linear
+    // rewrite exists for); unique uX/vX tokens separate the islands.
+    // Doc 1 also starts with a shared run (cursor stays at 1 through a
+    // zero-length leading gap) and doc 2 ends with one (the final tail
+    // slice is empty).
+    val m = 30
+    val d1 = (0 until m).map(j => s"s${j}a s${j}b u$j").mkString(" ")
+    val d2 = "x1 x2 x3 " +
+      (0 until m).map(j => s"s${j}a s${j}b v$j").mkString(" ") +
+      " s0a s0b"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = TextDedup.pruneDuplicatedSpans(docs, "text", "doc_id",
+        k = 2, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) ==
+      ((3L * m, 2L * m, (0 until m).map(j => s"u$j").mkString(" "))))
+    assert(out(2L) ==
+      ((3L * m + 5, 2L * m + 2, "x1 x2 x3 " +
+        (0 until m).map(j => s"v$j").mkString(" "))))
+  }
+
   test("chunkClusters: clone docs' chunks cluster pairwise with the min " +
     "(doc, chunk) keeper; unpaired chunks are absent; carrier guard fires") {
     import spark.implicits._
