@@ -1238,13 +1238,16 @@ object TextDedup {
     * per-doc span LIST (bounded by doc length / k) collects in one
     * hash aggregation, joins back id-keyed, and the removal itself is
     * a single `aggregate` HOF walking the SORTED span list over the
-    * doc's token array — each gap between spans is one `slice`, so the
+    * doc's token array — each uncovered gap is one `slice`, so the
     * per-document cost is O(tokens + spans), not the O(tokens × spans)
     * membership test of the round-14 form (a boilerplate-heavy doc
-    * with many small spans paid quadratically). Correct because
-    * [[duplicatedSpans]]' islands are maximal runs of consecutive
-    * positions — disjoint and non-adjacent by construction. Per-row
-    * work, no per-position explode, no second shuffle. */
+    * with many small spans paid quadratically). Spans CAN overlap (two
+    * gram-position islands separated by a gap < k cover overlapping
+    * token ranges), but sorted by start their ends strictly increase
+    * (island gram positions are disjoint ascending runs), so the
+    * cursor never moves backwards and the `greatest(…, 0)` gap guard
+    * emits exactly the uncovered positions. Per-row work, no
+    * per-position explode, no second shuffle. */
   def pruneDuplicatedSpans(docs: DataFrame, textCol: String,
       idCol: String, k: Int, minDocs: Int = 2): DataFrame = {
     val base = docs.filter(col(textCol).isNotNull)
@@ -1252,11 +1255,11 @@ object TextDedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end")))
         .as("__spans"))
-    // linear interval walk: spans are disjoint, non-adjacent maximal
-    // islands (duplicatedSpans' pos − row_number construction), so
-    // sorting them and slicing each inter-span gap emits every kept
-    // token exactly once — O(tokens + spans) per doc. The cursor and
-    // the slice bounds are 1-based like the spans themselves.
+    // linear interval walk over the sorted spans: ends increase with
+    // starts (islands are disjoint ascending gram-position runs), so a
+    // monotone cursor + a clamped gap slice emit every uncovered token
+    // exactly once, including through OVERLAPPING spans (island gap
+    // < k). 1-based cursor and bounds, like the spans themselves.
     val keptWalk = aggregate(
       sort_array(col("__spans")),
       struct(lit(1L).as("cur"),

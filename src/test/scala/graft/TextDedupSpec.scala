@@ -842,6 +842,24 @@ class TextDedupSpec extends AnyFunSuite {
         (0 until m).map(j => s"v$j").mkString(" "))))
   }
 
+  test("pruneDuplicatedSpans: OVERLAPPING spans (island gap < k) prune " +
+    "exactly the union of covered positions") {
+    import spark.implicits._
+    // shared grams "a b c" and "c d e" sit at positions 1 and 3 in doc
+    // 1 (gap 2 < k=3): islands {1} and {3} yield spans [1,3] and [3,5]
+    // overlapping at 3. Doc 2 carries them at 1 and 5 (disjoint spans
+    // [1,3], [5,7]) with an uncovered "x" between.
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c x c d e")).toDF("doc_id", "text")
+    val out = TextDedup.pruneDuplicatedSpans(docs, "text", "doc_id",
+        k = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((5L, 5L, "")))
+    assert(out(2L) == ((7L, 6L, "x")))
+  }
+
   test("chunkClusters: clone docs' chunks cluster pairwise with the min " +
     "(doc, chunk) keeper; unpaired chunks are absent; carrier guard fires") {
     import spark.implicits._
