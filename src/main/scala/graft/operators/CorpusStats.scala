@@ -1086,6 +1086,106 @@ object CorpusStats {
           col("n_trigrams").cast("double"), 6).as("backoff_share"))
   }
 
+  /** Per-document TRIGRAM Jelinek-Mercer NLL — [[docNllBackoff]]'s
+    * sibling on the other classic smoothing family (Jelinek & Mercer
+    * 1980; the linear-interpolation baseline every LM-smoothing study
+    * reports): instead of FALLING BACK level by level, every held
+    * trigram scores the fixed MIXTURE
+    * `λ3·c3/c2p + λ2·cb/cu + λ1·(c1+k)/(N+kV)` — an unseen level
+    * contributes 0, the add-k unigram floor keeps the mixture
+    * positive, so every score is finite without a backoff decision.
+    * `n_hits3` counts trigram tokens the train corpus has seen (the
+    * mixture's top level active) and `hit3_share` is its share — the
+    * coverage signal that says whether λ3 is doing any work on this
+    * document.
+    *
+    * The LM trains on the `idCol % holdoutMod != 0` split and scores
+    * held-out docs with ≥ 1 trigram. Returns `(idCol, n_trigrams,
+    * n_hits3, avg_nll, hit3_share)` — counts exact, ratios rounded 6.
+    *
+    * Scale shape: identical to [[docNllBackoff]] — per-order persisted
+    * TYPE tables (one explode each), scoring by hash joins per held
+    * TYPE, totals as a 1-row broadcast. Caller contract as
+    * [[Curation.curate]]: clearCache between unrelated runs. */
+  def docNllInterpolated(docs: DataFrame, textCol: String, idCol: String,
+      holdoutMod: Int = 10, lambda3: Double = 0.7, lambda2: Double = 0.2,
+      lambda1: Double = 0.1, k: Double = 1.0): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(lambda3 >= 0 && lambda2 >= 0 && lambda1 > 0,
+      s"need lambda3, lambda2 >= 0 and lambda1 > 0 (the smoothed floor " +
+        s"must stay in the mixture): $lambda3 $lambda2 $lambda1")
+    require(k > 0, s"add-k smoothing needs k > 0: $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    def grams(n: Int) = arrays_zip(
+      (0 until n).map(i => slice(toks, lit(1 + i),
+        greatest(size(toks) - (n - 1), lit(0)))): _*)
+    val triTypes = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), held.as("__held"),
+        explode(grams(3)).as("__g"))
+      .groupBy(col("__held"),
+        when(col("__held"), col("__id")).as("__id"),
+        col("__g.0").as("__w1"), col("__g.1").as("__w2"),
+        col("__g.2").as("__w3"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    val c3 = triTypes.filter(!col("__held"))
+      .groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(sum(col("__n")).as("__c3"))
+    val c2p = c3.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__c3")).as("__c2p"))
+    // per-order tables from their own single explode ([[docNllBackoff]]'s
+    // reasoning: a trigram-derived bigram table drops final bigrams)
+    val biTypes = docs.filter(col(textCol).isNotNull && !held)
+      .select(explode(grams(2)).as("__g"))
+      .groupBy(col("__g.0").as("__w1"), col("__g.1").as("__w2"))
+      .agg(count(lit(1)).as("__cb"))
+      .persist()
+    val cu = biTypes.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+    val uni = docs.filter(col(textCol).isNotNull && !held)
+      .select(explode(toks).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c1"))
+      .persist()
+    val tot = uni.agg(sum(col("__c1")).cast("double").as("__tn"),
+      count(lit(1)).cast("double").as("__tv"))
+    // mixture written in the exact literal order the oracle mirrors:
+    // λ3·coalesce(c3/c2p, 0) + λ2·coalesce(cb/cu, 0) + λ1·unigram
+    val nll = -log(
+      lit(lambda3) * coalesce(
+        col("__c3").cast("double") / col("__c2p").cast("double"),
+        lit(0.0)) +
+      lit(lambda2) * coalesce(
+        col("__cb").cast("double") / col("__cu").cast("double"),
+        lit(0.0)) +
+      lit(lambda1) * ((coalesce(col("__c1"), lit(0L)).cast("double") +
+        lit(k)) / (col("__tn") + lit(k) * col("__tv"))))
+    triTypes.filter(col("__held"))
+      .join(c3, Seq("__w1", "__w2", "__w3"), "left")
+      .join(c2p, Seq("__w1", "__w2"), "left")
+      .join(biTypes.withColumnRenamed("__w1", "__bw1")
+          .withColumnRenamed("__w2", "__bw2"),
+        col("__w2") === col("__bw1") && col("__w3") === col("__bw2"),
+        "left")
+      .join(cu.withColumnRenamed("__w1", "__uw1"),
+        col("__w2") === col("__uw1"), "left")
+      .join(uni.withColumnRenamed("__w", "__w3u"),
+        col("__w3") === col("__w3u"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("__id"), col("__n"),
+        when(col("__c3").isNotNull, col("__n")).otherwise(lit(0L))
+          .as("__h3"),
+        (nll * col("__n").cast("double")).as("__nllw"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        sum(col("__h3")).as("n_hits3"),
+        round(sum(col("__nllw")) / sum(col("__n")).cast("double"), 6)
+          .as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_trigrams"), col("n_hits3"),
+        col("avg_nll"),
+        round(col("n_hits3").cast("double") /
+          col("n_trigrams").cast("double"), 6).as("hit3_share"))
+  }
+
   /** Closed-vocabulary tokenizer audit — fertility, OOV share, and
     * compression at several candidate vocabulary sizes in ONE pass: for
     * each `V` in `vocabSizes`, the vocabulary is the top-`V` corpus

@@ -1224,6 +1224,103 @@ object TextDedup {
       .na.fill(0L, Seq("n_del", "n_add", "n_keep"))
   }
 
+  /** Repeated-substring LEADERBOARD — the corpus-card report over
+    * [[duplicatedSpans]]' maximal islands: which exact passages repeat
+    * across documents, ranked by reach. Each duplicated span
+    * reconstructs its text (one `slice` over the doc's own token
+    * array), identical texts aggregate across the corpus, and the
+    * top-`topK` rank by `(n_docs DESC, n_occurrences DESC, span_text
+    * ASC)` — a total order, so the cut is engine-reproducible. The
+    * suffix-automaton-free answer to "what boilerplate dominates my
+    * corpus": license headers, navigation chrome, and syndicated
+    * passages surface with their literal text and reach.
+    *
+    * Returns `(rank, span_text, span_tokens, n_docs, n_occurrences)`.
+    *
+    * Scale shape: [[duplicatedSpans]]' linear gram pipeline, one
+    * id-keyed join back to the token arrays (span lists are bounded by
+    * doc length / k), ONE hash aggregation keyed by span text — the
+    * key can be a long passage, but the aggregated mass is bounded by
+    * the corpus's duplicated-token mass, which is exactly what this
+    * report exists to surface — and a TakeOrdered top-k election
+    * (driver holds topK rows by construction). The rank column is a
+    * row_number over the already-elected topK rows (single tiny
+    * partition, not a corpus sort). */
+  def repeatedSpanRank(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minDocs: Int = 2, topK: Int = 50): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1: $topK")
+    val base = docs.filter(col(textCol).isNotNull)
+    val spans = duplicatedSpans(base, textCol, idCol, k, minDocs)
+    val ranked = spans
+      .join(base.select(col(idCol), tokens(col(textCol)).as("__toks")),
+        Seq(idCol))
+      .select(col(idCol), array_join(slice(col("__toks"),
+        col("span_start").cast("int"),
+        (col("span_end") - col("span_start") + 1).cast("int")), " ")
+        .as("span_text"))
+      .groupBy(col("span_text"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("span_text").asc)
+      .limit(topK)
+    ranked
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(
+          col("n_docs").desc, col("n_occurrences").desc,
+          col("span_text").asc)).cast("long"))
+      .select(col("rank"), col("span_text"),
+        size(split(col("span_text"), " ", -1)).cast("long")
+          .as("span_tokens"),
+        col("n_docs"), col("n_occurrences"))
+  }
+
+  /** Apply-side of [[winnowDeltaIndex]] — the PATCHED fingerprint
+    * index itself: unchanged documents keep their `v1` index rows
+    * untouched (never re-read, never re-fingerprinted), changed
+    * documents' rows are replaced wholesale by re-winnowing the
+    * changed AFTER-side texts only. By winnowing's determinism the
+    * result is row-identical to a full re-index of `after` — the
+    * roundtrip the q269 oracle verifies — at O(changed docs)
+    * re-fingerprinting cost.
+    *
+    * Returns the patched `(idCol, fingerprint)` index.
+    *
+    * Scale shape: one full-outer id join for change detection (the
+    * [[winnowDeltaIndex]] detector, shared UNIQUE-id contract and
+    * fail-fast), ONE winnow pass over the v1 corpus (building the
+    * index being patched — a caller with the v1 index on disk reads it
+    * instead), one winnow pass over the changed after-side subset, one
+    * anti join to drop changed ids, one union. Nothing pairwise,
+    * nothing driver-side. */
+  def winnowDeltaApply(before: DataFrame, after: DataFrame,
+      textCol: String, idCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
+    val b = before.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__tb"))
+    val a = after.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__ta"))
+    val changed = b.join(a, Seq(idCol), "full_outer")
+      .filter(col("__ta").isNull || col("__tb").isNull ||
+        col("__tb") =!= col("__ta"))
+      .persist()
+    // UNIQUE-id guard over the changed subset (winnowDeltaIndex's
+    // convention): duplicates fan out the anti join and the replace
+    val changedIds = changed.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__dup"))
+      .where(OpsUtil.orRaise(col("__dup") === 1,
+        lit(s"winnowDeltaApply: duplicate $idCol in changed set "),
+        lit("(ids must be unique per corpus version): "), col(idCol)))
+      .select(col(idCol))
+    val v1 = winnow(b.select(col(idCol), col("__tb").as(textCol)),
+      textCol, idCol, k, w)
+    val replaced = winnow(changed.filter(col("__ta").isNotNull)
+        .select(col(idCol), col("__ta").as(textCol)),
+      textCol, idCol, k, w)
+    v1.join(changedIds, Seq(idCol), "left_anti")
+      .unionByName(replaced)
+  }
+
   /** Apply-side of [[duplicatedSpans]] (Lee et al.'s deduplicate-
     * training-data surgery): REMOVE every token covered by a
     * corpus-duplicated span from each document and return the pruned

@@ -313,6 +313,49 @@ private[graft] object DedupQueries {
     }),
 
 
+    // Repeated-substring leaderboard at TWO gram resolutions (short
+    // boilerplate at k=3, long passages at k=8): q250's island
+    // machinery re-aggregated by exact span text, top-50 per
+    // resolution by reach. Round-15 addition under the substantive-
+    // oracle policy (0.82 s measured before building).
+    "q268_span_rank" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val r3 = TextDedup.repeatedSpanRank(docs, "text", "doc_id",
+          k = 3, minDocs = 2, topK = 50)
+        .withColumn("gram_size", lit(3L))
+      val r8 = TextDedup.repeatedSpanRank(docs, "text", "doc_id",
+          k = 8, minDocs = 2, topK = 50)
+        .withColumn("gram_size", lit(8L))
+      r3.unionByName(r8)
+        .transform(ordered1(_, col("gram_size"), col("rank")))
+    }),
+
+
+    // Apply-side of q263's incremental re-index: the PATCHED
+    // fingerprint index (v1 rows kept for unchanged docs, changed docs
+    // re-winnowed), rolled up per doc — the oracle re-winnows v2 from
+    // scratch, so the row-identical counts ARE the patch≡reindex
+    // roundtrip proof. Round-15 addition under the substantive-oracle
+    // policy (0.95 s measured before building).
+    "q269_winnow_apply" -> ((s, d) => {
+      val docs = parallel(load(s, d, "documents"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val edited = docs.withColumn("text",
+        when(col("doc_id") % 2 === 0 && size(toks) >= 10,
+          array_join(concat(slice(toks, 1, 9), array(lit("EDITv2")),
+            slice(toks, lit(11), greatest(size(toks) - 10, lit(0)))), " "))
+          .otherwise(col("text")))
+        .filter(col("doc_id") % 10 =!= 3)
+      val added = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .withColumn("text", concat(lit("NEWDOC "), col("text")))
+      TextDedup.winnowDeltaApply(docs, edited.unionByName(added),
+          "text", "doc_id", k = 2, w = 3)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
     // q73's Bloom-prefiltered form: SAME fixture, SAME oracle, SAME
     // answer — the sketch (built and probed with Spark's own
     // runtime-filter expressions via graft_bloom_agg/graft_might_contain)
@@ -941,6 +984,96 @@ private[graft] object DedupQueries {
         |  CAST(min(r) % 100000 AS BIGINT) AS cluster_chunk,
         |  min(r) = id AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    // Mirrors TextDedup.repeatedSpanRank at k=3 and k=8: q250's island
+    // CTEs, span text sliced from the doc's own tokens, grouped by
+    // exact text, top-50 per resolution by (n_docs, n_occurrences,
+    // text) — a total order on both sides.
+    "q268_span_rank" ->
+      """(WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |g2 AS (SELECT doc_id, p, md5(array_to_string(t[p:p+2], ' ')) AS h
+        |  FROM (SELECT doc_id,
+        |      unnest(generate_series(1, greatest(len(t)-2, 1))) AS p, t
+        |    FROM d)),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p FROM g2 JOIN f USING (h))),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) + 2 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |tx AS (SELECT sp.doc_id, array_to_string(d.t[sp.s:sp.e], ' ')
+        |    AS span_text
+        |  FROM sp JOIN d ON d.doc_id = sp.doc_id),
+        |r AS (SELECT span_text,
+        |    CAST(len(string_split(span_text, ' ')) AS BIGINT) AS span_tokens,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM tx GROUP BY span_text)
+        |SELECT CAST(3 AS BIGINT) AS gram_size,
+        |  CAST(row_number() OVER (ORDER BY n_docs DESC,
+        |    n_occurrences DESC, span_text ASC) AS BIGINT) AS rank,
+        |  span_text, span_tokens, n_docs, n_occurrences
+        |FROM r
+        |ORDER BY n_docs DESC, n_occurrences DESC, span_text ASC
+        |LIMIT 50)
+        |UNION ALL
+        |(WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |g2 AS (SELECT doc_id, p, md5(array_to_string(t[p:p+7], ' ')) AS h
+        |  FROM (SELECT doc_id,
+        |      unnest(generate_series(1, greatest(len(t)-7, 1))) AS p, t
+        |    FROM d)),
+        |f AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+        |    FROM g2 GROUP BY h) x WHERE nd >= 2),
+        |isl AS (SELECT doc_id, p, p - row_number()
+        |    OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM (SELECT doc_id, p FROM g2 JOIN f USING (h))),
+        |sp AS (SELECT doc_id, min(p) AS s, max(p) + 7 AS e
+        |  FROM isl GROUP BY doc_id, island),
+        |tx AS (SELECT sp.doc_id, array_to_string(d.t[sp.s:sp.e], ' ')
+        |    AS span_text
+        |  FROM sp JOIN d ON d.doc_id = sp.doc_id),
+        |r AS (SELECT span_text,
+        |    CAST(len(string_split(span_text, ' ')) AS BIGINT) AS span_tokens,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_occurrences
+        |  FROM tx GROUP BY span_text)
+        |SELECT CAST(8 AS BIGINT) AS gram_size,
+        |  CAST(row_number() OVER (ORDER BY n_docs DESC,
+        |    n_occurrences DESC, span_text ASC) AS BIGINT) AS rank,
+        |  span_text, span_tokens, n_docs, n_occurrences
+        |FROM r
+        |ORDER BY n_docs DESC, n_occurrences DESC, span_text ASC
+        |LIMIT 50)
+        |ORDER BY gram_size, rank""".stripMargin,
+
+
+    // Mirrors TextDedup.winnowDeltaApply's patch≡reindex roundtrip:
+    // the oracle winnows the ENTIRE v2 corpus (k=2, w=3) from scratch
+    // and counts distinct fingerprints per doc — row-identity against
+    // the Spark side's patched index proves the incremental apply.
+    "q269_winnow_apply" ->
+      """WITH v2e AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 AND len(string_split(text,' ')) >= 10
+        |      THEN array_to_string(list_concat(list_concat(
+        |        string_split(text,' ')[1:9], ['EDITv2']),
+        |        string_split(text,' ')[11:len(string_split(text,' '))]), ' ')
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 <> 3),
+        |v2a AS (SELECT doc_id + 1000000 AS doc_id, 'NEWDOC ' || text AS text
+        |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 0),
+        |v2 AS (SELECT * FROM v2e UNION ALL SELECT * FROM v2a),
+        |ga AS (SELECT doc_id, [md5(array_to_string(t[i:i+1],' '))
+        |    FOR i IN generate_series(1, greatest(len(t)-1,1))] AS gh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS t FROM v2)),
+        |fa AS (SELECT DISTINCT doc_id, unnest([list_min(gh[i:i+2])
+        |    FOR i IN generate_series(1, greatest(len(gh)-2,1))]) AS fp
+        |  FROM ga)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps
+        |FROM fa GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
 
     "q109_containment" ->

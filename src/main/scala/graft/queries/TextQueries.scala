@@ -393,6 +393,30 @@ private[graft] object TextQueries {
         .filter(col("doc_id") < 1000000L)
         .transform(ordered1(_, col("doc_id")))
     }),
+
+
+    // Trigram Jelinek-Mercer interpolated NLL over the same 5x
+    // token-distinct replicated corpus as q266 — the linear-mixture
+    // smoothing family next to Stupid Backoff, sharing the per-order
+    // type tables. Round-15 addition under the substantive-oracle
+    // policy (1.47 s measured before building).
+    "q267_docnll_jm" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 4).map { r =>
+        if (r == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      CorpusStats.docNllInterpolated(
+          parallel(reps.reduce(_ unionByName _)), "text", "doc_id",
+          holdoutMod = 10, lambda3 = 0.7, lambda2 = 0.2, lambda1 = 0.1,
+          k = 1.0)
+        .filter(col("doc_id") < 1000000L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -455,6 +479,65 @@ private[graft] object TextQueries {
         |    AS backoff_share
         |FROM sc WHERE id < 1000000
         |GROUP BY id ORDER BY id""".stripMargin,
+
+
+    // Mirrors CorpusStats.docNllInterpolated over the q266/q267
+    // replicated corpus: the mixture written in the operator's exact
+    // literal order (0.7·coalesce(c3/c2p,0) + 0.2·coalesce(cb/cu,0) +
+    // 0.1·add-1 unigram), all divisions in DOUBLE.
+    "q267_docnll_jm" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS r)
+        |  WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, doc_id % 10 = 0 AS held,
+        |    string_split(text, ' ') AS t
+        |  FROM corpus),
+        |tri AS (SELECT held, CASE WHEN held THEN doc_id END AS id,
+        |    g[1] AS w1, g[2] AS w2, g[3] AS w3, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT held, doc_id, unnest([t[i:i+2]
+        |      FOR i IN generate_series(1, greatest(len(t)-2, 1))]) AS g
+        |    FROM toks)
+        |  WHERE len(g) = 3
+        |  GROUP BY ALL),
+        |c3 AS (SELECT w1, w2, w3, sum(n) AS c3 FROM tri WHERE NOT held
+        |  GROUP BY w1, w2, w3),
+        |c2p AS (SELECT w1, w2, sum(c3) AS c2p FROM c3 GROUP BY w1, w2),
+        |bi AS (SELECT g[1] AS w1, g[2] AS w2, CAST(count(*) AS BIGINT) AS cb
+        |  FROM (SELECT unnest([t[i:i+1]
+        |      FOR i IN generate_series(1, greatest(len(t)-1, 1))]) AS g
+        |    FROM toks WHERE NOT held)
+        |  WHERE len(g) = 2
+        |  GROUP BY 1, 2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM bi GROUP BY w1),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM toks WHERE NOT held) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS tn,
+        |  CAST(count(*) AS DOUBLE) AS tv FROM uni),
+        |sc AS (SELECT tri.id, tri.n,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END AS h3,
+        |    -ln(0.7 * coalesce(CAST(c3.c3 AS DOUBLE) / CAST(c2p.c2p AS DOUBLE), 0.0)
+        |      + 0.2 * coalesce(CAST(bi.cb AS DOUBLE) / CAST(cu.cu AS DOUBLE), 0.0)
+        |      + 0.1 * ((CAST(coalesce(uni.c1, 0) AS DOUBLE) + 1.0)
+        |        / (tot.tn + 1.0 * tot.tv))) AS nll
+        |  FROM tri
+        |  LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2 AND tri.w3 = c3.w3
+        |  LEFT JOIN c2p ON tri.w1 = c2p.w1 AND tri.w2 = c2p.w2
+        |  LEFT JOIN bi ON tri.w2 = bi.w1 AND tri.w3 = bi.w2
+        |  LEFT JOIN cu ON tri.w2 = cu.w1
+        |  LEFT JOIN uni ON tri.w3 = uni.w
+        |  CROSS JOIN tot
+        |  WHERE tri.held)
+        |SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(h3 * n) AS BIGINT) AS n_hits3,
+        |  round(sum(nll * n) / sum(n), 6) AS avg_nll,
+        |  round(CAST(sum(h3 * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS hit3_share
+        |FROM sc WHERE id < 1000000
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
 
 
     "q260_vocab_fertility" ->

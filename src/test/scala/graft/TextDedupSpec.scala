@@ -842,6 +842,63 @@ class TextDedupSpec extends AnyFunSuite {
         (0 until m).map(j => s"v$j").mkString(" "))))
   }
 
+  test("repeatedSpanRank: exact span texts ranked by reach with " +
+    "alphabetical tie-break; topK honored") {
+    import spark.implicits._
+    // "d1 d2 d3 d4" repeats in all three docs (rank 1); "e1 e2 e3" and
+    // "f1 f2 f3" each repeat in docs 1-2 only — equal counts, broken
+    // alphabetically (ranks 2, 3)
+    val docs = Seq(
+      (1L, "u1 u2 d1 d2 d3 d4 u3 e1 e2 e3 u4 f1 f2 f3"),
+      (2L, "v1 d1 d2 d3 d4 v2 e1 e2 e3 v3 f1 f2 f3"),
+      (3L, "w1 d1 d2 d3 d4 w2")).toDF("doc_id", "text")
+    val out = TextDedup.repeatedSpanRank(docs, "text", "doc_id",
+        k = 3, minDocs = 2, topK = 50)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toList == List(
+      (1L, "d1 d2 d3 d4", 4L, 3L, 3L),
+      (2L, "e1 e2 e3", 3L, 2L, 2L),
+      (3L, "f1 f2 f3", 3L, 2L, 2L)))
+    val top2 = TextDedup.repeatedSpanRank(docs, "text", "doc_id",
+        k = 3, minDocs = 2, topK = 2)
+      .collect().map(_.getString(1))
+    assert(top2.toList == List("d1 d2 d3 d4", "e1 e2 e3"))
+  }
+
+  test("winnowDeltaApply: patched index row-identical to a full " +
+    "re-index of v2; duplicate changed id fails fast") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 12).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    // doc 1 unchanged, doc 2 edited, doc 3 deleted, doc 4 added
+    val after = Seq(
+      (1L, (1 to 12).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 40).map(i => if (i == 5) "EDIT" else s"b$i").mkString(" ")),
+      (4L, (1 to 12).map(i => s"d$i").mkString(" "))).toDF("doc_id", "text")
+    val patched = TextDedup.winnowDeltaApply(before, after,
+        "text", "doc_id", k = 2, w = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    spark.catalog.clearCache()
+    val full = TextDedup.winnow(after, "text", "doc_id", k = 2, w = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(patched == full)
+    assert(!patched.exists(_._1 == 3L)) // deleted doc fully retired
+    val dupAfter = after.unionByName(
+      Seq((2L, "totally different")).toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      TextDedup.winnowDeltaApply(before, dupAfter, "text", "doc_id",
+        k = 2, w = 3).collect()
+    }
+    spark.catalog.clearCache()
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate doc_id")),
+      s"guard message missing: ${msgs(e)}")
+  }
+
   test("pruneDuplicatedSpans: OVERLAPPING spans (island gap < k) prune " +
     "exactly the union of covered positions") {
     import spark.implicits._

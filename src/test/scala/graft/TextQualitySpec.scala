@@ -457,6 +457,43 @@ class TextQualitySpec extends AnyFunSuite {
       math.abs(out(30L)._3 - l3) < 2e-6 && out(30L)._4 == 1.0)
   }
 
+  test("docNllInterpolated: mixture hand-computed per coverage level; " +
+    "hit3 counts trigram coverage") {
+    import spark.implicits._
+    // same fixture as docNllBackoff: train trigram (a,b,c):2 with
+    // c2p(a,b)=2; bigrams (a,b):2 (b,c):2 (c,a):1, cu a:2 b:2 c:1;
+    // unigrams N=7, V=4. lambda = (0.7, 0.2, 0.1), k = 1.
+    val docs = Seq(
+      (1L, "a b c a b c"), (3L, "z"),
+      (10L, "a b c"), (20L, "c c a"), (30L, "a b x")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docNllInterpolated(docs, "text", "doc_id",
+        holdoutMod = 10)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.keySet == Set(10L, 20L, 30L))
+    // 10 "a b c": all three levels live — p3=2/2, p2=cb(b,c)/cu(b)=1,
+    // p1=(2+1)/11
+    val m10 = -math.log(0.7 * 1.0 + 0.2 * 1.0 + 0.1 * (3.0 / 11.0))
+    assert(out(10L)._1 == 1 && out(10L)._2 == 1 &&
+      math.abs(out(10L)._3 - m10) < 2e-6 && out(10L)._4 == 1.0)
+    // 20 "c c a": trigram miss, bigram (c,a)/cu(c)=1, p1=(2+1)/11
+    val m20 = -math.log(0.7 * 0.0 + 0.2 * 1.0 + 0.1 * (3.0 / 11.0))
+    assert(out(20L)._1 == 1 && out(20L)._2 == 0 &&
+      math.abs(out(20L)._3 - m20) < 2e-6 && out(20L)._4 == 0.0)
+    // 30 "a b x": only the smoothed unigram floor (x unseen)
+    val m30 = -math.log(0.1 * ((0.0 + 1.0) / 11.0))
+    assert(out(30L)._1 == 1 && out(30L)._2 == 0 &&
+      math.abs(out(30L)._3 - m30) < 2e-6 && out(30L)._4 == 0.0)
+    // lambda1 = 0 would admit -ln(0): rejected up front
+    intercept[IllegalArgumentException] {
+      CorpusStats.docNllInterpolated(docs, "text", "doc_id",
+        holdoutMod = 10, lambda3 = 0.8, lambda2 = 0.2, lambda1 = 0.0)
+    }
+  }
+
   test("vocabFertility: hand-computed fertility/OOV/compression per " +
     "vocab size; OOV shatters to characters") {
     import spark.implicits._
