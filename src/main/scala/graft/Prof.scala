@@ -420,6 +420,128 @@ object Prof {
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
             when(j === 0, x + lit(0.001f * i)).otherwise(x))))
+    } else if (args.headOption.contains("gen_fresh")) {
+      // Fresh-KEY scale corpora (round-15 verdict item 5): `gen_fresh
+      // <mult> <outDir>` synthesizes every table at <mult> x the sf0.1
+      // row counts with GENUINELY NEW key/token mass — no replicas.
+      // gen_scale's key-offset copies are right for dedup/pair-mass
+      // shapes but feed joins and groupBys inflated duplicate keys;
+      // here every key domain (customers, orders, parts, users, vocab)
+      // GROWS with the corpus, and document text is drawn from a
+      // Zipf(1) vocabulary via the inverse-CDF approximation r = V^u
+      // (P(r) ∝ 1/r), with V following a Heaps-style V0·mult^0.7 curve
+      // so LM type-table mass grows sublinearly like a real corpus.
+      // Deterministic (xxhash64 of row id + salt — reruns are
+      // identical), fully distributed (spark.range + column
+      // expressions, no driver data). NOT oracle test data — timing
+      // only, like gen_scale.
+      val mult = args(1).toInt
+      val out = args(2)
+      require(mult >= 1, s"mult must be >= 1: $mult")
+      def h(salt: String, cols: org.apache.spark.sql.Column*) =
+        xxhash64((cols :+ lit(salt)): _*)
+      // uniform long in [0, n)
+      def un(n: Long, salt: String, cols: org.apache.spark.sql.Column*) =
+        pmod(h(salt, cols: _*), lit(n))
+      // uniform double in (0, 1)
+      def ud(salt: String, cols: org.apache.spark.sql.Column*) =
+        (pmod(h(salt, cols: _*), lit(1000000L)).cast("double") + lit(0.5)) /
+          lit(1000000.0)
+      def pick(salt: String, vs: String*) =
+        element_at(array(vs.map(lit): _*),
+          (un(vs.size.toLong, salt, col("id")) + 1L).cast("int"))
+      def ts1992(salt: String, spanDays: Int) = timestamp_seconds(
+        lit(694224000L) + un(spanDays.toLong, salt, col("id")) * 86400L +
+          un(86400L, salt + "s", col("id")))
+      val nC = 15000L * mult; val nO = 150000L * mult
+      val nL = 600000L * mult; val nP = 20000L * mult
+      val nS = 1000L * mult; val nD = 5000L * mult
+      val nE = 100000L * mult; val nU = 20000L * mult
+      val nV = 2000L * mult
+      val vocab = math.max(1000L,
+        (20000.0 * math.pow(mult.toDouble, 0.7)).toLong)
+      def write(t: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"wrote fresh $t")
+      }
+      for (t <- Seq("region", "nation"))
+        write(t, spark.read.parquet(s"$d/$t.parquet"))
+      write("customer", spark.range(nC).select(
+        col("id").as("c_custkey"),
+        concat(lit("Customer#"), col("id")).as("c_name"),
+        un(25L, "cn", col("id")).cast("int").as("c_nationkey"),
+        round(un(1100000L, "cb", col("id")).cast("double") / 100.0 - 1000.0,
+          2).as("c_acctbal"),
+        pick("cm", "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD",
+          "FURNITURE").as("c_mktsegment")))
+      write("supplier", spark.range(nS).select(
+        col("id").as("s_suppkey"),
+        concat(lit("Supplier#"), col("id")).as("s_name"),
+        un(25L, "sn", col("id")).cast("int").as("s_nationkey"),
+        round(un(1100000L, "sb", col("id")).cast("double") / 100.0 - 1000.0,
+          2).as("s_acctbal")))
+      write("part", spark.range(nP).select(
+        col("id").as("p_partkey"),
+        concat(lit("part tok"), un(vocab, "pn1", col("id")), lit(" tok"),
+          un(vocab, "pn2", col("id"))).as("p_name"),
+        concat(lit("Brand#"), un(50L, "pb", col("id"))).as("p_brand"),
+        pick("pt", "ECONOMY", "STANDARD", "PROMO", "MEDIUM", "LARGE")
+          .as("p_type"),
+        (un(50L, "ps", col("id")) + 1L).cast("int").as("p_size"),
+        round(un(200000L, "pr", col("id")).cast("double") / 100.0 + 1.0, 2)
+          .as("p_retailprice")))
+      write("orders", spark.range(nO).select(
+        col("id").as("o_orderkey"),
+        un(nC, "oc", col("id")).as("o_custkey"),
+        pick("os", "O", "F", "P").as("o_orderstatus"),
+        round(un(49900000L, "ot", col("id")).cast("double") / 100.0 + 1000.0,
+          2).as("o_totalprice"),
+        ts1992("od", 2190).as("o_orderdate"),
+        pick("op", "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW").as("o_orderpriority")))
+      write("lineitem", spark.range(nL).select(
+        un(nO, "lo", col("id")).as("l_orderkey"),
+        un(nP, "lp", col("id")).as("l_partkey"),
+        un(nS, "ls", col("id")).as("l_suppkey"),
+        (un(7L, "ln", col("id")) + 1L).cast("int").as("l_linenumber"),
+        (un(50L, "lq", col("id")) + 1L).cast("double").as("l_quantity"),
+        round(un(10000000L, "le", col("id")).cast("double") / 100.0 + 1.0,
+          2).as("l_extendedprice"),
+        (un(11L, "ld", col("id")).cast("double") / 100.0).as("l_discount"),
+        (un(9L, "lt", col("id")).cast("double") / 100.0).as("l_tax"),
+        pick("lr", "A", "N", "R").as("l_returnflag"),
+        pick("ll", "O", "F").as("l_linestatus"),
+        ts1992("lsd", 2372).as("l_shipdate")))
+      // Zipf(1) text: token rank r = ceil(V^u) — P(r) ∝ 1/r
+      val zipfTok = (salt: String, i: org.apache.spark.sql.Column) =>
+        concat(lit("tok"),
+          ceil(pow(lit(vocab.toDouble), ud(salt, col("id"), i))).cast("long"))
+      val docText = array_join(transform(
+        sequence(lit(1), (un(120L, "dl", col("id")) + 30L).cast("int")),
+        i => zipfTok("dt", i)), " ")
+      write("documents", spark.range(nD).select(
+        col("id").as("doc_id"),
+        docText.as("text"),
+        pick("dg", "en", "de", "fr", "es").as("lang"),
+        concat(lit("src"), un(20L, "ds", col("id"))).as("source"),
+        length(docText).cast("long").as("n_chars")))
+      write("events", spark.range(nE).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(1704067200L) +
+          un(31536000L, "et", col("id"))).as("ts"),
+        un(nU, "eu", col("id")).as("user_id"),
+        pick("ek", "view", "click", "add", "buy", "share", "search")
+          .as("event_type"),
+        round(un(100000L, "ev", col("id")).cast("double") / 100.0, 2)
+          .as("value"),
+        concat(lit("{\"k\":"), un(100L, "ep", col("id")), lit("}"))
+          .as("props")))
+      write("embeddings", spark.range(nV).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)), j =>
+          (un(2000L, "em", col("id"), j).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"),
+        un(10L, "el", col("id")).cast("int").as("label")))
     } else if (args.headOption.contains("q161_ab")) {
       // standardize fit: broadcast-leg (old) vs localized LocalRelation
       // (round 13), same final orderedWide sort, ONE JVM interleaved.
