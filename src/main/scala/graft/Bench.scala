@@ -172,8 +172,10 @@ object Bench {
         // is excluded from the weak letter. Still fully counted in the
         // total, and listed here so the exclusion is visible.
         //
-        // FROZEN as of round 14 (9 entries): no additions without a
-        // fresh same-JVM strict-subset decomposition reviewed in the
+        // FROZEN as of round 14 (round 15: 10 entries — q198 admitted
+        // through the freeze's own door with the q198_sub same-JVM
+        // strict-subset decomposition, BASELINE.md round-15 note): no
+        // additions without such a decomposition reviewed in the
         // round's BASELINE.md note, and every member's ratio is
         // re-measured each round in the pairing table — the letter must
         // not hollow out through exclusion growth.
@@ -227,6 +229,20 @@ object Bench {
           // constant IS the remaining wall. Stage-constant, not plan
           // waste.
           "q160_target_encode",
+          // floor-decomposition class, admitted round 15 through the
+          // freeze door (q198_sub, same-JVM warm min-of-3, BASELINE.md
+          // round-15 note): the type-table materialization alone
+          // (corpus scan + padded-zip bigram explode + type collapse —
+          // the stage every correct add-k bigram LM must build) 0.24 s
+          // + the held-side scoring chain over the CACHED table alone
+          // 0.41 s = 0.65 s ≈ the whole query 0.64 s — zero overhead
+          // above its own strict subsets, vs a 0.09-0.15 s in-process
+          // oracle that pays no job/exchange constants. Round 15 also
+          // removed the last two redundant corpus scans (vocab explode
+          // and nDocs re-tokenize now ride the single type table), so
+          // the plan is one corpus pass + bounded re-aggregations —
+          // the 100 TB-correct shape. Stage-constant, not plan waste.
+          "q198_bigram_nll",
           // floor-decomposition class, retired round 13 (on/off the
           // letter since round 9 as its oracle wobbles around the
           // 0.15 s exclusion floor — 0.153 s this window): strict

@@ -204,6 +204,90 @@ object Prof {
         t("q167_pooled")(pooledOnly())
         t("q167_full")(full())
       }
+    } else if (args.headOption.contains("q198_sub")) {
+      // q198 floor decomposition (round-15, the freeze-door evidence):
+      // strict subsets of the CURRENT single-scan bigramNll plan.
+      // (a) the corpus scan + padded-zip bigram explode + type
+      //     collapse alone — the persisted stage every correct add-k
+      //     bigram LM must build;
+      // (b) the train-side model re-aggregations alone (cb + cu + the
+      //     1-row vocab) over a prebuilt cached type table;
+      // (c) the held-side scoring join chain + final group + ordered1
+      //     over the same cached table.
+      // Any correct program contains (a) and the work of (b)+(c);
+      // (a) + (b) + (c) vs the full query is the job-floor argument.
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val held = pmod(col("doc_id"), lit(7L)) === 0
+      val zipped = arrays_zip(toks,
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))
+      val sentinel = array(struct(lit(null).cast("string").as("0"),
+        lit(null).cast("string").as("1")))
+      def typeTableDf() = docs
+        .filter(col("text").isNotNull)
+        .select(col("source").as("__g"), held.as("__held"),
+          explode(when(held && size(toks) >= 2, concat(zipped, sentinel))
+            .otherwise(zipped)).as("__bg"))
+        .groupBy(col("__held"), col("__g"),
+          col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+        .agg(count(lit(1)).as("__n"))
+      def modelOnly(tt: org.apache.spark.sql.DataFrame) = {
+        val cb = tt.filter(!col("__held") && col("__w2").isNotNull)
+          .groupBy(col("__w1"), col("__w2"))
+          .agg(sum(col("__n")).as("__cb"))
+        val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+        val vocab = tt.filter(!col("__held"))
+          .agg(count_distinct(col("__w1")).as("__v"))
+        cu.crossJoin(broadcast(vocab))
+      }
+      def scoreOnly(tt: org.apache.spark.sql.DataFrame) = {
+        val cb = tt.filter(!col("__held") && col("__w2").isNotNull)
+          .groupBy(col("__w1"), col("__w2"))
+          .agg(sum(col("__n")).as("__cb"))
+        val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+        val vocab = tt.filter(!col("__held"))
+          .agg(count_distinct(col("__w1")).as("__v"))
+        val nDocs = tt.filter(col("__held") && col("__w1").isNull)
+          .select(col("__g"), col("__n").as("n_docs"))
+        tt.filter(col("__held") && col("__w2").isNotNull)
+          .select(col("__g"), col("__w1"), col("__w2"), col("__n"))
+          .join(cb, Seq("__w1", "__w2"), "left")
+          .join(cu, Seq("__w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("__g"), col("__n"),
+            (-log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(1.0)) /
+              (coalesce(col("__cu"), lit(0L)).cast("double") +
+                lit(1.0) * col("__v").cast("double")))).as("__nll"))
+          .groupBy(col("__g"))
+          .agg(sum(col("__n")).as("n_bigrams"),
+            round(sum(col("__nll") * col("__n").cast("double")) /
+              sum(col("__n")).cast("double"), 6).as("avg_nll"))
+          .join(nDocs, Seq("__g"))
+          .transform(QuerySupport.ordered1(_, col("__g")))
+      }
+      def full() = SparkEntry.queries("q198_bigram_nll")(spark, d)
+      // cache-preserving timer: the shared t() clears the cache after
+      // every run, which would evict the prebuilt type table the b/c
+      // subsets exist to isolate
+      def tk(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
+      }
+      (1 to 3).foreach { _ =>
+        t("q198_a_typetable")(typeTableDf())
+        val cached = typeTableDf().persist()
+        cached.write.format("noop").mode("overwrite").save()
+        tk("q198_b_model")(modelOnly(cached))
+        tk("q198_c_score")(scoreOnly(cached))
+        cached.unpersist(blocking = true)
+        t("q198_full")(full())
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("q156_sub")) {
       // q156 floor decomposition under the round-11 harness: the
       // edge-build subplan alone (distinct pairs -> per-order self-join
