@@ -288,6 +288,35 @@ object Prof {
         t("q198_full")(full())
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("q123_ab")) {
+      // q123 decomposition + packed-key A/B: (a) the basket build alone
+      // (groupBy collect_set — the input every correct co-occurrence
+      // count must form), (b) the full current shape, (c) the same
+      // shape with the pair struct packed into ONE long for the count
+      // shuffle (chunkClusters' packed-key idiom), decoded after.
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      def setsOnly() = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("__ps"))
+        .filter(size(col("__ps")) >= 2)
+      def full() = SparkEntry.queries("q123_copurchase")(spark, d)
+      def packed() = {
+        val sets = setsOnly()
+        val shift = 4194304L // 2^22 — sf0.1 partkeys < 500k
+        sets.select(explode(flatten(transform(col("__ps"), (x, i) =>
+            transform(slice(col("__ps"), i + lit(2), size(col("__ps")) - i - 1),
+              y => x * lit(shift) + y)))).as("__pk"))
+          .groupBy(col("__pk"))
+          .agg(count(lit(1)).as("n_orders"))
+          .select((col("__pk") / lit(shift)).cast("long").as("part_a"),
+            pmod(col("__pk"), lit(shift)).as("part_b"), col("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(50)
+      }
+      (1 to 3).foreach { _ =>
+        t("q123_a_sets")(setsOnly())
+        t("q123_full")(full())
+        t("q123_packed")(packed())
+      }
     } else if (args.headOption.contains("q156_sub")) {
       // q156 floor decomposition under the round-11 harness: the
       // edge-build subplan alone (distinct pairs -> per-order self-join

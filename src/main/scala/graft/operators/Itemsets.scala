@@ -87,6 +87,51 @@ object Itemsets {
       .filter(col("n_groups") >= minGroups)
   }
 
+  /** [[coOccurrenceEdges]] specialized to NON-NEGATIVE INTEGRAL item
+    * keys below 2³¹: each a<b pair packs into ONE long
+    * (`a·2³¹ + b`) for the count shuffle — half the key bytes and one
+    * flat comparison instead of a struct — and decodes with integral
+    * `div`/`pmod` after the aggregation (the [[TextDedup.chunkClusters]]
+    * packed-key idiom, including its round-14 lesson: never decode a
+    * packed long with `/`, which evaluates in double). The key-domain
+    * contract is ENFORCED, not advisory: the sorted basket's first and
+    * last elements bound every item, so one `orRaise` on the already-
+    * built array checks the whole group at zero extra passes — keys
+    * outside [0, 2³¹) abort naming the fix (use the generic struct
+    * form). Same output contract as [[coOccurrenceEdges]].
+    *
+    * Same-JVM interleaved A/B at sf0.1 (q123_ab, warm min-of-3): 0.93 /
+    * 0.99 s struct shape → 0.84 / 0.90 s packed. */
+  def coOccurrenceEdgesPacked(df: DataFrame, groupCol: String,
+      itemCol: String, minGroups: Long = 1L,
+      maxBasket: Int = 10000): DataFrame = {
+    require(minGroups >= 1, s"minGroups must be >= 1: $minGroups")
+    require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    val shift = 1L << 31
+    val sets = df.groupBy(col(groupCol))
+      .agg(sort_array(collect_set(col(itemCol).cast("long"))).as("__ps"))
+      .filter(size(col("__ps")) >= 2)
+      .where(OpsUtil.orRaise(size(col("__ps")) <= maxBasket,
+        lit("coOccurrenceEdgesPacked: a group holds "),
+        size(col("__ps")).cast("string"),
+        lit(s" distinct items (> maxBasket=$maxBasket); pair fan-out " +
+          "is quadratic in basket size — cap the group upstream or " +
+          "raise maxBasket")))
+      .where(OpsUtil.orRaise(
+        element_at(col("__ps"), 1) >= 0 &&
+          element_at(col("__ps"), -1) < shift,
+        lit("coOccurrenceEdgesPacked: item key outside [0, 2^31) — "),
+        lit("packing would collide; use coOccurrenceEdges (struct keys)")))
+    sets.select(explode(flatten(transform(col("__ps"), (x, i) =>
+        transform(slice(col("__ps"), i + lit(2), size(col("__ps")) - i - 1),
+          y => x * lit(shift) + y)))).as("__pk"))
+      .groupBy(col("__pk"))
+      .agg(count(lit(1)).as("n_groups"))
+      .filter(col("n_groups") >= minGroups)
+      .select(expr(s"__pk div $shift").as("item_a"),
+        pmod(col("__pk"), lit(shift)).as("item_b"), col("n_groups"))
+  }
+
   /** Directed association rules a→b with the full interestingness
     * panel — support, confidence, lift, conviction (Agrawal & Srikant
     * '94; conviction from Brin et al. '97 "Dynamic Itemset Counting"):

@@ -76,8 +76,10 @@ private[graft] object EventsQueries {
       // No parallel(): the repartition is a full extra 600k-row
       // exchange ahead of the collect_set shuffle — A/B'd 1.53 s vs
       // 0.88 s, the agg's own exchange already spreads the pair
-      // expansion (which runs post-agg, not on the scan).
-      Itemsets.coOccurrenceEdges(load(s, d, "lineitem"),
+      // expansion (which runs post-agg, not on the scan). Round 15:
+      // packed-long pair keys (partkeys are integral < 2^31 here, the
+      // guard enforces it) — q123_ab A/B 0.93/0.99 -> 0.84/0.90 s.
+      Itemsets.coOccurrenceEdgesPacked(load(s, d, "lineitem"),
           "l_orderkey", "l_partkey")
         .select(col("item_a").as("part_a"), col("item_b").as("part_b"),
           col("n_groups").as("n_orders"))
@@ -345,7 +347,7 @@ private[graft] object EventsQueries {
     // legs take triangleStats' broadcast regime. A/B at sf0.1:
     // 1.16 s -> 0.84 s min-of-3 (Prof q156_ab).
     "q156_triangles" -> ((s, d) => {
-      val edges = Itemsets.coOccurrenceEdges(load(s, d, "lineitem"),
+      val edges = Itemsets.coOccurrenceEdgesPacked(load(s, d, "lineitem"),
         "l_orderkey", "l_partkey", minGroups = 2L)
       Graph.triangleStats(edges, "item_a", "item_b",
           broadcastWedges = true)

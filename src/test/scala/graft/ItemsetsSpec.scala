@@ -46,6 +46,36 @@ class ItemsetsSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("maxBasket")))
   }
 
+  test("coOccurrenceEdgesPacked: identical answer to the struct form; " +
+    "out-of-range keys fail fast naming the generic fallback") {
+    val rows = Seq(
+      (100L, 5L), (100L, 9L), (100L, 12L),
+      (200L, 5L), (200L, 9L), (200L, 9L),
+      (300L, 9L), (300L, 5L),
+      (400L, 12L)
+    ).toDF("order_id", "item")
+    val packed = Itemsets.coOccurrenceEdgesPacked(rows, "order_id", "item")
+      .orderBy("item_a", "item_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val struct = Itemsets.coOccurrenceEdges(rows, "order_id", "item")
+      .orderBy("item_a", "item_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(packed.toList == struct.toList &&
+      packed.toList == List((5L, 9L, 3L), (5L, 12L, 1L), (9L, 12L, 1L)))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val big = Seq((1L, 5L), (1L, 1L << 31)).toDF("order_id", "item")
+    val ex = intercept[Exception] {
+      Itemsets.coOccurrenceEdgesPacked(big, "order_id", "item").collect()
+    }
+    assert(msgs(ex).exists(_.contains("coOccurrenceEdges (struct keys)")))
+    val neg = Seq((1L, 5L), (1L, -2L)).toDF("order_id", "item")
+    val ex2 = intercept[Exception] {
+      Itemsets.coOccurrenceEdgesPacked(neg, "order_id", "item").collect()
+    }
+    assert(msgs(ex2).exists(_.contains("coOccurrenceEdges (struct keys)")))
+  }
+
   test("coOccurrencePairs topK cuts on the (count desc, a, b) total order") {
     val rows = Seq(
       (1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"))
