@@ -288,6 +288,43 @@ object Prof {
         t("q198_full")(full())
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("pq_ab")) {
+      // q149/q150 codebook-materialization A/B: round-14 shape (lazy
+      // codebook, broadcast legs re-run the pruned scan; refined loop
+      // localCheckpoints) vs round-15 (codebook localized to a
+      // LocalRelation at build time), interleaved one-JVM.
+      import graft.operators.Quantization
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        graft.functions.VectorFunctions.dot(a, b)
+      def oldSeed() = {
+        val m = 4; val ksub = 8
+        emb.filter(col("vec_id") < ksub)
+          .select(col("vec_id").as("cent"),
+            transform(col("embedding"), _.cast("double")).as("__v"))
+          .withColumn("subspace", explode(array((0 until m).map(lit): _*)))
+          .withColumn("__sd", (size(col("__v")) / m).cast("int"))
+          .select(col("cent"), col("subspace"),
+            slice(col("__v"), col("subspace") * col("__sd") + 1,
+              col("__sd")).as("cv"))
+          .withColumn("dcc", dot(col("cv"), col("cv")))
+      }
+      def q149Old() = {
+        val cb = oldSeed()
+        val codes = Quantization.pqAssign(emb, "embedding", "vec_id", cb,
+            m = 4)
+          .select(col("id"), col("subspace"), col("code"))
+        Quantization.pqSearchAdc(codes, cb, emb.filter(col("vec_id") < 5),
+            "embedding", "vec_id", m = 4, k = 3)
+          .transform(QuerySupport.ordered1(_, col("query_id"), col("rank")))
+      }
+      def q149New() = SparkEntry.queries("q149_pq_adc")(spark, d)
+      def q150New() = SparkEntry.queries("q150_pq_refined")(spark, d)
+      (1 to 3).foreach { _ =>
+        t("q149_old_lazyseed")(q149Old())
+        t("q149_new_localized")(q149New())
+        t("q150_new_localized")(q150New())
+      }
     } else if (args.headOption.contains("q123_ab")) {
       // q123 decomposition + packed-key A/B: (a) the basket build alone
       // (groupBy collect_set — the input every correct co-occurrence

@@ -125,9 +125,17 @@ object Quantization {
       m: Int, ksub: Int): DataFrame = {
     require(m >= 1, s"subspace count must be positive: $m")
     require(ksub >= 1, s"codebook size must be positive: $ksub")
-    subspaces(embeds.filter(col(idCol) < ksub), vecCol, idCol, m,
-        "cent", "cv")
-      .withColumn("dcc", dot(col("cv"), col("cv")))
+    // localized (the [[OpsUtil.localized]] bounded-metadata idiom,
+    // eager snapshot semantics per OpsUtil.scala): the codebook is
+    // m*ksub rows BY CONSTRUCTION and re-enters downstream plans as a
+    // broadcast leg once per consumer (assign, ADC distance table,
+    // refinement seed) — each such leg would otherwise re-run the
+    // corpus scan; as a LocalRelation there is nothing to re-run.
+    OpsUtil.localized(
+      subspaces(embeds.filter(col(idCol) < ksub), vecCol, idCol, m,
+          "cent", "cv")
+        .withColumn("dcc", dot(col("cv"), col("cv"))),
+      m * ksub, "pqCodebook")
   }
 
   /** Lloyd-refined PQ codebook: seed with [[pqCodebook]]'s first-N
@@ -140,8 +148,10 @@ object Quantization {
     * not m sequential trainings — the Spark-first shape for codebook
     * learning, and the difference between 2 and 2m scheduler rounds.
     * Cells that capture no members keep their previous center (the
-    * [[Similarity.kmeansCentroids]] convention, as is the per-iteration
-    * localCheckpoint that keeps the centroid plan O(1) deep).
+    * [[Similarity.kmeansCentroids]] convention); each iteration's
+    * codebook re-materializes as a bounded LocalRelation
+    * ([[OpsUtil.localized]], round 15 — previously a localCheckpoint),
+    * keeping the per-iteration plan O(1) deep with no checkpoint job.
     *
     * Deterministic end to end (rounded-distance argmin with id ties,
     * half-up decimal means) — a SQL oracle can replay the refinement,
@@ -169,14 +179,17 @@ object Quantization {
         .groupBy(col("subspace"), col("cent"))
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
           e => e("__m")).as("__mv"))
-      val next = cb.join(means, Seq("subspace", "cent"), "left")
-        .select(col("subspace"), col("cent"),
-          coalesce(col("__mv"), col("cv")).as("cv"))
-        .withColumn("dcc", dot(col("cv"), col("cv")))
-        .localCheckpoint()
-      val superseded = OpsUtil.ckptRdds(cb)
-      cb = next
-      superseded.foreach(_.unpersist(blocking = false))
+      // localized, not localCheckpoint (round-15): the refined
+      // codebook is the same m*ksub bounded-metadata frame as the
+      // seed — a LocalRelation keeps the per-iteration plan O(1) deep
+      // exactly like the checkpoint did, without the checkpoint
+      // write job or the superseded-RDD bookkeeping
+      cb = OpsUtil.localized(
+        cb.join(means, Seq("subspace", "cent"), "left")
+          .select(col("subspace"), col("cent"),
+            coalesce(col("__mv"), col("cv")).as("cv"))
+          .withColumn("dcc", dot(col("cv"), col("cv"))),
+        m * ksub, "pqCodebookRefined")
     }
     if (iterations > 1) subIn.unpersist(blocking = false)
     cb
