@@ -417,6 +417,30 @@ private[graft] object TextQueries {
         .filter(col("doc_id") < 1000000L)
         .transform(ordered1(_, col("doc_id")))
     }),
+
+
+    // Per-document held-out bigram add-1 NLL (the CCNet-style
+    // perplexity filter) — the LM family's last spec-held member gets
+    // its oracle row, over a 10x token-distinct replicated corpus (the
+    // bigram model is cheaper than q266/q267's trigrams, so the 5x
+    // fixture ran under the substantive-oracle bar). Round-15 addition
+    // (0.84 s measured before building).
+    "q270_docnll" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 9).map { r =>
+        if (r == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      CorpusStats.docNll(
+          parallel(reps.reduce(_ unionByName _)), "text", "doc_id",
+          holdoutMod = 10, k = 1.0)
+        .filter(col("doc_id") < 1000000L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -536,6 +560,45 @@ private[graft] object TextQueries {
         |  round(sum(nll * n) / sum(n), 6) AS avg_nll,
         |  round(CAST(sum(h3 * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
         |    AS hit3_share
+        |FROM sc WHERE id < 1000000
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors CorpusStats.docNll over the q270 10x replicated corpus:
+    // the q198 add-1 bigram arithmetic re-keyed per held doc; the
+    // vocabulary rides the same padded type-table discipline on the
+    // Spark side but the oracle spells it as a plain DISTINCT.
+    "q270_docnll" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r)
+        |  WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, doc_id % 10 = 0 AS held, string_split(text, ' ') AS t
+        |  FROM corpus),
+        |bg AS (SELECT doc_id, held, t[i] AS w1, t[i + 1] AS w2
+        |  FROM d, unnest(range(1, len(t))) AS u(i)),
+        |bt AS (SELECT held, CASE WHEN held THEN doc_id END AS id, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY ALL),
+        |cb AS (SELECT w1, w2, sum(n) AS cb FROM bt WHERE NOT held
+        |  GROUP BY w1, w2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(t) AS w FROM d WHERE NOT held)),
+        |sc AS (SELECT bt.id, bt.n,
+        |    -ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(cu.cu, 0) AS DOUBLE) +
+        |        1.0 * CAST(v.v AS DOUBLE))) AS nll
+        |  FROM bt LEFT JOIN cb ON cb.w1 = bt.w1 AND cb.w2 = bt.w2
+        |  LEFT JOIN cu ON cu.w1 = bt.w1
+        |  CROSS JOIN v
+        |  WHERE bt.held)
+        |SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  round(sum(nll * CAST(n AS DOUBLE)) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS avg_nll
         |FROM sc WHERE id < 1000000
         |GROUP BY id ORDER BY doc_id""".stripMargin,
 
