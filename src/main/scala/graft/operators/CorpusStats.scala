@@ -1035,9 +1035,19 @@ object CorpusStats {
       .agg(sum(col("__n")).as("__c3"))
     val c2p = c3.groupBy(col("__w1"), col("__w2"))
       .agg(sum(col("__c3")).as("__c2p"))
-    // bigram/unigram model tables come from their own single explode
-    // (a trigram-derived bigram table would drop each doc's final
-    // bigram and skew the backoff level)
+    // bigram/unigram model tables come from their own single explode,
+    // DELIBERATELY not from a padded trigram zip (the bigramNll fusion
+    // idiom): round 15 built and measured the fusion — correct
+    // (null-padding carries final bigrams) and a local wash, but a 2×
+    // REGRESSION at 25× fresh-key scale (q266 143 → 280-293 s,
+    // q267 93 → 129 s; Prof pair_scale, two confirming runs), because
+    // under Zipf-fresh vocab the trigram TYPE table is near
+    // occurrence-sized, so deriving the lower orders re-aggregates a
+    // giant wide cached table twice where these dedicated explodes
+    // collapse map-side into narrow tables. The fusion is right only
+    // when the derived statistics are SMALL (bigramNll's 1-row vocab
+    // and per-group doc counts), not when they are themselves
+    // occurrence-scale.
     val biTypes = docs.filter(col(textCol).isNotNull && !held)
       .select(explode(grams(2)).as("__g"))
       .groupBy(col("__g.0").as("__w1"), col("__g.1").as("__w2"))
