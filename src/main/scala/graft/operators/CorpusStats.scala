@@ -999,9 +999,11 @@ object CorpusStats {
     * `q266_doc_nll_backoff`, over a 5× token-distinct replicated corpus
     * so the DuckDB oracle clears the 0.8 s substantive-oracle floor
     * (the plain sf0.1 corpus measured ~0.17 s — too cheap to pair
-    * fairly against a 3+-job Spark plan). [[docNll]] remains the
-    * family's one spec-held member; q266 exercises the harder backoff
-    * scoring path end-to-end.
+    * fairly against a 3+-job Spark plan). Every member of the LM
+    * family is oracle-gated: [[bigramNll]] via q198, [[docNll]] via
+    * q270 (10× replication), [[docNllBackoff]] via q266,
+    * [[docNllInterpolated]] via q267; q266 exercises the harder
+    * backoff scoring path end-to-end.
     *
     * Scale shape: the [[bigramNll]] discipline — each n-gram order
     * explodes ONCE and collapses immediately to a persisted TYPE table

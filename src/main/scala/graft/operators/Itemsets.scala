@@ -107,6 +107,18 @@ object Itemsets {
       maxBasket: Int = 10000): DataFrame = {
     require(minGroups >= 1, s"minGroups must be >= 1: $minGroups")
     require(maxBasket >= 2, s"maxBasket must be >= 2: $maxBasket")
+    // Type misuse fails HERE with the same actionable message as range
+    // misuse (round-15 ADVICE): without this, a string item column hits
+    // the .cast("long") below as a raw ANSI CAST error and the curated
+    // guard never fires.
+    df.schema(itemCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"coOccurrenceEdgesPacked: item column '$itemCol' has type $other — " +
+        "packing requires an integral key in [0, 2^31); use " +
+        "coOccurrenceEdges (struct keys) for arbitrary item types")
+    }
     val shift = 1L << 31
     val sets = df.groupBy(col(groupCol))
       .agg(sort_array(collect_set(col(itemCol).cast("long"))).as("__ps"))

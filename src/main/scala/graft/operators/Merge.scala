@@ -119,7 +119,19 @@ object Merge {
     * only row moving away is deleted explicitly (dynamic overwrite
     * never clears a partition it writes no rows to). Pass
     * `probeMovedKeys = false` only when the partition key is immutable
-    * per business key, which reduces to the pure pruned-slice plan. */
+    * per business key, which reduces to the pure pruned-slice plan.
+    *
+    * Cross-batch stable-schema CONTRACT: every read of the target pins
+    * the FULL source schema (`spark.read.schema(source.schema)`) — the
+    * round-15 fix for partition-type inference silently corrupting the
+    * merge (dir `part=01` inferred as int 1). The pin deliberately
+    * covers data columns too, so a batch whose data-column types drift
+    * from what earlier batches wrote (target parquet holds long, new
+    * source declares int) fails FAST at the parquet read instead of
+    * coercing at union time as the old inferred read did. Schema
+    * evolution is a migration (rewrite or re-declare), not a per-batch
+    * coercion — at 100 TB a silent widening hides exactly the class of
+    * bug the partition pin closed. */
   def upsertPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       targetPath: String,

@@ -120,7 +120,14 @@ object Quantization {
     * [[Similarity.buildIvfIndex]] accepts them when recall matters more
     * than replayability) sliced into `m` subspaces. Output
     * `(subspace, cent, cv, dcc)`, m·ksub tiny rows with each centroid's
-    * self-dot precomputed once. */
+    * self-dot precomputed once.
+    *
+    * EAGER (the [[OpsUtil.localized]] convention): the corpus scan,
+    * divisibility guard, and row-count contract all run at CALL time,
+    * and the returned frame is a LocalRelation snapshot — a source
+    * mutated between build and use is NOT reflected. Same caller
+    * contract as the other localized()-based operators listed in
+    * OpsUtil.scala. */
   def pqCodebook(embeds: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int): DataFrame = {
     require(m >= 1, s"subspace count must be positive: $m")
@@ -155,7 +162,11 @@ object Quantization {
     *
     * Deterministic end to end (rounded-distance argmin with id ties,
     * half-up decimal means) — a SQL oracle can replay the refinement,
-    * unlike classic RNG k-means. */
+    * unlike classic RNG k-means.
+    *
+    * EAGER like [[pqCodebook]]: every iteration (and so the full
+    * training scan sequence) runs at CALL time; the returned codebook
+    * is a LocalRelation snapshot of the source as of the call. */
   def pqCodebookRefined(embeds: DataFrame, vecCol: String, idCol: String,
       m: Int, ksub: Int, iterations: Int = 1, roundTo: Int = 6): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")

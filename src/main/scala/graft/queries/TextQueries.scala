@@ -420,8 +420,8 @@ private[graft] object TextQueries {
 
 
     // Per-document held-out bigram add-1 NLL (the CCNet-style
-    // perplexity filter) — the LM family's last spec-held member gets
-    // its oracle row, over a 10x token-distinct replicated corpus (the
+    // perplexity filter) — docNll's oracle row (the LM family's last;
+    // formerly unit-test-only), over a 10x token-distinct replicated corpus (the
     // bigram model is cheaper than q266/q267's trigrams, so the 5x
     // fixture ran under the substantive-oracle bar). Round-15 addition
     // (0.84 s measured before building).

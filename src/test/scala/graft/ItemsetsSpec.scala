@@ -74,6 +74,14 @@ class ItemsetsSpec extends AnyFunSuite {
       Itemsets.coOccurrenceEdgesPacked(neg, "order_id", "item").collect()
     }
     assert(msgs(ex2).exists(_.contains("coOccurrenceEdges (struct keys)")))
+    // Round-15 ADVICE: non-integral item columns must get the same
+    // curated message AT CALL TIME, not a raw ANSI CAST error mid-job.
+    val strs = Seq((1L, "a"), (1L, "b")).toDF("order_id", "item")
+    val ex3 = intercept[IllegalArgumentException] {
+      Itemsets.coOccurrenceEdgesPacked(strs, "order_id", "item")
+    }
+    assert(ex3.getMessage.contains("coOccurrenceEdges (struct keys)") &&
+      ex3.getMessage.contains("StringType"))
   }
 
   test("coOccurrencePairs topK cuts on the (count desc, a, b) total order") {

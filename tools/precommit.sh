@@ -7,6 +7,20 @@
 set -euo pipefail
 cd "$(git rev-parse --show-toplevel)"
 
+# Stale-registry-status doc guard (round 16, verdict item 2): a scaladoc
+# claiming an operator is "spec-held" (unit-test-only, no oracle row) went
+# stale TWICE when the oracle row landed later in the same round (docNll,
+# rounds 14 and 15). Present-tense spec-held claims are now banned from
+# source docs — state registry status by naming the oracle query (grep-able
+# against the queries/ registry) or phrase transitions in the past tense
+# ("formerly unit-test-only"). Same for the "WITHOUT an oracle row" phrasing.
+if grep -rniE 'spec-held|without an oracle row' src/main/scala --include='*.scala' >/tmp/specheld_hits.txt 2>/dev/null && [[ -s /tmp/specheld_hits.txt ]]; then
+  echo "[precommit] FAIL: present-tense 'spec-held'/'WITHOUT an oracle row' claim in src/main —"
+  echo "[precommit] these strand docs when the oracle row lands; name the qNNN row or use past tense:"
+  cat /tmp/specheld_hits.txt
+  exit 1
+fi
+
 if git diff --cached --name-only | grep -q '^src/.*\.scala$'; then
   echo "[precommit] staged Scala sources detected - running sbt compile + test"
   sbt -batch 'set Test / testOptions += Tests.Argument("-oI")' compile test
