@@ -174,11 +174,17 @@ object Bench {
         //
         // FROZEN as of round 14 (round 15: 10 entries — q198 admitted
         // through the freeze's own door with the q198_sub same-JVM
-        // strict-subset decomposition, BASELINE.md round-15 note): no
-        // additions without such a decomposition reviewed in the
-        // round's BASELINE.md note, and every member's ratio is
-        // re-measured each round in the pairing table — the letter must
-        // not hollow out through exclusion growth.
+        // strict-subset decomposition, BASELINE.md round-15 note;
+        // round 16: 15 entries — the entire borderline-band cohort the
+        // round-15 verdict ordered adjudicated, each with its own
+        // same-JVM decomposition below, BASELINE.md round-16 note; the
+        // sixth cohort member, q205, closed by a 2x structural SHAVE
+        // instead and stays letter-eligible): no additions without such
+        // a decomposition reviewed in the round's BASELINE.md note, and
+        // every member's ratio is re-measured each round in the pairing
+        // table — the letter must not hollow out through exclusion
+        // growth. Hollow-out ratio is stated per round in BASELINE.md
+        // (round 16: 15/270 queries, ~16% of bench wall).
         val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom",
           // runs the partition-scoped DISK merge path (two partitioned
           // parquet writes + read-back) against a minimal in-memory
@@ -257,7 +263,54 @@ object Bench {
           // pre-count). Four inherent passes × the per-job stage
           // constant vs a blink-class oracle. Stage-constant, not plan
           // waste.
-          "q167_quantile_norm")
+          "q167_quantile_norm",
+          // floor-decomposition class, admitted round 16 (Prof q123_ab,
+          // same-JVM warm min-of-3, BASELINE.md round-16 note): the
+          // basket build ALONE (groupBy collect_set — the input every
+          // correct co-occurrence count must form) measures 0.51-0.58 s
+          // vs the ENTIRE 0.12-0.13 s oracle (~4x), whole query
+          // 0.92-0.99 s; the round-12 A/B showed DuckDB's own
+          // distinct+self-join shape runs SLOWER on Spark (1.1 s), and
+          // the round-15 packed-long pair keys already took the shave
+          // that existed. Stage-constant, not plan waste.
+          "q123_copurchase",
+          // floor-decomposition class, admitted round 16 (Prof pq_sub,
+          // same-JVM warm min-of-3, BASELINE.md round-16 note): strict
+          // subsets codebook build 0.08-0.09 s + PQ assign over the
+          // prebuilt codebook 0.18-0.20 s + ADC search over CACHED
+          // codes 0.32-0.33 s = 0.58-0.62 s ≈ the whole query
+          // 0.63-0.64 s, vs a 0.07-0.16 s in-process oracle over a
+          // 2,000-row fixture. Three mandatory stages x the job
+          // constant. Stage-constant, not plan waste.
+          "q149_pq_adc",
+          // floor-decomposition class, admitted round 16 (Prof pq_sub):
+          // the EAGER 1-iteration Lloyd refinement alone (2 jobs by
+          // construction: assign + per-position means) measures
+          // 0.55-0.66 s — already 4-7x the ENTIRE 0.09-0.17 s oracle —
+          // plus the distortion audit over the prebuilt codebook at
+          // 0.31-0.32 s; subset sum 0.86-0.98 s vs whole query
+          // 0.76-0.96 s (subsets ≥ full: zero overhead). The round-15
+          // localization A/B was a wash at this scale. Stage-constant,
+          // not plan waste.
+          "q150_pq_refined",
+          // floor-decomposition class, admitted round 16 (Prof pq_sub):
+          // the index build + cell-partitioned DISK compaction alone
+          // (the write IS the operator under test, q142's class)
+          // measures 0.40-0.41 s — ~3-4x the ENTIRE 0.09-0.14 s oracle
+          // — plus the read-back probe-pruned search at 0.31-0.33 s;
+          // subset sum 0.71-0.74 s ≈ whole query 0.74-0.80 s.
+          // Stage-constant, not plan waste.
+          "q154_ivf_partitioned",
+          // floor-decomposition class, admitted round 16 (Prof q91_sub,
+          // same-JVM warm min-of-3): the exploded-lines frequency pass
+          // alone (posexplode → md5 → the shared-exchange dense_rank/
+          // max window pair — the corpus-frequency stage every correct
+          // line dedup must run) measures 0.31-0.45 s = 2.3-3.2x the
+          // ENTIRE 0.13 s oracle; whole query 0.44-0.48 s (reassembly +
+          // n_lines join add one bounded agg + join). The agg+rejoin
+          // alternative re-runs the explode scan and measured worse
+          // (operator scaladoc). Stage-constant, not plan waste.
+          "q91_line_dedup")
         val w = results.collect { case (k, v)
           if v > 0 && !scopeExcluded(k) &&
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>

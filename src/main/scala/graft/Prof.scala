@@ -325,6 +325,116 @@ object Prof {
         t("q149_new_localized")(q149New())
         t("q150_new_localized")(q150New())
       }
+    } else if (args.headOption.contains("pq_sub")) {
+      // Freeze-door strict-subset decompositions for the PQ/IVF chain
+      // (q149/q150/q154, round 16): every correct answer must (a) build
+      // its codebook / coarse index — an EAGER driver-side call for PQ
+      // (localized() collects at call time), a disk write for q154 —
+      // then (b) encode/assign and (c) search over it. Stage (a) times
+      // the call itself; (b)/(c) ride a cache-preserving timer over the
+      // prebuilt stage-(a) artifact, so each stage is a strict subset
+      // any correct plan must also run.
+      import graft.operators.{Quantization, Similarity, Maintenance}
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      def tcall(name: String)(body: => Any): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
+      }
+      def tk(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
+      }
+      def o1(df: org.apache.spark.sql.DataFrame, c: String*) =
+        QuerySupport.ordered1(df, c.map(col): _*)
+      (1 to 3).foreach { _ =>
+        // --- q149: codebook + assign + ADC search over cached codes ---
+        tcall("q149_a_codebook")(
+          Quantization.pqCodebook(emb, "embedding", "vec_id", m = 4, ksub = 8))
+        val cb = Quantization.pqCodebook(emb, "embedding", "vec_id",
+          m = 4, ksub = 8)
+        def codes() = Quantization.pqAssign(emb, "embedding", "vec_id", cb,
+            m = 4)
+          .select(col("id"), col("subspace"), col("code"))
+        tk("q149_b_assign")(codes())
+        val cc = codes().persist()
+        cc.write.format("noop").mode("overwrite").save()
+        tk("q149_c_search")(o1(
+          Quantization.pqSearchAdc(cc, cb, emb.filter(col("vec_id") < 5),
+            "embedding", "vec_id", m = 4, k = 3), "query_id", "rank"))
+        cc.unpersist(blocking = true)
+        t("q149_full")(SparkEntry.queries("q149_pq_adc")(spark, d))
+        // --- q150: refined codebook (1 Lloyd iter, eager) + distortion ---
+        tcall("q150_a_refined_cb")(
+          Quantization.pqCodebookRefined(emb, "embedding", "vec_id",
+            m = 4, ksub = 8, iterations = 1))
+        val rcb = Quantization.pqCodebookRefined(emb, "embedding", "vec_id",
+          m = 4, ksub = 8, iterations = 1)
+        tk("q150_b_distortion")(o1(
+          Quantization.pqDistortion(
+            Quantization.pqAssign(emb, "embedding", "vec_id", rcb, m = 4)),
+          "subspace", "code"))
+        t("q150_full")(SparkEntry.queries("q150_pq_refined")(spark, d))
+        // --- q154: build+compact (the disk index) + read-back search ---
+        val dir = "/tmp/graft_q154_profidx/t"
+        tcall("q154_a_build_compact") {
+          val idx = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+            nlist = 8)
+          Maintenance.compactIvfIndex(idx.entries, dir)
+        }
+        val cents = Similarity.buildIvfIndex(emb, "embedding", "vec_id",
+          nlist = 8).centroids
+        tk("q154_b_search")(o1(
+          Similarity.ivfSearch(
+            Similarity.IvfIndex(cents, spark.read.parquet(dir)),
+            emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+            k = 3, nProbe = 2), "query_id", "rank"))
+        t("q154_full")(SparkEntry.queries("q154_ivf_partitioned")(spark, d))
+        spark.catalog.clearCache()
+      }
+    } else if (args.headOption.contains("q205_ab")) {
+      // q205 old-vs-new structural A/B: the round-15 window shape (whose
+      // first/last consumer branches each re-evaluated the join+sort
+      // subtree) vs the round-16 min_by/max_by single-aggregation shape.
+      import org.apache.spark.sql.expressions.Window
+      val ev = spark.read.parquet(s"$d/events.parquet")
+      def old() = {
+        val conv = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("__fp"))
+          .select(col("user_id"), col("__fp.ts").as("__fpts"),
+            col("__fp.event_id").as("__fpid"))
+        val priors = ev.filter(col("event_type") =!= "purchase")
+          .join(conv, "user_id")
+          .filter(col("ts") < col("__fpts") ||
+            (col("ts") === col("__fpts") && col("event_id") < col("__fpid")))
+        val wAsc = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val picked = priors
+          .withColumn("__rn", row_number().over(wAsc))
+          .withColumn("__n",
+            count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        val first = picked.filter(col("__rn") === 1)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("first_touch"))
+        val last = picked.filter(col("__rn") === col("__n"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("last_touch"))
+        QuerySupport.ordered1(
+          first.join(last, Seq("event_type"), "full_outer")
+            .select(col("event_type"),
+              coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+              coalesce(col("last_touch"), lit(0L)).as("last_touch")),
+          col("event_type"))
+      }
+      def nu() = SparkEntry.queries("q205_attribution")(spark, d)
+      (1 to 3).foreach { _ =>
+        t("q205_old_window")(old())
+        t("q205_new_minby")(nu())
+      }
     } else if (args.headOption.contains("q123_ab")) {
       // q123 decomposition + packed-key A/B: (a) the basket build alone
       // (groupBy collect_set — the input every correct co-occurrence

@@ -409,9 +409,13 @@ object Sessionize {
     *
     * Scale shape: one hash aggregation to per-user first conversions,
     * one equi-join back on the user key (AQE broadcasts when the
-    * converter set is small), ONE window pass over prior events
-    * (partitioned by user, both row_numbers share the sort), two
-    * bounded type-level counts. */
+    * converter set is small), then ONE per-user hash aggregation
+    * electing both touches (`min_by`/`max_by` on the `(ts, id)` order
+    * struct — round 16: replaced the row_number window, whose
+    * first/last consumer branches each re-evaluated the whole
+    * join+sort subtree; the agg also REUSES the join's exchange on the
+    * user key, so no sort and no second pass), and one bounded
+    * type-level count over the per-user pairs. */
   def touchAttribution(events: DataFrame, key: String, ts: String,
       idCol: String, typeCol: String, convType: String): DataFrame = {
     val conv = events.filter(col(typeCol) === convType)
@@ -424,21 +428,17 @@ object Sessionize {
       .join(conv, key)
       .filter(col(ts) < col("__fpts") ||
         (col(ts) === col("__fpts") && col(idCol) < col("__fpid")))
-    val wAsc = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col(idCol).asc)
-    val picked = priors
-      .withColumn("__rn", row_number().over(wAsc))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(key))))
-    val first = picked.filter(col("__rn") === 1)
-      .groupBy(col(typeCol).as("event_type"))
-      .agg(count(lit(1)).as("first_touch"))
-    val last = picked.filter(col("__rn") === col("__n"))
-      .groupBy(col(typeCol).as("event_type"))
-      .agg(count(lit(1)).as("last_touch"))
-    first.join(last, Seq("event_type"), "full_outer")
-      .select(col("event_type"),
-        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
-        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
+    val order = struct(col(ts), col(idCol))
+    val perKey = priors.groupBy(col(key))
+      .agg(min_by(col(typeCol), order).as("__ft"),
+        max_by(col(typeCol), order).as("__lt"))
+    perKey
+      .select(explode(array(
+        struct(col("__ft").as("event_type"), lit(1L).as("__f")),
+        struct(col("__lt").as("event_type"), lit(0L).as("__f")))).as("__e"))
+      .groupBy(col("__e").getField("event_type").as("event_type"))
+      .agg(sum(col("__e").getField("__f")).as("first_touch"),
+        sum(lit(1L) - col("__e").getField("__f")).as("last_touch"))
   }
 
   /** Conditional next-event entropy per event type — "after a `click`,
