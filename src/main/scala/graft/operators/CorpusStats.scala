@@ -978,6 +978,171 @@ object CorpusStats {
       .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Per-document held-out KNESER-NEY bigram NLL — the discounting
+    * family's classic member (Kneser & Ney 1995; Chen & Goodman 1998's
+    * empirical winner), one rung above [[docNll]]'s add-k and
+    * [[docNllInterpolated]]'s Jelinek-Mercer: the bigram probability is
+    * the absolute-discounted ML estimate plus a history-dependent
+    * back-off weight times the CONTINUATION probability — "how many
+    * distinct histories does w2 follow?" rather than "how often does w2
+    * occur?" — which is what demotes high-frequency-but-bound tokens
+    * (the 'Francisco' problem).
+    *
+    * Exact model scored (all counts integer-exact from the train
+    * split, D = 0.75 fixed):
+    * {{{
+    *   Pc(w2)      = (N1+(·,w2) + 1) / (T + V)        // add-one on the
+    *                                                   // continuation so
+    *                                                   // unseen w2 stays
+    *                                                   // finite
+    *   P(w2|w1)    = (max(c(w1,w2) − D, 0) + D·N1+(w1,·)·Pc(w2)) / c(w1)
+    *   P(w2|w1)    = Pc(w2)                            // unseen history
+    * }}}
+    * with `N1+(w1,·)` = distinct continuations of w1, `N1+(·,w2)` =
+    * distinct histories of w2, `T` = total bigram types, `V` = train
+    * vocabulary. Trains on `idCol % holdoutMod != 0`, scores held docs
+    * with ≥ 1 bigram. Returns `(idCol, n_bigrams, avg_nll)` (rounded
+    * at 6).
+    *
+    * Scale shape: [[docNll]]'s exactly — ONE padded-zip bigram explode
+    * collapses to the persisted (held, doc-or-corpus, w1, w2) TYPE
+    * table; ALL the KN statistics (c(w1,w2), c(w1), both N1+ tables,
+    * T) are re-aggregations of the bounded `cb` type table (the fusion
+    * dividing line: these derived stats are type-bounded and SMALL,
+    * the case where sharing wins); T and V ride one 1-row broadcast;
+    * scoring is a chain of hash joins per held TYPE. Caller contract
+    * as [[Curation.curate]]: clearCache between unrelated runs. */
+  def docNllKneserNey(docs: DataFrame, textCol: String, idCol: String,
+      holdoutMod: Int = 10, discount: Double = 0.75): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(discount > 0 && discount < 1,
+      s"KN absolute discount must be in (0,1): $discount")
+    val toks = TextFunctions.tokens(col(textCol))
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    val typeTable = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), held.as("__held"),
+        explode(arrays_zip(toks,
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+      .groupBy(col("__held"),
+        when(col("__held"), col("__id")).as("__id"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    val cb = typeTable.filter(!col("__held") && col("__w2").isNotNull)
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__n")).as("__cb"))
+      // FOUR consumers below (cun, n1r, T, the scoring join) — the same
+      // reuse argument as the type table itself
+      .persist()
+    // history mass and distinct-continuation count share one pass
+    val cun = cb.groupBy(col("__w1"))
+      .agg(sum(col("__cb")).as("__cu"), count(lit(1)).as("__n1l"))
+    val n1r = cb.groupBy(col("__w2")).agg(count(lit(1)).as("__n1r"))
+    // T and V as ONE 1-row broadcast (crossJoin of two 1-row aggs)
+    val consts = cb.agg(count(lit(1)).as("__t"))
+      .crossJoin(typeTable.filter(!col("__held"))
+        .agg(count_distinct(col("__w1")).as("__v")))
+    val d = lit(discount)
+    val pc = (coalesce(col("__n1r"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__t").cast("double") + col("__v").cast("double"))
+    val p = when(col("__cu").isNull, pc).otherwise(
+      (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - d,
+        lit(0.0)) + d * col("__n1l").cast("double") * pc) /
+        col("__cu").cast("double"))
+    typeTable.filter(col("__held") && col("__w2").isNotNull)
+      .join(cb, Seq("__w1", "__w2"), "left")
+      .join(cun, Seq("__w1"), "left")
+      .join(n1r, Seq("__w2"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("__id"), col("__n"), (-log(p)).as("__nll"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_bigrams"),
+        round(sum(col("__nll") * col("__n").cast("double")) /
+          sum(col("__n")).cast("double"), 6).as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
+  }
+
+  /** Cross-version NLL drift — [[docNll]]'s held-out bigram model
+    * replayed over TWO versions of the same corpus: the model trains
+    * ONCE on v1's train split, scores v1's held docs AND v2's held
+    * docs, and reports the per-doc delta. The quality-regression gate
+    * for corpus edits: a cleanup pass that LOWERS held-doc NLL made
+    * text more ordinary; a rising drift flags docs the edit made less
+    * model-like (or injected tokens the corpus has never seen). Pairs
+    * with [[TextDedup.winnowStability]]: that measures how much of the
+    * FINGERPRINT surface an edit disturbs, this measures how much of
+    * the LANGUAGE-MODEL surface.
+    *
+    * Returns one row per doc held in BOTH versions with ≥ 1 bigram:
+    * `(idCol, n_bigrams_v1, n_bigrams_v2, avg_nll_v1, avg_nll_v2,
+    * drift)` — drift = round(avg_nll_v2 − avg_nll_v1, 6) on the
+    * already-rounded per-version scores (deterministic IEEE on both
+    * engines).
+    *
+    * Scale shape: v1 pays [[docNll]]'s one padded-zip explode into the
+    * persisted type table; v2 contributes ONLY its held split (a
+    * pruned scan — `idCol % holdoutMod = 0` pushes to the source), so
+    * the incremental cost tracks the held slice, not corpus v2. Both
+    * scoring passes are per-held-TYPE hash-join chains against the
+    * same broadcast model tables. */
+  def docNllDrift(docsV1: DataFrame, docsV2: DataFrame, textCol: String,
+      idCol: String, holdoutMod: Int = 10, k: Double = 1.0): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(k > 0, s"add-k smoothing needs k > 0: $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    val typeTable = docsV1
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), held.as("__held"),
+        explode(arrays_zip(toks,
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+      .groupBy(col("__held"),
+        when(col("__held"), col("__id")).as("__id"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    // v2's held slice only: the version diff never re-explodes v2's
+    // train side (which the v1-trained model ignores anyway)
+    val heldV2 = docsV2
+      .filter(col(textCol).isNotNull && held)
+      .select(col(idCol).as("__id"),
+        explode(arrays_zip(toks,
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__bg"))
+      .groupBy(col("__id"),
+        col("__bg.0").as("__w1"), col("__bg.1").as("__w2"))
+      .agg(count(lit(1)).as("__n"))
+    val cb = typeTable.filter(!col("__held") && col("__w2").isNotNull)
+      .groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__n")).as("__cb"))
+      .persist()
+    val cu = cb.groupBy(col("__w1")).agg(sum(col("__cb")).as("__cu"))
+    val vocab = typeTable.filter(!col("__held"))
+      .agg(count_distinct(col("__w1")).as("__v"))
+    def score(heldTypes: DataFrame, nCol: String, avgCol: String) =
+      heldTypes
+        .join(cb, Seq("__w1", "__w2"), "left")
+        .join(cu, Seq("__w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("__id"), col("__n"),
+          (-log((coalesce(col("__cb"), lit(0L)).cast("double") + lit(k)) /
+            (coalesce(col("__cu"), lit(0L)).cast("double") +
+              lit(k) * col("__v").cast("double")))).as("__nll"))
+        .groupBy(col("__id"))
+        .agg(sum(col("__n")).as(nCol),
+          round(sum(col("__nll") * col("__n").cast("double")) /
+            sum(col("__n")).cast("double"), 6).as(avgCol))
+    val s1 = score(typeTable.filter(col("__held") && col("__w2").isNotNull)
+      .select(col("__id"), col("__w1"), col("__w2"), col("__n")),
+      "n_bigrams_v1", "avg_nll_v1")
+    val s2 = score(heldV2.filter(col("__w2").isNotNull),
+      "n_bigrams_v2", "avg_nll_v2")
+    s1.join(s2, Seq("__id"))
+      .select(col("__id").as(idCol), col("n_bigrams_v1"),
+        col("n_bigrams_v2"), col("avg_nll_v1"), col("avg_nll_v2"),
+        round(col("avg_nll_v2") - col("avg_nll_v1"), 6).as("drift"))
+  }
+
   /** Per-document TRIGRAM Stupid-Backoff NLL — [[docNll]]'s bigram
     * add-k model upgraded to the KenLM-style backoff family (Brants et
     * al. 2007, "Large Language Models in Machine Translation" — the

@@ -1637,10 +1637,51 @@ object TextDedup {
         i => concat_ws(" ", slice(col("__toks"), i, lit(shingleSize)))))).as("__g"))
       .groupBy(col("__g"))
       .agg(sort_array(collect_set(col(sourceCol))).as("__ss"))
-    // each per-shingle sorted set emits its a<b pairs AND one
+    pairOverlapFromSets(sets, srcType)
+  }
+
+  /** [[sourceOverlap]]'s overlap matrix at WINNOW-FINGERPRINT cost:
+    * the same `(source_a, source_b, n_shared, jaccard)` clone-coverage
+    * panel, but the per-source unit is the [[winnow]] fingerprint set
+    * (every ≥ w+k−1-token clone between two sources is guaranteed to
+    * share a fingerprint) instead of the FULL distinct-shingle set —
+    * ~2/(w+1) of the gram mass enters the pair aggregation, which is
+    * the difference between auditing a 100 TB corpus's syndication
+    * matrix on the full shingle stream and on its winnowed sketch.
+    * Jaccard here is over fingerprint sets (a sketch-level overlap
+    * rate, not [[sourceOverlap]]'s exact shingle Jaccard) — the two
+    * panels rank pairs the same way on natural corpora; this one is
+    * the scale path.
+    *
+    * Scale shape: the [[winnowFingerprints]] per-row pipeline keyed
+    * directly by SOURCE (gram hashing + rolling minima inside each
+    * doc's own arrays — no shuffle), one DISTINCT on (source,
+    * fixed-width fingerprint), then [[sourceOverlap]]'s fused
+    * pair+singleton aggregation (shared code): one hash agg to
+    * per-fingerprint sorted source sets, map-side a<b pair expansion
+    * bounded by |sources|, sizes riding the same aggregation as
+    * singletons, one 1-row map broadcast. */
+  def winnowSourceOverlap(docs: DataFrame, textCol: String,
+      sourceCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1: k=$k w=$w")
+    val srcType = docs.schema(sourceCol).dataType
+    val sets = winnowFingerprints(docs, col(textCol), Seq(col(sourceCol)),
+        k, w)
+      .groupBy(col("fingerprint"))
+      .agg(sort_array(collect_set(col(sourceCol))).as("__ss"))
+    pairOverlapFromSets(sets, srcType)
+  }
+
+  /** The shared back half of [[sourceOverlap]] / [[winnowSourceOverlap]]:
+    * from per-unit sorted DISTINCT source sets (`__ss`) to the
+    * `(source_a, source_b, n_shared, jaccard)` matrix via the round-15
+    * fused pair+singleton aggregation. */
+  private def pairOverlapFromSets(sets: DataFrame,
+      srcType: org.apache.spark.sql.types.DataType): DataFrame = {
+    // each per-unit sorted set emits its a<b pairs AND one
     // (source, null) singleton per member in the SAME explode, so one
     // aggregation yields both the shared counts and the per-source
-    // distinct-shingle sizes — the sets frame has a single consumer
+    // distinct-unit sizes — the sets frame has a single consumer
     // (no persist) and the sizes roll-up no longer re-walks it
     val agged = sets
       .select(explode(concat(

@@ -459,6 +459,53 @@ private[graft] object DedupQueries {
     }),
 
 
+    // PageRank-weighted keeper election over q54's components: instead
+    // of min-id, each cluster keeps its most CENTRAL member under a
+    // 3-iteration PageRank of the candidate-pair graph (the doc most
+    // corroborated by near-duplicate mass — dedup that keeps the
+    // canonical copy, not an arbitrary one). Ties on rank break to the
+    // smaller id. Runs over a 5x token-distinct replicated corpus
+    // (suffixed tokens never pair across replicas, so the base-replica
+    // answer is exact after the cluster < 1e6 cut) — the q270
+    // oracle-floor lever: the plain corpus's 0.82-0.94 s oracle left
+    // the CC+PR job constants exposed at ~3.5x. Round-16 addition
+    // under the substantive-oracle policy (oracle needs MATERIALIZED
+    // pairs; 0.92-1.16 s at 1x / re-timed at 3x before building).
+    "q274_pr_keeper" -> ((s, d) => {
+      val docs0 = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 4).map { r =>
+        if (r == 0) docs0.select(col("doc_id"), col("text"))
+        else docs0.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      val docs = parallel(reps.reduce(_ unionByName _))
+      val sigs = TextDedup.minhashSignatures(docs, "text", "doc_id", 4, 3)
+      val pairs = TextDedup.lshCandidatePairs(sigs, "doc_id", 4, 2)
+        .persist()
+      val clusters = TextDedup.dupClusters(pairs, "doc_id")
+      val edges = pairs
+        .select(col("doc_id_a").as("src"), col("doc_id_b").as("dst"))
+        .unionByName(pairs
+          .select(col("doc_id_b").as("src"), col("doc_id_a").as("dst")))
+        .withColumn("w", lit(1L))
+      val pr = graft.operators.Graph.pageRank(edges, "src", "dst", "w",
+        iterations = 3)
+      clusters.join(pr, clusters("doc_id") === pr("node"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("rank"), (-col("doc_id")).as("negid"))).as("__m"))
+        .filter(col("cluster") < 1000000L)
+        .select(col("cluster"),
+          (-col("__m.negid")).as("keeper_id"),
+          col("n_members"),
+          round(col("__m.rank"), 6).as("keeper_rank"))
+        .transform(ordered1(_, col("cluster")))
+    }),
+
+
     // Exact-substring (Lee et al.) duplicated-span extraction: maximal
     // runs of corpus-duplicated 8-token grams per document — the
     // memorization-risk segments. One gram-hash shuffle + per-doc
@@ -1193,6 +1240,61 @@ private[graft] object DedupQueries {
          |  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst)
          |SELECT id AS doc_id, min(r) AS cluster, min(r) = id AS is_keeper
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors the q274 chain: q54's bands/pairs over the 5x replicated
+    // corpus (MATERIALIZED — DuckDB inlines CTEs, and the PR iterations
+    // reference the pair graph enough times to re-run the whole minhash
+    // pipeline ~30x without it: 34 s -> 1.0 s measured), the q155
+    // unrolled PageRank on the symmetrized pair graph, the q54
+    // reachability CC, then the (rank DESC, id ASC) keeper per cluster.
+    // NOTE: inside WITH RECURSIVE, DuckDB gives plain `a UNION b` CTEs
+    // union-ALL-like semantics (measured: a 2-row UNION of identical
+    // branches returned 4) — any genuine dedup must be an explicit
+    // SELECT DISTINCT over UNION ALL, as `nodes` below does.
+    "q274_pr_keeper" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id + r * 1000000 AS doc_id,
+         |    CASE WHEN r = 0 THEN text
+         |      ELSE array_to_string([x || '_' || r
+         |        FOR x IN string_split(text, ' ')], ' ') END AS text
+         |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS r)
+         |  WHERE text IS NOT NULL),
+         |${shinglesCte.replace("FROM documents", "FROM corpus")},
+         |banded AS (
+         |  SELECT doc_id, md5('0' || '|' || sig_0 || '|' || sig_1) AS band FROM sig
+         |  UNION ALL
+         |  SELECT doc_id, md5('1' || '|' || sig_2 || '|' || sig_3) AS band FROM sig),
+         |pairs AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id),
+         |e AS (SELECT a AS src, b AS dst, 1 AS n FROM pairs
+         |  UNION ALL SELECT b, a, 1 FROM pairs),
+         |t AS (SELECT src, dst,
+         |    CAST(n AS DOUBLE) / sum(CAST(n AS DOUBLE)) OVER (PARTITION BY src) AS p
+         |  FROM e),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+         |r0 AS (SELECT node, 1.0 / (SELECT nn FROM nc) AS rank FROM nodes),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)},
+         |er AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM er
+         |  UNION
+         |  SELECT er.src, reach.r FROM er JOIN reach ON reach.id = er.dst),
+         |cl AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+         |j AS (SELECT cl.cluster, cl.doc_id, r3.rank FROM cl
+         |  JOIN r3 ON r3.node = cl.doc_id),
+         |k AS (SELECT cluster, doc_id, rank,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY rank DESC, doc_id ASC)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY cluster) AS nm FROM j)
+         |SELECT cluster, doc_id AS keeper_id, CAST(nm AS BIGINT) AS n_members,
+         |  round(rank, 6) AS keeper_rank
+         |FROM k WHERE rn = 1 AND cluster < 1000000 ORDER BY cluster""".stripMargin,
 
 
     // Mirrors TextDedup.duplicatedSpans: per-position 8-gram hashes,

@@ -35,6 +35,18 @@ private[graft] object ProfilingQueries {
     }),
 
 
+    // q89's clone-coverage matrix at winnow-FINGERPRINT cost: the same
+    // per-source-pair panel over the winnowed sketch (~2/(w+1) of the
+    // gram mass) instead of the full shingle stream — the 100 TB path.
+    // Round-16 addition under the substantive-oracle policy (1.71 s
+    // measured before building).
+    "q272_winnow_coverage" -> ((s, d) => {
+      TextDedup.winnowSourceOverlap(parallel(load(s, d, "documents")),
+          "text", "source", k = 3, w = 4)
+        .transform(ordered1(_, col("source_a"), col("source_b")))
+    }),
+
+
     // Training-shard balance audit: md5-routed 8-way sharding weighted
     // by token count.
     "q99_shard_audit" -> ((s, d) => {
@@ -243,6 +255,28 @@ private[graft] object ProfilingQueries {
         |  round(CAST(n_rows AS DOUBLE) * kk / tt, 6) AS skew_ratio,
         |  CAST((n_rows * kk + tt - 1) // tt AS BIGINT) AS salt_factor
         |FROM c CROSS JOIN t ORDER BY n_rows DESC, key LIMIT 25""".stripMargin,
+
+
+    // Mirrors TextDedup.winnowSourceOverlap: the q253 winnow list
+    // comprehensions keyed by source, then q89's pair/size/jaccard
+    // arithmetic verbatim.
+    "q272_winnow_coverage" ->
+      """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT source, [md5(array_to_string(t[i:i+2], ' '))
+        |  FOR i IN generate_series(1, greatest(len(t) - 2, 1))] AS gh FROM d),
+        |fp AS (SELECT DISTINCT source, unnest([list_min(gh[i:i+3])
+        |  FOR i IN generate_series(1, greatest(len(gh) - 3, 1))]) AS f FROM g),
+        |sz AS (SELECT source, count(*) AS n FROM fp GROUP BY source),
+        |ov AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared), 6)
+        |    AS jaccard
+        |FROM ov JOIN sz za ON ov.source_a = za.source
+        |        JOIN sz zb ON ov.source_b = zb.source
+        |ORDER BY source_a, source_b""".stripMargin,
 
 
     "q89_source_overlap" ->

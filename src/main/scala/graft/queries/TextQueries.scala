@@ -441,6 +441,59 @@ private[graft] object TextQueries {
         .filter(col("doc_id") < 1000000L)
         .transform(ordered1(_, col("doc_id")))
     }),
+
+
+    // Kneser-Ney discounted bigram LM (D = 0.75, add-one-smoothed
+    // continuation) over the q270 10x replicated corpus — the
+    // discounting family's classic member, one rung above add-k (q270)
+    // and JM interpolation (q267). Round-16 addition under the
+    // substantive-oracle policy (2.23 s measured before building).
+    "q271_docnll_kn" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 9).map { r =>
+        if (r == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      CorpusStats.docNllKneserNey(
+          parallel(reps.reduce(_ unionByName _)), "text", "doc_id",
+          holdoutMod = 10, discount = 0.75)
+        .filter(col("doc_id") < 1000000L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
+    // Cross-version NLL drift: the q270 model (trained once on v1's
+    // train split) replayed over v1's held docs AND a v2 whose held
+    // docs have token 10 replaced (the q262 edit) — the
+    // quality-regression gate for corpus edits, pairing with q262's
+    // fingerprint-surface stability. Round-16 addition under the
+    // substantive-oracle policy (1.83 s measured before building).
+    "q273_docnll_drift" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 9).map { r =>
+        if (r == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      val v1 = parallel(reps.reduce(_ unionByName _))
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      val v2 = v1.withColumn("text",
+        when(col("doc_id") % 10 === 0 && size(toks) >= 10,
+          array_join(concat(slice(toks, 1, 9), array(lit("EDITv2")),
+            slice(toks, lit(11), greatest(size(toks) - 10, lit(0)))), " "))
+          .otherwise(col("text")))
+      CorpusStats.docNllDrift(v1, v2, "text", "doc_id",
+          holdoutMod = 10, k = 1.0)
+        .filter(col("doc_id") < 1000000L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -601,6 +654,108 @@ private[graft] object TextQueries {
         |    AS avg_nll
         |FROM sc WHERE id < 1000000
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors CorpusStats.docNllKneserNey over the q270 replicated
+    // corpus: D written 0.75 literal on both sides; the continuation
+    // probability appears as the SAME IEEE expression in both CASE
+    // branches; counts (cb, cu, n1l, n1r, T, V) all integer-exact.
+    "q271_docnll_kn" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r)
+        |  WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, doc_id % 10 = 0 AS held, string_split(text, ' ') AS t
+        |  FROM corpus),
+        |bg AS (SELECT doc_id, held, t[i] AS w1, t[i + 1] AS w2
+        |  FROM d, unnest(range(1, len(t))) AS u(i)),
+        |bt AS (SELECT held, CASE WHEN held THEN doc_id END AS id, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY ALL),
+        |cb AS (SELECT w1, w2, sum(n) AS cb FROM bt WHERE NOT held
+        |  GROUP BY w1, w2),
+        |cun AS (SELECT w1, sum(cb) AS cu, count(*) AS n1l FROM cb GROUP BY w1),
+        |n1r AS (SELECT w2, count(*) AS n1r FROM cb GROUP BY w2),
+        |tt AS (SELECT count(*) AS t FROM cb),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(t) AS w FROM d WHERE NOT held)),
+        |sc AS (SELECT bt.id, bt.n,
+        |    -ln(CASE WHEN cun.cu IS NULL THEN
+        |        ((CAST(coalesce(n1r.n1r, 0) AS DOUBLE) + 1.0) /
+        |          (CAST(tt.t AS DOUBLE) + CAST(v.v AS DOUBLE)))
+        |      ELSE (greatest(CAST(coalesce(cb.cb, 0) AS DOUBLE) - 0.75, 0.0) +
+        |        0.75 * CAST(cun.n1l AS DOUBLE) *
+        |        ((CAST(coalesce(n1r.n1r, 0) AS DOUBLE) + 1.0) /
+        |          (CAST(tt.t AS DOUBLE) + CAST(v.v AS DOUBLE)))) /
+        |        CAST(cun.cu AS DOUBLE)
+        |      END) AS nll
+        |  FROM bt LEFT JOIN cb ON cb.w1 = bt.w1 AND cb.w2 = bt.w2
+        |  LEFT JOIN cun ON cun.w1 = bt.w1
+        |  LEFT JOIN n1r ON n1r.w2 = bt.w2
+        |  CROSS JOIN tt CROSS JOIN v
+        |  WHERE bt.held)
+        |SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  round(sum(nll * CAST(n AS DOUBLE)) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS avg_nll
+        |FROM sc WHERE id < 1000000
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors CorpusStats.docNllDrift: one model (v1 train split), two
+    // scoring branches (v1 held, q262-edited v2 held); drift subtracts
+    // the already-rounded per-version scores then rounds again.
+    "q273_docnll_drift" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r)
+        |  WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, doc_id % 10 = 0 AS held, string_split(text, ' ') AS t
+        |  FROM corpus),
+        |d2 AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 10
+        |      THEN list_concat(list_concat(t[1:9], ['EDITv2']), t[11:len(t)])
+        |      ELSE t END AS t
+        |  FROM d WHERE held),
+        |bg AS (SELECT doc_id, held, t[i] AS w1, t[i + 1] AS w2
+        |  FROM d, unnest(range(1, len(t))) AS u(i)),
+        |bt AS (SELECT held, CASE WHEN held THEN doc_id END AS id, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY ALL),
+        |bt2 AS (SELECT doc_id AS id, t[i] AS w1, t[i + 1] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM d2, unnest(range(1, len(t))) AS u(i) GROUP BY ALL),
+        |cb AS (SELECT w1, w2, sum(n) AS cb FROM bt WHERE NOT held
+        |  GROUP BY w1, w2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(t) AS w FROM d WHERE NOT held)),
+        |s1 AS (SELECT bt.id, CAST(sum(bt.n) AS BIGINT) AS n_bigrams_v1,
+        |    round(sum(-ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(cu.cu, 0) AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)))
+        |      * CAST(bt.n AS DOUBLE)) / CAST(sum(bt.n) AS DOUBLE), 6)
+        |      AS avg_nll_v1
+        |  FROM bt LEFT JOIN cb ON cb.w1 = bt.w1 AND cb.w2 = bt.w2
+        |  LEFT JOIN cu ON cu.w1 = bt.w1
+        |  CROSS JOIN v WHERE bt.held GROUP BY bt.id),
+        |s2 AS (SELECT bt2.id, CAST(sum(bt2.n) AS BIGINT) AS n_bigrams_v2,
+        |    round(sum(-ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(cu.cu, 0) AS DOUBLE) + 1.0 * CAST(v.v AS DOUBLE)))
+        |      * CAST(bt2.n AS DOUBLE)) / CAST(sum(bt2.n) AS DOUBLE), 6)
+        |      AS avg_nll_v2
+        |  FROM bt2 LEFT JOIN cb ON cb.w1 = bt2.w1 AND cb.w2 = bt2.w2
+        |  LEFT JOIN cu ON cu.w1 = bt2.w1
+        |  CROSS JOIN v GROUP BY bt2.id)
+        |SELECT s1.id AS doc_id, n_bigrams_v1, n_bigrams_v2,
+        |  avg_nll_v1, avg_nll_v2,
+        |  round(avg_nll_v2 - avg_nll_v1, 6) AS drift
+        |FROM s1 JOIN s2 ON s1.id = s2.id
+        |WHERE s1.id < 1000000 ORDER BY doc_id""".stripMargin,
 
 
     "q260_vocab_fertility" ->

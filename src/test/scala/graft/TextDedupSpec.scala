@@ -725,6 +725,39 @@ class TextDedupSpec extends AnyFunSuite {
     assert(out.toList == List(("A", "B", 1L, 0.333333)))
   }
 
+  test("winnowSourceOverlap matches the winnow+manual-aggregation reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "A", "a b c d e f g h"),
+      (2L, "A", "z y x w v u t s"),
+      (3L, "B", "a b c d e f g h"), // clone of doc 1 across sources
+      (4L, "B", "p q r s t u v w"),
+      (5L, "C", "m n o p q r s t")
+    ).toDF("doc_id", "source", "text")
+    val out = TextDedup.winnowSourceOverlap(docs, "text", "source",
+        k = 3, w = 4)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // reference: per-source distinct winnow fingerprints via the public
+    // winnow(), aggregated by hand
+    val fps = TextDedup.winnow(docs, "text", "doc_id", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val srcOf = Map(1L -> "A", 2L -> "A", 3L -> "B", 4L -> "B", 5L -> "C")
+    val bySrc = fps.map { case (id, f) => (srcOf(id), f) }.distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expect = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      shared = (bySrc(a) & bySrc(b)).size if shared > 0
+    } yield (a, b, shared.toLong,
+      BigDecimal(shared.toDouble /
+        (bySrc(a).size + bySrc(b).size - shared))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    assert(out == expect && out.nonEmpty)
+    // the cross-source clone must surface as A-B overlap
+    assert(out.exists(r => r._1 == "A" && r._2 == "B" && r._3 > 0))
+  }
+
   test("containmentOnPairs: subset duplicate scores 1.0 on the short side") {
     import spark.implicits._
     // doc 1's trigram set {a b c, b c d, c d e} is wholly inside doc 2's

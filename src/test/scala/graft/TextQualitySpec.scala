@@ -428,6 +428,71 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("docNllKneserNey: discounted/continuation terms hand-computed; " +
+    "unseen history falls to the smoothed continuation alone") {
+    import spark.implicits._
+    // train (odd ids): "a b a" -> (a,b)(b,a); "a b" -> (a,b)
+    // cb: (a,b)=2 (b,a)=1; cu a=2 b=1; n1l a=1 b=1; n1r a=1 b=1;
+    // T=2 types; V={a,b}=2; D=0.75
+    val docs = Seq(
+      (1L, "a b a"), (3L, "a b"),
+      (2L, "a b c"), (4L, "b a"), (8L, "c a")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docNllKneserNey(docs, "text", "doc_id",
+        holdoutMod = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out.keySet == Set(2L, 4L, 8L))
+    val pcB = (1.0 + 1.0) / (2.0 + 2.0) // seen continuation
+    val pcC = (0.0 + 1.0) / (2.0 + 2.0) // unseen continuation
+    val pcA = (1.0 + 1.0) / (2.0 + 2.0)
+    // doc 2 "a b c": (a,b) discounted hit; (b,c) discount floor + cont
+    val d2 = (-math.log((math.max(2.0 - 0.75, 0) + 0.75 * 1 * pcB) / 2.0)
+      - math.log((math.max(0.0 - 0.75, 0) + 0.75 * 1 * pcC) / 1.0)) / 2.0
+    // doc 4 "b a": seen bigram under history b
+    val d4 = -math.log((math.max(1.0 - 0.75, 0) + 0.75 * 1 * pcA) / 1.0)
+    // doc 8 "c a": history c unseen -> continuation alone
+    val d8 = -math.log(pcA)
+    assert(out(2L)._1 == 2 && math.abs(out(2L)._2 - d2) < 2e-6)
+    assert(out(4L)._1 == 1 && math.abs(out(4L)._2 - d4) < 2e-6)
+    assert(out(8L)._1 == 1 && math.abs(out(8L)._2 - d8) < 2e-6)
+    intercept[IllegalArgumentException] {
+      CorpusStats.docNllKneserNey(docs, "text", "doc_id", holdoutMod = 2,
+        discount = 1.5)
+    }
+  }
+
+  test("docNllDrift: unchanged held docs drift 0; the v2 score prices " +
+    "v2 bigrams under the v1-trained model") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "a b a"), (3L, "a b"),
+      (2L, "a b c"), (4L, "b a")
+    ).toDF("doc_id", "text")
+    // v2: doc 2 rewritten to "a a"; doc 4 unchanged
+    val v2 = Seq(
+      (1L, "a b a"), (3L, "a b"),
+      (2L, "a a"), (4L, "b a")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docNllDrift(v1, v2, "text", "doc_id",
+        holdoutMod = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(2L, 4L))
+    // v1 doc 2 (docNll hand model): (a,b) 3/4, (b,c) 1/3
+    val nll1 = (-math.log(3.0 / 4.0) + math.log(3.0)) / 2.0
+    // v2 doc 2 "a a": (a,a) unseen under cu(a)=2 -> (0+1)/(2+2)
+    val nll2 = -math.log(1.0 / 4.0)
+    val r2 = out(2L)
+    assert(r2._1 == 2 && r2._2 == 1 &&
+      math.abs(r2._3 - nll1) < 2e-6 && math.abs(r2._4 - nll2) < 2e-6 &&
+      math.abs(r2._5 - (r2._4 - r2._3)) < 2e-6)
+    val r4 = out(4L)
+    assert(r4._3 == r4._4 && r4._5 == 0.0)
+  }
+
   test("docNllBackoff: each backoff level hand-computed; holdout " +
     "discipline enforced") {
     import spark.implicits._
