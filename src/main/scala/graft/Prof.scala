@@ -772,13 +772,26 @@ object Prof {
         pick("lr", "A", "N", "R").as("l_returnflag"),
         pick("ll", "O", "F").as("l_linestatus"),
         ts1992("lsd", 2372).as("l_shipdate")))
-      // Zipf(1) text: token rank r = ceil(V^u) — P(r) ∝ 1/r
-      val zipfTok = (salt: String, i: org.apache.spark.sql.Column) =>
-        concat(lit("tok"),
-          ceil(pow(lit(vocab.toDouble), ud(salt, col("id"), i))).cast("long"))
-      val docText = array_join(transform(
-        sequence(lit(1), (un(120L, "dl", col("id")) + 30L).cast("int")),
-        i => zipfTok("dt", i)), " ")
+      // Zipf(1) text: token rank r = ceil(V^u) — P(r) ∝ 1/r.
+      // Round 16: a controlled CLONE rate rides the fresh corpus —
+      // every 20th doc is its predecessor's text with ONE token edited
+      // — so the pair-mass families (near-dup join, chunk clusters,
+      // winnow pairs) see organic duplicate mass that grows LINEARLY
+      // with the corpus (nD/20 true pairs), unlike gen_scale's replica
+      // corpora whose pair mass is quadratic-friendly by construction.
+      // Everything stays deterministic in (id, salt).
+      def toksOf(idc: org.apache.spark.sql.Column) = transform(
+        sequence(lit(1), (un(120L, "dl", idc) + 30L).cast("int")),
+        i => concat(lit("tok"),
+          ceil(pow(lit(vocab.toDouble), ud("dt", idc, i))).cast("long")))
+      val isClone = col("id") % 20 === 0 && col("id") >= 1
+      val srcId = when(isClone, col("id") - 1).otherwise(col("id"))
+      val srcToks = toksOf(srcId)
+      val docToks = when(isClone,
+        transform(srcToks, (x, i) =>
+          when(i === 4, concat(lit("edit"), col("id"))).otherwise(x)))
+        .otherwise(srcToks)
+      val docText = array_join(docToks, " ")
       write("documents", spark.range(nD).select(
         col("id").as("doc_id"),
         docText.as("text"),
