@@ -471,10 +471,13 @@ private[graft] object TextQueries {
     // docs have token 10 replaced (the q262 edit) — the
     // quality-regression gate for corpus edits, pairing with q262's
     // fingerprint-surface stability. Round-16 addition under the
-    // substantive-oracle policy (1.83 s measured before building).
+    // substantive-oracle policy (1.83 s at 10x measured before
+    // building; widened to 15x same round after in-window oracle draws
+    // of ~1.1 s left the ratio one bad draw from the letter line —
+    // 1.66 s re-timed at 15x).
     "q273_docnll_drift" -> ((s, d) => {
       val docs = load(s, d, "documents").filter(col("text").isNotNull)
-      val reps = (0 to 9).map { r =>
+      val reps = (0 to 14).map { r =>
         if (r == 0) docs.select(col("doc_id"), col("text"))
         else docs.select(
           (col("doc_id") + r * 1000000L).as("doc_id"),
@@ -713,7 +716,7 @@ private[graft] object TextQueries {
         |    CASE WHEN r = 0 THEN text
         |      ELSE array_to_string([x || '_' || r
         |        FOR x IN string_split(text, ' ')], ' ') END AS text
-        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r)
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS r)
         |  WHERE text IS NOT NULL),
         |d AS (SELECT doc_id, doc_id % 10 = 0 AS held, string_split(text, ' ') AS t
         |  FROM corpus),
