@@ -97,6 +97,37 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.catalog.clearCache()
   }
 
+  test("docNllDrift: one v2 explode outside the cache, one v1 explode " +
+    "inside it; the fused scorer adds no extra corpus pass") {
+    // v1's padded-zip explode lives in the persisted type table; v2
+    // contributes exactly ONE further Generate (its held slice). A
+    // second outside-the-cache Generate means a version's scoring
+    // branch re-exploded the corpus (the two-chain shape this round's
+    // fusion removed); a second cached plan means the type table split.
+    val v2 = docs.withColumn("text",
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.lit(" tail")))
+    val df = CorpusStats.docNllDrift(docs, v2, "text", "doc_id",
+      holdoutMod = 2)
+    try {
+      assert(generates(df) == 1)
+      val cached = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          r.cachedPlan
+      }.distinct
+      assert(cached.size == 1)
+      val inner = cached.head match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.inputPlan
+        case p => p
+      }
+      assert(inner.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }.size == 1)
+    } finally spark.catalog.clearCache()
+  }
+
   test("cooccurrencePmi explodes one combined unigram+pair array") {
     // the sentinel design carries unigram entries inside the SAME
     // exploded array as the windowed pairs, persisted collapsed exactly
