@@ -815,6 +815,46 @@ object Prof {
           (un(2000L, "em", col("id"), j).cast("double") / 1000.0 - 1.0)
             .cast("float")).as("embedding"),
         un(10L, "el", col("id")).cast("int").as("label")))
+    } else if (args.headOption.contains("q255_ab")) {
+      // contaminatedSpans gram-key A/B: md5(gram) join key (current) vs
+      // the raw gram string (the q89 round-14 lesson — the hash is only
+      // an equality key here, never output, and the join is broadcast
+      // so no shuffle narrows). Interleaved, warm min-of-3.
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      val train = docs.filter(col("doc_id") % 20 =!= 7)
+      val ev = docs.filter(col("doc_id") % 20 === 7)
+      def cur() = graft.operators.TextDedup.contaminatedSpans(
+          train, ev, "text", "doc_id", k = 5)
+        .transform(QuerySupport.ordered1(_, col("doc_id"), col("span_start")))
+      def raw() = {
+        val k = 5
+        def grams(df: org.apache.spark.sql.DataFrame,
+            cols: Seq[org.apache.spark.sql.Column]) = {
+          val toks = graft.functions.TextFunctions.tokens(col("text"))
+          df.withColumn("__toks", toks)
+            .select(cols :+ posexplode(transform(
+              sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+              i => concat_ws(" ", slice(col("__toks"), i, lit(k))))): _*)
+        }
+        val evg = grams(ev, Seq.empty).select(col("col").as("__h")).distinct()
+        val hits = grams(train, Seq(col("doc_id")))
+          .select(col("doc_id"), (col("pos") + 1).as("__p"), col("col").as("__h"))
+          .join(broadcast(evg), "__h")
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+        QuerySupport.ordered1(hits
+          .withColumn("__island", col("__p") - row_number().over(byDoc))
+          .groupBy(col("doc_id"), col("__island"))
+          .agg(min(col("__p")).cast("long").as("span_start"),
+            (max(col("__p")) + (k - 1)).cast("long").as("span_end"),
+            count(lit(1)).as("n_grams"))
+          .drop("__island"), col("doc_id"), col("span_start"))
+      }
+      (1 to 3).foreach { _ =>
+        t("q255_cur_md5")(cur())
+        t("q255_raw_gram")(raw())
+      }
     } else if (args.headOption.contains("q161_ab")) {
       // standardize fit: broadcast-leg (old) vs localized LocalRelation
       // (round 13), same final orderedWide sort, ONE JVM interleaved.

@@ -402,13 +402,21 @@ object TextDedup {
     * contract as [[duplicatedSpans]], against an eval corpus instead
     * of the training corpus itself.
     *
-    * Scale shape: the eval side collapses to its DISTINCT gram-hash
-    * set (fixed-width md5) and joins the training grams on the hash —
-    * broadcast when it fits, and `maxEvalGrams` ENFORCES the fit
-    * (fail-fast, not driver OOM); at eval-set scales beyond broadcast,
-    * swap in the Bloom pre-filter exactly as [[contaminatedIdsBloom]]
-    * does. Island merging is the [[duplicatedSpans]] per-document
-    * window. */
+    * Scale shape: the eval side collapses to its DISTINCT gram set and
+    * the training grams probe it via a broadcast hash join —
+    * `maxEvalGrams` ENFORCES the fit (fail-fast, not driver OOM); at
+    * eval-set scales beyond broadcast, swap in the Bloom pre-filter
+    * exactly as [[contaminatedIdsBloom]] does. The join key is the RAW
+    * k-token gram, not its md5 (round 16, the [[sourceOverlap]]
+    * round-14 lesson: the hash here is ONLY an equality key — never
+    * output, never a shuffle key since the join is broadcast — and
+    * hashing every training gram costs one md5 per position;
+    * interleaved warm A/B at sf0.1: 0.68–1.07 s hashed vs 0.44–0.56 s
+    * raw. [[duplicatedSpans]] KEEPS md5 because its gram key IS a
+    * shuffle key, where fixed-width wins. A corpus with pathological
+    * multi-KB tokens needs a length cap upstream, as sourceOverlap
+    * documents.) Island merging is the [[duplicatedSpans]]
+    * per-document window. */
   def contaminatedSpans(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, k: Int,
       maxEvalGrams: Long = 10000000L): DataFrame = {
@@ -418,7 +426,7 @@ object TextDedup {
       df.withColumn("__toks", toks)
         .select(cols :+ posexplode(transform(
           sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
-          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))): _*)
+          i => concat_ws(" ", slice(col("__toks"), i, lit(k))))): _*)
     }
     val evalGrams = guardEvalBroadcast(
       grams(evalSet, Seq.empty).select(col("col").as("__h")).distinct(),

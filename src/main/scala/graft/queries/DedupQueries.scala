@@ -1353,8 +1353,10 @@ private[graft] object DedupQueries {
         |FROM sc WHERE n_overlap >= 1 ORDER BY doc_id""".stripMargin,
 
 
-    // Mirrors TextDedup.contaminatedSpans: train 5-gram positions whose
-    // hash appears in the eval split's distinct gram set, island-merged.
+    // Mirrors TextDedup.contaminatedSpans: train 5-gram positions
+    // appearing in the eval split's distinct gram set, island-merged.
+    // Round 16: the join key is the RAW gram on both sides (the
+    // operator dropped its md5 — equality key only, broadcast join).
     "q255_contaminated_spans" ->
       """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
         |  FROM documents WHERE doc_id % 20 <> 7),
@@ -1364,10 +1366,10 @@ private[graft] object DedupQueries {
         |    unnest(generate_series(1, greatest(len(t) - 4, 1))) AS p, t
         |  FROM tr),
         |gtr AS (SELECT doc_id, p,
-        |    md5(array_to_string(t[p:p+4], ' ')) AS h FROM gtr0),
+        |    array_to_string(t[p:p+4], ' ') AS h FROM gtr0),
         |gev0 AS (SELECT unnest(generate_series(1,
         |    greatest(len(t) - 4, 1))) AS p, t FROM ev),
-        |gev AS (SELECT DISTINCT md5(array_to_string(t[p:p+4], ' ')) AS h
+        |gev AS (SELECT DISTINCT array_to_string(t[p:p+4], ' ') AS h
         |  FROM gev0),
         |hits AS (SELECT doc_id, p FROM gtr JOIN gev USING (h)),
         |isl AS (SELECT doc_id, p, p - row_number()
