@@ -855,6 +855,61 @@ object Prof {
         t("q255_cur_md5")(cur())
         t("q255_raw_gram")(raw())
       }
+    } else if (args.headOption.contains("q255_sub")) {
+      // q255 strict-subset decomposition, banked for a possible round-17
+      // freeze-door case (BASELINE round-16 defers the claim): (a) the
+      // eval gram set build alone — the broadcast input every correct
+      // contamination test must form — and (b) the train explode +
+      // broadcast probe + island merge over a PREBUILT eval set, vs the
+      // full query. Cache-preserving timer for (b).
+      import org.apache.spark.sql.expressions.Window
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      val train = docs.filter(col("doc_id") % 20 =!= 7)
+      val ev = docs.filter(col("doc_id") % 20 === 7)
+      val k = 5
+      def grams(df: org.apache.spark.sql.DataFrame,
+          cols: Seq[org.apache.spark.sql.Column]) = {
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        df.withColumn("__toks", toks)
+          .select(cols :+ posexplode(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(k))))): _*)
+      }
+      def evalSet() = grams(ev, Seq.empty).select(col("col").as("__h"))
+        .distinct()
+      def probe(evg: org.apache.spark.sql.DataFrame) = {
+        val hits = grams(train, Seq(col("doc_id")))
+          .select(col("doc_id"), (col("pos") + 1).as("__p"),
+            col("col").as("__h"))
+          .join(broadcast(evg), "__h")
+        val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("__p"))
+        QuerySupport.ordered1(hits
+          .withColumn("__island", col("__p") - row_number().over(byDoc))
+          .groupBy(col("doc_id"), col("__island"))
+          .agg(min(col("__p")).cast("long").as("span_start"),
+            (max(col("__p")) + (k - 1)).cast("long").as("span_end"),
+            count(lit(1)).as("n_grams"))
+          .drop("__island"), col("doc_id"), col("span_start"))
+      }
+      def tk(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name: min ${ts.min}%.2f  runs ${ts.map(x => f"$x%.2f").mkString(" ")}")
+      }
+      def full() = SparkEntry.queries("q255_contaminated_spans")(spark, d)
+      (1 to 3).foreach { _ =>
+        t("q255_a_evalset")(evalSet())
+        val cached = evalSet().persist()
+        cached.write.format("noop").mode("overwrite").save()
+        tk("q255_b_probe")(probe(cached))
+        cached.unpersist(blocking = true)
+        t("q255_full")(full())
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("q161_ab")) {
       // standardize fit: broadcast-leg (old) vs localized LocalRelation
       // (round 13), same final orderedWide sort, ONE JVM interleaved.
