@@ -175,16 +175,18 @@ object Bench {
         // FROZEN as of round 14 (round 15: 10 entries — q198 admitted
         // through the freeze's own door with the q198_sub same-JVM
         // strict-subset decomposition, BASELINE.md round-15 note;
-        // round 16: 15 entries — the entire borderline-band cohort the
+        // round 16: 16 entries — the entire borderline-band cohort the
         // round-15 verdict ordered adjudicated, each with its own
         // same-JVM decomposition below, BASELINE.md round-16 note; the
         // sixth cohort member, q205, closed by a 2x structural SHAVE
-        // instead and stays letter-eligible): no additions without such
+        // instead and stays letter-eligible; q255 admitted late-round
+        // after its own shave + 3 letter recurrences, decomposition
+        // q255_sub): no additions without such
         // a decomposition reviewed in the round's BASELINE.md note, and
         // every member's ratio is re-measured each round in the pairing
         // table — the letter must not hollow out through exclusion
         // growth. Hollow-out ratio is stated per round in BASELINE.md
-        // (round 16: 15/270 queries, ~16% of bench wall).
+        // (round 16: 16/274 queries, ~17% of bench wall).
         val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom",
           // runs the partition-scoped DISK merge path (two partitioned
           // parquet writes + read-back) against a minimal in-memory
@@ -301,6 +303,17 @@ object Bench {
           // subset sum 0.71-0.74 s ≈ whole query 0.74-0.80 s.
           // Stage-constant, not plan waste.
           "q154_ivf_partitioned",
+          // stage-constant class, admitted round 16 AFTER a real 35%
+          // shave (raw-gram key) failed to clear its band: lettered in
+          // 3 of 4 post-shave windows (2.00/2.21/2.34x) on two-sided
+          // weather around 2.0. Prof q255_sub (same-JVM warm min-of-3,
+          // BASELINE round-16): eval gram set alone 0.15-0.17 s +
+          // broadcast-probe/island pass over the CACHED eval set
+          // 0.25-0.29 s = 0.40-0.46 s of strict subsets vs the whole
+          // query's 0.46-0.54 s; the mandatory probe stage alone
+          // exceeds the oracle's fast draws (0.238 s). The q198
+          // ending: shave taken first, residual proven stage-constant.
+          "q255_contaminated_spans",
           // floor-decomposition class, admitted round 16 (Prof q91_sub,
           // same-JVM warm min-of-3): the exploded-lines frequency pass
           // alone (posexplode → md5 → the shared-exchange dense_rank/
