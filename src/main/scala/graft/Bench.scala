@@ -183,10 +183,18 @@ object Bench {
         // after its own shave + 3 letter recurrences, decomposition
         // q255_sub): no additions without such
         // a decomposition reviewed in the round's BASELINE.md note, and
-        // every member's ratio is re-measured each round in the pairing
-        // table — the letter must not hollow out through exclusion
-        // growth. Hollow-out ratio is stated per round in BASELINE.md
-        // (round 16: 16/274 queries, ~17% of bench wall).
+        // every member's ratio is re-measured each round — AUTOMATED as
+        // of round 17: the artifact's "scope_excluded_ratios" field
+        // carries each member's measured ratio in every bench run, so
+        // an exclusion whose justifying numbers age is visible in the
+        // round's own artifact, and a member whose calm band falls back
+        // under 2.0x is a RE-ADMISSION candidate (q255, round 17).
+        // BUDGET (round 17, per the round-16 verdict): exclusions must
+        // stay <= 6% of the registry AND <= 18% of the committed bench
+        // wall; an admission that would breach either bound must retire
+        // an existing entry or shave the wall first. Hollow-out ratio is
+        // stated per round in BASELINE.md (round 17: 15/274 = 5.5% of
+        // queries after the q255 re-admission, ~16% of bench wall).
         val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom",
           // runs the partition-scoped DISK merge path (two partitioned
           // parquet writes + read-back) against a minimal in-memory
@@ -329,11 +337,20 @@ object Bench {
             oracleTimes.get(k).exists(o => o >= 0.15 && v / o > 2.0) =>
           f""""$k":${v / oracleTimes(k)}%.2f""" }
         val excl = scopeExcluded.toSeq.sorted.map("\"" + _ + "\"")
+        // Per-member re-measurement of every exclusion, in every run
+        // (round-16 ADVICE): the freeze's promise was that exclusions
+        // are re-measured each round; this field makes the artifact
+        // itself carry the evidence instead of relying on hand-run
+        // pairing tables. Read it against the budget in the freeze
+        // comment above.
+        val exclRatios = results.collect { case (k, v)
+          if v > 0 && scopeExcluded(k) && oracleTimes.get(k).exists(_ > 0) =>
+          f""""$k":${v / oracleTimes(k)}%.2f""" }
         // measured names only: including a FAILED query's oracle time in
         // the denominator flatters the headline ratio exactly when the
         // suite is broken (same defect class as the -1.0 total sum)
         val oTotal = measured.map(_._1).flatMap(oracleTimes.get).sum
-        f""","oracle_total_sec":$oTotal%.2f,"weak":${w.mkString("{", ",", "}")},"weak_scope_excluded":${excl.mkString("[", ",", "]")}"""
+        f""","oracle_total_sec":$oTotal%.2f,"weak":${w.mkString("{", ",", "}")},"weak_scope_excluded":${excl.mkString("[", ",", "]")},"scope_excluded_ratios":${exclRatios.mkString("{", ",", "}")}"""
       }
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"measured_n":${measured.size},"sf":"$sfDir","passes":${passWalls.size},"pass_wall_sec":$walls,"refined":$refined,"cold_total_sec":$coldTotal$weak}"""
     }

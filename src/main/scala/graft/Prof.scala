@@ -856,8 +856,10 @@ object Prof {
         t("q255_raw_gram")(raw())
       }
     } else if (args.headOption.contains("q255_sub")) {
-      // q255 strict-subset decomposition, banked for a possible round-17
-      // freeze-door case (BASELINE round-16 defers the claim): (a) the
+      // q255 strict-subset decomposition — ADMITTED round 16 via this
+      // decomposition (Bench.scala scopeExcluded; BASELINE round-16
+      // "q255 WAS admitted late-round"); kept runnable for the round-17
+      // re-certification the verdict asked for: (a) the
       // eval gram set build alone — the broadcast input every correct
       // contamination test must form — and (b) the train explode +
       // broadcast probe + island merge over a PREBUILT eval set, vs the

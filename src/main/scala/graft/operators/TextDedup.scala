@@ -215,7 +215,18 @@ object TextDedup {
     * materializes) gates the first evaluated row, so the job dies with
     * a named limit + the Bloom-path pointer rather than a driver OOM.
     * Cost when the guard passes: one extra aggregate over the
-    * MBs-sized eval grams — noise. */
+    * MBs-sized eval grams — noise.
+    *
+    * The cap is SIZE-aware, not just count-aware: gram payloads range
+    * from fixed 32-char md5 digests to raw k-token strings of
+    * unbounded width (the round-16 contaminatedSpans shave swapped
+    * md5 → raw), so a set inside the count cap can still be several
+    * times the bytes the count was sized for. The same aggregate also
+    * sums `octet_length` and gates on `maxEvalBytes` (default 512 MiB
+    * ≈ the headroom 10M 32-char digests plus overhead were budgeted
+    * at), so the raw-key path keeps the driver-OOM headroom the guard
+    * exists to provide. */
+  private val maxEvalBytes: Long = 512L * 1024 * 1024
   private def guardEvalBroadcast(evalGrams0: DataFrame, gramCol: String,
       maxEvalGrams: Long, op: String): DataFrame = {
     require(maxEvalGrams > 0, "maxEvalGrams must be positive")
@@ -227,13 +238,16 @@ object TextDedup {
     val evalGrams = evalGrams0.persist()
     evalGrams
       .crossJoin(broadcast(evalGrams
-        .agg(count(lit(1)).as("__ne"))))
-      .where(OpsUtil.orRaise(col("__ne") <= maxEvalGrams,
+        .agg(count(lit(1)).as("__ne"),
+          coalesce(sum(octet_length(col(gramCol))), lit(0L)).as("__nb"))))
+      .where(OpsUtil.orRaise(
+        col("__ne") <= maxEvalGrams && col("__nb") <= maxEvalBytes,
         lit(s"$op: eval set has "), col("__ne"),
-        lit(s" distinct grams (> maxEvalGrams=$maxEvalGrams); " +
-          "broadcasting it would overwhelm the driver — use the Bloom " +
-          "pre-filter regime (contaminatedIdsBloom) or raise " +
-          "maxEvalGrams")))
+        lit(" distinct grams / "), col("__nb"),
+        lit(s" bytes (caps: maxEvalGrams=$maxEvalGrams, " +
+          s"maxEvalBytes=$maxEvalBytes); broadcasting it would " +
+          "overwhelm the driver — use the Bloom pre-filter regime " +
+          "(contaminatedIdsBloom) or raise maxEvalGrams")))
       .select(col(gramCol))
   }
 

@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,28 +33,58 @@ import org.apache.spark.unsafe.types.UTF8String
   * substituted from the window's entries; `file:`/plain paths work too
   * (the offline test fixture), as does any URL the executor can open.
   *
-  * Output schema is fixed at `(window STRING, value STRING)` — the raw
-  * payload lines tagged with their window's JSON, to be parsed with
-  * `from_json(value, schema)` exactly like the RDD path. Deliberately NOT
-  * implemented here: schema inference over live endpoints (a backfill
-  * source must never 2×-fetch to guess types) and filter pushdown (the
-  * remote API's query string IS the pushdown — callers encode predicates
-  * in the window params). Per-window retry/backoff composes inside the
-  * fetch via [[Retry.withBackoff]] on the HTTP layer, not here.
+  * Output schema is `(window STRING, value STRING)` — the raw payload
+  * lines tagged with their window's JSON, to be parsed with
+  * `from_json(value, schema)` exactly like the RDD path — PLUS one
+  * string column per window-param key (the sorted union across
+  * windows). The param columns are this source's partition columns in
+  * the Hive sense: constant per window, known at PLAN time from the
+  * `windows` option, so predicates on them prune whole windows before
+  * any fetch happens.
+  *
+  * Filter pushdown ([[SupportsPushDownFilters]], round 17): predicates
+  * that reference ONLY param columns and have a shape evaluable against
+  * a per-window string constant (=, <, <=, >, >=, IN, IS NOT NULL,
+  * STARTSWITH — string comparison, which IS date order for the
+  * reference's ISO-formatted `StartDate`/`StopDate` params,
+  * rq_tradein_report/__init__.py:12-20) are accepted and evaluated at
+  * `planInputPartitions`: a window that fails them is never planned,
+  * never fetched. A backfill caller writing
+  * `.load().filter($"StartDate" >= "2024-01-01")` therefore prunes
+  * server-side (zero bytes moved for excluded windows) instead of
+  * caller-side. Everything else — anything touching `value`/`window`,
+  * or a non-string-comparable shape — is returned as residual for Spark
+  * to evaluate post-scan, so semantics never depend on the pushdown.
+  * Deliberately NOT implemented: schema inference over live endpoints
+  * (a backfill source must never 2×-fetch to guess types). Per-window
+  * retry/backoff composes inside the fetch via [[Retry.withBackoff]] on
+  * the HTTP layer, not here.
   */
 class GraftApiTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-api"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftApiTable.schema
+    GraftApiTable.schemaFor(
+      GraftApiTable.parseWindows(options.getOrDefault("windows", "[]")))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new GraftApiTable(properties.asScala.toMap)
 }
 
 object GraftApiTable {
-  val schema: StructType = StructType(Seq(
+  val baseSchema: StructType = StructType(Seq(
     StructField("window", StringType, nullable = false),
     StructField("value", StringType, nullable = true)))
+
+  /** Base columns plus the sorted union of window-param keys as string
+    * partition columns. A param literally named `window`/`value` stays
+    * reachable through the `window` JSON but gets no column (the base
+    * contract wins the name). */
+  def schemaFor(windows: Seq[Map[String, String]]): StructType = {
+    val base = baseSchema.fieldNames.toSet
+    val keys = windows.flatMap(_.keys).distinct.sorted.filterNot(base)
+    StructType(baseSchema.fields ++
+      keys.map(StructField(_, StringType, nullable = true)))
+  }
 
   /** Minimal parse of the `windows` option: a JSON array of flat string
     * objects. Jackson is already on every Spark classpath. */
@@ -75,40 +106,85 @@ object GraftApiTable {
 final class GraftApiTable(properties: Map[String, String])
     extends Table with SupportsRead {
   override def name(): String = "graft-api"
-  override def schema(): StructType = GraftApiTable.schema
+  override def schema(): StructType = GraftApiTable.schemaFor(
+    GraftApiTable.parseWindows(properties.getOrElse("windows", "[]")))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
+    new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private val template = options.getOrDefault("urlTemplate",
         properties.getOrElse("urlTemplate",
           sys.error("graft-api requires an urlTemplate option")))
       private val windows = GraftApiTable.parseWindows(
         options.getOrDefault("windows", properties.getOrElse("windows", "[]")))
+      private val fullSchema = GraftApiTable.schemaFor(windows)
       // Column pruning: a value-only projection (the common shape — the
-      // window tag is provenance) should not carry the window JSON
-      // through every row. The fetch itself is all-or-nothing (a remote
-      // window has no sub-column granularity), so pruning trims the rows
-      // emitted, not the bytes fetched.
-      private var required: StructType = GraftApiTable.schema
+      // window tag is provenance) should not carry the window JSON or
+      // the param columns through every row. The fetch itself is
+      // all-or-nothing (a remote window has no sub-column granularity),
+      // so pruning trims the rows emitted, not the bytes fetched.
+      private var required: StructType = fullSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+
+      // Partition-filter pushdown: accept exactly the filters we can
+      // decide per window from its constant params; everything else is
+      // residual. `window`/`value` never qualify — their values are
+      // row-level (value) or redundant with the params (window).
+      private var pushed: Array[Filter] = Array.empty
+      private def paramKeys = fullSchema.fieldNames.toSet --
+        GraftApiTable.baseSchema.fieldNames
+      private def evaluable(f: Filter): Boolean =
+        f.references.nonEmpty && f.references.forall(paramKeys) && (f match {
+          case _: EqualTo | _: GreaterThan | _: GreaterThanOrEqual |
+               _: LessThan | _: LessThanOrEqual | _: In | _: IsNotNull |
+               _: StringStartsWith => true
+          case _ => false
+        })
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (ok, residual) = filters.partition(evaluable)
+        pushed = ok
+        residual
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
+      /** SQL three-valued semantics on a per-window constant: a window
+        * missing the referenced key compares as NULL → not selected. */
+      private def keeps(w: Map[String, String], f: Filter): Boolean = f match {
+        case EqualTo(a, v) => w.get(a).contains(String.valueOf(v))
+        case GreaterThan(a, v) => w.get(a).exists(_ > String.valueOf(v))
+        case GreaterThanOrEqual(a, v) => w.get(a).exists(_ >= String.valueOf(v))
+        case LessThan(a, v) => w.get(a).exists(_ < String.valueOf(v))
+        case LessThanOrEqual(a, v) => w.get(a).exists(_ <= String.valueOf(v))
+        case In(a, vs) => w.get(a).exists(x => vs.map(String.valueOf).contains(x))
+        case IsNotNull(a) => w.contains(a)
+        case StringStartsWith(a, p) => w.get(a).exists(_.startsWith(p))
+        case _ => true // unreachable: evaluable() gates admission
+      }
+
       override def build(): Scan = this
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
-      // The contract under test: one window == one input partition.
+      override def description(): String =
+        s"graft-api PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+      // The contract under test: one window == one input partition —
+      // AFTER pushed-filter pruning, so an excluded window is never
+      // planned, never fetched.
       override def planInputPartitions(): Array[InputPartition] =
-        windows.map(w => WindowPartition(
-          GraftApiTable.resolve(template, w),
-          w.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
-            .mkString("{", ",", "}")): InputPartition).toArray
+        windows.filter(w => pushed.forall(keeps(w, _)))
+          .map(w => WindowPartition(
+            GraftApiTable.resolve(template, w),
+            w.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
+              .mkString("{", ",", "}"),
+            w): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new WindowReaderFactory(required.fieldNames)
     }
 }
 
-private[sources] final case class WindowPartition(url: String, windowJson: String)
-    extends InputPartition
+private[sources] final case class WindowPartition(url: String,
+    windowJson: String, params: Map[String, String]) extends InputPartition
 
 private[sources] final class WindowReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
@@ -120,6 +196,9 @@ private[sources] final class WindowReaderFactory(fields: Array[String])
         else scala.io.Source.fromFile(p.url)
       private val lines = source.getLines()
       private val window = UTF8String.fromString(p.windowJson)
+      // param columns are per-partition constants — materialized once
+      private val paramValues: Map[String, UTF8String] =
+        p.params.map { case (k, v) => k -> UTF8String.fromString(v) }
       private var current: UTF8String = _
       override def next(): Boolean =
         if (lines.hasNext) { current = UTF8String.fromString(lines.next()); true }
@@ -127,6 +206,7 @@ private[sources] final class WindowReaderFactory(fields: Array[String])
       override def get(): InternalRow = InternalRow(fields.map {
         case "window" => window
         case "value" => current
+        case k => paramValues.getOrElse(k, null)
       }: _*)
       override def close(): Unit = source.close()
     }

@@ -55,6 +55,50 @@ class GraftApiTableSpec extends AnyFunSuite {
     assert(df.count() == 3)
   }
 
+  test("graft-api: date-range filters push down and prune windows at plan time") {
+    val dir = fixture()
+    // Reuse the fixture files as three dated windows: the StartDate param
+    // is this source's partition column (constant per window, known at
+    // plan time), so the range predicate must prune w1 BEFORE any fetch.
+    val df = spark.read.format("graft-api")
+      .option("urlTemplate", s"$dir/{W}.json")
+      .option("windows",
+        """[{"W":"w1","StartDate":"2024-01-01"},
+          | {"W":"w2","StartDate":"2024-02-01"},
+          | {"W":"w3","StartDate":"2024-03-01"}]""".stripMargin)
+      .load()
+      .filter(col("StartDate") >= "2024-02-01")
+    // plan-time pruning: only w2+w3 become input partitions (w1's file is
+    // never opened — one window == one partition, post-filter)
+    assert(df.rdd.getNumPartitions == 2,
+      s"windows not pruned: ${df.rdd.getNumPartitions} partitions")
+    // the filter was ACCEPTED by the scan (visible in its description),
+    // not just re-applied post-scan
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanDesc.contains("PushedFilters") || df.queryExecution
+      .optimizedPlan.toString.contains("GreaterThanOrEqual"),
+      s"no pushdown evidence in plan:\n$scanDesc")
+    assert(df.count() == 1) // only w2 has a row; w3 is empty
+    assert(df.select("StartDate").distinct().collect()
+      .map(_.getString(0)).toSet == Set("2024-02-01"))
+    // a window missing the referenced key compares as NULL -> pruned
+    val missing = spark.read.format("graft-api")
+      .option("urlTemplate", s"$dir/{W}.json")
+      .option("windows", """[{"W":"w1","StartDate":"2024-01-01"},{"W":"w2"}]""")
+      .load()
+      .filter(col("StartDate") < "2024-06-01")
+    assert(missing.rdd.getNumPartitions == 1)
+    // value-level predicates stay residual: Spark evaluates them
+    val residual = spark.read.format("graft-api")
+      .option("urlTemplate", s"$dir/{W}.json")
+      .option("windows", """[{"W":"w1","StartDate":"2024-01-01"}]""")
+      .load()
+      .filter(col("value").contains("\"id\":2"))
+    assert(residual.rdd.getNumPartitions == 1) // no param pruning possible
+    assert(residual.count() == 1)
+  }
+
   test("graft-api: short name resolves via DataSourceRegister and url templating substitutes all keys") {
     assert(GraftApiTableSpec.resolvedExample ==
       "https://h/api?s=2024-01-01&e=2024-01-02&l=7")
