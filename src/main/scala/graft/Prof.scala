@@ -54,7 +54,21 @@ object Prof {
         graft.operators.Relational.asofJoin(left, right, "k", "ts", "od",
           Seq("price"))
     }
-    if (args.headOption.contains("asof_ab")) {
+    if (args.headOption.contains("time_q")) {
+      // Generic per-query timer (round 17): `time_q <name>...` runs each
+      // named SparkEntry registry query with the bench's noop-write sink
+      // and the warm min-of-3 discipline — the per-query measurement the
+      // watchlist/freeze-door adjudications need without a full bench
+      // pass. Same JVM for all names given, so A/B pairs interleave
+      // fairly.
+      val names = args.drop(1)
+      require(names.nonEmpty, "time_q needs at least one query name")
+      names.foreach(n => require(SparkEntry.queries.contains(n),
+        s"unknown query: $n"))
+      (1 to 2).foreach { _ =>
+        names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
+      }
+    } else if (args.headOption.contains("asof_ab")) {
       (1 to 2).foreach { _ =>
         t("asof_composed")(asofPair(native = false))
         t("asof_native")(asofPair(native = true))

@@ -1063,6 +1063,121 @@ object CorpusStats {
       .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** Per-document held-out TRIGRAM interpolated Kneser-Ney NLL — the
+    * discount family completed at the order production n-gram LMs
+    * actually shipped (Chen & Goodman 1998's winning configuration:
+    * interpolated KN at trigram order). The trigram probability is the
+    * absolute-discounted ML estimate plus a history-dependent back-off
+    * weight times the BIGRAM-level KN probability, whose counts are
+    * CONTINUATION counts ("how many distinct w1 precede (w2,w3)?"),
+    * recursing into the add-one-smoothed unigram continuation floor —
+    * [[docNllKneserNey]]'s Pc, one order up.
+    *
+    * Exact model scored (all counts integer-exact from the train
+    * split, one shared discount D):
+    * {{{
+    *   Pc(w3)       = (N1+(·,·,w3) + 1) / (T + V)
+    *   P2(w3|w2)    = (max(cc(w2,w3) − D, 0) + D·N1c(w2)·Pc(w3))
+    *                    / N1+(·,w2,·)          // seen middle history
+    *   P2(w3|w2)    = Pc(w3)                   // unseen middle history
+    *   P3(w3|w1,w2) = (max(c(w1,w2,w3) − D, 0) + D·N1+(w1,w2,·)·P2(w3|w2))
+    *                    / c(w1,w2)             // seen top history
+    *   P3(w3|w1,w2) = P2(w3|w2)                // unseen top history
+    * }}}
+    * where EVERY lower-order statistic is a continuation count derived
+    * from the trigram TYPE SET (the Chen & Goodman formulation, not
+    * raw lower-order frequencies): `cc(w2,w3)` = distinct w1 preceding
+    * (w2,w3), `N1+(·,w2,·)` = Σ_w3 cc, `N1c(w2)` = distinct w3 in cc
+    * for w2, `N1+(·,·,w3)` = distinct w2 in cc for w3, `T` = total cc
+    * types, `V` = distinct w3 across cc. Trains on
+    * `idCol % holdoutMod != 0`, scores held docs with ≥ 1 trigram.
+    * Returns `(idCol, n_trigrams, n_ctx_hits, avg_nll, ctx_hit_share)`
+    * — `n_ctx_hits` counts trigram tokens whose (w1,w2) history the
+    * train split has seen (the top level active), ratios rounded 6.
+    *
+    * Scale shape: the [[docNllBackoff]] discipline for the TOP order —
+    * one trigram explode collapses map-side into the persisted per-doc
+    * TYPE table, the corpus model `c3` is a types-sized re-aggregation
+    * — but UNLIKE backoff/JM there is NO separate bigram/unigram
+    * corpus explode: KN's lower orders are continuation counts DEFINED
+    * on the trigram type set, so `cc`, both N1 tables, T and V all
+    * derive from the narrow persisted `c3` (types-sized, no doc
+    * column — not the round-15 anti-pattern of re-aggregating the wide
+    * per-doc table, and one full corpus pass cheaper than backoff).
+    * Scoring is a hash-join chain per held TYPE; T and V ride one
+    * 1-row broadcast. Caller contract as [[Curation.curate]]:
+    * clearCache between unrelated runs. */
+  def docNllKneserNey3(docs: DataFrame, textCol: String, idCol: String,
+      holdoutMod: Int = 10, discount: Double = 0.75): DataFrame = {
+    require(holdoutMod >= 2, s"holdoutMod must be >= 2: $holdoutMod")
+    require(discount > 0 && discount < 1,
+      s"KN absolute discount must be in (0,1): $discount")
+    val toks = TextFunctions.tokens(col(textCol))
+    val held = pmod(col(idCol), lit(holdoutMod.toLong)) === 0
+    def grams(n: Int) = arrays_zip(
+      (0 until n).map(i => slice(toks, lit(1 + i),
+        greatest(size(toks) - (n - 1), lit(0)))): _*)
+    val triTypes = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), held.as("__held"),
+        explode(grams(3)).as("__g"))
+      .groupBy(col("__held"),
+        when(col("__held"), col("__id")).as("__id"),
+        col("__g.0").as("__w1"), col("__g.1").as("__w2"),
+        col("__g.2").as("__w3"))
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    // THREE consumers (c2h, cc, the scoring join) — persist, as
+    // [[docNllKneserNey]]'s cb
+    val c3 = triTypes.filter(!col("__held"))
+      .groupBy(col("__w1"), col("__w2"), col("__w3"))
+      .agg(sum(col("__n")).as("__c3"))
+      .persist()
+    // top-history mass and distinct-continuation count in one pass
+    val c2h = c3.groupBy(col("__w1"), col("__w2"))
+      .agg(sum(col("__c3")).as("__c2p"), count(lit(1)).as("__n1h"))
+    // continuation bigram types — FOUR consumers (ccu, n1r, consts,
+    // scoring join)
+    val cc = c3.groupBy(col("__w2"), col("__w3"))
+      .agg(count(lit(1)).as("__cc"))
+      .persist()
+    val ccu = cc.groupBy(col("__w2"))
+      .agg(sum(col("__cc")).as("__ccu"), count(lit(1)).as("__n1m"))
+    val n1r = cc.groupBy(col("__w3")).agg(count(lit(1)).as("__n1r"))
+    val consts = cc.agg(count(lit(1)).as("__t"),
+      count_distinct(col("__w3")).as("__v"))
+    val d = lit(discount)
+    val pc = (coalesce(col("__n1r"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("__t").cast("double") + col("__v").cast("double"))
+    val p2 = when(col("__ccu").isNull, pc).otherwise(
+      (greatest(coalesce(col("__cc"), lit(0L)).cast("double") - d,
+        lit(0.0)) + d * col("__n1m").cast("double") * pc) /
+        col("__ccu").cast("double"))
+    val p = when(col("__c2p").isNull, p2).otherwise(
+      (greatest(coalesce(col("__c3"), lit(0L)).cast("double") - d,
+        lit(0.0)) + d * col("__n1h").cast("double") * p2) /
+        col("__c2p").cast("double"))
+    triTypes.filter(col("__held"))
+      .join(c3, Seq("__w1", "__w2", "__w3"), "left")
+      .join(c2h, Seq("__w1", "__w2"), "left")
+      .join(cc, Seq("__w2", "__w3"), "left")
+      .join(ccu, Seq("__w2"), "left")
+      .join(n1r, Seq("__w3"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("__id"), col("__n"),
+        when(col("__c2p").isNotNull, col("__n")).otherwise(lit(0L))
+          .as("__h"),
+        (-log(p) * col("__n").cast("double")).as("__nllw"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__n")).as("n_trigrams"),
+        sum(col("__h")).as("n_ctx_hits"),
+        round(sum(col("__nllw")) / sum(col("__n")).cast("double"), 6)
+          .as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_trigrams"),
+        col("n_ctx_hits"), col("avg_nll"),
+        round(col("n_ctx_hits").cast("double") /
+          col("n_trigrams").cast("double"), 6).as("ctx_hit_share"))
+  }
+
   /** Cross-version NLL drift — [[docNll]]'s held-out bigram model
     * replayed over TWO versions of the same corpus: the model trains
     * ONCE on v1's train split, scores v1's held docs AND v2's held

@@ -65,6 +65,75 @@ private[graft] object CurationQueries {
     }),
 
 
+    // DoReMi-lite difficulty-weighted mixture resample (Xie et al.
+    // 2023's shape, one static round, no proxy retraining): the q270
+    // held-out bigram LM is the PROXY MODEL — each source's
+    // token-weighted mean held-doc NLL is its difficulty, domain
+    // weights are the temperature-smoothed difficulties
+    // (w_d ∝ nll_d^0.5), a 50%-of-corpus token budget allocates per
+    // source, and the original docs resample through the q76
+    // md5-cutoff (deterministic on both engines). Composes the LM
+    // scorer with the mixture planner: the LM work is REQUIRED to
+    // compute the weights, so the oracle's substance is structural,
+    // not replication-managed. Round-17 addition (oracle pre-timed
+    // before building).
+    "q277_doremi_resample" -> ((s, d) => {
+      val docs0 = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 9).map { r =>
+        if (r == 0) docs0.select(col("doc_id"), col("text"))
+        else docs0.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      // holdoutMod = 7, NOT 10: the test corpus keys source to
+      // doc_id % 20, so a mod-10 holdout would only ever score two
+      // domains (the held set and the source partition must be
+      // decorrelated for per-domain difficulty to exist); 7 is coprime
+      // with 20, and 10^6 ≡ 1 (mod 7) walks every original through the
+      // held split across replicas.
+      val scored = CorpusStats.docNll(
+        parallel(reps.reduce(_ unionByName _)), "text", "doc_id",
+        holdoutMod = 7, k = 1.0)
+      // replicas inherit the original doc's source (id % 1M maps back)
+      val srcOf = docs0.select(col("doc_id").as("__od"), col("source"))
+      val perSrc = scored
+        .join(srcOf, pmod(col("doc_id"), lit(1000000L)) === col("__od"))
+        .groupBy(col("source"))
+        .agg((sum(col("avg_nll") * col("n_bigrams").cast("double")) /
+          sum(col("n_bigrams")).cast("double")).as("__nll"))
+      val toksPer = docs0.groupBy(col("source"))
+        .agg(sum(TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("__nt"))
+      val joined = perSrc.join(toksPer, "source")
+      val consts = joined.agg(sum(col("__nt")).as("__tot"),
+        sum(pow(col("__nll"), lit(0.5))).as("__wsum"))
+      // localized, not broadcast(plan0): the plan frame is bounded by
+      // the source cardinality (20) but its LINEAGE is the whole docNll
+      // chain — a broadcast leg would replay it (the
+      // OpsUtil.localized precedent); as a LocalRelation the resample
+      // join sees 20 plain rows
+      val plan0 = graft.operators.OpsUtil.localized(
+        joined.crossJoin(broadcast(consts))
+          .select(col("source"),
+            round(least(lit(1.0),
+              col("__tot").cast("double") * lit(0.5) *
+                (pow(col("__nll"), lit(0.5)) / col("__wsum")) /
+                col("__nt").cast("double")), 6).as("keep_ratio")),
+        maxRows = 10000, context = "q277 per-source mixture plan")
+      docs0.select(col("doc_id"), col("source"))
+        .join(broadcast(plan0), "source")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
+          when(col("keep_ratio") >= 1.0, lit("g"))
+            .otherwise(lpad(lower(hex(
+              floor(col("keep_ratio") * lit(65536.0)).cast("int"))),
+              4, "0")))
+        .select(col("doc_id"), col("source"), col("keep_ratio"))
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
     // Sequence packing: concat-then-chunk pack assignment per 8-way
     // shard with a 256-token context budget — the pretraining batch
     // construction step, as loader metadata (pack id + start offset).
@@ -441,6 +510,71 @@ private[graft] object CurationQueries {
         |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |    WHEN 'src2' THEN '4000' ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors the q277 chain: q270's per-held-doc add-1 bigram NLL
+    // (replicas included — the proxy scores ALL held docs, replica ids
+    // mapping back to their original's source via id % 1000000),
+    // token-weighted per-source difficulty, w_d ∝ pow(nll, 0.5),
+    // 50%-budget allocation in the operator's exact literal order,
+    // round-6 keep ratios, then the q76 md5-prefix cutoff
+    // (floor(keep*65536) in 4-hex lowercase; 'g' = keep-all).
+    "q277_doremi_resample" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS r)
+        |  WHERE text IS NOT NULL),
+        |d AS (SELECT doc_id, doc_id % 7 = 0 AS held, string_split(text, ' ') AS t
+        |  FROM corpus),
+        |bg AS (SELECT doc_id, held, t[i] AS w1, t[i + 1] AS w2
+        |  FROM d, unnest(range(1, len(t))) AS u(i)),
+        |bt AS (SELECT held, CASE WHEN held THEN doc_id END AS id, w1, w2,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM bg GROUP BY ALL),
+        |cb AS (SELECT w1, w2, sum(n) AS cb FROM bt WHERE NOT held
+        |  GROUP BY w1, w2),
+        |cu AS (SELECT w1, sum(cb) AS cu FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |  (SELECT unnest(t) AS w FROM d WHERE NOT held)),
+        |sc AS (SELECT bt.id, bt.n,
+        |    -ln((CAST(coalesce(cb.cb, 0) AS DOUBLE) + 1.0) /
+        |      (CAST(coalesce(cu.cu, 0) AS DOUBLE) +
+        |        1.0 * CAST(v.v AS DOUBLE))) AS nll
+        |  FROM bt LEFT JOIN cb ON cb.w1 = bt.w1 AND cb.w2 = bt.w2
+        |  LEFT JOIN cu ON cu.w1 = bt.w1
+        |  CROSS JOIN v
+        |  WHERE bt.held),
+        |doc AS (SELECT id, CAST(sum(n) AS BIGINT) AS nb,
+        |    round(sum(nll * CAST(n AS DOUBLE)) / CAST(sum(n) AS DOUBLE), 6)
+        |      AS anll
+        |  FROM sc GROUP BY id),
+        |orig AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+        |  FROM documents WHERE text IS NOT NULL),
+        |per AS (SELECT o.source,
+        |    sum(doc.anll * CAST(doc.nb AS DOUBLE)) / CAST(sum(doc.nb) AS DOUBLE)
+        |      AS nll
+        |  FROM doc JOIN orig o ON doc.id % 1000000 = o.doc_id
+        |  GROUP BY o.source),
+        |tp AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS nt
+        |  FROM orig GROUP BY source),
+        |j AS (SELECT per.source AS source, nll, nt
+        |  FROM per JOIN tp ON per.source = tp.source),
+        |c AS (SELECT CAST(sum(nt) AS BIGINT) AS tot, sum(pow(nll, 0.5)) AS wsum
+        |  FROM j),
+        |pl AS (SELECT source,
+        |    round(least(1.0, CAST(c.tot AS DOUBLE) * 0.5 *
+        |      (pow(nll, 0.5) / c.wsum) / CAST(nt AS DOUBLE)), 6) AS keep_ratio
+        |  FROM j CROSS JOIN c)
+        |SELECT o.doc_id, o.source, pl.keep_ratio
+        |FROM orig o JOIN pl ON o.source = pl.source
+        |WHERE substring(md5(CAST(o.doc_id AS VARCHAR)), 1, 4) <
+        |  CASE WHEN pl.keep_ratio >= 1.0 THEN 'g'
+        |    ELSE printf('%04x', CAST(floor(pl.keep_ratio * 65536.0) AS INT)) END
         |ORDER BY doc_id""".stripMargin,
 
 

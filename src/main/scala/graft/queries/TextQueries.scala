@@ -466,6 +466,31 @@ private[graft] object TextQueries {
     }),
 
 
+    // TRIGRAM interpolated Kneser-Ney (D = 0.75, continuation counts
+    // from the trigram type set per Chen & Goodman, add-one-smoothed
+    // unigram continuation floor) over the q266/q267 5x replicated
+    // corpus — the discount family completed at the order production
+    // n-gram LMs shipped. Round-17 addition under the
+    // substantive-oracle policy (oracle pre-timed before building;
+    // fresh-key 1x/5x/25x rows land in BASELINE.md the same round).
+    "q275_docnll_kn3" -> ((s, d) => {
+      val docs = load(s, d, "documents").filter(col("text").isNotNull)
+      val reps = (0 to 4).map { r =>
+        if (r == 0) docs.select(col("doc_id"), col("text"))
+        else docs.select(
+          (col("doc_id") + r * 1000000L).as("doc_id"),
+          array_join(transform(
+            graft.functions.TextFunctions.tokens(col("text")),
+            x => concat(x, lit(s"_$r"))), " ").as("text"))
+      }
+      CorpusStats.docNllKneserNey3(
+          parallel(reps.reduce(_ unionByName _)), "text", "doc_id",
+          holdoutMod = 10, discount = 0.75)
+        .filter(col("doc_id") < 1000000L)
+        .transform(ordered1(_, col("doc_id")))
+    }),
+
+
     // Cross-version NLL drift: the q270 model (trained once on v1's
     // train split) replayed over v1's held docs AND a v2 whose held
     // docs have token 10 replaced (the q262 edit) — the
@@ -703,6 +728,85 @@ private[graft] object TextQueries {
         |SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
         |  round(sum(nll * CAST(n AS DOUBLE)) / CAST(sum(n) AS DOUBLE), 6)
         |    AS avg_nll
+        |FROM sc WHERE id < 1000000
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+
+    // Mirrors CorpusStats.docNllKneserNey3 over the 5x replicated
+    // corpus: D written 0.75 literal on both sides; the BIGRAM-level
+    // KN probability (itself a CASE on the continuation tables)
+    // appears as the SAME IEEE expression in both branches of the
+    // trigram CASE — the q271 rule, one order up; every lower-order
+    // statistic is a continuation count derived from the c3 type set.
+    "q275_docnll_kn3" ->
+      """WITH corpus AS (
+        |  SELECT doc_id + r * 1000000 AS doc_id,
+        |    CASE WHEN r = 0 THEN text
+        |      ELSE array_to_string([x || '_' || r
+        |        FOR x IN string_split(text, ' ')], ' ') END AS text
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS r)
+        |  WHERE text IS NOT NULL),
+        |toks AS (SELECT doc_id, doc_id % 10 = 0 AS held,
+        |    string_split(text, ' ') AS t
+        |  FROM corpus),
+        |tri AS (SELECT held, CASE WHEN held THEN doc_id END AS id,
+        |    g[1] AS w1, g[2] AS w2, g[3] AS w3, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT held, doc_id, unnest([t[i:i+2]
+        |      FOR i IN generate_series(1, greatest(len(t)-2, 1))]) AS g
+        |    FROM toks)
+        |  WHERE len(g) = 3
+        |  GROUP BY ALL),
+        |c3 AS (SELECT w1, w2, w3, sum(n) AS c3 FROM tri WHERE NOT held
+        |  GROUP BY w1, w2, w3),
+        |c2h AS (SELECT w1, w2, sum(c3) AS c2p, count(*) AS n1h
+        |  FROM c3 GROUP BY w1, w2),
+        |cc AS (SELECT w2, w3, count(*) AS cc FROM c3 GROUP BY w2, w3),
+        |ccu AS (SELECT w2, sum(cc) AS ccu, count(*) AS n1m
+        |  FROM cc GROUP BY w2),
+        |n1r AS (SELECT w3, count(*) AS n1r FROM cc GROUP BY w3),
+        |tv AS (SELECT count(*) AS t, count(DISTINCT w3) AS v FROM cc),
+        |sc AS (SELECT tri.id, tri.n,
+        |    CASE WHEN c2h.c2p IS NOT NULL THEN 1 ELSE 0 END AS h,
+        |    -ln(CASE WHEN c2h.c2p IS NULL THEN
+        |        CASE WHEN ccu.ccu IS NULL THEN
+        |            ((CAST(coalesce(n1r.n1r, 0) AS DOUBLE) + 1.0) /
+        |              (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE)))
+        |          ELSE (greatest(CAST(coalesce(cc.cc, 0) AS DOUBLE) - 0.75,
+        |              0.0) +
+        |            0.75 * CAST(ccu.n1m AS DOUBLE) *
+        |            ((CAST(coalesce(n1r.n1r, 0) AS DOUBLE) + 1.0) /
+        |              (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE)))) /
+        |            CAST(ccu.ccu AS DOUBLE)
+        |          END
+        |      ELSE (greatest(CAST(coalesce(c3.c3, 0) AS DOUBLE) - 0.75,
+        |          0.0) +
+        |        0.75 * CAST(c2h.n1h AS DOUBLE) *
+        |        CASE WHEN ccu.ccu IS NULL THEN
+        |            ((CAST(coalesce(n1r.n1r, 0) AS DOUBLE) + 1.0) /
+        |              (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE)))
+        |          ELSE (greatest(CAST(coalesce(cc.cc, 0) AS DOUBLE) - 0.75,
+        |              0.0) +
+        |            0.75 * CAST(ccu.n1m AS DOUBLE) *
+        |            ((CAST(coalesce(n1r.n1r, 0) AS DOUBLE) + 1.0) /
+        |              (CAST(tv.t AS DOUBLE) + CAST(tv.v AS DOUBLE)))) /
+        |            CAST(ccu.ccu AS DOUBLE)
+        |          END) /
+        |        CAST(c2h.c2p AS DOUBLE)
+        |      END) AS nll
+        |  FROM tri
+        |  LEFT JOIN c3 ON tri.w1 = c3.w1 AND tri.w2 = c3.w2 AND tri.w3 = c3.w3
+        |  LEFT JOIN c2h ON tri.w1 = c2h.w1 AND tri.w2 = c2h.w2
+        |  LEFT JOIN cc ON tri.w2 = cc.w2 AND tri.w3 = cc.w3
+        |  LEFT JOIN ccu ON tri.w2 = ccu.w2
+        |  LEFT JOIN n1r ON tri.w3 = n1r.w3
+        |  CROSS JOIN tv
+        |  WHERE tri.held)
+        |SELECT id AS doc_id, CAST(sum(n) AS BIGINT) AS n_trigrams,
+        |  CAST(sum(h * n) AS BIGINT) AS n_ctx_hits,
+        |  round(sum(nll * CAST(n AS DOUBLE)) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS avg_nll,
+        |  round(CAST(sum(h * n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |    AS ctx_hit_share
         |FROM sc WHERE id < 1000000
         |GROUP BY id ORDER BY doc_id""".stripMargin,
 

@@ -462,6 +462,50 @@ class TextQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("docNllKneserNey3: trigram KN hand-computed — discounted top " +
+    "level, continuation-count middle, smoothed unigram floor") {
+    import spark.implicits._
+    // train (odd ids): "a b c a b c" -> c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1;
+    //                  "a b d"       -> c3 (a,b,d)=1
+    // c2h: (a,b) c2p=3 n1h=2; (b,c) 1/1; (c,a) 1/1
+    // cc:  (b,c)=1 (c,a)=1 (a,b)=1 (b,d)=1
+    // ccu: b=2(n1m 2) c=1(1) a=1(1);  n1r: a=b=c=d=1;  T=4 V=4
+    // Pc(seen)=2/8, Pc(unseen)=1/8, D=0.75
+    val docs = Seq(
+      (1L, "a b c a b c"), (3L, "a b d"),
+      (2L, "a b c d"), (4L, "x a b"), (6L, "z z q"), (8L, "a b")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.docNllKneserNey3(docs, "text", "doc_id",
+        holdoutMod = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out.keySet == Set(2L, 4L, 6L)) // doc 8 has no trigram
+    val pc = 2.0 / 8.0
+    val pcUnseen = 1.0 / 8.0
+    // doc 2 "a b c d": (a,b,c) full hit; (b,c,d) unseen trigram, seen
+    // history -> discount floor + back-off into the continuation level
+    val p2c = (math.max(1 - 0.75, 0) + 0.75 * 2 * pc) / 2.0
+    val p3abc = (math.max(2 - 0.75, 0) + 0.75 * 2 * p2c) / 3.0
+    val p2d = (math.max(0 - 0.75, 0) + 0.75 * 1 * pc) / 1.0
+    val p3bcd = (math.max(0 - 0.75, 0) + 0.75 * 1 * p2d) / 1.0
+    val d2 = (-math.log(p3abc) - math.log(p3bcd)) / 2.0
+    // doc 4 "x a b": history (x,a) unseen -> P2(b|a) alone
+    val d4 = -math.log((math.max(1 - 0.75, 0) + 0.75 * 1 * pc) / 1.0)
+    // doc 6 "z z q": both histories unseen -> smoothed unigram floor
+    val d6 = -math.log(pcUnseen)
+    assert(out(2L)._1 == 2 && out(2L)._2 == 2 &&
+      math.abs(out(2L)._3 - d2) < 2e-6)
+    assert(out(4L)._1 == 1 && out(4L)._2 == 0 &&
+      math.abs(out(4L)._3 - d4) < 2e-6)
+    assert(out(6L)._1 == 1 && out(6L)._2 == 0 &&
+      math.abs(out(6L)._3 - d6) < 2e-6)
+    intercept[IllegalArgumentException] {
+      CorpusStats.docNllKneserNey3(docs, "text", "doc_id", holdoutMod = 2,
+        discount = 0.0)
+    }
+  }
+
   test("docNllDrift: unchanged held docs drift 0; the v2 score prices " +
     "v2 bigrams under the v1-trained model") {
     import spark.implicits._
