@@ -68,6 +68,26 @@ object Prof {
       (1 to 2).foreach { _ =>
         names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
       }
+    } else if (args.headOption.contains("q87_sub")) {
+      // q87 strict-subset decomposition (round-17 watchlist): (a) the
+      // per-key count aggregation over lineitem — the input every skew
+      // audit must form — vs (b) counts + top-k extraction vs (c) the
+      // whole query (adds the 1-row totals broadcast + derived
+      // arithmetic on topK rows). If (a) alone rivals the oracle's
+      // whole-query time, the residual is stage-constant, not plan
+      // waste (the q198/q167 adjudication shape).
+      val li = spark.read.parquet(s"$d/lineitem.parquet")
+      def counts() = li.groupBy(col("l_orderkey").as("__k"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(col("__k").cast("string").as("key"), col("n_rows"))
+      def topk() = counts().orderBy(col("n_rows").desc, col("key").asc)
+        .limit(25)
+      (1 to 3).foreach { _ =>
+        t("q87_counts_alone")(counts())
+        t("q87_counts_topk")(topk())
+        t("q87_whole")(graft.operators.Relational.skewAudit(
+          li, col("l_orderkey"), topK = 25))
+      }
     } else if (args.headOption.contains("asof_ab")) {
       (1 to 2).foreach { _ =>
         t("asof_composed")(asofPair(native = false))

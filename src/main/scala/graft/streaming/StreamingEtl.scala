@@ -313,6 +313,75 @@ object StreamingEtl {
       .start()
   }
 
+  /** Streaming SemDeDup ingest — [[annIngest]]'s frozen-centroid cell
+    * assignment fused with [[dedupIngest]]'s durable-index admission
+    * gate, in embedding space: each micro-batch is assigned to the
+    * frozen centroids (cost ∝ the batch), probed against the standing
+    * cell-posting index at `indexPath`
+    * ([[graft.operators.Similarity.semanticDedupIncremental]] — only
+    * same-cell members are compared), and only vectors with NO index
+    * cell-mate at cosine ≥ `threshold` are (a) handed to `onNovel` and
+    * (b) appended to the index — so a semantic near-dup arriving in any
+    * later micro-batch is dropped by state that survives restarts.
+    *
+    * Batch-internal near-dups are out of scope (both novel vs the
+    * corpus), and the failure semantics are [[dedupIngest]]'s verbatim:
+    * index rows carry the foreachBatch epoch, the probe ignores the
+    * CURRENT epoch's rows (a replayed batch must not collide with its
+    * own failed attempt's leftovers), redelivered old ids still dedup
+    * against their older epochs' rows, and the index is tied to one
+    * checkpoint lineage. Centroids are pinned once via localCheckpoint
+    * ([[annIngest]]'s frozen-centroid equivalence). */
+  def semanticDedupIngest(stream: DataFrame, indexPath: String,
+      centroids: DataFrame, vecCol: String, idCol: String,
+      threshold: Double, checkpointDir: String)(
+      onNovel: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val frozen = centroids.localCheckpoint()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val sparkB = batch.sparkSession
+        val b = batch.toDF().persist() // assigned twice (probe + append)
+        val idx = readCellIndexOrEmpty(sparkB, indexPath, b, frozen,
+            vecCol, idCol)
+          .filter(col("epoch") =!= batchId)
+          .drop("epoch")
+        val verdicts = graft.operators.Similarity.semanticDedupIncremental(
+          b, idx, frozen, vecCol, idCol, threshold)
+        val novel = b.join(
+            verdicts.filter(!col("is_dup")).select(col(idCol)),
+            Seq(idCol), "left_semi")
+          .persist()
+        graft.operators.Similarity
+          .assignToCells(novel, frozen, vecCol, idCol)
+          .withColumn("epoch", lit(batchId))
+          .write.mode("append").parquet(indexPath)
+        onNovel(novel)
+        b.unpersist(); novel.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** [[readIndexOrEmpty]] for the cell-posting index: the empty-index
+    * fallback derives its schema from assigning zero batch rows to the
+    * frozen centroids — exactly the frame a first batch will append. */
+  private def readCellIndexOrEmpty(spark: SparkSession, path: String,
+      like: DataFrame, centroids: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { f =>
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (hasData) spark.read.parquet(path)
+    else graft.operators.Similarity
+      .assignToCells(like.limit(0), centroids, vecCol, idCol)
+      .withColumn("epoch", lit(-1L))
+  }
+
   private def readIndexOrEmpty(spark: SparkSession, path: String,
       like: DataFrame, idCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)

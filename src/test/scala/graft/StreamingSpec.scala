@@ -469,6 +469,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(postings(spark.read.parquet(s"$dir/index")) == batch)
   }
 
+  test("semanticDedupIngest: later-batch semantic near-dups drop via the " +
+    "durable cell index; replay leftovers are epoch-excluded") {
+    import graft.operators.Similarity
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_ingest").toString
+    def vec(seed: Int): Seq[Double] =
+      (0 until 6).map(j => math.sin(seed * 7 + j * 3 + 1) * (1 + j % 2))
+    // seeds 41/43/44 are mutually low-cosine (−0.01/−0.96/0.30); a
+    // 1.5x-scaled copy has cosine exactly 1.0 (same direction)
+    val cents = Similarity.buildIvfIndex(
+      (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "emb"),
+      "emb", "id", nlist = 4).centroids
+    val in = MemoryStream[(Long, Seq[Double])]
+    val novel = scala.collection.mutable.ListBuffer[Long]()
+    val q = StreamingEtl.semanticDedupIngest(
+        in.toDF().toDF("id", "emb"), s"$dir/index", cents, "emb", "id",
+        threshold = 0.9, checkpointDir = s"$dir/ckpt") { batch =>
+      novel ++= batch.select("id").collect().map(_.getLong(0))
+    }
+    in.addData((1L, vec(41)), (2L, vec(43)))
+    q.processAllAvailable()
+    assert(novel.toSet == Set(1L, 2L)) // empty index: everything admits
+    // batch 2: a scaled copy of 1 (same direction, cosine 1.0 — must
+    // drop against the standing index) and a genuinely new direction
+    in.addData((3L, vec(41).map(_ * 1.5)), (4L, vec(44)))
+    q.processAllAvailable()
+    q.stop()
+    assert(novel.toSet == Set(1L, 2L, 4L))
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.select("id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 4L), "index holds exactly the admitted ids")
+    // replay safety, dedupIngest's contract: sibling near-dups appended
+    // by a failed attempt at epoch 0 must not collide with their own
+    // leftovers when the batch replays under a fresh checkpoint
+    Similarity.assignToCells(
+        Seq((20L, vec(45)), (21L, vec(45).map(_ * 1.5))).toDF("id", "emb"),
+        cents, "emb", "id")
+      .withColumn("epoch", org.apache.spark.sql.functions.lit(0L))
+      .write.mode("append").parquet(s"$dir/index")
+    val in2 = MemoryStream[(Long, Seq[Double])]
+    val novel2 = scala.collection.mutable.ListBuffer[Long]()
+    val q2 = StreamingEtl.semanticDedupIngest(
+        in2.toDF().toDF("id", "emb"), s"$dir/index", cents, "emb", "id",
+        threshold = 0.9, checkpointDir = s"$dir/ckpt2") { batch =>
+      novel2 ++= batch.select("id").collect().map(_.getLong(0))
+    }
+    in2.addData((20L, vec(45)), (21L, vec(45).map(_ * 1.5)))
+    q2.processAllAvailable()
+    q2.stop()
+    // batch-internal near-dups are out of scope: both siblings admit
+    assert(novel2.toSet == Set(20L, 21L))
+  }
+
   test("ewmaAnomalies: spike flagged against pre-spike envelope, then absorbed") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
