@@ -68,6 +68,50 @@ object Prof {
       (1 to 2).foreach { _ =>
         names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
       }
+    } else if (args.headOption.contains("q256_ab")) {
+      // round-17 shave A/B: weightedContamination WITH vs WITHOUT the
+      // global (doc, gram) distinct — the frame is distinct by
+      // construction (array_distinct within doc × unique ids), so the
+      // .distinct() was one full-width exchange of the plan's biggest
+      // frame. Same-JVM interleaved, warm min-of-3.
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      val train = docs.filter(col("doc_id") % 20 =!= 7)
+      val ev = docs.filter(col("doc_id") % 20 === 7)
+      val k = 3
+      def gramSet(df: org.apache.spark.sql.DataFrame,
+          cols: Seq[org.apache.spark.sql.Column]) = {
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        df.withColumn("__toks", toks).select(cols :+
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - (k - 1), lit(1))),
+            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))))
+            .as("__h"): _*)
+      }
+      def scored(distinctFirst: Boolean) = {
+        val tg0 = gramSet(train, Seq(col("doc_id")))
+        val tg = if (distinctFirst) tg0.distinct() else tg0
+        val dfCounts = tg.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        val evalGrams = gramSet(ev, Seq.empty).select(col("__h")).distinct()
+          .withColumn("__in_eval", lit(1L))
+        tg.join(dfCounts, "__h")
+          .withColumn("__w", floor(lit(1000000L) / col("__df")).cast("long"))
+          .join(broadcast(evalGrams), Seq("__h"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            coalesce(sum(col("__in_eval")), lit(0L)).as("n_overlap"),
+            sum(col("__w")).as("__tw"),
+            coalesce(sum(when(col("__in_eval") === 1L, col("__w"))), lit(0L))
+              .as("__ow"))
+          .filter(col("n_overlap") >= 1L)
+          .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+            round(col("__ow").cast("double") / col("__tw").cast("double"), 6)
+              .as("weighted_share"))
+      }
+      (1 to 3).foreach { _ =>
+        t("q256_with_distinct")(scored(distinctFirst = true))
+        t("q256_no_distinct")(scored(distinctFirst = false))
+      }
     } else if (args.headOption.contains("q87_sub")) {
       // q87 strict-subset decomposition (round-17 watchlist): (a) the
       // per-key count aggregation over lineitem — the input every skew

@@ -370,7 +370,14 @@ object TextDedup {
     *
     * Scale shape: distinct (doc, gram) frame → one gram-keyed df
     * aggregation (fixed-width md5 key) → broadcast eval gram set flag
-    * → one per-doc aggregation. No pairs, nothing quadratic. */
+    * → one per-doc aggregation. No pairs, nothing quadratic. The
+    * (doc, gram) frame is distinct BY CONSTRUCTION — `array_distinct`
+    * dedups within each document before the explode and `idCol` is
+    * unique per train row (every caller's contract in this repo) — so
+    * no global distinct shuffles the corpus's widest frame (round 17:
+    * a redundant `.distinct()` here was one full-width exchange of the
+    * biggest frame in the plan; a caller with DUPLICATE ids must
+    * pre-dedup, as [[contaminatedIds]] also assumes). */
   def weightedContamination(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, k: Int,
       maxEvalGrams: Long = 10000000L): DataFrame = {
@@ -382,7 +389,7 @@ object TextDedup {
         i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))))).as("__h")
       df.withColumn("__toks", toks).select(cols :+ grams: _*)
     }
-    val tg = gramSet(train, Seq(col(idCol))).distinct()
+    val tg = gramSet(train, Seq(col(idCol)))
     val dfCounts = tg.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val evalGrams = guardEvalBroadcast(
         gramSet(evalSet, Seq.empty).select(col("__h")).distinct(),
