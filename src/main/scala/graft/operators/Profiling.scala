@@ -204,10 +204,16 @@ object Profiling {
           .reduce(_ + _).as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("n"))
     val spine = spark.range(bins).select(col("id").cast("int").as("bin"))
-    val joined = spine
+    // localized (round 17): `joined` is `bins` rows by construction, but
+    // the totals frame below re-enters as a broadcast leg — without the
+    // localization that leg REPLAYS both binned corpus scans (the
+    // OpsUtil.localized lineage-replay class; this query ran the data
+    // passes twice for a 10-row output)
+    val joined = OpsUtil.localized(spine
       .join(binned(r).withColumnRenamed("n", "n_ref"), Seq("bin"), "left")
       .join(binned(cur).withColumnRenamed("n", "n_cur"), Seq("bin"), "left")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .na.fill(0L, Seq("n_ref", "n_cur")),
+      maxRows = 100000, context = "driftPsi bin table (bins rows)")
     val tot = joined.agg(sum(col("n_ref")).as("__tr"), sum(col("n_cur")).as("__tc"))
     val p = greatest(col("n_ref").cast("double") / col("__tr").cast("double"), lit(epsilon))
     val q = greatest(col("n_cur").cast("double") / col("__tc").cast("double"), lit(epsilon))

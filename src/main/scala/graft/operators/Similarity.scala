@@ -323,40 +323,80 @@ object Similarity {
     *
     * All entropy/MI terms are fixed IEEE sequences from exact long
     * counts, summed over the bounded contingency (the q103 KL
-    * precedent). Returns `(n, n_cells, n_labels, purity, nmi)`. */
+    * precedent). Returns `(n, n_cells, n_labels, purity, nmi)`.
+    *
+    * The contingency is COLLECTED and the summary computed driver-side
+    * (round 17): the frame is bounded by construction (≤ nlist ×
+    * |labels| rows — cluster count × categorical label cardinality,
+    * metadata-sized; the counted collect fails fast past the bound),
+    * and the previous shape derived SEVEN tiny frames from it
+    * (marginals, entropies, total, purity, MI) that re-entered as
+    * broadcast legs — each leg a separate Spark job, so the query paid
+    * ~6 job constants to fold 200 rows of longs. Now: ONE distributed
+    * assignment job ends at the counted collect, the entropy/MI folds
+    * run on the collected longs in a fixed order (MORE deterministic
+    * than the distributed sum they replace), and the 1-row answer
+    * re-enters as a LocalRelation (the bounded-metadata discipline:
+    * BPE's per-round top merge, covariance's d×d moment fold). */
   def clusterAgreementSummary(corpus: DataFrame, vecCol: String,
       idCol: String, labelCol: String, nlist: Int,
       roundTo: Int = 6): DataFrame = {
-    val cl = cellLabelCounts(corpus, vecCol, idCol, labelCol, nlist, roundTo)
-    val ncF = cl.groupBy(col("cell"))
-      .agg(sum(col("__nck")).as("__nc"), max(col("__nck")).as("__mx"))
-    val nlF = cl.groupBy(col("__lab")).agg(sum(col("__nck")).as("__nl"))
-    val tot = cl.agg(sum(col("__nck")).as("__n"))
-    def entropyOf(marg: DataFrame, cnt: String, outN: String,
-        outH: String): DataFrame = {
-      val p = col(cnt).cast("double") / col("__n").cast("double")
-      marg.crossJoin(broadcast(tot))
-        .agg(count(lit(1)).as(outN), sum(-p * log(p)).as(outH))
+    val spark = corpus.sparkSession
+    val (rows, _) = OpsUtil.localizedWithRows(
+      cellLabelCounts(corpus, vecCol, idCol, labelCol, nlist, roundTo),
+      maxRows = 100000, n =>
+        s"clusterAgreementSummary: contingency exceeded $n rows " +
+          "(nlist x label cardinality; labels must be categorical — " +
+          "bucket continuous labels upstream)")
+    // (cell, label, count) triples, folded in (cell, label-repr) order so
+    // the IEEE sum sequence is fixed across runs; the label stays its
+    // native type (int, string, …) and only SORTS by representation
+    val triples = rows.map(r => (r.getLong(0), r.get(1), r.getLong(2)))
+      .sortBy(t => (t._1, String.valueOf(t._2)))
+    val out: org.apache.spark.sql.Row = if (triples.isEmpty) {
+      // empty-corpus contract of the previous aggregation shape:
+      // null total/purity/nmi, zero marginal counts
+      org.apache.spark.sql.Row(null, 0L, 0L, null, null)
+    } else {
+      val n = triples.map(_._3).sum
+      val nd = n.toDouble
+      val byCell = triples.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (c, ts) => (c, ts.map(_._3).sum, ts.map(_._3).max) }
+      val byLab = triples.groupBy(_._2).toSeq
+        .sortBy(t => String.valueOf(t._1))
+        .map { case (l, ts) => (l, ts.map(_._3).sum) }
+      def h(counts: Seq[Long]): Double =
+        counts.map { c => val p = c.toDouble / nd; -p * math.log(p) }.sum
+      val hc = h(byCell.map(_._2))
+      val hl = h(byLab.map(_._2))
+      val ncOf = byCell.map(t => t._1 -> t._2).toMap
+      val nlOf = byLab.toMap
+      val mi = triples.map { case (c, l, nck) =>
+        (nck.toDouble / nd) * math.log(
+          nck.toDouble * nd / (ncOf(c).toDouble * nlOf(l).toDouble))
+      }.sum
+      def r6(x: Double): java.lang.Double = java.lang.Double.valueOf(
+        BigDecimal(x).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      org.apache.spark.sql.Row(java.lang.Long.valueOf(n),
+        byCell.size.toLong, byLab.size.toLong,
+        r6(byCell.map(_._3).sum.toDouble / nd),
+        if (hc > 0 && hl > 0) r6(mi / math.sqrt(hc * hl)) else null)
     }
-    val hC = entropyOf(ncF, "__nc", "n_cells", "__hc")
-    val hL = entropyOf(nlF, "__nl", "n_labels", "__hl")
-    val pur = ncF.agg(sum(col("__mx")).as("__mxsum"))
-    val mi = cl
-      .join(broadcast(ncF.select(col("cell"), col("__nc"))), "cell")
-      .join(broadcast(nlF), "__lab")
-      .crossJoin(broadcast(tot))
-      .agg(sum((col("__nck").cast("double") / col("__n").cast("double")) *
-        log(col("__nck").cast("double") * col("__n").cast("double") /
-          (col("__nc").cast("double") * col("__nl").cast("double"))))
-        .as("__mi"))
-    tot.crossJoin(broadcast(hC)).crossJoin(broadcast(hL))
-      .crossJoin(broadcast(mi)).crossJoin(broadcast(pur))
-      .select(col("__n").as("n"), col("n_cells"), col("n_labels"),
-        round(col("__mxsum").cast("double") / col("__n").cast("double"),
-          roundTo).as("purity"),
-        when(col("__hc") > 0 && col("__hl") > 0,
-          round(col("__mi") / sqrt(col("__hc") * col("__hl")), roundTo))
-          .as("nmi"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("n_cells",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_labels",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("purity",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("nmi",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(out)), schema)
   }
 
   /** Shared contingency for the cluster-agreement pair: nearest-centroid
