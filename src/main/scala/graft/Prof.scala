@@ -68,6 +68,133 @@ object Prof {
       (1 to 2).foreach { _ =>
         names.foreach(n => t(n)(SparkEntry.queries(n)(spark, d)))
       }
+    } else if (args.headOption.contains("explain_q")) {
+      // Plan dumper (round 18): `explain_q <outDir> <suffix> <name>...`
+      // writes each named registry query's formatted physical plan to
+      // <outDir>/<name>_<suffix>.txt — the before/after plan evidence
+      // the optimization-round deliverable requires (plans/r18/).
+      val outDir = args(1); val suffix = args(2)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      args.drop(3).foreach { n =>
+        require(SparkEntry.queries.contains(n), s"unknown query: $n")
+        val df = SparkEntry.queries(n)(spark, d)
+        val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+        spark.catalog.clearCache()
+        println(s"wrote $outDir/${n}_$suffix.txt")
+      }
+    } else if (args.headOption.contains("q89_sub")) {
+      // q89 strict-subset decomposition (round-17 verdict item 1, the
+      // q198/q167 adjudication shape, same-JVM warm min-of-3):
+      //   (a) sets_alone  — shingle explode + one hash agg to per-shingle
+      //       sorted source sets: the input every correct cross-source
+      //       overlap audit must form;
+      //   (b) pair_agg    — (a) + the fused pair+singleton explode and
+      //       (a,b) aggregation (everything but the final size attach);
+      //   (c) whole       — the registry query (incl. ordered1 final).
+      // If (a) alone rivals the ~0.31 s oracle, the residual is
+      // stage-constant, not plan waste.
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      def setsAlone() = docs
+        .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+        .select(col("source"), explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
+        .groupBy(col("__g"))
+        .agg(sort_array(collect_set(col("source"))).as("__ss"))
+      def pairAgg() = setsAlone()
+        .select(explode(concat(
+          flatten(transform(col("__ss"), (x, i) =>
+            transform(slice(col("__ss"), i + lit(2), size(col("__ss")) - i - 1),
+              y => struct(x.as("a"), y.as("b"))))),
+          transform(col("__ss"),
+            x => struct(x.as("a"), lit(null).cast("string").as("b"))))).as("__pr"))
+        .groupBy(col("__pr.a").as("__a"), col("__pr.b").as("__b"))
+        .agg(count(lit(1)).as("__n"))
+      def whole() = SparkEntry.queries("q89_source_overlap")(spark, d)
+      (1 to 3).foreach { _ =>
+        t("q89_sets_alone")(setsAlone())
+        t("q89_pair_agg")(pairAgg())
+        t("q89_whole")(whole())
+        spark.catalog.clearCache()
+      }
+    } else if (args.headOption.contains("q89_mask")) {
+      // Round-18 shave candidate A/B: stock sourceOverlap (per-shingle
+      // sorted collect_set(source) sets + fused struct-pair explode +
+      // full second aggregation over the exploded pair stream) vs a
+      // BITMASK shape — sources indexed 0..s-1 (s ≤ 63, bounded by
+      // construction), the per-shingle set becomes one bit_or(1L<<i)
+      // long, the second aggregation collapses the gram-mass stream to
+      // ≤ 2^s mask-count rows map-side, and the pair expansion runs
+      // over THAT tiny frame instead of per gram. Identical algebra:
+      // n_shared(a,b) = Σ_{mask ⊇ {a,b}} count(mask).
+      val docs = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/documents.parquet"))
+      def stock() = SparkEntry.queries("q89_source_overlap")(spark, d)
+      def maskShape() = {
+        val srcField = docs.schema("source")
+        val srcRows = docs.select(col("source")).distinct()
+          .orderBy(col("source")).collect()
+        require(srcRows.length <= 63, s"mask shape needs <=63 sources")
+        val idxRows = srcRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(r.get(0), i) }
+        val idxDf = spark.createDataFrame(
+          new java.util.ArrayList(java.util.Arrays.asList(idxRows: _*)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__srcv", srcField.dataType),
+            org.apache.spark.sql.types.StructField("__i",
+              org.apache.spark.sql.types.IntegerType, nullable = false))))
+        val nSrc = srcRows.length
+        val maskCounts = docs
+          .join(broadcast(idxDf), col("source") === col("__srcv"))
+          .withColumn("__toks", graft.functions.TextFunctions.tokens(col("text")))
+          .select(col("__i"), explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("__toks")) - 2, lit(1))),
+            i => concat_ws(" ", slice(col("__toks"), i, lit(3)))))).as("__g"))
+          .groupBy(col("__g"))
+          .agg(bit_or(call_function("shiftleft", lit(1L), col("__i"))).as("__m"))
+          .groupBy(col("__m")).agg(count(lit(1)).as("__c"))
+        // bit positions of each mask, ascending == source sort order
+        val bits = filter(sequence(lit(0), lit(nSrc - 1)),
+          b => call_function("shiftright", col("__m"), b)
+            .bitwiseAND(lit(1L)) === lit(1L))
+        val agged = maskCounts
+          .select(col("__c"), explode(concat(
+            flatten(transform(bits, (x, i) =>
+              transform(slice(bits, i + lit(2), size(bits) - i - 1),
+                y => struct(x.as("a"), y.as("b"))))),
+            transform(bits,
+              x => struct(x.as("a"), lit(null).cast("int").as("b"))))).as("__pr"))
+          .groupBy(col("__pr.a").as("__ia"), col("__pr.b").as("__ib"))
+          .agg(sum(col("__c")).as("__n"))
+          .persist()
+        val nameMap = idxDf.agg(map_from_entries(
+          collect_list(struct(col("__i"), col("__srcv")))).as("__names"))
+        val sizeMap = agged.filter(col("__ib").isNull)
+          .agg(map_from_entries(collect_list(struct(col("__ia"), col("__n"))))
+            .as("__m"))
+        agged.filter(col("__ib").isNotNull)
+          .crossJoin(broadcast(sizeMap))
+          .crossJoin(broadcast(nameMap))
+          .select(element_at(col("__names"), col("__ia")).as("source_a"),
+            element_at(col("__names"), col("__ib")).as("source_b"),
+            col("__n").as("n_shared"),
+            round(col("__n").cast("double") /
+              (element_at(col("__m"), col("__ia")) +
+                element_at(col("__m"), col("__ib")) - col("__n")), 6)
+              .as("jaccard"))
+          .transform(QuerySupport.ordered1(_, col("source_a"), col("source_b")))
+      }
+      (1 to 3).foreach { _ =>
+        t("q89_stock")(stock())
+        spark.catalog.clearCache()
+        t("q89_bitmask")(maskShape())
+        spark.catalog.clearCache()
+      }
     } else if (args.headOption.contains("q256_ab")) {
       // round-17 shave A/B: weightedContamination WITH vs WITHOUT the
       // global (doc, gram) distinct — the frame is distinct by

@@ -350,8 +350,22 @@ object Similarity {
           "bucket continuous labels upstream)")
     // (cell, label, count) triples, folded in (cell, label-repr) order so
     // the IEEE sum sequence is fixed across runs; the label stays its
-    // native type (int, string, …) and only SORTS by representation
-    val triples = rows.map(r => (r.getLong(0), r.get(1), r.getLong(2)))
+    // native type (int, string, …) and only SORTS by representation.
+    // The cell inherits idCol's NUMERIC type (long in every in-repo
+    // caller, but int/short/byte id columns are legal inputs), so read
+    // it with numeric widening — widening preserves the Long sort order
+    // the fold sequence is pinned to (round-18 ADVICE: a bare getLong
+    // threw ClassCastException on non-long id columns).
+    def cellAsLong(v: Any): Long = v match {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case s: java.lang.Short => s.longValue
+      case b: java.lang.Byte => b.longValue
+      case other => throw new IllegalArgumentException(
+        s"clusterAgreementSummary: idCol must be an integral type, got " +
+          s"${if (other == null) "null" else other.getClass.getName}")
+    }
+    val triples = rows.map(r => (cellAsLong(r.get(0)), r.get(1), r.getLong(2)))
       .sortBy(t => (t._1, String.valueOf(t._2)))
     val out: org.apache.spark.sql.Row = if (triples.isEmpty) {
       // empty-corpus contract of the previous aggregation shape:

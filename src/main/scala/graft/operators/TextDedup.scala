@@ -226,10 +226,16 @@ object TextDedup {
     * ≈ the headroom 10M 32-char digests plus overhead were budgeted
     * at), so the raw-key path keeps the driver-OOM headroom the guard
     * exists to provide. */
-  private val maxEvalBytes: Long = 512L * 1024 * 1024
+  /** Default byte cap for [[guardEvalBroadcast]] — overridable per call
+    * (round-18 ADVICE: the hard-coded private val had no parameter, so a
+    * large-raw-gram workload hit a cap the failure message could not
+    * lift). */
+  private val defaultMaxEvalBytes: Long = 512L * 1024 * 1024
   private def guardEvalBroadcast(evalGrams0: DataFrame, gramCol: String,
-      maxEvalGrams: Long, op: String): DataFrame = {
+      maxEvalGrams: Long, op: String,
+      maxEvalBytes: Long = defaultMaxEvalBytes): DataFrame = {
     require(maxEvalGrams > 0, "maxEvalGrams must be positive")
+    require(maxEvalBytes > 0, "maxEvalBytes must be positive")
     // persist: the gram frame feeds both the count and the broadcast
     // build — without the cache the guard re-tokenizes the eval corpus
     // (small by contract, but the extra explode showed up as ~0.15 s on
@@ -247,16 +253,18 @@ object TextDedup {
         lit(s" bytes (caps: maxEvalGrams=$maxEvalGrams, " +
           s"maxEvalBytes=$maxEvalBytes); broadcasting it would " +
           "overwhelm the driver — use the Bloom pre-filter regime " +
-          "(contaminatedIdsBloom) or raise maxEvalGrams")))
+          "(contaminatedIdsBloom), or raise whichever cap tripped " +
+          "(maxEvalGrams for the count, maxEvalBytes for the payload)")))
       .select(col(gramCol))
   }
 
   def contaminatedIds(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, shingleSize: Int,
-      minOverlap: Long = 1L, maxEvalGrams: Long = 10000000L): DataFrame = {
+      minOverlap: Long = 1L, maxEvalGrams: Long = 10000000L,
+      maxEvalBytes: Long = defaultMaxEvalBytes): DataFrame = {
     val evalShingles = guardEvalBroadcast(
       tokenShingled(evalSet, textCol, Seq.empty, shingleSize).distinct(),
-      "__g", maxEvalGrams, "contaminatedIds")
+      "__g", maxEvalGrams, "contaminatedIds", maxEvalBytes)
     tokenShingled(train, textCol, Seq(col(idCol)), shingleSize)
       .join(broadcast(evalShingles), "__g")
       .groupBy(col(idCol))
@@ -380,7 +388,8 @@ object TextDedup {
     * pre-dedup, as [[contaminatedIds]] also assumes). */
   def weightedContamination(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, k: Int,
-      maxEvalGrams: Long = 10000000L): DataFrame = {
+      maxEvalGrams: Long = 10000000L,
+      maxEvalBytes: Long = defaultMaxEvalBytes): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     def gramSet(df: DataFrame, cols: Seq[Column]): DataFrame = {
       val toks = tokens(col(textCol))
@@ -393,7 +402,7 @@ object TextDedup {
     val dfCounts = tg.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val evalGrams = guardEvalBroadcast(
         gramSet(evalSet, Seq.empty).select(col("__h")).distinct(),
-        "__h", maxEvalGrams, "weightedContamination")
+        "__h", maxEvalGrams, "weightedContamination", maxEvalBytes)
       .withColumn("__in_eval", lit(1L))
     tg.join(dfCounts, "__h")
       .withColumn("__w", floor(lit(1000000L) / col("__df")).cast("long"))
@@ -440,7 +449,8 @@ object TextDedup {
     * per-document window. */
   def contaminatedSpans(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, k: Int,
-      maxEvalGrams: Long = 10000000L): DataFrame = {
+      maxEvalGrams: Long = 10000000L,
+      maxEvalBytes: Long = defaultMaxEvalBytes): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     def grams(df: DataFrame, cols: Seq[Column]): DataFrame = {
       val toks = tokens(col(textCol))
@@ -451,7 +461,7 @@ object TextDedup {
     }
     val evalGrams = guardEvalBroadcast(
       grams(evalSet, Seq.empty).select(col("col").as("__h")).distinct(),
-      "__h", maxEvalGrams, "contaminatedSpans")
+      "__h", maxEvalGrams, "contaminatedSpans", maxEvalBytes)
     val hits = grams(train, Seq(col(idCol)))
       .select(col(idCol), (col("pos") + 1).as("__p"), col("col").as("__h"))
       .join(broadcast(evalGrams), "__h")
@@ -612,11 +622,12 @@ object TextDedup {
     * per-doc aggregation. Never a pair join. */
   def winnowContainment(train: DataFrame, evalSet: DataFrame,
       textCol: String, idCol: String, k: Int, w: Int,
-      maxEvalGrams: Long = 10000000L): DataFrame = {
+      maxEvalGrams: Long = 10000000L,
+      maxEvalBytes: Long = defaultMaxEvalBytes): DataFrame = {
     val evalFps = guardEvalBroadcast(
         winnow(evalSet, textCol, idCol, k, w)
           .select(col("fingerprint")).distinct(),
-        "fingerprint", maxEvalGrams, "winnowContainment")
+        "fingerprint", maxEvalGrams, "winnowContainment", maxEvalBytes)
       .withColumn("__hit", lit(1L))
     winnow(train, textCol, idCol, k, w)
       .join(broadcast(evalFps), Seq("fingerprint"), "left")

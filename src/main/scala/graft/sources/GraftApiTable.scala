@@ -150,14 +150,30 @@ final class GraftApiTable(properties: Map[String, String])
       override def pushedFilters(): Array[Filter] = pushed
 
       /** SQL three-valued semantics on a per-window constant: a window
-        * missing the referenced key compares as NULL → not selected. */
+        * missing the referenced key compares as NULL → not selected.
+        * Pushed filters are TRUSTED (Spark does not re-evaluate them),
+        * so two divergences from Spark's own evaluation were latent
+        * wrong-rows bugs (round-18 ADVICE):
+        *  - a NULL literal operand compares as NULL → not selected; the
+        *    old `String.valueOf(null)` mapped it to the string "null",
+        *    which a param literally equal to "null" then matched;
+        *  - range comparisons must use UTF8String binary (code-point)
+        *    order, the order Spark itself evaluates StringType
+        *    comparisons in — Java's UTF-16 `compareTo` diverges for
+        *    supplementary-plane characters. */
+      private def cmp(x: String, v: Any): Int =
+        UTF8String.fromString(x).compareTo(UTF8String.fromString(String.valueOf(v)))
       private def keeps(w: Map[String, String], f: Filter): Boolean = f match {
-        case EqualTo(a, v) => w.get(a).contains(String.valueOf(v))
-        case GreaterThan(a, v) => w.get(a).exists(_ > String.valueOf(v))
-        case GreaterThanOrEqual(a, v) => w.get(a).exists(_ >= String.valueOf(v))
-        case LessThan(a, v) => w.get(a).exists(_ < String.valueOf(v))
-        case LessThanOrEqual(a, v) => w.get(a).exists(_ <= String.valueOf(v))
-        case In(a, vs) => w.get(a).exists(x => vs.map(String.valueOf).contains(x))
+        case EqualTo(a, v) =>
+          v != null && w.get(a).contains(String.valueOf(v))
+        case GreaterThan(a, v) => v != null && w.get(a).exists(cmp(_, v) > 0)
+        case GreaterThanOrEqual(a, v) =>
+          v != null && w.get(a).exists(cmp(_, v) >= 0)
+        case LessThan(a, v) => v != null && w.get(a).exists(cmp(_, v) < 0)
+        case LessThanOrEqual(a, v) =>
+          v != null && w.get(a).exists(cmp(_, v) <= 0)
+        case In(a, vs) => w.get(a).exists(x =>
+          vs.filter(_ != null).map(String.valueOf).contains(x))
         case IsNotNull(a) => w.contains(a)
         case StringStartsWith(a, p) => w.get(a).exists(_.startsWith(p))
         case _ => true // unreachable: evaluable() gates admission

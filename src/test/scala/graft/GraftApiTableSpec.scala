@@ -99,6 +99,39 @@ class GraftApiTableSpec extends AnyFunSuite {
     assert(residual.count() == 1)
   }
 
+  test("graft-api: pushed filters match Spark's own comparison semantics " +
+    "(NULL In-elements never select; range uses code-point order)") {
+    val dir = fixture()
+    // Pushed filters are TRUSTED — Spark does not re-evaluate them — so
+    // keeps() must reproduce SQL three-valued logic exactly. A window
+    // whose param is the literal STRING "null" must not be selected by a
+    // NULL element of an In filter (the old String.valueOf(null) bridge
+    // made exactly that match).
+    val inNull = spark.read.format("graft-api")
+      .option("urlTemplate", s"$dir/{W}.json")
+      .option("windows",
+        """[{"W":"w1","StartDate":"null"},
+          | {"W":"w2","StartDate":"2024-02-01"}]""".stripMargin)
+      .load()
+      .filter(col("StartDate").isin(null, "2024-02-01"))
+    assert(inNull.rdd.getNumPartitions == 1,
+      "a 'null' string param matched a NULL In element")
+    assert(inNull.count() == 1) // w2 only
+    // Range pushdown must compare in UTF8String (code-point) order, the
+    // order Spark itself evaluates StringType comparisons in. U+1F600 is
+    // a supplementary-plane char: surrogate-pair UTF-16 order puts it
+    // BELOW U+FFFD, code-point order puts it ABOVE.
+    val emoji = new String(Character.toChars(0x1F600))
+    val range = spark.read.format("graft-api")
+      .option("urlTemplate", s"$dir/{W}.json")
+      .option("windows", s"""[{"W":"w1","Tag":"$emoji"}]""")
+      .load()
+      .filter(col("Tag") > "\uFFFD")
+    assert(range.rdd.getNumPartitions == 1,
+      "code-point-greater param pruned by UTF-16 comparison")
+    assert(range.count() == 2) // w1 has two rows
+  }
+
   test("graft-api: short name resolves via DataSourceRegister and url templating substitutes all keys") {
     assert(GraftApiTableSpec.resolvedExample ==
       "https://h/api?s=2024-01-01&e=2024-01-02&l=7")

@@ -343,6 +343,13 @@ class SimilaritySpec extends AnyFunSuite {
       emb.withColumn("label", lit(7)), "embedding", "vec_id", "label",
       nlist = 2).collect().head
     assert(oneLabel.isNullAt(4) && oneLabel.getDouble(3) == 1.0)
+    // the driver-side fold must stay type-generic over integral id
+    // columns (round-18 ADVICE: the cell inherits idCol's type, and a
+    // bare getLong threw on an INT id column)
+    val intId = Similarity.clusterAgreementSummary(
+      emb.withColumn("vec_id", col("vec_id").cast("int")),
+      "embedding", "vec_id", "label", nlist = 2).collect().head
+    assert(intId == s, "int-id summary must equal the long-id summary")
   }
 
   test("embeddingCovariance: exact hand-computed 2x2; empty input NULL cov") {

@@ -294,6 +294,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(hits == Map(1L -> 2L))
   }
 
+  test("decontamination byte cap is a PARAMETER (round-18 ADVICE): a tiny " +
+    "maxEvalBytes trips the guard naming the knob; raising it lifts the cap") {
+    import spark.implicits._
+    val train = Seq((1L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val evalSet = Seq((100L, "the quick brown fox")).toDF("doc_id", "text")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val ex = intercept[Exception] { TextDedup.contaminatedIds(
+      train, evalSet, "text", "doc_id", 3, maxEvalBytes = 1L).collect() }
+    assert(msgs(ex).exists(m => m.contains("maxEvalBytes")),
+      s"byte-cap message missing the knob name: ${msgs(ex)}")
+    // an explicit raise admits the same workload the tiny cap rejected
+    val hits = TextDedup.contaminatedIds(train, evalSet, "text", "doc_id", 3,
+        maxEvalBytes = 1L << 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 2L))
+  }
+
   test("ngram jaccard is tokenization-robust where token jaccard is not") {
     import spark.implicits._
     // Same characters, words glued differently: token sets are disjoint,
