@@ -195,6 +195,185 @@ object Prof {
         t("q89_bitmask")(maskShape())
         spark.catalog.clearCache()
       }
+    } else if (args.headOption.contains("q161_sub")) {
+      // q161 decomposition + sort-shape A/B (round-19 verdict item 4).
+      // Strict subsets of the standardize query:
+      //   (a) scan_project — the 5-column projection every correct
+      //       program must read;
+      //   (b) fit_agg     — the one-pass stats aggregation alone;
+      //   (c) transform   — fit + the per-row z/mm pass, NO final sort;
+      //   (d) whole       — the registry query (adds orderedWide's
+      //       range sort, whose sampling pass re-executes (c)).
+      // Plus one shave candidate: (e) persist_sort — materialize (c)
+      // once, then range-sort the cached frame (the sampler reads the
+      // cache instead of re-running the projection).
+      val li = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/lineitem.parquet"))
+      val keyC = Seq("l_orderkey", "l_linenumber")
+      val valC = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val sortKeys = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice_z"), col("l_quantity_z"), col("l_discount_z"),
+        col("l_extendedprice_mm"), col("l_quantity_mm"), col("l_discount_mm"))
+      def scanProject() = li.select((keyC ++ valC).map(col): _*)
+      def fitAgg() = {
+        val aggs = valC.flatMap { c =>
+          val q = graft.functions.Decimals.unscaledLong(col(c), 2)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          Seq(sum(q).as(s"__s_$c"), sum(q * q).as(s"__ss_$c"),
+            count(col(c)).as(s"__n_$c"),
+            min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        }
+        li.agg(aggs.head, aggs.tail: _*)
+      }
+      def transformNoSort() =
+        graft.operators.Features.standardize(li, keyC, valC, scale = 2)
+      def whole() = SparkEntry.queries("q161_feature_scale")(spark, d)
+      def persistSort() = {
+        val b = transformNoSort().persist()
+        b.orderBy(sortKeys: _*)
+      }
+      (1 to 3).foreach { _ =>
+        t("q161_scan_project")(scanProject())
+        t("q161_fit_agg")(fitAgg())
+        t("q161_transform")(transformNoSort())
+        t("q161_whole")(whole())
+        t("q161_persist_sort")(persistSort())
+        spark.catalog.clearCache()
+      }
+    } else if (args.headOption.contains("q161_plans")) {
+      // plans/r19 evidence for the orderedWide persist shave: before =
+      // the transform range-sorted directly (the sampler re-executes the
+      // projection), after = the registry query (sort over the persisted
+      // frame — the sort's child is an InMemoryTableScan).
+      val outDir = args(1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      def explainStr(df: org.apache.spark.sql.DataFrame): String =
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val li = graft.sources.Tables.parallel(
+        spark.read.parquet(s"$d/lineitem.parquet"))
+      val sortKeys = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice_z"), col("l_quantity_z"), col("l_discount_z"),
+        col("l_extendedprice_mm"), col("l_quantity_mm"), col("l_discount_mm"))
+      val before = graft.operators.Features.standardize(li,
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"), scale = 2)
+        .orderBy(sortKeys: _*)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$outDir/q161_feature_scale_before.txt"), explainStr(before))
+      spark.catalog.clearCache()
+      val after = SparkEntry.queries("q161_feature_scale")(spark, d)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$outDir/q161_feature_scale_after.txt"), explainStr(after))
+      spark.catalog.clearCache()
+      println(s"wrote $outDir/q161_feature_scale_{before,after}.txt")
+    } else if (args.headOption.contains("merge_firstload_plan")) {
+      // plans/r19 evidence for the Merge first-load fast path: before =
+      // the full-outer upsert against an empty slice (SortMergeJoin +
+      // both exchanges), after = the insert-only projection the fast
+      // path now takes when the target does not exist.
+      val outDir = args(1)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      def explainStr(df: org.apache.spark.sql.DataFrame): String =
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val now = lit("2024-06-01 10:00:00").cast("timestamp")
+      val src = spark.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("v"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("day"))
+        .withColumn("ins", lit(null).cast("timestamp"))
+        .withColumn("upd", lit(null).cast("timestamp"))
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+      val dataCols = Seq("day", "k", "v")
+      val before = graft.operators.Merge.upsert(empty, src, "k", dataCols,
+        audit = Some(("ins", "upd", now)))
+      val after = src.select(dataCols.map(col) ++ Seq(now.as("ins"),
+        lit(null).cast("timestamp").as("upd")): _*)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$outDir/q129_merge1_firstload_before.txt"), explainStr(before))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(
+        s"$outDir/q129_merge1_firstload_after.txt"), explainStr(after))
+      println(s"wrote $outDir/q129_merge1_firstload_{before,after}.txt")
+    } else if (args.headOption.contains("q55_sub")) {
+      // q55 decomposition (round-19 verdict item 4): the bucketized
+      // interval join's strict subsets.
+      //   (a) sess_alone — sessionStats over events (the input every
+      //       correct program must form);
+      //   (b) join_nosort — (a) + intervalJoin, NO final sort;
+      //   (c) whole — the registry query (adds ordered1).
+      val ev = graft.sources.Tables.load(spark, d, "events")
+      def sess() = graft.operators.Sessionize.sessionStats(ev, "user_id",
+          "ts", gapSeconds = 600, measure = count(lit(1)).as("__m"),
+          tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("s_start"), col("s_last"))
+      def joinNoSort() = graft.operators.Relational.intervalJoin(
+          ev.select("event_id", "user_id", "ts"), sess(),
+          "user_id", "ts", "s_start", "s_last", bucketSeconds = 600)
+        .select("event_id", "user_id", "ts", "s_start", "s_last")
+      def whole() = SparkEntry.queries("q55_interval_join")(spark, d)
+      (1 to 3).foreach { _ =>
+        t("q55_sess_alone")(sess())
+        t("q55_join_nosort")(joinNoSort())
+        t("q55_whole")(whole())
+      }
+    } else if (args.headOption.contains("q129_stages")) {
+      // q129 stage breakdown (round-19 verdict item 6): wall time per
+      // phase of the partition-scoped disk merge, fresh temp dir per
+      // round (no cross-run reuse). Phases: the day-1 staging batch
+      // alone (noop), each mergeIntoTargetPartitioned (disk write), the
+      // partitioned read-back + single-partition sort (noop).
+      import graft.{TradeInQueries => TQ}
+      import graft.pipeline.TradeInPipeline
+      (1 to 3).foreach { r =>
+        val base = TQ.narrowBase(spark, d)
+          .repartition(spark.sparkContext.defaultParallelism, col("k"))
+          .persist()
+        val day1 = TQ.widen(base.filter(col("k") % 3 =!= 0))
+        val day2 = TQ.widen(base.filter(col("k") % 2 === 0))
+          .withColumn("__dup", explode(
+            when(col("__k") % 10 === 0, array(lit(false), lit(true)))
+              .otherwise(array(lit(false)))))
+          .withColumn("TradeInAmount",
+            when(col("__dup"), expr(TQ.dec2("130.0", "__p")))
+              .otherwise(expr(TQ.dec2("120.0", "__p"))))
+          .withColumn("TradeInDate",
+            when(col("__dup"), concat(
+              date_format(col("__ts") + expr("INTERVAL 1 DAY"),
+                "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit("Z")))
+              .otherwise(col("TradeInDate")))
+        val workRoot = java.nio.file.Files.createTempDirectory("graft_q129prof")
+        val work = workRoot.toString + "/target"
+        val month = date_format(col("TradeInDate"), "yyyy-MM")
+        def ph(n: String)(f: => Unit): Unit = {
+          val t0 = System.nanoTime()
+          f
+          println(f"  r$r $n: ${(System.nanoTime() - t0) / 1e9}%.2f")
+        }
+        ph("stage_day1_noop")(
+          TradeInPipeline.stage(day1, TQ.nowLit(TQ.Now1))
+            .write.format("noop").mode("overwrite").save())
+        ph("merge1_write")(
+          TradeInPipeline.mergeIntoTargetPartitioned(spark, work,
+            TradeInPipeline.stage(day1, TQ.nowLit(TQ.Now1)),
+            TQ.nowLit(TQ.Now1), partDay = month))
+        ph("merge2_write")(
+          TradeInPipeline.mergeIntoTargetPartitioned(spark, work,
+            TradeInPipeline.stage(day2, TQ.nowLit(TQ.Now2)),
+            TQ.nowLit(TQ.Now2), partDay = month))
+        ph("readback_sort")(
+          spark.read.parquet(work)
+            .select(col("SaleInvoiceID"),
+              col("TradeInAmount").cast("double").as("TradeInAmount"),
+              col("TradeInDate"), col("TradeInDateEST"),
+              col("ETLRowInsertedEST"), col("ETLRowUpdatedEST"))
+            .transform(QuerySupport.ordered1(_, col("SaleInvoiceID")))
+            .write.format("noop").mode("overwrite").save())
+        base.unpersist()
+        org.apache.commons.io.FileUtils.deleteDirectory(workRoot.toFile)
+      }
     } else if (args.headOption.contains("q256_ab")) {
       // round-17 shave A/B: weightedContamination WITH vs WITHOUT the
       // global (doc, gram) distinct — the frame is distinct by

@@ -49,8 +49,8 @@ object TradeInQueries {
   // ------------------------------------------------------------- fixture
 
   /** Fixed "now" per logical run — replayable F4 fallback + audit stamps. */
-  private val Now1 = "2024-06-01 10:00:00"
-  private val Now2 = "2024-06-02 10:00:00"
+  private[graft] val Now1 = "2024-06-01 10:00:00"
+  private[graft] val Now2 = "2024-06-02 10:00:00"
 
   /** Event-time base: orders dates jittered to non-trivial
     * seconds/microseconds so fraction truncation is exercised for real.
@@ -71,7 +71,7 @@ object TradeInQueries {
     * representation while DuckDB rounds the binary value, so halfway
     * cases diverge. `f` is the money factor scaled to cents (e.g. 110.0
     * for a 1.1× amount). */
-  private def dec2(f: String, v: String = "p") =
+  private[graft] def dec2(f: String, v: String = "p") =
     s"(CAST(floor(floor($v * $f) / 100.0) AS BIGINT) || '.' || " +
       s"lpad(CAST(CAST(floor($v * $f) AS BIGINT) % 100 AS STRING), 2, '0'))"
   private val rawSpec: Seq[(String, String)] = Seq(
@@ -209,7 +209,7 @@ object TradeInQueries {
     widen(base)
   }
 
-  private def nowLit(s: String): Column = lit(s).cast("timestamp")
+  private[graft] def nowLit(s: String): Column = lit(s).cast("timestamp")
 
   // ------------------------------------------------------------- queries
 
