@@ -175,7 +175,11 @@ final class GraftApiTable(properties: Map[String, String])
         case In(a, vs) => w.get(a).exists(x =>
           vs.filter(_ != null).map(String.valueOf).contains(x))
         case IsNotNull(a) => w.contains(a)
-        case StringStartsWith(a, p) => w.get(a).exists(_.startsWith(p))
+        // null guard for consistency with every other case (Spark
+        // constant-folds a null startsWith pattern today, but a trusted
+        // pushdown must not NPE if that ever changes — round-18 ADVICE)
+        case StringStartsWith(a, p) =>
+          p != null && w.get(a).exists(_.startsWith(p))
         case _ => true // unreachable: evaluable() gates admission
       }
 
