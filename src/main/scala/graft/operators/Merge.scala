@@ -263,7 +263,25 @@ object Merge {
         targetSlice0.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
       }
-    val merged0 = upsert(targetSlice, source, key, dataCols, audit)
+    // First load (no target on disk): the full-outer MERGE against an
+    // empty slice degenerates to "every source row is an insert", so
+    // skip the join — and the key exchange + sort of the whole batch it
+    // plans — and stamp the audit columns directly. Column-for-column
+    // identical to upsert(emptySlice, source, …): data values from the
+    // source, insertedCol = now, updatedCol = NULL of the declared type
+    // (the empty slice contributes nothing to either branch of upsert's
+    // per-column WHENs). Measured (Prof q129_stages, round 19): the
+    // first merge run is the bench's single largest component; at scale
+    // this is every bootstrap/backfill-into-empty load skipping a full
+    // shuffle of the batch.
+    val merged0 =
+      if (!exists) {
+        val auditCols = audit.toSeq.flatMap { case (ins, upd, now) =>
+          Seq(now.as(ins),
+            lit(null).cast(source.schema(upd).dataType).as(upd))
+        }
+        source.select(dataCols.map(col) ++ auditCols: _*)
+      } else upsert(targetSlice, source, key, dataCols, audit)
     // Only a moved-from partition can end up with zero output rows (every
     // source partition receives at least its own batch rows), so the
     // persist + emptied-partition sweep is paid only on moved-key runs.

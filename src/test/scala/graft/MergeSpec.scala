@@ -316,4 +316,46 @@ class MergeSpec extends AnyFunSuite {
     assert(merged == Seq("2024-01-01"))
     assert(spark.read.parquet(dir).count() == 1)
   }
+
+  test("first-load insert-only fast path stamps audit like the joined merge") {
+    // Round 19: a missing target takes the no-join insert path; its
+    // output contract must stay column-identical to upsert(empty, src):
+    // inserted = now, updated = NULL timestamp, data from the source —
+    // and a SECOND merge over the created target must still see those
+    // stamps (update re-stamps updated, keeps inserted).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("pmerge3").toString + "/t"
+    val now1 = lit("2024-06-01 10:00:00").cast("timestamp")
+    val batch1 = Seq(("2024-01-01", 1, "a"), ("2024-01-02", 2, "b"))
+      .toDF("day", "k", "v")
+      .withColumn("ins", lit(null).cast("timestamp"))
+      .withColumn("upd", lit(null).cast("timestamp"))
+    graft.operators.Merge.upsertPartitioned(
+      spark, dir, batch1, "k", "day", Seq("day", "k", "v"),
+      audit = Some(("ins", "upd", now1)))
+    val first = spark.read.schema(batch1.schema).parquet(dir)
+      .orderBy("k").collect()
+    assert(first.map(_.getAs[java.sql.Timestamp]("ins")).forall(
+      _ == java.sql.Timestamp.valueOf("2024-06-01 10:00:00")))
+    assert(first.map(_.getAs[java.sql.Timestamp]("upd")).forall(_ == null))
+    // second merge: update k=1, insert k=3
+    val now2 = lit("2024-06-02 10:00:00").cast("timestamp")
+    val batch2 = Seq(("2024-01-01", 1, "a2"), ("2024-01-03", 3, "c"))
+      .toDF("day", "k", "v")
+      .withColumn("ins", lit(null).cast("timestamp"))
+      .withColumn("upd", lit(null).cast("timestamp"))
+    graft.operators.Merge.upsertPartitioned(
+      spark, dir, batch2, "k", "day", Seq("day", "k", "v"),
+      audit = Some(("ins", "upd", now2)))
+    val rows = spark.read.schema(batch1.schema).parquet(dir)
+      .orderBy("k").collect()
+    assert(rows.length == 3)
+    val k1 = rows(0)
+    assert(k1.getAs[String]("v") == "a2")
+    assert(k1.getAs[java.sql.Timestamp]("ins") ==
+      java.sql.Timestamp.valueOf("2024-06-01 10:00:00"), "insert stamp kept")
+    assert(k1.getAs[java.sql.Timestamp]("upd") ==
+      java.sql.Timestamp.valueOf("2024-06-02 10:00:00"), "update re-stamped")
+  }
 }
