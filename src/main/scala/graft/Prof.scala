@@ -268,6 +268,51 @@ object Prof {
         s"$outDir/q161_feature_scale_after.txt"), explainStr(after))
       spark.catalog.clearCache()
       println(s"wrote $outDir/q161_feature_scale_{before,after}.txt")
+    } else if (args.headOption.contains("q142_skip")) {
+      // Row-group skipping evidence for the z-order write (round-19
+      // verdict item 6): write the SAME rows twice — z-ordered vs
+      // unclustered — then run one selective two-dimensional predicate
+      // over each and read the PARQUET SCAN node's numOutputRows metric.
+      // With footer-stats pruning, the z-ordered scan emits only the
+      // surviving row groups' rows; the unclustered scan emits ~all rows
+      // and the post-scan filter drops them. Also dumps the filtered
+      // scan's formatted plan (PushedFilters) for plans/r19.
+      val outDir = args.lift(1).getOrElse("plans/r19")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+      val rows = spark.read.parquet(s"$d/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val zdir = java.nio.file.Files.createTempDirectory("q142z").toString + "/t"
+      val udir = java.nio.file.Files.createTempDirectory("q142u").toString + "/t"
+      graft.operators.Maintenance.zorderWrite(spark, rows,
+        Seq("l_partkey", "l_suppkey"), zdir, numFiles = 8, bitsPerDim = 4)
+      rows.repartition(8).write.mode("overwrite").parquet(udir)
+      def probe(dir: String, label: String): Unit = {
+        val df = spark.read.parquet(dir)
+          .filter(col("l_partkey") <= 1000 && col("l_suppkey") <= 100)
+        val qe = df
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution
+        qe.executedPlan.execute().foreach(_ => ())
+        val scans = qe.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+        scans.foreach { s =>
+          val out = s.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+          println(f"$label%-12s scan numOutputRows=$out " +
+            s"pushed=${s.metadata.getOrElse("PushedFilters", "?")}")
+        }
+        if (label == "zordered")
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/q142_skipping_scan.txt"),
+            qe.explainString(
+              org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      val total = rows.count()
+      println(s"total rows=$total")
+      (1 to 2).foreach { _ => probe(zdir, "zordered"); probe(udir, "unclustered") }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(zdir).getParentFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(udir).getParentFile)
     } else if (args.headOption.contains("merge_firstload_plan")) {
       // plans/r19 evidence for the Merge first-load fast path: before =
       // the full-outer upsert against an empty slice (SortMergeJoin +
