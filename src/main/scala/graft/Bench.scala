@@ -195,7 +195,12 @@ object Bench {
         // an existing entry or shave the wall first. Hollow-out ratio is
         // stated per round in BASELINE.md (round 17: 15/274 = 5.5% of
         // queries after the q255 re-admission, ~16% of bench wall).
-        val scopeExcluded = Set("q33_tradein_merge_2run", "q101_decontaminate_bloom",
+        // q101_decontaminate_bloom RE-ADMITTED round 19 (the freeze's
+        // re-admission door, verdict-18 item 5): its measured ratio
+        // certified 1.09× (c8) / 1.23× (c32) in the round-18 driver
+        // artifacts — far under the 2× bar, so the exclusion no longer
+        // has numbers behind it. Exclusions after this: 15/276 = 5.4%.
+        val scopeExcluded = Set("q33_tradein_merge_2run",
           // runs the partition-scoped DISK merge path (two partitioned
           // parquet writes + read-back) against a minimal in-memory
           // join oracle — unlike work by design, like q33.
