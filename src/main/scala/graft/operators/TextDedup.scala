@@ -814,21 +814,26 @@ object TextDedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("__nbr"))
+      // the round's INPUT label rides along as __old so convergence is
+      // a join-free filter over the fresh checkpoint (round 19): the
+      // previous shape re-joined next against labels on id — two
+      // exchanges and a sort-merge join per iteration, paid only to
+      // evaluate "did anything change" — where a carried column makes
+      // the same predicate a short-circuiting local scan (isEmpty
+      // plans a limit-1 over the checkpointed blocks, no shuffle).
       val prop = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster").as("__old"),
           least(col("cluster"), coalesce(col("__nbr"), col("cluster"))).as("cluster"))
       val next = prop.alias("l")
         .join(prop.select(col("id").as("__cid"), col("cluster").as("__cc")).alias("c"),
           col("l.cluster") === col("c.__cid"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.cluster"), coalesce(col("__cc"), col("l.cluster"))).as("cluster"))
+          least(col("l.cluster"), coalesce(col("__cc"), col("l.cluster"))).as("cluster"),
+          col("l.__old").as("__old"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.cluster") =!= col("p.cluster"))
-        .isEmpty
+      converged = next.filter(col("cluster") =!= col("__old")).isEmpty
       val superseded = ckptRdds(labels)
-      labels = next
+      labels = next.select(col("id"), col("cluster"))
       superseded.foreach(_.unpersist(blocking = false))
       i += 1
     }
